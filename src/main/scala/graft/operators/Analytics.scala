@@ -1,0 +1,245 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** General relational analytics (SURVEY §2b).
+  *
+  * Oracle-stability rule: double sums are order-dependent, so every money
+  * aggregate casts to decimal FIRST (double→decimal rounding is exact and
+  * identical in Spark and DuckDB; decimal arithmetic is exact), aggregates
+  * exactly, rounds, and only then casts back to double. Averages divide the
+  * exact decimal sum as a double — bit-reproducible in both engines.
+  *
+  * Scale notes: q1 is a pure map-side-combine hash aggregate; q3/q5
+  * broadcast every dimension small enough and shuffle facts on join keys
+  * with AQE skew-splitting on; top-k uses TakeOrderedAndProject (per
+  * partition top-k, no global sort shuffle).
+  */
+object Analytics {
+
+  /** Exact-decimal cast for oracle-reproducible money math. */
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 6))
+
+  private def avg4(sumDec: Column, cnt: Column): Column =
+    round(sumDec.cast("double") / cnt, 4)
+
+  // --- q1: TPC-H Q1 shape: grouped aggregation with map-side combine ----
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+    val sumQty   = sum(dec(col("l_quantity")))
+    val sumBase  = sum(dec(col("l_extendedprice")))
+    val sumDisc  = sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+    val sumChrg  = sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))) * (lit(1) + dec(col("l_tax"))))
+    val sumDsct  = sum(dec(col("l_discount")))
+    val cnt      = count(lit(1))
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sumQty, 2).cast("double").as("sum_qty"),
+        round(sumBase, 2).cast("double").as("sum_base_price"),
+        round(sumDisc, 2).cast("double").as("sum_disc_price"),
+        round(sumChrg, 2).cast("double").as("sum_charge"),
+        avg4(sumQty, cnt).as("avg_qty"),
+        avg4(sumBase, cnt).as("avg_price"),
+        avg4(sumDsct, cnt).as("avg_disc"),
+        cnt.as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q1Oracle: String = """
+    SELECT l_returnflag, l_linestatus,
+      CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
+      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
+      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS sum_disc_price,
+      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6))) * (1 + CAST(l_tax AS DECIMAL(18,6)))), 2) AS DOUBLE) AS sum_charge,
+      round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_qty,
+      round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_price,
+      round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_disc,
+      count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus"""
+
+  // --- q3: join + filter + agg + top-k --------------------------------
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord  = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+    val li   = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))), 2)
+        .cast("double").as("revenue"))
+      .select(
+        col("l_orderkey"),
+        col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3Oracle: String = """
+    SELECT l_orderkey,
+      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS revenue,
+      strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+      o_orderpriority
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10"""
+
+  // --- q5: star join, broadcast dims ----------------------------------
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val nation = Tables.nation(spark, dir)
+    val supp   = Tables.supplier(spark, dir)
+    val cust   = Tables.customer(spark, dir)
+    val ord    = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val li     = Tables.lineitem(spark, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))), 2)
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q5Oracle: String = """
+    SELECT n_name,
+      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name"""
+
+  // --- window: rank-per-group top-n ------------------------------------
+  def windowTopN(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    Tables.part(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("p_brand"), col("rn"), col("p_partkey"), col("p_retailprice"))
+      .orderBy(col("p_brand"), col("rn"))
+  }
+
+  val windowTopNOracle: String = """
+    SELECT p_brand, rn, p_partkey, p_retailprice
+    FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+             row_number() OVER (PARTITION BY p_brand
+                                ORDER BY p_retailprice DESC, p_partkey) AS rn
+      FROM part) t
+    WHERE rn <= 3
+    ORDER BY p_brand, rn"""
+
+  // --- sessionization: gap-based sessions over the events stream -------
+  // Gap rule: a new session starts when >1800s passed since the user's
+  // previous event. Computed on exact epoch-microseconds so both engines
+  // agree bit-for-bit. At scale this is one shuffle on user_id (the two
+  // windows share partitioning, Spark evaluates them in one exchange).
+  def eventsSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser  = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val ev = Tables.events(spark, dir)
+      .withColumn("us", expr("ts div 1000"))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    ev.groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("us")).as("start_us"),
+        max(col("us")).as("end_us"),
+        round(sum(dec(col("value"))), 2).cast("double").as("sum_value"))
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        ((col("end_us") - col("start_us")) / lit(1000000L)).cast("long").as("duration_s"),
+        col("sum_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val eventsSessionizeOracle: String = """
+    WITH flagged AS (
+      SELECT user_id, event_id, value,
+        epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      FROM events),
+    sess AS (
+      SELECT user_id, value, us,
+        sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+          OVER (PARTITION BY user_id ORDER BY us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged)
+    SELECT user_id, session_id, count(*) AS n_events,
+      CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS duration_s,
+      CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+    FROM sess
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id"""
+
+  // --- tumbling-window aggregation (batch twin of streaming §2g) -------
+  def eventsWindowedAgg(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .withColumn("hour_us", expr("(ts div 1000) div 3600000000 * 3600000000"))
+      .groupBy(col("hour_us"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(dec(col("value"))), 2).cast("double").as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(date_format(timestamp_micros(col("hour_us")), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"), col("n_users"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  val eventsWindowedAggOracle: String = """
+    SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start,
+      event_type, count(*) AS n,
+      CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value,
+      count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary"   -> (q1PricingSummary _),
+    "q3_shipping_priority" -> (q3ShippingPriority _),
+    "q5_local_supplier"    -> (q5LocalSupplier _),
+    "q_window_topn"        -> (windowTopN _),
+    "q_events_sessionize"  -> (eventsSessionize _),
+    "q_events_windowed_agg" -> (eventsWindowedAgg _))
+
+  val oracle: Map[String, String] = Map(
+    "q1_pricing_summary"   -> q1Oracle,
+    "q3_shipping_priority" -> q3Oracle,
+    "q5_local_supplier"    -> q5Oracle,
+    "q_window_topn"        -> windowTopNOracle,
+    "q_events_sessionize"  -> eventsSessionizeOracle,
+    "q_events_windowed_agg" -> eventsWindowedAggOracle)
+}

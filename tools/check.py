@@ -1,0 +1,56 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate: run each oracle SQL in
+DuckDB against the sf parquet tables, compare to the Spark result parquet
+(row count, schema, and values with columns sorted by name)."""
+import sys, json, glob, math
+import duckdb
+
+def canon(rows, cols):
+    # sort columns by name, then rows; normalize floats
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        rr = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                if math.isnan(v): v = "NaN"
+                else: v = repr(v)
+            rr.append(v)
+        out.append(tuple(rr))
+    return sorted(out, key=repr), [cols[i] for i in order]
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not spark_files:
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        sq = con.execute(f"SELECT * FROM read_parquet({spark_files!r})")
+        scols = [d[0] for d in sq.description]; srows = sq.fetchall()
+        try:
+            oq = con.execute(sql)
+            ocols = [d[0] for d in oq.description]; orows = oq.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error {e}"); n_fail += 1; continue
+        sc, scn = canon(srows, scols)
+        oc, ocn = canon(orows, ocols)
+        if scn != ocn:
+            print(f"FAIL {name}: columns {scn} vs {ocn}"); n_fail += 1
+        elif len(sc) != len(oc):
+            print(f"FAIL {name}: rows {len(sc)} vs {len(oc)}"); n_fail += 1
+        elif sc != oc:
+            bad = [(a, b) for a, b in zip(sc, oc) if a != b][:3]
+            print(f"FAIL {name}: value mismatch, first diffs: {bad}"); n_fail += 1
+        else:
+            print(f"PASS {name} ({len(sc)} rows)"); n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
