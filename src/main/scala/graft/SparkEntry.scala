@@ -5,16 +5,17 @@ import graft.operators._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: the reference's whole point — sample + detect + render
+    * markdown docs — on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    Analytics.q1PricingSummary(spark, "/root/testdata/sf0.001")
+    RefCore.markdownRender(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Analytics.queries
+    Analytics.queries ++ RefCore.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Analytics.oracle
+    Analytics.oracle ++ RefCore.oracle
 }

@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text column functions — pure `org.apache.spark.sql.functions`
+  * compositions, so every one of them stays inside whole-stage codegen
+  * (no UDFs anywhere on these hot paths).
+  */
+object TextFns {
+
+  /** Reference-faithful tokenizer (api.py:470-489): punctuation→space,
+    * lowercase, split on whitespace, drop empties. */
+  def tokens(c: Column): Column =
+    filter(
+      split(lower(regexp_replace(c, "[^\\w\\s]", " ")), "\\s+"),
+      t => t =!= lit(""))
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** Filename sanitization (main.py:79-81): keep [alnum -_], else '_';
+    * trim, spaces→'_', truncate to 100 chars. */
+  def sanitizeFilename(c: Column): Column =
+    substring(
+      translate(trim(regexp_replace(c, "[^A-Za-z0-9 \\-_]", "_")), " ", "_"),
+      1, 100)
+
+  /** ASCII sanitization (api.py:271-324): any codepoint ≥128 → '_'. */
+  def asciiSanitize(c: Column): Column =
+    regexp_replace(c, "[^\\x00-\\x7F]", "_")
+
+  /** Content truncation for export (api.py:327): first 50 000 chars. */
+  def truncateContent(c: Column): Column = substring(c, 1, 50000)
+
+  /** Common-entity HTML unescape (api.py:314 uses html.unescape; the
+    * named-entity long tail is out of scope — the five entities below
+    * cover markdown-ish corpora; `&amp;` must be decoded last). */
+  def htmlUnescape(c: Column): Column = {
+    val step1 = regexp_replace(c, "&lt;", "<")
+    val step2 = regexp_replace(step1, "&gt;", ">")
+    val step3 = regexp_replace(step2, "&quot;", "\"")
+    val step4 = regexp_replace(step3, "&#39;", "'")
+    regexp_replace(step4, "&amp;", "&")
+  }
+
+  /** Token n-gram shingles: ["a b c", "b c d", ...]; empty if < n tokens. */
+  def shingles(c: Column, n: Int): Column = {
+    val ts = tokens(c)
+    when(size(ts) >= n,
+      transform(sequence(lit(0), size(ts) - n),
+        i => concat_ws(" ", slice(ts, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+}

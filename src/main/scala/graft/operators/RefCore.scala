@@ -1,0 +1,210 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.{CisiSource, Tables}
+import graft.sinks.MarkdownFileSink
+import graft.functions.TextFns
+
+/** Reference-derived core operators (SURVEY §2a) as oracle-checked
+  * queries over the `documents` table.
+  */
+object RefCore {
+
+  // ---- shared expressions (Spark side) --------------------------------
+
+  private def mdColumn: Column = concat(
+    lit("---\ndoc_id: "), col("doc_id").cast("string"),
+    lit("\nlang: "), col("lang"),
+    lit("\nsource: "), col("source"),
+    lit("\nn_chars: "), col("n_chars").cast("string"),
+    lit("\n---\n"), col("text"))
+
+  private def filenameColumn: Column =
+    concat(lit("paper_"), lpad(col("sample_rank").cast("string"), 4, "0"), lit(".md"))
+
+  // ---- shared SQL fragments (DuckDB side) -----------------------------
+
+  private val tokensSql =
+    "list_filter(regexp_split_to_array(lower(regexp_replace(text, '[^\\w\\s]', ' ', 'g')), '\\s+'), x -> x <> '')"
+
+  private val sampleSql = """
+    SELECT doc_id, text, lang, source, n_chars,
+           row_number() OVER (ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+    FROM documents
+    ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id
+    LIMIT 100"""
+
+  private val mdSql =
+    "'---' || chr(10) || 'doc_id: ' || CAST(doc_id AS VARCHAR)" +
+      " || chr(10) || 'lang: ' || lang" +
+      " || chr(10) || 'source: ' || source" +
+      " || chr(10) || 'n_chars: ' || CAST(n_chars AS VARCHAR)" +
+      " || chr(10) || '---' || chr(10) || text"
+
+  private val filenameSql =
+    "'paper_' || lpad(CAST(sample_rank AS VARCHAR), 4, '0') || '.md'"
+
+  /** Per-sfDir scratch dir for file-sink round trips. */
+  private def scratch(dir: String, name: String): String =
+    s"target/tmp/${name}_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+
+  // ---- 1. schema inspection + column-role detection -------------------
+  def schemaColumns(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val detected = ColumnDetect.detect(docs)
+    docs.schema.fields.toSeq
+      .map(f => (f.name, f.dataType.simpleString, detected.roleOf(f.name)))
+      .sortBy(_._1)
+      .toDF("column_name", "data_type", "role")
+  }
+
+  val schemaColumnsOracle: String = """
+    SELECT * FROM (VALUES
+      ('doc_id','bigint','id'),
+      ('lang','string','metadata'),
+      ('n_chars','bigint','metadata'),
+      ('source','string','metadata'),
+      ('text','string','content')) AS t(column_name, data_type, role)
+    ORDER BY column_name"""
+
+  // ---- 2. deterministic seeded sampling -------------------------------
+  def samplePapers(spark: SparkSession, dir: String): DataFrame =
+    Sampling.sampleN(Tables.documents(spark, dir), col("doc_id"), 100)
+      .select(col("sample_rank"), col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("sample_rank"))
+
+  val samplePapersOracle: String =
+    s"SELECT sample_rank, doc_id, lang, source, n_chars FROM ($sampleSql) ORDER BY sample_rank"
+
+  // ---- 3. markdown render (frontmatter + filename) --------------------
+  def markdownRender(spark: SparkSession, dir: String): DataFrame =
+    Sampling.sampleN(Tables.documents(spark, dir), col("doc_id"), 100)
+      .select(
+        filenameColumn.as("filename"),
+        col("doc_id"),
+        mdColumn.as("markdown"))
+      .orderBy(col("filename"))
+
+  val markdownRenderOracle: String =
+    s"SELECT $filenameSql AS filename, doc_id, $mdSql AS markdown FROM ($sampleSql) ORDER BY filename"
+
+  // ---- 4. CISI source round-trip --------------------------------------
+  def cisiRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val fixture = scratch(dir, "cisi") + "/corpus.all"
+    val rows = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id")).limit(500)
+      .collect()  // fixture generation only (≤500 docs); the parse below is distributed
+      .map(r => (r.getLong(0) + 1,
+        s"doc ${r.getLong(0)} title", s"author_${r.getLong(0) % 7}", r.getString(1)))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(fixture).getParent)
+    java.nio.file.Files.write(java.nio.file.Paths.get(fixture),
+      CisiSource.renderCisi(rows.toIndexedSeq).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    CisiSource.read(spark, fixture)
+      .select(
+        (col("cisi_id") - 1).as("doc_id"),
+        col("title"), col("author"),
+        md5(col("content")).as("content_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val cisiRoundtripOracle: String = """
+    SELECT doc_id,
+           'doc ' || CAST(doc_id AS VARCHAR) || ' title' AS title,
+           'author_' || CAST(doc_id % 7 AS VARCHAR) AS author,
+           md5(text) AS content_md5
+    FROM documents
+    ORDER BY doc_id
+    LIMIT 500"""
+
+  // ---- 5. per-document token count ------------------------------------
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFns.tokenCount(col("text")).as("n_tokens"))
+      .orderBy(col("doc_id"))
+
+  val tokenCountOracle: String =
+    s"SELECT doc_id, len($tokensSql) AS n_tokens FROM documents ORDER BY doc_id"
+
+  // ---- 6. corpus token statistics -------------------------------------
+  def tokenStats(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = Tables.documents(spark, dir)
+      .select(TextFns.tokenCount(col("text")).as("n"))
+    perDoc.agg(
+      count(lit(1)).as("document_count"),
+      sum(col("n")).as("total_tokens"),
+      round(sum(col("n")).cast("double") / count(lit(1)), 4).as("average_tokens_per_doc"),
+      min(col("n")).as("min_tokens"),
+      max(col("n")).as("max_tokens"))
+  }
+
+  val tokenStatsOracle: String = s"""
+    SELECT count(*) AS document_count,
+           sum(n) AS total_tokens,
+           round(CAST(sum(n) AS DOUBLE) / count(*), 4) AS average_tokens_per_doc,
+           min(n) AS min_tokens,
+           max(n) AS max_tokens
+    FROM (SELECT len($tokensSql) AS n FROM documents)"""
+
+  // ---- 7. ASCII sanitize + truncate (wikir-style export prep) ---------
+  def asciiSanitize(spark: SparkSession, dir: String): DataFrame = {
+    val clean = TextFns.truncateContent(
+      TextFns.asciiSanitize(TextFns.htmlUnescape(col("text"))))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        octet_length(clean).as("n_bytes"),
+        md5(clean).as("content_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val asciiSanitizeOracle: String = """
+    SELECT doc_id, strlen(clean) AS n_bytes, md5(clean) AS content_md5
+    FROM (
+      SELECT doc_id,
+        substr(regexp_replace(
+          replace(replace(replace(replace(replace(text,
+            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+          '[^\x00-\x7F]', '_', 'g'), 1, 50000) AS clean
+      FROM documents)
+    ORDER BY doc_id"""
+
+  // ---- 8. end-to-end extract pipeline → file manifest -----------------
+  def extractManifest(spark: SparkSession, dir: String): DataFrame = {
+    val outDir = scratch(dir, "extract")
+    // clean slate so stale files can't pollute the manifest
+    val root = new java.io.File(outDir)
+    if (root.exists()) root.listFiles().foreach(_.delete())
+    val rendered = Sampling.sampleN(Tables.documents(spark, dir), col("doc_id"), 100)
+      .select(filenameColumn.as("filename"), mdColumn.as("content"))
+    MarkdownFileSink.write(rendered, outDir)
+    MarkdownFileSink.manifest(spark, outDir).orderBy(col("filename"))
+  }
+
+  val extractManifestOracle: String =
+    s"SELECT $filenameSql AS filename, strlen($mdSql) AS n_bytes FROM ($sampleSql) ORDER BY filename"
+
+  // ---- registry -------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ref_schema_columns"   -> (schemaColumns _),
+    "ref_sample_papers"    -> (samplePapers _),
+    "ref_markdown_render"  -> (markdownRender _),
+    "ref_cisi_roundtrip"   -> (cisiRoundtrip _),
+    "ref_token_count"      -> (tokenCount _),
+    "ref_token_stats"      -> (tokenStats _),
+    "ref_ascii_sanitize"   -> (asciiSanitize _),
+    "ref_extract_manifest" -> (extractManifest _))
+
+  val oracle: Map[String, String] = Map(
+    "ref_schema_columns"   -> schemaColumnsOracle,
+    "ref_sample_papers"    -> samplePapersOracle,
+    "ref_markdown_render"  -> markdownRenderOracle,
+    "ref_cisi_roundtrip"   -> cisiRoundtripOracle,
+    "ref_token_count"      -> tokenCountOracle,
+    "ref_token_stats"      -> tokenStatsOracle,
+    "ref_ascii_sanitize"   -> asciiSanitizeOracle,
+    "ref_extract_manifest" -> extractManifestOracle)
+}
