@@ -1,0 +1,95 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, StringType}
+import graft.operators.{ColumnDetect, Sampling}
+import graft.sources.CisiSource
+import graft.sinks.MarkdownFileSink
+import graft.functions.TextFns
+
+/** User-facing facade mirroring the reference's CLI/REST surface
+  * (main.py `extract_papers`/`convert_cisi_to_markdown`,
+  * api.py `analyze_wikir_dataset`, `/api/files`) — each job is a single
+  * distributed Spark pipeline instead of a driver-side row loop.
+  */
+object Extractor {
+
+  /** Extract N sampled documents from a parquet dataset to one markdown
+    * file each (main.py:9-105). Returns the output-file manifest.
+    *
+    * Column auto-detection, seeded deterministic sampling, YAML
+    * frontmatter of every non-content/non-null/non-binary column
+    * (strings only when shorter than 1000 chars — main.py:92-97),
+    * title-derived or sequential filenames.
+    */
+  def extractPapers(spark: SparkSession, parquetPath: String, outputDir: String,
+                    numPapers: Int = 1000, seed: Int = 42): DataFrame = {
+    val df = spark.read.parquet(parquetPath)
+    val detected = ColumnDetect.detect(df)
+    val contentCol = detected.content.getOrElse(throw new IllegalArgumentException(
+      "Could not identify a column containing paper content. Please specify manually."))
+
+    // Sampling key: an id-role column when present, else a row hash.
+    val key = df.columns.find(c => detected.roleOf(c) == "id")
+      .map(col)
+      .getOrElse(md5(concat_ws("", df.columns.map(c => col(c).cast("string")): _*)))
+    val sampled = Sampling.sampleN(df, key, numPapers, seed)
+
+    val metaFields: Seq[Column] = df.schema.fields.toSeq
+      .filter(f => f.name != contentCol && f.dataType != BinaryType)
+      .map { f =>
+        val v = col(f.name)
+        val keep = f.dataType match {
+          case StringType => v.isNotNull && length(v) < 1000
+          case _          => v.isNotNull
+        }
+        when(keep, concat(lit("\n" + f.name + ": "), v.cast("string"))).otherwise(lit(""))
+      }
+    val markdown = concat(
+      (lit("---") +: metaFields) :+ lit("\n---\n") :+ col(contentCol): _*)
+
+    val filename = detected.title match {
+      case Some(t) => concat(
+        lpad(col("sample_rank").cast("string"), 4, "0"), lit("_"),
+        TextFns.sanitizeFilename(col(t).cast("string")), lit(".md"))
+      case None => concat(
+        lit("paper_"), lpad(col("sample_rank").cast("string"), 4, "0"), lit(".md"))
+    }
+
+    MarkdownFileSink.write(
+      sampled.select(filename.as("filename"), markdown.as("content")), outputDir)
+    MarkdownFileSink.manifest(spark, outputDir)
+  }
+
+  /** Convert a CISI corpus file to per-document markdown (main.py:107-192). */
+  def convertCisi(spark: SparkSession, cisiPath: String, outputDir: String): DataFrame = {
+    val docs = CisiSource.read(spark, cisiPath)
+    val title  = when(length(col("title")) > 0, col("title"))
+      .otherwise(concat(lit("Document "), col("cisi_id").cast("string")))
+    val author = when(length(col("author")) > 0, col("author")).otherwise(lit("Unknown"))
+    val filename = concat(
+      lit("cisi_"), lpad(col("cisi_id").cast("string"), 4, "0"), lit("_"),
+      TextFns.sanitizeFilename(title), lit(".md"))
+    val markdown = concat(
+      lit("---\ndoc_id: "), col("cisi_id").cast("string"),
+      lit("\ntitle: "), title,
+      lit("\nauthor: "), author,
+      lit("\n---\n"), col("content"))
+    MarkdownFileSink.write(
+      docs.select(filename.as("filename"), markdown.as("content")), outputDir)
+    MarkdownFileSink.manifest(spark, outputDir)
+  }
+
+  /** Corpus token analysis (api.py:491-567): one row of
+    * document_count / total / average / min / max tokens. */
+  def analyzeTokens(df: DataFrame, contentCol: String): DataFrame = {
+    val n = TextFns.tokenCount(col(contentCol)).as("n")
+    df.select(n).agg(
+      count(lit(1)).as("document_count"),
+      sum(col("n")).as("total_tokens"),
+      round(sum(col("n")).cast("double") / count(lit(1)), 4).as("average_tokens_per_doc"),
+      min(col("n")).as("min_tokens"),
+      max(col("n")).as("max_tokens"))
+  }
+}
