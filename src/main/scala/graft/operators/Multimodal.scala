@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Multimodal-column plumbing (SURVEY §2f).
+  *
+  * Media payloads are opaque `binary` columns with typed metadata — the
+  * pattern a 100 TB image/audio corpus uses: parquet stores the bytes,
+  * Spark prunes/filters on the metadata columns, and decode runs
+  * partition-parallel only on the rows that survive pushdown.
+  *
+  * The container has no image/audio codecs, so `FakeDecoder` below is a
+  * deliberate, clearly-marked STUB (deterministic bytes→features); the
+  * Spark-side plumbing — schema, batching, partitioning, the
+  * mapPartitions signature — is real and tested.
+  */
+object Multimodal {
+
+  /** documents.text cast to bytes stands in for a media payload column. */
+  private def media(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+
+  // ---- 1. binary metadata ----------------------------------------------
+  def binaryMeta(spark: SparkSession, dir: String): DataFrame =
+    media(spark, dir)
+      .select(
+        col("doc_id"),
+        octet_length(col("payload")).as("n_bytes"),
+        hex(substring(col("payload"), 1, 8)).as("magic"),
+        md5(col("payload")).as("payload_md5"))
+      .orderBy(col("doc_id"))
+
+  val binaryMetaOracle: String = """
+    SELECT doc_id,
+      strlen(text) AS n_bytes,
+      hex(encode(substr(text, 1, 8))) AS magic,
+      md5(text) AS payload_md5
+    FROM documents
+    ORDER BY doc_id"""
+
+  // ---- 2. chunk / frame sampling ---------------------------------------
+  // Split the payload into fixed 64-byte "frames", keep every 4th — the
+  // frame-sampling access pattern for video/audio, done declaratively so
+  // it runs inside codegen and never materializes unsampled frames.
+  def chunkSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(0, (length(text) + 63) div 64 - 1)")).as("frame_idx"))
+      .filter(pmod(col("frame_idx"), lit(4)) === 0)
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        md5(expr("substring(text, cast(frame_idx * 64 + 1 as int), 64)")).as("frame_md5"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  val chunkSampleOracle: String = """
+    SELECT doc_id, frame_idx, md5(substr(text, frame_idx * 64 + 1, 64)) AS frame_md5
+    FROM (SELECT doc_id, text,
+            unnest(range((strlen(text) + 63) // 64)) AS frame_idx
+          FROM documents)
+    WHERE frame_idx % 4 = 0
+    ORDER BY doc_id, frame_idx"""
+
+  // ---- 3. decode / feature-extract plumbing ----------------------------
+
+  final case class MediaRow(doc_id: Long, payload: Array[Byte])
+  final case class MediaFeatures(doc_id: Long, width: Int, height: Int,
+                                 mean_byte: Double, hist: Array[Long])
+
+  /** STUB decoder — a real deployment swaps this body for an image/audio
+    * codec call (libs not present in this container). Deterministic fake:
+    * "dimensions" from the leading bytes, 8-bucket byte histogram as the
+    * "feature vector". Everything around it is the real pipeline shape. */
+  object FakeDecoder {
+    def decode(payload: Array[Byte]): (Int, Int, Double, Array[Long]) = {
+      val w = 16 + (payload.headOption.getOrElse(0: Byte) & 0x0F)
+      val h = 16 + (payload.lift(1).getOrElse(0: Byte) & 0x0F)
+      val hist = new Array[Long](8)
+      var sum = 0L
+      payload.foreach { b => val u = b & 0xFF; hist(u >> 5) += 1; sum += u }
+      val mean = if (payload.isEmpty) 0.0 else sum.toDouble / payload.length
+      (w, h, math.rint(mean * 10000) / 10000, hist)
+    }
+  }
+
+  /** Batched partition-parallel decode: iterate each partition in
+    * fixed-size batches (the Arrow-ish batch shape a vectorized decode
+    * wants), decode, emit typed features. */
+  def decodeFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ds = media(spark, dir).as[MediaRow]
+    ds.mapPartitions { rows =>
+      rows.grouped(64).flatMap { batch =>
+        batch.map { r =>
+          val (w, h, mean, hist) = FakeDecoder.decode(r.payload)
+          MediaFeatures(r.doc_id, w, h, mean, hist)
+        }
+      }
+    }.toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("mean_byte"),
+        concat_ws(",", col("hist")).as("hist_csv"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- registry -------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_binary_meta"     -> (binaryMeta _),
+    "mm_chunk_sample"    -> (chunkSample _),
+    "mm_decode_features" -> (decodeFeatures _))
+
+  val oracle: Map[String, String] = Map(
+    "mm_binary_meta"  -> binaryMetaOracle,
+    "mm_chunk_sample" -> chunkSampleOracle)
+}

@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+import graft.functions.VectorFns
+
+/** Similarity search over the `embeddings` table (SURVEY §2d).
+  *
+  * Brute-force is the correctness baseline (and stays viable whenever the
+  * query side is small: queries are broadcast, the corpus is streamed in
+  * one pass). The scale paths — IVF coarse quantization and random-
+  * hyperplane LSH — turn all-pairs into per-cell/per-bucket joins.
+  */
+object Similarity {
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), VectorFns.asDouble(col("embedding")).as("vec"))
+
+  private val NQueries = 5
+  private val K = 5
+
+  // ---- 1. exact brute-force top-k -------------------------------------
+  def topkBruteforce(spark: SparkSession, dir: String): DataFrame = {
+    val all = emb(spark, dir)
+    val q = all.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+    val scored = all.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        VectorFns.cosine6(col("qvec"), col("vec")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  val topkBruteforceOracle: String = s"""
+    SELECT q.vec_id AS qid, c.vec_id AS nid,
+      round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                   CAST(c.embedding AS DOUBLE[])), 6) AS cos,
+      CAST(row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                            CAST(c.embedding AS DOUBLE[])), 6) DESC, c.vec_id) AS INT) AS rn
+    FROM embeddings q JOIN embeddings c
+      ON q.vec_id < $NQueries AND c.vec_id <> q.vec_id
+    QUALIFY rn <= $K
+    ORDER BY qid, rn"""
+
+  // ---- 2. embedding-cosine near-dup ranking ---------------------------
+  // Top-20 most similar pairs corpus-wide. The sf-test plan is the a<b
+  // self-join; at 100 TB this query runs through the LSH/IVF candidate
+  // generators below instead (same verify step, bounded candidates).
+  def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val a = emb(spark, dir).select(col("vec_id").as("da"), col("vec").as("va"))
+    val b = emb(spark, dir).select(col("vec_id").as("db"), col("vec").as("vb"))
+    a.join(b, col("da") < col("db"))
+      .select(col("da"), col("db"), VectorFns.cosine6(col("va"), col("vb")).as("cos"))
+      .orderBy(col("cos").desc, col("da"), col("db"))
+      .limit(20)
+  }
+
+  val nearDupPairsOracle: String = """
+    SELECT a.vec_id AS da, b.vec_id AS db,
+      round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 6) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ORDER BY cos DESC, da, db
+    LIMIT 20"""
+
+  // ---- 3. IVF-style ANN ------------------------------------------------
+  // Coarse centroids = per-label mean vector (the label column is the
+  // pre-computed coarse assignment); probe the 2 nearest centroids, exact
+  // top-k within the probed cells. Deterministic, rows-only gate; the
+  // spec measures recall vs brute force.
+  def topkIvf(spark: SparkSession, dir: String): DataFrame = {
+    val all = emb(spark, dir).cache()
+    val centroids = all
+      .select(col("label"), posexplode(col("vec")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos")).agg(avg(col("v")).as("c"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("cvec"))
+      .select(col("label").as("clabel"), col("cvec"))
+    val q = all.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+    val probeW = Window.partitionBy(col("qid"))
+      .orderBy(col("ccos").desc, col("clabel"))
+    val probes = q.join(broadcast(centroids), lit(true))
+      .select(col("qid"), col("qvec"), col("clabel"),
+        VectorFns.cosine6(col("qvec"), col("cvec")).as("ccos"))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= 2)
+      .select(col("qid"), col("qvec"), col("clabel"))
+    val scored = all.join(broadcast(probes),
+      col("label") === col("clabel") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        VectorFns.cosine6(col("qvec"), col("vec")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  // ---- 4. random-hyperplane LSH ANN -----------------------------------
+  // 8 pseudo-random ±1 hyperplanes (deterministic from xxhash64(j,i)) →
+  // 8-bit sign bucket per vector; multi-probe (bucket + 8 single-bit
+  // flips) then exact top-k within candidates.
+  private val NPlanes = 8
+
+  /** Sign-bit bucket of a double-vector column. */
+  def lshBucket(vec: Column): Column =
+    (0 until NPlanes).map { j =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x * (pmod(xxhash64(lit(j), i), lit(2)) * 2 - 1).cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  def topkLsh(spark: SparkSession, dir: String): DataFrame = {
+    val all = emb(spark, dir).withColumn("bucket", lshBucket(col("vec"))).cache()
+    val q = all.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"), col("bucket"))
+      // multi-probe: own bucket + every single-bit flip
+      .select(col("qid"), col("qvec"),
+        explode(array(lit(0) +: (0 until NPlanes).map(j => lit(1 << j)): _*)).as("flip"),
+        col("bucket"))
+      .select(col("qid"), col("qvec"),
+        col("bucket").bitwiseXOR(col("flip")).as("bucket"))
+    val scored = all.join(broadcast(q),
+      all("bucket") === q("bucket") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        VectorFns.cosine6(col("qvec"), col("vec")).as("cos"))
+      .distinct()
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  // ---- registry -------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_topk_bruteforce" -> (topkBruteforce _),
+    "dedup_embedding"     -> (nearDupPairs _),
+    "sim_topk_ivf"        -> (topkIvf _),
+    "sim_topk_lsh"        -> (topkLsh _))
+
+  val oracle: Map[String, String] = Map(
+    "sim_topk_bruteforce" -> topkBruteforceOracle,
+    "dedup_embedding"     -> nearDupPairsOracle)
+}

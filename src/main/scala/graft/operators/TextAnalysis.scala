@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.TextFns
+
+/** Text analysis suite (SURVEY §2e) — language ID, quality scoring,
+  * fingerprinting, corpus token histogram. All per-document work is
+  * narrow codegen'd expressions; the histogram is the only shuffle
+  * (explode → partial map-side agg → final agg).
+  */
+object TextAnalysis {
+
+  private val tokensSql =
+    "list_filter(regexp_split_to_array(lower(regexp_replace(text, '[^\\w\\s]', ' ', 'g')), '\\s+'), x -> x <> '')"
+
+  // ---- 1. language identification -------------------------------------
+  // Stopword-profile heuristic: score(lang) = fraction of tokens in that
+  // language's closed-class word list; argmax with a fixed tie order.
+  val profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "y", "en", "los", "es"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "est"))
+
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val ts = TextFns.tokens(text)
+    profiles.map { case (lang, words) =>
+      val hits = size(filter(ts, t =>
+        words.map(w => t === lit(w)).reduce(_ || _)))
+      lang -> round(hits.cast("double") / size(ts), 6)
+    }
+  }
+
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val scores = langScores(col("text"))
+    val scoreCols = scores.map { case (l, c) => c.as(s"${l}_score") }
+    val predicted = scores.tail.foldLeft((scores.head._2, lit(scores.head._1))) {
+      case ((best, bestLang), (lang, score)) =>
+        (when(score > best, score).otherwise(best),
+         when(score > best, lit(lang)).otherwise(bestLang))
+    }._2
+    Tables.documents(spark, dir)
+      .select(col("doc_id") +: scoreCols :+ predicted.as("predicted_lang"): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  val langIdOracle: String = {
+    val scoreSql = profiles.map { case (lang, words) =>
+      val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"round(CAST(len(list_filter(t, x -> list_contains($list, x))) AS DOUBLE) / len(t), 6) AS ${lang}_score"
+    }.mkString(",\n      ")
+    // argmax with strict >, earlier profile wins ties — exactly the
+    // Spark-side fold: a later lang replaces the best only when strictly
+    // greater, so lang L wins iff score(L) > max(scores of earlier langs).
+    s"""
+    WITH toks AS (SELECT doc_id, $tokensSql AS t FROM documents),
+    scored AS (SELECT doc_id,
+      $scoreSql
+    FROM toks)
+    SELECT doc_id, en_score, es_score, de_score, fr_score,
+      CASE
+        WHEN fr_score > greatest(en_score, es_score, de_score) THEN 'fr'
+        WHEN de_score > greatest(en_score, es_score) THEN 'de'
+        WHEN es_score > en_score THEN 'es'
+        ELSE 'en'
+      END AS predicted_lang
+    FROM scored
+    ORDER BY doc_id"""
+  }
+
+  // ---- 2. quality scoring ---------------------------------------------
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    val ts = TextFns.tokens(col("text"))
+    val nTok = size(ts)
+    val nChars = length(col("text"))
+    val avgTokLen = round(
+      aggregate(transform(ts, t => length(t)), lit(0), (a, x) => a + x).cast("double") / nTok, 4)
+    val stopHits = size(filter(ts, t =>
+      profiles.head._2.map(w => t === lit(w)).reduce(_ || _)))
+    val stopRatio = round(stopHits.cast("double") / nTok, 6)
+    val digitRatio = round(
+      (nChars - length(regexp_replace(col("text"), "[0-9]", ""))).cast("double") / nChars, 6)
+    val punctRatio = round(
+      (nChars - length(regexp_replace(col("text"), "[^\\w\\s]", ""))).cast("double") / nChars, 6)
+    val score = round(
+      lit(0.4) * least(lit(1.0), nTok.cast("double") / 100.0)
+        + lit(0.3) * (lit(1.0) - punctRatio)
+        + lit(0.3) * stopRatio, 6)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), nChars.as("n_chars_m"), nTok.as("n_tokens"),
+        avgTokLen.as("avg_token_len"), stopRatio.as("stopword_ratio"),
+        digitRatio.as("digit_ratio"), punctRatio.as("punct_ratio"),
+        score.as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityOracle: String = {
+    val stopList = profiles.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""
+    WITH base AS (
+      SELECT doc_id, text, $tokensSql AS t, length(text) AS nc FROM documents),
+    m AS (
+      SELECT doc_id, nc, len(t) AS ntok,
+        round(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t), 4) AS avg_token_len,
+        round(CAST(len(list_filter(t, x -> list_contains($stopList, x))) AS DOUBLE) / len(t), 6) AS stopword_ratio,
+        round(CAST(nc - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / nc, 6) AS digit_ratio,
+        round(CAST(nc - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) / nc, 6) AS punct_ratio
+      FROM base)
+    SELECT doc_id, nc AS n_chars_m, ntok AS n_tokens, avg_token_len, stopword_ratio,
+      digit_ratio, punct_ratio,
+      round(0.4 * least(1.0, CAST(ntok AS DOUBLE) / 100.0)
+        + 0.3 * (1.0 - punct_ratio) + 0.3 * stopword_ratio, 6) AS quality_score
+    FROM m
+    ORDER BY doc_id"""
+  }
+
+  // ---- 3. document fingerprinting -------------------------------------
+  // Portable fingerprints: md5 of the normalized token stream (exact-dup
+  // key) + min over md5'd shingles (a 1-perm minhash — near-dup key).
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", TextFns.tokens(col("text")))).as("content_fp"),
+        coalesce(array_min(transform(TextFns.shingles(col("text"), 3), s => md5(s))),
+          lit("")).as("min_shingle_fp"))
+      .orderBy(col("doc_id"))
+
+  val fingerprintOracle: String = s"""
+    WITH toks AS (SELECT doc_id, $tokensSql AS t FROM documents)
+    SELECT doc_id,
+      md5(array_to_string(t, ' ')) AS content_fp,
+      coalesce(list_aggregate(list_transform(
+          CASE WHEN len(t) >= 3
+               THEN list_transform(range(len(t)-2), i -> array_to_string(t[i+1:i+3], ' '))
+               ELSE [] END,
+          s -> md5(s)), 'min'), '') AS min_shingle_fp
+    FROM toks
+    ORDER BY doc_id"""
+
+  // ---- 4. corpus token histogram --------------------------------------
+  def tokenHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(TextFns.tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(20)
+
+  val tokenHistogramOracle: String = s"""
+    SELECT token, count(*) AS n
+    FROM (SELECT unnest($tokensSql) AS token FROM documents)
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 20"""
+
+  // ---- registry -------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_lang_id"         -> (langId _),
+    "text_quality"         -> (quality _),
+    "text_fingerprint"     -> (fingerprint _),
+    "text_token_histogram" -> (tokenHistogram _))
+
+  val oracle: Map[String, String] = Map(
+    "text_lang_id"         -> langIdOracle,
+    "text_quality"         -> qualityOracle,
+    "text_fingerprint"     -> fingerprintOracle,
+    "text_token_histogram" -> tokenHistogramOracle)
+}

@@ -1,0 +1,106 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.functions.VectorFns
+
+class PipelineOpsSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.test
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("minhash LSH finds crafted near-duplicates, not unrelated docs") {
+    val base = (0 until 40).map(i => s"token$i word$i thing$i").mkString(" ")
+    val nearDup = base.replace("token7", "changed7") // ~2 shingle edits of ~120
+    val unrelated = (0 until 40).map(i => s"alpha$i beta$i gamma$i").mkString(" ")
+    val docs = Seq((0L, base), (1L, nearDup), (2L, unrelated)).toDF("doc_id", "text")
+
+    val sig = Dedup.minhashSignatures(docs).collect()
+    assert(sig.length == 3)
+
+    // run the full LSH path against a scratch parquet dir
+    val tmp = java.nio.file.Files.createTempDirectory("mh").toString
+    docs.write.parquet(s"$tmp/documents.parquet")
+    val pairs = Dedup.minhashLsh(spark, tmp)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("simhash: identical docs distance 0, near-dups small hamming, caught by blocks") {
+    val base = (0 until 60).map(i => s"w$i").mkString(" ")
+    val near = base.replace("w3", "x3")
+    val docs = Seq((0L, base), (1L, near), (2L, base)).toDF("doc_id", "text")
+    val sh = Dedup.simhashes(docs).as[(Long, Long)].collect().toMap
+    assert(sh(0L) == sh(2L))
+    // one changed token of 60 flips the bits whose ±1 sums sit near zero:
+    // E[flips] ≈ 64·P(|N(0,√60)|≤2) ≈ 13 — assert well under half the bits
+    assert(java.lang.Long.bitCount(sh(0L) ^ sh(1L)) <= 24)
+
+    val tmp = java.nio.file.Files.createTempDirectory("sh").toString
+    docs.write.parquet(s"$tmp/documents.parquet")
+    val pairs = Dedup.simhash(spark, tmp)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 2L))) // exact dup always hamming 0
+  }
+
+  test("cosine matches a hand-computed value") {
+    val df = Seq((Seq(1.0f, 2.0f, 2.0f), Seq(2.0f, 1.0f, 2.0f))).toDF("a", "b")
+    val got = df.select(
+      VectorFns.cosine6(VectorFns.asDouble(col("a")), VectorFns.asDouble(col("b"))))
+      .as[Double].head()
+    assert(got == math.rint(8.0 / 9.0 * 1e6) / 1e6) // (2+2+4)/(3*3)
+  }
+
+  test("IVF and LSH recover neighbors on clustered embeddings (recall ≥ 60%)") {
+    // 4 tight clusters along disjoint coordinate blocks — data WITH
+    // structure, where ANN must work (the sf tables are near-uniform
+    // random, where low recall is information-theoretically expected).
+    val vecs = (0 until 100).map { id =>
+      val c = id % 4
+      val v = Array.tabulate(64) { i =>
+        val base = if (i / 16 == c) 1.0f else 0.0f
+        base + ((id * 7 + i * 13) % 5 - 2) * 0.01f
+      }
+      (id.toLong, v.toSeq, c)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("ann").toString
+    vecs.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .write.parquet(s"$tmp/embeddings.parquet")
+
+    val bf  = Similarity.topkBruteforce(spark, tmp).select("qid", "nid").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.topkIvf(spark, tmp).select("qid", "nid").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.topkLsh(spark, tmp).select("qid", "nid").as[(Long, Long)].collect().toSet
+    assert(ivf.intersect(bf).size * 10 >= bf.size * 6, s"IVF recall ${ivf.intersect(bf).size}/${bf.size}")
+    assert(lsh.intersect(bf).size * 10 >= bf.size * 6, s"LSH recall ${lsh.intersect(bf).size}/${bf.size}")
+  }
+
+  test("ANN outputs on real embeddings: exactly k ranked rows per query") {
+    for (df <- Seq(Similarity.topkBruteforce(spark, sf), Similarity.topkIvf(spark, sf),
+                   Similarity.topkLsh(spark, sf))) {
+      val rows = df.select("qid", "rn", "cos").as[(Long, Int, Double)].collect()
+      assert(rows.groupBy(_._1).forall(_._2.length == 5))
+      rows.groupBy(_._1).values.foreach { g =>
+        val byRank = g.sortBy(_._2).map(_._3)
+        assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+      }
+    }
+  }
+
+  test("decode stub: deterministic features with real mapPartitions plumbing") {
+    val payload = "abcABC123".getBytes("UTF-8")
+    val (w, h, mean, hist) = Multimodal.FakeDecoder.decode(payload)
+    assert(w == 16 + ('a' & 0x0F) && h == 16 + ('b' & 0x0F))
+    assert(hist.sum == payload.length)
+    assert(math.abs(mean - payload.map(_ & 0xFF).sum.toDouble / payload.length) <= 1e-4)
+
+    val out = Multimodal.decodeFeatures(spark, sf)
+    assert(out.count() == spark.read.parquet(s"$sf/documents.parquet").count())
+    val row = out.orderBy("doc_id").first()
+    assert(row.getInt(1) >= 16 && row.getInt(1) < 32)
+  }
+
+}
