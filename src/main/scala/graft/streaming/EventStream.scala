@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators (SURVEY §2g) — the streaming twins of
+  * `Analytics.eventsWindowedAgg` (#14) and `Analytics.eventsSessionize`
+  * (#13). Batch/stream share the event-time semantics: tumbling 1 h
+  * windows with a 1 h watermark, and 1800 s gap sessions.
+  *
+  * At scale this is the standard continuous-ingest shape: file/kafka
+  * source → watermark → stateful agg → sink, with state partitioned by
+  * the grouping key across executors.
+  */
+object EventStream {
+
+  val eventSchema = "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+
+  /** File-source stream over an events directory (ns-long `ts`). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventSchema)
+      .option("pathGlobFilter", "events.parquet") // file source wants a dir
+      .parquet(dir)
+      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1 h windowed counts/sums with a 1 h watermark. */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("event_ts", "1 hour")
+      .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,6)")), 2).cast("double").as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  // ---- gap sessionization with explicit state --------------------------
+
+  final case class Ev(user_id: Long, us: Long, value: Double)
+  final case class SessionState(openEvents: List[(Long, Double)], emitted: Long)
+  final case class Session(user_id: Long, session_id: Long, n_events: Long,
+                           duration_s: Long, sum_value: Double)
+
+  private val GapUs = 1800L * 1000000L
+
+  /** flatMapGroupsWithState gap-sessionizer. Buffers a user's open
+    * events; on each batch, emits every session closed by a later
+    * event's arrival and keeps the still-open tail (plus the count of
+    * sessions already emitted, for stable session_ids) in state. A
+    * per-user sentinel event at +∞ closes the final session — the spec
+    * uses that to prove closed sessions == the batch operator's output. */
+  def sessionize(events: Dataset[Ev]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          val prior = state.getOption.getOrElse(SessionState(Nil, 0L))
+          val all = (prior.openEvents ++ evs.map(e => (e.us, e.value))).sortBy(_._1)
+          val sessions = all.foldLeft(List.empty[List[(Long, Double)]]) {
+            case (acc, ev) => acc match {
+              case cur :: rest if ev._1 - cur.last._1 <= GapUs => (cur :+ ev) :: rest
+              case _ => List(ev) :: acc
+            }
+          }.reverse
+          val closed = sessions.dropRight(1)
+          val open = sessions.lastOption.getOrElse(Nil)
+          state.update(SessionState(open, prior.emitted + closed.length))
+          closed.zipWithIndex.iterator.map { case (s, i) =>
+            Session(uid, prior.emitted + i + 1, s.length,
+              (s.last._1 - s.head._1) / 1000000L, s.map(_._2).sum)
+          }
+      }
+  }
+}
