@@ -44,11 +44,15 @@ object TextFns {
   }
 
   /** Token n-gram shingles: ["a b c", "b c d", ...]; empty if < n tokens. */
-  def shingles(c: Column, n: Int): Column = {
-    val ts = tokens(c)
+  def shingles(c: Column, n: Int): Column = shinglesFromTokens(tokens(c), n)
+
+  /** Shingles from an already-materialized tokens column. Hot paths must
+    * pass a projected column: the n-gram is assembled with `get()` element
+    * reads (no per-shingle array slice allocation), and tokenization runs
+    * once per row instead of once per expression occurrence. */
+  def shinglesFromTokens(ts: Column, n: Int): Column =
     when(size(ts) >= n,
       transform(sequence(lit(0), size(ts) - n),
-        i => concat_ws(" ", slice(ts, i + 1, lit(n)))))
+        i => concat_ws(" ", (0 until n).map(k => get(ts, i + k)): _*)))
       .otherwise(array().cast("array<string>"))
-  }
 }

@@ -111,6 +111,9 @@ object Analytics {
       .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
       .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
     val li     = Tables.lineitem(spark, dir)
+    // li⋈ord is fact-fact: planned as a shuffle join for scale, and AQE
+    // converts it to broadcast at runtime when the filtered orders side
+    // turns out small (it does at bench SFs). True dims are hinted.
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .join(broadcast(supp),

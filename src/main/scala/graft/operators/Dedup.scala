@@ -16,10 +16,12 @@ object Dedup {
 
   // ---- shared building blocks ----------------------------------------
 
-  /** (doc_id, s): distinct 3-gram token shingles per document. */
+  /** (doc_id, s): distinct 3-gram token shingles per document.
+    * Tokens are projected first so the generator tokenizes each row once. */
   def shingleSets(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      explode(array_distinct(TextFns.shingles(col("text"), 3))).as("s"))
+    docs.select(col("doc_id"), TextFns.tokens(col("text")).as("__ts"))
+      .select(col("doc_id"),
+        explode(array_distinct(TextFns.shinglesFromTokens(col("__ts"), 3))).as("s"))
 
   private val tokensSql =
     "list_filter(regexp_split_to_array(lower(regexp_replace(text, '[^\\w\\s]', ' ', 'g')), '\\s+'), x -> x <> '')"
@@ -32,10 +34,12 @@ object Dedup {
       FROM toks WHERE len(t) >= 3)),
     sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)"""
 
-  /** Exact Jaccard over candidate pair list (da < db assumed). */
+  /** Exact Jaccard over candidate pair list (da < db assumed). The
+    * candidate list is tiny relative to the shingle table — broadcast it
+    * so verification never shuffles the shingles. */
   private def verifyJaccard(cand: DataFrame, sh: DataFrame): DataFrame = {
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = cand
+    val inter = broadcast(cand)
       .join(sh.select(col("doc_id").as("da"), col("s")), Seq("da"))
       .join(sh.select(col("doc_id").as("db"), col("s")), Seq("db", "s"))
       .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
@@ -76,11 +80,19 @@ object Dedup {
   // oracle semantics stay exact.
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingleSets(Tables.documents(spark, dir)).cache()
-    val cand = sh.select(col("doc_id").as("da"), col("s"))
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // one self-join pass: the groupBy *is* the intersection count — no
+    // distinct-then-reverify round trip over the shingle table
+    val inter = sh.select(col("doc_id").as("da"), col("s"))
       .join(sh.select(col("doc_id").as("db"), col("s")), Seq("s"))
       .filter(col("da") < col("db"))
-      .select(col("da"), col("db")).distinct()
-    verifyJaccard(cand, sh)
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+      .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+      .select(col("da"), col("db"),
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"), 6).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
       .orderBy(col("da"), col("db"))
   }
@@ -111,18 +123,23 @@ object Dedup {
      Array.fill(32)(rnd.nextInt(Int.MaxValue).toLong))
   }
 
-  def minhashSignatures(docs: DataFrame): DataFrame = {
-    val sh = shingleSets(docs)
-      .withColumn("x", pmod(xxhash64(col("s")), lit(P)))
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    minhashSignaturesFromShingles(shingleSets(docs))
+
+  private def minhashSignaturesFromShingles(sh: DataFrame): DataFrame = {
+    val hashed = sh.withColumn("x", pmod(xxhash64(col("s")), lit(P)))
     val mins = (0 until 32).map(i =>
       min(pmod(col("x") * permA(i) + permB(i), lit(P))).as(s"m$i"))
-    sh.groupBy(col("doc_id"))
+    hashed.groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
   }
 
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val sig = minhashSignatures(docs)
+    // the shingle table feeds signature building AND both sides of the
+    // exact-verify join — cache it once instead of re-exploding 4×
+    val sh = shingleSets(docs).cache()
+    val sig = minhashSignaturesFromShingles(sh)
     val bands = sig.select(col("doc_id"),
       explode(array((0 until 8).map { b =>
         struct(lit(b).as("band"),
@@ -133,7 +150,6 @@ object Dedup {
       .join(bands.select(col("doc_id").as("db"), col("band"), col("bh")), Seq("band", "bh"))
       .filter(col("da") < col("db"))
       .select(col("da"), col("db")).distinct()
-    val sh = shingleSets(docs)
     verifyJaccard(cand, sh)
       .filter(col("jaccard") >= 0.5)
       .orderBy(col("da"), col("db"))
@@ -157,7 +173,7 @@ object Dedup {
   }
 
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val sh = simhashes(Tables.documents(spark, dir))
+    val sh = simhashes(Tables.documents(spark, dir)).cache() // both join sides
     val blocks = sh.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(k =>
         struct(lit(k).as("k"),

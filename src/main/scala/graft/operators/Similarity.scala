@@ -15,9 +15,14 @@ import graft.functions.VectorFns
   */
 object Similarity {
 
+  /** vec = unit-normalized double vector: pairwise cosine is then one
+    * dot fold per pair (cosine(a,b) == dot(â,b̂)). */
   private def emb(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"), VectorFns.asDouble(col("embedding")).as("vec"))
+      .select(col("vec_id"), col("label"), VectorFns.asDouble(col("embedding")).as("raw"))
+      .withColumn("nrm", VectorFns.norm(col("raw")))
+      .select(col("vec_id"), col("label"),
+        VectorFns.normalize(col("raw"), col("nrm")).as("vec"))
 
   private val NQueries = 5
   private val K = 5
@@ -29,7 +34,7 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("vec").as("qvec"))
     val scored = all.join(broadcast(q), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
-        VectorFns.cosine6(col("qvec"), col("vec")).as("cos"))
+        VectorFns.dot6(col("qvec"), col("vec")).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= K)
@@ -56,7 +61,7 @@ object Similarity {
     val a = emb(spark, dir).select(col("vec_id").as("da"), col("vec").as("va"))
     val b = emb(spark, dir).select(col("vec_id").as("db"), col("vec").as("vb"))
     a.join(b, col("da") < col("db"))
-      .select(col("da"), col("db"), VectorFns.cosine6(col("va"), col("vb")).as("cos"))
+      .select(col("da"), col("db"), VectorFns.dot6(col("va"), col("vb")).as("cos"))
       .orderBy(col("cos").desc, col("da"), col("db"))
       .limit(20)
   }
@@ -96,7 +101,7 @@ object Similarity {
     val scored = all.join(broadcast(probes),
       col("label") === col("clabel") && col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
-        VectorFns.cosine6(col("qvec"), col("vec")).as("cos"))
+        VectorFns.dot6(col("qvec"), col("vec")).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= K)
@@ -132,7 +137,7 @@ object Similarity {
     val scored = all.join(broadcast(q),
       all("bucket") === q("bucket") && col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
-        VectorFns.cosine6(col("qvec"), col("vec")).as("cos"))
+        VectorFns.dot6(col("qvec"), col("vec")).as("cos"))
       .distinct()
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     scored.withColumn("rn", row_number().over(w))
