@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import graft.functions.DotProduct
+
+/** SQL-surface registration of graft's functions, so `spark.sql` users
+  * get them too:
+  *
+  *   SELECT dot_product(a, b), cosine_sim(a, b),
+  *          graft_tokens(text), graft_token_count(text),
+  *          graft_sanitize_filename(title) FROM ...
+  */
+object GraftFunctions {
+
+  // catalyst-native trees (the SQL function-registry path can't resolve
+  // Column-node wrappers, so the text functions are rebuilt from raw
+  // expressions — semantics identical to TextFns)
+  private def lit(s: String): Expression = Literal(s)
+
+  private def tokensExpr(e: Expression): Expression = {
+    val x = UnresolvedNamedLambdaVariable(Seq("x"))
+    ArrayFilter(
+      StringSplit(Lower(RegExpReplace(e, lit("[^\\w\\s]"), lit(" "))), lit("\\s+"), Literal(-1)),
+      LambdaFunction(Not(EqualTo(x, lit(""))), Seq(x)))
+  }
+
+  private def sanitizeFilenameExpr(e: Expression): Expression =
+    Substring(
+      StringTranslate(
+        StringTrim(RegExpReplace(e, lit("[^A-Za-z0-9 \\-_]"), lit("_"))),
+        lit(" "), lit("_")),
+      Literal(1), Literal(100))
+
+  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "dot_product" -> (exprs => DotProduct(exprs(0), exprs(1))),
+    "cosine_sim" -> { exprs =>
+      val (a, b) = (exprs(0), exprs(1))
+      Divide(DotProduct(a, b),
+        Multiply(Sqrt(DotProduct(a, a)), Sqrt(DotProduct(b, b))))
+    },
+    "graft_tokens"            -> (exprs => tokensExpr(exprs.head)),
+    "graft_token_count"       -> (exprs => Size(tokensExpr(exprs.head))),
+    "graft_sanitize_filename" -> (exprs => sanitizeFilenameExpr(exprs.head)),
+    "graft_ascii_sanitize"    -> (exprs =>
+      RegExpReplace(exprs.head, lit("[^\\x00-\\x7F]"), lit("_"))))
+
+  /** Register on an already-running session (temp functions). */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, b, "scala_udf")
+    }
+}
+
+/** `spark.sql.extensions=graft.GraftExtensions` injects the same
+  * functions at session build time (the config-file route for clusters). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  def apply(e: SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    Seq[(String, Seq[Expression] => Expression)](
+      "dot_product" -> (exprs => DotProduct(exprs(0), exprs(1)))
+    ).foreach { case (name, b) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(classOf[DotProduct].getName, name), b))
+    }
+  }
+}

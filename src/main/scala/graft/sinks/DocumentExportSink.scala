@@ -1,0 +1,64 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+/** Per-document export sink with pluggable renderers — the Spark-side
+  * equivalent of the reference's wikir→PDF export (api.py:193-383):
+  * title fallback, ASCII sanitization, 50 000-char truncation, one
+  * output file per document, written partition-parallel.
+  */
+object DocumentExportSink {
+
+  trait Renderer extends Serializable {
+    def extension: String
+    def render(title: String, docId: Long, body: String): Array[Byte]
+  }
+
+  /** Plain markdown renderer (real). */
+  object MarkdownRenderer extends Renderer {
+    val extension = "md"
+    def render(title: String, docId: Long, body: String): Array[Byte] =
+      s"---\ndoc_id: $docId\ntitle: $title\n---\n$body"
+        .getBytes(StandardCharsets.UTF_8)
+  }
+
+  /** STUB PDF renderer — this container has no PDF/layout library, so
+    * this emits a deterministic minimal PDF-shaped byte stream (valid
+    * header/EOF markers, uncompressed text body); a real deployment
+    * swaps in an actual renderer. The distributed plumbing around it —
+    * sanitize → truncate → per-partition file write — is the real path,
+    * mirroring api.py:256-342's sanitize/truncate semantics. */
+  object PdfStubRenderer extends Renderer {
+    val extension = "pdf"
+    def render(title: String, docId: Long, body: String): Array[Byte] = {
+      val safeTitle = title.take(80).map(c => if (c < 128) c else '_')
+      val safeBody = body.take(50000).map(c => if (c < 128) c else '_')
+      (s"%PDF-1.4\n% graft stub renderer\n" +
+        s"1 0 obj << /Title ($safeTitle) /DocId ($docId) >> endobj\n" +
+        s"2 0 obj << /Length ${safeBody.length} >> stream\n$safeBody\nendstream endobj\n" +
+        "%%EOF\n").getBytes(StandardCharsets.UTF_8)
+    }
+  }
+
+  /** Export (doc_id, title, content) rows, one file per document
+    * (`prefix_{doc_id}.{ext}`, api.py:248). Returns the manifest. */
+  def export(df: DataFrame, outputDir: String, renderer: Renderer,
+             prefix: String = "doc"): DataFrame = {
+    Files.createDirectories(Paths.get(outputDir))
+    val spark = df.sparkSession
+    df.select("doc_id", "title", "content").foreachPartition {
+      (rows: Iterator[org.apache.spark.sql.Row]) =>
+        rows.foreach { r =>
+          val docId = r.getLong(0)
+          val title = Option(r.getString(1)).filter(_.nonEmpty)
+            .getOrElse(s"Document $docId") // api.py:263-268 fallback
+          val bytes = renderer.render(title, docId, Option(r.getString(2)).getOrElse(""))
+          Files.write(
+            Paths.get(outputDir, s"${prefix}_$docId.${renderer.extension}"), bytes)
+        }
+    }
+    MarkdownFileSink.manifest(spark, outputDir)
+  }
+}
