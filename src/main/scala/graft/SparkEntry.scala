@@ -13,11 +13,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Analytics.queries ++ RefCore.queries ++ Dedup.queries ++
-      Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries
+      Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries ++
+      AsOfJoin.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Analytics.oracle ++ RefCore.oracle ++ Dedup.oracle ++
-      Similarity.oracle ++ TextAnalysis.oracle ++ Multimodal.oracle
+      Similarity.oracle ++ TextAnalysis.oracle ++ Multimodal.oracle ++
+      AsOfJoin.oracle
 }

@@ -78,13 +78,25 @@ object Dedup {
   // set-similarity join). Hot-shingle fanout is the scale risk: a df cap
   // (stop-shingle filter) bounds it; at tested SFs no cap is needed so the
   // oracle semantics stay exact.
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingleSets(Tables.documents(spark, dir)).cache()
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardImpl(shingleSets(Tables.documents(spark, dir)).cache(), maxDf = None)
+
+  /** Scale path: cap candidate-generation fanout with a stop-shingle
+    * filter (Skew.capByFrequency) — a shingle in k docs yields k²
+    * candidates, so maxDf bounds the join. Sizes (`sz`) are still
+    * computed on the UNCAPPED sets, so Jaccard values of surviving
+    * pairs are exact; only pairs whose every shared shingle is
+    * ultra-common (necessarily low-similarity) can be missed. */
+  def ngramJaccardCapped(spark: SparkSession, dir: String, maxDf: Long): DataFrame =
+    ngramJaccardImpl(shingleSets(Tables.documents(spark, dir)).cache(), Some(maxDf))
+
+  private def ngramJaccardImpl(sh: DataFrame, maxDf: Option[Long]): DataFrame = {
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val joinable = maxDf.fold(sh)(m => Skew.capByFrequency(sh, "s", "doc_id", m))
     // one self-join pass: the groupBy *is* the intersection count — no
     // distinct-then-reverify round trip over the shingle table
-    val inter = sh.select(col("doc_id").as("da"), col("s"))
-      .join(sh.select(col("doc_id").as("db"), col("s")), Seq("s"))
+    val inter = joinable.select(col("doc_id").as("da"), col("s"))
+      .join(joinable.select(col("doc_id").as("db"), col("s")), Seq("s"))
       .filter(col("da") < col("db"))
       .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
     inter

@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{AsOfJoin, Dedup, Skew}
+
+class ScaleOpsSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.test
+  import spark.implicits._
+
+  test("asOf: latest right ≤ left ts per key, inclusive, null when none") {
+    val left = Seq(
+      (1L, 100L, "p1"), (1L, 200L, "p2"), (1L, 50L, "p0"),
+      (2L, 100L, "p3")).toDF("k", "ts", "lval")
+    val right = Seq(
+      (1L, 100L, "s_at_100"), (1L, 150L, "s_at_150"),
+      (3L, 10L, "other_key")).toDF("k", "ts", "rval")
+    val got = AsOfJoin.asOf(left, right, "k", "ts", Seq("rval"))
+      .select("k", "ts", "lval", "asof_rval")
+      .as[(Long, Long, String, Option[String])].collect().toSet
+    assert(got == Set(
+      (1L, 100L, "p1", Some("s_at_100")), // inclusive: right at equal ts
+      (1L, 200L, "p2", Some("s_at_150")),
+      (1L, 50L, "p0", None),              // no right row yet
+      (2L, 100L, "p3", None)))            // key never on right side
+  }
+
+  test("salted join is row-identical to plain join") {
+    val left = (1 to 500).map(i => (i % 3L, s"l$i")).toDF("k", "lv")
+    val right = Seq((0L, "r0"), (1L, "r1"), (2L, "r2"), (9L, "r9")).toDF("k", "rv")
+    val plain = left.join(right, Seq("k")).select("k", "lv", "rv")
+      .as[(Long, String, String)].collect().sorted.toSeq
+    val salted = Skew.saltedEquiJoin(left, right, "k", salts = 8)
+      .select("k", "lv", "rv").as[(Long, String, String)].collect().sorted.toSeq
+    assert(salted == plain)
+  }
+
+  test("stop-shingle cap drops only hot-shingle-only pairs") {
+    // docs 0,1 share rare shingles (near-dups); docs 2,3 share ONLY the
+    // hot shingle that every doc contains
+    val hot = "common words here"
+    val docs = Seq(
+      (0L, s"$hot alpha beta gamma delta epsilon"),
+      (1L, s"$hot alpha beta gamma delta zeta"),
+      (2L, s"$hot one two three four five"),
+      (3L, s"$hot six seven eight nine ten")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("cap").toString
+    docs.write.parquet(s"$tmp/documents.parquet")
+
+    val uncapped = Dedup.ngramJaccard(spark, tmp)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    val capped = Dedup.ngramJaccardCapped(spark, tmp, maxDf = 3)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    assert(uncapped.contains((0L, 1L)))
+    assert(capped.contains((0L, 1L)))       // rare-shingle pair survives the cap
+    assert(!capped.exists(p => p == (2L, 3L))) // hot-only candidates gone
+  }
+}
