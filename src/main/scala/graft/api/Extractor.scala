@@ -81,6 +81,20 @@ object Extractor {
     MarkdownFileSink.manifest(spark, outputDir)
   }
 
+  /** Write a corpus with the 100 TB-ready layout: parquet partitioned by
+    * a low-cardinality column (partition pruning turns `WHERE lang='en'`
+    * into a directory skip), rows pre-shuffled on the dedup/join key so
+    * downstream consumers read co-located data, files sized by
+    * repartition rather than one-file-per-task dust. */
+  def writeCorpusPartitioned(df: DataFrame, outputDir: String,
+                             partitionCol: String, clusterCol: String,
+                             filesPerPartition: Int = 4): Unit =
+    df.repartition(filesPerPartition, col(partitionCol), col(clusterCol))
+      .sortWithinPartitions(col(partitionCol), col(clusterCol))
+      .write.mode("overwrite")
+      .partitionBy(partitionCol)
+      .parquet(outputDir)
+
   /** Corpus token analysis (api.py:491-567): one row of
     * document_count / total / average / min / max tokens. */
   def analyzeTokens(df: DataFrame, contentCol: String): DataFrame = {

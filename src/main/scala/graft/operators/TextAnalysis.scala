@@ -139,6 +139,27 @@ object TextAnalysis {
     FROM toks
     ORDER BY doc_id"""
 
+  // ---- 3b. BPE-ish subword token counting ------------------------------
+  // GPT-2-style pre-tokenizer regex (contractions / letter runs / digit
+  // runs / punct runs, each with optional leading space) — the token
+  // count an LLM-pipeline budgets with, vs the whitespace count above.
+  // RE2 (DuckDB) and Java regex agree on this subset (\p{L}, \p{N}).
+  private val bpeRegex = "'(?:s|d|m|t|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+
+  def tokenCountBpe(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(bpeRegex), lit(0))).as("n_bpe_tokens"),
+        TextFns.tokenCount(col("text")).as("n_ws_tokens"))
+      .orderBy(col("doc_id"))
+
+  val tokenCountBpeOracle: String = s"""
+    SELECT doc_id,
+      len(regexp_extract_all(text, '${bpeRegex.replace("'", "''")}')) AS n_bpe_tokens,
+      len($tokensSql) AS n_ws_tokens
+    FROM documents
+    ORDER BY doc_id"""
+
   // ---- 4. corpus token histogram --------------------------------------
   def tokenHistogram(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -161,11 +182,13 @@ object TextAnalysis {
     "text_lang_id"         -> (langId _),
     "text_quality"         -> (quality _),
     "text_fingerprint"     -> (fingerprint _),
+    "text_token_count_bpe" -> (tokenCountBpe _),
     "text_token_histogram" -> (tokenHistogram _))
 
   val oracle: Map[String, String] = Map(
     "text_lang_id"         -> langIdOracle,
     "text_quality"         -> qualityOracle,
     "text_fingerprint"     -> fingerprintOracle,
+    "text_token_count_bpe" -> tokenCountBpeOracle,
     "text_token_histogram" -> tokenHistogramOracle)
 }
