@@ -10,11 +10,13 @@ import org.apache.spark.sql.functions._
 object TextFns {
 
   /** Reference-faithful tokenizer (api.py:470-489): punctuation→space,
-    * lowercase, split on whitespace, drop empties. */
-  def tokens(c: Column): Column =
-    filter(
-      split(lower(regexp_replace(c, "[^\\w\\s]", " ")), "\\s+"),
-      t => t =!= lit(""))
+    * lowercase, split on whitespace, drop empties — as the native
+    * single-scan [[TokenizeWs]] expression (same semantics as the
+    * regex-chain formulation; see its scaladoc for the equivalence). */
+  def tokens(c: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(TokenizeWs(ColumnBridge.expression(c)))
+  }
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
