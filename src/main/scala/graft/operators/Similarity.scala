@@ -74,6 +74,28 @@ object Similarity {
     ORDER BY cos DESC, da, db
     LIMIT 20"""
 
+  // ---- 2b. near-dup ranking via LSH candidates (the 100 TB path) ------
+  // Same output shape as nearDupPairs, but candidates come from the
+  // hyperplane buckets (own + single-bit-flip multi-probe) instead of
+  // the a<b self-join: O(n·probes) rows shuffled, never n². Rows-only
+  // gate; the spec measures top-pair agreement vs brute force on
+  // clustered data.
+  def nearDupPairsLsh(spark: SparkSession, dir: String): DataFrame = {
+    val all = emb(spark, dir).withColumn("bucket", lshBucket(col("vec"))).cache()
+    val probed = all
+      .select(col("vec_id").as("da"), col("vec").as("va"),
+        explode(array(lit(0) +: (0 until NPlanes).map(j => lit(1 << j)): _*)).as("flip"),
+        col("bucket"))
+      .select(col("da"), col("va"), col("bucket").bitwiseXOR(col("flip")).as("bucket"))
+    val pairs = probed.join(
+      all.select(col("vec_id").as("db"), col("vec").as("vb"), col("bucket")),
+      Seq("bucket"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db"), VectorFns.dot6(col("va"), col("vb")).as("cos"))
+      .distinct() // multi-probe can surface a pair via several buckets
+    pairs.orderBy(col("cos").desc, col("da"), col("db")).limit(20)
+  }
+
   // ---- 3. IVF-style ANN ------------------------------------------------
   // Coarse centroids = per-label mean vector (the label column is the
   // pre-computed coarse assignment); probe the 2 nearest centroids, exact
@@ -150,6 +172,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> (topkBruteforce _),
     "dedup_embedding"     -> (nearDupPairs _),
+    "dedup_embedding_lsh" -> (nearDupPairsLsh _),
     "sim_topk_ivf"        -> (topkIvf _),
     "sim_topk_lsh"        -> (topkLsh _))
 

@@ -76,6 +76,14 @@ class PipelineOpsSpec extends AnyFunSuite {
     val lsh = Similarity.topkLsh(spark, tmp).select("qid", "nid").as[(Long, Long)].collect().toSet
     assert(ivf.intersect(bf).size * 10 >= bf.size * 6, s"IVF recall ${ivf.intersect(bf).size}/${bf.size}")
     assert(lsh.intersect(bf).size * 10 >= bf.size * 6, s"LSH recall ${lsh.intersect(bf).size}/${bf.size}")
+
+    // pairwise near-dup: LSH candidate path recovers most of the true top-20
+    val bfPairs = Similarity.nearDupPairs(spark, tmp)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    val lshPairs = Similarity.nearDupPairsLsh(spark, tmp)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    assert(lshPairs.intersect(bfPairs).size * 10 >= bfPairs.size * 5,
+      s"pair-LSH agreement ${lshPairs.intersect(bfPairs).size}/${bfPairs.size}")
   }
 
   test("ANN outputs on real embeddings: exactly k ranked rows per query") {
