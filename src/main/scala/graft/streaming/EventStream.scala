@@ -37,6 +37,20 @@ object EventStream {
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming exact dedup — the continuous-ingest twin of
+    * `Dedup.exact`: fingerprint on the normalized token stream,
+    * first-arrival-wins `dropDuplicates` keyed on the fingerprint
+    * (state = one row per distinct document; at scale bound it with
+    * `dropDuplicatesWithinWatermark` once ingest carries event time). */
+  def dedupDocuments(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", graft.functions.TextFns.tokens(col("text")))).as("content_fp"))
+      .dropDuplicates("content_fp")
+
   // ---- gap sessionization with explicit state --------------------------
 
   final case class Ev(user_id: Long, us: Long, value: Double)

@@ -31,6 +31,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming exact dedup == batch distinct fingerprints") {
+    val q = EventStream.dedupDocuments(spark, sf)
+      .writeStream.format("memory").queryName("dedup_docs")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("dedup_docs").select("content_fp").distinct().count()
+    val want = graft.operators.Dedup.exact(spark, sf).count()
+    assert(got == want && got > 0)
+  }
+
   test("stateful gap-sessionization across batches == batch twin") {
     import EventStream.{Ev, Session}
     implicit val sqlCtx = spark.sqlContext
