@@ -71,10 +71,18 @@ object Extractor {
     val filename = concat(
       lit("cisi_"), lpad(col("cisi_id").cast("string"), 4, "0"), lit("_"),
       TextFns.sanitizeFilename(title), lit(".md"))
+    // extra sections land between author and the closing marker, like
+    // main.py:181-183
+    val extras = when(size(map_entries(col("extra"))) > 0,
+      concat(lit("\n"), array_join(
+        transform(map_entries(col("extra")),
+          e => concat(e.getField("key"), lit(": "), e.getField("value"))), "\n")))
+      .otherwise(lit(""))
     val markdown = concat(
       lit("---\ndoc_id: "), col("cisi_id").cast("string"),
       lit("\ntitle: "), title,
       lit("\nauthor: "), author,
+      extras,
       lit("\n---\n"), col("content"))
     MarkdownFileSink.write(
       docs.select(filename.as("filename"), markdown.as("content")), outputDir)

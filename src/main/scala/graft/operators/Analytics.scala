@@ -230,7 +230,23 @@ object Analytics {
     GROUP BY 1, 2
     ORDER BY 1, 2"""
 
+  // --- sketch aggregates: the 100 TB shapes of COUNT DISTINCT ----------
+  // HLL++ and quantile sketches trade exactness for one-pass mergeable
+  // state — the only viable form at cluster scale. Rows-only gate
+  // (sketch values are engine-specific); the spec bounds error vs exact.
+  def eventsSketch(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        round(expr("approx_percentile(value, array(0.5, 0.95, 0.99), 10000)")(0), 2).as("p50"),
+        round(expr("approx_percentile(value, array(0.5, 0.95, 0.99), 10000)")(2), 2).as("p99"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_sketch"      -> (eventsSketch _),
     "q1_pricing_summary"   -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_local_supplier"    -> (q5LocalSupplier _),

@@ -24,11 +24,32 @@ object CisiSource {
     val docs = raw
       .select(explode(expr("slice(split(value, '(?m)^\\\\.I ')," +
         " 2, 2147483647)")).as("chunk"))
-    docs.select(
-      regexp_extract(col("chunk"), "(?s)^(\\d+)", 1).cast("long").as("cisi_id"),
-      trim(regexp_extract(col("chunk"), "(?s)\\n\\.T\\n(.*?)\\n\\.[AWX]", 1)).as("title"),
-      trim(regexp_extract(col("chunk"), "(?s)\\n\\.A\\n(.*?)\\n\\.[WX]", 1)).as("author"),
-      trim(regexp_extract(col("chunk"), "(?s)\\n\\.W\\n(.*?)(\\n\\.X\\n.*)?$", 1)).as("content"))
+      .select(
+        regexp_extract(col("chunk"), "(?s)^(\\d+)", 1).cast("long").as("cisi_id"),
+        col("chunk"))
+    // Generic section parse, faithful to main.py:146-160: ANY line
+    // starting with '.' opens a section; known keys are pivoted out,
+    // the rest land in an `extra` map (main.py:181-183), `.X` dropped.
+    val secs = docs
+      .select(col("cisi_id"),
+        posexplode(split(col("chunk"), "(?m)^\\.")).as(Seq("pos", "sec")))
+      .withColumn("key", regexp_extract(col("sec"), "^([A-Z][A-Za-z]*)", 1))
+      // Python .strip() strips ALL whitespace; Spark trim() only spaces —
+      // use a regex trim so trailing newlines go too (main.py:150)
+      .withColumn("v", regexp_replace(
+        regexp_extract(col("sec"), "(?s)^[A-Z][A-Za-z]*\\n?(.*)$", 1),
+        "(?s)^\\s+|\\s+$", ""))
+      .filter(col("key") =!= "")
+    def lastOf(k: String) = expr(
+      s"coalesce(max_by(CASE WHEN key = '$k' THEN v END, CASE WHEN key = '$k' THEN pos END), '')")
+    secs.groupBy(col("cisi_id"))
+      .agg(
+        lastOf("T").as("title"),
+        lastOf("A").as("author"),
+        lastOf("W").as("content"),
+        map_from_entries(array_sort(collect_list(
+          when(!col("key").isin("T", "A", "W", "X"), struct(col("key"), col("v")))
+        ))).as("extra"))
   }
 
   /** Render a DataFrame(doc_id, title, author, content) back into CISI

@@ -63,16 +63,17 @@ class RefCoreSpec extends AnyFunSuite {
     assert(a.length == 10)
   }
 
-  test("CISI source: sections parsed, .X dropped, missing author empty") {
+  test("CISI source: sections parsed, .X dropped, .B kept as extra, missing author empty") {
     val fixture = java.nio.file.Files.createTempDirectory("cisi").resolve("t.all")
-    val text = ".I 1\n.T\nFirst Title\n.A\nSmith, J.\n.W\nbody one\nline two\n.X\n1 5 1\n" +
+    val text = ".I 1\n.T\nFirst Title\n.A\nSmith, J.\n.B\nJournal 1971\n.W\nbody one\nline two\n.X\n1 5 1\n" +
       ".I 2\n.T\nSecond\n.W\nbody two\n"
     java.nio.file.Files.write(fixture, text.getBytes("UTF-8"))
     val got = CisiSource.read(spark, fixture.toString)
       .orderBy("cisi_id")
-      .as[(Long, String, String, String)].collect()
-    assert(got(0) == ((1L, "First Title", "Smith, J.", "body one\nline two")))
-    assert(got(1) == ((2L, "Second", "", "body two")))
+      .as[(Long, String, String, String, Map[String, String])].collect()
+    assert(got(0) == ((1L, "First Title", "Smith, J.", "body one\nline two",
+      Map("B" -> "Journal 1971"))))
+    assert(got(1) == ((2L, "Second", "", "body two", Map.empty[String, String])))
   }
 
   test("extractPapers end-to-end: files on disk with YAML frontmatter") {

@@ -35,6 +35,18 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("sketch aggregates: HLL distinct within 5% of exact, sane percentiles") {
+    val rows = graft.operators.Analytics.eventsSketch(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.length == 5) // one per event type
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_users").toDouble
+      val exact = r.getAs[Long]("exact_users").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05, s"HLL off: $approx vs $exact")
+      assert(r.getAs[Double]("p50") <= r.getAs[Double]("p99"))
+    }
+  }
+
   test("stop-shingle cap drops only hot-shingle-only pairs") {
     // docs 0,1 share rare shingles (near-dups); docs 2,3 share ONLY the
     // hot shingle that every doc contains
