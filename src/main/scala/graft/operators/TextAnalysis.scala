@@ -160,6 +160,38 @@ object TextAnalysis {
     FROM documents
     ORDER BY doc_id"""
 
+  // ---- 3c. sliding-window chunking ------------------------------------
+  // Training-data prep: split each document into token windows of size
+  // W with stride S (overlap W-S). Declarative slice per window — the
+  // generator never materializes text outside the emitted chunks.
+  private val ChunkW = 32
+  private val ChunkS = 24
+
+  def chunkWindows(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(expr(s"sequence(0, greatest(0, cast(ceil((size(t) - $ChunkW) / $ChunkS.0) as int)))"))
+          .as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        expr(s"array_join(slice(t, chunk_id * $ChunkS + 1, $ChunkW), ' ')").as("chunk_text"),
+        expr(s"size(slice(t, chunk_id * $ChunkS + 1, $ChunkW))").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  val chunkWindowsOracle: String = s"""
+    WITH toks AS (SELECT doc_id, $tokensSql AS t FROM documents),
+    win AS (
+      SELECT doc_id, t,
+             unnest(range(0, greatest(0, CAST(ceil((len(t) - $ChunkW) / $ChunkS.0) AS INT)) + 1)) AS chunk_id
+      FROM toks)
+    SELECT doc_id, chunk_id,
+           array_to_string(t[chunk_id * $ChunkS + 1 : chunk_id * $ChunkS + $ChunkW], ' ') AS chunk_text,
+           len(t[chunk_id * $ChunkS + 1 : chunk_id * $ChunkS + $ChunkW]) AS n_tokens
+    FROM win
+    WHERE len(t[chunk_id * $ChunkS + 1 : chunk_id * $ChunkS + $ChunkW]) > 0
+    ORDER BY doc_id, chunk_id"""
+
   // ---- 4. corpus token histogram --------------------------------------
   def tokenHistogram(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -183,6 +215,7 @@ object TextAnalysis {
     "text_quality"         -> (quality _),
     "text_fingerprint"     -> (fingerprint _),
     "text_token_count_bpe" -> (tokenCountBpe _),
+    "text_chunk_windows"   -> (chunkWindows _),
     "text_token_histogram" -> (tokenHistogram _))
 
   val oracle: Map[String, String] = Map(
@@ -190,5 +223,6 @@ object TextAnalysis {
     "text_quality"         -> qualityOracle,
     "text_fingerprint"     -> fingerprintOracle,
     "text_token_count_bpe" -> tokenCountBpeOracle,
+    "text_chunk_windows"   -> chunkWindowsOracle,
     "text_token_histogram" -> tokenHistogramOracle)
 }
