@@ -230,6 +230,67 @@ object Analytics {
     GROUP BY 1, 2
     ORDER BY 1, 2"""
 
+  // --- semi/anti joins: EXISTS / NOT EXISTS ----------------------------
+  def semiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val ord  = Tables.orders(spark, dir).select(col("o_custkey"))
+    val withO = cust.join(ord, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_with_orders"))
+    val without = cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_without_orders"))
+    withO.join(without, Seq("c_mktsegment"), "full_outer")
+      .select(col("c_mktsegment"),
+        coalesce(col("n_with_orders"), lit(0L)).as("n_with_orders"),
+        coalesce(col("n_without_orders"), lit(0L)).as("n_without_orders"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val semiAntiOracle: String = """
+    SELECT c_mktsegment,
+      count(*) FILTER (EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_with_orders,
+      count(*) FILTER (NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_without_orders
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment"""
+
+  // --- rollup: hierarchical subtotals ----------------------------------
+  def rollupSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(dec(col("l_quantity"))), 2).cast("double").as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  val rollupOracle: String = """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+      CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+
+  // --- pivot: event-type counts per day --------------------------------
+  private val pivotTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  def eventsPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("day", date_format(timestamp_micros(
+        expr("(ts div 1000) div 86400000000 * 86400000000")), "yyyy-MM-dd"))
+      .groupBy(col("day"))
+      .pivot("event_type", pivotTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, pivotTypes)
+      .orderBy(col("day"))
+
+  val eventsPivotOracle: String = {
+    val cases = pivotTypes.map(t =>
+      s"count(*) FILTER (event_type = '$t') AS \"$t\"").mkString(", ")
+    s"""
+    SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day, $cases
+    FROM events
+    GROUP BY 1
+    ORDER BY 1"""
+  }
+
   // --- sketch aggregates: the 100 TB shapes of COUNT DISTINCT ----------
   // HLL++ and quantile sketches trade exactness for one-pass mergeable
   // state — the only viable form at cluster scale. Rows-only gate
@@ -247,6 +308,9 @@ object Analytics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_sketch"      -> (eventsSketch _),
+    "q_semi_anti"          -> (semiAnti _),
+    "q_rollup"             -> (rollupSummary _),
+    "q_events_pivot"       -> (eventsPivot _),
     "q1_pricing_summary"   -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_local_supplier"    -> (q5LocalSupplier _),
@@ -255,6 +319,9 @@ object Analytics {
     "q_events_windowed_agg" -> (eventsWindowedAgg _))
 
   val oracle: Map[String, String] = Map(
+    "q_semi_anti"          -> semiAntiOracle,
+    "q_rollup"             -> rollupOracle,
+    "q_events_pivot"       -> eventsPivotOracle,
     "q1_pricing_summary"   -> q1Oracle,
     "q3_shipping_priority" -> q3Oracle,
     "q5_local_supplier"    -> q5Oracle,
