@@ -66,5 +66,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(classOf[DotProduct].getName, name), b))
     }
+    e.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
   }
 }
