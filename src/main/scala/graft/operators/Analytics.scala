@@ -291,6 +291,51 @@ object Analytics {
     ORDER BY 1"""
   }
 
+  // --- JSON column extraction ------------------------------------------
+  // events.props is a JSON string column; extraction stays in codegen
+  // (get_json_object) and aggregates on the extracted value are exact
+  // integer math.
+  def eventsJson(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("k")).as("sum_k"),
+        countDistinct(col("k")).as("distinct_k"),
+        round(sum(col("k")).cast("double") / count(lit(1)), 4).as("avg_k"))
+      .orderBy(col("event_type"))
+
+  val eventsJsonOracle: String = """
+    SELECT event_type,
+      sum(k) AS sum_k,
+      count(DISTINCT k) AS distinct_k,
+      round(CAST(sum(k) AS DOUBLE) / count(*), 4) AS avg_k
+    FROM (SELECT event_type,
+            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+    GROUP BY event_type
+    ORDER BY event_type"""
+
+  // --- exact percentiles (linear interpolation, both engines type-7) ---
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))").as("p"))
+      .select(col("o_orderpriority"),
+        round(col("p")(0), 2).as("p25"),
+        round(col("p")(1), 2).as("p50"),
+        round(col("p")(2), 2).as("p75"))
+      .orderBy(col("o_orderpriority"))
+
+  val percentilesOracle: String = """
+    SELECT o_orderpriority,
+      round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+      round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+      round(quantile_cont(o_totalprice, 0.75), 2) AS p75
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority"""
+
   // --- sketch aggregates: the 100 TB shapes of COUNT DISTINCT ----------
   // HLL++ and quantile sketches trade exactness for one-pass mergeable
   // state — the only viable form at cluster scale. Rows-only gate
@@ -311,6 +356,8 @@ object Analytics {
     "q_semi_anti"          -> (semiAnti _),
     "q_rollup"             -> (rollupSummary _),
     "q_events_pivot"       -> (eventsPivot _),
+    "q_events_json"        -> (eventsJson _),
+    "q_percentiles"        -> (percentiles _),
     "q1_pricing_summary"   -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_local_supplier"    -> (q5LocalSupplier _),
@@ -322,6 +369,8 @@ object Analytics {
     "q_semi_anti"          -> semiAntiOracle,
     "q_rollup"             -> rollupOracle,
     "q_events_pivot"       -> eventsPivotOracle,
+    "q_events_json"        -> eventsJsonOracle,
+    "q_percentiles"        -> percentilesOracle,
     "q1_pricing_summary"   -> q1Oracle,
     "q3_shipping_priority" -> q3Oracle,
     "q5_local_supplier"    -> q5Oracle,

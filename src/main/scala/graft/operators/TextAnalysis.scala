@@ -192,6 +192,28 @@ object TextAnalysis {
     WHERE len(t[chunk_id * $ChunkS + 1 : chunk_id * $ChunkS + $ChunkW]) > 0
     ORDER BY doc_id, chunk_id"""
 
+  // ---- 3d. edit distance between adjacent docs -------------------------
+  // Levenshtein on bounded prefixes (cost is O(len²) per pair — ALWAYS
+  // bound the operand length at scale). Adjacent-id pairs keep the
+  // demo deterministic; real dedup pipelines run this as the verify
+  // stage after LSH candidate generation.
+  def levenshteinPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("prefix"))
+    docs.select(col("doc_id").as("da"), col("prefix").as("pa"))
+      .join(docs.select((col("doc_id") - 1).as("da"), col("prefix").as("pb")), Seq("da"))
+      .select(col("da"), levenshtein(col("pa"), col("pb")).as("lev"))
+      .orderBy(col("da"))
+  }
+
+  val levenshteinPairsOracle: String = """
+    WITH p AS (SELECT doc_id, substr(text, 1, 40) AS prefix
+               FROM documents WHERE doc_id < 50)
+    SELECT a.doc_id AS da, levenshtein(a.prefix, b.prefix) AS lev
+    FROM p a JOIN p b ON b.doc_id = a.doc_id + 1
+    ORDER BY da"""
+
   // ---- 4. corpus token histogram --------------------------------------
   def tokenHistogram(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -216,6 +238,7 @@ object TextAnalysis {
     "text_fingerprint"     -> (fingerprint _),
     "text_token_count_bpe" -> (tokenCountBpe _),
     "text_chunk_windows"   -> (chunkWindows _),
+    "text_levenshtein"     -> (levenshteinPairs _),
     "text_token_histogram" -> (tokenHistogram _))
 
   val oracle: Map[String, String] = Map(
@@ -224,5 +247,6 @@ object TextAnalysis {
     "text_fingerprint"     -> fingerprintOracle,
     "text_token_count_bpe" -> tokenCountBpeOracle,
     "text_chunk_windows"   -> chunkWindowsOracle,
+    "text_levenshtein"     -> levenshteinPairsOracle,
     "text_token_histogram" -> tokenHistogramOracle)
 }
