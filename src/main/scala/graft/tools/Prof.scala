@@ -1,8 +1,6 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
-import graft.operators.Dedup
-import graft.sources.Tables
+import graft.api.Extractor
 
 object Prof {
   def main(args: Array[String]): Unit = {
@@ -12,17 +10,19 @@ object Prof {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    spark.read.parquet(s"$sfDir/lineitem.parquet").count() // warm
+    spark.read.parquet(s"$sfDir/documents.parquet").count() // warm
     def time(label: String)(f: => Long): Unit = {
       val t0 = System.nanoTime(); val n = f
-      println(f"[prof] $label%-22s ${(System.nanoTime()-t0)/1e9}%8.2f s  rows=$n")
+      println(f"[prof] $label%-32s ${(System.nanoTime()-t0)/1e9}%8.2f s  rows=$n")
     }
-    val docs = Tables.documents(spark, sfDir)
-    val sh = Dedup.shingleSets(docs).cache()
-    time("shingles")(sh.count())
-    val sig = Dedup.minhashSignatures(docs)
-    time("signatures")(sig.count())
-    time("full_lsh")(Dedup.minhashLsh(spark, sfDir).count())
+    val out1 = "target/tmp/graft_extract_100"
+    val out2 = "target/tmp/graft_extract_all"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out1))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out2))
+    time("extractPapers n=100")(
+      Extractor.extractPapers(spark, s"$sfDir/documents.parquet", out1, 100).count())
+    time("extractPapers n=5000")(
+      Extractor.extractPapers(spark, s"$sfDir/documents.parquet", out2, 5000).count())
     spark.stop()
   }
 }
