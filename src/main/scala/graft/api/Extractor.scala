@@ -49,16 +49,23 @@ object Extractor {
     val markdown = concat(
       (lit("---") +: metaFields) :+ lit("\n---\n") :+ col(contentCol): _*)
 
+    // format_string("%04d") is min-width (reference f"{i:04d}"); lpad
+    // truncates >4-digit ranks into filename collisions
     val filename = detected.title match {
       case Some(t) => concat(
-        lpad(col("sample_rank").cast("string"), 4, "0"), lit("_"),
+        format_string("%04d", col("sample_rank")), lit("_"),
         TextFns.sanitizeFilename(col(t).cast("string")), lit(".md"))
       case None => concat(
-        lit("paper_"), lpad(col("sample_rank").cast("string"), 4, "0"), lit(".md"))
+        lit("paper_"), format_string("%04d", col("sample_rank")), lit(".md"))
     }
 
+    // the rank-ordered sample collapses to one partition after the
+    // global top-n — spread it back out so the file sink writes in
+    // parallel instead of single-threaded
     MarkdownFileSink.write(
-      sampled.select(filename.as("filename"), markdown.as("content")), outputDir)
+      sampled.select(filename.as("filename"), markdown.as("content"))
+        .repartition(math.max(spark.sparkContext.defaultParallelism, 4)),
+      outputDir)
     MarkdownFileSink.manifest(spark, outputDir)
   }
 
@@ -69,7 +76,7 @@ object Extractor {
       .otherwise(concat(lit("Document "), col("cisi_id").cast("string")))
     val author = when(length(col("author")) > 0, col("author")).otherwise(lit("Unknown"))
     val filename = concat(
-      lit("cisi_"), lpad(col("cisi_id").cast("string"), 4, "0"), lit("_"),
+      lit("cisi_"), format_string("%04d", col("cisi_id")), lit("_"),
       TextFns.sanitizeFilename(title), lit(".md"))
     // extra sections land between author and the closing marker, like
     // main.py:181-183

@@ -20,8 +20,11 @@ object RefCore {
     lit("\nn_chars: "), col("n_chars").cast("string"),
     lit("\n---\n"), col("text"))
 
+  // %04d is MIN-width like the reference's f"{i:04d}" — lpad would
+  // TRUNCATE ranks beyond 9999 and collide filenames (found by the 50k-doc
+  // scale test; Python zfill/%04d never truncate)
   private def filenameColumn: Column =
-    concat(lit("paper_"), lpad(col("sample_rank").cast("string"), 4, "0"), lit(".md"))
+    concat(lit("paper_"), format_string("%04d", col("sample_rank")), lit(".md"))
 
   // ---- shared SQL fragments (DuckDB side) -----------------------------
 
@@ -43,7 +46,7 @@ object RefCore {
       " || chr(10) || '---' || chr(10) || text"
 
   private val filenameSql =
-    "'paper_' || lpad(CAST(sample_rank AS VARCHAR), 4, '0') || '.md'"
+    "'paper_' || printf('%04d', sample_rank) || '.md'"
 
   /** Per-sfDir scratch dir for file-sink round trips. */
   private def scratch(dir: String, name: String): String =

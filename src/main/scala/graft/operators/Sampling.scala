@@ -20,10 +20,29 @@ object Sampling {
     md5(concat(lit(seed.toString), lit(":"), key.cast("string")))
 
   /** First n rows by hash order, with a 1-based `sample_rank` column
-    * (rank window runs post-limit, over n rows only). */
+    * (rank window runs post-limit, over n rows only).
+    *
+    * Large-n path: a global top-n over the full table makes every
+    * partition sort+ship n rows; instead pre-filter to the hash prefix
+    * range that contains ~1.5n rows (md5 is uniform, hex ordering is
+    * lexicographic) and top-n only the survivors. Result is identical —
+    * the true top-n by hash always lies under the cutoff when the
+    * survivor count ≥ n, and we fall back to the full sort otherwise. */
   def sampleN(df: DataFrame, key: Column, n: Int, seed: Int = 42): DataFrame = {
     val h = hashKey(seed, key)
-    df.withColumn("__h", h)
+    val base =
+      if (n <= 5000) df.withColumn("__h", h)
+      else {
+        val total = df.count()
+        if (total <= n) df.withColumn("__h", h)
+        else {
+          val frac = math.min(1.0, 1.5 * n / total)
+          val cut = f"${math.min(0xffffffffL, (frac * 4294967296.0).toLong)}%08x"
+          val filtered = df.withColumn("__h", h).filter(col("__h") < cut)
+          if (filtered.count() >= n) filtered else df.withColumn("__h", h)
+        }
+      }
+    base
       .orderBy(col("__h"), key)
       .limit(n)
       .withColumn("sample_rank",

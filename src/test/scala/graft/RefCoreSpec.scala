@@ -63,6 +63,22 @@ class RefCoreSpec extends AnyFunSuite {
     assert(a.length == 10)
   }
 
+  test("large-n threshold sampling == full-sort sampling") {
+    import org.apache.spark.sql.functions.lit
+    // 20k synthetic keys: n=8000 triggers the pre-filter path; compare
+    // against the naive full-sort formulation
+    val df = spark.range(20000).toDF("doc_id")
+    val fast = Sampling.sampleN(df, col("doc_id"), 8000)
+      .select("sample_rank", "doc_id").as[(Int, Long)].collect().toSeq
+    val naive = df
+      .withColumn("__h", org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.concat(lit("42:"), col("doc_id").cast("string"))))
+      .orderBy(col("__h"), col("doc_id")).limit(8000)
+      .collect().map(_.getLong(0)).toSeq
+    assert(fast.map(_._2) == naive)
+    assert(fast.map(_._1) == (1 to 8000))
+  }
+
   test("CISI source: sections parsed, .X dropped, .B kept as extra, missing author empty") {
     val fixture = java.nio.file.Files.createTempDirectory("cisi").resolve("t.all")
     val text = ".I 1\n.T\nFirst Title\n.A\nSmith, J.\n.B\nJournal 1971\n.W\nbody one\nline two\n.X\n1 5 1\n" +
