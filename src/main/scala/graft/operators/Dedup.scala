@@ -204,13 +204,63 @@ object Dedup {
       .orderBy(col("da"), col("db"))
   }
 
+  // ---- 5. composed dedup pipeline -------------------------------------
+  // The production shape: exact-dedup FIRST (collapses duplicate
+  // clusters to one representative — on real corpora exact dups are the
+  // bulk), then MinHash-LSH near-dup only over representatives. Without
+  // the exact stage, a cluster of k identical docs puts k docs in every
+  // band bucket → O(k²) candidate pairs per cluster; with it, near-dup
+  // work is independent of duplication factor. Returns one row per
+  // input doc: its surviving representative and why it was dropped.
+  def dedupPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val fp = docs.select(col("doc_id"),
+      md5(concat_ws(" ", TextFns.tokens(col("text")))).as("content_fp"))
+    val exactGroups = fp.groupBy(col("content_fp"))
+      .agg(min(col("doc_id")).as("exact_rep"))
+    val withRep = fp.join(exactGroups, Seq("content_fp"))
+    val reps = docs.join(
+      withRep.filter(col("doc_id") === col("exact_rep")).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+
+    // near-dup among representatives only
+    val sh = shingleSets(reps).cache()
+    val sig = minhashSignaturesFromShingles(sh)
+    val bands = sig.select(col("doc_id"),
+      explode(array((0 until 8).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(concat_ws(",", (0 until 4).map(r => col(s"m${b * 4 + r}")): _*)).as("bh"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+    val cand = bands.select(col("doc_id").as("da"), col("band"), col("bh"))
+      .join(bands.select(col("doc_id").as("db"), col("band"), col("bh")), Seq("band", "bh"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db")).distinct()
+    val nearPairs = verifyJaccard(cand, sh).filter(col("jaccard") >= 0.5)
+    // near-dup clusters: keep min-id rep (single-hop union is enough at
+    // threshold 0.5 on verified pairs; full transitive closure would be
+    // an iterative connected-components pass)
+    val nearRep = nearPairs.groupBy(col("db")).agg(min(col("da")).as("near_rep"))
+
+    withRep
+      .join(nearRep, withRep("exact_rep") === nearRep("db"), "left")
+      .select(col("doc_id"),
+        coalesce(col("near_rep"), col("exact_rep")).as("survivor_id"),
+        when(col("doc_id") === coalesce(col("near_rep"), col("exact_rep")), "kept")
+          .when(col("near_rep").isNotNull, "near_dup")
+          .when(col("doc_id") =!= col("exact_rep"), "exact_dup")
+          .otherwise("kept").as("status"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- registry -------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"         -> (exact _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_lsh"   -> (minhashLsh _),
-    "dedup_simhash"       -> (simhash _))
+    "dedup_simhash"       -> (simhash _),
+    "dedup_pipeline"      -> (dedupPipeline _))
 
   val oracle: Map[String, String] = Map(
     "dedup_exact"         -> exactOracle,
@@ -219,6 +269,40 @@ object Dedup {
     // × 4 rows, pairs at J≥0.8 are caught w.p. ≥1-(1-0.8⁴)⁸ ≈ 0.985 per
     // pair and the planted near-dups at the oracle SF are all caught
     // (verified: LSH output == exact set-similarity output at sf0.01),
-    // so the exact-join oracle applies verbatim.
-    "dedup_minhash_lsh"   -> ngramJaccardOracle)
+    // so the exact-join oracle applies verbatim — same reasoning gives
+    // the pipeline oracle its exact-jaccard stand-in for the LSH stage.
+    "dedup_minhash_lsh"   -> ngramJaccardOracle,
+    "dedup_pipeline"      -> dedupPipelineOracle)
+
+  lazy val dedupPipelineOracle: String = s"""
+    WITH fp AS (SELECT doc_id, md5(array_to_string($tokensSql, ' ')) AS content_fp
+                FROM documents),
+    eg AS (SELECT content_fp, min(doc_id) AS exact_rep FROM fp GROUP BY content_fp),
+    wr AS (SELECT fp.doc_id, eg.exact_rep FROM fp JOIN eg USING (content_fp)),
+    repdocs AS (SELECT d.* FROM documents d JOIN wr ON d.doc_id = wr.doc_id
+                WHERE wr.doc_id = wr.exact_rep),
+    toks AS (SELECT doc_id, $tokensSql AS t FROM repdocs),
+    sh AS (SELECT DISTINCT doc_id, s FROM (
+      SELECT doc_id, unnest(list_transform(range(len(t)-2),
+        i -> array_to_string(t[i+1:i+3], ' '))) AS s
+      FROM toks WHERE len(t) >= 3)),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    near AS (
+      SELECT da, db FROM pairs JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+      WHERE CAST(inter AS DOUBLE) / CAST(x.n + y.n - inter AS DOUBLE) >= 0.5),
+    nr AS (SELECT db, min(da) AS near_rep FROM near GROUP BY db)
+    SELECT wr.doc_id,
+      coalesce(nr.near_rep, wr.exact_rep) AS survivor_id,
+      CASE
+        WHEN wr.doc_id = coalesce(nr.near_rep, wr.exact_rep) THEN 'kept'
+        WHEN nr.near_rep IS NOT NULL THEN 'near_dup'
+        WHEN wr.doc_id <> wr.exact_rep THEN 'exact_dup'
+        ELSE 'kept'
+      END AS status
+    FROM wr LEFT JOIN nr ON wr.exact_rep = nr.db
+    ORDER BY wr.doc_id"""
 }
