@@ -11,6 +11,14 @@ import graft.functions.TextFns
   * equi-join on a bounded key (shared shingle, LSH band bucket, simhash
   * block) — the only quadratic step is within-bucket, and bucket sizes
   * are bounded by construction (stop-shingle df cap / band width).
+  *
+  * Corpora with heavy EXACT duplication: the pairwise operators
+  * (`ngramJaccard`/`minhashLsh`/`simhash`) report pairs, and a cluster
+  * of k identical docs genuinely has k²/2 qualifying pairs — no
+  * algorithm makes a quadratic ANSWER subquadratic. Production dedup
+  * uses [[dedupPipeline]] instead, whose per-doc survivor output stays
+  * linear and whose near-dup stage runs on exact-representatives only
+  * (duplication-independent; 1 M docs at 200× duplication in ~18 s).
   */
 object Dedup {
 

@@ -39,6 +39,14 @@ object ScaleAll {
     time("asof_join 1M events")(AsOfJoin.purchaseSignup(spark, dir).count())
     time("sim_topk_lsh 100k vecs")(Similarity.topkLsh(spark, dir).count())
     time("neardup_lsh 100k vecs")(Similarity.nearDupPairsLsh(spark, dir).count())
+    // custom physical as-of operator at 1M events
+    time("asof_EXEC 1M events")({
+      import org.apache.spark.sql.functions._
+      val ev = graft.sources.Tables.events(spark, dir).withColumn("us", expr("ts div 1000"))
+      val p = ev.filter(col("event_type") === "purchase").select(col("user_id"), col("us"), col("event_id"))
+      val s = ev.filter(col("event_type") === "signup").select(col("user_id"), col("us"), col("event_id"))
+      graft.plans.AsOfJoinPlan.asOf(p, s, "user_id", "us").count()
+    })
     spark.stop()
   }
 }
