@@ -230,6 +230,74 @@ object Analytics {
     GROUP BY 1, 2
     ORDER BY 1, 2"""
 
+  // --- q6: pure pushdown filter + single agg (TPC-H Q6 shape) ----------
+  def q6Forecast(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
+      .filter(col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .filter(col("l_discount") >= 0.05 && col("l_discount") <= 0.07)
+      .filter(col("l_quantity") < 24)
+      .agg(round(sum(dec(col("l_extendedprice")) * dec(col("l_discount"))), 2)
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+
+  val q6Oracle: String = """
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24"""
+
+  // --- q12: join + conditional aggregation (TPC-H Q12 shape) -----------
+  def q12ShipMode(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
+      .filter(col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+    li.join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("low_line_count"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q12Oracle: String = """
+    SELECT l_returnflag,
+      sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+      sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag"""
+
+  // --- q14: ratio aggregate over a join (TPC-H Q14 shape) --------------
+  def q14Promo(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-06-01").cast("timestamp"))
+      .filter(col("l_shipdate") < lit("1997-07-01").cast("timestamp"))
+    val rev = dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+    li.join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .agg(
+        round(sum(when(col("p_type").startsWith("PROMO"), rev).otherwise(lit(0).cast(DecimalType(18, 6)))), 2)
+          .cast("double").as("promo_revenue"),
+        round(sum(rev), 2).cast("double").as("total_revenue"))
+  }
+
+  val q14Oracle: String = """
+    SELECT
+      CAST(round(sum(CASE WHEN p_type LIKE 'PROMO%'
+        THEN CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))
+        ELSE CAST(0 AS DECIMAL(18,6)) END), 2) AS DOUBLE) AS promo_revenue,
+      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS total_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'"""
+
   // --- semi/anti joins: EXISTS / NOT EXISTS ----------------------------
   def semiAnti(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir)
@@ -358,6 +426,9 @@ object Analytics {
     "q_events_pivot"       -> (eventsPivot _),
     "q_events_json"        -> (eventsJson _),
     "q_percentiles"        -> (percentiles _),
+    "q6_forecast"          -> (q6Forecast _),
+    "q12_shipmode"         -> (q12ShipMode _),
+    "q14_promo"            -> (q14Promo _),
     "q1_pricing_summary"   -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_local_supplier"    -> (q5LocalSupplier _),
@@ -371,6 +442,9 @@ object Analytics {
     "q_events_pivot"       -> eventsPivotOracle,
     "q_events_json"        -> eventsJsonOracle,
     "q_percentiles"        -> percentilesOracle,
+    "q6_forecast"          -> q6Oracle,
+    "q12_shipmode"         -> q12Oracle,
+    "q14_promo"            -> q14Oracle,
     "q1_pricing_summary"   -> q1Oracle,
     "q3_shipping_priority" -> q3Oracle,
     "q5_local_supplier"    -> q5Oracle,

