@@ -224,9 +224,10 @@ object Dedup {
     val docs = Tables.documents(spark, dir)
     val fp = docs.select(col("doc_id"),
       md5(concat_ws(" ", TextFns.tokens(col("text")))).as("content_fp"))
+      .cache() // feeds grouping, rep mapping, AND the final status join
     val exactGroups = fp.groupBy(col("content_fp"))
       .agg(min(col("doc_id")).as("exact_rep"))
-    val withRep = fp.join(exactGroups, Seq("content_fp"))
+    val withRep = fp.join(exactGroups, Seq("content_fp")).cache()
     val reps = docs.join(
       withRep.filter(col("doc_id") === col("exact_rep")).select(col("doc_id")),
       Seq("doc_id"), "left_semi")
@@ -245,17 +246,18 @@ object Dedup {
       .filter(col("da") < col("db"))
       .select(col("da"), col("db")).distinct()
     val nearPairs = verifyJaccard(cand, sh).filter(col("jaccard") >= 0.5)
-    // near-dup clusters: keep min-id rep (single-hop union is enough at
-    // threshold 0.5 on verified pairs; full transitive closure would be
-    // an iterative connected-components pass)
-    val nearRep = nearPairs.groupBy(col("db")).agg(min(col("da")).as("near_rep"))
+    // near-dup clusters: full transitive closure over the rep graph
+    val comp = Graph.connectedComponents(
+      reps.select(col("doc_id").as("id")),
+      nearPairs.select(col("da").as("src"), col("db").as("dst")))
+      .select(col("id").as("exact_rep"), col("component").as("survivor"))
 
     withRep
-      .join(nearRep, withRep("exact_rep") === nearRep("db"), "left")
+      .join(comp, Seq("exact_rep"))
       .select(col("doc_id"),
-        coalesce(col("near_rep"), col("exact_rep")).as("survivor_id"),
-        when(col("doc_id") === coalesce(col("near_rep"), col("exact_rep")), "kept")
-          .when(col("near_rep").isNotNull, "near_dup")
+        col("survivor").as("survivor_id"),
+        when(col("doc_id") === col("survivor"), "kept")
+          .when(col("survivor") =!= col("exact_rep"), "near_dup")
           .when(col("doc_id") =!= col("exact_rep"), "exact_dup")
           .otherwise("kept").as("status"))
       .orderBy(col("doc_id"))
@@ -268,28 +270,12 @@ object Dedup {
   // localCheckpoint'ed to cut lineage; rounds ≤ component diameter
   // (near-dup components are near-cliques, so 1-2 rounds in practice).
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).select(col("doc_id"))
-    val pairs = ngramJaccard(spark, dir).select(col("da"), col("db"))
-    val edges = pairs.unionByName(
-      pairs.select(col("db").as("da"), col("da").as("db"))).cache()
-
-    var labels = docs.select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
-    var changed = 1L
-    var rounds = 0
-    while (changed > 0 && rounds < 20) {
-      val neighborMin = edges
-        .join(labels.select(col("doc_id").as("db"), col("label").as("nl")), Seq("db"))
-        .groupBy(col("da")).agg(min(col("nl")).as("cand"))
-      val updated = labels
-        .join(neighborMin.select(col("da").as("doc_id"), col("cand")), Seq("doc_id"), "left")
-        .select(col("doc_id"), col("label"),
-          least(col("label"), coalesce(col("cand"), col("label"))).as("next"))
-        .localCheckpoint()
-      changed = updated.filter(col("next") =!= col("label")).count()
-      labels = updated.select(col("doc_id"), col("next").as("label"))
-      rounds += 1
-    }
-    labels.select(col("doc_id"), col("label").as("cluster_id")).orderBy(col("doc_id"))
+    val docs = Tables.documents(spark, dir).select(col("doc_id").as("id"))
+    val edges = ngramJaccard(spark, dir)
+      .select(col("da").as("src"), col("db").as("dst"))
+    Graph.connectedComponents(docs, edges)
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+      .orderBy(col("doc_id"))
   }
 
   val dedupClustersOracle: String = s"""
@@ -336,7 +322,8 @@ object Dedup {
     "dedup_clusters"      -> dedupClustersOracle)
 
   lazy val dedupPipelineOracle: String = s"""
-    WITH fp AS (SELECT doc_id, md5(array_to_string($tokensSql, ' ')) AS content_fp
+    WITH RECURSIVE
+    fp AS (SELECT doc_id, md5(array_to_string($tokensSql, ' ')) AS content_fp
                 FROM documents),
     eg AS (SELECT content_fp, min(doc_id) AS exact_rep FROM fp GROUP BY content_fp),
     wr AS (SELECT fp.doc_id, eg.exact_rep FROM fp JOIN eg USING (content_fp)),
@@ -355,15 +342,20 @@ object Dedup {
     near AS (
       SELECT da, db FROM pairs JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
       WHERE CAST(inter AS DOUBLE) / CAST(x.n + y.n - inter AS DOUBLE) >= 0.5),
-    nr AS (SELECT db, min(da) AS near_rep FROM near GROUP BY db)
+    e2 AS (SELECT da AS a, db AS b FROM near UNION ALL SELECT db, da FROM near),
+    reach(a, b) AS (
+      SELECT a, b FROM e2
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN e2 e ON r.b = e.a),
+    mr AS (SELECT a, min(b) AS mb FROM reach GROUP BY a)
     SELECT wr.doc_id,
-      coalesce(nr.near_rep, wr.exact_rep) AS survivor_id,
+      least(wr.exact_rep, coalesce(mr.mb, wr.exact_rep)) AS survivor_id,
       CASE
-        WHEN wr.doc_id = coalesce(nr.near_rep, wr.exact_rep) THEN 'kept'
-        WHEN nr.near_rep IS NOT NULL THEN 'near_dup'
+        WHEN wr.doc_id = least(wr.exact_rep, coalesce(mr.mb, wr.exact_rep)) THEN 'kept'
+        WHEN least(wr.exact_rep, coalesce(mr.mb, wr.exact_rep)) <> wr.exact_rep THEN 'near_dup'
         WHEN wr.doc_id <> wr.exact_rep THEN 'exact_dup'
         ELSE 'kept'
       END AS status
-    FROM wr LEFT JOIN nr ON wr.exact_rep = nr.db
+    FROM wr LEFT JOIN mr ON wr.exact_rep = mr.a
     ORDER BY wr.doc_id"""
 }
