@@ -17,14 +17,19 @@ object EventStream {
 
   val eventSchema = "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
 
-  /** File-source stream over an events directory (ns-long `ts`). */
+  /** File-source stream over an events table (ns-long `ts`). Handles
+    * both layouts: `events.parquet` as a DIRECTORY of part files (read
+    * directly — a pathGlobFilter would silently exclude every part
+    * file and yield an empty stream) and as a single FILE (the file
+    * source requires a directory, so read the parent with a glob). */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventSchema)
-      .option("pathGlobFilter", "events.parquet") // file source wants a dir
-      .parquet(dir)
-      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+    val path = new java.io.File(s"$dir/events.parquet")
+    val reader = spark.readStream.schema(eventSchema)
+    val raw =
+      if (path.isDirectory) reader.parquet(path.getPath)
+      else reader.option("pathGlobFilter", "events.parquet").parquet(dir)
+    raw.withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Tumbling 1 h windowed counts/sums with a 1 h watermark. */
@@ -42,14 +47,18 @@ object EventStream {
     * first-arrival-wins `dropDuplicates` keyed on the fingerprint
     * (state = one row per distinct document; at scale bound it with
     * `dropDuplicatesWithinWatermark` once ingest carries event time). */
-  def dedupDocuments(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
+  def dedupDocuments(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(s"$dir/documents.parquet")
+    val reader = spark.readStream
       .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
+    val raw =
+      if (path.isDirectory) reader.parquet(path.getPath) // see readEvents
+      else reader.option("pathGlobFilter", "documents.parquet").parquet(dir)
+    raw
       .select(col("doc_id"),
         md5(concat_ws(" ", graft.functions.TextFns.tokens(col("text")))).as("content_fp"))
       .dropDuplicates("content_fp")
+  }
 
   // ---- gap sessionization with explicit state --------------------------
 
