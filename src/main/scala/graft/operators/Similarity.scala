@@ -170,6 +170,74 @@ object Similarity {
       .orderBy(col("qid"), col("rn"))
   }
 
+  // ---- 3b. k-means-trained IVF ----------------------------------------
+  // Lloyd's iterations as DataFrame loops (assign = broadcast-centroid
+  // argmax-cosine; update = exact-decimal per-dimension mean, so the
+  // result is independent of partition/aggregation order). Deterministic
+  // seeding via the portable hash-order sample.
+  def kmeansCentroids(data: DataFrame, k: Int, iters: Int): DataFrame = {
+    val spark = data.sparkSession
+    var centroids = data
+      .withColumn("__h", md5(concat(lit("km:"), col("vec_id").cast("string"))))
+      .orderBy(col("__h"), col("vec_id")).limit(k)
+      .withColumn("cid", row_number().over(Window.orderBy(col("__h"), col("vec_id"))))
+      .select(col("cid"), col("vec").as("cvec"))
+      .localCheckpoint()
+    for (_ <- 0 until iters) {
+      val assignW = Window.partitionBy(col("vec_id"))
+        .orderBy(col("sim").desc, col("cid"))
+      val assigned = data.join(broadcast(centroids), lit(true))
+        .select(col("vec_id"), col("vec"), col("cid"),
+          VectorFns.cosine6(col("vec"), col("cvec")).as("sim"))
+        .withColumn("rn", row_number().over(assignW))
+        .filter(col("rn") === 1)
+      val updated = assigned
+        .select(col("cid"), posexplode(col("vec")).as(Seq("pos", "v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg((sum(col("v").cast("decimal(28,12)")) / count(lit(1)))
+          .cast("double").as("c"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          s => s.getField("c")).as("cvec"))
+      // clusters that lost all members keep their previous centroid
+      centroids = centroids.select(col("cid"), col("cvec").as("prev"))
+        .join(updated, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("cvec"), col("prev")).as("cvec"))
+        .localCheckpoint()
+    }
+    centroids
+  }
+
+  /** IVF with trained coarse centroids: assign corpus to cells once,
+    * probe the 2 best cells per query, exact top-k within. */
+  def topkIvfTrained(spark: SparkSession, dir: String): DataFrame = {
+    val all = emb(spark, dir).cache()
+    val centroids = kmeansCentroids(all, k = 10, iters = 3)
+      .select(col("cid"), col("cvec"))
+    val cellW = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid"))
+    val cells = all.join(broadcast(centroids), lit(true))
+      .select(col("vec_id"), col("label"), col("vec"), col("cid"),
+        VectorFns.cosine6(col("vec"), col("cvec")).as("sim"))
+      .withColumn("rn", row_number().over(cellW)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("vec"), col("cid")).cache()
+    val q = cells.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+    val probeW = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cid"))
+    val probes = q.join(broadcast(centroids), lit(true))
+      .select(col("qid"), col("qvec"), col("cid"),
+        VectorFns.cosine6(col("qvec"), col("cvec")).as("ccos"))
+      .withColumn("pr", row_number().over(probeW)).filter(col("pr") <= 2)
+      .select(col("qid"), col("qvec"), col("cid"))
+    val scored = cells.join(broadcast(probes),
+      cells("cid") === probes("cid") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        VectorFns.dot6(col("qvec"), col("vec")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .orderBy(col("qid"), col("rn"))
+  }
+
   // ---- 4. random-hyperplane LSH ANN -----------------------------------
   // 8 pseudo-random ±1 hyperplanes (deterministic from xxhash64(j,i)) →
   // 8-bit sign bucket per vector; multi-probe (bucket + 8 single-bit
@@ -217,6 +285,7 @@ object Similarity {
     "dedup_embedding"     -> (nearDupPairs _),
     "dedup_embedding_lsh" -> (nearDupPairsLsh _),
     "sim_topk_ivf"        -> (topkIvf _),
+    "sim_topk_ivf_trained" -> (topkIvfTrained _),
     "sim_topk_lsh"        -> (topkLsh _))
 
   val oracle: Map[String, String] = Map(

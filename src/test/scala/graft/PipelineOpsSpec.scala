@@ -73,6 +73,8 @@ class PipelineOpsSpec extends AnyFunSuite {
 
     val bf  = Similarity.topkBruteforce(spark, tmp).select("qid", "nid").as[(Long, Long)].collect().toSet
     val ivf = Similarity.topkIvf(spark, tmp).select("qid", "nid").as[(Long, Long)].collect().toSet
+    val ivfT = Similarity.topkIvfTrained(spark, tmp).select("qid", "nid").as[(Long, Long)].collect().toSet
+    assert(ivfT.intersect(bf).size * 10 >= bf.size * 6, s"trained-IVF recall ${ivfT.intersect(bf).size}/${bf.size}")
     val lsh = Similarity.topkLsh(spark, tmp).select("qid", "nid").as[(Long, Long)].collect().toSet
     assert(ivf.intersect(bf).size * 10 >= bf.size * 6, s"IVF recall ${ivf.intersect(bf).size}/${bf.size}")
     assert(lsh.intersect(bf).size * 10 >= bf.size * 6, s"LSH recall ${lsh.intersect(bf).size}/${bf.size}")
