@@ -359,6 +359,96 @@ object Analytics {
     ORDER BY 1"""
   }
 
+  // --- q7: bi-nation volume (TPC-H Q7 shape) ---------------------------
+  def q7Volume(spark: SparkSession, dir: String): DataFrame = {
+    val custNation = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))
+    val suppNation = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(custNation), col("c_nationkey") === col("cnk"))
+      .join(broadcast(suppNation), col("s_nationkey") === col("snk"))
+      .filter(col("cust_nation").isin("NATION_1", "NATION_2")
+        && col("supp_nation").isin("NATION_1", "NATION_2")
+        && col("cust_nation") =!= col("supp_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(round(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))), 2)
+        .cast("double").as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  val q7Oracle: String = """
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      CAST(year(l_shipdate) AS INT) AS l_year,
+      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE cn.n_name IN ('NATION_1', 'NATION_2')
+      AND sn.n_name IN ('NATION_1', 'NATION_2')
+      AND cn.n_name <> sn.n_name
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3"""
+
+  // --- q10: returned-item revenue by customer (TPC-H Q10 shape) --------
+  def q10Returns(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .agg(round(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))), 2)
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
+  val q10Oracle: String = """
+    SELECT c_custkey, c_name, c_mktsegment,
+      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE l_returnflag = 'R'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20"""
+
+  // --- q18: large-volume orders (TPC-H Q18 shape) ----------------------
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val bigOrders = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(round(sum(dec(col("l_quantity"))), 2).cast("double").as("total_qty"))
+      .filter(col("total_qty") > 150)
+    bigOrders
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  val q18Oracle: String = """
+    SELECT c_custkey, c_name, o_orderkey,
+      strftime(o_orderdate, '%Y-%m-%d') AS orderdate, total_qty
+    FROM (
+      SELECT l_orderkey,
+        CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_qty
+      FROM lineitem GROUP BY l_orderkey) t
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE total_qty > 150
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 20"""
+
   // --- JSON column extraction ------------------------------------------
   // events.props is a JSON string column; extraction stays in codegen
   // (get_json_object) and aggregates on the extracted value are exact
@@ -427,8 +517,11 @@ object Analytics {
     "q_events_json"        -> (eventsJson _),
     "q_percentiles"        -> (percentiles _),
     "q6_forecast"          -> (q6Forecast _),
+    "q7_volume"            -> (q7Volume _),
+    "q10_returns"          -> (q10Returns _),
     "q12_shipmode"         -> (q12ShipMode _),
     "q14_promo"            -> (q14Promo _),
+    "q18_large_orders"     -> (q18LargeOrders _),
     "q1_pricing_summary"   -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_local_supplier"    -> (q5LocalSupplier _),
@@ -443,8 +536,11 @@ object Analytics {
     "q_events_json"        -> eventsJsonOracle,
     "q_percentiles"        -> percentilesOracle,
     "q6_forecast"          -> q6Oracle,
+    "q7_volume"            -> q7Oracle,
+    "q10_returns"          -> q10Oracle,
     "q12_shipmode"         -> q12Oracle,
     "q14_promo"            -> q14Oracle,
+    "q18_large_orders"     -> q18Oracle,
     "q1_pricing_summary"   -> q1Oracle,
     "q3_shipping_priority" -> q3Oracle,
     "q5_local_supplier"    -> q5Oracle,
