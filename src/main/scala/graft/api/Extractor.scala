@@ -110,6 +110,23 @@ object Extractor {
       .partitionBy(partitionCol)
       .parquet(outputDir)
 
+  final case class CleanupResult(deleted: Long, bytes: Long)
+
+  /** Delete generated files in an output directory (cleanup_wikir.py:9),
+    * optionally only those with the given suffix (the reference filters
+    * to '.pdf'). Returns how many files and bytes were removed; the
+    * confirm prompt lives with the caller (CLI/REST), not here. */
+  def cleanup(outputDir: String, suffix: String = ""): CleanupResult = {
+    val dir = new java.io.File(outputDir)
+    if (!dir.isDirectory) CleanupResult(0, 0)
+    else {
+      val files = dir.listFiles().filter(f => f.isFile && f.getName.endsWith(suffix))
+      val bytes = files.map(_.length()).sum
+      files.foreach(_.delete())
+      CleanupResult(files.length.toLong, bytes)
+    }
+  }
+
   /** Corpus token analysis (api.py:491-567): one row of
     * document_count / total / average / min / max tokens. */
   def analyzeTokens(df: DataFrame, contentCol: String): DataFrame = {

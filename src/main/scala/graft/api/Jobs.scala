@@ -6,9 +6,13 @@ import scala.jdk.CollectionConverters._
 
 /** Job tracking mirroring the reference REST surface (api.py:24-39,
   * /api/jobs): submit named extraction jobs, poll status, list results
-  * as a DataFrame. Execution is synchronous-per-job on Spark (the
-  * cluster is the async machinery); the tracker records status/metrics
-  * exactly like the reference's in-memory `jobs` dict.
+  * as a DataFrame. The tracker records status/metrics exactly like the
+  * reference's in-memory `jobs` dict. [[submit]] runs inline (CLI
+  * shape); [[submitAsync]] runs the job on a background thread and
+  * returns immediately with a "running" status, like the reference's
+  * per-request `threading.Thread` (api.py:78-103) — Spark schedules
+  * jobs from concurrent driver threads fairly, so an async extract
+  * never blocks queries submitted meanwhile.
   */
 object Jobs {
 
@@ -19,8 +23,27 @@ object Jobs {
   private val counter = new java.util.concurrent.atomic.AtomicLong(0)
 
   def submit(jobType: String, outputDir: String)(run: => DataFrame): String = {
+    val id = newId(jobType, outputDir)
+    execute(id, jobType, outputDir, run)
+    id
+  }
+
+  def submitAsync(jobType: String, outputDir: String)(run: => DataFrame): String = {
+    val id = newId(jobType, outputDir)
+    val t = new Thread(() => execute(id, jobType, outputDir, run), s"graft-$id")
+    t.setDaemon(true)
+    t.start()
+    id
+  }
+
+  private def newId(jobType: String, outputDir: String): String = {
     val id = s"job-${counter.incrementAndGet()}"
     jobs.put(id, Job(id, jobType, "running", outputDir, 0, ""))
+    id
+  }
+
+  private def execute(id: String, jobType: String, outputDir: String,
+                      run: => DataFrame): Unit =
     try {
       val manifest = run
       jobs.put(id, Job(id, jobType, "completed", outputDir, manifest.count(), ""))
@@ -28,10 +51,20 @@ object Jobs {
       case e: Exception =>
         jobs.put(id, Job(id, jobType, "failed", outputDir, 0, String.valueOf(e.getMessage)))
     }
-    id
+
+  /** Block until a job leaves "running" (spec/test helper). */
+  def await(id: String, timeoutMs: Long = 120000): Option[Job] = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    var j = status(id)
+    while (j.exists(_.status == "running") && System.nanoTime() < deadline) {
+      Thread.sleep(50); j = status(id)
+    }
+    j
   }
 
   def status(id: String): Option[Job] = Option(jobs.get(id))
+
+  def all(): Seq[Job] = jobs.values.asScala.toSeq.sortBy(_.id)
 
   def list(spark: SparkSession): DataFrame = {
     import spark.implicits._

@@ -1,0 +1,187 @@
+package graft.api
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.SparkSession
+import java.io.File
+import java.net.{InetSocketAddress, URLDecoder}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+
+/** HTTP surface mirroring the reference's Flask API (api.py:27-191):
+  *
+  *   GET  /api/health                       → {"status":"ok"}
+  *   GET  /api/jobs                         → all jobs keyed by id
+  *   GET  /api/jobs/{id}                    → one job, 404 if unknown
+  *   POST /api/extract/parquet?path=&output_dir=&num_papers=&seed=
+  *   POST /api/extract/cisi?path=&output_dir=
+  *   GET  /api/files?output_dir=            → directory listing
+  *   GET  /api/files/{name}?output_dir=     → file download
+  *   POST /api/cleanup?output_dir=&suffix=  → cleanup_wikir.py:9 parity
+  *
+  * Built on the JDK's HttpServer — zero extra dependencies, which is the
+  * point: the engine is a library and the HTTP layer is a thin adapter.
+  * One deliberate difference from the reference: extracts take a storage
+  * `path` instead of a multipart upload (api.py:43-59). On a cluster the
+  * data is already in distributed storage; shipping 100 TB through a
+  * POST body is not a thing. Extraction runs async on a background
+  * thread ([[Jobs.submitAsync]]) and the response returns a job id with
+  * status "running" immediately, exactly like api.py:78-103.
+  */
+object RestServer {
+
+  def start(spark: SparkSession, port: Int = 0): HttpServer = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    server.createContext("/api/health", (ex: HttpExchange) =>
+      handle(ex) { _ => ok(obj("status" -> "ok")) })
+
+    server.createContext("/api/jobs", (ex: HttpExchange) => handle(ex) { _ =>
+      pathParam(ex, "/api/jobs") match {
+        case None => ok(obj(Jobs.all().map(j => j.id -> jobJson(j)): _*))
+        case Some(id) => Jobs.status(id) match {
+          case Some(j) => ok(jobJson(j).json)
+          case None    => Resp(404, obj("error" -> "Job not found"))
+        }
+      }
+    })
+
+    server.createContext("/api/extract/parquet", (ex: HttpExchange) => handle(ex) { q =>
+      requirePost(ex).getOrElse {
+        q.get("path") match {
+          case None => Resp(400, obj("error" -> "No input path given"))
+          case Some(path) =>
+            val outDir = q.getOrElse("output_dir", "extracted_papers")
+            val id = Jobs.submitAsync("parquet", outDir) {
+              Extractor.extractPapers(spark, path, outDir,
+                q.getOrElse("num_papers", "1000").toInt,
+                q.getOrElse("seed", "42").toInt)
+            }
+            ok(obj("job_id" -> id, "status" -> "running",
+              "message" -> s"Processing $path in the background"))
+        }
+      }
+    })
+
+    server.createContext("/api/extract/cisi", (ex: HttpExchange) => handle(ex) { q =>
+      requirePost(ex).getOrElse {
+        q.get("path") match {
+          case None => Resp(400, obj("error" -> "No input path given"))
+          case Some(path) =>
+            val outDir = q.getOrElse("output_dir", "cisi_papers")
+            val id = Jobs.submitAsync("cisi", outDir) {
+              Extractor.convertCisi(spark, path, outDir)
+            }
+            ok(obj("job_id" -> id, "status" -> "running",
+              "message" -> s"Processing $path in the background"))
+        }
+      }
+    })
+
+    server.createContext("/api/cleanup", (ex: HttpExchange) => handle(ex) { q =>
+      requirePost(ex).getOrElse {
+        withDir(q) { dir =>
+          val res = Extractor.cleanup(dir.getPath, q.getOrElse("suffix", ""))
+          ok(obj("output_dir" -> dir.getPath,
+            "deleted" -> res.deleted, "bytes_freed" -> res.bytes))
+        }
+      }
+    })
+
+    server.createContext("/api/files", (ex: HttpExchange) => handle(ex) { q =>
+      pathParam(ex, "/api/files") match {
+        case None => withDir(q) { dir =>
+          val names = dir.list().toSeq.sorted
+          ok(obj("output_dir" -> dir.getPath,
+            "file_count" -> names.size, "files" -> names))
+        }
+        case Some(name) => withDir(q) { dir =>
+          val f = new File(dir, name)
+          // getCanonicalFile: reject ../ traversal out of output_dir
+          if (!f.getCanonicalFile.toPath.startsWith(dir.getCanonicalFile.toPath) || !f.isFile)
+            Resp(404, obj("error" -> s"File '$name' not found in '${dir.getPath}'"))
+          else Resp(200, Files.readAllBytes(f.toPath), "application/octet-stream")
+        }
+      }
+    })
+
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    server.start()
+    server
+  }
+
+  // ---- response plumbing ------------------------------------------------
+
+  private final case class Resp(code: Int, body: Array[Byte], contentType: String)
+  private object Resp {
+    def apply(code: Int, json: String): Resp =
+      Resp(code, json.getBytes(UTF_8), "application/json")
+  }
+  private def ok(json: String) = Resp(200, json)
+
+  private def handle(ex: HttpExchange)(f: Map[String, String] => Resp): Unit = {
+    val resp =
+      try f(query(ex))
+      catch { case e: Exception => Resp(500, obj("error" -> String.valueOf(e.getMessage))) }
+    ex.getResponseHeaders.set("Content-Type", resp.contentType)
+    ex.sendResponseHeaders(resp.code, resp.body.length)
+    ex.getResponseBody.write(resp.body)
+    ex.close()
+  }
+
+  private def requirePost(ex: HttpExchange): Option[Resp] =
+    if (ex.getRequestMethod == "POST") None
+    else Some(Resp(405, obj("error" -> "Method not allowed")))
+
+  private def withDir(q: Map[String, String])(f: File => Resp): Resp =
+    q.get("output_dir").map(new File(_)) match {
+      case Some(d) if d.isDirectory => f(d)
+      case other => Resp(404, obj("error" ->
+        s"Directory '${other.map(_.getPath).getOrElse("")}' not found"))
+    }
+
+  /** Path segment after the context prefix, e.g. /api/jobs/{id}. */
+  private def pathParam(ex: HttpExchange, prefix: String): Option[String] = {
+    val p = ex.getRequestURI.getPath.stripPrefix(prefix).stripPrefix("/")
+    if (p.isEmpty) None else Some(URLDecoder.decode(p, "UTF-8"))
+  }
+
+  private def query(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).getOrElse("").split("&").toSeq
+      .filter(_.contains("="))
+      .map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        URLDecoder.decode(k, "UTF-8") -> URLDecoder.decode(v, "UTF-8")
+      }.toMap
+
+  // ---- minimal JSON writer ---------------------------------------------
+
+  /** Pre-rendered JSON that must not be re-escaped when nested. */
+  private final case class Raw(json: String) { override def toString: String = json }
+
+  private def jobJson(j: Jobs.Job): Raw = Raw(obj(
+    "id" -> j.id, "type" -> j.jobType, "status" -> j.status,
+    "output_dir" -> j.outputDir, "file_count" -> j.fileCount,
+    "error" -> j.error))
+
+  private def obj(fields: (String, Any)*): String =
+    fields.map { case (k, v) => s"${str(k)}:${value(v)}" }.mkString("{", ",", "}")
+
+  private def value(v: Any): String = v match {
+    case s: String  => str(s)
+    case n: Int     => n.toString
+    case n: Long    => n.toString
+    case b: Boolean => b.toString
+    case xs: Seq[_] => xs.map(value).mkString("[", ",", "]")
+    case Raw(json)  => json
+  }
+
+  private def str(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+}

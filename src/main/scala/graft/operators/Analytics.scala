@@ -72,8 +72,10 @@ object Analytics {
       .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
     val li   = Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+    // customer grows with SF: no broadcast hint — AQE broadcasts the
+    // segment-filtered side at runtime when it's small enough.
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(round(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))), 2)
         .cast("double").as("revenue"))
@@ -113,10 +115,12 @@ object Analytics {
     val li     = Tables.lineitem(spark, dir)
     // li⋈ord is fact-fact: planned as a shuffle join for scale, and AQE
     // converts it to broadcast at runtime when the filtered orders side
-    // turns out small (it does at bench SFs). True dims are hinted.
+    // turns out small (it does at bench SFs). Only the truly bounded dims
+    // (nation: 25 rows, region: 5 rows at any SF) are hinted; customer and
+    // supplier grow with SF, so AQE decides those at runtime.
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp),
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp,
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
@@ -168,7 +172,10 @@ object Analytics {
   // agree bit-for-bit. At scale this is one shuffle on user_id (the two
   // windows share partitioning, Spark evaluates them in one exchange).
   def eventsSessionize(spark: SparkSession, dir: String): DataFrame = {
-    val byUser  = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // Order by truncated microseconds + event_id (not raw ns) so the tie-break
+    // is identical to the oracle's: two events in the same microsecond must
+    // order the same way in both engines or session boundaries can shift.
+    val byUser  = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
     val ev = Tables.events(spark, dir)
       .withColumn("us", expr("ts div 1000"))
       .withColumn("prev_us", lag(col("us"), 1).over(byUser))
@@ -189,16 +196,19 @@ object Analytics {
   }
 
   val eventsSessionizeOracle: String = """
-    WITH flagged AS (
+    WITH base AS (
       SELECT user_id, event_id, value,
-        epoch_us(CAST(ts AS TIMESTAMP)) AS us,
-        lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        epoch_us(CAST(ts AS TIMESTAMP)) AS us
       FROM events),
+    flagged AS (
+      SELECT user_id, event_id, value, us,
+        lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us
+      FROM base),
     sess AS (
       SELECT user_id, value, us,
-        sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+        CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
           OVER (PARTITION BY user_id ORDER BY us, event_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       FROM flagged)
     SELECT user_id, session_id, count(*) AS n_events,
       CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS duration_s,
@@ -267,8 +277,8 @@ object Analytics {
 
   val q12Oracle: String = """
     SELECT l_returnflag,
-      sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-      sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+      CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
@@ -281,7 +291,8 @@ object Analytics {
       .filter(col("l_shipdate") >= lit("1997-06-01").cast("timestamp"))
       .filter(col("l_shipdate") < lit("1997-07-01").cast("timestamp"))
     val rev = dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
-    li.join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+    // part grows with SF: no broadcast hint — AQE decides at runtime.
+    li.join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
       .agg(
         round(sum(when(col("p_type").startsWith("PROMO"), rev).otherwise(lit(0).cast(DecimalType(18, 6)))), 2)
           .cast("double").as("promo_revenue"),
@@ -365,10 +376,14 @@ object Analytics {
       .select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))
     val suppNation = Tables.nation(spark, dir)
       .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+    // Only nation (bounded, 25 rows at any SF) gets a broadcast hint;
+    // customer/supplier grow linearly with SF — at the 100 TB design point
+    // a forced broadcast OOMs executors. Left unhinted, AQE still picks
+    // broadcast when the runtime size allows (it does at bench SFs).
     Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(custNation), col("c_nationkey") === col("cnk"))
       .join(broadcast(suppNation), col("s_nationkey") === col("snk"))
       .filter(col("cust_nation").isin("NATION_1", "NATION_2")
@@ -402,7 +417,7 @@ object Analytics {
     Tables.lineitem(spark, dir)
       .filter(col("l_returnflag") === "R")
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("c_mktsegment"))
       .agg(round(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))), 2)
         .cast("double").as("revenue"))
@@ -428,7 +443,7 @@ object Analytics {
       .filter(col("total_qty") > 150)
     bigOrders
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
         col("total_qty"))
@@ -466,7 +481,7 @@ object Analytics {
 
   val eventsJsonOracle: String = """
     SELECT event_type,
-      sum(k) AS sum_k,
+      CAST(sum(k) AS BIGINT) AS sum_k,
       count(DISTINCT k) AS distinct_k,
       round(CAST(sum(k) AS DOUBLE) / count(*), 4) AS avg_k
     FROM (SELECT event_type,

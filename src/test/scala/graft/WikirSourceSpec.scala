@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.WikirSource
+
+/** Attribute-fallback semantics of the wikir-shaped source
+  * (api.py:262-331) on handcrafted rows covering every branch. */
+class WikirSourceSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.test
+  import spark.implicits._
+
+  test("title chain: title, then URL:, then Document id; 80-char cap; latin-1 gate") {
+    val df = Seq(
+      (1L, "A Title", "http://u", "body text"),
+      (2L, "", "http://u2", "x"),
+      (3L, null.asInstanceOf[String], null.asInstanceOf[String], "x"),
+      (4L, "é" * 200, null.asInstanceOf[String], "x"), // latin-1 ok: kept, capped at 80
+      (5L, "日本語タイトル", null.asInstanceOf[String], "x")) // non-latin-1 → sanitized
+      .toDF("doc_id", "title", "url", "text")
+    val out = WikirSource.normalize(df).orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("title") == "A Title")
+    assert(out(1).getAs[String]("title") == "URL: http://u2")
+    assert(out(2).getAs[String]("title") == "Document 3")
+    assert(out(3).getAs[String]("title") == "é" * 80)
+    assert(out(4).getAs[String]("title") == "_" * "日本語タイトル".length)
+  }
+
+  test("content chain: text, body, attribute dump (sorted, 100-char cap), placeholder") {
+    val df = Seq(
+      (1L, "the text", "the body", "en", "s1"),
+      (2L, "", "the body", "en", "s2"),
+      (3L, "", "", "zz", "y" * 150),
+      (4L, "", "", "", "")) // nothing at all
+      .toDF("doc_id", "text", "body", "lang", "source")
+    val out = WikirSource.normalize(df).orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("content") == "the text")
+    assert(out(1).getAs[String]("content") == "the body")
+    assert(out(2).getAs[String]("content") ==
+      "Available attributes:\n\nlang: zz\n\nsource: " + "y" * 100 + "...")
+    assert(out(3).getAs[String]("content") == "No text content available for this document")
+  }
+
+  test("content is unescaped, ascii-sanitized, truncated — in that order") {
+    val df = Seq((1L, "&lt;b&gt; café " + "x" * 60000)).toDF("doc_id", "text")
+    val c = WikirSource.normalize(df).head().getAs[String]("content")
+    assert(c.startsWith("<b> caf_ "))
+    assert(c.length == 50000)
+  }
+
+  test("extract writes one stub PDF per doc with wikir_{id}.pdf names, capped at 500") {
+    val out = java.nio.file.Files.createTempDirectory("wikir").toString
+    val docs = spark.range(0, 7).select(
+      col("id").as("doc_id"),
+      concat(lit("t"), col("id")).as("title"),
+      lit("content words").as("text"))
+    val manifest = WikirSource.extract(spark, docs, out, limit = 5)
+    assert(manifest.count() == 5)
+    val names = new java.io.File(out).list().sorted.toSeq
+    assert(names == Seq("wikir_0.pdf", "wikir_1.pdf", "wikir_2.pdf", "wikir_3.pdf", "wikir_4.pdf"))
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(out, "wikir_0.pdf"))
+    assert(new String(bytes).startsWith("%PDF-1.4"))
+  }
+}
