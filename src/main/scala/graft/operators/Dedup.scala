@@ -98,9 +98,10 @@ object Dedup {
   def ngramJaccardCapped(spark: SparkSession, dir: String, maxDf: Long): DataFrame =
     ngramJaccardImpl(shingleSets(Tables.documents(spark, dir)).cache(), Some(maxDf))
 
-  private def ngramJaccardImpl(sh: DataFrame, maxDf: Option[Long]): DataFrame = {
+  private def ngramJaccardImpl(sh: DataFrame, maxDf: Option[Long],
+                               logDropsAs: Option[String] = None): DataFrame = {
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val joinable = maxDf.fold(sh)(m => Skew.capByFrequency(sh, "s", "doc_id", m))
+    val joinable = maxDf.fold(sh)(m => Skew.capByFrequency(sh, "s", "doc_id", m, logDropsAs))
     // one self-join pass: the groupBy *is* the intersection count — no
     // distinct-then-reverify round trip over the shingle table
     val inter = joinable.select(col("doc_id").as("da"), col("s"))
@@ -273,21 +274,40 @@ object Dedup {
   // their min-id representative FIRST (identical shingle sets ⇒ jaccard 1 ⇒
   // same cluster, so components over reps + rep-mapping reproduce the full
   // answer exactly, independent of duplication factor), and the rep-level
-  // set-similarity join is df-capped at 256 — far above any shingle df in
-  // tested data (max 25 at sf0.1), so output is unchanged there, while one
+  // set-similarity join is df-capped — far above any shingle df in tested
+  // data (max 25 at sf0.1), so output is unchanged there, while one
   // ultra-common shingle at 100 TB can no longer create k² candidates.
+  // The cap is a session knob (`graft.dedup.maxShingleDf`) and any actual
+  // drop is logged, so recall loss at larger corpora is visible, not silent.
+  //
+  // Exact collapse only applies to docs that HAVE shingles (≥3 tokens):
+  // a shingle-less duplicate pair produces no jaccard edge, so the pair
+  // graph keeps each copy as its own singleton cluster — collapsing them
+  // by fingerprint would merge what the graph never connects. Docs below
+  // the shingle threshold get a per-doc fingerprint and stay their own rep.
+  val DefaultMaxShingleDf = 256L
+
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val maxDf = spark.conf.getOption("graft.dedup.maxShingleDf")
+      .map(_.toLong).getOrElse(DefaultMaxShingleDf)
     val docs = Tables.documents(spark, dir)
-    val fp = docs.select(col("doc_id"),
-      md5(concat_ws(" ", TextFns.tokens(col("text")))).as("content_fp"))
+    val fp = docs
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("__ts"))
+      .select(col("doc_id"),
+        when(size(col("__ts")) >= 3, md5(concat_ws(" ", col("__ts"))))
+          .otherwise(concat(lit("noshingle:"), col("doc_id").cast("string")))
+          .as("content_fp"))
+      .cache() // feeds the group, the rep mapping, and the final join
     val withRep = fp.join(
       fp.groupBy(col("content_fp")).agg(min(col("doc_id")).as("rep")),
       Seq("content_fp"))
       .select(col("doc_id"), col("rep"))
+      .cache() // feeds the rep filter and the final cluster mapping
     val reps = docs.join(
       withRep.filter(col("doc_id") === col("rep")).select(col("doc_id")),
       Seq("doc_id"), "left_semi")
-    val edges = ngramJaccardImpl(shingleSets(reps).cache(), maxDf = Some(256L))
+    val edges = ngramJaccardImpl(shingleSets(reps).cache(), maxDf = Some(maxDf),
+      logDropsAs = Some("dedup_clusters"))
       .select(col("da").as("src"), col("db").as("dst"))
     val comp = Graph.connectedComponents(
       reps.select(col("doc_id").as("id")), edges)

@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Deterministic, engine-portable sampling (replaces main.py:63-70's
   * driver-side `random.sample`).
@@ -42,11 +41,16 @@ object Sampling {
           if (filtered.count() >= n) filtered else df.withColumn("__h", h)
         }
       }
+    // rank-without-window: the ≤n surviving rows are coalesced to one
+    // sorted partition and numbered by monotonically_increasing_id
+    // (ids 0..n-1 in sort order on partition 0) — identical to a global
+    // row_number without an unpartitioned WindowExec (which warns and
+    // would serialize at scale; here the input is already bounded by n)
     base
       .orderBy(col("__h"), key)
       .limit(n)
-      .withColumn("sample_rank",
-        row_number().over(Window.orderBy(col("__h"), key)))
+      .coalesce(1).sortWithinPartitions(col("__h"), key)
+      .withColumn("sample_rank", (monotonically_increasing_id() + 1).cast("int"))
       .drop("__h")
   }
 }

@@ -67,11 +67,20 @@ object Similarity {
   private val ExactPairLimit = 100000L
 
   def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
-    if (Tables.embeddings(spark, dir).count() > ExactPairLimit)
+    // ONE cached scan feeds the size gate and both sides of the pair
+    // join (the gate count() materializes the cache, so no re-scan);
+    // the chosen path is logged because exact→LSH silently changes
+    // result semantics at the threshold.
+    val all = emb(spark, dir).cache()
+    val n = all.count()
+    if (n > ExactPairLimit) {
+      System.err.println(s"[graft] dedup_embedding: n=$n > $ExactPairLimit — answering via LSH candidate path")
+      all.unpersist()
       nearDupPairsLsh(spark, dir)
-    else {
-      val a = emb(spark, dir).select(col("vec_id").as("da"), col("vec").as("va"))
-      val b = emb(spark, dir).select(col("vec_id").as("db"), col("vec").as("vb"))
+    } else {
+      System.err.println(s"[graft] dedup_embedding: n=$n — exact all-pairs path")
+      val a = all.select(col("vec_id").as("da"), col("vec").as("va"))
+      val b = all.select(col("vec_id").as("db"), col("vec").as("vb"))
       a.join(b, col("da") < col("db"))
         .select(col("da"), col("db"), VectorFns.dot6(col("va"), col("vb")).as("cos"))
         .orderBy(col("cos").desc, col("da"), col("db"))
@@ -193,7 +202,12 @@ object Similarity {
     var centroids = data
       .withColumn("__h", md5(concat(lit("km:"), col("vec_id").cast("string"))))
       .orderBy(col("__h"), col("vec_id")).limit(k)
-      .withColumn("cid", row_number().over(Window.orderBy(col("__h"), col("vec_id"))))
+      // rank-without-window: the k seed rows are coalesced to one sorted
+      // partition and numbered by monotonically_increasing_id (ids 0..k-1
+      // in sort order on partition 0) — same determinism as a global
+      // row_number, without an unpartitioned WindowExec
+      .coalesce(1).sortWithinPartitions(col("__h"), col("vec_id"))
+      .withColumn("cid", (monotonically_increasing_id() + 1).cast("int"))
       .select(col("cid"), col("vec").as("cvec"))
       .localCheckpoint()
     for (_ <- 0 until iters) {

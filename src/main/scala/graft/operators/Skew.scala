@@ -34,12 +34,25 @@ object Skew {
     saltedLeft.join(saltedRight, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** When `logDropsAs` is set, the number of keys actually over the cap is
+    * counted (one small job over the already-aggregated frequency table)
+    * and logged — a df cap that silently drops candidates at larger
+    * corpora is a recall loss nobody sees otherwise. */
   def capByFrequency(exploded: DataFrame, key: String, idCol: String,
-                     maxDf: Long): DataFrame = {
-    val df = exploded.groupBy(col(key))
+                     maxDf: Long, logDropsAs: Option[String] = None): DataFrame = {
+    val freq = exploded.groupBy(col(key))
       .agg(countDistinct(col(idCol)).as("__df"))
-      .filter(col("__df") <= maxDf)
-      .select(col(key))
-    exploded.join(df, Seq(key), "left_semi")
+    val kept = logDropsAs match {
+      case Some(tag) =>
+        val f = freq.cache()
+        val dropped = f.filter(col("__df") > maxDf).count()
+        if (dropped > 0)
+          System.err.println(s"[graft] $tag: df cap $maxDf dropped $dropped hot key(s) " +
+            "from candidate generation; pairs sharing ONLY those keys are not checked")
+        f.filter(col("__df") <= maxDf).select(col(key))
+      case None =>
+        freq.filter(col("__df") <= maxDf).select(col(key))
+    }
+    exploded.join(kept, Seq(key), "left_semi")
   }
 }
