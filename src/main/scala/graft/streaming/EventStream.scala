@@ -42,22 +42,42 @@ object EventStream {
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
 
-  /** Streaming exact dedup — the continuous-ingest twin of
-    * `Dedup.exact`: fingerprint on the normalized token stream,
-    * first-arrival-wins `dropDuplicates` keyed on the fingerprint
-    * (state = one row per distinct document; at scale bound it with
-    * `dropDuplicatesWithinWatermark` once ingest carries event time). */
-  def dedupDocuments(spark: SparkSession, dir: String): DataFrame = {
+  /** Streaming exact dedup with BOUNDED state — the continuous-ingest
+    * twin of `Dedup.exact`. Fingerprints are deduped within a watermark
+    * horizon of the event-time column via `dropDuplicatesWithinWatermark`,
+    * so state rows older than the watermark are EVICTED instead of
+    * accumulating one row per distinct document forever (a plain
+    * `dropDuplicates` is a slow-motion OOM on continuous ingest).
+    *
+    * Semantics: first arrival wins within the horizon; a duplicate
+    * arriving more than `horizon` after every earlier copy re-emits.
+    * That is the right trade at 100 TB — state must be finite, and
+    * cross-horizon dedup belongs to a periodic batch `Dedup.exact`
+    * compaction over the sink. */
+  def dedupWithinWatermark(docs: DataFrame, tsCol: String,
+                           horizon: String = "1 hour"): DataFrame =
+    docs
+      .select(col(tsCol), col("doc_id"),
+        md5(concat_ws(" ", graft.functions.TextFns.tokens(col("text")))).as("content_fp"))
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark("content_fp")
+
+  /** File-source wiring of [[dedupWithinWatermark]]: the documents table
+    * carries no event time, so arrival (processing) time stands in —
+    * correct for ingest dedup, where the horizon is "how long ago could
+    * a duplicate have been written". Output schema stays (doc_id,
+    * content_fp) like `Dedup.exact`'s key columns. */
+  def dedupDocuments(spark: SparkSession, dir: String,
+                     horizon: String = "1 hour"): DataFrame = {
     val path = new java.io.File(s"$dir/documents.parquet")
     val reader = spark.readStream
       .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
     val raw =
       if (path.isDirectory) reader.parquet(path.getPath) // see readEvents
       else reader.option("pathGlobFilter", "documents.parquet").parquet(dir)
-    raw
-      .select(col("doc_id"),
-        md5(concat_ws(" ", graft.functions.TextFns.tokens(col("text")))).as("content_fp"))
-      .dropDuplicates("content_fp")
+    dedupWithinWatermark(raw.withColumn("ingest_ts", current_timestamp()),
+        "ingest_ts", horizon)
+      .select(col("doc_id"), col("content_fp"))
   }
 
   // ---- gap sessionization with explicit state --------------------------

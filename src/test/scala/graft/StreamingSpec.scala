@@ -43,6 +43,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want && got > 0)
   }
 
+  test("watermark-bounded dedup: state plateaus (evicts) under continuous ingest") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val dedup = EventStream.dedupWithinWatermark(
+      input.toDS().toDF("ts", "doc_id", "text"), "ts", "10 minutes")
+    val q = dedup.writeStream.format("memory").queryName("wm_dedup_state")
+      .outputMode("append").start()
+    val t0 = 1700000000000L
+    def batch(offsetMin: Long, idBase: Long) = (0 until 50).map(i =>
+      (new java.sql.Timestamp(t0 + offsetMin * 60000L), idBase + i,
+        s"unique document body number ${idBase + i} with enough words"))
+    Seq(0L -> 0L, 30L -> 1000L, 60L -> 2000L, 90L -> 3000L).foreach { case (m, base) =>
+      input.addData(batch(m, base)); q.processAllAvailable()
+    }
+    val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+    q.stop()
+    // every distinct doc emitted exactly once...
+    assert(spark.table("wm_dedup_state").count() == 200)
+    // ...but state holds only fingerprints inside the watermark horizon:
+    // an unbounded dropDuplicates would sit at 200 rows and grow forever
+    assert(stateRows > 0 && stateRows <= 110,
+      s"state did not evict: $stateRows rows for 200 ingested docs")
+  }
+
+  test("watermark-bounded dedup == batch exact dedup within the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val dedup = EventStream.dedupWithinWatermark(
+      input.toDS().toDF("ts", "doc_id", "text"), "ts", "10 minutes")
+    val q = dedup.writeStream.format("memory").queryName("wm_dedup_eq")
+      .outputMode("append").start()
+    val t0 = 1700000000000L
+    // 100 docs over two batches 2 min apart (inside the horizon), texts
+    // collide mod 20 → batch semantics say exactly 20 survivors
+    input.addData((0 until 50).map(i =>
+      (new java.sql.Timestamp(t0), i.toLong, s"shared body ${i % 20} words words")))
+    q.processAllAvailable()
+    input.addData((0 until 50).map(i =>
+      (new java.sql.Timestamp(t0 + 120000L), 100L + i, s"shared body ${i % 20} words words")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("wm_dedup_eq")
+    val wantFps = spark.range(100)
+      .select(md5(concat_ws(" ", graft.functions.TextFns.tokens(
+        concat(lit("shared body "), pmod(col("id"), lit(20)), lit(" words words"))))).as("fp"))
+      .distinct().count()
+    assert(got.count() == wantFps && wantFps == 20)
+    assert(got.select("content_fp").distinct().count() == 20)
+  }
+
   test("stateful gap-sessionization across batches == batch twin") {
     import EventStream.{Ev, Session}
     implicit val sqlCtx = spark.sqlContext
