@@ -120,10 +120,17 @@ object Extractor {
     val dir = new java.io.File(outputDir)
     if (!dir.isDirectory) CleanupResult(0, 0)
     else {
-      val files = dir.listFiles().filter(f => f.isFile && f.getName.endsWith(suffix))
-      val bytes = files.map(_.length()).sum
-      files.foreach(_.delete())
-      CleanupResult(files.length.toLong, bytes)
+      // listFiles() returns null on IO/permission errors even for a
+      // directory; count only files delete() actually removed
+      val files = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isFile && f.getName.endsWith(suffix))
+      var deleted = 0L
+      var bytes = 0L
+      files.foreach { f =>
+        val len = f.length()
+        if (f.delete()) { deleted += 1; bytes += len }
+      }
+      CleanupResult(deleted, bytes)
     }
   }
 

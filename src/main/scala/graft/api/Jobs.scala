@@ -16,21 +16,27 @@ import scala.jdk.CollectionConverters._
   */
 object Jobs {
 
+  /** `result` carries job-type-specific stats as a JSON string (the
+    * reference stores analysis results inside the job dict,
+    * api.py:611-625); empty for plain extract jobs. */
   final case class Job(id: String, jobType: String, status: String,
-                       outputDir: String, fileCount: Long, error: String)
+                       outputDir: String, fileCount: Long, error: String,
+                       result: String = "")
 
   private val jobs = new ConcurrentHashMap[String, Job]()
   private val counter = new java.util.concurrent.atomic.AtomicLong(0)
 
-  def submit(jobType: String, outputDir: String)(run: => DataFrame): String = {
+  def submit(jobType: String, outputDir: String,
+             result: DataFrame => String = _ => "")(run: => DataFrame): String = {
     val id = newId(jobType, outputDir)
-    execute(id, jobType, outputDir, run)
+    execute(id, jobType, outputDir, run, result)
     id
   }
 
-  def submitAsync(jobType: String, outputDir: String)(run: => DataFrame): String = {
+  def submitAsync(jobType: String, outputDir: String,
+                  result: DataFrame => String = _ => "")(run: => DataFrame): String = {
     val id = newId(jobType, outputDir)
-    val t = new Thread(() => execute(id, jobType, outputDir, run), s"graft-$id")
+    val t = new Thread(() => execute(id, jobType, outputDir, run, result), s"graft-$id")
     t.setDaemon(true)
     t.start()
     id
@@ -43,10 +49,11 @@ object Jobs {
   }
 
   private def execute(id: String, jobType: String, outputDir: String,
-                      run: => DataFrame): Unit =
+                      run: => DataFrame, result: DataFrame => String): Unit =
     try {
       val manifest = run
-      jobs.put(id, Job(id, jobType, "completed", outputDir, manifest.count(), ""))
+      jobs.put(id,
+        Job(id, jobType, "completed", outputDir, manifest.count(), "", result(manifest)))
     } catch {
       case e: Exception =>
         jobs.put(id, Job(id, jobType, "failed", outputDir, 0, String.valueOf(e.getMessage)))

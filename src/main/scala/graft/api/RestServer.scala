@@ -2,6 +2,7 @@ package graft.api
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.SparkSession
+import graft.sources.WikirSource
 import java.io.File
 import java.net.{InetSocketAddress, URLDecoder}
 import java.nio.charset.StandardCharsets.UTF_8
@@ -14,9 +15,17 @@ import java.nio.file.Files
   *   GET  /api/jobs/{id}                    → one job, 404 if unknown
   *   POST /api/extract/parquet?path=&output_dir=&num_papers=&seed=
   *   POST /api/extract/cisi?path=&output_dir=
+  *   POST /api/extract/wikir?path=&output_dir=&limit=   (api.py:385-466)
+  *   POST /api/analyze/wikir?path=&limit=               (api.py:581-645;
+  *        stats land in the job record's `result`, like the reference)
   *   GET  /api/files?output_dir=            → directory listing
   *   GET  /api/files/{name}?output_dir=     → file download
-  *   POST /api/cleanup?output_dir=&suffix=  → cleanup_wikir.py:9 parity
+  *   POST /api/cleanup?output_dir=&suffix=&confirm=  → cleanup_wikir.py:9
+  *        parity. Guard rails (the reference's cleanup is an interactive
+  *        CLI with a y/N prompt and a hardcoded '.pdf' filter; an HTTP
+  *        endpoint has neither, so): suffix defaults to ".pdf", an empty
+  *        suffix (= delete everything) requires confirm=true, and
+  *        output_dir must live under one of the server's `cleanupRoots`.
   *
   * Built on the JDK's HttpServer — zero extra dependencies, which is the
   * point: the engine is a library and the HTTP layer is a thin adapter.
@@ -29,7 +38,16 @@ import java.nio.file.Files
   */
 object RestServer {
 
-  def start(spark: SparkSession, port: Int = 0): HttpServer = {
+  /** Directories cleanup may delete under when the caller doesn't
+    * configure any: the working directory (where default output_dirs like
+    * `extracted_papers` land) and the system temp dir. */
+  def defaultCleanupRoots: Seq[File] = Seq(
+    new File(".").getCanonicalFile,
+    new File(System.getProperty("java.io.tmpdir")).getCanonicalFile)
+
+  def start(spark: SparkSession, port: Int = 0,
+            cleanupRoots: Seq[File] = defaultCleanupRoots): HttpServer = {
+    val roots = cleanupRoots.map(_.getCanonicalFile.toPath)
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/api/health", (ex: HttpExchange) =>
       handle(ex) { _ => ok(obj("status" -> "ok")) })
@@ -76,12 +94,63 @@ object RestServer {
       }
     })
 
+    server.createContext("/api/extract/wikir", (ex: HttpExchange) => handle(ex) { q =>
+      requirePost(ex).getOrElse {
+        q.get("path") match {
+          case None => Resp(400, obj("error" -> "No input path given"))
+          case Some(path) =>
+            val outDir = q.getOrElse("output_dir", "wikir_pdfs")
+            scala.util.Try(q.getOrElse("limit", "100").toInt) match {
+              case scala.util.Failure(_) =>
+                Resp(400, obj("error" -> "Limit must be an integer"))
+              case scala.util.Success(limit) =>
+                val id = Jobs.submitAsync("wikir", outDir) {
+                  WikirSource.extract(spark, spark.read.parquet(path), outDir, limit)
+                }
+                ok(obj("job_id" -> id, "status" -> "running",
+                  "message" -> (s"Processing wikir dataset $path in the background " +
+                    s"(limit: ${math.min(limit, 500)})")))
+            }
+        }
+      }
+    })
+
+    server.createContext("/api/analyze/wikir", (ex: HttpExchange) => handle(ex) { q =>
+      requirePost(ex).getOrElse {
+        q.get("path") match {
+          case None => Resp(400, obj("error" -> "No input path given"))
+          case Some(path) =>
+            scala.util.Try(q.get("limit").map(_.toInt)) match {
+              case scala.util.Failure(_) =>
+                Resp(400, obj("error" -> "Limit must be an integer"))
+              case scala.util.Success(limit) =>
+                val id = Jobs.submitAsync("wikir_analysis", "", singleRowJson) {
+                  val docs = WikirSource.normalize(spark.read.parquet(path))
+                  val capped = limit.fold(docs)(n => docs.orderBy("doc_id").limit(n))
+                  Extractor.analyzeTokens(capped, "content")
+                }
+                ok(obj("job_id" -> id, "status" -> "running",
+                  "message" -> s"Analyzing wikir dataset $path in the background"))
+            }
+        }
+      }
+    })
+
     server.createContext("/api/cleanup", (ex: HttpExchange) => handle(ex) { q =>
       requirePost(ex).getOrElse {
         withDir(q) { dir =>
-          val res = Extractor.cleanup(dir.getPath, q.getOrElse("suffix", ""))
-          ok(obj("output_dir" -> dir.getPath,
-            "deleted" -> res.deleted, "bytes_freed" -> res.bytes))
+          val suffix = q.getOrElse("suffix", ".pdf")
+          if (suffix.isEmpty && !q.get("confirm").contains("true"))
+            Resp(400, obj("error" ->
+              "Empty suffix would delete every file; pass confirm=true to proceed"))
+          else if (!roots.exists(dir.getCanonicalFile.toPath.startsWith(_)))
+            Resp(403, obj("error" ->
+              s"output_dir '${dir.getPath}' is outside the configured cleanup roots"))
+          else {
+            val res = Extractor.cleanup(dir.getPath, suffix)
+            ok(obj("output_dir" -> dir.getPath,
+              "deleted" -> res.deleted, "bytes_freed" -> res.bytes))
+          }
         }
       }
     })
@@ -160,7 +229,17 @@ object RestServer {
   private def jobJson(j: Jobs.Job): Raw = Raw(obj(
     "id" -> j.id, "type" -> j.jobType, "status" -> j.status,
     "output_dir" -> j.outputDir, "file_count" -> j.fileCount,
-    "error" -> j.error))
+    "error" -> j.error,
+    "result" -> Raw(if (j.result.isEmpty) "null" else j.result)))
+
+  /** One-row DataFrame (e.g. analyzeTokens stats) → JSON object for the
+    * job record, mirroring api.py:611-625's jobs[id]["result"]. */
+  private def singleRowJson(df: org.apache.spark.sql.DataFrame): String = {
+    val row = df.collect().headOption
+    row.fold("null")(r => obj(df.columns.zipWithIndex.map {
+      case (c, i) => c -> r.get(i)
+    }: _*))
+  }
 
   private def obj(fields: (String, Any)*): String =
     fields.map { case (k, v) => s"${str(k)}:${value(v)}" }.mkString("{", ",", "}")
@@ -169,7 +248,9 @@ object RestServer {
     case s: String  => str(s)
     case n: Int     => n.toString
     case n: Long    => n.toString
+    case d: Double  => d.toString
     case b: Boolean => b.toString
+    case null       => "null"
     case xs: Seq[_] => xs.map(value).mkString("[", ",", "]")
     case Raw(json)  => json
   }

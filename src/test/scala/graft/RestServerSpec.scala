@@ -65,11 +65,85 @@ class RestServerSpec extends AnyFunSuite {
     assert(done.status == "completed" || done.status == "failed")
   }
 
+  test("wikir extract + analyze over HTTP; analysis stats land in the job record") {
+    val out = java.nio.file.Files.createTempDirectory("rest_wikir").toString
+    val (code, body) = http("POST",
+      s"/api/extract/wikir?path=/root/testdata/sf0.001/documents.parquet" +
+        s"&output_dir=$out&limit=7")
+    assert(code == 200 && body.contains("\"status\":\"running\""))
+    val id = "\"job_id\":\"(job-\\d+)\"".r.findFirstMatchIn(body).get.group(1)
+    val done = Jobs.await(id).get
+    assert(done.status == "completed" && done.fileCount == 7)
+    val (lc, listing) = http("GET", s"/api/files?output_dir=$out")
+    assert(lc == 200 && listing.contains("wikir_") && listing.contains(".pdf"))
+
+    val (ac, abody) = http("POST",
+      s"/api/analyze/wikir?path=/root/testdata/sf0.001/documents.parquet&limit=50")
+    assert(ac == 200)
+    val aid = "\"job_id\":\"(job-\\d+)\"".r.findFirstMatchIn(abody).get.group(1)
+    val adone = Jobs.await(aid).get
+    assert(adone.status == "completed")
+    assert(adone.result.contains("\"document_count\":50"))
+    val (jc, jbody) = http("GET", s"/api/jobs/$aid")
+    assert(jc == 200 && jbody.contains("\"total_tokens\"")
+      && jbody.contains("\"average_tokens_per_doc\""))
+
+    assert(http("POST", "/api/extract/wikir?path=x&limit=abc")._1 == 400)
+    assert(http("POST", "/api/analyze/wikir?path=x&limit=abc")._1 == 400)
+    assert(http("POST", "/api/analyze/wikir")._1 == 400)
+  }
+
+  test("cleanup guard rails: default .pdf suffix, empty suffix needs confirm, root restriction") {
+    val out = java.nio.file.Files.createTempDirectory("rest_guard").toString
+    java.nio.file.Files.writeString(java.nio.file.Path.of(out, "a.pdf"), "x")
+    java.nio.file.Files.writeString(java.nio.file.Path.of(out, "keep.md"), "y")
+    // empty suffix (delete everything) without confirm=true is refused
+    assert(http("POST", s"/api/cleanup?output_dir=$out&suffix=")._1 == 400)
+    // a directory outside the configured cleanup roots is refused
+    assert(http("POST", "/api/cleanup?output_dir=/root&suffix=.nonexistent")._1 == 403)
+    // default suffix is .pdf — touches nothing else
+    val (cc, cleaned) = http("POST", s"/api/cleanup?output_dir=$out")
+    assert(cc == 200 && cleaned.contains("\"deleted\":1"))
+    assert(http("GET", s"/api/files?output_dir=$out")._2.contains("keep.md"))
+    // explicit confirm unlocks the delete-everything form
+    val (cc2, cleaned2) = http("POST", s"/api/cleanup?output_dir=$out&suffix=&confirm=true")
+    assert(cc2 == 200 && cleaned2.contains("\"deleted\":1"))
+    assert(http("GET", s"/api/files?output_dir=$out")._2.contains("\"file_count\":0"))
+  }
+
   test("error surfaces: unknown job 404, missing dir 404, bad method 405, missing path 400") {
     assert(http("GET", "/api/jobs/job-999999")._1 == 404)
     assert(http("GET", "/api/files?output_dir=/no/such/dir")._1 == 404)
     assert(http("GET", "/api/extract/parquet?path=x")._1 == 405)
     assert(http("POST", "/api/extract/parquet")._1 == 400)
+  }
+
+  test("ApiClient drives the full flow: health, extract --wait, list, download, cleanup") {
+    import graft.tools.ApiClient
+    val out = java.nio.file.Files.createTempDirectory("rest_client").toString
+    assert(ApiClient.health(base) == """{"status":"ok"}""")
+
+    val submit = ApiClient.extractWikir(base,
+      "/root/testdata/sf0.001/documents.parquet", out, limit = 3)
+    val id = ApiClient.jobId(submit).get
+    val done = ApiClient.waitForJob(base, id)
+    assert(done.contains("\"status\":\"completed\"") && done.contains("\"file_count\":3"))
+
+    val listing = ApiClient.listFiles(base, out)
+    assert(listing.contains("\"file_count\":3"))
+    val name = "\"(wikir_[^\"]+\\.pdf)\"".r.findFirstMatchIn(listing).get.group(1)
+    val save = java.nio.file.Files.createTempDirectory("rest_dl").resolve("got.pdf")
+    val dl = ApiClient.downloadFile(base, name, out, Some(save.toString))
+    assert(dl.contains("\"status\":\"success\""))
+    assert(new String(java.nio.file.Files.readAllBytes(save), "US-ASCII").startsWith("%PDF-1.4"))
+
+    val cleaned = ApiClient.cleanup(base, out) // default suffix .pdf
+    assert(cleaned.contains("\"deleted\":3"))
+
+    val stats = ApiClient.analyzeWikir(base,
+      "/root/testdata/sf0.001/documents.parquet", limit = Some(10))
+    val aid = ApiClient.jobId(stats).get
+    assert(ApiClient.waitForJob(base, aid).contains("\"document_count\":10"))
   }
 
   test("download rejects path traversal") {
