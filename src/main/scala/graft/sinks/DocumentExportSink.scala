@@ -24,22 +24,13 @@ object DocumentExportSink {
         .getBytes(StandardCharsets.UTF_8)
   }
 
-  /** STUB PDF renderer — this container has no PDF/layout library, so
-    * this emits a deterministic minimal PDF-shaped byte stream (valid
-    * header/EOF markers, uncompressed text body); a real deployment
-    * swaps in an actual renderer. The distributed plumbing around it —
-    * sanitize → truncate → per-partition file write — is the real path,
-    * mirroring api.py:256-342's sanitize/truncate semantics. */
-  object PdfStubRenderer extends Renderer {
+  /** Real PDF renderer — [[Pdf]] is a dependency-free PDF 1.4 writer
+    * with the reference's title / doc-id / wrapped-body page layout
+    * (api.py:256-342). */
+  object PdfRenderer extends Renderer {
     val extension = "pdf"
-    def render(title: String, docId: Long, body: String): Array[Byte] = {
-      val safeTitle = title.take(80).map(c => if (c < 128) c else '_')
-      val safeBody = body.take(50000).map(c => if (c < 128) c else '_')
-      (s"%PDF-1.4\n% graft stub renderer\n" +
-        s"1 0 obj << /Title ($safeTitle) /DocId ($docId) >> endobj\n" +
-        s"2 0 obj << /Length ${safeBody.length} >> stream\n$safeBody\nendstream endobj\n" +
-        "%%EOF\n").getBytes(StandardCharsets.UTF_8)
-    }
+    def render(title: String, docId: Long, body: String): Array[Byte] =
+      Pdf.render(title, docId, body)
   }
 
   /** Export (doc_id, title, content) rows, one file per document

@@ -90,6 +90,6 @@ object WikirSource {
       // the per-doc file sink writes in parallel
       .repartition(math.max(spark.sparkContext.defaultParallelism, 4))
     DocumentExportSink.export(docs, outputDir,
-      DocumentExportSink.PdfStubRenderer, prefix = "wikir")
+      DocumentExportSink.PdfRenderer, prefix = "wikir")
   }
 }

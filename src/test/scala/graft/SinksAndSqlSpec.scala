@@ -7,22 +7,55 @@ class SinksAndSqlSpec extends AnyFunSuite {
   lazy val spark = GraftSession.test
   import spark.implicits._
 
-  test("document export: pdf-stub files with sanitize/truncate semantics") {
+  test("document export: real PDFs with sanitize/truncate semantics") {
     val out = java.nio.file.Files.createTempDirectory("pdf").toString
     val docs = Seq(
       (7L, "Graph Theory", "plain body"),
       (8L, "", "unicodeé body"), // empty title → fallback; é → '_'
     ).toDF("doc_id", "title", "content")
-    val manifest = DocumentExportSink.export(docs, out, DocumentExportSink.PdfStubRenderer)
+    val manifest = DocumentExportSink.export(docs, out, DocumentExportSink.PdfRenderer)
     val names = manifest.select("filename").as[String].collect().sorted
     assert(names.toSeq == Seq("doc_7.pdf", "doc_8.pdf"))
     val f7 = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(out, "doc_7.pdf")), "UTF-8")
     assert(f7.startsWith("%PDF-1.4"))
-    assert(f7.contains("(Graph Theory)") && f7.contains("plain body"))
+    assert(f7.contains("(Graph Theory)") && f7.contains("(plain body)"))
+    assert(f7.contains("(Document ID: 7)"))
     val f8 = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(out, "doc_8.pdf")), "UTF-8")
-    assert(f8.contains("(Document 8)") && f8.contains("unicode_ body"))
+    assert(f8.contains("(Document 8)") && f8.contains("(unicode_ body)"))
+  }
+
+  test("PDF writer: page tree, xref, pagination, and escaping are structurally valid") {
+    // short doc = one page
+    val one = new String(graft.sinks.Pdf.render("T", 1L, "short"), "US-ASCII")
+    assert(one.contains("/Count 1"))
+    assert("/Type /Page\\b".r.findAllIn(one).size >= 1)
+
+    // ~300 wrapped lines forces multiple pages (56 rows/page)
+    val longBody = (1 to 300).map(i => s"line number $i of the body").mkString("\n")
+    val multi = new String(graft.sinks.Pdf.render("Long Doc", 2L, longBody), "US-ASCII")
+    val pages = "/Count (\\d+)".r.findFirstMatchIn(multi).get.group(1).toInt
+    assert(pages >= 5, s"expected >=5 pages for 302 rows, got $pages")
+    assert("(?m)^\\d+ 0 obj << /Type /Page ".r.findAllIn(multi).size == pages)
+    // body text lands in the page streams, first and last line included
+    assert(multi.contains("(line number 1 of the body)"))
+    assert(multi.contains("(line number 300 of the body)"))
+    // xref: entry count == objects + free head, startxref points at 'xref'
+    val size = "/Size (\\d+)".r.findFirstMatchIn(multi).get.group(1).toInt
+    assert(size == 5 + 2 * pages + 1)
+    val xrefOff = "startxref\n(\\d+)".r.findFirstMatchIn(multi).get.group(1).toInt
+    assert(multi.substring(xrefOff).startsWith("xref"))
+    // object offsets in the xref table point at the right objects
+    val entries = "(?m)^(\\d{10}) 00000 n ".r.findAllMatchIn(multi).map(_.group(1).toInt).toVector
+    assert(entries.length == size - 1)
+    entries.zipWithIndex.foreach { case (off, i) =>
+      assert(multi.substring(off).startsWith(s"${i + 1} 0 obj"),
+        s"xref entry ${i + 1} points at '${multi.substring(off, off + 12)}'")
+    }
+    // parens and backslashes in text are escaped
+    val esc = new String(graft.sinks.Pdf.render("(t)", 3L, "a (b) c\\d"), "US-ASCII")
+    assert(esc.contains("(\\(t\\))") && esc.contains("(a \\(b\\) c\\\\d)"))
   }
 
   test("SQL surface: registered graft functions work from spark.sql") {
