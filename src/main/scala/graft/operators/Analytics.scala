@@ -524,7 +524,103 @@ object Analytics {
         round(expr("approx_percentile(value, array(0.5, 0.95, 0.99), 10000)")(2), 2).as("p99"))
       .orderBy(col("event_type"))
 
+  // --- q2 shape: min-cost supplier via correlated scalar subquery ------
+  // TPC-H q2 without a partsupp table: lineitem is the observed
+  // (part, supplier) relation, offered cost = min unit price that
+  // supplier ever charged for that part (per-row double division +
+  // round — deterministic in both engines; no sum-order dependence).
+  // The oracle keeps the reference's correlated scalar subquery shape;
+  // the Spark plan decorrelates it the way Catalyst would — aggregate
+  // once per part, join back, filter equality. Scale notes: the size
+  // filter semi-prunes ~98% of (part,supplier) rows BEFORE any wide
+  // shuffle; only the bounded dims (nation 25 / region 5 rows at any
+  // SF) are broadcast-hinted, part/supplier are AQE's call.
+  def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val nation = Tables.nation(spark, dir)
+    val part15 = Tables.part(spark, dir).filter(col("p_size") === 15)
+      .select(col("p_partkey"), col("p_type"))
+    val ps = Tables.lineitem(spark, dir)
+      .join(part15.select(col("p_partkey")),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(round(col("l_extendedprice") / col("l_quantity"), 6)).as("ps_cost"))
+    val suppR = Tables.supplier(spark, dir)
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val regionPs = ps.join(suppR, col("l_suppkey") === col("s_suppkey"))
+    val minCost = regionPs.groupBy(col("l_partkey")).agg(min(col("ps_cost")).as("min_cost"))
+    regionPs.join(minCost, Seq("l_partkey"))
+      .filter(col("ps_cost") === col("min_cost"))
+      .join(part15, col("l_partkey") === col("p_partkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_type"), col("ps_cost").as("cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  val q2Oracle: String = """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             min(round(l_extendedprice / l_quantity, 6)) AS ps_cost
+      FROM lineitem GROUP BY 1, 2)
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_type,
+           ps.ps_cost AS cost
+    FROM part p, ps, supplier s, nation n, region r
+    WHERE p.p_partkey = ps.l_partkey AND s.s_suppkey = ps.l_suppkey
+      AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+      AND r.r_name = 'ASIA' AND p.p_size = 15
+      AND ps.ps_cost = (
+        SELECT min(ps2.ps_cost)
+        FROM ps ps2, supplier s2, nation n2, region r2
+        WHERE ps2.l_partkey = p.p_partkey AND s2.s_suppkey = ps2.l_suppkey
+          AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+          AND r2.r_name = 'ASIA')
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100"""
+
+  // --- q20 shape: nested semi-join over aggregated lineitem ------------
+  // TPC-H q20 adapted: suppliers in one nation who shipped > 45 units of
+  // any 'red%' part in 1996 — nested IN subqueries in the oracle, two
+  // left-semi joins in the Spark plan (part prune before the aggregate,
+  // HAVING on an exact-decimal sum so the threshold can't flip on
+  // double ordering). Both semi-joins keep the fact table un-widened.
+  def q20PartQtySuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.nation(spark, dir).filter(col("n_name") === "NATION_3")
+    val redParts = Tables.part(spark, dir)
+      .filter(col("p_name").like("red%")).select(col("p_partkey"))
+    val hotSupp = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
+      .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(redParts, col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(dec(col("l_quantity"))).as("qty"))
+      .filter(col("qty") > 45)
+      .select(col("l_suppkey"))
+    Tables.supplier(spark, dir)
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(hotSupp, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+      .orderBy(col("s_name"))
+  }
+
+  val q20Oracle: String = """
+    SELECT s_suppkey, s_name, s_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3'
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_suppkey, l_partkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(18,6))) > 45)
+    ORDER BY s_name"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q2_min_cost_supplier" -> (q2MinCostSupplier _),
+    "q20_part_qty_suppliers" -> (q20PartQtySuppliers _),
     "q_events_sketch"      -> (eventsSketch _),
     "q_semi_anti"          -> (semiAnti _),
     "q_rollup"             -> (rollupSummary _),
@@ -545,6 +641,8 @@ object Analytics {
     "q_events_windowed_agg" -> (eventsWindowedAgg _))
 
   val oracle: Map[String, String] = Map(
+    "q2_min_cost_supplier" -> q2Oracle,
+    "q20_part_qty_suppliers" -> q20Oracle,
     "q_semi_anti"          -> semiAntiOracle,
     "q_rollup"             -> rollupOracle,
     "q_events_pivot"       -> eventsPivotOracle,
