@@ -618,7 +618,226 @@ object Analytics {
         HAVING sum(CAST(l_quantity AS DECIMAL(18,6))) > 45)
     ORDER BY s_name"""
 
+  // --- q13 shape: outer-join distribution ------------------------------
+  // How many customers placed k orders (excluding one priority class):
+  // LEFT OUTER join so zero-order customers survive with c_count 0,
+  // then a second aggregation over the counts. Both aggs are two-phase
+  // hash aggs; the outer join shuffles on custkey with AQE deciding
+  // broadcast. Counts are BIGINT in both engines — no decimal needed.
+  def q13CustomerDistribution(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).filter(col("o_orderpriority") =!= "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey")).agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  val q13Oracle: String = """
+    SELECT c_count, count(*) AS custdist FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey) t
+    GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""
+
+  // --- q15 shape: aggregate view + scalar max subquery -----------------
+  // Top-revenue supplier(s) in a quarter. The revenue sums are exact
+  // decimal, rounded identically in both engines, so the max-equality
+  // selection can't split on representation. The max is a one-row
+  // broadcast; ties all survive (ORDER BY s_suppkey).
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
+      .filter(col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))), 2)
+        .cast("double").as("total_revenue"))
+    val maxRev = rev.agg(max(col("total_revenue")).as("max_rev"))
+    Tables.supplier(spark, dir)
+      .join(rev, col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(maxRev), col("total_revenue") === col("max_rev"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q15Oracle: String = """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey"""
+
+  // --- q17 shape: correlated per-part average threshold ----------------
+  // Revenue from lineitems under 20% of their part's average quantity.
+  // The correlated avg decorrelates to a per-part aggregate joined back
+  // (what Catalyst does to the subquery form); the threshold is derived
+  // from an EXACT decimal sum so the `<` comparison is identical in
+  // both engines — a raw double avg would be partition-order dependent.
+  def q17SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val thresh = li.groupBy(col("l_partkey").as("pa_partkey"))
+      .agg((lit(0.2) * (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))))
+        .as("thresh"))
+    val brandParts = Tables.part(spark, dir)
+      .filter(col("p_brand") === "Brand#1").select(col("p_partkey"))
+    li.join(brandParts, col("l_partkey") === col("p_partkey"))
+      .join(thresh, col("l_partkey") === col("pa_partkey"))
+      .filter(col("l_quantity") < col("thresh"))
+      .agg(round(sum(dec(col("l_extendedprice"))) / 7.0, 2)
+        .cast("double").as("avg_yearly"))
+  }
+
+  val q17Oracle: String = """
+    WITH pa AS (
+      SELECT l_partkey,
+        0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*)) AS thresh
+      FROM lineitem GROUP BY l_partkey)
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))) / 7.0, 2) AS DOUBLE) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    JOIN pa ON pa.l_partkey = p_partkey
+    WHERE p_brand = 'Brand#1' AND l_quantity < thresh"""
+
+  // --- q19 shape: disjunctive multi-attribute predicates ---------------
+  // Revenue where (brand, size, quantity) satisfy one of two bundles —
+  // the OR spans both tables, so only the partkey equi-join can be
+  // pushed; the disjunction evaluates post-join in codegen.
+  def q19DiscountedRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity") >= 1 && col("l_quantity") <= 30) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+          col("l_quantity") >= 10 && col("l_quantity") <= 40))
+      .agg(round(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))), 2)
+        .cast("double").as("revenue"))
+
+  val q19Oracle: String = """
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 10 AND l_quantity <= 40)"""
+
+  // --- q21 shape: EXISTS + NOT EXISTS over the same fact ---------------
+  // Suppliers who shipped the strictly-last line of a finished
+  // multi-supplier order (the reference q21 nested-exists shape; this
+  // data has no commit/receipt dates, so "kept waiting" becomes "shipped
+  // after every other supplier"). EXISTS → left-semi on (orderkey,
+  // suppkey≠), NOT EXISTS → left-anti with the shipdate inequality in
+  // the join condition; both stay equi-joins on orderkey with the extra
+  // predicates evaluated in the join, never a cartesian.
+  def q21WaitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val lf = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val l1 = lf.join(
+      Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey")),
+      col("l_orderkey") === col("o_orderkey"))
+    val l2 = lf.select(col("l_orderkey").as("l2_orderkey"), col("l_suppkey").as("l2_suppkey"))
+    val l3 = lf.select(col("l_orderkey").as("l3_orderkey"),
+      col("l_suppkey").as("l3_suppkey"), col("l_shipdate").as("l3_shipdate"))
+    val lastShipper = l1
+      .join(l2, col("l_orderkey") === col("l2_orderkey") &&
+        col("l_suppkey") =!= col("l2_suppkey"), "left_semi")
+      .join(l3, col("l_orderkey") === col("l3_orderkey") &&
+        col("l_suppkey") =!= col("l3_suppkey") &&
+        col("l3_shipdate") > col("l_shipdate"), "left_anti")
+    Tables.supplier(spark, dir)
+      .join(lastShipper, col("s_suppkey") === col("l_suppkey"))
+      .groupBy(col("s_name")).agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
+  val q21Oracle: String = """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey
+                  AND l3.l_suppkey <> l1.l_suppkey AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"""
+
+  // --- q22 shape: anti join + scalar avg subquery ----------------------
+  // Above-average-balance customers with no urgent orders, per nation.
+  // The average is an exact-decimal sum divided as double (a raw double
+  // avg is partition-order dependent); the NOT EXISTS is a left-anti
+  // join; nation is a bounded broadcast.
+  def q22IdleBalances(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val avgBal = cust.filter(col("c_acctbal") > 0)
+      .agg((sum(dec(col("c_acctbal"))).cast("double") / count(lit(1))).as("ab"))
+    cust.join(broadcast(avgBal), col("c_acctbal") > col("ab"))
+      .join(Tables.orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("numcust"),
+        round(sum(dec(col("c_acctbal"))), 2).cast("double").as("totacctbal"))
+      .orderBy(col("n_name"))
+  }
+
+  val q22Oracle: String = """
+    SELECT n_name, count(*) AS numcust,
+      CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS totacctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+                       FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderpriority = '1-URGENT')
+    GROUP BY n_name ORDER BY n_name"""
+
+  // --- funnel: sequential A-then-B conversion (round 3) ----------------
+  // Users whose first 'click' is later followed by a 'purchase', and how
+  // many converted within 1 h — the behavioral-analytics shape (entry
+  // event → min later event per user → windowed conversion). Exact
+  // integer microsecond math; two hash aggregates on user_id, the entry
+  // table joined back once (AQE broadcasts it at small SFs).
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("us"))
+    val entered = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id")).agg(min(col("us")).as("a_us"))
+    val converted = ev.filter(col("event_type") === "purchase")
+      .join(entered, Seq("user_id"))
+      .filter(col("us") > col("a_us"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("b_us"))
+    val within = count(when(col("b_us") - col("a_us") <= 3600000000L, 1))
+    entered.join(converted, Seq("user_id"), "left")
+      .agg(
+        count(lit(1)).as("n_entered"),
+        count(col("b_us")).as("n_converted"),
+        within.as("n_within_1h"),
+        round(within.cast("double") / count(lit(1)), 6).as("conversion_rate"))
+  }
+
+  val eventsFunnelOracle: String = """
+    WITH e AS (SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+    a AS (SELECT user_id, min(us) AS a_us FROM e WHERE event_type = 'click' GROUP BY 1),
+    b AS (SELECT e.user_id, min(e.us) AS b_us FROM e JOIN a USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.us > a.a_us GROUP BY 1)
+    SELECT count(*) AS n_entered, count(b_us) AS n_converted,
+      count(CASE WHEN b_us - a_us <= 3600000000 THEN 1 END) AS n_within_1h,
+      round(CAST(count(CASE WHEN b_us - a_us <= 3600000000 THEN 1 END) AS DOUBLE) / count(*), 6) AS conversion_rate
+    FROM a LEFT JOIN b USING (user_id)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_funnel"      -> (eventsFunnel _),
+    "q13_cust_distribution" -> (q13CustomerDistribution _),
+    "q15_top_supplier"     -> (q15TopSupplier _),
+    "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
+    "q19_disjunctive_rev"  -> (q19DiscountedRevenue _),
+    "q21_waiting_suppliers" -> (q21WaitingSuppliers _),
+    "q22_idle_balances"    -> (q22IdleBalances _),
     "q2_min_cost_supplier" -> (q2MinCostSupplier _),
     "q20_part_qty_suppliers" -> (q20PartQtySuppliers _),
     "q_events_sketch"      -> (eventsSketch _),
@@ -641,6 +860,13 @@ object Analytics {
     "q_events_windowed_agg" -> (eventsWindowedAgg _))
 
   val oracle: Map[String, String] = Map(
+    "q_events_funnel"      -> eventsFunnelOracle,
+    "q13_cust_distribution" -> q13Oracle,
+    "q15_top_supplier"     -> q15Oracle,
+    "q17_small_qty_revenue" -> q17Oracle,
+    "q19_disjunctive_rev"  -> q19Oracle,
+    "q21_waiting_suppliers" -> q21Oracle,
+    "q22_idle_balances"    -> q22Oracle,
     "q2_min_cost_supplier" -> q2Oracle,
     "q20_part_qty_suppliers" -> q20Oracle,
     "q_semi_anti"          -> semiAntiOracle,

@@ -230,9 +230,52 @@ object TextAnalysis {
     ORDER BY n DESC, token
     LIMIT 20"""
 
+  // ---- 5. TF-IDF top terms (round 3) ----------------------------------
+  // Per-doc top-3 terms by smoothed TF-IDF: tf = term_count/doc_len,
+  // idf = ln((N+1)/(df+1)) + 1 (sklearn's smoothing). One explode, three
+  // hash aggregates (term-frequency feeds both doc-length and df — Spark
+  // reuses the exchange), a per-doc window for the top-k. `ln` is libm
+  // in both engines and the score is rounded to 6, so boundary
+  // collisions are measure-zero like the cosine recipe.
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val nd = docs.select(countDistinct(col("doc_id")).as("nd"))
+    val tf = docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tc"))
+    val dlen = tf.groupBy(col("doc_id")).agg(sum(col("tc")).as("n"))
+    val dfc = tf.groupBy(col("t")).agg(count(lit(1)).as("dfc"))
+    val scored = tf.join(dlen, "doc_id").join(dfc, "t").crossJoin(broadcast(nd))
+      .select(col("doc_id"), col("t"),
+        round((col("tc").cast("double") / col("n")) *
+          (log((col("nd") + lit(1.0)) / (col("dfc") + lit(1.0))) + lit(1.0)), 6).as("tfidf"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("t"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select(col("doc_id"), col("t").as("term"), col("tfidf"), col("rk"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  val tfidfOracle: String = s"""
+    WITH toks AS (SELECT doc_id, unnest($tokensSql) AS t FROM documents),
+    tf AS (SELECT doc_id, t, count(*) AS tc FROM toks GROUP BY 1, 2),
+    dlen AS (SELECT doc_id, sum(tc) AS n FROM tf GROUP BY 1),
+    df AS (SELECT t, count(*) AS dfc FROM tf GROUP BY 1),
+    ndocs AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.t,
+        round((CAST(tf.tc AS DOUBLE) / dlen.n) * (ln((nd + 1.0) / (dfc + 1.0)) + 1.0), 6) AS tfidf
+      FROM tf JOIN dlen USING (doc_id) JOIN df USING (t) CROSS JOIN ndocs),
+    ranked AS (
+      SELECT doc_id, t, tfidf,
+        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, t) AS INT) AS rk
+      FROM scored)
+    SELECT doc_id, t AS term, tfidf, rk FROM ranked WHERE rk <= 3
+    ORDER BY doc_id, rk"""
+
   // ---- registry -------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tfidf_topterms"  -> (tfidfTopTerms _),
     "text_lang_id"         -> (langId _),
     "text_quality"         -> (quality _),
     "text_fingerprint"     -> (fingerprint _),
@@ -242,6 +285,7 @@ object TextAnalysis {
     "text_token_histogram" -> (tokenHistogram _))
 
   val oracle: Map[String, String] = Map(
+    "text_tfidf_topterms"  -> tfidfOracle,
     "text_lang_id"         -> langIdOracle,
     "text_quality"         -> qualityOracle,
     "text_fingerprint"     -> fingerprintOracle,
