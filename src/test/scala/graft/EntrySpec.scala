@@ -23,7 +23,8 @@ class EntrySpec extends AnyFunSuite {
       graft.operators.Analytics.queries.size, graft.operators.RefCore.queries.size,
       graft.operators.Dedup.queries.size, graft.operators.Similarity.queries.size,
       graft.operators.TextAnalysis.queries.size, graft.operators.Multimodal.queries.size,
-      graft.operators.AsOfJoin.queries.size).sum
+      graft.operators.AsOfJoin.queries.size, graft.operators.RangeJoin.queries.size,
+      graft.operators.Curation.queries.size).sum
     assert(moduleCounts == qs.size, s"duplicate query keys across modules: $moduleCounts vs ${qs.size}")
   }
 
