@@ -265,6 +265,50 @@ object Similarity {
       .orderBy(col("qid"), col("rn"))
   }
 
+  // ---- 3c. SemDeDup-style semantic dedup ------------------------------
+  // The embedding-space analog of dedupPipeline (Abbas et al. 2023,
+  // "SemDeDup", arXiv:2303.09540 — public paper): cluster the corpus
+  // with k-means, compare pairs ONLY within a cell, collapse pairs above
+  // the cosine threshold to their min-id representative via connected
+  // components. Quadratic work is bounded by cell size (~n/k); exact
+  // duplicates collapse before clustering so a duplicated corpus can't
+  // put k² identical rows in one cell. Not SQL-expressible (k-means) →
+  // rows-only gate + spec proving crafted dup/near-dup/distinct
+  // structure collapses exactly.
+  def semanticCollapse(vecs: DataFrame, k: Int, iters: Int,
+                       threshold: Double): DataFrame = {
+    val grouped = vecs.withColumn("vh", xxhash64(col("vec")))
+      .groupBy(col("vh"))
+      .agg(sort_array(collect_list(col("vec_id"))).as("members"),
+        first(col("vec")).as("vec"))
+      .cache() // feeds base, and the member mapping at the end
+    val base = grouped.select(col("members")(0).as("vec_id"), col("vec"))
+    val centroids = kmeansCentroids(base, k, iters)
+    val cellW = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid"))
+    val cells = base.join(broadcast(centroids), lit(true))
+      .select(col("vec_id"), col("vec"), col("cid"),
+        VectorFns.cosine6(col("vec"), col("cvec")).as("sim"))
+      .withColumn("rn", row_number().over(cellW)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("vec"), col("cid"))
+    val pairs = cells.select(col("cid"), col("vec_id").as("da"), col("vec").as("va"))
+      .join(cells.select(col("cid"), col("vec_id").as("db"), col("vec").as("vb")), Seq("cid"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db"), VectorFns.dot6(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= threshold)
+    val comp = Graph.connectedComponents(
+      base.select(col("vec_id").as("id")),
+      pairs.select(col("da").as("src"), col("db").as("dst")))
+    grouped
+      .select(explode(col("members")).as("vec_id"), col("members")(0).as("base_id"))
+      .join(comp.select(col("id").as("base_id"), col("component").as("semantic_rep")),
+        Seq("base_id"))
+      .select(col("vec_id"), col("semantic_rep"))
+      .orderBy(col("vec_id"))
+  }
+
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
+    semanticCollapse(emb(spark, dir).cache(), k = 10, iters = 3, threshold = 0.95)
+
   // ---- 4. random-hyperplane LSH ANN -----------------------------------
   // 8 pseudo-random ±1 hyperplanes (deterministic from xxhash64(j,i)) →
   // 8-bit sign bucket per vector; multi-probe (bucket + 8 single-bit
@@ -313,7 +357,8 @@ object Similarity {
     "dedup_embedding_lsh" -> (nearDupPairsLsh _),
     "sim_topk_ivf"        -> (topkIvf _),
     "sim_topk_ivf_trained" -> (topkIvfTrained _),
-    "sim_topk_lsh"        -> (topkLsh _))
+    "sim_topk_lsh"        -> (topkLsh _),
+    "dedup_semantic"      -> (dedupSemantic _))
 
   val oracle: Map[String, String] = Map(
     "sim_topk_bruteforce" -> topkBruteforceOracle,

@@ -56,4 +56,43 @@ class NativeExprPropertySpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     rows.foreach { case (n, f) => assert(java.lang.Double.compare(n, f) == 0) }
   }
+
+  test("MinHashSignature == explode+groupBy composable formulation, bit-for-bit") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // random multi-token docs, including short ones (<3 tokens → no
+    // shingles → excluded by BOTH formulations) and duplicated tokens
+    val docGen = Gen.chooseNum(0, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0, 30).map(i => s"tok$i")).map(_.mkString(" ")))
+    val docs = samples(docGen, 120).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+    val native = Dedup.minhashSignatures(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val composable = Dedup.minhashSignaturesComposable(Dedup.shingleSets(docs))
+      .collect().map(r => r.getLong(0) -> (1 to 32).map(i => r.getLong(i))).toMap
+    assert(native.nonEmpty)
+    assert(native.keySet == composable.keySet) // same doc exclusion rule
+    native.foreach { case (id, sig) =>
+      assert(sig == composable(id), s"signature drift for doc $id")
+    }
+
+    // fused band hashes == concat_ws(",", m..)+xxhash64 over the
+    // composable signature columns, byte-for-byte
+    val nativeBands = docs.select(col("doc_id"),
+        posexplode(graft.functions.MinHashBands.of(
+          graft.functions.TextFns.shinglesFromTokens(
+            graft.functions.TextFns.tokens(col("text")), 3)))
+          .as(Seq("band", "bh")))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val composableBands = Dedup.minhashSignaturesComposable(Dedup.shingleSets(docs))
+      .select(col("doc_id"),
+        explode(array((0 until 8).map { b =>
+          struct(lit(b).as("band"),
+            xxhash64(concat_ws(",", (0 until 4).map(r => col(s"m${b * 4 + r}")): _*)).as("bh"))
+        }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(nativeBands == composableBands && nativeBands.nonEmpty)
+  }
 }

@@ -11,6 +11,29 @@ class PipelineOpsSpec extends AnyFunSuite {
 
   val sf = "/root/testdata/sf0.001"
 
+  test("semantic collapse: dup + near-dup vectors cluster, distinct stay singleton") {
+    val eps = 0.01
+    val nrm = math.sqrt(1.0 + eps * eps)
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)),          // group A
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),          // exact dup of 0
+      (2L, Seq(1.0 / nrm, eps / nrm, 0.0, 0.0)), // near-dup of 0 (cos ≈ 0.99995)
+      (3L, Seq(0.0, 1.0, 0.0, 0.0)),          // distinct
+      (4L, Seq(0.0, 0.0, 1.0, 0.0))           // distinct
+    ).toDF("vec_id", "vec")
+    // k=1: every pair compared → the full semantic answer, deterministic
+    val out = Similarity.semanticCollapse(vecs, k = 1, iters = 2, threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 4L))
+    // multi-cell: output stays a valid partition — total, min-id reps,
+    // exact duplicates always together (same cell by construction)
+    val out2 = Similarity.semanticCollapse(vecs, k = 3, iters = 2, threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out2.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    assert(out2.forall { case (id, rep) => rep <= id })
+    assert(out2(1L) == out2(0L))
+  }
+
   test("minhash LSH finds crafted near-duplicates, not unrelated docs") {
     val base = (0 until 40).map(i => s"token$i word$i thing$i").mkString(" ")
     val nearDup = base.replace("token7", "changed7") // ~2 shingle edits of ~120
