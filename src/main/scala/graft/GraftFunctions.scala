@@ -44,7 +44,16 @@ object GraftFunctions {
     "graft_token_count"       -> (exprs => Size(tokensExpr(exprs.head))),
     "graft_sanitize_filename" -> (exprs => sanitizeFilenameExpr(exprs.head)),
     "graft_ascii_sanitize"    -> (exprs =>
-      RegExpReplace(exprs.head, lit("[^\\x00-\\x7F]"), lit("_"))))
+      RegExpReplace(exprs.head, lit("[^\\x00-\\x7F]"), lit("_"))),
+    // aggregate: mg_topk(token, capacity) → array<struct<token,est>>
+    "mg_topk" -> { exprs =>
+      val cap = exprs(1) match {
+        case Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"mg_topk capacity must be an integer literal, got $other")
+      }
+      graft.functions.MisraGriesTopK(exprs.head, cap).toAggregateExpression()
+    })
 
   /** Register on an already-running session (temp functions). */
   def register(spark: SparkSession): Unit =

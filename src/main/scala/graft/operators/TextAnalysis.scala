@@ -272,9 +272,26 @@ object TextAnalysis {
     SELECT doc_id, t AS term, tfidf, rk FROM ranked WHERE rk <= 3
     ORDER BY doc_id, rk"""
 
+  // ---- 6. heavy-hitters sketch (round 3) ------------------------------
+  // The 100 TB shape of the token histogram: the exact version shuffles
+  // every distinct token; the Misra-Gries TypedImperativeAggregate
+  // ([[graft.functions.MisraGriesTopK]]) keeps a bounded 256-entry
+  // summary per partition and merges map-side — estimates within
+  // n/256 of truth, all true heavy hitters retained. Counts depend on
+  // partition merge order → rows-only gate + error-bound spec.
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(TextFns.tokens(col("text"))).as("token"))
+      .agg(graft.functions.MisraGriesTopK.of(col("token"), 256).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.token").as("token"), col("e.est").as("est"))
+      .orderBy(col("est").desc, col("token"))
+      .limit(20)
+
   // ---- registry -------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_heavy_hitters"   -> (heavyHitters _),
     "text_tfidf_topterms"  -> (tfidfTopTerms _),
     "text_lang_id"         -> (langId _),
     "text_quality"         -> (quality _),

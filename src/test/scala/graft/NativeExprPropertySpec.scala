@@ -95,4 +95,29 @@ class NativeExprPropertySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
     assert(nativeBands == composableBands && nativeBands.nonEmpty)
   }
+
+  test("Misra-Gries heavy hitters: MG bounds hold vs the exact histogram") {
+    import spark.implicits._
+    val toks = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(explode(graft.functions.TextFns.tokens(col("text"))).as("token"))
+      .cache()
+    val n = toks.count()
+    val k = 256
+    val exact = toks.groupBy("token").count()
+      .as[(String, Long)].collect().toMap
+    val mg = toks.agg(graft.functions.MisraGriesTopK.of(col("token"), k).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.token"), col("e.est")).as[(String, Long)].collect().toMap
+    assert(mg.nonEmpty && mg.size <= k)
+    // estimates never exceed truth and undercount by at most n/k
+    mg.foreach { case (t, est) =>
+      val truth = exact(t)
+      assert(est <= truth && est >= truth - n / k,
+        s"token $t: est=$est truth=$truth bound=${n / k}")
+    }
+    // every true heavy hitter above the n/k threshold is retained
+    exact.collect { case (t, c) if c > n / k => t }
+      .foreach(t => assert(mg.contains(t), s"heavy hitter $t dropped"))
+    toks.unpersist()
+  }
 }

@@ -70,5 +70,12 @@ class SinksAndSqlSpec extends AnyFunSuite {
     assert(row.getDouble(1) == 1.0)
     assert(row.getInt(2) == 3)
     assert(row.getString(3) == "A_B__C")
+
+    // the custom aggregate is SQL-reachable too
+    val hh = spark.sql(
+      """SELECT mg_topk(t, 8) AS hh FROM VALUES ('a'),('a'),('a'),('b'),('b'),('c') AS v(t)
+        |""".stripMargin).selectExpr("explode(hh) AS e").selectExpr("e.token", "e.est")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hh == Map("a" -> 3L, "b" -> 2L, "c" -> 1L)) // capacity ≥ distinct → exact
   }
 }
