@@ -830,7 +830,41 @@ object Analytics {
       round(CAST(count(CASE WHEN b_us - a_us <= 3600000000 THEN 1 END) AS DOUBLE) / count(*), 6) AS conversion_rate
     FROM a LEFT JOIN b USING (user_id)"""
 
+  // --- cohort retention (round 3) --------------------------------------
+  // Weekly signup cohorts × weeks-since-signup active-user counts — the
+  // standard retention-matrix shape. Exact integer week math (µs div
+  // one week); two hash aggregates (cohort week per user, distinct
+  // active weeks) joined on user_id, then the matrix aggregate.
+  def eventsRetention(spark: SparkSession, dir: String): DataFrame = {
+    val WeekUs = 604800000000L
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        expr(s"(ts div 1000) div $WeekUs").as("w"))
+    val cohorts = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("w")).as("cw"))
+    val active = ev.select(col("user_id"), col("w")).distinct()
+    cohorts.join(active, Seq("user_id"))
+      .filter(col("w") >= col("cw"))
+      .groupBy(col("cw"), (col("w") - col("cw")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .select(col("cw").as("cohort_week"), col("week_offset"), col("n_active"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  val eventsRetentionOracle: String = """
+    WITH e AS (SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+    su AS (SELECT user_id, min(us) // 604800000000 AS cw FROM e
+           WHERE event_type = 'signup' GROUP BY 1),
+    act AS (SELECT DISTINCT e.user_id, e.us // 604800000000 AS w FROM e),
+    r AS (SELECT su.cw, act.w - su.cw AS week_offset,
+            count(DISTINCT act.user_id) AS n_active
+          FROM su JOIN act ON su.user_id = act.user_id AND act.w >= su.cw
+          GROUP BY 1, 2)
+    SELECT cw AS cohort_week, week_offset, n_active FROM r
+    ORDER BY cohort_week, week_offset"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_retention"   -> (eventsRetention _),
     "q_events_funnel"      -> (eventsFunnel _),
     "q13_cust_distribution" -> (q13CustomerDistribution _),
     "q15_top_supplier"     -> (q15TopSupplier _),
@@ -860,6 +894,7 @@ object Analytics {
     "q_events_windowed_agg" -> (eventsWindowedAgg _))
 
   val oracle: Map[String, String] = Map(
+    "q_events_retention"   -> eventsRetentionOracle,
     "q_events_funnel"      -> eventsFunnelOracle,
     "q13_cust_distribution" -> q13Oracle,
     "q15_top_supplier"     -> q15Oracle,
