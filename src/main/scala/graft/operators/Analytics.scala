@@ -830,6 +830,67 @@ object Analytics {
       round(CAST(count(CASE WHEN b_us - a_us <= 3600000000 THEN 1 END) AS DOUBLE) / count(*), 6) AS conversion_rate
     FROM a LEFT JOIN b USING (user_id)"""
 
+  // --- q8 shape: market share via conditional share-of-total agg -------
+  // One nation's share of its region's customer revenue per year: the
+  // numerator is a conditional sum inside the same aggregate as the
+  // denominator (one pass, no self-join), both exact decimal before the
+  // final double division. Bounded dims broadcast-hinted; the fact
+  // joins shuffle on their keys with AQE deciding.
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val vol = dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+      .agg(round(
+        sum(when(col("n_name") === "NATION_7", vol).otherwise(lit(0))).cast("double") /
+          sum(vol).cast("double"), 6).as("mkt_share"))
+      .orderBy(col("yr"))
+  }
+
+  val q8Oracle: String = """
+    WITH rev AS (
+      SELECT EXTRACT(year FROM o_orderdate) AS yr, n_name,
+        CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6))) AS vol
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA')
+    SELECT CAST(yr AS BIGINT) AS yr,
+      round(CAST(sum(CASE WHEN n_name = 'NATION_7' THEN vol ELSE 0 END) AS DOUBLE) /
+            CAST(sum(vol) AS DOUBLE), 6) AS mkt_share
+    FROM rev GROUP BY yr ORDER BY yr"""
+
+  // --- q16 shape: NOT-IN exclusion + count-distinct breakdown ----------
+  // Distinct suppliers per (brand, size bucket), excluding a blocklist
+  // (negative-balance suppliers — the complaint-supplier analog). NOT IN
+  // plans as a left-anti join on the small blocklist; countDistinct is
+  // the only wide aggregate.
+  def q16SupplierCounts(spark: SparkSession, dir: String): DataFrame = {
+    val blocked = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .join(blocked, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), expr("p_size div 10").cast("long").as("size_bucket"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("size_bucket"))
+      .limit(30)
+  }
+
+  val q16Oracle: String = """
+    SELECT p_brand, CAST(p_size // 10 AS BIGINT) AS size_bucket,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2
+    ORDER BY supplier_cnt DESC, p_brand, size_bucket
+    LIMIT 30"""
+
   // --- cohort retention (round 3) --------------------------------------
   // Weekly signup cohorts × weeks-since-signup active-user counts — the
   // standard retention-matrix shape. Exact integer week math (µs div
@@ -864,6 +925,8 @@ object Analytics {
     ORDER BY cohort_week, week_offset"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q8_market_share"      -> (q8MarketShare _),
+    "q16_supplier_counts"  -> (q16SupplierCounts _),
     "q_events_retention"   -> (eventsRetention _),
     "q_events_funnel"      -> (eventsFunnel _),
     "q13_cust_distribution" -> (q13CustomerDistribution _),
@@ -894,6 +957,8 @@ object Analytics {
     "q_events_windowed_agg" -> (eventsWindowedAgg _))
 
   val oracle: Map[String, String] = Map(
+    "q8_market_share"      -> q8Oracle,
+    "q16_supplier_counts"  -> q16Oracle,
     "q_events_retention"   -> eventsRetentionOracle,
     "q_events_funnel"      -> eventsFunnelOracle,
     "q13_cust_distribution" -> q13Oracle,
