@@ -891,6 +891,54 @@ object Analytics {
     ORDER BY supplier_cnt DESC, p_brand, size_bucket
     LIMIT 30"""
 
+  // --- q4 shape: correlated EXISTS with date arithmetic ----------------
+  // Orders having at least one lineitem shipped >60 days after the
+  // order date (this data has no commit/receipt dates, so "late" means
+  // long ship lag), counted by priority. EXISTS → left-semi with the
+  // interval comparison inside the join condition; exact timestamp +
+  // interval math in both engines.
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_shipdate")),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+
+  val q4Oracle: String = """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+                  AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY 1 ORDER BY 1"""
+
+  // --- q11 shape: HAVING against a scalar aggregate of the aggregate --
+  // Parts whose total traded value exceeds 1.5× the mean per-part value
+  // (the important-stock filter; the threshold is scale-invariant where
+  // TPC-H's fixed fraction would empty out as parts grow). Exact decimal
+  // per-part sums; the one-row threshold broadcasts.
+  def q11ValueShares(spark: SparkSession, dir: String): DataFrame = {
+    val value = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(dec(col("l_extendedprice"))).as("v"))
+      .cache() // feeds the threshold aggregate AND the filter join
+    val thresh = value
+      .agg(((sum(col("v")).cast("double") / count(lit(1))) * 1.5).as("t"))
+    value.join(broadcast(thresh), col("v").cast("double") > col("t"))
+      .select(col("l_partkey"), round(col("v"), 2).cast("double").as("part_value"))
+      .orderBy(col("part_value").desc, col("l_partkey"))
+  }
+
+  val q11Oracle: String = """
+    WITH val AS (SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS v
+                 FROM lineitem GROUP BY 1)
+    SELECT l_partkey, CAST(round(v, 2) AS DOUBLE) AS part_value
+    FROM val
+    WHERE CAST(v AS DOUBLE) > (SELECT CAST(sum(v) AS DOUBLE) / count(*) FROM val) * 1.5
+    ORDER BY part_value DESC, l_partkey"""
+
   // --- cohort retention (round 3) --------------------------------------
   // Weekly signup cohorts × weeks-since-signup active-user counts — the
   // standard retention-matrix shape. Exact integer week math (µs div
@@ -925,6 +973,8 @@ object Analytics {
     ORDER BY cohort_week, week_offset"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q4_order_priority"    -> (q4OrderPriority _),
+    "q11_value_shares"     -> (q11ValueShares _),
     "q8_market_share"      -> (q8MarketShare _),
     "q16_supplier_counts"  -> (q16SupplierCounts _),
     "q_events_retention"   -> (eventsRetention _),
@@ -957,6 +1007,8 @@ object Analytics {
     "q_events_windowed_agg" -> (eventsWindowedAgg _))
 
   val oracle: Map[String, String] = Map(
+    "q4_order_priority"    -> q4Oracle,
+    "q11_value_shares"     -> q11Oracle,
     "q8_market_share"      -> q8Oracle,
     "q16_supplier_counts"  -> q16Oracle,
     "q_events_retention"   -> eventsRetentionOracle,
