@@ -939,6 +939,49 @@ object Analytics {
     WHERE CAST(v AS DOUBLE) > (SELECT CAST(sum(v) AS DOUBLE) / count(*) FROM val) * 1.5
     ORDER BY part_value DESC, l_partkey"""
 
+  // --- q9 shape: profit decomposition across the full star -------------
+  // Profit per supplier nation per year on parts matching a name
+  // pattern, with the supply cost synthesized from lineitem exactly
+  // like q2 (min unit price per (part,supplier) — no partsupp table in
+  // this schema). Revenue and cost both go through exact decimal before
+  // the sum, so the profit aggregate is partition-order independent.
+  def q9ProfitByNation(spark: SparkSession, dir: String): DataFrame = {
+    val ps = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .agg(min(round(col("l_extendedprice") / col("l_quantity"), 6)).as("ps_cost"))
+    val redParts = Tables.part(spark, dir)
+      .filter(col("p_name").like("%red%")).select(col("p_partkey"))
+    val profit = dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))) -
+      dec(col("ps_cost")) * dec(col("l_quantity"))
+    Tables.lineitem(spark, dir)
+      .join(redParts, col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(ps, col("l_partkey") === col("pk") && col("l_suppkey") === col("sk"))
+      .join(Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("yr"))
+      .agg(round(sum(profit), 2).cast("double").as("profit"))
+      .orderBy(col("n_name"), col("yr").desc)
+  }
+
+  val q9Oracle: String = """
+    WITH ps AS (SELECT l_partkey AS pk, l_suppkey AS sk,
+                  min(round(l_extendedprice / l_quantity, 6)) AS ps_cost
+                FROM lineitem GROUP BY 1, 2)
+    SELECT n_name, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))
+            - CAST(ps_cost AS DECIMAL(18,6)) * CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN ps ON ps.pk = l_partkey AND ps.sk = l_suppkey
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY 1, 2 ORDER BY n_name, yr DESC"""
+
   // --- cohort retention (round 3) --------------------------------------
   // Weekly signup cohorts × weeks-since-signup active-user counts — the
   // standard retention-matrix shape. Exact integer week math (µs div
@@ -974,6 +1017,7 @@ object Analytics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q4_order_priority"    -> (q4OrderPriority _),
+    "q9_profit_by_nation"  -> (q9ProfitByNation _),
     "q11_value_shares"     -> (q11ValueShares _),
     "q8_market_share"      -> (q8MarketShare _),
     "q16_supplier_counts"  -> (q16SupplierCounts _),
@@ -1008,6 +1052,7 @@ object Analytics {
 
   val oracle: Map[String, String] = Map(
     "q4_order_priority"    -> q4Oracle,
+    "q9_profit_by_nation"  -> q9Oracle,
     "q11_value_shares"     -> q11Oracle,
     "q8_market_share"      -> q8Oracle,
     "q16_supplier_counts"  -> q16Oracle,
