@@ -18,21 +18,22 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warmup (uncounted): touch each fact table + the hot codegen paths
-    // (scan/agg for lineitem, tokenize/hash-agg for documents, vector
-    // fold for embeddings) so query timings measure the plans, not JIT —
-    // the first query of each family otherwise absorbs the whole
-    // family's codegen cost
-    try {
-      import org.apache.spark.sql.functions._
-      spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-      SparkEntry.queries.get("q1_pricing_summary")
-        .foreach(fn => fn(spark, sfDir).count())
-      spark.read.parquet(s"$sfDir/documents.parquet")
-        .select(md5(concat_ws(" ", graft.functions.TextFns.tokens(col("text")))).as("fp"))
-        .groupBy("fp").count().count()
-      spark.read.parquet(s"$sfDir/embeddings.parquet").count()
-    } catch { case _: Throwable => () }
+    // warmup (uncounted): run EVERY query once at the smallest SF — same
+    // plan shapes, trivial data — so each measured timing below pays for
+    // the plan, not first-touch Janino/JIT compilation. (Per-family
+    // spot-warmup proved insufficient: the first query of any untouched
+    // family absorbed that family's whole codegen cost, misattributing
+    // ~5 s to innocent plans.) Caches built during warmup are keyed on
+    // the warmup dir's logical plans, so they can't leak into the
+    // measured run; clearCache() drops their storage anyway.
+    val warmDir = {
+      val sibling = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
+      if (sibling.isDirectory) sibling.getAbsolutePath else sfDir
+    }
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+    }
+    spark.catalog.clearCache()
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -42,7 +43,17 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // file first (survives log truncation/interleaving), then stdout on
+    // its own line with a blank line before it so the record stays intact
+    // even if a logger write lands mid-buffer
+    try {
+      val out = java.nio.file.Paths.get("target", "bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    println()
+    println(json)
     spark.stop()
   }
 }

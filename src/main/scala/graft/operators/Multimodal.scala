@@ -11,10 +11,12 @@ import graft.sources.Tables
   * Spark prunes/filters on the metadata columns, and decode runs
   * partition-parallel only on the rows that survive pushdown.
   *
-  * The container has no image/audio codecs, so `FakeDecoder` below is a
-  * deliberate, clearly-marked STUB (deterministic bytes→features); the
-  * Spark-side plumbing — schema, batching, partitioning, the
-  * mapPartitions signature — is real and tested.
+  * Decode is REAL for image formats the JDK ships codecs for
+  * (PNG/JPEG/GIF/BMP via `javax.imageio`, zero extra dependencies) —
+  * see `ImageDecoder`. Payloads that are not a decodable image (e.g.
+  * the text-as-bytes stand-in corpus, or audio/video formats with no
+  * JDK codec) fall back to `FakeDecoder`, a deterministic bytes→features
+  * stand-in, so the pipeline shape is total over any binary column.
   */
 object Multimodal {
 
@@ -68,10 +70,50 @@ object Multimodal {
   final case class MediaFeatures(doc_id: Long, width: Int, height: Int,
                                  mean_byte: Double, hist: Array[Long])
 
-  /** STUB decoder — a real deployment swaps this body for an image/audio
-    * codec call (libs not present in this container). Deterministic fake:
-    * "dimensions" from the leading bytes, 8-bucket byte histogram as the
-    * "feature vector". Everything around it is the real pipeline shape. */
+  /** Real image decode via the JDK's bundled codecs (`javax.imageio`
+    * reads PNG/JPEG/GIF/BMP with no external dependency). Features:
+    * true pixel dimensions, mean channel-sample value (R,G,B each count
+    * as one 0-255 sample, matching the byte-path semantics), and the
+    * same 8-bucket sample histogram shape as the byte path. Pixels are
+    * read one row at a time so memory stays O(width), not O(pixels).
+    * Returns None when the payload is not a decodable image. */
+  object ImageDecoder {
+    def decode(payload: Array[Byte]): Option[(Int, Int, Double, Array[Long])] =
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        if (img == null) None
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val hist = new Array[Long](8)
+          var sum = 0L
+          val row = new Array[Int](w)
+          var y = 0
+          while (y < h) {
+            img.getRGB(0, y, w, 1, row, 0, w)
+            var x = 0
+            while (x < w) {
+              val rgb = row(x)
+              val r = (rgb >> 16) & 0xFF
+              val g = (rgb >> 8) & 0xFF
+              val b = rgb & 0xFF
+              hist(r >> 5) += 1; hist(g >> 5) += 1; hist(b >> 5) += 1
+              sum += r + g + b
+              x += 1
+            }
+            y += 1
+          }
+          val n = 3L * w * h
+          val mean = if (n == 0) 0.0 else sum.toDouble / n
+          Some((w, h, math.rint(mean * 10000) / 10000, hist))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Fallback decoder for payloads with no JDK codec (text stand-ins,
+    * audio/video) — deterministic fake: "dimensions" from the leading
+    * bytes, 8-bucket byte histogram as the "feature vector". Keeps
+    * decodeFeatures total over arbitrary binary columns. */
   object FakeDecoder {
     def decode(payload: Array[Byte]): (Int, Int, Double, Array[Long]) = {
       val w = 16 + (payload.headOption.getOrElse(0: Byte) & 0x0F)
@@ -84,16 +126,27 @@ object Multimodal {
     }
   }
 
+  /** One payload → features, trying the real JDK image decode first and
+    * falling back to the deterministic fake for non-image bytes. */
+  def decodeAny(payload: Array[Byte]): (Int, Int, Double, Array[Long]) =
+    ImageDecoder.decode(payload).getOrElse(FakeDecoder.decode(payload))
+
   /** Batched partition-parallel decode: iterate each partition in
     * fixed-size batches (the Arrow-ish batch shape a vectorized decode
-    * wants), decode, emit typed features. */
-  def decodeFeatures(spark: SparkSession, dir: String): DataFrame = {
+    * wants), decode, emit typed features. Real PNG/JPEG/GIF/BMP payloads
+    * get true pixel features; anything else takes the fake path. */
+  def decodeFeatures(spark: SparkSession, dir: String): DataFrame =
+    decodeFeaturesOf(spark, media(spark, dir))
+
+  /** Same pipeline over any (doc_id: long, payload: binary) frame — the
+    * entry point a real image corpus uses directly. */
+  def decodeFeaturesOf(spark: SparkSession, frame: DataFrame): DataFrame = {
     import spark.implicits._
-    val ds = media(spark, dir).as[MediaRow]
+    val ds = frame.select(col("doc_id"), col("payload")).as[MediaRow]
     ds.mapPartitions { rows =>
       rows.grouped(64).flatMap { batch =>
         batch.map { r =>
-          val (w, h, mean, hist) = FakeDecoder.decode(r.payload)
+          val (w, h, mean, hist) = decodeAny(r.payload)
           MediaFeatures(r.doc_id, w, h, mean, hist)
         }
       }

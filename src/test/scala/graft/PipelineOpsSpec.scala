@@ -163,4 +163,49 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(row.getInt(1) >= 16 && row.getInt(1) < 32)
   }
 
+  test("real image decode: PNG features exact, JPEG dims, non-image falls back") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+
+    // 4x2 RGB image with known channel values
+    val img = new BufferedImage(4, 2, BufferedImage.TYPE_INT_RGB)
+    val pixels = Array(
+      Array(0x000000, 0xFF0000, 0x00FF00, 0x0000FF),
+      Array(0xFFFFFF, 0x808080, 0x102030, 0xC0D0E0))
+    for (y <- 0 until 2; x <- 0 until 4) img.setRGB(x, y, pixels(y)(x))
+    val pngBytes = { val b = new ByteArrayOutputStream(); ImageIO.write(img, "png", b); b.toByteArray }
+
+    // expected features computed independently from the pixel literals
+    val samples = pixels.flatten.flatMap(p => Seq((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF))
+    val expMean = math.rint(samples.sum.toDouble / samples.length * 10000) / 10000
+    val expHist = new Array[Long](8)
+    samples.foreach(s => expHist(s >> 5) += 1)
+
+    val Some((w, h, mean, hist)) = Multimodal.ImageDecoder.decode(pngBytes)
+    assert(w == 4 && h == 2)              // PNG is lossless → exact match
+    assert(mean == expMean)
+    assert(hist.toSeq == expHist.toSeq)
+
+    // JPEG: lossy, so only dimensions are exact
+    val jpgBytes = { val b = new ByteArrayOutputStream(); ImageIO.write(img, "jpg", b); b.toByteArray }
+    val Some((jw, jh, _, jhist)) = Multimodal.ImageDecoder.decode(jpgBytes)
+    assert(jw == 4 && jh == 2 && jhist.sum == 24)
+
+    // non-image bytes: real decoder declines, decodeAny takes the fake path
+    val text = "just some text, not an image".getBytes("UTF-8")
+    assert(Multimodal.ImageDecoder.decode(text).isEmpty)
+    val (aw, ah, am, ahist) = Multimodal.decodeAny(text)
+    val (fw, fh, fm, fhist) = Multimodal.FakeDecoder.decode(text)
+    assert((aw, ah, am, ahist.toSeq) == ((fw, fh, fm, fhist.toSeq)))
+
+    // and through the actual Spark mapPartitions pipeline
+    val frame = Seq((1L, pngBytes), (2L, text)).toDF("doc_id", "payload")
+    val feats = Multimodal.decodeFeaturesOf(spark, frame).collect()
+    assert(feats(0).getInt(1) == 4 && feats(0).getInt(2) == 2)
+    assert(feats(0).getDouble(3) == expMean)
+    assert(feats(0).getString(4) == expHist.mkString(","))
+    assert(feats(1).getInt(1) == 16 + ('j' & 0x0F)) // fake path dims
+  }
+
 }

@@ -2,11 +2,37 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.operators.{AsOfJoin, Dedup, Skew}
+import graft.operators.{AsOfJoin, Dedup, Graph, Skew}
 
 class ScaleOpsSpec extends AnyFunSuite {
   lazy val spark = GraftSession.test
   import spark.implicits._
+
+  test("connected components: diameter-200 chain converges via pointer jumping") {
+    // path graph 0-1-2-...-200: plain min-label propagation needs 200
+    // rounds; pointer jumping must land it well inside the default 20
+    val n = 200
+    val verts = (0L to n.toLong).toDF("id")
+    val edges = (0L until n.toLong).map(i => (i, i + 1)).toDF("src", "dst")
+    val comp = Graph.connectedComponents(verts, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(comp.size == n + 1 && comp.values.forall(_ == 0L))
+  }
+
+  test("connected components: non-convergence is loud, not silent") {
+    // maxRounds=1 cannot finish the chain → guard must fire
+    val verts = (0L to 50L).toDF("id")
+    val edges = (0L until 50L).map(i => (i, i + 1)).toDF("src", "dst")
+    spark.conf.set("spark.graft.graph.failOnNonConvergence", "true")
+    try {
+      val e = intercept[IllegalStateException] {
+        Graph.connectedComponents(verts, edges, maxRounds = 1).count()
+      }
+      assert(e.getMessage.contains("did NOT converge"))
+    } finally spark.conf.unset("spark.graft.graph.failOnNonConvergence")
+    // without the conf it returns (logging ERROR) rather than throwing
+    assert(Graph.connectedComponents(verts, edges, maxRounds = 1).count() == 51L)
+  }
 
   test("asOf: latest right ≤ left ts per key, inclusive, null when none") {
     val left = Seq(
