@@ -55,8 +55,14 @@ object Jobs {
       jobs.put(id,
         Job(id, jobType, "completed", outputDir, manifest.count(), "", result(manifest)))
     } catch {
-      case e: Exception =>
+      case scala.util.control.NonFatal(e) =>
         jobs.put(id, Job(id, jobType, "failed", outputDir, 0, String.valueOf(e.getMessage)))
+      case e: Throwable =>
+        // fatal (OOM, linkage error) on the daemon thread: without this
+        // the job would sit in "running" forever and pollers would time
+        // out with nothing surfaced — record the failure, then rethrow
+        jobs.put(id, Job(id, jobType, "failed", outputDir, 0, String.valueOf(e)))
+        throw e
     }
 
   /** Block until a job leaves "running" (spec/test helper). */

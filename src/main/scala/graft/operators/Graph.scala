@@ -81,6 +81,9 @@ object Graph {
       if (failFast) throw new IllegalStateException(msg)
       log.error(msg)
     }
+    // final labels are materialized by the last convergence aggregate
+    // (localCheckpoint), so the edge cache is dead weight from here on
+    bidir.unpersist()
     vertices
       .join(labels.select(col("id"), col("label")), Seq("id"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).as("component"))

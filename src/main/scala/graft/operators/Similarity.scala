@@ -81,10 +81,16 @@ object Similarity {
       System.err.println(s"[graft] dedup_embedding: n=$n — exact all-pairs path")
       val a = all.select(col("vec_id").as("da"), col("vec").as("va"))
       val b = all.select(col("vec_id").as("db"), col("vec").as("vb"))
-      a.join(b, col("da") < col("db"))
+      // materialize the ≤20-row answer while the cache is hot, then
+      // release it — returning a plan over `all` would pin the whole
+      // corpus in storage memory for the rest of the session
+      val out = a.join(b, col("da") < col("db"))
         .select(col("da"), col("db"), VectorFns.dot6(col("va"), col("vb")).as("cos"))
         .orderBy(col("cos").desc, col("da"), col("db"))
         .limit(20)
+        .localCheckpoint()
+      all.unpersist()
+      out
     }
   }
 
@@ -117,11 +123,12 @@ object Similarity {
     // co-bucketed rows in EVERY table and pair volume grows as k² per
     // cluster. On a 100k-vector corpus with 50× duplication this is the
     // difference between 48 s and ~4 s.
+    // group by the vector VALUE (exact on array<double>), not a 64-bit
+    // hash of it — a hash collision between distinct vectors would
+    // silently merge them and drop one from the answer
     val grouped = emb(spark, dir)
-      .withColumn("vh", xxhash64(col("vec")))
-      .groupBy(col("vh"))
-      .agg(sort_array(collect_list(col("vec_id"))).as("members"),
-        first(col("vec")).as("vec"))
+      .groupBy(col("vec"))
+      .agg(sort_array(collect_list(col("vec_id"))).as("members"))
     val base = grouped.select(col("members")(0).as("vec_id"), col("vec"))
     // exact-dup pairs come straight from the collapse groups at cosine
     // 1.0. Per group only the 22 smallest members need pairing: a pair
@@ -277,10 +284,11 @@ object Similarity {
   // structure collapses exactly.
   def semanticCollapse(vecs: DataFrame, k: Int, iters: Int,
                        threshold: Double): DataFrame = {
-    val grouped = vecs.withColumn("vh", xxhash64(col("vec")))
-      .groupBy(col("vh"))
-      .agg(sort_array(collect_list(col("vec_id"))).as("members"),
-        first(col("vec")).as("vec"))
+    // exact-value grouping (not xxhash64(vec)): a 64-bit collision
+    // between distinct vectors would merge them pre-clustering
+    val grouped = vecs
+      .groupBy(col("vec"))
+      .agg(sort_array(collect_list(col("vec_id"))).as("members"))
       .cache() // feeds base, and the member mapping at the end
     val base = grouped.select(col("members")(0).as("vec_id"), col("vec"))
     val centroids = kmeansCentroids(base, k, iters)
@@ -307,7 +315,7 @@ object Similarity {
   }
 
   def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
-    semanticCollapse(emb(spark, dir).cache(), k = 10, iters = 3, threshold = 0.95)
+    semanticCollapse(emb(spark, dir), k = 10, iters = 3, threshold = 0.95)
 
   // ---- 4. random-hyperplane LSH ANN -----------------------------------
   // 8 pseudo-random ±1 hyperplanes (deterministic from xxhash64(j,i)) →

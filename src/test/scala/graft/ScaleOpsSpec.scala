@@ -2,11 +2,25 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.operators.{AsOfJoin, Dedup, Graph, Skew}
+import graft.operators.{AsOfJoin, Dedup, Graph, Sampling, Skew}
 
 class ScaleOpsSpec extends AnyFunSuite {
   lazy val spark = GraftSession.test
   import spark.implicits._
+
+  test("sampleN: sample_rank is exactly the hash-order rank (evaluation-order invariant)") {
+    // sampleN numbers rows with coalesce(1)+sortWithinPartitions+
+    // monotonically_increasing_id — correct only while Spark evaluates
+    // the project above the local sort in partition order. If a future
+    // optimizer change breaks that invariant, this spec fails loudly.
+    val df = (1 to 3000).map(i => (i.toLong, s"doc$i")).toDF("id", "title")
+    val got = Sampling.sampleN(df, col("id"), 100, seed = 7)
+      .select(col("id"), col("sample_rank")).as[(Long, Int)].collect()
+    assert(got.map(_._2).sorted.toSeq == (1 to 100))
+    val expected = df.withColumn("h", Sampling.hashKey(7, col("id")))
+      .orderBy(col("h"), col("id")).limit(100).select("id").as[Long].collect().toSeq
+    assert(got.sortBy(_._2).map(_._1).toSeq == expected)
+  }
 
   test("connected components: diameter-200 chain converges via pointer jumping") {
     // path graph 0-1-2-...-200: plain min-label propagation needs 200
