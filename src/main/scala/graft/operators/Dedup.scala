@@ -199,17 +199,21 @@ object Dedup {
   }
 
   // ---- 4. SimHash + pigeonhole blocks ---------------------------------
-  // 64-bit simhash over token hashes; Hamming ≤ 3 near-dups found by the
-  // 4-block pigeonhole trick (distance ≤3 ⇒ at least one of 4 16-bit
-  // blocks equal) — an equi-join on (block_idx, block_value).
+  // 60-bit simhash over md5-derived token hashes; Hamming ≤ 3 near-dups
+  // found by the 4-block pigeonhole trick (distance ≤3 ⇒ at least one of
+  // 4 16-bit blocks equal) — an equi-join on (block_idx, block_value).
+  // Token hash = first 15 hex chars of md5 (60 bits, always positive):
+  // md5 is identical in Spark and DuckDB, so the ENTIRE operator is
+  // SQL-expressible and hash-gated against the oracle — xxhash64 (the
+  // usual choice) has no DuckDB twin and would force a rows-only gate.
   def simhashes(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"),
       explode(TextFns.tokens(col("text"))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val bitSums = (0 until 64).map(i =>
+      .withColumn("h", conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long"))
+    val bitSums = (0 until 60).map(i =>
       sum(shiftright(col("h"), i).bitwiseAND(1) * 2 - 1).as(s"b$i"))
     val agg = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val simhash = (0 until 64).map(i =>
+    val simhash = (0 until 60).map(i =>
       when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
       .reduce((a, b) => a.bitwiseOR(b))
     agg.select(col("doc_id"), simhash.as("simhash"))
@@ -373,8 +377,41 @@ object Dedup {
     // so the exact-join oracle applies verbatim — same reasoning gives
     // the pipeline oracle its exact-jaccard stand-in for the LSH stage.
     "dedup_minhash_lsh"   -> ngramJaccardOracle,
+    "dedup_simhash"       -> simhashOracle,
     "dedup_pipeline"      -> dedupPipelineOracle,
     "dedup_clusters"      -> dedupClustersOracle)
+
+  // Exact twin of `simhash`: the md5-derived 60-bit token hash makes the
+  // signature, the 4-block pigeonhole candidate join, and the Hamming
+  // filter all portable — CAST('0x'||substr(md5,1,15) AS BIGINT) in
+  // DuckDB == conv(substring(md5,1,15),16,10) in Spark (verified bit-
+  // identical). Majority vote 2·ones > n matches Spark's sum(±1) > 0.
+  lazy val simhashOracle: String = s"""
+    WITH tok AS (SELECT doc_id, unnest($tokensSql) AS t FROM documents),
+    th AS (SELECT doc_id,
+             CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h
+           FROM tok),
+    bits AS (
+      SELECT doc_id, i,
+        CASE WHEN 2 * sum((h >> CAST(i AS INT)) & 1) > count(*)
+             THEN CAST(1 AS BIGINT) << CAST(i AS INT) ELSE 0 END AS bitval
+      FROM th, range(60) r(i)
+      GROUP BY doc_id, i),
+    sh AS (SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS simhash
+           FROM bits GROUP BY doc_id),
+    blocks AS (
+      SELECT doc_id, simhash, k,
+        (simhash >> CAST(k * 16 AS INT)) & 65535 AS bv
+      FROM sh, range(4) r(k)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+        a.simhash AS sa, b.simhash AS sb
+      FROM blocks a JOIN blocks b
+        ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id)
+    SELECT da, db, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sa, sb)) <= 3
+    ORDER BY da, db"""
 
   lazy val dedupPipelineOracle: String = s"""
     WITH RECURSIVE

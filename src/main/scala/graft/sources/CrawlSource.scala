@@ -1,0 +1,68 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Wiki category-crawl source STUB (reference: api.py:647-714 fetch_ww2_articles,
+  * api.py:849-980 /api/extract/ww2).
+  *
+  * The reference walks Wikipedia category members over live HTTP
+  * (mwclient) — external ingestion, out of engine scope in a zero-egress
+  * environment (SURVEY §1). What IS engine scope is the selection
+  * semantics, reproduced here over a pluggable `provider`:
+  *
+  *  - categories are visited in the reference's order: the primary
+  *    category first, then the related list, stopping once `limit`
+  *    titles are collected;
+  *  - only namespace-0 pages count (articles, not talk/category pages);
+  *  - titles already collected are skipped (first occurrence wins);
+  *  - the result caps at `limit` (the endpoint additionally clamps the
+  *    requested limit to 1000, mirrored in [[clampLimit]]).
+  *
+  * In production `provider` wraps the wiki client; tests inject a
+  * deterministic in-memory listing. The title list is bounded (≤1000 by
+  * the reference's own clamp), so the walk is driver-side by design —
+  * the downstream extract (render + PDF export) is the distributed part.
+  */
+object CrawlSource {
+
+  /** Primary + related categories, in the reference's visit order
+    * (api.py:664, 686-692). */
+  val Ww2Categories: Seq[String] = Seq(
+    "World_War_II",
+    "World_War_II_by_country",
+    "Military_equipment_of_World_War_II",
+    "Battles_of_World_War_II",
+    "Military_operations_of_World_War_II",
+    "World_War_II_military_personnel")
+
+  /** The endpoint's safety clamp (api.py:856). */
+  def clampLimit(limit: Int): Int = math.min(limit, 1000)
+
+  /** Collect up to `limit` distinct namespace-0 titles from `categories`
+    * via `provider` (category name → (title, namespace) members). A
+    * category whose listing fails is skipped, like the reference's
+    * per-category try/except (api.py:695-706). */
+  def articleTitles(provider: String => Seq[(String, Int)], limit: Int,
+                    categories: Seq[String] = Ww2Categories): Seq[String] = {
+    val out = scala.collection.mutable.LinkedHashSet.empty[String]
+    val it = categories.iterator
+    while (out.size < limit && it.hasNext) {
+      val cat = it.next()
+      val members = try provider(cat) catch { case scala.util.control.NonFatal(_) => Seq.empty }
+      val mit = members.iterator
+      while (out.size < limit && mit.hasNext) {
+        val (title, ns) = mit.next()
+        if (ns == 0) out += title
+      }
+    }
+    out.toSeq
+  }
+
+  /** Same selection as a one-column DataFrame (`title`), the shape the
+    * extract pipeline consumes. */
+  def articles(spark: SparkSession, provider: String => Seq[(String, Int)],
+               limit: Int, categories: Seq[String] = Ww2Categories): DataFrame = {
+    import spark.implicits._
+    articleTitles(provider, clampLimit(limit), categories).toDF("title")
+  }
+}

@@ -61,4 +61,29 @@ class WikirSourceSpec extends AnyFunSuite {
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(out, "wikir_0.pdf"))
     assert(new String(bytes).startsWith("%PDF-1.4"))
   }
+
+  test("crawl source stub: reference category-walk selection semantics") {
+    import graft.sources.CrawlSource
+    // primary category first, related categories in order, ns-0 only,
+    // first-occurrence dedupe, hard cap at limit (api.py:647-714)
+    val listing: Map[String, Seq[(String, Int)]] = Map(
+      "World_War_II" -> Seq(("D-Day", 0), ("Talk:D-Day", 1), ("Blitz", 0)),
+      "World_War_II_by_country" -> Seq(("Blitz", 0), ("Pacific War", 0)),
+      "Battles_of_World_War_II" -> Seq(("Battle of Midway", 0)))
+    val provider = (c: String) => listing.getOrElse(c, throw new RuntimeException("listing failed"))
+
+    assert(CrawlSource.articleTitles(provider, 10) ==
+      Seq("D-Day", "Blitz", "Pacific War", "Battle of Midway"))
+    assert(CrawlSource.articleTitles(provider, 3) == Seq("D-Day", "Blitz", "Pacific War"))
+    // a failing category listing is skipped, not fatal
+    val flaky = (c: String) =>
+      if (c == "World_War_II_by_country") throw new RuntimeException("http 503")
+      else listing.getOrElse(c, Seq.empty)
+    assert(CrawlSource.articleTitles(flaky, 10) == Seq("D-Day", "Blitz", "Battle of Midway"))
+    // endpoint clamp + DataFrame shape
+    assert(CrawlSource.clampLimit(5000) == 1000)
+    val df = CrawlSource.articles(spark, provider, 2)
+    assert(df.columns.toSeq == Seq("title"))
+    assert(df.as[String].collect().toSeq == Seq("D-Day", "Blitz"))
+  }
 }
