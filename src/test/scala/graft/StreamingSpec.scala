@@ -93,6 +93,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.select("content_fp").distinct().count() == 20)
   }
 
+  test("continuous ingest e2e: stream dedup → parquet sink → batch compaction == batch pipeline") {
+    // The full continuous-ingest story composed end-to-end (the pieces
+    // are documented at EventStream.dedupWithinWatermark): streaming
+    // watermark dedup bounds state and suppresses within-horizon dups;
+    // cross-horizon dups re-emit into the parquet sink BY DESIGN; a
+    // periodic batch exact compaction over the sink reclaims them. The
+    // final compacted table must equal the batch dedupPipeline run over
+    // the entire replayed corpus.
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("ingest").toString
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    // texts are pairwise shingle-disjoint (every 3-shingle carries k),
+    // so pipeline near-dup stage finds nothing and exact semantics apply
+    def text(k: Int) = s"document body $k mentions topic$k and subject$k plainly"
+    val t0 = 1700000000000L
+    val horizonMs = 10 * 60000L
+    // ids increase with arrival time → first-arrival == min-id survivor
+    val bA = (0 until 30).map(i => (ts(t0), i.toLong, text(i))) ++
+             (0 until 10).map(i => (ts(t0 + 60000L), 100L + i, text(i)))     // in-horizon dups
+    val bWm = Seq((ts(t0 + 2 * horizonMs), 150L, text(99)))                  // advances watermark → evicts bA state
+    val bB = (0 until 10).map(i => (ts(t0 + 3 * horizonMs), 200L + i, text(i))) ++ // cross-horizon dups: re-emit
+             (0 until 5).map(i => (ts(t0 + 3 * horizonMs), 300L + i, text(30 + i)))
+
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val q = EventStream.dedupWithinWatermark(
+        input.toDS().toDF("ts", "doc_id", "text"), "ts", "10 minutes")
+      .select("doc_id", "content_fp")
+      .writeStream.format("parquet")
+      .option("path", s"$tmp/sink").option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode("append").start()
+    Seq(bA, bWm, bB).foreach { b => input.addData(b); q.processAllAvailable() }
+    q.stop()
+
+    // sink: 30 + 1 + 15 rows — the 10 in-horizon dups suppressed, the 10
+    // cross-horizon dups re-emitted (finite state has no memory of them)
+    val sink = spark.read.parquet(s"$tmp/sink")
+    assert(sink.count() == 46)
+
+    // periodic batch compaction over the sink: min-id per fingerprint
+    val compacted = sink.groupBy("content_fp").agg(min("doc_id").as("survivor_id"))
+
+    // ground truth: batch dedupPipeline over the whole replayed corpus
+    val corpus = (bA ++ bWm ++ bB).map { case (_, id, t) => (id, t) }
+    corpus.toDF("doc_id", "text").write.parquet(s"$tmp/corpus/documents.parquet")
+    val pipeline = graft.operators.Dedup.dedupPipeline(spark, s"$tmp/corpus")
+    val wantSurvivors = pipeline.filter(col("status") === "kept")
+      .select("doc_id").as[Long].collect().toSet
+
+    val gotSurvivors = compacted.select("survivor_id").as[Long].collect().toSet
+    assert(gotSurvivors == wantSurvivors)
+    assert(gotSurvivors == ((0L until 30L) ++ Seq(150L) ++ (300L until 305L)).toSet)
+  }
+
   test("stateful gap-sessionization across batches == batch twin") {
     import EventStream.{Ev, Session}
     implicit val sqlCtx = spark.sqlContext
