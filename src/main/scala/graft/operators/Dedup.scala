@@ -247,6 +247,28 @@ object Dedup {
   // band bucket → O(k²) candidate pairs per cluster; with it, near-dup
   // work is independent of duplication factor. Returns one row per
   // input doc: its surviving representative and why it was dropped.
+  /** Conf-gated doc-length-aware spread for long-doc corpora
+    * (`spark.graft.dedup.lengthAware=true`; heavy threshold
+    * `spark.graft.dedup.heavyChars`, default 1 M chars). Applied ONLY to
+    * the rep table feeding the shingle explode — that is where per-row
+    * work concentrates (shingle + minhash of a 10 MB doc is seconds of
+    * ONE task), and the semi-join producing reps leaves monsters
+    * co-located both by doc_id-hash birthday odds and by AQE's
+    * small-partition coalescing. A head-of-scan spread was measured and
+    * rejected: the tokenize/fingerprint pass is ~1 s for the whole
+    * corpus (see dedup_exact in the stress run), so shuffling the full
+    * text column twice cost more than it saved. Output is
+    * placement-only: gated results stay byte-identical (every
+    * downstream op is key-grouped or explicitly ordered). */
+  private def maybeSpread(spark: SparkSession, docs: DataFrame): DataFrame =
+    if (!spark.conf.getOption("spark.graft.dedup.lengthAware").exists(_.toBoolean)) docs
+    else {
+      val parts = spark.sessionState.conf.numShufflePartitions
+      val thr = spark.conf.getOption("spark.graft.dedup.heavyChars")
+        .map(_.toLong).getOrElse(1000000L)
+      Skew.spreadByWeight(docs, "n_chars", "doc_id", parts, thr)
+    }
+
   def dedupPipeline(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val fp = docs.select(col("doc_id"),
@@ -260,7 +282,7 @@ object Dedup {
       Seq("doc_id"), "left_semi")
 
     // near-dup among representatives only
-    val sh = shingleSets(reps).cache()
+    val sh = shingleSets(maybeSpread(spark, reps)).cache()
     val bands = bandsOfSig(minhashSignaturesComposable(sh))
     val cand = bands.select(col("doc_id").as("da"), col("band"), col("bh"))
       .join(bands.select(col("doc_id").as("db"), col("band"), col("bh")), Seq("band", "bh"))
@@ -326,7 +348,7 @@ object Dedup {
     val reps = docs.join(
       withRep.filter(col("doc_id") === col("rep")).select(col("doc_id")),
       Seq("doc_id"), "left_semi")
-    val edges = ngramJaccardImpl(shingleSets(reps).cache(), maxDf = Some(maxDf),
+    val edges = ngramJaccardImpl(shingleSets(maybeSpread(spark, reps)).cache(), maxDf = Some(maxDf),
       logDropsAs = Some("dedup_clusters"))
       .select(col("da").as("src"), col("db").as("dst"))
     val comp = Graph.connectedComponents(

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.hash.Murmur3_x86_32
 
 /** Skew-mitigation utilities (SURVEY §4).
   *
@@ -32,6 +33,61 @@ object Skew {
     val saltedRight = right
       .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
     saltedLeft.join(saltedRight, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Doc-length-aware repartitioning for long-document corpora.
+    *
+    * Per-row work (tokenize, shingle-explode, minhash) runs inside ONE
+    * task per row, so wall-clock for a partition is the SUM of its rows'
+    * costs: k co-located 10 MB "monster" documents serialize k× even
+    * with idle cores. Hash repartitioning only spreads them in
+    * expectation (7 monsters over 32 partitions collide with p ≈ 0.5);
+    * `repartitionByRange` on length is actively wrong — it co-locates
+    * the whole heavy tail in the top range. This spreads heavy rows
+    * (weight ≥ `heavyThreshold`) round-robin over GUARANTEED-distinct
+    * shuffle partitions: rank heavy rows by weight desc, then assign
+    * rank r the precomputed probe key whose Murmur3 hash (the same
+    * hash+seed `repartition(n, col)` partitions by) lands in partition
+    * r mod `parts`. Light rows hash-distribute as usual. Output rows
+    * are identical — only physical placement changes.
+    *
+    * The heavy set is ranked through a single coalesced partition
+    * (id+weight columns only, never the payload), so `heavyThreshold`
+    * should keep it to the corpus's monster tail — the default 1 M chars
+    * is ~200× the sf corpora's mean doc. */
+  def spreadByWeight(df: DataFrame, weightCol: String, idCol: String,
+                     parts: Int, heavyThreshold: Long): DataFrame = {
+    val probe = probeKeys(parts)
+    val probeLit = array(probe.map(lit(_)): _*)
+    // rank heavy rows without an unpartitioned WindowExec (see
+    // Sampling.sampleN): the heavy subset is small by construction
+    val ranked = df.filter(col(weightCol) >= heavyThreshold)
+      .select(col(idCol), col(weightCol))
+      .coalesce(1).sortWithinPartitions(col(weightCol).desc, col(idCol))
+      .select(col(idCol), monotonically_increasing_id().as("__r"))
+    df.join(broadcast(ranked), Seq(idCol), "left")
+      .withColumn("__pk",
+        when(col("__r").isNotNull,
+          element_at(probeLit, pmod(col("__r"), lit(parts)).cast("int") + 1))
+          .otherwise(xxhash64(col(idCol))))
+      .repartition(parts, col("__pk"))
+      .drop("__r", "__pk")
+  }
+
+  /** For each target partition t < parts, a long whose Murmur3 hash
+    * (seed 42, Spark's HashPartitioning) lands in t. Coupon-collector
+    * search, ~parts·ln(parts) probes — microseconds for any sane count. */
+  private[operators] def probeKeys(parts: Int): Array[Long] = {
+    val keys = new Array[Long](parts)
+    val found = new Array[Boolean](parts)
+    var x = 0L
+    var remaining = parts
+    while (remaining > 0) {
+      val t = ((Murmur3_x86_32.hashLong(x, 42) % parts) + parts) % parts
+      if (!found(t)) { found(t) = true; keys(t) = x; remaining -= 1 }
+      x += 1
+    }
+    keys
   }
 
   /** When `logDropsAs` is set, the number of keys actually over the cap is

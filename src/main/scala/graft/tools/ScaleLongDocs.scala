@@ -58,16 +58,78 @@ object ScaleLongDocs {
     time("token_histogram 10MB docs")(TextAnalysis.tokenHistogram(spark, dir).count())
     time("chunk_windows 10MB docs")(TextAnalysis.chunkWindows(spark, dir).count())
     time("dedup_exact 10MB docs")(Dedup.exact(spark, dir).count())
-    time("dedup_pipeline 10MB docs")(Dedup.dedupPipeline(spark, dir).count())
-    val t0 = System.nanoTime()
-    val clusters = Dedup.dedupClusters(spark, dir)
-      .filter(col("doc_id") >= 100000L).collect().map(r => r.getLong(0) -> r.getLong(1))
-    println(f"[scale] dedup_clusters 10MB docs: ${(System.nanoTime() - t0) / 1e9}%.2f s  " +
-      s"monster clusters=${clusters.toSeq.sorted.mkString(",")}")
-    val ok = clusters.toMap == Map(
+
+    // pipeline + clusters with doc-length-aware spread OFF vs ON —
+    // placement-only change, so cluster assignments must be identical
+    def runPipes(tag: String): Map[Long, Long] = {
+      time(s"dedup_pipeline 10MB docs $tag")(Dedup.dedupPipeline(spark, dir).count())
+      val t0 = System.nanoTime()
+      val clusters = Dedup.dedupClusters(spark, dir)
+        .filter(col("doc_id") >= 100000L).collect().map(r => r.getLong(0) -> r.getLong(1))
+      println(f"[scale] dedup_clusters 10MB docs $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s  " +
+        s"monster clusters=${clusters.toSeq.sorted.mkString(",")}")
+      spark.catalog.clearCache()
+      clusters.toMap
+    }
+    val off = runPipes("[spread off]")
+    spark.conf.set("spark.graft.dedup.lengthAware", "true")
+    val on = runPipes("[spread on]")
+    spark.conf.set("spark.graft.dedup.lengthAware", "false")
+    val off2 = runPipes("[spread off 2nd]") // order-bias check: JIT-warm rerun
+
+    val want = Map(
       100000L -> 100000L, 100001L -> 100000L, 100002L -> 100002L,
       100003L -> 100002L, 100004L -> 100004L, 100005L -> 100004L, 100006L -> 100006L)
-    println(s"[scale] monster cluster assignment correct=$ok")
+    println(s"[scale] monster cluster assignment correct=${off == want} " +
+      s"spread-invariant=${on == off && off2 == off}")
+
+    // Scenario B: MANY heavy docs — 64 × 2 MB, pairwise shingle-disjoint.
+    // Here the per-row explode+minhash stage IS the pipeline, and the
+    // semi-join + AQE small-partition coalescing packs heavy rows into
+    // few tasks: the exact co-location failure a 100 TB long-doc corpus
+    // hits. Spread ON must beat OFF by spreading one monster per task.
+    val dirB = "target/tmp/longsfB"
+    if (!new java.io.File(s"$dirB/documents.parquet").exists()) {
+      def midText(vocab: Int): String = {
+        val rnd = new scala.util.Random(vocab)
+        val sb = new StringBuilder(3 << 20)
+        while (sb.length < (2 << 20)) sb.append(s"v${vocab}w${rnd.nextInt(5000)} ")
+        sb.toString
+      }
+      val many = (0 until 64).map(i => (200000L + i, midText(100 + i)))
+        .toDF("doc_id", "text")
+        .select(col("doc_id"), col("text"), lit("en").as("lang"),
+          lit("stress").as("source"), length(col("text")).cast("long").as("n_chars"))
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .unionByName(many)
+        .repartition(8).write.mode("overwrite").parquet(s"$dirB/documents.parquet")
+    }
+    def runB(tag: String): Long = {
+      var n = 0L
+      time(s"dedup_clusters 64x2MB $tag")({ n = Dedup.dedupClusters(spark, dirB).count(); n })
+      spark.catalog.clearCache()
+      n
+    }
+    runB("[warm-up]")
+    spark.conf.set("spark.graft.dedup.lengthAware", "false")
+    val nOff = runB("[spread off]")
+    spark.conf.set("spark.graft.dedup.lengthAware", "true")
+    val nOn = runB("[spread on]")
+    spark.conf.set("spark.graft.dedup.lengthAware", "false")
+    val nOff2 = runB("[spread off 2nd]")
+    println(s"[scale] scenario B rows equal across modes=${nOff == nOn && nOn == nOff2}")
+
+    // isolated explode stage (the operation the spread targets), free of
+    // the minhash shuffle / CC noise that dominates whole-pipeline time;
+    // alternated twice per mode so a JIT/ordering bias can't fake a win
+    val docsB = spark.read.parquet(s"$dirB/documents.parquet")
+    def shingleCount(df: org.apache.spark.sql.DataFrame): Long =
+      Dedup.shingleSets(df).groupBy(col("doc_id")).agg(count(lit(1))).count()
+    def spreadB = graft.operators.Skew.spreadByWeight(docsB, "n_chars", "doc_id", 32, 1000000L)
+    time("shingle stage [no spread] run1")(shingleCount(docsB))
+    time("shingle stage [spread]    run1")(shingleCount(spreadB))
+    time("shingle stage [no spread] run2")(shingleCount(docsB))
+    time("shingle stage [spread]    run2")(shingleCount(spreadB))
     spark.stop()
   }
 }

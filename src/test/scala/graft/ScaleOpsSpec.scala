@@ -22,6 +22,20 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(got.sortBy(_._2).map(_._1).toSeq == expected)
   }
 
+  test("spreadByWeight: heavy rows land in guaranteed-distinct partitions, rows unchanged") {
+    val df = ((1 to 500).map(i => (i.toLong, 100L)) ++
+      (900 to 906).map(i => (i.toLong, 5000000L))).toDF("doc_id", "n_chars")
+    val out = Skew.spreadByWeight(df, "n_chars", "doc_id", 32, 1000000L)
+    assert(out.as[(Long, Long)].collect().toSet ==
+      df.as[(Long, Long)].collect().toSet) // placement-only: rows identical
+    // the 7 heavy rows occupy 7 DISTINCT partitions — hash placement
+    // would collide with probability ~0.5 here, so this catches any
+    // regression to expected-case spreading
+    val pids = out.withColumn("pid", org.apache.spark.sql.functions.spark_partition_id())
+      .filter(col("n_chars") >= 1000000L).select("pid").as[Int].collect()
+    assert(pids.length == 7 && pids.distinct.length == 7, s"heavy rows co-located: ${pids.toSeq}")
+  }
+
   test("connected components: diameter-200 chain converges via pointer jumping") {
     // path graph 0-1-2-...-200: plain min-label propagation needs 200
     // rounds; pointer jumping must land it well inside the default 20
