@@ -807,8 +807,20 @@ object Analytics {
       .select(col("user_id"), col("event_type"), expr("ts div 1000").as("us"))
     val entered = ev.filter(col("event_type") === "click")
       .groupBy(col("user_id")).agg(min(col("us")).as("a_us"))
-    val converted = ev.filter(col("event_type") === "purchase")
-      .join(entered, Seq("user_id"))
+    // The purchases⋈entered equi-join carries the corpus's user skew: a
+    // hot user (bot traffic) puts its whole event history in ONE reducer.
+    // `spark.graft.skew.funnelSalts` > 1 routes it through
+    // Skew.saltedEquiJoin — identical row multiset, hot key spread over
+    // `salts` reducers — for skew AQE can't fix (it splits sort-merge
+    // partitions, but not when the join feeds a same-key aggregate that
+    // reuses the exchange, and not under broadcast-hash plans).
+    val purchases = ev.filter(col("event_type") === "purchase")
+    val salts = spark.conf.getOption("spark.graft.skew.funnelSalts")
+      .map(_.toInt).getOrElse(0)
+    val joined =
+      if (salts > 1) Skew.saltedEquiJoin(purchases, entered, "user_id", salts)
+      else purchases.join(entered, Seq("user_id"))
+    val converted = joined
       .filter(col("us") > col("a_us"))
       .groupBy(col("user_id")).agg(min(col("us")).as("b_us"))
     val within = count(when(col("b_us") - col("a_us") <= 3600000000L, 1))
