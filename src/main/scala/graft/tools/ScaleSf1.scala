@@ -1,0 +1,94 @@
+package graft.tools
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Analytics, Dedup, TextAnalysis}
+
+/** One decade of scale for the headliners: synthesize sf1 (10×) from
+  * sf0.1 and time q1/q3/q5/q9, dedup_pipeline, minhash_lsh, tfidf and
+  * token_histogram against both, recording whether the AQE-decided join
+  * strategies flip the way the operator comments claim (bounded dims
+  * stay broadcast, fact⋈fact stays a shuffle join).
+  *
+  * Replication is FK-consistent: every scaled table's keys map
+  * k → k·10+rep, so orders still join customers, lineitem still joins
+  * orders/part/supplier, and per-key fanouts match the original. nation
+  * and region stay fixed (they are bounded in TPC-H too). documents
+  * replicate with a per-rep suffix on EVERY token: within one rep the
+  * planted near-dup structure is preserved exactly; across reps no
+  * 3-shingle is shared, so pair volume scales linearly like a real
+  * corpus — plain row replication would instead create a 10×-duplicate
+  * corpus whose PAIRWISE outputs grow quadratically (that regime is
+  * ScaleDedup's job).
+  */
+object ScaleSf1 {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val src = "/root/testdata/sf0.1"
+    val dir = "target/tmp/sf1"
+    def rep = explode(sequence(lit(0), lit(9)))
+    def scaled(k: org.apache.spark.sql.Column) = k * 10 + col("__rep")
+
+    if (!new java.io.File(s"$dir/lineitem.parquet").exists()) {
+      new java.io.File(dir).mkdirs()
+      def build(name: String, keyCols: Seq[String])(extra: DataFrame => DataFrame = identity): Unit = {
+        val base = spark.read.parquet(s"$src/$name.parquet").withColumn("__rep", rep)
+        val remapped = keyCols.foldLeft(base)((df, k) => df.withColumn(k, scaled(col(k))))
+        extra(remapped).drop("__rep")
+          .repartition(32).write.mode("overwrite").parquet(s"$dir/$name.parquet")
+      }
+      build("customer", Seq("c_custkey"))()
+      build("supplier", Seq("s_suppkey"))()
+      build("part",     Seq("p_partkey"))()
+      build("orders",   Seq("o_orderkey", "o_custkey"))()
+      build("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))()
+      build("documents", Seq("doc_id")) { df =>
+        df.withColumn("text",
+            concat_ws(" ", transform(graft.functions.TextFns.tokens(col("text")),
+              t => concat(t, lit("_r"), col("__rep")))))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      }
+      Seq("nation", "region").foreach { t =>
+        spark.read.parquet(s"$src/$t.parquet")
+          .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+      }
+    }
+
+    val headliners: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "q1_pricing_summary"  -> (Analytics.q1PricingSummary _),
+      "q3_shipping_priority"-> (Analytics.q3ShippingPriority _),
+      "q5_local_supplier"   -> (Analytics.q5LocalSupplier _),
+      "q9_profit_by_nation" -> (Analytics.q9ProfitByNation _),
+      "dedup_pipeline"      -> (Dedup.dedupPipeline _),
+      "dedup_minhash_lsh"   -> (Dedup.minhashLsh _),
+      "text_tfidf_topterms" -> (TextAnalysis.tfidfTopTerms _),
+      "text_token_histogram"-> (TextAnalysis.tokenHistogram _))
+
+    def bhjCount(df: DataFrame): Int =
+      "BroadcastHashJoin".r.findAllIn(df.queryExecution.executedPlan.toString).length
+    def smjCount(df: DataFrame): Int =
+      "SortMergeJoin".r.findAllIn(df.queryExecution.executedPlan.toString).length
+
+    Seq(src -> "sf0.1", dir -> "sf1").foreach { case (d, tag) =>
+      // warm pass absorbs codegen so per-query numbers compare cleanly
+      headliners.foreach { case (_, fn) =>
+        try fn(spark, d).count() catch { case _: Throwable => () }
+      }
+      spark.catalog.clearCache()
+      headliners.foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val q = fn(spark, d)
+        val n = q.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[sf1] $tag $name%-22s $sec%8.2f s  rows=$n  bhj=${bhjCount(q)} smj=${smjCount(q)}")
+        spark.catalog.clearCache()
+      }
+    }
+    spark.stop()
+  }
+}
