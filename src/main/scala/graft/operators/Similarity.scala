@@ -168,13 +168,18 @@ object Similarity {
   // ---- 3. IVF-style ANN ------------------------------------------------
   // Coarse centroids = per-label mean vector (the label column is the
   // pre-computed coarse assignment); probe the 2 nearest centroids, exact
-  // top-k within the probed cells. Deterministic, rows-only gate; the
-  // spec measures recall vs brute force.
+  // top-k within the probed cells. Centroid means are exact-decimal
+  // (aggregation-order-independent) and every comparison key rounds to 6
+  // decimals, so the whole operator is deterministic AND SQL-expressible
+  // — full DuckDB oracle since round 4 (was rows-only); the recall spec
+  // vs brute force still guards the ANN quality itself.
   def topkIvf(spark: SparkSession, dir: String): DataFrame = {
     val all = emb(spark, dir).cache()
     val centroids = all
       .select(col("label"), posexplode(col("vec")).as(Seq("pos", "v")))
-      .groupBy(col("label"), col("pos")).agg(avg(col("v")).as("c"))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(col("v").cast("decimal(28,12)")) / count(lit(1)))
+        .cast("double").as("c"))
       .groupBy(col("label"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
         s => s.getField("c")).as("cvec"))
@@ -198,6 +203,46 @@ object Similarity {
       .filter(col("rn") <= K)
       .orderBy(col("qid"), col("rn"))
   }
+
+  /** Exact twin of [[topkIvf]]. Vectors normalize the same way (divide
+    * by the l2 norm), centroids are the same DECIMAL(28,12)-exact
+    * per-position means of normalized vectors, probe selection and the
+    * final ranking round cosines to 6 decimals with the same
+    * tie-breaks. Pair scores come from raw-embedding cosine, which the
+    * brute-force oracle already proves equals dot-of-normalized. */
+  val topkIvfOracle: String = s"""
+    WITH nv AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS raw,
+        sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+      FROM embeddings),
+    unit AS (SELECT vec_id, label, list_transform(raw, x -> x / nrm) AS vec FROM nv),
+    cexp AS (SELECT label, unnest(range(len(vec))) AS pos, unnest(vec) AS v
+             FROM unit),
+    cpos AS (SELECT label, pos,
+               CAST(sum(CAST(v AS DECIMAL(28,12))) / count(*) AS DOUBLE) AS c
+             FROM cexp GROUP BY label, pos),
+    cvecs AS (SELECT label AS clabel, list(c ORDER BY pos) AS cvec
+              FROM cpos GROUP BY label),
+    qs AS (SELECT vec_id AS qid, vec AS qvec FROM unit WHERE vec_id < $NQueries),
+    pr AS (
+      SELECT qid, clabel FROM (
+        SELECT qid, clabel,
+          CAST(row_number() OVER (PARTITION BY qid
+            ORDER BY round(list_cosine_similarity(qvec, cvec), 6) DESC, clabel) AS INT) AS prn
+        FROM qs CROSS JOIN cvecs)
+      WHERE prn <= 2),
+    sc AS (
+      SELECT p.qid, c.vec_id AS nid,
+        round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                     CAST(c.embedding AS DOUBLE[])), 6) AS cos
+      FROM pr p
+      JOIN embeddings q ON q.vec_id = p.qid
+      JOIN embeddings c ON c.label = p.clabel AND c.vec_id <> p.qid)
+    SELECT qid, nid, cos,
+      CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INT) AS rn
+    FROM sc
+    QUALIFY rn <= $K
+    ORDER BY qid, rn"""
 
   // ---- 3b. k-means-trained IVF ----------------------------------------
   // Lloyd's iterations as DataFrame loops (assign = broadcast-centroid
@@ -370,5 +415,6 @@ object Similarity {
 
   val oracle: Map[String, String] = Map(
     "sim_topk_bruteforce" -> topkBruteforceOracle,
+    "sim_topk_ivf"        -> topkIvfOracle,
     "dedup_embedding"     -> nearDupPairsOracle)
 }

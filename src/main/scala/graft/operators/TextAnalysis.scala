@@ -272,21 +272,37 @@ object TextAnalysis {
     SELECT doc_id, t AS term, tfidf, rk FROM ranked WHERE rk <= 3
     ORDER BY doc_id, rk"""
 
-  // ---- 6. heavy-hitters sketch (round 3) ------------------------------
-  // The 100 TB shape of the token histogram: the exact version shuffles
-  // every distinct token; the Misra-Gries TypedImperativeAggregate
-  // ([[graft.functions.MisraGriesTopK]]) keeps a bounded 256-entry
-  // summary per partition and merges map-side — estimates within
-  // n/256 of truth, all true heavy hitters retained. Counts depend on
-  // partition merge order → rows-only gate + error-bound spec.
-  def heavyHitters(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  // ---- 6. heavy-hitters sketch (round 3; exact 2-pass round 4) --------
+  // The 100 TB shape of the token histogram: the exact histogram
+  // shuffles every distinct token; this instead runs Misra-Gries
+  // ([[graft.functions.MisraGriesTopK]], bounded 256-entry state,
+  // map-side merge) to find CANDIDATES, then an exact second pass counts
+  // only rows matching the ≤256 candidate tokens (left-semi against a
+  // broadcast candidate list — the recount shuffle carries ≤256 keys).
+  // MG guarantees every token with frequency > n/256 survives pass 1, so
+  // the top-20-by-exact-count equals the full histogram's top-20
+  // whenever the 20th hitter clears n/256 — true by orders of magnitude
+  // on natural-language corpora. The classic sketch-then-verify shape,
+  // now deterministic (exact counts, not merge-order-dependent
+  // estimates) and oracle-gated against the exact histogram.
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
       .select(explode(TextFns.tokens(col("text"))).as("token"))
+    val candidates = toks
       .agg(graft.functions.MisraGriesTopK.of(col("token"), 256).as("hh"))
       .select(explode(col("hh")).as("e"))
-      .select(col("e.token").as("token"), col("e.est").as("est"))
-      .orderBy(col("est").desc, col("token"))
+      .select(col("e.token").as("token"))
+    toks.join(broadcast(candidates), Seq("token"), "left_semi")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
       .limit(20)
+  }
+
+  /** The exact histogram IS the oracle: pass-1 candidate recall (every
+    * true top-20 token survives MG-256) makes the 2-pass result equal
+    * the one-pass exact answer. */
+  val heavyHittersOracle: String = tokenHistogramOracle
 
   // ---- registry -------------------------------------------------------
 
@@ -302,6 +318,7 @@ object TextAnalysis {
     "text_token_histogram" -> (tokenHistogram _))
 
   val oracle: Map[String, String] = Map(
+    "text_heavy_hitters"   -> heavyHittersOracle,
     "text_tfidf_topterms"  -> tfidfOracle,
     "text_lang_id"         -> langIdOracle,
     "text_quality"         -> qualityOracle,
