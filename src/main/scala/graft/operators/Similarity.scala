@@ -317,6 +317,82 @@ object Similarity {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** SQL twin of [[kmeansCentroids]]: Lloyd's iterations UNROLLED as
+    * chained CTE blocks. Possible only because the Spark side was built
+    * deterministic from the start — portable md5-hash-order seeding,
+    * round-6 cosine assignment with cid tie-break, DECIMAL(28,12)-exact
+    * per-position means, empty cells keeping their previous centroid —
+    * so each unrolled round is a pure function both engines compute
+    * identically. Produces CTEs `cent0` (seeds) .. `cent$iters` (final);
+    * expects a CTE `unit(vec_id, vec)` with unit-normalized vectors. */
+  private def kmeansSqlCtes(k: Int, iters: Int): String = {
+    val blocks = (0 until iters).map { n =>
+      s"""
+    a$n AS (
+      SELECT vec_id, vec, cid FROM (
+        SELECT u.vec_id, u.vec, c.cid,
+          CAST(row_number() OVER (PARTITION BY u.vec_id
+            ORDER BY round(list_cosine_similarity(u.vec, c.cvec), 6) DESC, c.cid) AS INT) AS rn
+        FROM unit u CROSS JOIN cent$n c)
+      WHERE rn = 1),
+    u$n AS (
+      SELECT cid, pos, CAST(sum(CAST(v AS DECIMAL(28,12))) / count(*) AS DOUBLE) AS c
+      FROM (SELECT cid, unnest(range(len(vec))) AS pos, unnest(vec) AS v FROM a$n)
+      GROUP BY cid, pos),
+    v$n AS (SELECT cid, list(c ORDER BY pos) AS cvec FROM u$n GROUP BY cid),
+    cent${n + 1} AS (
+      SELECT p.cid, coalesce(v.cvec, p.cvec) AS cvec
+      FROM cent$n p LEFT JOIN v$n v USING (cid))"""
+    }
+    s"""
+    cent0 AS (
+      SELECT cid, cvec FROM (
+        SELECT CAST(row_number() OVER (
+            ORDER BY md5(concat('km:', CAST(vec_id AS VARCHAR))), vec_id) AS INT) AS cid,
+          vec AS cvec
+        FROM unit)
+      WHERE cid <= $k)""" + blocks.mkString(",", ",", "")
+  }
+
+  /** Exact twin of [[topkIvfTrained]]: k-means(k=10, 3 iterations) in
+    * SQL via [[kmeansSqlCtes]], then the same cell assignment, 2-cell
+    * probe and in-cell exact top-k as [[topkIvfOracle]]. */
+  val topkIvfTrainedOracle: String = s"""
+    WITH nv AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw,
+        sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+      FROM embeddings),
+    unit AS (SELECT vec_id, list_transform(raw, x -> x / nrm) AS vec FROM nv),
+    ${kmeansSqlCtes(k = 10, iters = 3)},
+    cells AS (
+      SELECT vec_id, vec, cid FROM (
+        SELECT u.vec_id, u.vec, c.cid,
+          CAST(row_number() OVER (PARTITION BY u.vec_id
+            ORDER BY round(list_cosine_similarity(u.vec, c.cvec), 6) DESC, c.cid) AS INT) AS rn
+        FROM unit u CROSS JOIN cent3 c)
+      WHERE rn = 1),
+    pr AS (
+      SELECT qid, cid FROM (
+        SELECT q.vec_id AS qid, c.cid,
+          CAST(row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY round(list_cosine_similarity(q.vec, c.cvec), 6) DESC, c.cid) AS INT) AS prn
+        FROM (SELECT vec_id, vec FROM cells WHERE vec_id < $NQueries) q
+        CROSS JOIN cent3 c)
+      WHERE prn <= 2),
+    sc AS (
+      SELECT p.qid, m.vec_id AS nid,
+        round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                     CAST(c.embedding AS DOUBLE[])), 6) AS cos
+      FROM pr p
+      JOIN cells m ON m.cid = p.cid AND m.vec_id <> p.qid
+      JOIN embeddings q ON q.vec_id = p.qid
+      JOIN embeddings c ON c.vec_id = m.vec_id)
+    SELECT qid, nid, cos,
+      CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INT) AS rn
+    FROM sc
+    QUALIFY rn <= $K
+    ORDER BY qid, rn"""
+
   // ---- 3c. SemDeDup-style semantic dedup ------------------------------
   // The embedding-space analog of dedupPipeline (Abbas et al. 2023,
   // "SemDeDup", arXiv:2303.09540 — public paper): cluster the corpus
@@ -324,9 +400,10 @@ object Similarity {
   // the cosine threshold to their min-id representative via connected
   // components. Quadratic work is bounded by cell size (~n/k); exact
   // duplicates collapse before clustering so a duplicated corpus can't
-  // put k² identical rows in one cell. Not SQL-expressible (k-means) →
-  // rows-only gate + spec proving crafted dup/near-dup/distinct
-  // structure collapses exactly.
+  // put k² identical rows in one cell. Fully oracle-gated since round 4
+  // ([[dedupSemanticOracle]]: unrolled-k-means CTEs + recursive-CTE
+  // connected components); the crafted dup/near-dup/distinct spec stays
+  // as the semantic guard.
   def semanticCollapse(vecs: DataFrame, k: Int, iters: Int,
                        threshold: Double): DataFrame = {
     // exact-value grouping (not xxhash64(vec)): a 64-bit collision
@@ -361,6 +438,48 @@ object Similarity {
 
   def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
     semanticCollapse(emb(spark, dir), k = 10, iters = 3, threshold = 0.95)
+
+  /** Exact twin of [[dedupSemantic]]: exact-value collapse of duplicate
+    * (normalized) vectors to their min-id rep, k-means over reps via
+    * [[kmeansSqlCtes]], within-cell pairs at round-6 cosine ≥ 0.95, and
+    * min-reachable components via the same recursive-CTE closure the
+    * dedup_clusters oracle uses. Value-grouping is engine-local, so
+    * each engine only needs self-consistent float normalization. */
+  val dedupSemanticOracle: String = s"""
+    WITH RECURSIVE nv AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw,
+        sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+      FROM embeddings),
+    unitall AS (SELECT vec_id, list_transform(raw, x -> x / nrm) AS vec FROM nv),
+    g AS (SELECT vec, min(vec_id) AS base_id, list(vec_id) AS members
+          FROM unitall GROUP BY vec),
+    unit AS (SELECT base_id AS vec_id, vec FROM g),
+    ${kmeansSqlCtes(k = 10, iters = 3)},
+    cells AS (
+      SELECT vec_id, vec, cid FROM (
+        SELECT u.vec_id, u.vec, c.cid,
+          CAST(row_number() OVER (PARTITION BY u.vec_id
+            ORDER BY round(list_cosine_similarity(u.vec, c.cvec), 6) DESC, c.cid) AS INT) AS rn
+        FROM unit u CROSS JOIN cent3 c)
+      WHERE rn = 1),
+    prs AS (
+      SELECT a.vec_id AS da, b.vec_id AS db
+      FROM cells a JOIN cells b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.vec, b.vec), 6) >= 0.95),
+    e2 AS (SELECT da AS a, db AS b FROM prs UNION ALL SELECT db, da FROM prs),
+    reach(a, b) AS (
+      SELECT a, b FROM e2
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN e2 e ON r.b = e.a),
+    mr AS (SELECT a, min(b) AS mb FROM reach GROUP BY a),
+    comp AS (
+      SELECT u.vec_id AS base_id,
+        least(u.vec_id, coalesce(mr.mb, u.vec_id)) AS semantic_rep
+      FROM unit u LEFT JOIN mr ON mr.a = u.vec_id)
+    SELECT m.vec_id, c.semantic_rep
+    FROM (SELECT unnest(members) AS vec_id, base_id FROM g) m
+    JOIN comp c USING (base_id)
+    ORDER BY m.vec_id"""
 
   // ---- 4. random-hyperplane LSH ANN -----------------------------------
   // 8 pseudo-random ±1 hyperplanes (deterministic from xxhash64(j,i)) →
@@ -416,5 +535,7 @@ object Similarity {
   val oracle: Map[String, String] = Map(
     "sim_topk_bruteforce" -> topkBruteforceOracle,
     "sim_topk_ivf"        -> topkIvfOracle,
+    "sim_topk_ivf_trained" -> topkIvfTrainedOracle,
+    "dedup_semantic"      -> dedupSemanticOracle,
     "dedup_embedding"     -> nearDupPairsOracle)
 }
