@@ -482,9 +482,10 @@ object Similarity {
     ORDER BY m.vec_id"""
 
   // ---- 4. random-hyperplane LSH ANN -----------------------------------
-  // 8 pseudo-random ±1 hyperplanes (deterministic from xxhash64(j,i)) →
-  // 8-bit sign bucket per vector; multi-probe (bucket + 8 single-bit
-  // flips) then exact top-k within candidates.
+  // 8 pseudo-random ±1 hyperplanes (deterministic from an md5 of
+  // (table, plane, dim) — portable across engines, so the bucketing is
+  // oracle-checkable) → 8-bit sign bucket per vector; multi-probe
+  // (bucket + 8 single-bit flips) then exact top-k within candidates.
   private val NPlanes = 8
 
   /** Sign-bit bucket of a double-vector column; `table` selects an
@@ -495,7 +496,12 @@ object Similarity {
     (0 until planes).map { j =>
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x * (pmod(xxhash64(lit(table * 1024 + j), i), lit(2)) * 2 - 1).cast("double")),
+          // plane sign from md5 (portable to the DuckDB oracle, like the
+          // simhash token hash) — first hex nibble's low bit of
+          // md5("lsh:<table·1024+j>:<dim>") picks ±1
+          (x, i) => x * (conv(substring(md5(
+            concat(lit(s"lsh:${table * 1024 + j}:"), i.cast("string"))), 1, 1), 16, 10)
+            .cast("int") % 2 * 2 - 1).cast("double")),
         lit(0.0), (acc, x) => acc + x)
       when(proj > 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
@@ -521,6 +527,45 @@ object Similarity {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** Exact twin of [[topkLsh]]: the md5-derived plane signs make the
+    * 8-bit sign bucket, the query-side single-bit multi-probe, and the
+    * in-bucket exact top-k all SQL-expressible. DuckDB lambda indices
+    * are 1-based, hence `i - 1` in the sign hash. */
+  val topkLshOracle: String = {
+    def planeSql(table: Int, j: Int): String =
+      s"""list_sum(list_transform(vec, (x, i) -> x *
+         (CAST(concat('0x', substr(md5(concat('lsh:${table * 1024 + j}:',
+            CAST(i - 1 AS VARCHAR))), 1, 1)) AS INT) % 2 * 2 - 1)))"""
+    val bucketSql = (0 until NPlanes)
+      .map(j => s"(CASE WHEN ${planeSql(0, j)} > 0 THEN ${1 << j} ELSE 0 END)")
+      .mkString(" + ")
+    val flips = (0 +: (0 until NPlanes).map(1 << _)).mkString("[", ", ", "]")
+    s"""
+    WITH nv AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw,
+        sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+      FROM embeddings),
+    unit AS (SELECT vec_id, list_transform(raw, x -> x / nrm) AS vec FROM nv),
+    b AS (SELECT vec_id, $bucketSql AS bucket FROM unit),
+    probes AS (
+      SELECT qid, xor(bucket, f) AS bucket FROM
+        (SELECT vec_id AS qid, bucket FROM b WHERE vec_id < $NQueries),
+        (SELECT unnest($flips) AS f)),
+    sc AS (
+      SELECT DISTINCT p.qid, m.vec_id AS nid,
+        round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                     CAST(c.embedding AS DOUBLE[])), 6) AS cos
+      FROM probes p
+      JOIN b m ON m.bucket = p.bucket AND m.vec_id <> p.qid
+      JOIN embeddings q ON q.vec_id = p.qid
+      JOIN embeddings c ON c.vec_id = m.vec_id)
+    SELECT qid, nid, cos,
+      CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INT) AS rn
+    FROM sc
+    QUALIFY rn <= $K
+    ORDER BY qid, rn"""
+  }
+
   // ---- registry -------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -536,6 +581,7 @@ object Similarity {
     "sim_topk_bruteforce" -> topkBruteforceOracle,
     "sim_topk_ivf"        -> topkIvfOracle,
     "sim_topk_ivf_trained" -> topkIvfTrainedOracle,
+    "sim_topk_lsh"        -> topkLshOracle,
     "dedup_semantic"      -> dedupSemanticOracle,
     "dedup_embedding"     -> nearDupPairsOracle)
 }
