@@ -531,14 +531,19 @@ object Similarity {
     * 8-bit sign bucket, the query-side single-bit multi-probe, and the
     * in-bucket exact top-k all SQL-expressible. DuckDB lambda indices
     * are 1-based, hence `i - 1` in the sign hash. */
-  val topkLshOracle: String = {
-    def planeSql(table: Int, j: Int): String =
+  /** DuckDB twin of [[lshBucket]] over a `vec` column (1-based lambda
+    * index, hence `i - 1` inside the sign hash). */
+  private def bucketSql(table: Int, planes: Int = NPlanes): String = {
+    def planeSql(j: Int): String =
       s"""list_sum(list_transform(vec, (x, i) -> x *
          (CAST(concat('0x', substr(md5(concat('lsh:${table * 1024 + j}:',
             CAST(i - 1 AS VARCHAR))), 1, 1)) AS INT) % 2 * 2 - 1)))"""
-    val bucketSql = (0 until NPlanes)
-      .map(j => s"(CASE WHEN ${planeSql(0, j)} > 0 THEN ${1 << j} ELSE 0 END)")
+    (0 until planes)
+      .map(j => s"(CASE WHEN ${planeSql(j)} > 0 THEN ${1 << j} ELSE 0 END)")
       .mkString(" + ")
+  }
+
+  val topkLshOracle: String = {
     val flips = (0 +: (0 until NPlanes).map(1 << _)).mkString("[", ", ", "]")
     s"""
     WITH nv AS (
@@ -546,7 +551,7 @@ object Similarity {
         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
       FROM embeddings),
     unit AS (SELECT vec_id, list_transform(raw, x -> x / nrm) AS vec FROM nv),
-    b AS (SELECT vec_id, $bucketSql AS bucket FROM unit),
+    b AS (SELECT vec_id, ${bucketSql(0)} AS bucket FROM unit),
     probes AS (
       SELECT qid, xor(bucket, f) AS bucket FROM
         (SELECT vec_id AS qid, bucket FROM b WHERE vec_id < $NQueries),
@@ -566,6 +571,47 @@ object Similarity {
     ORDER BY qid, rn"""
   }
 
+  /** Exact twin of [[nearDupPairsLsh]]: exact-value collapse to min-id
+    * reps, two independent md5-plane hash tables with own-bucket
+    * candidate joins, exact-dup pairs from the first 22 members of each
+    * duplicate group at cosine 1.0, union, global top-20. The plane
+    * count is hardcoded to 8, which equals the Spark side's
+    * corpus-sized max(8, ceil(log2(n/64))) for every n ≤ 16384 — far
+    * above the oracle SFs; beyond that the Spark side grows the bucket
+    * space and this oracle would need regenerating. */
+  val nearDupPairsLshOracle: String = s"""
+    WITH nv AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw,
+        sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+      FROM embeddings),
+    unitall AS (SELECT vec_id, list_transform(raw, x -> x / nrm) AS vec FROM nv),
+    g AS (SELECT vec, list(vec_id ORDER BY vec_id) AS members
+          FROM unitall GROUP BY vec),
+    base AS (SELECT members[1] AS vec_id, vec FROM g),
+    exactp AS (
+      SELECT p.da, p.db, 1.0 AS cos
+      FROM (SELECT unnest(flatten(list_transform(m, (x, i) ->
+              list_transform(m[i + 1:], y -> struct_pack(da := x, db := y))))) AS p
+            FROM (SELECT members[1:22] AS m FROM g WHERE len(members) > 1))),
+    bt AS (SELECT vec_id, ${bucketSql(0)} AS b0, ${bucketSql(1)} AS b1 FROM base),
+    cand AS (
+      SELECT a.vec_id AS da, b.vec_id AS db
+      FROM bt a JOIN bt b ON a.b0 = b.b0 AND a.vec_id < b.vec_id
+      UNION
+      SELECT a.vec_id, b.vec_id
+      FROM bt a JOIN bt b ON a.b1 = b.b1 AND a.vec_id < b.vec_id),
+    np AS (
+      SELECT c.da, c.db,
+        round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                     CAST(eb.embedding AS DOUBLE[])), 6) AS cos
+      FROM cand c
+      JOIN embeddings ea ON ea.vec_id = c.da
+      JOIN embeddings eb ON eb.vec_id = c.db)
+    SELECT da, db, cos FROM (
+      SELECT * FROM np UNION ALL SELECT * FROM exactp)
+    ORDER BY cos DESC, da, db
+    LIMIT 20"""
+
   // ---- registry -------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -583,5 +629,6 @@ object Similarity {
     "sim_topk_ivf_trained" -> topkIvfTrainedOracle,
     "sim_topk_lsh"        -> topkLshOracle,
     "dedup_semantic"      -> dedupSemanticOracle,
-    "dedup_embedding"     -> nearDupPairsOracle)
+    "dedup_embedding"     -> nearDupPairsOracle,
+    "dedup_embedding_lsh" -> nearDupPairsLshOracle)
 }
