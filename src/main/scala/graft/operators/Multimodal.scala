@@ -105,7 +105,7 @@ object Multimodal {
           }
           val n = 3L * w * h
           val mean = if (n == 0) 0.0 else sum.toDouble / n
-          Some((w, h, math.rint(mean * 10000) / 10000, hist))
+          Some((w, h, math.floor(mean * 10000 + 0.5) / 10000, hist))
         }
       } catch { case scala.util.control.NonFatal(_) => None }
   }
@@ -122,7 +122,9 @@ object Multimodal {
       var sum = 0L
       payload.foreach { b => val u = b & 0xFF; hist(u >> 5) += 1; sum += u }
       val mean = if (payload.isEmpty) 0.0 else sum.toDouble / payload.length
-      (w, h, math.rint(mean * 10000) / 10000, hist)
+      // half-away-from-zero (not rint's half-to-even): matches DuckDB
+      // round semantics so the fake path is oracle-expressible
+      (w, h, math.floor(mean * 10000 + 0.5) / 10000, hist)
     }
   }
 
@@ -158,12 +160,39 @@ object Multimodal {
 
   // ---- registry -------------------------------------------------------
 
+  /** Exact twin of the GATED decode entry: text payloads never parse as
+    * images (ImageIO declines), so every gated row takes the
+    * deterministic fake path, which is byte arithmetic — expressible in
+    * SQL because the test corpus is pure ASCII (code point == UTF-8
+    * byte, verified at both oracle SFs). Real image corpora keep the
+    * rows-only treatment: their features depend on codec output. */
+  val decodeFeaturesOracle: String = """
+    WITH bytes AS (
+      SELECT doc_id, ascii(substr(text, CAST(i AS INT) + 1, 1)) AS b
+      FROM (SELECT doc_id, text, unnest(range(strlen(text))) AS i FROM documents)),
+    agg AS (SELECT doc_id, count(*) AS n, sum(b) AS s FROM bytes GROUP BY doc_id),
+    hcnt AS (SELECT doc_id, b // 32 AS k, count(*) AS c FROM bytes GROUP BY 1, 2),
+    grid AS (SELECT doc_id, k FROM (SELECT doc_id FROM documents), range(8) r(k)),
+    hcsv AS (
+      SELECT g.doc_id,
+        string_agg(CAST(coalesce(h.c, 0) AS VARCHAR), ',' ORDER BY g.k) AS hist_csv
+      FROM grid g LEFT JOIN hcnt h ON h.doc_id = g.doc_id AND h.k = g.k
+      GROUP BY g.doc_id)
+    SELECT d.doc_id,
+      16 + (ascii(substr(d.text, 1, 1)) & 15) AS width,
+      16 + (ascii(substr(d.text, 2, 1)) & 15) AS height,
+      floor((CAST(a.s AS DOUBLE) / a.n) * 10000 + 0.5) / 10000 AS mean_byte,
+      hcsv.hist_csv
+    FROM documents d JOIN agg a USING (doc_id) JOIN hcsv USING (doc_id)
+    ORDER BY d.doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta"     -> (binaryMeta _),
     "mm_chunk_sample"    -> (chunkSample _),
     "mm_decode_features" -> (decodeFeatures _))
 
   val oracle: Map[String, String] = Map(
-    "mm_binary_meta"  -> binaryMetaOracle,
-    "mm_chunk_sample" -> chunkSampleOracle)
+    "mm_binary_meta"     -> binaryMetaOracle,
+    "mm_chunk_sample"    -> chunkSampleOracle,
+    "mm_decode_features" -> decodeFeaturesOracle)
 }
