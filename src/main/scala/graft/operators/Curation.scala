@@ -84,11 +84,72 @@ object Curation {
     GROUP BY sh.doc_id
     ORDER BY sh.doc_id"""
 
+  // ---- sequence packing (round 4) --------------------------------------
+  // GPT-style concat-and-chunk: the corpus token stream in doc_id order
+  // is cut into fixed BlockTokens-token training blocks; each doc maps
+  // to the [first_block, last_block] span its tokens land in. The core
+  // is a global prefix sum over doc order — which Spark's window API
+  // would plan as ONE unpartitioned WindowExec (every row through a
+  // single task: the classic 100 TB straggler). Instead, a distributed
+  // prefix sum: range-partition by doc_id, per-partition local cumsums
+  // in one mapPartitions pass, per-partition subtotals (one tiny row
+  // each) collected and turned into broadcast offsets, global cumsum =
+  // offset(partition) + local cumsum. The only driver traffic is
+  // numPartitions subtotal rows.
+  private val BlockTokens = 1024L
+
+  final case class TokRow(doc_id: Long, n: Long)
+  final case class CumRow(doc_id: Long, n: Long, pid: Int, localCum: Long)
+
+  /** (doc_id, n_tokens, first_block, last_block) per non-empty doc. */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val counts = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(TextFns.tokens(col("text"))).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .repartitionByRange(parts, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .as[TokRow]
+    val local = counts.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var cum = 0L
+      it.map { r => cum += r.n; CumRow(r.doc_id, r.n, pid, cum) }
+    }.cache() // feeds the subtotal action AND the final join (Verify/Bench clear it)
+    val subtotals = local.groupBy(col("pid")).agg(max(col("localCum")).as("sub"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = {
+      var acc = 0L
+      (0 until parts).map { p => val o = acc; acc += subtotals.getOrElse(p, 0L); (p, o) }
+    }
+    val offDf = offsets.toDF("pid", "offset")
+    local.join(broadcast(offDf), Seq("pid"))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        expr(s"(offset + localCum - n) div $BlockTokens").as("first_block"),
+        expr(s"(offset + localCum - 1) div $BlockTokens").as("last_block"))
+      .orderBy(col("doc_id"))
+  }
+
+  val packSequencesOracle: String = s"""
+    WITH t AS (SELECT doc_id, len($tokensSql) AS n FROM documents),
+    f AS (SELECT doc_id, n FROM t WHERE n > 0),
+    c AS (SELECT doc_id, n,
+            CAST(sum(n) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+          FROM f)
+    SELECT doc_id, n AS n_tokens,
+      (cum - n) // $BlockTokens AS first_block,
+      (cum - 1) // $BlockTokens AS last_block
+    FROM c
+    ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curation_stratified_mix" -> (stratifiedMix _),
-    "curation_contamination"  -> (contamination _))
+    "curation_contamination"  -> (contamination _),
+    "curation_pack_sequences" -> (packSequences _))
 
   val oracle: Map[String, String] = Map(
     "curation_stratified_mix" -> stratifiedMixOracle,
-    "curation_contamination"  -> contaminationOracle)
+    "curation_contamination"  -> contaminationOracle,
+    "curation_pack_sequences" -> packSequencesOracle)
 }

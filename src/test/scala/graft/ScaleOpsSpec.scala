@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.operators.{AsOfJoin, Dedup, Graph, Sampling, Skew}
+import graft.operators.{AsOfJoin, Curation, Dedup, Graph, Sampling, Skew}
 
 class ScaleOpsSpec extends AnyFunSuite {
   lazy val spark = GraftSession.test
@@ -34,6 +34,27 @@ class ScaleOpsSpec extends AnyFunSuite {
     val pids = out.withColumn("pid", org.apache.spark.sql.functions.spark_partition_id())
       .filter(col("n_chars") >= 1000000L).select("pid").as[Int].collect()
     assert(pids.length == 7 && pids.distinct.length == 7, s"heavy rows co-located: ${pids.toSeq}")
+  }
+
+  test("packSequences: distributed prefix sum == naive global window, window-free plan") {
+    val sfDir = "/root/testdata/sf0.001"
+    val got = Curation.packSequences(spark, sfDir)
+    // reference implementation: the single-partition global window we
+    // refuse to ship (fine at spec scale, a straggler at 100 TB)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .withColumn("cum", sum("n").over(w))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        expr("(cum - n) div 1024").as("first_block"),
+        expr("(cum - 1) div 1024").as("last_block"))
+      .orderBy("doc_id")
+    assert(got.collect().toSeq.map(_.toSeq) == naive.collect().toSeq.map(_.toSeq))
+    assert(!got.queryExecution.executedPlan.toString.contains("Window"),
+      "shipped packing plan must not contain a global WindowExec")
   }
 
   test("connected components: diameter-200 chain converges via pointer jumping") {
