@@ -80,6 +80,28 @@ object EventStream {
       .select(col("doc_id"), col("content_fp"))
   }
 
+  /** Stream-stream interval join: purchases within one hour AFTER a
+    * click by the same user — the streaming twin of the funnel's join
+    * stage (Analytics.eventsFunnel). Both sides carry watermarks and
+    * the join condition is time-bounded in both directions, which is
+    * exactly what lets Spark bound the join state: click rows older
+    * than watermark + interval are evicted instead of buffering the
+    * stream forever. Inner-join results are complete under these
+    * bounds (no match can arrive after its click's state expires). */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .select(col("user_id"), col("event_ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("event_ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    c.join(p, expr(
+        """user_id = p_user AND
+           purchase_ts > click_ts AND
+           purchase_ts <= click_ts + interval 1 hour"""))
+      .select(col("user_id"), col("click_ts"), col("purchase_ts"))
+  }
+
   // ---- gap sessionization with explicit state --------------------------
 
   final case class Ev(user_id: Long, us: Long, value: Double)

@@ -146,6 +146,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(gotSurvivors == ((0L until 30L) ++ Seq(150L) ++ (300L until 305L)).toSet)
   }
 
+  test("stream-stream interval join == batch twin (click→purchase within 1h)") {
+    val ev = EventStream.readEvents(spark, sf)
+    val joined = EventStream.clickPurchaseJoin(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase"))
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val batch = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("event_ts",
+        timestamp_micros(expr("ts div 1000")))
+    val bc = batch.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_ts").as("click_ts"))
+    val bp = batch.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_ts").as("purchase_ts"))
+    val want = bc.join(bp, expr(
+        """user_id = p_user AND
+           purchase_ts > click_ts AND
+           purchase_ts <= click_ts + interval 1 hour"""))
+      .select(col("user_id"), col("click_ts"), col("purchase_ts"))
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp)].collect().toSet
+
+    val got = spark.table("ss_join")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp)].collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("stateful gap-sessionization across batches == batch twin") {
     import EventStream.{Ev, Session}
     implicit val sqlCtx = spark.sqlContext
