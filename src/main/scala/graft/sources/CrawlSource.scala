@@ -65,4 +65,24 @@ object CrawlSource {
     import spark.implicits._
     articleTitles(provider, clampLimit(limit), categories).toDF("title")
   }
+
+  /** Provider backed by a LOCAL category-listing table — the snapshotted
+    * category graph a production deployment materializes from a wiki
+    * dump (live crawl stays out of engine scope). Columns: `category`,
+    * `pos` (member order within the category), `title`, `namespace`.
+    * Listings are bounded (the endpoint clamps at 1000 titles), so the
+    * one driver-side collect is by design, like the reference's
+    * in-memory member iteration. */
+  def parquetProvider(spark: SparkSession, path: String): String => Seq[(String, Int)] = {
+    import org.apache.spark.sql.functions.col
+    val byCat = spark.read.parquet(path)
+      .select(col("category"), col("pos").cast("long"),
+        col("title"), col("namespace").cast("int"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (c, rs) =>
+        c -> rs.sortBy(_.getLong(1)).map(r => (r.getString(2), r.getInt(3))).toSeq
+      }
+    (cat: String) => byCat.getOrElse(cat, Seq.empty)
+  }
 }

@@ -146,6 +146,42 @@ class RestServerSpec extends AnyFunSuite {
     assert(ApiClient.waitForJob(base, aid).contains("\"document_count\":10"))
   }
 
+  test("ww2 extract over HTTP: category snapshot → selection → PDFs") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("rest_ww2")
+    val listing = tmp.resolve("listing.parquet").toString
+    val out = tmp.resolve("articles").toString
+    new java.io.File(out).mkdirs()
+    // snapshot: primary category + one related, with a talk page and a
+    // cross-category duplicate that the selection must handle
+    Seq(
+      ("World_War_II", 0L, "D-Day", 0),
+      ("World_War_II", 1L, "Talk:D-Day", 1),
+      ("World_War_II", 2L, "Blitz", 0),
+      ("Battles_of_World_War_II", 0L, "Blitz", 0),
+      ("Battles_of_World_War_II", 1L, "Battle of Midway", 0))
+      .toDF("category", "pos", "title", "namespace").write.parquet(listing)
+
+    val (code, body) = http("POST",
+      s"/api/extract/ww2?listing_path=$listing&output_dir=$out&limit=10")
+    assert(code == 200 && body.contains("\"status\":\"running\""))
+    assert(body.contains("WW2 Wikipedia articles"))
+    val id = "\"job_id\":\"(job-\\d+)\"".r.findFirstMatchIn(body).get.group(1)
+    val done = Jobs.await(id).get
+    assert(done.status == "completed" && done.jobType == "ww2_wiki")
+    assert(done.fileCount == 3) // D-Day, Blitz, Battle of Midway — ns-0, deduped
+
+    val names = new java.io.File(out).list().sorted.toSeq
+    assert(names == Seq("ww2_0.pdf", "ww2_1.pdf", "ww2_2.pdf"))
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, "ww2_0.pdf"))
+    assert(new String(bytes, "US-ASCII").startsWith("%PDF-1.4"))
+
+    // missing listing_path is a 400 with the scope note, like the
+    // reference's parameter errors
+    assert(http("POST", "/api/extract/ww2?output_dir=x")._1 == 400)
+  }
+
   test("download rejects path traversal") {
     val out = java.nio.file.Files.createTempDirectory("rest_trav").toString
     val secret = new java.io.File(out, "inside.txt")
