@@ -319,7 +319,7 @@ object Dedup {
   // set-similarity join is df-capped — far above any shingle df in tested
   // data (max 25 at sf0.1), so output is unchanged there, while one
   // ultra-common shingle at 100 TB can no longer create k² candidates.
-  // The cap is a session knob (`graft.dedup.maxShingleDf`) and any actual
+  // The cap is a session knob (`spark.graft.dedup.maxShingleDf`) and any actual
   // drop is logged, so recall loss at larger corpora is visible, not silent.
   //
   // Exact collapse only applies to docs that HAVE shingles (≥3 tokens):
@@ -330,7 +330,10 @@ object Dedup {
   val DefaultMaxShingleDf = 256L
 
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val maxDf = spark.conf.getOption("graft.dedup.maxShingleDf")
+    // canonical knob namespace is spark.graft.*; the round-2 name
+    // graft.dedup.maxShingleDf stays honored for compatibility
+    val maxDf = spark.conf.getOption("spark.graft.dedup.maxShingleDf")
+      .orElse(spark.conf.getOption("graft.dedup.maxShingleDf"))
       .map(_.toLong).getOrElse(DefaultMaxShingleDf)
     val docs = Tables.documents(spark, dir)
     val fp = docs
