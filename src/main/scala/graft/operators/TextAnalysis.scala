@@ -304,9 +304,60 @@ object TextAnalysis {
     * the one-pass exact answer. */
   val heavyHittersOracle: String = tokenHistogramOracle
 
+  // ---- 7. repetition filters (round 4) --------------------------------
+  // The MassiveText/Gopher repetition quality filters (Rae et al. 2021,
+  // arXiv:2112.11446 §A1.1 — public paper): documents dominated by a
+  // repeated n-gram are boilerplate/spam and get filtered before
+  // training. Per doc: the fraction of all 2-grams taken by the single
+  // most frequent one, and the fraction of 3-gram occurrences that are
+  // repeats. Two explodes with map-side-combined (doc_id, gram)
+  // aggregates — no windows, no shuffles beyond the two keyed aggs.
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+      .cache() // feeds n_tokens + both gram passes (harness clears it)
+    def gramCounts(n: Int) = toks
+      .filter(size(col("t")) >= n)
+      .select(col("doc_id"), explode(TextFns.shinglesFromTokens(col("t"), n)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+    val s2 = gramCounts(2).groupBy(col("doc_id"))
+      .agg((max(col("c")).cast("double") / sum(col("c"))).as("top2"))
+    val s3 = gramCounts(3).groupBy(col("doc_id"))
+      .agg(((sum(col("c")) - count(lit(1))).cast("double") / sum(col("c"))).as("dup3"))
+    toks.select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"))
+      .join(s2, Seq("doc_id"), "left")
+      .join(s3, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        round(coalesce(col("top2"), lit(0.0)), 6).as("top_2gram_frac"),
+        round(coalesce(col("dup3"), lit(0.0)), 6).as("dup_3gram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val repetitionOracle: String = s"""
+    WITH toks AS (SELECT doc_id, $tokensSql AS t FROM documents),
+    g2 AS (SELECT doc_id, unnest(list_transform(range(len(t)-1),
+             i -> array_to_string(t[i+1:i+2], ' '))) AS g
+           FROM toks WHERE len(t) >= 2),
+    c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+    s2 AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top2
+           FROM c2 GROUP BY doc_id),
+    g3 AS (SELECT doc_id, unnest(list_transform(range(len(t)-2),
+             i -> array_to_string(t[i+1:i+3], ' '))) AS g
+           FROM toks WHERE len(t) >= 3),
+    c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+    s3 AS (SELECT doc_id, CAST(sum(c) - count(*) AS DOUBLE) / sum(c) AS dup3
+           FROM c3 GROUP BY doc_id),
+    n AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks)
+    SELECT n.doc_id, n.n_tokens,
+      round(coalesce(s2.top2, 0), 6) AS top_2gram_frac,
+      round(coalesce(s3.dup3, 0), 6) AS dup_3gram_frac
+    FROM n LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)
+    ORDER BY n.doc_id"""
+
   // ---- registry -------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_repetition"      -> (repetition _),
     "text_heavy_hitters"   -> (heavyHitters _),
     "text_tfidf_topterms"  -> (tfidfTopTerms _),
     "text_lang_id"         -> (langId _),
@@ -318,6 +369,7 @@ object TextAnalysis {
     "text_token_histogram" -> (tokenHistogram _))
 
   val oracle: Map[String, String] = Map(
+    "text_repetition"      -> repetitionOracle,
     "text_heavy_hitters"   -> heavyHittersOracle,
     "text_tfidf_topterms"  -> tfidfOracle,
     "text_lang_id"         -> langIdOracle,

@@ -163,6 +163,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(row.getInt(1) >= 16 && row.getInt(1) < 32)
   }
 
+  test("repetition filters: crafted values match Gopher definitions") {
+    val tmp = java.nio.file.Files.createTempDirectory("rep").toString
+    Seq(
+      (1L, "a a a b"),        // 2-grams: (a a)x2,(a b)x1 → top2=2/3; 3-grams: 2 distinct → dup3=0
+      (2L, "x y x y x y"),    // 2-grams: (x y)x3,(y x)x2 → top2=3/5; 3-grams: 4 total, 2 distinct → dup3=1/2
+      (3L, "solo"))           // <2 tokens → both 0
+      .toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+    val got = graft.operators.TextAnalysis.repetition(spark, tmp)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 4L, math.floor(2.0 / 3 * 1e6 + 0.5) / 1e6, 0.0),
+      (2L, 6L, 0.6, 0.5),
+      (3L, 1L, 0.0, 0.0)))
+  }
+
   test("real image decode: PNG features exact, JPEG dims, non-image falls back") {
     import java.awt.image.BufferedImage
     import java.io.ByteArrayOutputStream
