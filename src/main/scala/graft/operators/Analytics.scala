@@ -524,6 +524,63 @@ object Analytics {
         round(expr("approx_percentile(value, array(0.5, 0.95, 0.99), 10000)")(2), 2).as("p99"))
       .orderBy(col("event_type"))
 
+  // --- KMV distinct sketch: the PORTABLE cousin of q_events_sketch -----
+  // K-minimum-values (Bar-Yossef et al. 2002): per group keep the k
+  // smallest values of a uniform hash of the key; if fewer than k
+  // distinct hashes exist the count is exact, else est = (k-1)/u_k with
+  // u_k the k-th smallest hash normalized to [0,1). Same mergeable-
+  // bounded-state story as HLL (k longs per group), but every step is
+  // deterministic arithmetic on an md5-derived hash — so unlike HLL++
+  // internals it cross-checks bit-for-bit against DuckDB. At scale:
+  // distinct(type,h) is one shuffle with map-side partial; the rank
+  // filter plans as WindowGroupLimit, so each map partition forwards at
+  // most k rows per group to the window exchange. The true_users column
+  // is verification-only (a production sketch run would drop it — it is
+  // the exact COUNT DISTINCT the sketch exists to avoid).
+  private val KmvK = 32
+  private val TwoPow60 = 1.152921504606846976e18 // 16^15, exact in double
+
+  def eventsKmv(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val hashed = Tables.events(spark, dir)
+      .select(col("event_type"),
+        conv(substring(md5(concat(lit("kmv:"), col("user_id").cast("string"))), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .distinct()
+    val exact = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("true_users"))
+    hashed
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= KmvK)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        max(when(col("rn") === KmvK, col("h"))).as("hk"))
+      .withColumn("est_users", round(
+        when(col("cnt") < KmvK, col("cnt").cast("double"))
+          .otherwise(lit((KmvK - 1).toDouble) / (col("hk").cast("double") / lit(TwoPow60))), 4))
+      .join(exact, Seq("event_type"))
+      .select(col("event_type"), col("true_users"), col("est_users"))
+      .orderBy(col("event_type"))
+  }
+
+  val eventsKmvOracle: String = s"""
+    WITH h AS (SELECT DISTINCT event_type,
+                 CAST(concat('0x', substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+               FROM events),
+    r AS (SELECT event_type, h,
+            row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h),
+    k AS (SELECT event_type, count(*) AS cnt,
+            max(CASE WHEN rn = $KmvK THEN h END) AS hk
+          FROM r WHERE rn <= $KmvK GROUP BY event_type),
+    ex AS (SELECT event_type, count(DISTINCT user_id) AS true_users
+           FROM events GROUP BY event_type)
+    SELECT k.event_type, ex.true_users,
+      round(CASE WHEN cnt < $KmvK THEN CAST(cnt AS DOUBLE)
+                 ELSE ${KmvK - 1}.0 / (CAST(hk AS DOUBLE) / 1152921504606846976.0) END, 4) AS est_users
+    FROM k JOIN ex USING (event_type)
+    ORDER BY event_type"""
+
   // --- q2 shape: min-cost supplier via correlated scalar subquery ------
   // TPC-H q2 without a partsupp table: lineitem is the observed
   // (part, supplier) relation, offered cost = min unit price that
@@ -1044,6 +1101,7 @@ object Analytics {
     "q2_min_cost_supplier" -> (q2MinCostSupplier _),
     "q20_part_qty_suppliers" -> (q20PartQtySuppliers _),
     "q_events_sketch"      -> (eventsSketch _),
+    "q_events_kmv"         -> (eventsKmv _),
     "q_semi_anti"          -> (semiAnti _),
     "q_rollup"             -> (rollupSummary _),
     "q_events_pivot"       -> (eventsPivot _),
@@ -1078,6 +1136,7 @@ object Analytics {
     "q22_idle_balances"    -> q22Oracle,
     "q2_min_cost_supplier" -> q2Oracle,
     "q20_part_qty_suppliers" -> q20Oracle,
+    "q_events_kmv"         -> eventsKmvOracle,
     "q_semi_anti"          -> semiAntiOracle,
     "q_rollup"             -> rollupOracle,
     "q_events_pivot"       -> eventsPivotOracle,
