@@ -143,13 +143,132 @@ object Curation {
     FROM c
     ORDER BY doc_id"""
 
+  // ---- cross-document chunk dedup (round 4) ---------------------------
+  // The C4/RefinedWeb sub-document dedup stage: a span of text repeated
+  // ANYWHERE in the corpus survives only at its first occurrence
+  // (ordered by doc_id, then position); later occurrences are cut and
+  // the documents reassembled from their surviving spans. Spans here are
+  // non-overlapping ChunkDedupW-token windows (same slice arithmetic as
+  // text_chunk_windows), so reassembly is exact concatenation.
+  //
+  // Scale shape: ONE wide shuffle, partitioned by md5(chunk) — a fixed
+  // 32-char key regardless of span width — with the rank filter
+  // planning as a window over that hash. Reassembly is a groupBy
+  // doc_id whose collect_list holds only the doc's own kept spans
+  // (bounded by doc length, not corpus size). No join-back: the span
+  // text rides the shuffle row, trading width for a second exchange —
+  // the right trade while spans are ≤ a few hundred bytes.
+  private val ChunkDedupW = 16
+
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("ch")).orderBy(col("doc_id"), col("chunk_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(expr(s"sequence(0, greatest(0, cast(ceil((size(t) - $ChunkDedupW) / $ChunkDedupW.0) as int)))"))
+          .as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        expr(s"array_join(slice(t, chunk_id * $ChunkDedupW + 1, $ChunkDedupW), ' ')").as("chunk_text"))
+      .filter(length(col("chunk_text")) > 0)
+      .withColumn("ch", md5(col("chunk_text")))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        count(when(col("rn") === 1, lit(1))).as("n_kept"),
+        coalesce(
+          array_join(transform(
+            array_sort(collect_list(when(col("rn") === 1,
+              struct(col("chunk_id"), col("chunk_text"))))),
+            s => s.getField("chunk_text")), " "),
+          lit("")).as("kept_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  val chunkDedupOracle: String = s"""
+    WITH toks AS (SELECT doc_id, $tokensSql AS t FROM documents),
+    win AS (
+      SELECT doc_id, t,
+             unnest(range(0, greatest(0, CAST(ceil((len(t) - $ChunkDedupW) / $ChunkDedupW.0) AS INT)) + 1)) AS chunk_id
+      FROM toks),
+    c AS (SELECT doc_id, chunk_id,
+            array_to_string(t[chunk_id * $ChunkDedupW + 1 : chunk_id * $ChunkDedupW + $ChunkDedupW], ' ') AS chunk_text
+          FROM win
+          WHERE len(t[chunk_id * $ChunkDedupW + 1 : chunk_id * $ChunkDedupW + $ChunkDedupW]) > 0),
+    r AS (SELECT doc_id, chunk_id, chunk_text,
+            row_number() OVER (PARTITION BY md5(chunk_text) ORDER BY doc_id, chunk_id) AS rn
+          FROM c)
+    SELECT doc_id, count(*) AS n_chunks,
+           count(CASE WHEN rn = 1 THEN 1 END) AS n_kept,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN chunk_text END, ' ' ORDER BY chunk_id), '') AS kept_text
+    FROM r GROUP BY doc_id ORDER BY doc_id"""
+
+  // ---- temperature-weighted source mixing (round 4) -------------------
+  // The multilingual/multi-source rebalancing stage (Conneau et al.
+  // 2019's p_i^τ sampling): a source's share of the output budget is
+  // proportional to its document count raised to temperature τ — τ=1
+  // keeps natural proportions, τ→0 flattens toward uniform. τ=0.5 is
+  // hardcoded as sqrt() because IEEE requires sqrt be correctly rounded
+  // (pow(x,0.5) is NOT so guaranteed across libms — a cross-engine
+  // exactness trap). Weights round to 6 dp and sum as DECIMAL so the
+  // normalizing total is order-independent; the final ratio is then
+  // bit-identical double math in both engines.
+  //
+  // Scale shape: the quota table is one tiny agg (|sources| rows) that
+  // broadcasts; per-source selection is the same md5-order
+  // WindowGroupLimit top-n as stratifiedMix — no source's full row set
+  // ever sorts globally, and the broadcast join adds no exchange.
+  private val MixBudget = 100
+
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val wtd = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("w", round(sqrt(col("cnt")), 6).cast("decimal(18,6)"))
+    val tot = wtd.agg(sum(col("w")).as("tw"))
+    val quotas = wtd.crossJoin(broadcast(tot)) // 1-row scalar total
+      .withColumn("quota", greatest(lit(1),
+        floor(lit(MixBudget) * col("w").cast("double") / col("tw").cast("double")).cast("int")))
+      .select(col("source"), col("quota"))
+    val w = Window.partitionBy(col("source")).orderBy(col("hk"), col("doc_id"))
+    docs
+      .select(col("doc_id"), col("source"),
+        md5(concat(lit("tmix:"), col("doc_id").cast("string"))).as("hk"))
+      .withColumn("rk", row_number().over(w))
+      .join(broadcast(quotas), Seq("source"))
+      .filter(col("rk") <= col("quota"))
+      .select(col("source"), col("doc_id"), col("quota"), col("rk"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  val temperatureMixOracle: String = s"""
+    WITH cnts AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+    wtd AS (SELECT source, CAST(round(sqrt(cnt), 6) AS DECIMAL(18,6)) AS w FROM cnts),
+    tot AS (SELECT sum(w) AS tw FROM wtd),
+    q AS (SELECT source,
+            greatest(1, CAST(floor($MixBudget * CAST(w AS DOUBLE) / CAST(tw AS DOUBLE)) AS INT)) AS quota
+          FROM wtd, tot),
+    h AS (SELECT doc_id, source,
+            md5('tmix:' || CAST(doc_id AS VARCHAR)) AS hk FROM documents),
+    r AS (SELECT doc_id, source,
+            CAST(row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) AS INT) AS rk
+          FROM h)
+    SELECT r.source, r.doc_id, q.quota, r.rk
+    FROM r JOIN q USING (source)
+    WHERE r.rk <= q.quota
+    ORDER BY r.source, r.rk"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curation_stratified_mix" -> (stratifiedMix _),
     "curation_contamination"  -> (contamination _),
-    "curation_pack_sequences" -> (packSequences _))
+    "curation_pack_sequences" -> (packSequences _),
+    "curation_chunk_dedup"   -> (chunkDedup _),
+    "curation_temperature_mix" -> (temperatureMix _))
 
   val oracle: Map[String, String] = Map(
     "curation_stratified_mix" -> stratifiedMixOracle,
     "curation_contamination"  -> contaminationOracle,
-    "curation_pack_sequences" -> packSequencesOracle)
+    "curation_pack_sequences" -> packSequencesOracle,
+    "curation_chunk_dedup"   -> chunkDedupOracle,
+    "curation_temperature_mix" -> temperatureMixOracle)
 }

@@ -142,4 +142,46 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(capped.contains((0L, 1L)))       // rare-shingle pair survives the cap
     assert(!capped.exists(p => p == (2L, 3L))) // hot-only candidates gone
   }
+
+  test("chunkDedup: repeated spans survive only at first occurrence, within and across docs") {
+    // 16-token spans (ChunkDedupW); lowercase single-word tokens so the
+    // tokenizer is the identity on them
+    def span(p: String) = (0 until 16).map(i => s"$p$i").mkString(" ")
+    val a0 = span("a"); val a1 = span("x"); val b = span("b")
+    val c = span("c"); val d = span("d")
+    val docs = Seq(
+      (0L, s"$a0 $a1"),  // both chunks first occurrences
+      (1L, s"$a0 $b"),   // first chunk repeats doc 0's → cut
+      (2L, s"$c $a1"),   // second chunk repeats doc 0's → cut
+      (3L, s"$d $d")     // within-doc repeat → second cut
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("cdd").toString
+    docs.write.parquet(s"$tmp/documents.parquet")
+    val got = Curation.chunkDedup(spark, tmp)
+      .select("doc_id", "n_chunks", "n_kept", "kept_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (0L, 2L, 2L, s"$a0 $a1"),
+      (1L, 2L, 1L, b),
+      (2L, 2L, 1L, c),
+      (3L, 2L, 1L, d)))
+  }
+
+  test("temperatureMix: quotas follow sqrt weighting on an unbalanced corpus") {
+    // counts 100/25/4/1 → sqrt weights 10/5/2/1, total 18 →
+    // quotas floor(100·w/18) = 55/27/11/5, capped by availability
+    val docs = ((0 until 100).map(i => (i.toLong, "big")) ++
+      (100 until 125).map(i => (i.toLong, "mid")) ++
+      (125 until 129).map(i => (i.toLong, "small")) ++
+      Seq((129L, "tiny"))).toDF("doc_id", "source")
+    val tmp = java.nio.file.Files.createTempDirectory("tmix").toString
+    docs.write.parquet(s"$tmp/documents.parquet")
+    val got = Curation.temperatureMix(spark, tmp)
+      .select("source", "quota").as[(String, Int)].collect()
+    val quotas = got.distinct.toMap
+    assert(quotas == Map("big" -> 55, "mid" -> 27, "small" -> 11, "tiny" -> 5))
+    val taken = got.groupBy(_._1).view.mapValues(_.length).toMap
+    // selection is capped by what the source actually has
+    assert(taken == Map("big" -> 55, "mid" -> 25, "small" -> 4, "tiny" -> 1))
+  }
 }
