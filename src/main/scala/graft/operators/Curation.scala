@@ -258,17 +258,109 @@ object Curation {
     WHERE r.rk <= q.quota
     ORDER BY r.source, r.rk"""
 
+  // ---- quality gate (round 4) -----------------------------------------
+  // The composed keep/drop decision a pipeline actually ships: each doc
+  // gets a boolean verdict plus an auditable comma-joined reason list
+  // (fixed rule order), Gopher-style rules over token count, mean token
+  // length, stopword fraction, and the two repetition fractions. The
+  // audit table is the first-class artifact — filtered corpora must be
+  // explainable, and "why was this dropped" is a query, not a rerun.
+  // Plan: one narrow pass for the per-doc stats + the two keyed gram
+  // aggregates from text_repetition (left-joined back; docs with no
+  // grams coalesce to 0). Thresholds compare 6-dp-rounded doubles so
+  // boundary cases are engine-independent.
+  private val GateMinTok = 20L
+  private val GateMaxTok = 100000L
+
+  def qualityGate(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+      .cache() // feeds the stats pass + both gram passes (harness clears it)
+    def gramCounts(n: Int) = toks
+      .filter(size(col("t")) >= n)
+      .select(col("doc_id"), explode(TextFns.shinglesFromTokens(col("t"), n)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+    val s2 = gramCounts(2).groupBy(col("doc_id"))
+      .agg((max(col("c")).cast("double") / sum(col("c"))).as("top2"))
+    val s3 = gramCounts(3).groupBy(col("doc_id"))
+      .agg(((sum(col("c")) - count(lit(1))).cast("double") / sum(col("c"))).as("dup3"))
+    val stopList = TextAnalysis.profiles.head._2
+    val base = toks.select(col("doc_id"),
+      size(col("t")).cast("long").as("n_tokens"),
+      round(aggregate(transform(col("t"), x => length(x)), lit(0), (a, x) => a + x)
+        .cast("double") / size(col("t")), 4).as("atl"),
+      round(size(filter(col("t"), x => stopList.map(w => x === lit(w)).reduce(_ || _)))
+        .cast("double") / size(col("t")), 6).as("stop"))
+    val flagged = base
+      .join(s2, Seq("doc_id"), "left").join(s3, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") < GateMinTok).as("f_short"),
+        (col("n_tokens") > GateMaxTok).as("f_long"),
+        (col("atl") < 3.0 || col("atl") > 10.0).as("f_toklen"),
+        (col("stop") < 0.02).as("f_stop"),
+        (round(coalesce(col("top2"), lit(0.0)), 6) > 0.20).as("f_rep2"),
+        (round(coalesce(col("dup3"), lit(0.0)), 6) > 0.60).as("f_rep3"))
+    flagged.select(col("doc_id"), col("n_tokens"),
+      (!(col("f_short") || col("f_long") || col("f_toklen") ||
+         col("f_stop") || col("f_rep2") || col("f_rep3"))).as("keep"),
+      concat_ws(",",
+        when(col("f_short"), "too_short"), when(col("f_long"), "too_long"),
+        when(col("f_toklen"), "tok_len"), when(col("f_stop"), "low_stop"),
+        when(col("f_rep2"), "rep_2gram"), when(col("f_rep3"), "rep_3gram")).as("reasons"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityGateOracle: String = {
+    val stopList = TextAnalysis.profiles.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""
+    WITH toks AS (SELECT doc_id, $tokensSql AS t FROM documents),
+    g2 AS (SELECT doc_id, unnest(list_transform(range(len(t)-1),
+             i -> array_to_string(t[i+1:i+2], ' '))) AS g
+           FROM toks WHERE len(t) >= 2),
+    c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+    s2 AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top2
+           FROM c2 GROUP BY doc_id),
+    g3 AS (SELECT doc_id, unnest(list_transform(range(len(t)-2),
+             i -> array_to_string(t[i+1:i+3], ' '))) AS g
+           FROM toks WHERE len(t) >= 3),
+    c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+    s3 AS (SELECT doc_id, CAST(sum(c) - count(*) AS DOUBLE) / sum(c) AS dup3
+           FROM c3 GROUP BY doc_id),
+    base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        round(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t), 4) AS atl,
+        round(CAST(len(list_filter(t, x -> list_contains($stopList, x))) AS DOUBLE) / len(t), 6) AS stop
+      FROM toks),
+    f AS (SELECT base.doc_id, n_tokens,
+        n_tokens < $GateMinTok AS f_short,
+        n_tokens > $GateMaxTok AS f_long,
+        (atl < 3.0 OR atl > 10.0) AS f_toklen,
+        stop < 0.02 AS f_stop,
+        round(coalesce(s2.top2, 0), 6) > 0.20 AS f_rep2,
+        round(coalesce(s3.dup3, 0), 6) > 0.60 AS f_rep3
+      FROM base LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id))
+    SELECT doc_id, n_tokens,
+      NOT (f_short OR f_long OR f_toklen OR f_stop OR f_rep2 OR f_rep3) AS keep,
+      concat_ws(',',
+        CASE WHEN f_short THEN 'too_short' END, CASE WHEN f_long THEN 'too_long' END,
+        CASE WHEN f_toklen THEN 'tok_len' END, CASE WHEN f_stop THEN 'low_stop' END,
+        CASE WHEN f_rep2 THEN 'rep_2gram' END, CASE WHEN f_rep3 THEN 'rep_3gram' END) AS reasons
+    FROM f
+    ORDER BY doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curation_stratified_mix" -> (stratifiedMix _),
     "curation_contamination"  -> (contamination _),
     "curation_pack_sequences" -> (packSequences _),
     "curation_chunk_dedup"   -> (chunkDedup _),
-    "curation_temperature_mix" -> (temperatureMix _))
+    "curation_temperature_mix" -> (temperatureMix _),
+    "curation_quality_gate"  -> (qualityGate _))
 
   val oracle: Map[String, String] = Map(
     "curation_stratified_mix" -> stratifiedMixOracle,
     "curation_contamination"  -> contaminationOracle,
     "curation_pack_sequences" -> packSequencesOracle,
     "curation_chunk_dedup"   -> chunkDedupOracle,
-    "curation_temperature_mix" -> temperatureMixOracle)
+    "curation_temperature_mix" -> temperatureMixOracle,
+    "curation_quality_gate"  -> qualityGateOracle)
 }

@@ -354,10 +354,56 @@ object TextAnalysis {
     FROM n LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)
     ORDER BY n.doc_id"""
 
+  // ---- 8. PII redaction (round 4) -------------------------------------
+  // The pre-release scrub every training corpus gets: emails, IPv4
+  // addresses, and phone-shaped digit runs become typed placeholders,
+  // with per-doc match counts for the audit trail. Patterns are written
+  // to the RE2 ∩ java.util.regex common subset (character classes, \b,
+  // bounded repetition — no lookarounds), so the SAME pattern string
+  // runs in Spark codegen and in the DuckDB oracle; the hash gate then
+  // proves both engines agree on every byte of the rewritten corpus
+  // (on clean text that means proving zero spurious matches — the
+  // regression a too-loose pattern would cause). Crafted-PII behavior
+  // is spec-asserted (ScaleOpsSpec). All per-row narrow codegen'd
+  // expressions; steps apply email → ip → phone, each counting on its
+  // own input text.
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val Ipv4Re  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private[graft] val PhoneRe = "\\+?\\d[\\d -]{7,}\\d"
+
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val afterEmail = regexp_replace(col("text"), EmailRe, "<EMAIL>")
+    val afterIp    = regexp_replace(afterEmail, Ipv4Re, "<IP>")
+    val afterPhone = regexp_replace(afterIp, PhoneRe, "<PHONE>")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_email"),
+        regexp_count(afterEmail, lit(Ipv4Re)).cast("long").as("n_ip"),
+        regexp_count(afterIp, lit(PhoneRe)).cast("long").as("n_phone"),
+        afterPhone.as("redacted"))
+      .orderBy(col("doc_id"))
+  }
+
+  val piiRedactOracle: String = s"""
+    WITH s AS (SELECT doc_id, text,
+        regexp_replace(text, '$EmailRe', '<EMAIL>', 'g') AS after_email
+      FROM documents),
+    s2 AS (SELECT doc_id, text, after_email,
+        regexp_replace(after_email, '$Ipv4Re', '<IP>', 'g') AS after_ip
+      FROM s)
+    SELECT doc_id,
+      len(regexp_extract_all(text, '$EmailRe')) AS n_email,
+      len(regexp_extract_all(after_email, '$Ipv4Re')) AS n_ip,
+      len(regexp_extract_all(after_ip, '$PhoneRe')) AS n_phone,
+      regexp_replace(after_ip, '$PhoneRe', '<PHONE>', 'g') AS redacted
+    FROM s2
+    ORDER BY doc_id"""
+
   // ---- registry -------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_repetition"      -> (repetition _),
+    "text_pii_redact"      -> (piiRedact _),
     "text_heavy_hitters"   -> (heavyHitters _),
     "text_tfidf_topterms"  -> (tfidfTopTerms _),
     "text_lang_id"         -> (langId _),
@@ -370,6 +416,7 @@ object TextAnalysis {
 
   val oracle: Map[String, String] = Map(
     "text_repetition"      -> repetitionOracle,
+    "text_pii_redact"      -> piiRedactOracle,
     "text_heavy_hitters"   -> heavyHittersOracle,
     "text_tfidf_topterms"  -> tfidfOracle,
     "text_lang_id"         -> langIdOracle,

@@ -167,6 +167,27 @@ class ScaleOpsSpec extends AnyFunSuite {
       (3L, 2L, 1L, d)))
   }
 
+  test("piiRedact: emails, IPs, phones become placeholders; clean text untouched") {
+    val docs = Seq(
+      (0L, "contact john.doe@example.com or ops@sub.domain.org today"),
+      (1L, "server 10.0.0.1 and 192.168.255.254 are up"),
+      (2L, "call +1 555-123-4567 now"),
+      (3L, "mix a@b.io at 127.0.0.1 tel 020 7946 0958 end"),
+      (4L, "perfectly clean text with words only")
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("pii").toString
+    docs.write.parquet(s"$tmp/documents.parquet")
+    val got = graft.operators.TextAnalysis.piiRedact(spark, tmp)
+      .select("doc_id", "n_email", "n_ip", "n_phone", "redacted")
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (0L, 2L, 0L, 0L, "contact <EMAIL> or <EMAIL> today"),
+      (1L, 0L, 2L, 0L, "server <IP> and <IP> are up"),
+      (2L, 0L, 0L, 1L, "call <PHONE> now"),
+      (3L, 1L, 1L, 1L, "mix <EMAIL> at <IP> tel <PHONE> end"),
+      (4L, 0L, 0L, 0L, "perfectly clean text with words only")))
+  }
+
   test("temperatureMix: quotas follow sqrt weighting on an unbalanced corpus") {
     // counts 100/25/4/1 → sqrt weights 10/5/2/1, total 18 →
     // quotas floor(100·w/18) = 55/27/11/5, capped by availability
