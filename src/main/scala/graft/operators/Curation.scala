@@ -235,6 +235,10 @@ object Curation {
       .select(col("doc_id"), col("source"),
         md5(concat(lit("tmix:"), col("doc_id").cast("string"))).as("hk"))
       .withColumn("rk", row_number().over(w))
+      // constant upper bound FIRST: every quota ≤ MixBudget, and a
+      // literal limit is what lets Spark plan WindowGroupLimit (a
+      // data-dependent rk <= quota can't cap per-partition state)
+      .filter(col("rk") <= MixBudget)
       .join(broadcast(quotas), Seq("source"))
       .filter(col("rk") <= col("quota"))
       .select(col("source"), col("doc_id"), col("quota"), col("rk"))

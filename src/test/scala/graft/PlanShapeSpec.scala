@@ -48,4 +48,33 @@ class PlanShapeSpec extends AnyFunSuite {
     // codegen stages print as "*(n) Operator" in executed-plan strings
     assert("\\*\\(\\d+\\) HashAggregate".r.findFirstIn(plan).isDefined, plan.take(2000))
   }
+
+  test("kmv: rank filter plans as WindowGroupLimit (bounded per-group state below the exchange)") {
+    val plan = finalPlan(Analytics.eventsKmv(spark, sf))
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+  }
+
+  test("temperatureMix: quota join is broadcast, selection keeps WindowGroupLimit") {
+    val plan = finalPlan(graft.operators.Curation.temperatureMix(spark, sf))
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(2000)) // quota table (|sources| rows) + 1-row scalar total
+  }
+
+  test("piiRedact: no exchange anywhere before the output sort") {
+    val plan = finalPlan(graft.operators.TextAnalysis.piiRedact(spark, sf))
+    // per-row narrow codegen — the ONLY exchange allowed is the final
+    // rangepartitioning for orderBy
+    val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(plan).toList
+    assert(exchanges.forall(_.contains("rangepartitioning")), plan.take(2000))
+  }
+
+  test("chunkDedup: shuffle is keyed on the md5 hash, not the span text") {
+    val plan = finalPlan(graft.operators.Curation.chunkDedup(spark, sf))
+    // the window exchange must hashpartition on ch (the 32-char md5),
+    // never on chunk_text
+    val winExchange = "Exchange hashpartitioning\\([^)]*\\)".r.findAllIn(plan).toList
+    assert(winExchange.exists(_.contains("ch#")), plan.take(3000))
+    assert(!winExchange.exists(_.contains("chunk_text#")), winExchange.mkString("\n"))
+  }
 }
