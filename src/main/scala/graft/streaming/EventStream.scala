@@ -102,6 +102,45 @@ object EventStream {
       .select(col("user_id"), col("click_ts"), col("purchase_ts"))
   }
 
+  // ---- KMV distinct sketch with bounded state --------------------------
+
+  final case class KmvEv(event_type: String, h: Long)
+  final case class KmvState(mins: List[Long]) // ascending, at most k entries
+  final case class KmvEstimate(event_type: String, n_mins: Int, est_users: Double)
+
+  /** Streaming twin of `Analytics.eventsKmv`: a continuously-maintained
+    * k-minimum-values distinct-count sketch per group. State is the k
+    * smallest md5-derived user hashes — a FIXED k longs per group, the
+    * whole point of sketching on an unbounded stream (a streaming
+    * countDistinct would hold every user id in state forever). Each
+    * batch merges new hashes into the sorted prefix and re-emits the
+    * group's current estimate (Update mode). The estimate arithmetic is
+    * the batch operator's exactly, so once the stream has seen the
+    * whole table the last update per group equals the batch answer —
+    * spec-proven in StreamingSpec. */
+  def kmvDistinct(events: DataFrame, k: Int = 32): Dataset[KmvEstimate] = {
+    import events.sparkSession.implicits._
+    val hashed = events
+      .select(col("event_type"),
+        conv(substring(md5(concat(lit("kmv:"), col("user_id").cast("string"))), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .as[KmvEv]
+    hashed.groupByKey(_.event_type)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (et: String, evs: Iterator[KmvEv], state: GroupState[KmvState]) =>
+          val prior = state.getOption.map(_.mins).getOrElse(Nil)
+          // merge-then-truncate keeps the invariant: the k smallest
+          // DISTINCT hashes seen so far, ascending
+          val merged = (prior ++ evs.map(_.h)).distinct.sorted.take(k)
+          state.update(KmvState(merged))
+          val est =
+            if (merged.length < k) merged.length.toDouble
+            else (k - 1).toDouble / (merged.last.toDouble / 1.152921504606846976e18)
+          KmvEstimate(et, merged.length,
+            BigDecimal(est).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+  }
+
   // ---- gap sessionization with explicit state --------------------------
 
   final case class Ev(user_id: Long, us: Long, value: Double)

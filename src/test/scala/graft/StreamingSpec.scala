@@ -43,6 +43,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want && got > 0)
   }
 
+  test("streaming KMV sketch: bounded state, final updates == batch estimates") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val sketch = EventStream.kmvDistinct(input.toDS().toDF("event_type", "user_id"))
+    val q = sketch.writeStream.format("memory").queryName("kmv_stream")
+      .outputMode("update").start()
+    // replay the sf events table in three arbitrary slices — the sketch
+    // must converge to the batch answer regardless of batch boundaries
+    val evs = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_type"), col("user_id")).as[(String, Long)].collect()
+    evs.grouped(math.max(1, evs.length / 3 + 1)).foreach { b =>
+      input.addData(b.toSeq); q.processAllAvailable()
+    }
+    q.stop()
+    val rows = spark.table("kmv_stream").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    rows.foreach { case (_, nMins, _) => assert(nMins <= 32) } // bounded state
+    // the estimate is monotone nondecreasing over ingestion (new distinct
+    // hashes only shrink the k-th minimum), so the final value per group
+    // is its max — order-independent of how the memory sink interleaves
+    val got = rows.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._3).max }
+    val want = graft.operators.Analytics.eventsKmv(spark, sf)
+      .select("event_type", "est_users").as[(String, Double)].collect().toMap
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
   test("watermark-bounded dedup: state plateaus (evicts) under continuous ingest") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Long, String)]
