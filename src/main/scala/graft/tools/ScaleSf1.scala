@@ -58,6 +58,17 @@ object ScaleSf1 {
           .write.mode("overwrite").parquet(s"$dir/$t.parquet")
       }
     }
+    // events joined the study in round 4 (q_events_kmv) — separate guard
+    // so an sf1 dir cached by an earlier run gains it on re-run. user_id
+    // remaps like the other keys: 10× distinct users, per-rep disjoint.
+    if (!new java.io.File(s"$dir/events.parquet").exists()) {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$src/events.parquet").withColumn("__rep", rep)
+        .withColumn("event_id", scaled(col("event_id")))
+        .withColumn("user_id", scaled(col("user_id")))
+        .drop("__rep")
+        .repartition(32).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    }
 
     val headliners: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "q1_pricing_summary"  -> (Analytics.q1PricingSummary _),
@@ -67,7 +78,10 @@ object ScaleSf1 {
       "dedup_pipeline"      -> (Dedup.dedupPipeline _),
       "dedup_minhash_lsh"   -> (Dedup.minhashLsh _),
       "text_tfidf_topterms" -> (TextAnalysis.tfidfTopTerms _),
-      "text_token_histogram"-> (TextAnalysis.tokenHistogram _))
+      "text_token_histogram"-> (TextAnalysis.tokenHistogram _),
+      "curation_chunk_dedup" -> (graft.operators.Curation.chunkDedup _),
+      "curation_quality_gate" -> (graft.operators.Curation.qualityGate _),
+      "q_events_kmv"        -> (Analytics.eventsKmv _))
 
     def bhjCount(df: DataFrame): Int =
       "BroadcastHashJoin".r.findAllIn(df.queryExecution.executedPlan.toString).length
