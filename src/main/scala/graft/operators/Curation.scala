@@ -352,13 +352,41 @@ object Curation {
     ORDER BY doc_id"""
   }
 
+  // ---- deterministic train/val/test split (round 4) --------------------
+  // Hash-bucket split assignment (80/10/10): u = md5-derived 60-bit
+  // hash of the doc id normalized to [0,1), thresholded. Deterministic
+  // and REPRODUCIBLE across engines, cluster layouts, and reruns — the
+  // property a split must have so val/test never leak into train when
+  // the corpus is re-processed. Narrow per-row expressions, no shuffle
+  // beyond the output sort; the salt string namespaces the hash so
+  // split assignment is independent of every other md5-order sample in
+  // the pipeline (mix/tmix draw different, uncorrelated orders).
+  def split(spark: SparkSession, dir: String): DataFrame = {
+    val u = conv(substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+      .cast("long").cast("double") / lit(1.152921504606846976e18)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  val splitOracle: String = """
+    SELECT doc_id, source,
+      CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+    FROM (SELECT doc_id, source,
+            CAST(CAST(concat('0x', substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE)
+              / 1152921504606846976.0 AS u
+          FROM documents)
+    ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curation_stratified_mix" -> (stratifiedMix _),
     "curation_contamination"  -> (contamination _),
     "curation_pack_sequences" -> (packSequences _),
     "curation_chunk_dedup"   -> (chunkDedup _),
     "curation_temperature_mix" -> (temperatureMix _),
-    "curation_quality_gate"  -> (qualityGate _))
+    "curation_quality_gate"  -> (qualityGate _),
+    "curation_split"         -> (split _))
 
   val oracle: Map[String, String] = Map(
     "curation_stratified_mix" -> stratifiedMixOracle,
@@ -366,5 +394,6 @@ object Curation {
     "curation_pack_sequences" -> packSequencesOracle,
     "curation_chunk_dedup"   -> chunkDedupOracle,
     "curation_temperature_mix" -> temperatureMixOracle,
-    "curation_quality_gate"  -> qualityGateOracle)
+    "curation_quality_gate"  -> qualityGateOracle,
+    "curation_split"         -> splitOracle)
 }
