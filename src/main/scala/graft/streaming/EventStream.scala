@@ -128,10 +128,19 @@ object EventStream {
     hashed.groupByKey(_.event_type)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
         (et: String, evs: Iterator[KmvEv], state: GroupState[KmvState]) =>
-          val prior = state.getOption.map(_.mins).getOrElse(Nil)
-          // merge-then-truncate keeps the invariant: the k smallest
-          // DISTINCT hashes seen so far, ascending
-          val merged = (prior ++ evs.map(_.h)).distinct.sorted.take(k)
+          // fold each event into a ≤k-entry ordered set: O(k) memory even
+          // when one batch delivers millions of rows for the group — a
+          // collect-then-sort merge would materialize the whole batch and
+          // break the bounded-state contract the sketch exists for
+          val set = scala.collection.mutable.TreeSet.empty[Long]
+          state.getOption.foreach(s => set ++= s.mins)
+          evs.foreach { e =>
+            if (!set.contains(e.h) && (set.size < k || e.h < set.last)) {
+              set += e.h
+              if (set.size > k) set -= set.last
+            }
+          }
+          val merged = set.toList // ascending
           state.update(KmvState(merged))
           val est =
             if (merged.length < k) merged.length.toDouble

@@ -51,7 +51,7 @@ class StreamingSpec extends AnyFunSuite {
       .outputMode("update").start()
     // replay the sf events table in three arbitrary slices — the sketch
     // must converge to the batch answer regardless of batch boundaries
-    val evs = spark.read.parquet(s"$sf/events.parquet")
+    val evs = graft.sources.Tables.events(spark, sf) // sets nanosAsLong
       .select(col("event_type"), col("user_id")).as[(String, Long)].collect()
     evs.grouped(math.max(1, evs.length / 3 + 1)).foreach { b =>
       input.addData(b.toSeq); q.processAllAvailable()
