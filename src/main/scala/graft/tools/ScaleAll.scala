@@ -37,6 +37,11 @@ object ScaleAll {
     time("sessionize 1M events")(Analytics.eventsSessionize(spark, dir).count())
     time("windowed_agg 1M events")(Analytics.eventsWindowedAgg(spark, dir).count())
     time("asof_join 1M events")(AsOfJoin.purchaseSignup(spark, dir).count())
+    time("chunk_dedup 1M docs")(Curation.chunkDedup(spark, dir).count())
+    time("quality_gate 1M docs")(Curation.qualityGate(spark, dir).count())
+    time("pii_redact 1M docs")(TextAnalysis.piiRedact(spark, dir).count())
+    time("split 1M docs")(Curation.split(spark, dir).count())
+    time("kmv 1M events")(Analytics.eventsKmv(spark, dir).count())
     time("sim_topk_lsh 100k vecs")(Similarity.topkLsh(spark, dir).count())
     time("neardup_lsh 100k vecs")(Similarity.nearDupPairsLsh(spark, dir).count())
     // custom physical as-of operator at 1M events
