@@ -537,7 +537,7 @@ object Analytics {
   // most k rows per group to the window exchange. The true_users column
   // is verification-only (a production sketch run would drop it — it is
   // the exact COUNT DISTINCT the sketch exists to avoid).
-  private val KmvK = 32
+  private[graft] val KmvK = 32 // shared with EventStream.kmvDistinct — one k, no drift
   private val TwoPow60 = 1.152921504606846976e18 // 16^15, exact in double
 
   def eventsKmv(spark: SparkSession, dir: String): DataFrame = {

@@ -280,14 +280,9 @@ object Curation {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
       .cache() // feeds the stats pass + both gram passes (harness clears it)
-    def gramCounts(n: Int) = toks
-      .filter(size(col("t")) >= n)
-      .select(col("doc_id"), explode(TextFns.shinglesFromTokens(col("t"), n)).as("g"))
-      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-    val s2 = gramCounts(2).groupBy(col("doc_id"))
-      .agg((max(col("c")).cast("double") / sum(col("c"))).as("top2"))
-    val s3 = gramCounts(3).groupBy(col("doc_id"))
-      .agg(((sum(col("c")) - count(lit(1))).cast("double") / sum(col("c"))).as("dup3"))
+    // the gate's repetition flags use text_repetition's OWN aggregates —
+    // one definition, no drift
+    val (s2, s3) = TextAnalysis.gramFractions(toks)
     val stopList = TextAnalysis.profiles.head._2
     val base = toks.select(col("doc_id"),
       size(col("t")).cast("long").as("n_tokens"),
@@ -318,18 +313,7 @@ object Curation {
     val stopList = TextAnalysis.profiles.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
     s"""
     WITH toks AS (SELECT doc_id, $tokensSql AS t FROM documents),
-    g2 AS (SELECT doc_id, unnest(list_transform(range(len(t)-1),
-             i -> array_to_string(t[i+1:i+2], ' '))) AS g
-           FROM toks WHERE len(t) >= 2),
-    c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
-    s2 AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top2
-           FROM c2 GROUP BY doc_id),
-    g3 AS (SELECT doc_id, unnest(list_transform(range(len(t)-2),
-             i -> array_to_string(t[i+1:i+3], ' '))) AS g
-           FROM toks WHERE len(t) >= 3),
-    c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
-    s3 AS (SELECT doc_id, CAST(sum(c) - count(*) AS DOUBLE) / sum(c) AS dup3
-           FROM c3 GROUP BY doc_id),
+    ${TextAnalysis.gramFractionCtes},
     base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
         round(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t), 4) AS atl,
         round(CAST(len(list_filter(t, x -> list_contains($stopList, x))) AS DOUBLE) / len(t), 6) AS stop

@@ -312,10 +312,11 @@ object TextAnalysis {
   // most frequent one, and the fraction of 3-gram occurrences that are
   // repeats. Two explodes with map-side-combined (doc_id, gram)
   // aggregates — no windows, no shuffles beyond the two keyed aggs.
-  def repetition(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
-      .cache() // feeds n_tokens + both gram passes (harness clears it)
+  /** The (doc_id, top2) and (doc_id, dup3) gram-repetition aggregates
+    * over a (doc_id, t) token frame — ONE definition shared by
+    * text_repetition and curation_quality_gate so the gate's flags can
+    * never diverge from the published fractions. */
+  private[operators] def gramFractions(toks: DataFrame): (DataFrame, DataFrame) = {
     def gramCounts(n: Int) = toks
       .filter(size(col("t")) >= n)
       .select(col("doc_id"), explode(TextFns.shinglesFromTokens(col("t"), n)).as("g"))
@@ -324,17 +325,13 @@ object TextAnalysis {
       .agg((max(col("c")).cast("double") / sum(col("c"))).as("top2"))
     val s3 = gramCounts(3).groupBy(col("doc_id"))
       .agg(((sum(col("c")) - count(lit(1))).cast("double") / sum(col("c"))).as("dup3"))
-    toks.select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"))
-      .join(s2, Seq("doc_id"), "left")
-      .join(s3, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"),
-        round(coalesce(col("top2"), lit(0.0)), 6).as("top_2gram_frac"),
-        round(coalesce(col("dup3"), lit(0.0)), 6).as("dup_3gram_frac"))
-      .orderBy(col("doc_id"))
+    (s2, s3)
   }
 
-  val repetitionOracle: String = s"""
-    WITH toks AS (SELECT doc_id, $tokensSql AS t FROM documents),
+  /** DuckDB twin of [[gramFractions]]: CTE block yielding s2(doc_id,
+    * top2) and s3(doc_id, dup3); expects a preceding `toks(doc_id, t)`
+    * CTE. Interpolated into both oracles. */
+  private[operators] val gramFractionCtes: String = """
     g2 AS (SELECT doc_id, unnest(list_transform(range(len(t)-1),
              i -> array_to_string(t[i+1:i+2], ' '))) AS g
            FROM toks WHERE len(t) >= 2),
@@ -346,7 +343,25 @@ object TextAnalysis {
            FROM toks WHERE len(t) >= 3),
     c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
     s3 AS (SELECT doc_id, CAST(sum(c) - count(*) AS DOUBLE) / sum(c) AS dup3
-           FROM c3 GROUP BY doc_id),
+           FROM c3 GROUP BY doc_id)"""
+
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+      .cache() // feeds n_tokens + both gram passes (harness clears it)
+    val (s2, s3) = gramFractions(toks)
+    toks.select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"))
+      .join(s2, Seq("doc_id"), "left")
+      .join(s3, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        round(coalesce(col("top2"), lit(0.0)), 6).as("top_2gram_frac"),
+        round(coalesce(col("dup3"), lit(0.0)), 6).as("dup_3gram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val repetitionOracle: String = s"""
+    WITH toks AS (SELECT doc_id, $tokensSql AS t FROM documents),
+    $gramFractionCtes,
     n AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks)
     SELECT n.doc_id, n.n_tokens,
       round(coalesce(s2.top2, 0), 6) AS top_2gram_frac,

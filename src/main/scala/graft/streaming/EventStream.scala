@@ -118,7 +118,8 @@ object EventStream {
     * the batch operator's exactly, so once the stream has seen the
     * whole table the last update per group equals the batch answer —
     * spec-proven in StreamingSpec. */
-  def kmvDistinct(events: DataFrame, k: Int = 32): Dataset[KmvEstimate] = {
+  def kmvDistinct(events: DataFrame,
+                  k: Int = graft.operators.Analytics.KmvK): Dataset[KmvEstimate] = {
     import events.sparkSession.implicits._
     val hashed = events
       .select(col("event_type"),

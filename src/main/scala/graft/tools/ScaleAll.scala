@@ -28,6 +28,10 @@ object ScaleAll {
     def time(label: String)(f: => Long): Unit = {
       val t0 = System.nanoTime(); val n = f
       println(f"[scale] $label%-28s ${(System.nanoTime()-t0)/1e9}%8.2f s  rows=$n")
+      // outside the timed section: operators with internal caches
+      // (qualityGate's token arrays, dedup fingerprints) must not pin
+      // storage memory under the NEXT measurement
+      spark.catalog.clearCache()
     }
     import graft.operators._
     time("token_histogram 1M docs")(TextAnalysis.tokenHistogram(spark, dir).count())

@@ -17,7 +17,7 @@ object ScaleStream {
       .outputMode("complete")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(300000)
+    require(q.awaitTermination(300000), "windowed-agg stream timed out; comparison would be mid-flight")
     val got = spark.table("big_win").count()
     val t1 = (System.nanoTime() - t0) / 1e9
     val want = Analytics.eventsWindowedAgg(spark, dir).count()
@@ -33,7 +33,7 @@ object ScaleStream {
       .outputMode("update")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    kq.awaitTermination(300000)
+    require(kq.awaitTermination(300000), "KMV stream timed out; comparison would be mid-flight")
     val t3 = (System.nanoTime() - t2) / 1e9
     val est = spark.table("big_kmv").collect()
       .map(r => (r.getString(0), r.getDouble(2))).groupBy(_._1)

@@ -59,7 +59,8 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
     val rows = spark.table("kmv_stream").collect()
       .map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
-    rows.foreach { case (_, nMins, _) => assert(nMins <= 32) } // bounded state
+    rows.foreach { case (_, nMins, _) =>
+      assert(nMins <= graft.operators.Analytics.KmvK) } // bounded state
     // the estimate is monotone nondecreasing over ingestion (new distinct
     // hashes only shrink the k-th minimum), so the final value per group
     // is its max — order-independent of how the memory sink interleaves
