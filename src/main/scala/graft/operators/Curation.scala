@@ -363,6 +363,41 @@ object Curation {
           FROM documents)
     ORDER BY doc_id"""
 
+  // ---- per-source corpus card (round 4) --------------------------------
+  // The release artifact a curated corpus ships with: per source, how
+  // many documents, how many tokens, and what fraction survives the
+  // quality gate. Composes qualityGate (one definition — the card can
+  // never disagree with the gate) with a source join and a tiny
+  // per-source rollup; the join is on doc_id, so AQE broadcasts the
+  // bounded side at small SFs and shuffle-joins at scale.
+  def corpusStats(spark: SparkSession, dir: String): DataFrame = {
+    val gate = qualityGate(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("keep"))
+    Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+      .join(gate, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        count(when(col("keep"), lit(1))).as("kept_docs"))
+      .withColumn("kept_frac",
+        round(col("kept_docs").cast("double") / col("n_docs"), 6))
+      .orderBy(col("source"))
+  }
+
+  val corpusStatsOracle: String = s"""
+    WITH gate AS ($qualityGateOracle),
+    j AS (SELECT d.source, g.n_tokens, g.keep
+          FROM documents d JOIN gate g USING (doc_id))
+    SELECT source,
+      count(*) AS n_docs,
+      CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      count(CASE WHEN keep THEN 1 END) AS kept_docs,
+      round(CAST(count(CASE WHEN keep THEN 1 END) AS DOUBLE) / count(*), 6) AS kept_frac
+    FROM j
+    GROUP BY source
+    ORDER BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curation_stratified_mix" -> (stratifiedMix _),
     "curation_contamination"  -> (contamination _),
@@ -370,7 +405,8 @@ object Curation {
     "curation_chunk_dedup"   -> (chunkDedup _),
     "curation_temperature_mix" -> (temperatureMix _),
     "curation_quality_gate"  -> (qualityGate _),
-    "curation_split"         -> (split _))
+    "curation_split"         -> (split _),
+    "curation_corpus_stats"  -> (corpusStats _))
 
   val oracle: Map[String, String] = Map(
     "curation_stratified_mix" -> stratifiedMixOracle,
@@ -379,5 +415,6 @@ object Curation {
     "curation_chunk_dedup"   -> chunkDedupOracle,
     "curation_temperature_mix" -> temperatureMixOracle,
     "curation_quality_gate"  -> qualityGateOracle,
-    "curation_split"         -> splitOracle)
+    "curation_split"         -> splitOracle,
+    "curation_corpus_stats"  -> corpusStatsOracle)
 }
