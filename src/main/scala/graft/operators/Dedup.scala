@@ -384,13 +384,99 @@ object Dedup {
 
   // ---- registry -------------------------------------------------------
 
+  // ---- incremental (catalog) dedup — round 4 ---------------------------
+  // The nightly-ingest stage: NEW documents are checked against an
+  // EXISTING catalog and classified exact_dup / near_dup / novel with
+  // the best catalog match. In production the catalog side is a
+  // precomputed fingerprint + shingle store read from parquet (never
+  // re-derived); here both sides come from the one gated table, split
+  // at doc_id [[IncrementalCut]] so the oracle sees the same corpus.
+  //
+  // Scale shape: the exact stage is one fingerprint equi-join; the
+  // near stage runs ONLY over incoming docs the exact stage didn't
+  // claim (left-anti prune before the wide shingle join), joins
+  // incoming shingles against catalog shingles (equi-join on the
+  // shingle — same df-cap story as ngramJaccard at 100 TB), and picks
+  // the best match with a rank-1 window (literal limit →
+  // WindowGroupLimit). Incoming never self-joins: candidate volume is
+  // |incoming ∩ catalog shingle matches|, not corpus².
+  private[graft] val IncrementalCut = 250L
+
+  def incremental(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val fp = docs.select(col("doc_id"),
+      md5(concat_ws(" ", TextFns.tokens(col("text")))).as("fp"))
+    val incoming = fp.filter(col("doc_id") >= IncrementalCut)
+    val exactM = incoming
+      .join(fp.filter(col("doc_id") < IncrementalCut)
+        .select(col("fp"), col("doc_id").as("cid")), Seq("fp"))
+      .groupBy(col("doc_id")).agg(min(col("cid")).as("ex_id"))
+    val sh = shingleSets(docs).cache() // feeds both sides + sizes (harness clears)
+    val nonExact = incoming.select(col("doc_id"))
+      .join(exactM.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.join(nonExact, Seq("doc_id"), "left_semi")
+      .join(sh.filter(col("doc_id") < IncrementalCut)
+        .select(col("doc_id").as("cid"), col("s")), Seq("s"))
+      .groupBy(col("doc_id"), col("cid")).agg(count(lit(1)).as("inter"))
+    val wBest = Window.partitionBy(col("doc_id")).orderBy(col("j").desc, col("cid"))
+    val nearM = inter
+      .join(sz.select(col("doc_id"), col("n").as("ni")), Seq("doc_id"))
+      .join(sz.select(col("doc_id").as("cid"), col("n").as("nc")), Seq("cid"))
+      .select(col("doc_id"), col("cid"),
+        round(col("inter").cast("double") /
+          (col("ni") + col("nc") - col("inter")).cast("double"), 6).as("j"))
+      .filter(col("j") >= 0.5)
+      .withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("cid").as("near_id"))
+    incoming.select(col("doc_id"))
+      .join(exactM, Seq("doc_id"), "left")
+      .join(nearM, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("ex_id").isNotNull, "exact_dup")
+          .when(col("near_id").isNotNull, "near_dup")
+          .otherwise("novel").as("status"),
+        coalesce(col("ex_id"), col("near_id")).as("match_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val incrementalOracle: String = s"""
+    WITH $shinglesSqlCte,
+    fp AS (SELECT doc_id, md5(array_to_string(t, ' ')) AS fp FROM toks),
+    ex AS (SELECT i.doc_id, min(c.doc_id) AS match_id
+           FROM fp i JOIN fp c ON i.fp = c.fp AND c.doc_id < $IncrementalCut
+           WHERE i.doc_id >= $IncrementalCut GROUP BY i.doc_id),
+    cand AS (SELECT a.doc_id, b.doc_id AS cid, count(*) AS inter
+             FROM sh a JOIN sh b ON a.s = b.s AND b.doc_id < $IncrementalCut
+             WHERE a.doc_id >= $IncrementalCut
+               AND a.doc_id NOT IN (SELECT doc_id FROM ex)
+             GROUP BY 1, 2),
+    near0 AS (SELECT cand.doc_id, cid,
+                round(CAST(inter AS DOUBLE) / CAST(x.n + y.n - inter AS DOUBLE), 6) AS j
+              FROM cand JOIN sz x ON cand.doc_id = x.doc_id
+                        JOIN sz y ON cid = y.doc_id),
+    near1 AS (SELECT doc_id, cid,
+                row_number() OVER (PARTITION BY doc_id ORDER BY j DESC, cid) AS rn
+              FROM near0 WHERE j >= 0.5),
+    nr AS (SELECT doc_id, cid AS match_id FROM near1 WHERE rn = 1)
+    SELECT i.doc_id,
+      CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+           WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
+           ELSE 'novel' END AS status,
+      coalesce(ex.match_id, nr.match_id) AS match_id
+    FROM (SELECT doc_id FROM documents WHERE doc_id >= $IncrementalCut) i
+    LEFT JOIN ex USING (doc_id) LEFT JOIN nr USING (doc_id)
+    ORDER BY i.doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"         -> (exact _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_lsh"   -> (minhashLsh _),
     "dedup_simhash"       -> (simhash _),
     "dedup_pipeline"      -> (dedupPipeline _),
-    "dedup_clusters"      -> (dedupClusters _))
+    "dedup_clusters"      -> (dedupClusters _),
+    "dedup_incremental"   -> (incremental _))
 
   val oracle: Map[String, String] = Map(
     "dedup_exact"         -> exactOracle,
@@ -402,6 +488,7 @@ object Dedup {
     // so the exact-join oracle applies verbatim — same reasoning gives
     // the pipeline oracle its exact-jaccard stand-in for the LSH stage.
     "dedup_minhash_lsh"   -> ngramJaccardOracle,
+    "dedup_incremental"   -> incrementalOracle,
     "dedup_simhash"       -> simhashOracle,
     "dedup_pipeline"      -> dedupPipelineOracle,
     "dedup_clusters"      -> dedupClustersOracle)

@@ -167,6 +167,28 @@ class ScaleOpsSpec extends AnyFunSuite {
       (3L, 2L, 1L, d)))
   }
 
+  test("incremental dedup: exact_dup / near_dup / novel against a catalog, best match wins") {
+    // catalog = doc_id < 250 (Dedup.IncrementalCut); incoming ≥ 250
+    val base = (0 until 40).map(i => s"alpha$i beta$i gamma$i").mkString(" ")
+    val docs = Seq(
+      (0L, base),                                  // catalog
+      (1L, base.replace("alpha3", "changedx")),    // catalog near-dup of 0
+      (2L, "completely different words here okay"),// catalog
+      (250L, base),                                // incoming: exact dup of 0 (and 1 is only near)
+      (251L, base.replace("alpha7", "changedy")),  // incoming: near-dup — best match 0 (ties broken by id)
+      (252L, "nothing shared with any catalog doc entry")
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("inc").toString
+    docs.write.parquet(s"$tmp/documents.parquet")
+    val got = Dedup.incremental(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).sortBy(_._1).toSeq
+    assert(got == Seq(
+      (250L, "exact_dup", 0L),
+      (251L, "near_dup", 0L),
+      (252L, "novel", -1L)))
+  }
+
   test("piiRedact: emails, IPs, phones become placeholders; clean text untouched") {
     val docs = Seq(
       (0L, "contact john.doe@example.com or ops@sub.domain.org today"),
