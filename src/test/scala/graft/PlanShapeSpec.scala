@@ -69,6 +69,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges.forall(_.contains("rangepartitioning")), plan.take(2000))
   }
 
+  test("incremental dedup: best-match rank plans as WindowGroupLimit") {
+    val plan = finalPlan(graft.operators.Dedup.incremental(spark, sf))
+    // the rank-1 literal filter must cap per-partition window state
+    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+  }
+
   test("chunkDedup: shuffle is keyed on the md5 hash, not the span text") {
     val plan = finalPlan(graft.operators.Curation.chunkDedup(spark, sf))
     // the window exchange must hashpartition on ch (the 32-char md5),
