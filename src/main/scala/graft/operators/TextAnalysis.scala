@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
 import graft.functions.TextFns
 
@@ -369,6 +370,72 @@ object TextAnalysis {
     FROM n LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)
     ORDER BY n.doc_id"""
 
+  // ---- 7b. content-defined chunking (round 4) -------------------------
+  // CDC (Rabin/FastCDC family, public literature): a chunk boundary
+  // falls wherever the hash of the trailing CdcWin-token window is
+  // ≡ 0 mod CdcMask — so boundaries are anchored to CONTENT, not
+  // position, and an insertion near the head of a document only
+  // redraws neighboring chunks (fixed windows shift every chunk after
+  // the edit — poison for chunk-level dedup). Expected chunk length is
+  // CdcMask tokens. The md5-derived window hash keeps it cross-engine
+  // exact. Plan: boundary flags computed inside the token array (one
+  // narrow pass), then posexplode + a per-doc running sum (window
+  // PARTITIONED by doc_id — parallel across docs, never global) and a
+  // doc-keyed reassembly agg. O(n·W) hash work per doc, O(n log n)
+  // chunk-id assignment.
+  private val CdcWin = 4
+  private val CdcMask = 8
+
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"),
+        transform(col("t"), (_, i) =>
+          when(i >= lit(CdcWin - 1),
+            (conv(substring(md5(array_join(
+                slice(col("t"), i - lit(CdcWin - 2), lit(CdcWin)), " ")), 1, 15), 16, 10)
+              .cast("long") % CdcMask === 0).cast("int"))
+          .otherwise(lit(0))).as("b"))
+      .select(col("doc_id"), posexplode(arrays_zip(col("t"), col("b"))))
+      .select(col("doc_id"), col("pos"),
+        col("col").getField("t").as("tok"), col("col").getField("b").as("bd"))
+      .withColumn("chunk_id", sum(col("bd")).over(w).cast("long"))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ").as("chunk_text"))
+      .select(col("doc_id"), col("chunk_id"), col("chunk_text"), col("n_tokens"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  val cdcChunksOracle: String = s"""
+    WITH toks AS (SELECT doc_id, $tokensSql AS t FROM documents),
+    tok AS (SELECT doc_id, t,
+              unnest(range(len(t))) AS pos, unnest(t) AS tok
+            FROM toks),
+    b AS (SELECT doc_id, pos, tok,
+            -- slice start clamped to 1: DuckDB evaluates CASE branches
+            -- EAGERLY over the vector, and a negative-start slice is
+            -- NULL -> md5(NULL) -> concat drops it -> CAST('0x') errors.
+            -- The pos guard still masks the clamped rows' results.
+            CASE WHEN pos >= ${CdcWin - 1} AND
+              CAST(concat('0x', substr(md5(
+                array_to_string(t[greatest(1, pos - ${CdcWin - 2}):pos + 1], ' ')), 1, 15)) AS BIGINT)
+                % $CdcMask = 0
+            THEN 1 ELSE 0 END AS bd
+          FROM tok),
+    c AS (SELECT doc_id, pos, tok,
+            CAST(sum(bd) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS chunk_id
+          FROM b)
+    SELECT doc_id, chunk_id,
+      string_agg(tok, ' ' ORDER BY pos) AS chunk_text,
+      count(*) AS n_tokens
+    FROM c GROUP BY doc_id, chunk_id
+    ORDER BY doc_id, chunk_id"""
+
   // ---- 8. PII redaction (round 4) -------------------------------------
   // The pre-release scrub every training corpus gets: emails, IPv4
   // addresses, and phone-shaped digit runs become typed placeholders,
@@ -419,6 +486,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_repetition"      -> (repetition _),
     "text_pii_redact"      -> (piiRedact _),
+    "text_cdc_chunks"      -> (cdcChunks _),
     "text_heavy_hitters"   -> (heavyHitters _),
     "text_tfidf_topterms"  -> (tfidfTopTerms _),
     "text_lang_id"         -> (langId _),
@@ -432,6 +500,7 @@ object TextAnalysis {
   val oracle: Map[String, String] = Map(
     "text_repetition"      -> repetitionOracle,
     "text_pii_redact"      -> piiRedactOracle,
+    "text_cdc_chunks"      -> cdcChunksOracle,
     "text_heavy_hitters"   -> heavyHittersOracle,
     "text_tfidf_topterms"  -> tfidfOracle,
     "text_lang_id"         -> langIdOracle,

@@ -189,6 +189,26 @@ class ScaleOpsSpec extends AnyFunSuite {
       (252L, "novel", -1L)))
   }
 
+  test("cdcChunks: boundaries are content-anchored — a head insertion leaves tail chunks intact") {
+    val words = (0 until 120).map(i => s"w$i")
+    val original = words.mkString(" ")
+    val inserted = ("zzz" +: words).mkString(" ") // one token prepended
+    val docs = Seq((0L, original), (1L, inserted)).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("cdc").toString
+    docs.write.parquet(s"$tmp/documents.parquet")
+    val chunks = graft.operators.TextAnalysis.cdcChunks(spark, tmp)
+      .select("doc_id", "chunk_text").as[(Long, String)].collect()
+    val c0 = chunks.filter(_._1 == 0L).map(_._2).toSet
+    val c1 = chunks.filter(_._1 == 1L).map(_._2).toSet
+    // content-defined: all but the chunks touching the insertion are
+    // IDENTICAL between the two docs (fixed windows would shift every
+    // chunk after the edit and share ~nothing)
+    val shared = c0.intersect(c1)
+    assert(shared.size >= c0.size - 2,
+      s"expected near-total chunk reuse, got ${shared.size} of ${c0.size}")
+    assert(c0 != c1) // the edited head does differ
+  }
+
   test("piiRedact: emails, IPs, phones become placeholders; clean text untouched") {
     val docs = Seq(
       (0L, "contact john.doe@example.com or ops@sub.domain.org today"),
