@@ -162,7 +162,10 @@ object Curation {
 
   def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("ch")).orderBy(col("doc_id"), col("chunk_id"))
-    Tables.documents(spark, dir)
+    // span explode is per-doc work in one task — monster-doc corpora can
+    // opt into the shared length-aware spread (placement-only; output is
+    // groupBy'd + ordered, so byte-identical either way)
+    Skew.maybeSpreadByConf(Tables.documents(spark, dir), "n_chars", "doc_id")
       .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
       .select(col("doc_id"), col("t"),
         explode(expr(s"sequence(0, greatest(0, cast(ceil((size(t) - $ChunkDedupW) / $ChunkDedupW.0) as int)))"))

@@ -261,13 +261,7 @@ object Dedup {
     * placement-only: gated results stay byte-identical (every
     * downstream op is key-grouped or explicitly ordered). */
   private def maybeSpread(spark: SparkSession, docs: DataFrame): DataFrame =
-    if (!spark.conf.getOption("spark.graft.dedup.lengthAware").exists(_.toBoolean)) docs
-    else {
-      val parts = spark.sessionState.conf.numShufflePartitions
-      val thr = spark.conf.getOption("spark.graft.dedup.heavyChars")
-        .map(_.toLong).getOrElse(1000000L)
-      Skew.spreadByWeight(docs, "n_chars", "doc_id", parts, thr)
-    }
+    Skew.maybeSpreadByConf(docs, "n_chars", "doc_id")
 
   def dedupPipeline(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -384,46 +378,82 @@ object Dedup {
 
   // ---- registry -------------------------------------------------------
 
-  // ---- incremental (catalog) dedup — round 4 ---------------------------
+  // ---- incremental (catalog) dedup — round 4, two-table API round 5 ----
   // The nightly-ingest stage: NEW documents are checked against an
   // EXISTING catalog and classified exact_dup / near_dup / novel with
-  // the best catalog match. In production the catalog side is a
-  // precomputed fingerprint + shingle store read from parquet (never
-  // re-derived); here both sides come from the one gated table, split
-  // at doc_id [[IncrementalCut]] so the oracle sees the same corpus.
+  // the best catalog match. The catalog is a precomputed fingerprint +
+  // shingle store ([[buildCatalog]] → two parquet tables, written once
+  // per ingest and only READ afterwards — never re-derived from catalog
+  // text); [[incrementalOf]] is the production entry over those tables.
+  // The gated `incremental` splits the one gated corpus at doc_id
+  // [[IncrementalCut]] and routes through the same two-table path so
+  // the oracle sees the same semantics the production API runs.
   //
   // Scale shape: the exact stage is one fingerprint equi-join; the
   // near stage runs ONLY over incoming docs the exact stage didn't
   // claim (left-anti prune before the wide shingle join), joins
   // incoming shingles against catalog shingles (equi-join on the
-  // shingle — same df-cap story as ngramJaccard at 100 TB), and picks
-  // the best match with a rank-1 window (literal limit →
-  // WindowGroupLimit). Incoming never self-joins: candidate volume is
-  // |incoming ∩ catalog shingle matches|, not corpus².
+  // shingle), and picks the best match with a rank-1 window (literal
+  // limit → WindowGroupLimit). Incoming never self-joins: candidate
+  // volume is |incoming ∩ catalog shingle matches|, not corpus².
+  // The catalog side of the shingle join is df-capped
+  // (`spark.graft.dedup.incrementalMaxDf`, default
+  // [[DefaultMaxShingleDf]], drops logged) — without it one
+  // ultra-common catalog shingle fans out EVERY incoming doc that
+  // contains it; far above any df in gated data (max 25 at sf0.1), so
+  // gated output is unchanged while the 100 TB worst case is bounded.
   private[graft] val IncrementalCut = 250L
 
-  def incremental(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(spark, dir)
+  /** Build the persisted incremental-dedup catalog from a corpus:
+    * fingerprints (doc_id, fp, n_sh — the shingle-set size the Jaccard
+    * denominator needs, so match-time never re-aggregates the catalog
+    * shingle store) and shingles (doc_id, s). Write both to parquet;
+    * [[incrementalOf]] reads them back. Shingle-less docs (<3 tokens)
+    * carry n_sh = 0 and never produce near-dup candidates. */
+  def buildCatalog(docs: DataFrame): (DataFrame, DataFrame) = {
+    val sh = shingleSets(Skew.maybeSpreadByConf(docs, "n_chars", "doc_id"))
     val fp = docs.select(col("doc_id"),
       md5(concat_ws(" ", TextFns.tokens(col("text")))).as("fp"))
-    val incoming = fp.filter(col("doc_id") >= IncrementalCut)
-    val exactM = incoming
-      .join(fp.filter(col("doc_id") < IncrementalCut)
-        .select(col("fp"), col("doc_id").as("cid")), Seq("fp"))
+    val fpN = fp.join(
+      sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh")),
+      Seq("doc_id"), "left")
+      .select(col("doc_id"), col("fp"), coalesce(col("n_sh"), lit(0L)).as("n_sh"))
+    (fpN, sh)
+  }
+
+  /** Production incremental dedup: classify `incoming` (doc_id, text)
+    * against a persisted catalog (the two [[buildCatalog]] tables).
+    * Returns (doc_id, status, match_id) for every incoming doc. */
+  def incrementalOf(catalogFp: DataFrame, catalogSh: DataFrame,
+                    incoming: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = incoming.sparkSession
+    val maxDf = spark.conf.getOption("spark.graft.dedup.incrementalMaxDf")
+      .map(_.toLong).getOrElse(DefaultMaxShingleDf)
+    val inFp = incoming.select(col("doc_id"),
+      md5(concat_ws(" ", TextFns.tokens(col("text")))).as("fp"))
+    val exactM = inFp
+      .join(catalogFp.select(col("fp"), col("doc_id").as("cid")), Seq("fp"))
       .groupBy(col("doc_id")).agg(min(col("cid")).as("ex_id"))
-    val sh = shingleSets(docs).cache() // feeds both sides + sizes (harness clears)
+    val inSh = shingleSets(Skew.maybeSpreadByConf(incoming, "n_chars", "doc_id"))
+      .cache() // feeds the join + incoming sizes (harness clears)
     val nonExact = incoming.select(col("doc_id"))
       .join(exactM.select(col("doc_id")), Seq("doc_id"), "left_anti")
-    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.join(nonExact, Seq("doc_id"), "left_semi")
-      .join(sh.filter(col("doc_id") < IncrementalCut)
-        .select(col("doc_id").as("cid"), col("s")), Seq("s"))
+    val inSz = inSh.groupBy(col("doc_id")).agg(count(lit(1)).as("ni"))
+    // stop-shingle cap on the CATALOG side: candidate fanout per shingle
+    // is df_catalog × df_incoming, and the catalog is the unbounded,
+    // ever-growing side. Dropped keys are logged (recall loss is
+    // visible); sizes stay uncapped so surviving candidates' Jaccard
+    // uses true set sizes.
+    val cappedCat = Skew.capByFrequency(catalogSh, "s", "doc_id", maxDf,
+      logDropsAs = Some("dedup_incremental"))
+    val inter = inSh.join(nonExact, Seq("doc_id"), "left_semi")
+      .join(cappedCat.select(col("doc_id").as("cid"), col("s")), Seq("s"))
       .groupBy(col("doc_id"), col("cid")).agg(count(lit(1)).as("inter"))
     val wBest = Window.partitionBy(col("doc_id")).orderBy(col("j").desc, col("cid"))
     val nearM = inter
-      .join(sz.select(col("doc_id"), col("n").as("ni")), Seq("doc_id"))
-      .join(sz.select(col("doc_id").as("cid"), col("n").as("nc")), Seq("cid"))
+      .join(inSz, Seq("doc_id"))
+      .join(catalogFp.select(col("doc_id").as("cid"), col("n_sh").as("nc")), Seq("cid"))
       .select(col("doc_id"), col("cid"),
         round(col("inter").cast("double") /
           (col("ni") + col("nc") - col("inter")).cast("double"), 6).as("j"))
@@ -439,6 +469,13 @@ object Dedup {
           .otherwise("novel").as("status"),
         coalesce(col("ex_id"), col("near_id")).as("match_id"))
       .orderBy(col("doc_id"))
+  }
+
+  def incremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val (catFp, catSh) = buildCatalog(docs.filter(col("doc_id") < IncrementalCut))
+    incrementalOf(catFp.cache(), catSh.cache(), // harness clears
+      docs.filter(col("doc_id") >= IncrementalCut))
   }
 
   val incrementalOracle: String = s"""

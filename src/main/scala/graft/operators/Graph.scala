@@ -34,11 +34,12 @@ object Graph {
     * labels (no separate count() job).
     *
     * If labels are still moving at `maxRounds` the result is WRONG
-    * (vertices of one component carry different labels). That is never
-    * silent: an ERROR log always fires, and with
-    * `spark.graft.graph.failOnNonConvergence=true` (the safe default for
-    * unattended pipelines is to set it) an IllegalStateException is
-    * thrown instead of returning bad labels. */
+    * (vertices of one component carry different labels). The DEFAULT is
+    * fail-fast: an IllegalStateException is thrown rather than returning
+    * bad labels — an unattended 100 TB pipeline should die, not log.
+    * Set `spark.graft.graph.failOnNonConvergence=false` to opt out
+    * (ERROR log only), e.g. for exploratory sessions that want partial
+    * labels anyway. */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
                           maxRounds: Int = 20): DataFrame = {
     val bidir = edges.select(col("src"), col("dst"))
@@ -77,7 +78,7 @@ object Graph {
         s"($changed labels still moving) — returned components are WRONG for " +
         "at least one high-diameter component. Raise maxRounds."
       val failFast = vertices.sparkSession.conf
-        .getOption("spark.graft.graph.failOnNonConvergence").exists(_.toBoolean)
+        .getOption("spark.graft.graph.failOnNonConvergence").forall(_.toBoolean)
       if (failFast) throw new IllegalStateException(msg)
       log.error(msg)
     }

@@ -165,7 +165,13 @@ object Multimodal {
     * deterministic fake path, which is byte arithmetic — expressible in
     * SQL because the test corpus is pure ASCII (code point == UTF-8
     * byte, verified at both oracle SFs). Real image corpora keep the
-    * rows-only treatment: their features depend on codec output. */
+    * rows-only treatment: their features depend on codec output.
+    *
+    * Empty documents: the per-byte CTE has no rows for them, so `agg`
+    * is LEFT-joined with coalesce(s,0)/coalesce(n,1) — mirroring
+    * FakeDecoder's empty-payload output (16×16, mean 0.0, zero hist;
+    * DuckDB ascii('') is 0, matching payload.headOption.getOrElse(0))
+    * instead of silently dropping the row the Spark side emits. */
   val decodeFeaturesOracle: String = """
     WITH bytes AS (
       SELECT doc_id, ascii(substr(text, CAST(i AS INT) + 1, 1)) AS b
@@ -181,9 +187,9 @@ object Multimodal {
     SELECT d.doc_id,
       16 + (ascii(substr(d.text, 1, 1)) & 15) AS width,
       16 + (ascii(substr(d.text, 2, 1)) & 15) AS height,
-      floor((CAST(a.s AS DOUBLE) / a.n) * 10000 + 0.5) / 10000 AS mean_byte,
+      floor((CAST(coalesce(a.s, 0) AS DOUBLE) / coalesce(a.n, 1)) * 10000 + 0.5) / 10000 AS mean_byte,
       hcsv.hist_csv
-    FROM documents d JOIN agg a USING (doc_id) JOIN hcsv USING (doc_id)
+    FROM documents d LEFT JOIN agg a USING (doc_id) JOIN hcsv USING (doc_id)
     ORDER BY d.doc_id"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

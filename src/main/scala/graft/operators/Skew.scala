@@ -51,10 +51,15 @@ object Skew {
     * r mod `parts`. Light rows hash-distribute as usual. Output rows
     * are identical — only physical placement changes.
     *
-    * The heavy set is ranked through a single coalesced partition
-    * (id+weight columns only, never the payload), so `heavyThreshold`
-    * should keep it to the corpus's monster tail — the default 1 M chars
-    * is ~200× the sf corpora's mean doc. */
+    * The heavy set is ranked through a single partition (id+weight
+    * columns only, never the payload) reached via repartition — a
+    * SHUFFLE boundary, not coalesce(1), which would merge the upstream
+    * scan+filter into that same single task and serialize the whole
+    * corpus scan. With the boundary, the scan/filter stays
+    * partition-parallel and only the tiny heavy subset funnels to one
+    * task. `heavyThreshold` should keep that subset to the corpus's
+    * monster tail — the default 1 M chars is ~200× the sf corpora's
+    * mean doc. */
   def spreadByWeight(df: DataFrame, weightCol: String, idCol: String,
                      parts: Int, heavyThreshold: Long): DataFrame = {
     val probe = probeKeys(parts)
@@ -63,7 +68,7 @@ object Skew {
     // Sampling.sampleN): the heavy subset is small by construction
     val ranked = df.filter(col(weightCol) >= heavyThreshold)
       .select(col(idCol), col(weightCol))
-      .coalesce(1).sortWithinPartitions(col(weightCol).desc, col(idCol))
+      .repartition(1).sortWithinPartitions(col(weightCol).desc, col(idCol))
       .select(col(idCol), monotonically_increasing_id().as("__r"))
     df.join(broadcast(ranked), Seq(idCol), "left")
       .withColumn("__pk",
@@ -72,6 +77,29 @@ object Skew {
           .otherwise(xxhash64(col(idCol))))
       .repartition(parts, col("__pk"))
       .drop("__r", "__pk")
+  }
+
+  /** Conf-gated doc-length-aware spread (the knob shared by every
+    * shingle/span explode site: dedup_pipeline, dedup_clusters,
+    * dedup_incremental, curation_chunk_dedup). Per-row explode work runs
+    * in ONE task per row, so co-located monster documents serialize even
+    * with idle cores; `spark.graft.dedup.lengthAware=true` spreads rows
+    * whose `weightCol` ≥ `spark.graft.dedup.heavyChars` (default 1 M)
+    * over guaranteed-distinct partitions via [[spreadByWeight]].
+    * Placement-only: every caller's downstream is key-grouped or
+    * explicitly ordered, so outputs are byte-identical either way
+    * (asserted in the long-doc stress main). No-op when the frame lacks
+    * `weightCol` (e.g. a pre-projected incoming frame without n_chars). */
+  def maybeSpreadByConf(df: DataFrame, weightCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.conf.getOption("spark.graft.dedup.lengthAware").exists(_.toBoolean) ||
+        !df.columns.contains(weightCol)) df
+    else {
+      val parts = spark.sessionState.conf.numShufflePartitions
+      val thr = spark.conf.getOption("spark.graft.dedup.heavyChars")
+        .map(_.toLong).getOrElse(1000000L)
+      spreadByWeight(df, weightCol, idCol, parts, thr)
+    }
   }
 
   /** For each target partition t < parts, a long whose Murmur3 hash

@@ -283,21 +283,63 @@ object TextAnalysis {
   // MG guarantees every token with frequency > n/256 survives pass 1, so
   // the top-20-by-exact-count equals the full histogram's top-20
   // whenever the 20th hitter clears n/256 — true by orders of magnitude
-  // on natural-language corpora. The classic sketch-then-verify shape,
+  // on natural-language corpora, and since round 5 CHECKED at runtime
+  // (fail-fast by default) rather than assumed. The classic
+  // sketch-then-verify shape,
   // now deterministic (exact counts, not merge-order-dependent
   // estimates) and oracle-gated against the exact histogram.
   def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val toks = Tables.documents(spark, dir)
       .select(explode(TextFns.tokens(col("text"))).as("token"))
-    val candidates = toks
-      .agg(graft.functions.MisraGriesTopK.of(col("token"), 256).as("hh"))
-      .select(explode(col("hh")).as("e"))
-      .select(col("e.token").as("token"))
-    toks.join(broadcast(candidates), Seq("token"), "left_semi")
+    // ONE pass yields both the candidate sketch and the total token
+    // count the MG bound is stated against. The sketch row is ≤256
+    // entries — driver-sized by the same argument as the broadcast that
+    // ships the candidates back out.
+    val skRow = toks
+      .agg(graft.functions.MisraGriesTopK.of(col("token"), 256).as("hh"),
+        count(lit(1)).as("n_total"))
+      .head()
+    val ests = skRow.getSeq[org.apache.spark.sql.Row](0)
+      .map(e => (e.getString(0), e.getLong(1)))
+    val nTotal = skRow.getLong(1)
+    val candidates = ests.map(_._1).toDF("token")
+    // exact recount stays distributed: semi-join against the broadcast
+    // candidate list, keyed agg carries ≤256 keys
+    val top = toks.join(broadcast(candidates), Seq("token"), "left_semi")
       .groupBy(col("token"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token"))
       .limit(20)
+      .collect() // a top-20 is driver-sized by construction
+    // RUNTIME precondition check (was comment-only): the 2-pass result
+    // equals the exact top-20 iff every true top-20 token survived MG.
+    // Sufficient evidence, checked cheapest-first:
+    //  (a) sum(est) == n_total → zero decrements anywhere → the sketch
+    //      holds EVERY distinct token with exact counts; or
+    //  (b) the 20th exact candidate count clears the n/256 survival
+    //      bound → any non-candidate has true count ≤ n/256 < 20th.
+    // Flat/low-skew corpora violating both get a loud failure instead of
+    // a silently arbitrary top-20. Opt-out downgrades to an ERROR log.
+    val exactSketch = ests.map(_._2).sum == nTotal
+    val bound = top.length == 20 && top.last.getLong(1) * 256L > nTotal
+    if (!exactSketch && !bound) {
+      val msg = s"heavyHitters: MG-256 recall precondition FAILED " +
+        s"(20th candidate count ${if (top.length == 20) top.last.getLong(1) else "n/a"} " +
+        s"does not clear n/256 = ${nTotal / 256} on ${nTotal} tokens) — " +
+        "the top-20 may differ from the exact histogram's. Raise capacity " +
+        "or use text_token_histogram."
+      if (spark.conf.getOption("spark.graft.text.hhFailOnLowSkew").forall(_.toBoolean))
+        throw new IllegalStateException(msg)
+      org.slf4j.LoggerFactory.getLogger(getClass).error(msg)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(top.toIndexedSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("token",
+          org.apache.spark.sql.types.StringType, nullable = true),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType, nullable = false))))
   }
 
   /** The exact histogram IS the oracle: pass-1 candidate recall (every

@@ -68,19 +68,19 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(comp.size == n + 1 && comp.values.forall(_ == 0L))
   }
 
-  test("connected components: non-convergence is loud, not silent") {
-    // maxRounds=1 cannot finish the chain → guard must fire
+  test("connected components: non-convergence fails fast by DEFAULT") {
+    // maxRounds=1 cannot finish the chain → guard must fire with no conf set
     val verts = (0L to 50L).toDF("id")
     val edges = (0L until 50L).map(i => (i, i + 1)).toDF("src", "dst")
-    spark.conf.set("spark.graft.graph.failOnNonConvergence", "true")
-    try {
-      val e = intercept[IllegalStateException] {
-        Graph.connectedComponents(verts, edges, maxRounds = 1).count()
-      }
-      assert(e.getMessage.contains("did NOT converge"))
-    } finally spark.conf.unset("spark.graft.graph.failOnNonConvergence")
-    // without the conf it returns (logging ERROR) rather than throwing
-    assert(Graph.connectedComponents(verts, edges, maxRounds = 1).count() == 51L)
+    val e = intercept[IllegalStateException] {
+      Graph.connectedComponents(verts, edges, maxRounds = 1).count()
+    }
+    assert(e.getMessage.contains("did NOT converge"))
+    // explicit opt-out returns partial labels (logging ERROR) instead
+    spark.conf.set("spark.graft.graph.failOnNonConvergence", "false")
+    try
+      assert(Graph.connectedComponents(verts, edges, maxRounds = 1).count() == 51L)
+    finally spark.conf.unset("spark.graft.graph.failOnNonConvergence")
   }
 
   test("asOf: latest right ≤ left ts per key, inclusive, null when none") {
@@ -187,6 +187,57 @@ class ScaleOpsSpec extends AnyFunSuite {
       (250L, "exact_dup", 0L),
       (251L, "near_dup", 0L),
       (252L, "novel", -1L)))
+  }
+
+  test("incrementalOf: persisted parquet catalog reproduces the gated one-table split") {
+    // the production flow: buildCatalog → write fingerprint + shingle
+    // stores to parquet → later run reads them back and classifies a new
+    // batch. Must equal Dedup.incremental's in-memory split exactly.
+    val base = (0 until 40).map(i => s"alpha$i beta$i gamma$i").mkString(" ")
+    val docs = Seq(
+      (0L, base),
+      (1L, base.replace("alpha3", "changedx")),
+      (2L, "completely different words here okay"),
+      (250L, base),
+      (251L, base.replace("alpha7", "changedy")),
+      (252L, "nothing shared with any catalog doc entry")
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("inc2").toString
+    docs.write.parquet(s"$tmp/documents.parquet")
+    val (catFp, catSh) = Dedup.buildCatalog(docs.filter(col("doc_id") < 250))
+    catFp.write.parquet(s"$tmp/cat_fp.parquet")
+    catSh.write.parquet(s"$tmp/cat_sh.parquet")
+    val got = Dedup.incrementalOf(
+      spark.read.parquet(s"$tmp/cat_fp.parquet"),
+      spark.read.parquet(s"$tmp/cat_sh.parquet"),
+      docs.filter(col("doc_id") >= 250))
+      .collect().map(_.toSeq).toSeq
+    val gated = Dedup.incremental(spark, tmp).collect().map(_.toSeq).toSeq
+    assert(got == gated)
+    assert(got.map(r => (r(0), r(1))) ==
+      Seq((250L, "exact_dup"), (251L, "near_dup"), (252L, "novel")))
+  }
+
+  test("incrementalOf: catalog df cap drops hot-shingle-only candidates, visibly") {
+    // three catalog docs share every shingle (identical text) → catalog
+    // df = 3 for each. An incoming NEAR-dup matches only through those
+    // hot shingles: with the cap below 3 the candidates vanish (novel);
+    // with the default cap it stays near_dup. The drop is logged, and
+    // a single hot catalog shingle can no longer fan out to every
+    // incoming doc at scale.
+    val t = (0 until 30).map(i => s"word$i next$i more$i").mkString(" ")
+    val catalog = Seq((0L, t), (1L, t), (2L, t)).toDF("doc_id", "text")
+    val incoming = Seq((250L, t.replace("word5", "altered"))).toDF("doc_id", "text")
+    val (catFp, catSh) = Dedup.buildCatalog(catalog)
+    val dflt = Dedup.incrementalOf(catFp, catSh, incoming)
+      .select("doc_id", "status").as[(Long, String)].collect().toSeq
+    assert(dflt == Seq((250L, "near_dup")))
+    spark.conf.set("spark.graft.dedup.incrementalMaxDf", "2")
+    try {
+      val capped = Dedup.incrementalOf(catFp, catSh, incoming)
+        .select("doc_id", "status").as[(Long, String)].collect().toSeq
+      assert(capped == Seq((250L, "novel")))
+    } finally spark.conf.unset("spark.graft.dedup.incrementalMaxDf")
   }
 
   test("cdcChunks: boundaries are content-anchored — a head insertion leaves tail chunks intact") {
