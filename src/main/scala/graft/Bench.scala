@@ -3,12 +3,28 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: one JSON line with per-query wall seconds.
-  * A small uncounted warmup run absorbs JVM/codegen startup so query
-  * timings measure the plans, not JIT. Queries run in sorted order. */
+  *
+  * Load-proofing (round 5 — two rounds of driver records were burned on
+  * measurement artifacts, not regressions):
+  *  - every query is timed `reps` times (default 3) and the MEDIAN is
+  *    recorded, so one load spike on a busy machine can't poison a
+  *    query's number;
+  *  - timings are rounded to 3 decimals, halving the JSON so a log
+  *    truncation is less likely to eat the head of the record;
+  *  - the record is written to target/bench.json AND printed TWICE
+  *    (immediately after measurement and again at exit) — two chances
+  *    for the driver's log capture to catch an intact line;
+  *  - the warmup directory actually used is recorded in the JSON: when
+  *    the sf0.001 sibling is missing, warmup is SKIPPED (running the
+  *    full suite at the measured SF would silently double wall time and
+  *    turn "measured" numbers into warm-cache reruns) and the record
+  *    says so instead of hiding it.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -26,31 +42,40 @@ object Bench {
     // ~5 s to innocent plans.) Caches built during warmup are keyed on
     // the warmup dir's logical plans, so they can't leak into the
     // measured run; clearCache() drops their storage anyway.
-    val warmDir = {
-      val sibling = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
-      if (sibling.isDirectory) sibling.getAbsolutePath else sfDir
-    }
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
-    }
-    spark.catalog.clearCache()
+    val sibling = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
+    val warmup =
+      if (sibling.isDirectory && sibling.getAbsolutePath != new java.io.File(sfDir).getAbsolutePath) {
+        SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+          try fn(spark, sibling.getAbsolutePath).count() catch { case _: Throwable => () }
+        }
+        spark.catalog.clearCache()
+        sibling.getAbsolutePath
+      } else "skipped_no_small_sf"
+
+    def f3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val sec = (System.nanoTime() - t0) / 1e9
-      // outside the timed section: drop this query's internal caches so
-      // later queries aren't squeezed by accumulated storage memory
-      spark.catalog.clearCache()
-      name -> sec
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+        val sec = (System.nanoTime() - t0) / 1e9
+        // outside the timed section: drop this query's internal caches so
+        // later queries (and the next rep) start cache-cold and aren't
+        // squeezed by accumulated storage memory
+        spark.catalog.clearCache()
+        if (ok) sec else -1.0
+      }.sorted
+      name -> times(times.length / 2)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // file first (survives log truncation/interleaving), then stdout on
-    // its own line with a blank line before it so the record stays intact
-    // even if a logger write lands mid-buffer
+    val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,""" +
+      s""""sf":"$sfDir","reps":$reps,"warmup":"$warmup"}"""
+    // file first (survives log truncation/interleaving), then stdout
+    // twice — once immediately, once after stop() — each on its own line
+    // with a blank line before it so the record stays intact even if a
+    // logger write lands mid-buffer
     try {
       val out = java.nio.file.Paths.get("target", "bench.json")
       java.nio.file.Files.createDirectories(out.getParent)
@@ -58,6 +83,9 @@ object Bench {
     } catch { case _: Throwable => () }
     println()
     println(json)
+    Console.flush()
     spark.stop()
+    println()
+    println(json)
   }
 }

@@ -511,9 +511,17 @@ object Analytics {
 
   // --- sketch aggregates: the 100 TB shapes of COUNT DISTINCT ----------
   // HLL++ and quantile sketches trade exactness for one-pass mergeable
-  // state — the only viable form at cluster scale. Rows-only gate
-  // (sketch values are engine-specific); the spec bounds error vs exact.
-  def eventsSketch(spark: SparkSession, dir: String): DataFrame =
+  // state — the only viable form at cluster scale. Raw sketch VALUES are
+  // engine-specific (HLL register merges have no DuckDB twin), so the
+  // raw variant below is spec-bounded, not oracle-gated. The GATED entry
+  // instead emits what IS cross-engine checkable: each engine runs its
+  // own sketch AND its own exact aggregate in one pass and reports
+  // whether the sketch lands inside its error contract (HLL within 5%
+  // of exact; approx percentiles inside a ±2-percentile-point bracket
+  // on the exact quantile curve). Both engines' sketches honor their contracts →
+  // identical boolean rows → full rows+schema+hash gate, with the
+  // sketch machinery still on the measured path.
+  def eventsSketchRaw(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("event_type"))
       .agg(
@@ -523,6 +531,44 @@ object Analytics {
         round(expr("approx_percentile(value, array(0.5, 0.95, 0.99), 10000)")(0), 2).as("p50"),
         round(expr("approx_percentile(value, array(0.5, 0.95, 0.99), 10000)")(2), 2).as("p99"))
       .orderBy(col("event_type"))
+
+  def eventsSketch(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("exact_users"),
+        (abs(approx_count_distinct(col("user_id"), rsd = 0.02) - countDistinct(col("user_id")))
+          <= countDistinct(col("user_id")).cast("double") * 0.05).as("hll_within_5pct"),
+        // percentile contracts are RANK brackets, not value tolerances:
+        // approx quantiles are rank-accurate (GK ε = 1/accuracy here,
+        // t-digest tail-tight in DuckDB) but return data values, while
+        // exact percentile interpolates — on a sparse tail the value gap
+        // between adjacent order statistics dwarfs any % tolerance. A
+        // ±2-percentile-point bracket on the EXACT quantile curve holds
+        // for both engines at every n.
+        expr("approx_percentile(value, 0.5, 10000)")
+          .between(expr("percentile(value, 0.4)"), expr("percentile(value, 0.6)"))
+          .as("p50_in_bracket"),
+        expr("approx_percentile(value, 0.99, 10000)")
+          .between(expr("percentile(value, 0.97)"), max(col("value")))
+          .as("p99_in_bracket"))
+      .orderBy(col("event_type"))
+
+  val eventsSketchOracle: String = """
+    SELECT event_type, count(*) AS n,
+      count(DISTINCT user_id) AS exact_users,
+      abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+        <= CAST(count(DISTINCT user_id) AS DOUBLE) * 0.05 AS hll_within_5pct,
+      approx_quantile(CAST(value AS DOUBLE), 0.5)
+        BETWEEN quantile_cont(CAST(value AS DOUBLE), 0.4)
+            AND quantile_cont(CAST(value AS DOUBLE), 0.6) AS p50_in_bracket,
+      approx_quantile(CAST(value AS DOUBLE), 0.99)
+        BETWEEN quantile_cont(CAST(value AS DOUBLE), 0.97)
+            AND max(CAST(value AS DOUBLE)) AS p99_in_bracket
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type"""
 
   // --- KMV distinct sketch: the PORTABLE cousin of q_events_sketch -----
   // K-minimum-values (Bar-Yossef et al. 2002): per group keep the k
@@ -871,9 +917,41 @@ object Analytics {
     // `salts` reducers — for skew AQE can't fix (it splits sort-merge
     // partitions, but not when the join feeds a same-key aggregate that
     // reuses the exchange, and not under broadcast-hash plans).
+    //
+    // `spark.graft.skew.autoSalt=true` decides instead of guessing: ONE
+    // extra aggregate pass over the already-scanned events sketches the
+    // purchase-side key frequencies (Misra-Gries, bounded state) and
+    // estimates the entered-side size, then Skew.autoSaltDecision salts
+    // only in the measured winning regime — SMJ plan AND top key share ≥
+    // `spark.graft.skew.hotKeyShare` (default 0.5; the study's winning
+    // case was 95%-hot, the losing modest-skew case well below). The
+    // decision is logged either way. An explicit funnelSalts wins.
     val purchases = ev.filter(col("event_type") === "purchase")
-    val salts = spark.conf.getOption("spark.graft.skew.funnelSalts")
+    val explicitSalts = spark.conf.getOption("spark.graft.skew.funnelSalts")
       .map(_.toInt).getOrElse(0)
+    val salts =
+      if (explicitSalts > 0 ||
+          !spark.conf.getOption("spark.graft.skew.autoSalt").exists(_.toBoolean)) explicitSalts
+      else {
+        val st = ev.agg(
+          graft.functions.MisraGriesTopK.of(
+            when(col("event_type") === "purchase", col("user_id").cast("string")), 64).as("hh"),
+          count(when(col("event_type") === "purchase", 1)).as("np"),
+          approx_count_distinct(when(col("event_type") === "click", col("user_id"))).as("nclick"))
+          .head()
+        val hh = st.getSeq[org.apache.spark.sql.Row](0)
+        val np = st.getLong(1)
+        val topShare = if (np > 0 && hh.nonEmpty) hh.head.getLong(1).toDouble / np else 0.0
+        val hotShare = spark.conf.getOption("spark.graft.skew.hotKeyShare")
+          .map(_.toDouble).getOrElse(0.5)
+        val decided = Skew.autoSaltDecision(
+          topShare, st.getLong(2), smallSideRowBytes = 32L,
+          broadcastThreshold = spark.sessionState.conf.autoBroadcastJoinThreshold,
+          hotShare = hotShare, salts = spark.sessionState.conf.numShufflePartitions)
+        System.err.println(f"[graft] funnel autoSalt: topShare=$topShare%.3f " +
+          s"enteredEst=${st.getLong(2)} → ${decided.fold("no salt")(s => s"salts=$s")}")
+        decided.getOrElse(0)
+      }
     val joined =
       if (salts > 1) Skew.saltedEquiJoin(purchases, entered, "user_id", salts)
       else purchases.join(entered, Seq("user_id"))
@@ -1136,6 +1214,7 @@ object Analytics {
     "q22_idle_balances"    -> q22Oracle,
     "q2_min_cost_supplier" -> q2Oracle,
     "q20_part_qty_suppliers" -> q20Oracle,
+    "q_events_sketch"      -> eventsSketchOracle,
     "q_events_kmv"         -> eventsKmvOracle,
     "q_semi_anti"          -> semiAntiOracle,
     "q_rollup"             -> rollupOracle,

@@ -79,6 +79,26 @@ object Skew {
       .drop("__r", "__pk")
   }
 
+  /** Regime classifier for salted equi-joins, encoding the measured
+    * three-regime study (SURVEY §6): salting only ever won when the
+    * plan was sort-merge AND one key owned most of the large side —
+    * regime (c). Under a broadcast plan there is no shuffle skew to fix
+    * (regime a), and under modest SMJ skew the right-side ×salts
+    * replication cost exceeds the win (regime b). So: salt ONLY when
+    * the small side is over the broadcast threshold and the sampled
+    * top-key share clears `hotShare`.
+    *
+    * Pure decision math — callers supply the sampled stats (e.g. one
+    * Misra-Gries + count pass over the table they were going to scan
+    * anyway) so the regimes are unit-testable without corpora. */
+  def autoSaltDecision(topKeyShare: Double, smallSideRows: Long,
+                       smallSideRowBytes: Long, broadcastThreshold: Long,
+                       hotShare: Double, salts: Int): Option[Int] =
+    if (broadcastThreshold >= 0 &&
+        smallSideRows * smallSideRowBytes <= broadcastThreshold) None // (a)
+    else if (topKeyShare < hotShare) None                             // (b)
+    else Some(salts)                                                  // (c)
+
   /** Conf-gated doc-length-aware spread (the knob shared by every
     * shingle/span explode site: dedup_pipeline, dedup_clusters,
     * dedup_incremental, curation_chunk_dedup). Per-row explode work runs

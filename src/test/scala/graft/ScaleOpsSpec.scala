@@ -110,8 +110,57 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("length-aware spread at incremental/chunkDedup explodes is placement-only") {
+    // the round-4 spread sites (pipeline/clusters) are covered by the
+    // long-doc stress main; these are the round-5 additions. heavyChars
+    // is lowered so sf0.001 docs actually take the heavy path — the
+    // spread must never change WHAT either operator returns.
+    val dir = "/root/testdata/sf0.001"
+    val plainInc = Dedup.incremental(spark, dir).collect().map(_.toSeq).toSet
+    val plainChunk = Curation.chunkDedup(spark, dir).collect().map(_.toSeq).toSet
+    spark.conf.set("spark.graft.dedup.lengthAware", "true")
+    spark.conf.set("spark.graft.dedup.heavyChars", "100")
+    try {
+      assert(Dedup.incremental(spark, dir).collect().map(_.toSeq).toSet == plainInc)
+      assert(Curation.chunkDedup(spark, dir).collect().map(_.toSeq).toSet == plainChunk)
+    } finally {
+      spark.conf.unset("spark.graft.dedup.lengthAware")
+      spark.conf.unset("spark.graft.dedup.heavyChars")
+    }
+  }
+
+  test("autoSalt: engages only in the hot-key SMJ regime, output-identical when on") {
+    // the three measured regimes (SURVEY §6), as decision-table checks:
+    // (a) small side broadcastable → never salt, even at extreme skew
+    assert(Skew.autoSaltDecision(0.95, 1000, 32, 10485760, 0.5, 16).isEmpty)
+    // (b) SMJ plan but modest skew → replication cost loses, no salt
+    assert(Skew.autoSaltDecision(0.2, 1000000, 32, 10485760, 0.5, 16).isEmpty)
+    // (c) SMJ + one dominant key → salt
+    assert(Skew.autoSaltDecision(0.95, 1000000, 32, 10485760, 0.5, 16).contains(16))
+    // broadcast disabled (threshold -1) counts as SMJ
+    assert(Skew.autoSaltDecision(0.95, 10, 32, -1, 0.5, 8).contains(8))
+
+    // e2e: force engagement (hotShare=0, broadcast off) — the salted
+    // funnel must be value-identical to the plain run
+    val plain = graft.operators.Analytics.eventsFunnel(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toSeq).toSeq
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.graft.skew.autoSalt", "true")
+    spark.conf.set("spark.graft.skew.hotKeyShare", "0.0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val salted = graft.operators.Analytics.eventsFunnel(spark, "/root/testdata/sf0.001")
+        .collect().map(_.toSeq).toSeq
+      assert(salted == plain)
+    } finally {
+      spark.conf.unset("spark.graft.skew.autoSalt")
+      spark.conf.unset("spark.graft.skew.hotKeyShare")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+    }
+  }
+
   test("sketch aggregates: HLL distinct within 5% of exact, sane percentiles") {
-    val rows = graft.operators.Analytics.eventsSketch(spark, "/root/testdata/sf0.001")
+    val rows = graft.operators.Analytics.eventsSketchRaw(spark, "/root/testdata/sf0.001")
       .collect()
     assert(rows.length == 5) // one per event type
     rows.foreach { r =>
@@ -119,6 +168,16 @@ class ScaleOpsSpec extends AnyFunSuite {
       val exact = r.getAs[Long]("exact_users").toDouble
       assert(math.abs(approx - exact) / exact <= 0.05, s"HLL off: $approx vs $exact")
       assert(r.getAs[Double]("p50") <= r.getAs[Double]("p99"))
+    }
+    // the GATED entry reports the same contracts as booleans — all must
+    // hold, or the hash gate would diverge from DuckDB's booleans
+    val gated = graft.operators.Analytics.eventsSketch(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(gated.length == 5)
+    gated.foreach { r =>
+      assert(r.getAs[Boolean]("hll_within_5pct"), s"HLL contract broken: $r")
+      assert(r.getAs[Boolean]("p50_in_bracket") && r.getAs[Boolean]("p99_in_bracket"),
+        s"percentile contract broken: $r")
     }
   }
 
