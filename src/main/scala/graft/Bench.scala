@@ -54,6 +54,12 @@ object Bench {
 
     def f3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
 
+    // a failed rep is DROPPED before the median (round 6): -1 sentinels
+    // sort first, so with reps=3 one intermittent failure used to hide
+    // behind a clean positive median while two poisoned the total with
+    // -1. Now the median is over successful reps only, per-query failed
+    // rep counts are reported, and -1 survives only when every rep
+    // failed (such queries are excluded from the total and listed).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -64,14 +70,27 @@ object Bench {
         // squeezed by accumulated storage memory
         spark.catalog.clearCache()
         if (ok) sec else -1.0
-      }.sorted
-      name -> times(times.length / 2)
+      }
+      val good = times.filter(_ >= 0).sorted
+      val median = if (good.nonEmpty) good(good.length / 2) else -1.0
+      (name, median, reps - good.length)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
+    val failedQueries = results.collect { case (n, v, _) if v < 0 => "\"" + n + "\"" }
+    val failedReps = results.map(_._3).sum
+    val repFailures = results.collect { case (n, _, f) if f > 0 => "\"" + n + "\":" + f }
     val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,""" +
-      s""""sf":"$sfDir","reps":$reps,"warmup":"$warmup"}"""
+      s""""sf":"$sfDir","reps":$reps,"warmup":"$warmup",""" +
+      s""""failed_queries":${failedQueries.mkString("[", ",", "]")},""" +
+      s""""rep_failures":${repFailures.mkString("{", ",", "}")}}"""
+    // a short self-contained total line: the driver's log capture has
+    // twice truncated the HEAD of the long record — this one always fits
+    // in any capture window, so the headline number survives regardless
+    val totalLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
+      s""""n_queries":${results.length},"n_failed":${failedQueries.length},""" +
+      s""""failed_reps":$failedReps,"sf":"$sfDir"}"""
     // file first (survives log truncation/interleaving), then stdout
     // twice — once immediately, once after stop() — each on its own line
     // with a blank line before it so the record stays intact even if a
@@ -79,13 +98,15 @@ object Bench {
     try {
       val out = java.nio.file.Paths.get("target", "bench.json")
       java.nio.file.Files.createDirectories(out.getParent)
-      java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
+      java.nio.file.Files.write(out, (json + "\n" + totalLine + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     println()
     println(json)
+    println(totalLine)
     Console.flush()
     spark.stop()
     println()
     println(json)
+    println(totalLine)
   }
 }

@@ -400,8 +400,12 @@ object Dedup {
   // (`spark.graft.dedup.incrementalMaxDf`, default
   // [[DefaultMaxShingleDf]], drops logged) — without it one
   // ultra-common catalog shingle fans out EVERY incoming doc that
-  // contains it; far above any df in gated data (max 25 at sf0.1), so
-  // gated output is unchanged while the 100 TB worst case is bounded.
+  // contains it. The oracle SQL MIRRORS the default cap (a HAVING on
+  // catalog shingle df), so query and oracle share semantics at every
+  // df — not just while catalog df < 256 (round-6 fix: previously only
+  // the Spark side capped, and a hot-shingle catalog would have flipped
+  // near_dup→novel on one side of the gate only). The conf remains a
+  // production knob; the gated entry runs at the mirrored default.
   private[graft] val IncrementalCut = 250L
 
   /** Build the persisted incremental-dedup catalog from a corpus:
@@ -471,6 +475,57 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Close the nightly-ingest loop: extend the catalog with the batch
+    * [[incrementalOf]] just classified, so tomorrow's run sees today's
+    * documents. The DEFAULT appends every incoming doc's fingerprint +
+    * shingles, which is REBUILD-EQUIVALENT: merge(buildCatalog(C), A)
+    * produces exactly the tables buildCatalog(C ∪ A) would (one
+    * unionByName per table — the catalog side is never re-read or
+    * re-derived; only the new batch is tokenized, once). That invariant
+    * is what makes sequential ingests == one batch run (spec-proven):
+    * classify(B, merge(cat, A)) == classify(B, buildCatalog(C ∪ A)).
+    *
+    * `novelOnly = true` is the storage-lean production mode: only docs
+    * whose verdict was `novel` enter the catalog. Exact-dup
+    * classification of future batches is UNCHANGED (a future copy still
+    * fingerprint-matches the original catalog doc the dup pointed at),
+    * but near-dups whose only neighbor was a skipped non-novel batch
+    * doc can downgrade — the documented trade for not growing the
+    * catalog with redundant shingle sets.
+    *
+    * Scale shape: pure append — no shuffle touches the existing
+    * catalog; the only work is buildCatalog over the (small) batch and,
+    * in novelOnly mode, one left-semi join against its own verdicts. */
+  def mergeIntoCatalog(catalogFp: DataFrame, catalogSh: DataFrame,
+                       incoming: DataFrame, verdicts: DataFrame,
+                       novelOnly: Boolean = false): (DataFrame, DataFrame) = {
+    val keep =
+      if (novelOnly)
+        incoming.join(verdicts.filter(col("status") === "novel").select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+      else incoming
+    val (fp, sh) = buildCatalog(keep)
+    (catalogFp.unionByName(fp), catalogSh.unionByName(sh))
+  }
+
+  /** Persisted flavor of [[mergeIntoCatalog]]: append the batch's
+    * fingerprints + shingles to the parquet catalog tables in place
+    * (parquet append writes new files only — the existing catalog bytes
+    * are untouched, so the nightly job's write cost is O(batch), never
+    * O(catalog)). Same rebuild-equivalence as the DataFrame flavor. */
+  def appendToCatalog(fpPath: String, shPath: String,
+                      incoming: DataFrame, verdicts: DataFrame,
+                      novelOnly: Boolean = false): Unit = {
+    val keep =
+      if (novelOnly)
+        incoming.join(verdicts.filter(col("status") === "novel").select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+      else incoming
+    val (fp, sh) = buildCatalog(keep)
+    fp.write.mode("append").parquet(fpPath)
+    sh.write.mode("append").parquet(shPath)
+  }
+
   def incremental(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val (catFp, catSh) = buildCatalog(docs.filter(col("doc_id") < IncrementalCut))
@@ -484,8 +539,14 @@ object Dedup {
     ex AS (SELECT i.doc_id, min(c.doc_id) AS match_id
            FROM fp i JOIN fp c ON i.fp = c.fp AND c.doc_id < $IncrementalCut
            WHERE i.doc_id >= $IncrementalCut GROUP BY i.doc_id),
+    -- mirrors Skew.capByFrequency on the catalog side: shingles in more
+    -- than DefaultMaxShingleDf catalog docs leave candidate generation
+    -- (and the inter count) on BOTH engines
+    keep AS (SELECT s FROM sh WHERE doc_id < $IncrementalCut
+             GROUP BY s HAVING count(DISTINCT doc_id) <= $DefaultMaxShingleDf),
     cand AS (SELECT a.doc_id, b.doc_id AS cid, count(*) AS inter
              FROM sh a JOIN sh b ON a.s = b.s AND b.doc_id < $IncrementalCut
+             JOIN keep k ON a.s = k.s
              WHERE a.doc_id >= $IncrementalCut
                AND a.doc_id NOT IN (SELECT doc_id FROM ex)
              GROUP BY 1, 2),

@@ -102,6 +102,51 @@ object EventStream {
       .select(col("user_id"), col("click_ts"), col("purchase_ts"))
   }
 
+  /** Streaming incremental classify — the continuous-ingest form of the
+    * nightly catalog loop (Dedup.incrementalOf + Dedup.appendToCatalog).
+    * Each micro-batch of documents (doc_id, text) is classified against
+    * the persisted parquet catalog with the SAME relational logic as the
+    * batch API, verdicts land in a parquet sink, and (by default) the
+    * batch's fingerprints + shingles are appended to the catalog in
+    * place so the NEXT micro-batch sees this one's documents.
+    *
+    * foreachBatch is the right carrier here, not a state-store op: the
+    * classification is multi-join relational logic over a complete
+    * per-batch corpus (docs arrive whole), and the only cross-batch
+    * state is the catalog itself — which lives in parquet, bounded by
+    * corpus size rather than stream length, leaving ZERO state-store
+    * rows (spec-asserted). The catalog's fingerprint side is
+    * broadcast-sized per Spark's own estimate; AQE picks the join
+    * strategy per batch exactly as in the batch API.
+    *
+    * Failure semantics: the sink + catalog appends are at-least-once on
+    * a retried batch (plain parquet appends are not transactional); a
+    * re-appended batch cannot CHANGE later verdicts (re-appending is
+    * idempotent for classification — duplicate catalog rows produce the
+    * same min/match results) but the verdict sink should be read
+    * `dropDuplicates("doc_id")` after a crash. Exactly-once would take
+    * a transactional table format, out of scope for a parquet engine. */
+  def classifyAgainstCatalog(docs: DataFrame, fpPath: String, shPath: String,
+                             verdictsPath: String, checkpoint: String,
+                             mergeBatches: Boolean = true,
+                             novelOnly: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val sp = batch.sparkSession
+          val verdicts = graft.operators.Dedup.incrementalOf(
+            sp.read.parquet(fpPath), sp.read.parquet(shPath), batch.toDF()).cache()
+          verdicts.write.mode("append").parquet(verdictsPath)
+          if (mergeBatches)
+            graft.operators.Dedup.appendToCatalog(fpPath, shPath, batch.toDF(), verdicts, novelOnly)
+          verdicts.unpersist()
+        }
+        ()
+      }
+      .start()
+
   // ---- KMV distinct sketch with bounded state --------------------------
 
   final case class KmvEv(event_type: String, h: Long)

@@ -34,7 +34,14 @@ object ScaleSf1 {
     def rep = explode(sequence(lit(0), lit(9)))
     def scaled(k: org.apache.spark.sql.Column) = k * 10 + col("__rep")
 
-    if (!new java.io.File(s"$dir/lineitem.parquet").exists()) {
+    // gate on the FIRST and LAST artifacts the block writes (lineitem is
+    // written mid-sequence): a run killed partway used to leave a dir
+    // that passed a lineitem-only check with missing documents/dims, so
+    // later runs silently measured a partial corpus. Writes are
+    // mode(overwrite) — re-running after a partial build is safe.
+    if (!(new java.io.File(s"$dir/lineitem.parquet").exists() &&
+          new java.io.File(s"$dir/documents.parquet").exists() &&
+          new java.io.File(s"$dir/region.parquet").exists())) {
       new java.io.File(dir).mkdirs()
       def build(name: String, keyCols: Seq[String])(extra: DataFrame => DataFrame = identity): Unit = {
         val base = spark.read.parquet(s"$src/$name.parquet").withColumn("__rep", rep)

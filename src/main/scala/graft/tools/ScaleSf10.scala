@@ -32,7 +32,12 @@ object ScaleSf10 {
     def rep = explode(sequence(lit(0), lit(99)))
     def scaled(k: org.apache.spark.sql.Column) = k * 100 + col("__rep")
 
-    if (!new java.io.File(s"$dir/lineitem.parquet").exists()) {
+    // gate on BOTH tables: a run killed between the two writes used to
+    // leave a dir that passed a lineitem-only check with missing/stale
+    // documents — later decades then measured the wrong corpus. Writes
+    // are mode(overwrite), so re-running after a partial build is safe.
+    if (!(new java.io.File(s"$dir/lineitem.parquet").exists() &&
+          new java.io.File(s"$dir/documents.parquet").exists())) {
       new java.io.File(dir).mkdirs()
       spark.read.parquet(s"$src/lineitem.parquet").withColumn("__rep", rep)
         .withColumn("l_orderkey", scaled(col("l_orderkey")))

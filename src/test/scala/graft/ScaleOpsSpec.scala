@@ -159,6 +159,37 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("funnel autoSalt: regime (a) on real data → no salt; salt count capped by maxSalts") {
+    import graft.operators.Analytics
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("us"))
+    val entered = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id")).agg(min(col("us")).as("a_us"))
+    // (a) broadcast enabled (default 10 MB): the tiny entered side must
+    // come back "no salt" from the real sampling pass, not just from
+    // the pure decision table
+    assert(Analytics.funnelSaltDecision(spark, ev, entered).isEmpty)
+    // engaged (broadcast off, hotShare 0): the salt count must be the
+    // maxSalts cap, NOT numShufflePartitions — saltedEquiJoin replicates
+    // the entered side ×salts, so parallelism-sized salting would blow
+    // up on a 2000-partition cluster
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.graft.skew.hotKeyShare", "0.0")
+    try {
+      val parts = spark.sessionState.conf.numShufflePartitions
+      assert(Analytics.funnelSaltDecision(spark, ev, entered)
+        .contains(math.max(2, math.min(parts, 16))))
+      spark.conf.set("spark.graft.skew.maxSalts", "4")
+      assert(Analytics.funnelSaltDecision(spark, ev, entered)
+        .contains(math.max(2, math.min(parts, 4))))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.unset("spark.graft.skew.hotKeyShare")
+      spark.conf.unset("spark.graft.skew.maxSalts")
+    }
+  }
+
   test("sketch aggregates: HLL distinct within 5% of exact, sane percentiles") {
     val rows = graft.operators.Analytics.eventsSketchRaw(spark, "/root/testdata/sf0.001")
       .collect()
@@ -297,6 +328,87 @@ class ScaleOpsSpec extends AnyFunSuite {
         .select("doc_id", "status").as[(Long, String)].collect().toSeq
       assert(capped == Seq((250L, "novel")))
     } finally spark.conf.unset("spark.graft.dedup.incrementalMaxDf")
+  }
+
+  test("mergeIntoCatalog: sequential ingests classify exactly like a rebuilt catalog") {
+    // the nightly loop: classify batch A, merge it, classify batch B —
+    // B's verdicts must equal a batch run against buildCatalog(C ∪ A),
+    // and the merged tables must BE the rebuilt tables (the invariant
+    // the sequential==batch guarantee rides on)
+    val base = (0 until 40).map(i => s"alpha$i beta$i gamma$i").mkString(" ")
+    val other = (0 until 40).map(i => s"zulu$i yankee$i xray$i").mkString(" ")
+    val catalog = Seq((0L, base),
+      (1L, "completely different words here okay")).toDF("doc_id", "text")
+    val a = Seq(
+      (250L, base),                                // exact dup of 0
+      (251L, base.replace("alpha7", "changedy")),  // near-dup of 0
+      (252L, other)                                // novel
+    ).toDF("doc_id", "text")
+    // B probes every history class the merge creates: exact dup of an
+    // A-novel doc, near-dup of an A-novel doc, near-dup whose BEST match
+    // is an A-near-dup — none of these resolve without the merge
+    val b = Seq(
+      (300L, base),                                // exact dup: min cid still 0
+      (301L, other),                               // exact dup of A's 252
+      (302L, other.replace("zulu3", "edited")),    // near-dup of A's 252
+      (303L, base.replace("alpha7", "changedy").replace("beta2", "edits")), // best match: A's 251
+      (304L, "nothing shared with anything at all")
+    ).toDF("doc_id", "text")
+
+    val (cat0Fp, cat0Sh) = Dedup.buildCatalog(catalog)
+    val vA = Dedup.incrementalOf(cat0Fp, cat0Sh, a)
+    assert(vA.select("doc_id", "status").as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((250L, "exact_dup"), (251L, "near_dup"), (252L, "novel")))
+    val (fp1, sh1) = Dedup.mergeIntoCatalog(cat0Fp, cat0Sh, a, vA)
+    val seqB = Dedup.incrementalOf(fp1, sh1, b).collect().map(_.toSeq).toSeq
+    val (rbFp, rbSh) = Dedup.buildCatalog(catalog.unionByName(a))
+    val batchB = Dedup.incrementalOf(rbFp, rbSh, b).collect().map(_.toSeq).toSeq
+    assert(seqB == batchB)
+    assert(fp1.collect().map(_.toSeq).toSet == rbFp.collect().map(_.toSeq).toSet)
+    assert(sh1.collect().map(_.toSeq).toSet == rbSh.collect().map(_.toSeq).toSet)
+    assert(seqB.map(r => (r(0), r(1), r(2))) == Seq(
+      (300L, "exact_dup", 0L),
+      (301L, "exact_dup", 252L),
+      (302L, "near_dup", 252L),
+      (303L, "near_dup", 251L),
+      (304L, "novel", null)))
+  }
+
+  test("appendToCatalog: persisted parquet loop == rebuild; novelOnly keeps exact classification") {
+    val base = (0 until 40).map(i => s"alpha$i beta$i gamma$i").mkString(" ")
+    val other = (0 until 40).map(i => s"zulu$i yankee$i xray$i").mkString(" ")
+    val catalog = Seq((0L, base),
+      (1L, "completely different words here okay")).toDF("doc_id", "text")
+    val a = Seq((250L, base), (251L, base.replace("alpha7", "changedy")),
+      (252L, other)).toDF("doc_id", "text")
+    val b = Seq((300L, other), (301L, other.replace("zulu3", "edited")))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("catmerge").toString
+    val (cat0Fp, cat0Sh) = Dedup.buildCatalog(catalog)
+    cat0Fp.write.parquet(s"$tmp/fp.parquet")
+    cat0Sh.write.parquet(s"$tmp/sh.parquet")
+    // nightly job, day 1: read catalog → classify → append in place
+    val vA = Dedup.incrementalOf(
+      spark.read.parquet(s"$tmp/fp.parquet"), spark.read.parquet(s"$tmp/sh.parquet"), a)
+    Dedup.appendToCatalog(s"$tmp/fp.parquet", s"$tmp/sh.parquet", a, vA)
+    // day 2: the appended catalog must classify B like a full rebuild
+    val seqB = Dedup.incrementalOf(
+      spark.read.parquet(s"$tmp/fp.parquet"), spark.read.parquet(s"$tmp/sh.parquet"), b)
+      .collect().map(_.toSeq).toSeq
+    val (rbFp, rbSh) = Dedup.buildCatalog(catalog.unionByName(a))
+    assert(seqB == Dedup.incrementalOf(rbFp, rbSh, b).collect().map(_.toSeq).toSeq)
+    assert(seqB.map(r => (r(0), r(1), r(2))) ==
+      Seq((300L, "exact_dup", 252L), (301L, "near_dup", 252L)))
+
+    // novelOnly: dup A-docs stay out of the catalog, yet exact dups of
+    // HISTORY still classify exactly — a copy of dup-250 fingerprint-
+    // matches the original 0; a copy of novel-252 matches 252
+    val (fpN, shN) = Dedup.mergeIntoCatalog(cat0Fp, cat0Sh, a, vA, novelOnly = true)
+    assert(fpN.filter(col("doc_id").isin(250L, 251L)).count() == 0)
+    val probe = Seq((400L, base), (401L, other)).toDF("doc_id", "text")
+    assert(Dedup.incrementalOf(fpN, shN, probe)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((400L, "exact_dup", 0L), (401L, "exact_dup", 252L)))
   }
 
   test("cdcChunks: boundaries are content-anchored — a head insertion leaves tail chunks intact") {

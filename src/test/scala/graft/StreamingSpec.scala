@@ -174,6 +174,63 @@ class StreamingSpec extends AnyFunSuite {
     assert(gotSurvivors == ((0L until 30L) ++ Seq(150L) ++ (300L until 305L)).toSet)
   }
 
+  test("streaming incremental classify: stream verdicts == sequential batch loop, catalog grows in place") {
+    // the continuous-ingest catalog story end-to-end: a document stream
+    // is classified per micro-batch against the persisted parquet
+    // catalog, each batch is merged in place, and the NEXT batch must
+    // see it — all with zero state-store rows (the catalog IS the state)
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("streamcat").toString
+    val base = (0 until 40).map(i => s"alpha$i beta$i gamma$i").mkString(" ")
+    val other = (0 until 40).map(i => s"zulu$i yankee$i xray$i").mkString(" ")
+    val catalog = Seq((0L, base),
+      (1L, "completely different words here okay")).toDF("doc_id", "text")
+    val (fp0, sh0) = Dedup.buildCatalog(catalog)
+    fp0.write.parquet(s"$tmp/fp.parquet")
+    sh0.write.parquet(s"$tmp/sh.parquet")
+    // chunk 2 classifies against chunk 1's docs (301/302 resolve only if
+    // the merge happened), chunk 3 against chunk 2's
+    val chunks = Seq(
+      Seq((250L, base), (251L, base.replace("alpha7", "changedy")), (252L, other)),
+      Seq((301L, other), (302L, other.replace("zulu3", "edited")),
+        (303L, "nothing shared with anything at all")),
+      Seq((400L, "nothing shared with anything at all")))
+
+    val input = MemoryStream[(Long, String)]
+    val q = EventStream.classifyAgainstCatalog(
+      input.toDS().toDF("doc_id", "text"),
+      s"$tmp/fp.parquet", s"$tmp/sh.parquet", s"$tmp/verdicts", s"$tmp/ckpt")
+    chunks.foreach { c => input.addData(c); q.processAllAvailable() }
+    assert(q.lastProgress.stateOperators.isEmpty,
+      "classify must keep no state-store rows — the catalog is the state")
+    q.stop()
+
+    val got = spark.read.parquet(s"$tmp/verdicts")
+      .collect().map(_.toSeq).toSet
+    // batch twin: the sequential incrementalOf + mergeIntoCatalog loop
+    var cat = (fp0, sh0)
+    val want = chunks.flatMap { c =>
+      val df = c.toDF("doc_id", "text")
+      val v = Dedup.incrementalOf(cat._1, cat._2, df)
+      val rows = v.collect().map(_.toSeq)
+      cat = Dedup.mergeIntoCatalog(cat._1, cat._2, df, v)
+      rows
+    }.toSet
+    assert(got == want)
+    assert(got.map(r => (r(0), r(1), r(2))) == Set(
+      (250L, "exact_dup", 0L), (251L, "near_dup", 0L), (252L, "novel", null),
+      (301L, "exact_dup", 252L), (302L, "near_dup", 252L), (303L, "novel", null),
+      (400L, "exact_dup", 303L)))
+    // the in-place catalog equals a full rebuild over everything ingested
+    val allDocs = catalog.unionByName(chunks.flatten.toDF("doc_id", "text"))
+    val (rbFp, rbSh) = Dedup.buildCatalog(allDocs)
+    assert(spark.read.parquet(s"$tmp/fp.parquet").collect().map(_.toSeq).toSet ==
+      rbFp.collect().map(_.toSeq).toSet)
+    assert(spark.read.parquet(s"$tmp/sh.parquet").collect().map(_.toSeq).toSet ==
+      rbSh.collect().map(_.toSeq).toSet)
+  }
+
   test("stream-stream interval join == batch twin (click→purchase within 1h)") {
     val ev = EventStream.readEvents(spark, sf)
     val joined = EventStream.clickPurchaseJoin(
