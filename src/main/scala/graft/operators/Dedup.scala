@@ -512,21 +512,71 @@ object Dedup {
     * fingerprints + shingles to the parquet catalog tables in place
     * (parquet append writes new files only — the existing catalog bytes
     * are untouched, so the nightly job's write cost is O(batch), never
-    * O(catalog)). Same rebuild-equivalence as the DataFrame flavor. */
+    * O(catalog)). Same rebuild-equivalence as the DataFrame flavor.
+    *
+    * With `batchId = Some(id)` the append is IDEMPOTENT: the batch lands
+    * in its own `batch-<id>/` subdirectory with overwrite semantics, so
+    * a crash-retried batch REPLACES its earlier (possibly partial) files
+    * instead of duplicating rows — duplicate shingle rows would inflate
+    * [[incrementalOf]]'s intersection counts (Jaccard > 1 is possible)
+    * and flip novel→near_dup for later batches. A catalog grown this way
+    * must be read with `recursiveFileLookup=true` (see [[readCatalog]]). */
   def appendToCatalog(fpPath: String, shPath: String,
                       incoming: DataFrame, verdicts: DataFrame,
-                      novelOnly: Boolean = false): Unit = {
+                      novelOnly: Boolean = false,
+                      batchId: Option[Long] = None): Unit = {
     val keep =
       if (novelOnly)
         incoming.join(verdicts.filter(col("status") === "novel").select(col("doc_id")),
           Seq("doc_id"), "left_semi")
       else incoming
     val (fp, sh) = buildCatalog(keep)
-    fp.write.mode("append").parquet(fpPath)
-    sh.write.mode("append").parquet(shPath)
+    batchId match {
+      case Some(id) =>
+        fp.write.mode("overwrite").parquet(s"$fpPath/batch-$id")
+        sh.write.mode("overwrite").parquet(s"$shPath/batch-$id")
+      case None =>
+        fp.write.mode("append").parquet(fpPath)
+        sh.write.mode("append").parquet(shPath)
+    }
+  }
+
+  /** Read a catalog table that may have grown `batch-<id>/` subdirectories
+    * via idempotent [[appendToCatalog]] appends. `excludeBatch` drops one
+    * batch's subdirectory from the view — the crash-retry case: when batch
+    * `id` is re-run, its own earlier (failed-attempt) append must not be
+    * visible or every doc in the batch would exact-match itself. The
+    * directory listing is one driver-side FS call against the catalog
+    * ROOT (children only, not a recursive walk), so it stays O(#batches)
+    * at any catalog size. */
+  def readCatalog(spark: SparkSession, root: String,
+                  excludeBatch: Option[Long] = None): DataFrame = {
+    val paths = excludeBatch match {
+      case None => Seq(root)
+      case Some(id) =>
+        val p = new org.apache.hadoop.fs.Path(root)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.listStatus(p).toSeq
+          .filterNot(st => st.getPath.getName.startsWith("_") ||
+            st.getPath.getName.startsWith(".") ||
+            st.getPath.getName == s"batch-$id")
+          .map(_.getPath.toString)
+    }
+    spark.read.option("recursiveFileLookup", "true").parquet(paths: _*)
   }
 
   def incremental(spark: SparkSession, dir: String): DataFrame = {
+    // the oracle SQL pins DefaultMaxShingleDf; a conf override here would
+    // make query and oracle silently diverge at the correctness gate, so
+    // the GATED entry fails fast. The conf stays a production knob for
+    // direct incrementalOf callers.
+    spark.conf.getOption("spark.graft.dedup.incrementalMaxDf")
+      .filter(_.toLong != DefaultMaxShingleDf).foreach { v =>
+        throw new IllegalStateException(
+          s"dedup_incremental's oracle mirrors the default shingle-df cap " +
+          s"($DefaultMaxShingleDf); unset spark.graft.dedup.incrementalMaxDf " +
+          s"(= $v) before running the gated entry")
+      }
     val docs = Tables.documents(spark, dir)
     val (catFp, catSh) = buildCatalog(docs.filter(col("doc_id") < IncrementalCut))
     incrementalOf(catFp.cache(), catSh.cache(), // harness clears

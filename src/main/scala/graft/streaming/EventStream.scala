@@ -119,13 +119,21 @@ object EventStream {
     * broadcast-sized per Spark's own estimate; AQE picks the join
     * strategy per batch exactly as in the batch API.
     *
-    * Failure semantics: the sink + catalog appends are at-least-once on
-    * a retried batch (plain parquet appends are not transactional); a
-    * re-appended batch cannot CHANGE later verdicts (re-appending is
-    * idempotent for classification — duplicate catalog rows produce the
-    * same min/match results) but the verdict sink should be read
-    * `dropDuplicates("doc_id")` after a crash. Exactly-once would take
-    * a transactional table format, out of scope for a parquet engine. */
+    * Failure semantics: the loop is IDEMPOTENT under batch retry, which
+    * makes it effectively exactly-once without a transactional format.
+    * Three pieces, all keyed on foreachBatch's `batchId` (stable across
+    * retries by Spark's contract): (1) verdicts land in
+    * `verdicts/batch-<id>/` with overwrite — a retry replaces, never
+    * duplicates; (2) catalog appends land in `batch-<id>/` subdirs the
+    * same way, so a retried batch can never double its shingle rows in
+    * the catalog (duplicate rows would double `inter` in incrementalOf
+    * while n_sh stayed single — Jaccard above 1, novel→near_dup flips
+    * for later batches); (3) classification reads the catalog through
+    * [[graft.operators.Dedup.readCatalog]] EXCLUDING the current batch's
+    * own subdir, so a retry sees exactly the catalog the first attempt
+    * saw (not its own half-appended docs, which would self-match every
+    * doc to exact_dup). Read the verdicts (and a streamed-into catalog)
+    * with `recursiveFileLookup=true`. */
   def classifyAgainstCatalog(docs: DataFrame, fpPath: String, shPath: String,
                              verdictsPath: String, checkpoint: String,
                              mergeBatches: Boolean = true,
@@ -133,19 +141,36 @@ object EventStream {
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        if (!batch.isEmpty) {
-          val sp = batch.sparkSession
-          val verdicts = graft.operators.Dedup.incrementalOf(
-            sp.read.parquet(fpPath), sp.read.parquet(shPath), batch.toDF()).cache()
-          verdicts.write.mode("append").parquet(verdictsPath)
-          if (mergeBatches)
-            graft.operators.Dedup.appendToCatalog(fpPath, shPath, batch.toDF(), verdicts, novelOnly)
-          verdicts.unpersist()
-        }
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          classifyBatch(batch.toDF(), batchId, fpPath, shPath, verdictsPath,
+            mergeBatches, novelOnly)
         ()
       }
       .start()
+
+  /** One micro-batch of [[classifyAgainstCatalog]], callable directly so
+    * the crash-retry path is spec-testable (run the same batchId twice).
+    * The verdict sink write is the ONLY action that evaluates the
+    * classification plan; the catalog append then re-reads the verdicts
+    * from the files just written — a deterministic materialization, so
+    * the append's lineage never re-reads the catalog paths it is
+    * appending to (a cached-but-evicted verdicts plan would). */
+  def classifyBatch(batch: DataFrame, batchId: Long,
+                    fpPath: String, shPath: String, verdictsPath: String,
+                    mergeBatches: Boolean = true,
+                    novelOnly: Boolean = false): Unit = {
+    val sp = batch.sparkSession
+    val verdicts = graft.operators.Dedup.incrementalOf(
+      graft.operators.Dedup.readCatalog(sp, fpPath, excludeBatch = Some(batchId)),
+      graft.operators.Dedup.readCatalog(sp, shPath, excludeBatch = Some(batchId)),
+      batch)
+    val vDir = s"$verdictsPath/batch-$batchId"
+    verdicts.write.mode("overwrite").parquet(vDir)
+    if (mergeBatches)
+      graft.operators.Dedup.appendToCatalog(fpPath, shPath, batch,
+        sp.read.parquet(vDir), novelOnly, batchId = Some(batchId))
+  }
 
   // ---- KMV distinct sketch with bounded state --------------------------
 

@@ -330,6 +330,23 @@ class ScaleOpsSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.dedup.incrementalMaxDf")
   }
 
+  test("gated incremental entry fails fast when the df-cap conf drifts from the oracle's default") {
+    // the oracle SQL hardcodes DefaultMaxShingleDf; letting the gated
+    // entry honor a different conf value would silently diverge query
+    // and oracle at the correctness gate
+    spark.conf.set("spark.graft.dedup.incrementalMaxDf", "2")
+    try {
+      val e = intercept[IllegalStateException] {
+        Dedup.incremental(spark, "/root/testdata/sf0.001")
+      }
+      assert(e.getMessage.contains("incrementalMaxDf"))
+    } finally spark.conf.unset("spark.graft.dedup.incrementalMaxDf")
+    // the default value itself is fine (explicitly set or not)
+    spark.conf.set("spark.graft.dedup.incrementalMaxDf", Dedup.DefaultMaxShingleDf.toString)
+    try assert(Dedup.incremental(spark, "/root/testdata/sf0.001").count() > 0)
+    finally spark.conf.unset("spark.graft.dedup.incrementalMaxDf")
+  }
+
   test("mergeIntoCatalog: sequential ingests classify exactly like a rebuilt catalog") {
     // the nightly loop: classify batch A, merge it, classify batch B —
     // B's verdicts must equal a batch run against buildCatalog(C ∪ A),

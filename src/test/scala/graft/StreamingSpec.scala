@@ -206,7 +206,8 @@ class StreamingSpec extends AnyFunSuite {
       "classify must keep no state-store rows — the catalog is the state")
     q.stop()
 
-    val got = spark.read.parquet(s"$tmp/verdicts")
+    val got = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$tmp/verdicts")
       .collect().map(_.toSeq).toSet
     // batch twin: the sequential incrementalOf + mergeIntoCatalog loop
     var cat = (fp0, sh0)
@@ -225,10 +226,60 @@ class StreamingSpec extends AnyFunSuite {
     // the in-place catalog equals a full rebuild over everything ingested
     val allDocs = catalog.unionByName(chunks.flatten.toDF("doc_id", "text"))
     val (rbFp, rbSh) = Dedup.buildCatalog(allDocs)
-    assert(spark.read.parquet(s"$tmp/fp.parquet").collect().map(_.toSeq).toSet ==
+    assert(Dedup.readCatalog(spark, s"$tmp/fp.parquet").collect().map(_.toSeq).toSet ==
       rbFp.collect().map(_.toSeq).toSet)
-    assert(spark.read.parquet(s"$tmp/sh.parquet").collect().map(_.toSeq).toSet ==
+    assert(Dedup.readCatalog(spark, s"$tmp/sh.parquet").collect().map(_.toSeq).toSet ==
       rbSh.collect().map(_.toSeq).toSet)
+  }
+
+  test("classify crash-retry: re-running a batchId is idempotent — verdicts and catalog unchanged") {
+    // simulate Spark retrying a micro-batch after a crash between the
+    // sink write and the checkpoint commit: the SAME batch runs twice
+    // with the SAME batchId. Idempotence means (a) the verdict sink
+    // reads clean with no dropDuplicates, (b) the catalog holds each
+    // shingle row ONCE (duplicates would inflate incrementalOf's
+    // intersection counts for later batches), (c) the retry's verdicts
+    // equal the first attempt's (it must not see its own failed append,
+    // or every doc would self-match to exact_dup).
+    import graft.operators.Dedup
+    val tmp = java.nio.file.Files.createTempDirectory("retrycat").toString
+    val base = (0 until 40).map(i => s"alpha$i beta$i gamma$i").mkString(" ")
+    val other = (0 until 40).map(i => s"zulu$i yankee$i xray$i").mkString(" ")
+    val catalog = Seq((0L, base),
+      (1L, "completely different words here okay")).toDF("doc_id", "text")
+    val (fp0, sh0) = Dedup.buildCatalog(catalog)
+    fp0.write.parquet(s"$tmp/fp.parquet")
+    sh0.write.parquet(s"$tmp/sh.parquet")
+    val b0 = Seq((250L, base), (251L, base.replace("alpha7", "changedy")),
+      (252L, other)).toDF("doc_id", "text")
+
+    EventStream.classifyBatch(b0, 0L, s"$tmp/fp.parquet", s"$tmp/sh.parquet", s"$tmp/verdicts")
+    val firstVerdicts = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$tmp/verdicts").collect().map(_.toSeq).toSet
+    val firstFp = Dedup.readCatalog(spark, s"$tmp/fp.parquet").collect().map(_.toSeq).toSet
+    val firstSh = Dedup.readCatalog(spark, s"$tmp/sh.parquet").collect().map(_.toSeq).toSet
+
+    // the retry: same batch, same batchId
+    EventStream.classifyBatch(b0, 0L, s"$tmp/fp.parquet", s"$tmp/sh.parquet", s"$tmp/verdicts")
+    val retryVerdicts = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$tmp/verdicts").collect().map(_.toSeq)
+    assert(retryVerdicts.toSet == firstVerdicts && retryVerdicts.length == 3,
+      "verdict sink must read clean after a retry, without dropDuplicates")
+    assert(retryVerdicts.map(r => (r(0), r(1))).sortBy(_.toString).toSeq ==
+      Seq((250L, "exact_dup"), (251L, "near_dup"), (252L, "novel")).map(t => (t._1, t._2)))
+    assert(Dedup.readCatalog(spark, s"$tmp/fp.parquet").collect().map(_.toSeq).toSet == firstFp)
+    val retrySh = Dedup.readCatalog(spark, s"$tmp/sh.parquet").collect().map(_.toSeq)
+    assert(retrySh.toSet == firstSh && retrySh.length == retrySh.distinct.length,
+      "catalog shingle rows must not duplicate under retry (duplicates inflate Jaccard)")
+
+    // the NEXT batch classifies exactly as if no retry had happened:
+    // 301 exact-matches batch-0's novel 252 through the merged catalog
+    EventStream.classifyBatch(Seq((301L, other)).toDF("doc_id", "text"),
+      1L, s"$tmp/fp.parquet", s"$tmp/sh.parquet", s"$tmp/verdicts")
+    val b1 = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$tmp/verdicts").filter(col("doc_id") === 301L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(b1.toSeq == Seq((301L, "exact_dup", 252L)))
   }
 
   test("stream-stream interval join == batch twin (click→purchase within 1h)") {
