@@ -4,16 +4,27 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: one JSON line with per-query wall seconds.
   *
-  * Load-proofing (round 5 — two rounds of driver records were burned on
-  * measurement artifacts, not regressions):
-  *  - every query is timed `reps` times (default 3) and the MEDIAN is
-  *    recorded, so one load spike on a busy machine can't poison a
-  *    query's number;
-  *  - timings are rounded to 3 decimals, halving the JSON so a log
-  *    truncation is less likely to eat the head of the record;
-  *  - the record is written to target/bench.json AND printed TWICE
-  *    (immediately after measurement and again at exit) — two chances
-  *    for the driver's log capture to catch an intact line;
+  * Load-proofing (rounds 5-7 — three rounds of driver records were
+  * burned on measurement artifacts, not regressions):
+  *  - every query is timed `reps` times (default 3) and the MEDIAN of
+  *    successful reps is recorded;
+  *  - reps are INTERLEAVED (round 7): the whole suite runs end-to-end
+  *    `reps` times, rather than each query `reps` times back-to-back.
+  *    Round 6 proved medians alone don't survive a multi-minute load
+  *    window — it covered all 3 consecutive reps of an alphabetically
+  *    contiguous block and inflated 10 queries 3-5x. Interleaved, the
+  *    same window hits one rep of many queries instead of every rep of
+  *    a few, and the per-query medians shrug it off;
+  *  - the PER-REP times ship in the record (sharded lines, below) and
+  *    the OS 1-minute load average is sampled at start, after warmup,
+  *    and after each suite pass — a poisoned window is machine-
+  *    detectable (spread >> median, loadavg spike) instead of needing
+  *    forensic inference;
+  *  - besides the full record, the JSON is emitted as SELF-CONTAINED
+  *    SHORT LINES (a headline total plus ~10-query shards, each well
+  *    under any capture window) because the driver's log capture has
+  *    twice truncated the head of the long line; target/bench.json
+  *    keeps the intact full record;
   *  - the warmup directory actually used is recorded in the JSON: when
   *    the sf0.001 sibling is missing, warmup is SKIPPED (running the
   *    full suite at the measured SF would silently double wall time and
@@ -34,6 +45,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    // 1-minute load average sampled at start, after warmup, and after
+    // each suite pass — the machine-detectable witness for a busy-host
+    // window (round 6's record needed forensic inference instead)
+    val loadAvgs = scala.collection.mutable.ArrayBuffer(loadAvg())
+
     // warmup (uncounted): run EVERY query once at the smallest SF — same
     // plan shapes, trivial data — so each measured timing below pays for
     // the plan, not first-touch Janino/JIT compilation. (Per-family
@@ -52,26 +70,37 @@ object Bench {
         sibling.getAbsolutePath
       } else "skipped_no_small_sf"
 
+    loadAvgs += loadAvg() // post-warmup sample
     def f3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
+    def f2(d: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, d)
 
-    // a failed rep is DROPPED before the median (round 6): -1 sentinels
-    // sort first, so with reps=3 one intermittent failure used to hide
-    // behind a clean positive median while two poisoned the total with
-    // -1. Now the median is over successful reps only, per-query failed
-    // rep counts are reported, and -1 survives only when every rep
-    // failed (such queries are excluded from the total and listed).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+    // INTERLEAVED reps: suite pass 1 for every query, then pass 2, ... —
+    // a sustained load window lands on one rep of many queries, never on
+    // every rep of a few (the round-6 record's failure mode). Cache
+    // clearing after each query keeps the passes independent, so the
+    // per-query samples are exchangeable and the median is still valid.
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val perRep = Array.fill(names.length)(Vector.empty[Double])
+    for (_ <- 1 to reps) {
+      names.zipWithIndex.foreach { case ((_, fn), i) =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
         val sec = (System.nanoTime() - t0) / 1e9
         // outside the timed section: drop this query's internal caches so
-        // later queries (and the next rep) start cache-cold and aren't
+        // later queries (and the next pass) start cache-cold and aren't
         // squeezed by accumulated storage memory
         spark.catalog.clearCache()
-        if (ok) sec else -1.0
+        perRep(i) :+= (if (ok) sec else -1.0)
       }
-      val good = times.filter(_ >= 0).sorted
+      loadAvgs += loadAvg()
+    }
+    // a failed rep is DROPPED before the median (round 6): -1 sentinels
+    // sort first, so with reps=3 one intermittent failure used to hide
+    // behind a clean positive median while two poisoned the total with
+    // -1. The median is over successful reps only; -1 survives only when
+    // every rep failed (such queries leave the total and are listed).
+    val results = names.zipWithIndex.map { case ((name, _), i) =>
+      val good = perRep(i).filter(_ >= 0).sorted
       val median = if (good.nonEmpty) good(good.length / 2) else -1.0
       (name, median, reps - good.length)
     }
@@ -81,8 +110,10 @@ object Bench {
     val failedQueries = results.collect { case (n, v, _) if v < 0 => "\"" + n + "\"" }
     val failedReps = results.map(_._3).sum
     val repFailures = results.collect { case (n, _, f) if f > 0 => "\"" + n + "\":" + f }
+    val loadLine = loadAvgs.map(f2).mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,""" +
-      s""""sf":"$sfDir","reps":$reps,"warmup":"$warmup",""" +
+      s""""sf":"$sfDir","reps":$reps,"interleaved":true,"warmup":"$warmup",""" +
+      s""""loadavg":$loadLine,""" +
       s""""failed_queries":${failedQueries.mkString("[", ",", "]")},""" +
       s""""rep_failures":${repFailures.mkString("{", ",", "}")}}"""
     // a short self-contained total line: the driver's log capture has
@@ -90,23 +121,37 @@ object Bench {
     // in any capture window, so the headline number survives regardless
     val totalLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
       s""""n_queries":${results.length},"n_failed":${failedQueries.length},""" +
-      s""""failed_reps":$failedReps,"sf":"$sfDir"}"""
+      s""""failed_reps":$failedReps,"loadavg":$loadLine,"sf":"$sfDir"}"""
+    // the full per-REP detail, sharded into self-contained ~10-query
+    // lines each well under any capture window: medians can be recomputed
+    // and a poisoned window spotted (one rep >> the others) from the
+    // driver artifact alone even if the long line above is truncated
+    val shardLines = names.zipWithIndex.grouped(10).zipWithIndex.map { case (grp, s) =>
+      val m = grp.map { case ((n, _), i) =>
+        "\"" + n + "\":" + perRep(i).map(f3).mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+      s"""{"metric":"bench_shard","shard":$s,"reps":$m}"""
+    }.toVector
     // file first (survives log truncation/interleaving), then stdout
-    // twice — once immediately, once after stop() — each on its own line
-    // with a blank line before it so the record stays intact even if a
-    // logger write lands mid-buffer
+    // twice — once immediately, once after stop() — each line separated
+    // so the record stays intact even if a logger write lands mid-buffer
+    val fileBody = (json +: totalLine +: shardLines).mkString("", "\n", "\n")
     try {
       val out = java.nio.file.Paths.get("target", "bench.json")
       java.nio.file.Files.createDirectories(out.getParent)
-      java.nio.file.Files.write(out, (json + "\n" + totalLine + "\n").getBytes("UTF-8"))
+      java.nio.file.Files.write(out, fileBody.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
-    println()
-    println(json)
-    println(totalLine)
-    Console.flush()
+    def printAll(): Unit = {
+      println()
+      // short lines FIRST (headline + shards always land), long line last
+      println(totalLine)
+      shardLines.foreach(println)
+      println(json)
+      println(totalLine)
+      Console.flush()
+    }
+    printAll()
     spark.stop()
-    println()
-    println(json)
-    println(totalLine)
+    printAll()
   }
 }
