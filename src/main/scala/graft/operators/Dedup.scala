@@ -98,24 +98,29 @@ object Dedup {
   def ngramJaccardCapped(spark: SparkSession, dir: String, maxDf: Long): DataFrame =
     ngramJaccardImpl(shingleSets(Tables.documents(spark, dir)).cache(), Some(maxDf))
 
+  /** `ordered = false` skips the trailing global sort — consumers that
+    * feed the pair list into a join or connected components (where row
+    * order is meaningless) shouldn't pay a range exchange for it. */
   private def ngramJaccardImpl(sh: DataFrame, maxDf: Option[Long],
-                               logDropsAs: Option[String] = None): DataFrame = {
+                               logDropsAs: Option[String] = None,
+                               ordered: Boolean = true): DataFrame = {
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val joinable = maxDf.fold(sh)(m => Skew.capByFrequency(sh, "s", "doc_id", m, logDropsAs))
+    val joinable = maxDf.fold(sh)(m =>
+      Skew.capByFrequency(sh, "s", "doc_id", m, logDropsAs, distinctPairs = true))
     // one self-join pass: the groupBy *is* the intersection count — no
     // distinct-then-reverify round trip over the shingle table
     val inter = joinable.select(col("doc_id").as("da"), col("s"))
       .join(joinable.select(col("doc_id").as("db"), col("s")), Seq("s"))
       .filter(col("da") < col("db"))
       .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
-    inter
+    val pairs = inter
       .join(sz.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
       .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
       .select(col("da"), col("db"),
         round(col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")).cast("double"), 6).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
-      .orderBy(col("da"), col("db"))
+    if (ordered) pairs.orderBy(col("da"), col("db")) else pairs
   }
 
   val ngramJaccardOracle: String = s"""
@@ -330,26 +335,46 @@ object Dedup {
       .orElse(spark.conf.getOption("graft.dedup.maxShingleDf"))
       .map(_.toLong).getOrElse(DefaultMaxShingleDf)
     val docs = Tables.documents(spark, dir)
-    val fp = docs
+    // tokenize ONCE: the cached token projection feeds both the
+    // fingerprint pass and the rep shingle explode — previously the docs
+    // parquet was scanned AND tokenized twice (fp pass + reps semi-join),
+    // ~25% of the operator's wall at sf0.1. The doc-length spread is
+    // applied before tokenizing so the cache's partitioning already
+    // spreads monster docs away from each other for the explode stage.
+    val toks = maybeSpread(spark, docs)
       .select(col("doc_id"), TextFns.tokens(col("text")).as("__ts"))
+      .cache() // feeds fp + rep shingles (harness clears)
+    val fp = toks
       .select(col("doc_id"),
         when(size(col("__ts")) >= 3, md5(concat_ws(" ", col("__ts"))))
           .otherwise(concat(lit("noshingle:"), col("doc_id").cast("string")))
           .as("content_fp"))
-      .cache() // feeds the group, the rep mapping, and the final join
-    val withRep = fp.join(
-      fp.groupBy(col("content_fp")).agg(min(col("doc_id")).as("rep")),
-      Seq("content_fp"))
-      .select(col("doc_id"), col("rep"))
+    // rep assignment as ONE window min over the fingerprint — the
+    // groupBy + join-back formulation shuffled fp twice and needed fp
+    // cached for its two consumers; the window shuffles once and fp has
+    // a single consumer. Group state is bounded by the duplication
+    // factor of one fingerprint, the same bound the groupBy had.
+    val withRep = fp
+      .select(col("doc_id"),
+        min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("content_fp")))
+          .as("rep"))
       .cache() // feeds the rep filter and the final cluster mapping
-    val reps = docs.join(
-      withRep.filter(col("doc_id") === col("rep")).select(col("doc_id")),
-      Seq("doc_id"), "left_semi")
-    val edges = ngramJaccardImpl(shingleSets(maybeSpread(spark, reps)).cache(), maxDf = Some(maxDf),
-      logDropsAs = Some("dedup_clusters"))
+    val repIds = withRep.filter(col("doc_id") === col("rep")).select(col("doc_id"))
+    // the cache is PRE-PARTITIONED on the shingle: the set-similarity
+    // self-join (both sides) and the df-cap frequency aggregate all key
+    // on `s`, so one exchange at materialization replaces three
+    // downstream ones — the cached partitioning satisfies them in place
+    val repSh = toks
+      .join(repIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        explode(array_distinct(TextFns.shinglesFromTokens(col("__ts"), 3))).as("s"))
+      .repartition(col("s"))
+    val edges = ngramJaccardImpl(repSh.cache(), maxDf = Some(maxDf),
+      logDropsAs = Some("dedup_clusters"), ordered = false)
       .select(col("da").as("src"), col("db").as("dst"))
     val comp = Graph.connectedComponents(
-      reps.select(col("doc_id").as("id")), edges)
+      repIds.select(col("doc_id").as("id")), edges)
     withRep
       .join(comp.select(col("id").as("rep"), col("component")), Seq("rep"))
       .select(col("doc_id"), col("component").as("cluster_id"))
@@ -449,8 +474,11 @@ object Dedup {
     // ever-growing side. Dropped keys are logged (recall loss is
     // visible); sizes stay uncapped so surviving candidates' Jaccard
     // uses true set sizes.
+    // distinctPairs: catalog shingle tables come from buildCatalog's
+    // array_distinct explode, and the idempotent batch-keyed appends keep
+    // (doc_id, s) unique across the catalog's whole life
     val cappedCat = Skew.capByFrequency(catalogSh, "s", "doc_id", maxDf,
-      logDropsAs = Some("dedup_incremental"))
+      logDropsAs = Some("dedup_incremental"), distinctPairs = true)
     val inter = inSh.join(nonExact, Seq("doc_id"), "left_semi")
       .join(cappedCat.select(col("doc_id").as("cid"), col("s")), Seq("s"))
       .groupBy(col("doc_id"), col("cid")).agg(count(lit(1)).as("inter"))

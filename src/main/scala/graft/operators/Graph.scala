@@ -45,8 +45,13 @@ object Graph {
     val bidir = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .cache()
-    var labels = bidir.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
+    // init fused with the first propagation step: label(v) = min(v, min
+    // neighbor) in ONE groupBy — a plain distinct-ids init costs the same
+    // exchange and then needs a full round to reach this state. On
+    // near-clique dedup graphs this converges one whole round earlier.
+    var labels = bidir.groupBy(col("src"))
+      .agg(min(col("dst")).as("nmin"))
+      .select(col("src").as("id"), least(col("src"), col("nmin")).as("label"))
       .localCheckpoint()
     var changed = 1L
     var rounds = 0
@@ -61,6 +66,11 @@ object Graph {
       // pointer jump: label := label-of-label. Labels only ever decrease
       // and label(v) <= v, so compressing through the label chain keeps
       // the min-reachable invariant while halving chain length per round.
+      // (A "skip the jump once few labels move" shortcut was tried and
+      // reverted: a small `changed` does NOT bound the remaining
+      // diameter — a long chain moves few labels per round from the
+      // start, and skipping the jump degrades to plain propagation,
+      // blowing the maxRounds budget. The diameter-200 spec catches it.)
       val updated = stepped
         .join(labels.select(col("id").as("mid"), col("label").as("jump")),
           Seq("mid"), "left")

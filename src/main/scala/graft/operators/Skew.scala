@@ -138,25 +138,49 @@ object Skew {
     keys
   }
 
+  /** Hot-key count above which the anti-join side is no longer broadcast
+    * (fall back to a semi-join on the kept keys). Hot keys are by nature
+    * few — the cap exists for ultra-common outliers — so this is a
+    * pathology guard, not a tuning knob. */
+  private val MaxBroadcastHotKeys = 262144L
+
   /** When `logDropsAs` is set, the number of keys actually over the cap is
     * counted (one small job over the already-aggregated frequency table)
     * and logged — a df cap that silently drops candidates at larger
-    * corpora is a recall loss nobody sees otherwise. */
+    * corpora is a recall loss nobody sees otherwise. The same count picks
+    * the cheapest enforcement plan: ZERO hot keys (the common case at any
+    * healthy df cap) means the input passes through with NO join at all —
+    * previously every caller paid a full semi-join shuffle against the
+    * kept-keys table to drop nothing; a FEW hot keys broadcast as an
+    * anti-join (the big side never shuffles); only a pathological hot-key
+    * count falls back to the kept-side semi-join.
+    *
+    * `distinctPairs = true` asserts (idCol, key) rows are already unique
+    * (true for every shingle table built via array_distinct), turning the
+    * df aggregate from countDistinct — per-key distinct buffers — into a
+    * plain count. */
   def capByFrequency(exploded: DataFrame, key: String, idCol: String,
-                     maxDf: Long, logDropsAs: Option[String] = None): DataFrame = {
-    val freq = exploded.groupBy(col(key))
-      .agg(countDistinct(col(idCol)).as("__df"))
-    val kept = logDropsAs match {
+                     maxDf: Long, logDropsAs: Option[String] = None,
+                     distinctPairs: Boolean = false): DataFrame = {
+    val dfExpr = if (distinctPairs) count(lit(1)) else countDistinct(col(idCol))
+    val freq = exploded.groupBy(col(key)).agg(dfExpr.as("__df"))
+    logDropsAs match {
       case Some(tag) =>
-        val f = freq.cache()
-        val dropped = f.filter(col("__df") > maxDf).count()
-        if (dropped > 0)
+        val hot = freq.filter(col("__df") > maxDf).select(col(key)).cache()
+        val dropped = hot.count()
+        if (dropped == 0) { hot.unpersist(); exploded }
+        else {
           System.err.println(s"[graft] $tag: df cap $maxDf dropped $dropped hot key(s) " +
             "from candidate generation; pairs sharing ONLY those keys are not checked")
-        f.filter(col("__df") <= maxDf).select(col(key))
+          if (dropped <= MaxBroadcastHotKeys)
+            exploded.join(broadcast(hot), Seq(key), "left_anti")
+          else
+            exploded.join(freq.filter(col("__df") <= maxDf).select(col(key)),
+              Seq(key), "left_semi")
+        }
       case None =>
-        freq.filter(col("__df") <= maxDf).select(col(key))
+        exploded.join(freq.filter(col("__df") <= maxDf).select(col(key)),
+          Seq(key), "left_semi")
     }
-    exploded.join(kept, Seq(key), "left_semi")
   }
 }
