@@ -605,27 +605,38 @@ object Dedup {
           s"($DefaultMaxShingleDf); unset spark.graft.dedup.incrementalMaxDf " +
           s"(= $v) before running the gated entry")
       }
-    val docs = Tables.documents(spark, dir)
-    val (catFp, catSh) = buildCatalog(docs.filter(col("doc_id") < IncrementalCut))
-    incrementalOf(catFp.cache(), catSh.cache(), // harness clears
-      docs.filter(col("doc_id") >= IncrementalCut))
+    incrementalAt(spark, dir, IncrementalCut)
   }
 
-  val incrementalOracle: String = s"""
+  /** The gated entry's body with the catalog/incoming split point
+    * exposed: the gated cut (250) bounds the catalog at 250 docs, so
+    * the default df cap (256) can NEVER fire through the gate —
+    * `tools.CapGate` runs this at a higher cut over a crafted corpus to
+    * prove the cap flips near_dup→novel IDENTICALLY on both engines
+    * (paired with [[incrementalOracleFor]] at the same parameters). */
+  private[graft] def incrementalAt(spark: SparkSession, dir: String, cut: Long): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val (catFp, catSh) = buildCatalog(docs.filter(col("doc_id") < cut))
+    incrementalOf(catFp.cache(), catSh.cache(), // harness clears
+      docs.filter(col("doc_id") >= cut))
+  }
+
+  /** [[incrementalAt]]'s oracle at the same (cut, maxDf) parameters. */
+  private[graft] def incrementalOracleFor(cut: Long, maxDf: Long): String = s"""
     WITH $shinglesSqlCte,
     fp AS (SELECT doc_id, md5(array_to_string(t, ' ')) AS fp FROM toks),
     ex AS (SELECT i.doc_id, min(c.doc_id) AS match_id
-           FROM fp i JOIN fp c ON i.fp = c.fp AND c.doc_id < $IncrementalCut
-           WHERE i.doc_id >= $IncrementalCut GROUP BY i.doc_id),
+           FROM fp i JOIN fp c ON i.fp = c.fp AND c.doc_id < $cut
+           WHERE i.doc_id >= $cut GROUP BY i.doc_id),
     -- mirrors Skew.capByFrequency on the catalog side: shingles in more
-    -- than DefaultMaxShingleDf catalog docs leave candidate generation
-    -- (and the inter count) on BOTH engines
-    keep AS (SELECT s FROM sh WHERE doc_id < $IncrementalCut
-             GROUP BY s HAVING count(DISTINCT doc_id) <= $DefaultMaxShingleDf),
+    -- than maxDf catalog docs leave candidate generation (and the inter
+    -- count) on BOTH engines
+    keep AS (SELECT s FROM sh WHERE doc_id < $cut
+             GROUP BY s HAVING count(DISTINCT doc_id) <= $maxDf),
     cand AS (SELECT a.doc_id, b.doc_id AS cid, count(*) AS inter
-             FROM sh a JOIN sh b ON a.s = b.s AND b.doc_id < $IncrementalCut
+             FROM sh a JOIN sh b ON a.s = b.s AND b.doc_id < $cut
              JOIN keep k ON a.s = k.s
-             WHERE a.doc_id >= $IncrementalCut
+             WHERE a.doc_id >= $cut
                AND a.doc_id NOT IN (SELECT doc_id FROM ex)
              GROUP BY 1, 2),
     near0 AS (SELECT cand.doc_id, cid,
@@ -641,9 +652,11 @@ object Dedup {
            WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
            ELSE 'novel' END AS status,
       coalesce(ex.match_id, nr.match_id) AS match_id
-    FROM (SELECT doc_id FROM documents WHERE doc_id >= $IncrementalCut) i
+    FROM (SELECT doc_id FROM documents WHERE doc_id >= $cut) i
     LEFT JOIN ex USING (doc_id) LEFT JOIN nr USING (doc_id)
     ORDER BY i.doc_id"""
+
+  val incrementalOracle: String = incrementalOracleFor(IncrementalCut, DefaultMaxShingleDf)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"         -> (exact _),

@@ -1,0 +1,78 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Hot-catalog-shingle stress: what the incremental-dedup df cap is FOR.
+  *
+  * Corpus: a 1 M-doc catalog in which 10 000 docs share one hot shingle
+  * ("hot hot hot" prefix), and a 100 k-doc incoming batch in which 10 000
+  * docs carry the same prefix. Uncapped, candidate generation joins
+  * 10 000 × 10 000 = 100 M (incoming, catalog) pairs through ONE shingle key
+  * — one reducer, pure fanout, all of it useless (a pair sharing only an
+  * ultra-common shingle is far below any useful Jaccard). Capped
+  * (default 256 < 10 000), the shingle leaves candidate generation with a
+  * logged drop and verdicts are unchanged (proven cross-engine by
+  * `tools.CapGate`; the hot-only docs here are novel either way — their
+  * Jaccard vs any catalog doc is ≈ 1/240).
+  *
+  * Run: sbt "runMain graft.tools.ScaleHotCatalog" — builds the corpus
+  * under target/tmp/hotcat on first run, then times incrementalOf capped
+  * vs uncapped (uncapped via spark.graft.dedup.incrementalMaxDf >> df).
+  */
+object ScaleHotCatalog {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val dir = "target/tmp/hotcat"
+    val fpPath = s"$dir/cat_fp.parquet"
+    val shPath = s"$dir/cat_sh.parquet"
+    val inPath = s"$dir/incoming.parquet"
+    val built = new java.io.File(fpPath).exists() &&
+      new java.io.File(shPath).exists() && new java.io.File(inPath).exists()
+    if (!built) {
+      // catalog: 1M docs, ids 0..999999; docs with id % 100 == 0 (10 000
+      // of them) carry the hot prefix; every doc has a unique 8-token tail
+      val catDocs = spark.range(1000000L).select(col("id").as("doc_id"),
+        concat(
+          when(col("id") % 100 === 0, lit("hot hot hot ")).otherwise(lit("")),
+          format_string("u%da u%db u%dc u%dd u%de u%df u%dg u%dh",
+            col("id"), col("id"), col("id"), col("id"),
+            col("id"), col("id"), col("id"), col("id"))).as("text"))
+      val (fp, sh) = Dedup.buildCatalog(catDocs)
+      fp.write.mode("overwrite").parquet(fpPath)
+      sh.write.mode("overwrite").parquet(shPath)
+      // incoming: 100k docs, ids 2M.., same construction (disjoint tails)
+      spark.range(100000L).select((col("id") + 2000000L).as("doc_id"),
+        concat(
+          when(col("id") % 10 === 0, lit("hot hot hot ")).otherwise(lit("")),
+          format_string("v%da v%db v%dc v%dd v%de v%df v%dg v%dh",
+            col("id"), col("id"), col("id"), col("id"),
+            col("id"), col("id"), col("id"), col("id"))).as("text"))
+        .write.mode("overwrite").parquet(inPath)
+      println("[scale] hotcat corpus built (1M catalog / 10k hot, 100k incoming / 10k hot)")
+    }
+
+    def run(label: String): Unit = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val verdicts = Dedup.incrementalOf(
+        spark.read.parquet(fpPath), spark.read.parquet(shPath),
+        spark.read.parquet(inPath))
+      val byStatus = verdicts.groupBy("status").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      println(f"[scale] incremental 100k-vs-1M $label: ${(System.nanoTime()-t0)/1e9}%.2f s  $byStatus")
+    }
+    run("capped (default 256)")
+    spark.conf.set("spark.graft.dedup.incrementalMaxDf", "10000000")
+    try run("UNCAPPED") finally spark.conf.unset("spark.graft.dedup.incrementalMaxDf")
+    run("capped again (order check)")
+    spark.stop()
+  }
+}
