@@ -42,9 +42,15 @@ object Graph {
     * labels anyway. */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
                           maxRounds: Int = 20): DataFrame = {
-    val bidir = edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .cache()
+    // cache the ONE-directional edges, not the union: `edges` is usually
+    // an expensive uncached plan (a set-similarity join), and the union
+    // references it twice — caching bidir directly computed that plan
+    // TWICE during materialization (measured: the whole 3.5 s self-join
+    // repeated at sf1). The union over the cache is a cheap per-round
+    // re-derivation.
+    val one = edges.select(col("src"), col("dst")).cache()
+    val bidir = one
+      .unionByName(one.select(col("dst").as("src"), col("src").as("dst")))
     // init fused with the first propagation step: label(v) = min(v, min
     // neighbor) in ONE groupBy — a plain distinct-ids init costs the same
     // exchange and then needs a full round to reach this state. On
@@ -94,7 +100,7 @@ object Graph {
     }
     // final labels are materialized by the last convergence aggregate
     // (localCheckpoint), so the edge cache is dead weight from here on
-    bidir.unpersist()
+    one.unpersist()
     vertices
       .join(labels.select(col("id"), col("label")), Seq("id"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).as("component"))

@@ -53,8 +53,12 @@ object ProfClusters {
     val repSh = toks.join(repIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
         explode(array_distinct(TextFns.shinglesFromTokens(col("__ts"), 3))).as("s"))
+      .repartition(col("s"))
       .cache()
     tS("  stage: repSh cache")(repSh.count())
+    tS("  stage: df-cap freq pass")(
+      repSh.groupBy(col("s")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > 256).count())
     val sz = repSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = repSh.select(col("doc_id").as("da"), col("s"))
       .join(repSh.select(col("doc_id").as("db"), col("s")), Seq("s"))

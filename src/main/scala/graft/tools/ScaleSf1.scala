@@ -21,16 +21,15 @@ import graft.operators.{Analytics, Dedup, TextAnalysis}
   * ScaleDedup's job).
   */
 object ScaleSf1 {
-  def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "64")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
 
-    val src = "/root/testdata/sf0.1"
-    val dir = "target/tmp/sf1"
+  val Src = "/root/testdata/sf0.1"
+  val Dir = "target/tmp/sf1"
+
+  /** Build (or reuse) the synthesized sf1 corpus; shared by this main and
+    * `tools.BenchSf1`'s full-suite growth record. */
+  def ensureCorpus(spark: SparkSession): Unit = {
+    val src = Src
+    val dir = Dir
     def rep = explode(sequence(lit(0), lit(9)))
     def scaled(k: org.apache.spark.sql.Column) = k * 10 + col("__rep")
 
@@ -76,6 +75,36 @@ object ScaleSf1 {
         .drop("__rep")
         .repartition(32).write.mode("overwrite").parquet(s"$dir/events.parquet")
     }
+    // embeddings joined in round 7 (full-suite sf1 bench) — per-rep
+    // CYCLIC SHIFT of the vector: a shift is inner-product-preserving, so
+    // within one rep every cosine (planted near-dup pairs, IVF cell
+    // geometry) is EXACTLY the original's, while across reps shifted
+    // random vectors decorrelate — pair volume scales linearly like a
+    // real corpus instead of quadratically like 10× duplicated vectors
+    // (that regime is ScaleAll's job). Labels keep their values: cells
+    // grow 10× in population, not in count — how a real corpus grows.
+    if (!new java.io.File(s"$dir/embeddings.parquet").exists()) {
+      spark.read.parquet(s"$src/embeddings.parquet").withColumn("__rep", rep)
+        .withColumn("vec_id", scaled(col("vec_id")))
+        .withColumn("embedding",
+          concat(slice(col("embedding"), col("__rep") + 1,
+              size(col("embedding")) - col("__rep")),
+            slice(col("embedding"), lit(1), col("__rep"))))
+        .drop("__rep")
+        .repartition(32).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val src = Src
+    val dir = Dir
+    ensureCorpus(spark)
 
     val headliners: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "q1_pricing_summary"  -> (Analytics.q1PricingSummary _),
