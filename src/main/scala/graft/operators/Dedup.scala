@@ -454,7 +454,17 @@ object Dedup {
     * against a persisted catalog (the two [[buildCatalog]] tables).
     * Returns (doc_id, status, match_id) for every incoming doc. */
   def incrementalOf(catalogFp: DataFrame, catalogSh: DataFrame,
-                    incoming: DataFrame): DataFrame = {
+                    incoming: DataFrame): DataFrame =
+    incrementalOfTracked(catalogFp, catalogSh, incoming)._1
+
+  /** [[incrementalOf]] plus the internal incoming-shingle cache handle:
+    * a continuous-ingest caller (classifyBatch, one call per micro-batch
+    * forever) must unpersist it once the batch's verdicts are
+    * materialized, or dead per-batch caches accumulate in storage memory
+    * for the stream's whole life. Batch callers can ignore it (the
+    * Verify/Bench harness clears all caches per query). */
+  private[graft] def incrementalOfTracked(catalogFp: DataFrame, catalogSh: DataFrame,
+                    incoming: DataFrame): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val spark = incoming.sparkSession
     val maxDf = spark.conf.getOption("spark.graft.dedup.incrementalMaxDf")
@@ -465,7 +475,7 @@ object Dedup {
       .join(catalogFp.select(col("fp"), col("doc_id").as("cid")), Seq("fp"))
       .groupBy(col("doc_id")).agg(min(col("cid")).as("ex_id"))
     val inSh = shingleSets(Skew.maybeSpreadByConf(incoming, "n_chars", "doc_id"))
-      .cache() // feeds the join + incoming sizes (harness clears)
+      .cache() // feeds the join + incoming sizes (see incrementalOfTracked doc)
     val nonExact = incoming.select(col("doc_id"))
       .join(exactM.select(col("doc_id")), Seq("doc_id"), "left_anti")
     val inSz = inSh.groupBy(col("doc_id")).agg(count(lit(1)).as("ni"))
@@ -492,7 +502,7 @@ object Dedup {
       .filter(col("j") >= 0.5)
       .withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
       .select(col("doc_id"), col("cid").as("near_id"))
-    incoming.select(col("doc_id"))
+    val verdicts = incoming.select(col("doc_id"))
       .join(exactM, Seq("doc_id"), "left")
       .join(nearM, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -501,6 +511,7 @@ object Dedup {
           .otherwise("novel").as("status"),
         coalesce(col("ex_id"), col("near_id")).as("match_id"))
       .orderBy(col("doc_id"))
+    (verdicts, inSh)
   }
 
   /** Close the nightly-ingest loop: extend the catalog with the batch

@@ -161,12 +161,15 @@ object EventStream {
                     mergeBatches: Boolean = true,
                     novelOnly: Boolean = false): Unit = {
     val sp = batch.sparkSession
-    val verdicts = graft.operators.Dedup.incrementalOf(
+    val (verdicts, inShCache) = graft.operators.Dedup.incrementalOfTracked(
       graft.operators.Dedup.readCatalog(sp, fpPath, excludeBatch = Some(batchId)),
       graft.operators.Dedup.readCatalog(sp, shPath, excludeBatch = Some(batchId)),
       batch)
     val vDir = s"$verdictsPath/batch-$batchId"
     verdicts.write.mode("overwrite").parquet(vDir)
+    // the write above is the plan's only action — the per-batch shingle
+    // cache is dead now; a forever-running stream must not accumulate one
+    inShCache.unpersist()
     if (mergeBatches)
       graft.operators.Dedup.appendToCatalog(fpPath, shPath, batch,
         sp.read.parquet(vDir), novelOnly, batchId = Some(batchId))
