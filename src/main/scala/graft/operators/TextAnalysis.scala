@@ -368,6 +368,52 @@ object TextAnalysis {
     * the one-pass exact answer. */
   val heavyHittersOracle: String = tokenHistogramOracle
 
+  // ---- 6c. unigram LM surprisal (round 7) ------------------------------
+  // The LM-perplexity quality signal real pipelines bucket documents by
+  // (CCNet, Wenzek et al. 2019, arXiv:1911.00359 — trains a KenLM and
+  // keeps the low-perplexity tail; Gopher/MassiveText use the same
+  // family). The unigram form is its deterministic, SQL-expressible
+  // member: per document, the average surprisal −log2 p(token) under the
+  // corpus's OWN Laplace-smoothed unigram LM, p(t) = (c_t + 1)/(N + V).
+  // Low bits ≈ stereotype of the corpus (boilerplate reads ~common),
+  // high bits ≈ rare-token soup (garble, code, non-language) — both
+  // tails are what a curation gate inspects.
+  //
+  // Scale shape: one token explode feeding (a) the corpus unigram
+  // aggregate — map-side combined, vocab-sized result — and (b) a
+  // token-keyed equi-join back to per-occurrence rows (vocab outgrows a
+  // broadcast at corpus scale; AQE keeps small corpora broadcast), then
+  // a per-doc aggregate. The (N, V) totals are a 1-row broadcast.
+  // Cross-engine exactness: per-term bits are rounded to 8 dp (libm log2
+  // differs by ≤1 ulp — a rounding-boundary flip is measure-zero), the
+  // per-doc mean uses the decimal-sum recipe, 4 dp out.
+  def unigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("t"))
+    val cnt = tok.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val tot = cnt.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
+    tok.join(cnt, Seq("t"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        round(log2(col("n") + col("v")) - log2(col("c") + lit(1)), 8).as("bits"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("bits").cast("decimal(28,12)")).cast("double") /
+          count(lit(1)), 4).as("avg_bits"))
+      .orderBy(col("doc_id"))
+  }
+
+  val unigramSurprisalOracle: String = s"""
+    WITH tok AS (SELECT doc_id, unnest($tokensSql) AS t FROM documents),
+    cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v FROM cnt),
+    term AS (
+      SELECT doc_id, round(log2(n + v) - log2(c + 1), 8) AS bits
+      FROM tok JOIN cnt USING (t) CROSS JOIN tot)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      round(CAST(sum(CAST(bits AS DECIMAL(28,12))) AS DOUBLE) / count(*), 4) AS avg_bits
+    FROM term GROUP BY doc_id ORDER BY doc_id"""
+
   // ---- 7. repetition filters (round 4) --------------------------------
   // The MassiveText/Gopher repetition quality filters (Rae et al. 2021,
   // arXiv:2112.11446 §A1.1 — public paper): documents dominated by a
@@ -558,6 +604,7 @@ object TextAnalysis {
     "text_token_count_bpe" -> (tokenCountBpe _),
     "text_chunk_windows"   -> (chunkWindows _),
     "text_levenshtein"     -> (levenshteinPairs _),
+    "text_unigram_surprisal" -> (unigramSurprisal _),
     "text_token_histogram" -> (tokenHistogram _))
 
   val oracle: Map[String, String] = Map(
@@ -572,5 +619,6 @@ object TextAnalysis {
     "text_token_count_bpe" -> tokenCountBpeOracle,
     "text_chunk_windows"   -> chunkWindowsOracle,
     "text_levenshtein"     -> levenshteinPairsOracle,
+    "text_unigram_surprisal" -> unigramSurprisalOracle,
     "text_token_histogram" -> tokenHistogramOracle)
 }

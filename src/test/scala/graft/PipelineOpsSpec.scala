@@ -178,6 +178,20 @@ class PipelineOpsSpec extends AnyFunSuite {
       (3L, 1L, 0.0, 0.0)))
   }
 
+  test("unigram surprisal: crafted values match the Laplace-smoothed LM by hand") {
+    // corpus: "a a a b" ⊕ "c" → counts a=3 b=1 c=1, N=5, V=3,
+    // p(a)=4/8, p(b)=p(c)=2/8 → bits(a)=1, bits(b)=bits(c)=2.
+    // doc 1 avg = (1+1+1+2)/4 = 1.25; doc 2 avg = 2. The common-token
+    // doc scores LOWER surprisal than the rare-token doc — the quality
+    // signal's direction.
+    val tmp = java.nio.file.Files.createTempDirectory("ppl").toString
+    Seq((1L, "a a a b"), (2L, "c"))
+      .toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+    val got = graft.operators.TextAnalysis.unigramSurprisal(spark, tmp)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 4L, 1.25), (2L, 1L, 2.0)))
+  }
+
   test("real image decode: PNG features exact, JPEG dims, non-image falls back") {
     import java.awt.image.BufferedImage
     import java.io.ByteArrayOutputStream
