@@ -401,6 +401,117 @@ object Curation {
     GROUP BY source
     ORDER BY source"""
 
+  // ---- DSIR importance resampling (round 7) ----------------------------
+  // Data Selection via Importance Resampling (Xie et al. 2023,
+  // arXiv:2302.03169 — public paper): pick raw-corpus docs that LOOK like
+  // a small high-quality target domain by importance weight under two
+  // bag-of-hashed-ngrams LMs. The hashed feature space is the whole
+  // trick at scale: vocabulary is unbounded, but B=4096 buckets is a
+  // FIXED dimension, so both LM tables and the per-bucket log-ratio
+  // table are always broadcastable no matter the corpus size — the
+  // selection pass is one gram explode, one bucket-keyed aggregate, and
+  // a broadcast join, never a vocab-sized shuffle.
+  //
+  //  - features: unigrams ∪ bigrams, bucket = md5-60-bit % B (portable
+  //    hash arithmetic, same recipe as simhash/LSH).
+  //  - LMs: Laplace-smoothed bucket distributions over the target slice
+  //    (source ∈ {src0, src1} — the "trusted domain") and the raw rest.
+  //    Both bucket-count columns come from ONE conditional aggregate
+  //    over one explode (no second scan for the second LM).
+  //  - log importance weight: Σ_g λ[bucket(g)] + n_g·C where
+  //    λ[b] = log2(c_t+1) − log2(c_r+1) and C = log2(N_r+B) − log2(N_t+B)
+  //    (the per-doc-constant normalizer, kept so logw is the honest
+  //    weight, not just a ranking score). Per-bucket λ rounds to 8 dp,
+  //    the per-doc sum uses the decimal-sum recipe, 4 dp out.
+  //  - resampling: Gumbel-top-k (sampling without replacement ∝ exp of
+  //    the weight) with the Gumbel drawn from the md5-uniform of the doc
+  //    id — deterministic, rerunnable, engine-independent. Top-k plans
+  //    as TakeOrderedAndProject (per-partition top-k, no global sort);
+  //    the sample rank is numbered post-limit without a window.
+  private val DsirBuckets = 4096
+  private val DsirK = 25
+  private val DsirTargetSources = Seq("src0", "src1")
+  private val Ln2 = "0.6931471805599453"
+
+  def dsirSample(spark: SparkSession, dir: String): DataFrame = {
+    val B = DsirBuckets
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), TextFns.tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("source"),
+        explode(concat(col("t"), TextFns.shinglesFromTokens(col("t"), 2))).as("g"))
+      .select(col("doc_id"), col("source"),
+        (conv(substring(md5(concat(lit("dsir:"), col("g"))), 1, 15), 16, 10)
+          .cast("long") % B).as("b"))
+    val isTarget = col("source").isin(DsirTargetSources: _*)
+    // one bucket-keyed aggregate builds BOTH LMs (map-side combined,
+    // ≤B result rows); λ and the totals derive from it without rescans
+    val lm = grams.groupBy(col("b")).agg(
+      count(when(isTarget, lit(1))).as("ct"),
+      count(when(!isTarget, lit(1))).as("cr"))
+    val lam = lm.select(col("b"),
+      round(log2(col("ct") + 1) - log2(col("cr") + 1), 8).as("lam"))
+    val tot = lm.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+    grams.filter(!isTarget)
+      .join(broadcast(lam), Seq("b")) // ≤B rows — broadcast at ANY corpus size
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_g"),
+        sum(col("lam").cast("decimal(28,12)")).as("s"))
+      .crossJoin(broadcast(tot)) // 1-row scalar totals
+      .select(col("doc_id"), col("source"),
+        round(col("s").cast("double") +
+          col("n_g") * round(log2(col("nr") + B) - log2(col("nt") + B), 8), 4).as("logw"))
+      .withColumn("score", round(col("logw") +
+        expr(s"-ln(-ln(cast(conv(substring(md5(concat('dsirg:', cast(doc_id as string))), 1, 15), 16, 10) as double) / 1152921504606846976.0)) / $Ln2"), 6))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(DsirK)
+      // rank-without-window: ≤k rows on one sorted partition (the
+      // Sampling.sampleN idiom — no unpartitioned WindowExec)
+      .coalesce(1)
+      .sortWithinPartitions(col("score").desc, col("doc_id"))
+      .withColumn("rk", (monotonically_increasing_id() + 1).cast("int"))
+      .orderBy(col("rk"))
+  }
+
+  val dsirSampleOracle: String = {
+    val B = DsirBuckets
+    val tgt = DsirTargetSources.map(s => s"'$s'").mkString(", ")
+    s"""
+    WITH toks AS (SELECT doc_id, source, $tokensSql AS t FROM documents),
+    grams AS (
+      SELECT doc_id, source, unnest(t) AS g FROM toks
+      UNION ALL
+      SELECT doc_id, source,
+             unnest(list_transform(range(len(t)-1), i -> array_to_string(t[i+1:i+2], ' '))) AS g
+      FROM toks WHERE len(t) >= 2),
+    bk AS (SELECT doc_id, source,
+             CAST(concat('0x', substr(md5('dsir:' || g), 1, 15)) AS BIGINT) % $B AS b
+           FROM grams),
+    lm AS (SELECT b,
+             count(CASE WHEN source IN ($tgt) THEN 1 END) AS ct,
+             count(CASE WHEN source NOT IN ($tgt) THEN 1 END) AS cr
+           FROM bk GROUP BY b),
+    lam AS (SELECT b, round(log2(ct + 1) - log2(cr + 1), 8) AS lam FROM lm),
+    tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr FROM lm),
+    per AS (SELECT bk.doc_id, bk.source, count(*) AS n_g,
+              CAST(sum(CAST(lam AS DECIMAL(28,12))) AS DOUBLE) AS s
+            FROM bk JOIN lam USING (b)
+            WHERE bk.source NOT IN ($tgt)
+            GROUP BY bk.doc_id, bk.source),
+    w AS (SELECT doc_id, source,
+            round(s + n_g * round(log2(nr + $B) - log2(nt + $B), 8), 4) AS logw
+          FROM per, tot),
+    sc AS (SELECT doc_id, source, logw,
+             round(logw + -ln(-ln(
+               CAST(CAST(concat('0x', substr(md5('dsirg:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE)
+                 / 1152921504606846976.0)) / $Ln2, 6) AS score
+           FROM w),
+    top AS (SELECT doc_id, source, logw, score FROM sc
+            ORDER BY score DESC, doc_id LIMIT $DsirK)
+    SELECT doc_id, source, logw, score,
+      CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rk
+    FROM top ORDER BY rk"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curation_stratified_mix" -> (stratifiedMix _),
     "curation_contamination"  -> (contamination _),
@@ -409,6 +520,7 @@ object Curation {
     "curation_temperature_mix" -> (temperatureMix _),
     "curation_quality_gate"  -> (qualityGate _),
     "curation_split"         -> (split _),
+    "curation_dsir_sample"   -> (dsirSample _),
     "curation_corpus_stats"  -> (corpusStats _))
 
   val oracle: Map[String, String] = Map(
@@ -419,5 +531,6 @@ object Curation {
     "curation_temperature_mix" -> temperatureMixOracle,
     "curation_quality_gate"  -> qualityGateOracle,
     "curation_split"         -> splitOracle,
+    "curation_dsir_sample"   -> dsirSampleOracle,
     "curation_corpus_stats"  -> corpusStatsOracle)
 }

@@ -192,6 +192,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == Seq((1L, 4L, 1.25), (2L, 1L, 2.0)))
   }
 
+  test("dsir: target-like raw docs outweigh target-unlike ones") {
+    // target slice (src0): a distinctive vocabulary; raw pool: one doc
+    // echoing the target's vocabulary, one disjoint. The importance
+    // weight must rank the echo above the stranger — the selection
+    // signal's direction. (logw, not score: score adds Gumbel noise.)
+    val tgt = "quantum field energy physics lattice boson " * 6
+    val tmp = java.nio.file.Files.createTempDirectory("dsir").toString
+    Seq(
+      (1L, tgt, "src0"), (2L, tgt, "src1"),
+      (10L, "quantum field energy physics boson decay " * 5, "web"),
+      (11L, "buy cheap pills now limited offer click " * 5, "web"))
+      .toDF("doc_id", "text", "source").write.parquet(s"$tmp/documents.parquet")
+    val got = graft.operators.Curation.dsirSample(spark, tmp)
+      .select("doc_id", "logw", "rk").as[(Long, Double, Int)].collect()
+    assert(got.map(_._1).toSet == Set(10L, 11L)) // target rows never sampled
+    val logw = got.map(r => r._1 -> r._2).toMap
+    assert(logw(10L) > logw(11L))
+    assert(got.sortBy(_._3).map(_._3).toSeq == Seq(1, 2)) // ranks dense from 1
+  }
+
   test("real image decode: PNG features exact, JPEG dims, non-image falls back") {
     import java.awt.image.BufferedImage
     import java.io.ByteArrayOutputStream
