@@ -393,6 +393,185 @@ object Similarity {
     QUALIFY rn <= $K
     ORDER BY qid, rn"""
 
+  // ---- 3d. product-quantization ANN (round 7) --------------------------
+  // PQ/ADC (Jégou et al. 2011, "Product Quantization for Nearest
+  // Neighbor Search" — public paper): split each unit vector into PqM
+  // subspaces, k-means a PqK-codeword codebook per subspace, store each
+  // corpus vector as PqM small codes, and score query↔corpus pairs by
+  // ADC — the sum over subspaces of the precomputed dot between the
+  // query's subvector and the corpus code's codeword.
+  //
+  // This is the 100 TB MEMORY path the other ANN variants don't give:
+  // a 64-d float vector is 256 bytes, its PQ code is PqM=4 codes (≤1
+  // byte each at PqK=16) — 64× smaller, so a corpus whose raw
+  // embeddings never fit in cluster RAM scans as codes. The plan keeps
+  // every centroid-sized object broadcast: codebooks are PqM×PqK = 64
+  // rows, the per-query lookup table is NQueries×PqM×PqK rows, and the
+  // scoring pass is ONE broadcast join from the code table + a
+  // per-(query, vector) aggregate over PqM rows — no full-width vector
+  // ever moves after encoding.
+  //
+  // All PqM codebooks train in ONE grouped Lloyd loop (the subspace id
+  // rides as a key column — same shuffle count as training a single
+  // codebook). Determinism mirrors kmeansCentroids: portable md5-order
+  // seeding per subspace, round-6 L2² assignment (computed via the
+  // dot-product identity ‖a−b‖² = a·a + b·b − 2·a·b so both engines
+  // use their proven sequential dot folds) with cid tie-break,
+  // DECIMAL(28,12)-exact per-position means, empty cells keeping their
+  // previous centroid — so DuckDB unrolls the same rounds as CTEs and
+  // the gate is hash-exact, while the recall spec guards ANN quality.
+  private val PqM = 4
+  private val PqSub = 16
+  private val PqK = 16
+  private val PqIters = 2
+
+  /** (vec_id, s, svec): the PqM subvectors of each unit vector. */
+  private def pqSubvectors(all: DataFrame): DataFrame =
+    all.select(col("vec_id"),
+      posexplode(array((0 until PqM).map(s =>
+        slice(col("vec"), s * PqSub + 1, PqSub)): _*)).as(Seq("s", "svec")))
+
+  private def pqD2(v: Column, c: Column): Column =
+    round(VectorFns.dot(v, v) + VectorFns.dot(c, c)
+      - lit(2) * VectorFns.dot(v, c), 6)
+
+  /** All-subspace codebooks via one grouped Lloyd loop → (s, cid, cvec). */
+  def pqCodebooks(sub: DataFrame, k: Int, iters: Int): DataFrame = {
+    val seedW = Window.partitionBy(col("s")).orderBy(col("__h"), col("vec_id"))
+    var cents = sub
+      .withColumn("__h", md5(concat(lit("pq"), col("s").cast("string"),
+        lit(":"), col("vec_id").cast("string"))))
+      .withColumn("cid", row_number().over(seedW))
+      .filter(col("cid") <= k)
+      .select(col("s"), col("cid"), col("svec").as("cvec"))
+      .localCheckpoint()
+    for (_ <- 0 until iters) {
+      val assignW = Window.partitionBy(col("s"), col("vec_id"))
+        .orderBy(col("d2"), col("cid"))
+      val assigned = sub.join(broadcast(cents), Seq("s"))
+        .select(col("s"), col("vec_id"), col("svec"), col("cid"),
+          pqD2(col("svec"), col("cvec")).as("d2"))
+        .withColumn("rn", row_number().over(assignW)).filter(col("rn") === 1)
+      val updated = assigned
+        .select(col("s"), col("cid"), posexplode(col("svec")).as(Seq("pos", "v")))
+        .groupBy(col("s"), col("cid"), col("pos"))
+        .agg((sum(col("v").cast("decimal(28,12)")) / count(lit(1)))
+          .cast("double").as("c"))
+        .groupBy(col("s"), col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          x => x.getField("c")).as("cvec"))
+      cents = cents.select(col("s"), col("cid"), col("cvec").as("prev"))
+        .join(updated, Seq("s", "cid"), "left")
+        .select(col("s"), col("cid"), coalesce(col("cvec"), col("prev")).as("cvec"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** PQ top-k: encode the corpus once, score by ADC, rank per query. */
+  def topkPq(spark: SparkSession, dir: String): DataFrame = {
+    val all = emb(spark, dir).cache()
+    val sub = pqSubvectors(all)
+    val books = pqCodebooks(sub, PqK, PqIters)
+    val encW = Window.partitionBy(col("s"), col("vec_id"))
+      .orderBy(col("d2"), col("cid"))
+    // the code table: the ONLY corpus-sized object past this point —
+    // PqM small ints per vector, never the vector itself
+    val codes = sub.join(broadcast(books), Seq("s"))
+      .select(col("s"), col("vec_id"), col("cid"),
+        pqD2(col("svec"), col("cvec")).as("d2"))
+      .withColumn("rn", row_number().over(encW)).filter(col("rn") === 1)
+      .select(col("s"), col("vec_id"), col("cid"))
+    val lut = sub.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("s"), col("svec"))
+      .join(broadcast(books), Seq("s"))
+      .select(col("qid"), col("s"), col("cid"),
+        VectorFns.dot6(col("svec"), col("cvec")).as("d"))
+    val scored = codes.join(broadcast(lut), Seq("s", "cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      // exactly PqM six-dp terms per pair → DECIMAL sum is exact and
+      // aggregation-order-independent
+      .agg(round(sum(col("d").cast("decimal(18,6)")).cast("double"), 6).as("adc"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("nid"))
+    scored.select(col("qid"), col("vec_id").as("nid"), col("adc"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= K)
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  /** SQL twins of the grouped subspace k-means: CTEs `sub` (subvectors)
+    * and `cb0`..`cb$iters` (codebooks); expects `unit(vec_id, vec)`. */
+  private def pqSqlCtes(k: Int, iters: Int): String = {
+    val d2 = (a: String, b: String) =>
+      s"round(list_dot_product($a, $a) + list_dot_product($b, $b) - 2*list_dot_product($a, $b), 6)"
+    val blocks = (0 until iters).map { n =>
+      s"""
+    pa$n AS (
+      SELECT s, vec_id, svec, cid FROM (
+        SELECT b.s, b.vec_id, b.svec, c.cid,
+          CAST(row_number() OVER (PARTITION BY b.s, b.vec_id
+            ORDER BY ${d2("b.svec", "c.cvec")}, c.cid) AS INT) AS rn
+        FROM sub b JOIN cb$n c USING (s))
+      WHERE rn = 1),
+    pu$n AS (
+      SELECT s, cid, pos, CAST(sum(CAST(v AS DECIMAL(28,12))) / count(*) AS DOUBLE) AS c
+      FROM (SELECT s, cid, unnest(range(len(svec))) AS pos, unnest(svec) AS v FROM pa$n)
+      GROUP BY s, cid, pos),
+    pv$n AS (SELECT s, cid, list(c ORDER BY pos) AS cvec FROM pu$n GROUP BY s, cid),
+    cb${n + 1} AS (
+      SELECT p.s, p.cid, coalesce(v.cvec, p.cvec) AS cvec
+      FROM cb$n p LEFT JOIN pv$n v USING (s, cid))"""
+    }
+    s"""
+    sub AS (
+      SELECT vec_id, s, vec[s*$PqSub+1 : s*$PqSub+$PqSub] AS svec
+      FROM unit CROSS JOIN (SELECT unnest(range($PqM)) AS s)),
+    cb0 AS (
+      SELECT s, cid, svec AS cvec FROM (
+        SELECT s, vec_id, svec,
+          CAST(row_number() OVER (PARTITION BY s
+            ORDER BY md5('pq' || CAST(s AS VARCHAR) || ':' || CAST(vec_id AS VARCHAR)), vec_id) AS INT) AS cid
+        FROM sub)
+      WHERE cid <= $k)""" + blocks.mkString(",", ",", "")
+  }
+
+  /** Exact twin of [[topkPq]]: same codebooks, codes, lookup table, and
+    * ADC ranking, unrolled in SQL. */
+  val topkPqOracle: String = {
+    val d2 = (a: String, b: String) =>
+      s"round(list_dot_product($a, $a) + list_dot_product($b, $b) - 2*list_dot_product($a, $b), 6)"
+    s"""
+    WITH nv AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw,
+        sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+      FROM embeddings),
+    unit AS (SELECT vec_id, list_transform(raw, x -> x / nrm) AS vec FROM nv),
+    ${pqSqlCtes(k = PqK, iters = PqIters)},
+    codes AS (
+      SELECT s, vec_id, cid FROM (
+        SELECT b.s, b.vec_id, c.cid,
+          CAST(row_number() OVER (PARTITION BY b.s, b.vec_id
+            ORDER BY ${d2("b.svec", "c.cvec")}, c.cid) AS INT) AS rn
+        FROM sub b JOIN cb$PqIters c USING (s))
+      WHERE rn = 1),
+    lut AS (
+      SELECT q.vec_id AS qid, q.s, c.cid,
+        round(list_dot_product(q.svec, c.cvec), 6) AS d
+      FROM sub q JOIN cb$PqIters c USING (s)
+      WHERE q.vec_id < $NQueries),
+    sc AS (
+      SELECT l.qid, k.vec_id AS nid,
+        round(CAST(sum(CAST(l.d AS DECIMAL(18,6))) AS DOUBLE), 6) AS adc
+      FROM codes k JOIN lut l ON l.s = k.s AND l.cid = k.cid
+      WHERE k.vec_id <> l.qid
+      GROUP BY l.qid, k.vec_id)
+    SELECT qid, nid, adc,
+      CAST(row_number() OVER (PARTITION BY qid ORDER BY adc DESC, nid) AS INT) AS rn
+    FROM sc
+    QUALIFY rn <= $K
+    ORDER BY qid, rn"""
+  }
+
   // ---- 3c. SemDeDup-style semantic dedup ------------------------------
   // The embedding-space analog of dedupPipeline (Abbas et al. 2023,
   // "SemDeDup", arXiv:2303.09540 — public paper): cluster the corpus
@@ -621,6 +800,7 @@ object Similarity {
     "sim_topk_ivf"        -> (topkIvf _),
     "sim_topk_ivf_trained" -> (topkIvfTrained _),
     "sim_topk_lsh"        -> (topkLsh _),
+    "sim_topk_pq"         -> (topkPq _),
     "dedup_semantic"      -> (dedupSemantic _))
 
   val oracle: Map[String, String] = Map(
@@ -628,6 +808,7 @@ object Similarity {
     "sim_topk_ivf"        -> topkIvfOracle,
     "sim_topk_ivf_trained" -> topkIvfTrainedOracle,
     "sim_topk_lsh"        -> topkLshOracle,
+    "sim_topk_pq"         -> topkPqOracle,
     "dedup_semantic"      -> dedupSemanticOracle,
     "dedup_embedding"     -> nearDupPairsOracle,
     "dedup_embedding_lsh" -> nearDupPairsLshOracle)

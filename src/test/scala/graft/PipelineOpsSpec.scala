@@ -101,6 +101,14 @@ class PipelineOpsSpec extends AnyFunSuite {
     val lsh = Similarity.topkLsh(spark, tmp).select("qid", "nid").as[(Long, Long)].collect().toSet
     assert(ivf.intersect(bf).size * 10 >= bf.size * 6, s"IVF recall ${ivf.intersect(bf).size}/${bf.size}")
     assert(lsh.intersect(bf).size * 10 >= bf.size * 6, s"LSH recall ${lsh.intersect(bf).size}/${bf.size}")
+    // PQ is a lossy quantizer: the robust property on tight clusters is
+    // REGION recall — every ADC neighbor lives in the query's own
+    // cluster (same id%4 block), even where within-cluster ranking
+    // reshuffles under quantization noise.
+    val pq = Similarity.topkPq(spark, tmp).select("qid", "nid").as[(Long, Long)].collect()
+    assert(pq.length == bf.size)
+    assert(pq.forall { case (q, n) => q % 4 == n % 4 },
+      s"PQ cross-cluster neighbors: ${pq.filter { case (q, n) => q % 4 != n % 4 }.mkString(",")}")
 
     // pairwise near-dup: LSH candidate path recovers most of the true top-20
     val bfPairs = Similarity.nearDupPairs(spark, tmp)
