@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
@@ -428,29 +428,59 @@ object Curation {
   //    id — deterministic, rerunnable, engine-independent. Top-k plans
   //    as TakeOrderedAndProject (per-partition top-k, no global sort);
   //    the sample rank is numbered post-limit without a window.
-  private val DsirBuckets = 4096
+  private[graft] val DsirBuckets = 4096
   private val DsirK = 25
   private val DsirTargetSources = Seq("src0", "src1")
   private val Ln2 = "0.6931471805599453"
 
-  def dsirSample(spark: SparkSession, dir: String): DataFrame = {
-    val B = DsirBuckets
-    val grams = Tables.documents(spark, dir)
+  /** md5-hashed feature bucket of a gram column (portable arithmetic). */
+  private[graft] def dsirBucket(g: Column): Column =
+    conv(substring(md5(concat(lit("dsir:"), g)), 1, 15), 16, 10)
+      .cast("long") % DsirBuckets
+
+  /** (doc_id, source, b): one hashed-gram occurrence row per doc gram. */
+  private def dsirGrams(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), TextFns.tokens(col("text")).as("t"))
       .select(col("doc_id"), col("source"),
         explode(concat(col("t"), TextFns.shinglesFromTokens(col("t"), 2))).as("g"))
-      .select(col("doc_id"), col("source"),
-        (conv(substring(md5(concat(lit("dsir:"), col("g"))), 1, 15), 16, 10)
-          .cast("long") % B).as("b"))
-    val isTarget = col("source").isin(DsirTargetSources: _*)
-    // one bucket-keyed aggregate builds BOTH LMs (map-side combined,
-    // ≤B result rows); λ and the totals derive from it without rescans
+      .select(col("doc_id"), col("source"), dsirBucket(col("g")).as("b"))
+
+  private def dsirIsTarget: Column = col("source").isin(DsirTargetSources: _*)
+
+  /** The trained model as DataFrames: λ(b, lam) ≤B rows and the 1-row
+    * totals (nt, nr). One bucket-keyed aggregate builds BOTH LMs
+    * (map-side combined); λ and totals derive without rescans. */
+  private def dsirLm(grams: DataFrame): (DataFrame, DataFrame) = {
     val lm = grams.groupBy(col("b")).agg(
-      count(when(isTarget, lit(1))).as("ct"),
-      count(when(!isTarget, lit(1))).as("cr"))
+      count(when(dsirIsTarget, lit(1))).as("ct"),
+      count(when(!dsirIsTarget, lit(1))).as("cr"))
     val lam = lm.select(col("b"),
       round(log2(col("ct") + 1) - log2(col("cr") + 1), 8).as("lam"))
     val tot = lm.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+    (lam, tot)
+  }
+
+  /** The model in driver form for streaming ingest: the λ map (≤B
+    * entries — driver-sized BY CONSTRUCTION, the fixed feature dimension
+    * again) and the per-gram constant C = log2(N_r+B) − log2(N_t+B).
+    * C is computed through Spark expressions so its rounding semantics
+    * are identical to the batch plan's. Buckets absent from the map
+    * carry λ = 0 (log2(0+1) − log2(0+1)) — the lookup must coalesce. */
+  def dsirModel(spark: SparkSession, dir: String): (Map[Long, Double], Double) = {
+    val (lam, tot) = dsirLm(dsirGrams(spark, dir))
+    val lamMap = lam.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val c = tot.select(
+      round(log2(col("nr") + DsirBuckets) - log2(col("nt") + DsirBuckets), 8))
+      .head.getDouble(0)
+    (lamMap, c)
+  }
+
+  def dsirSample(spark: SparkSession, dir: String): DataFrame = {
+    val B = DsirBuckets
+    val grams = dsirGrams(spark, dir)
+    val isTarget = dsirIsTarget
+    val (lam, tot) = dsirLm(grams)
     grams.filter(!isTarget)
       .join(broadcast(lam), Seq("b")) // ≤B rows — broadcast at ANY corpus size
       .groupBy(col("doc_id"), col("source"))

@@ -175,6 +175,40 @@ object EventStream {
         sp.read.parquet(vDir), novelOnly, batchId = Some(batchId))
   }
 
+  /** Streaming DSIR scoring — the ingest-time form of
+    * `Curation.dsirSample`'s scoring stage. The model is FIXED (trained
+    * offline by `Curation.dsirModel`); each incoming document gets its
+    * log importance weight from the same hashed-gram bucket arithmetic.
+    *
+    * The model rides as a LITERAL map in the expression tree (≤4096
+    * entries — the fixed hashed feature dimension is what makes that
+    * legal), so the whole scorer is a narrow per-row projection: no
+    * join, no shuffle, no state-store rows, append-mode clean. That is
+    * the right shape for ingest-time selection at any stream rate —
+    * scoring cost is O(grams per doc), independent of corpus and stream
+    * history. Buckets unseen at training time coalesce to λ = 0, the
+    * exact Laplace value log2(0+1) − log2(0+1) the batch model would
+    * assign them. Weight semantics match the batch plan: per-gram λ
+    * rounded to 8 dp at training, DECIMAL(28,12) fold over the doc's
+    * grams, + n_grams·C, rounded to 4 dp. */
+  def dsirScore(docs: DataFrame, lam: Map[Long, Double], cBits: Double): DataFrame = {
+    val lamLit = typedLit(lam)
+    docs
+      .withColumn("__t", graft.functions.TextFns.tokens(col("text")))
+      .withColumn("__g", concat(col("__t"),
+        graft.functions.TextFns.shinglesFromTokens(col("__t"), 2)))
+      .select(col("doc_id"),
+        size(col("__g")).cast("long").as("n_g"),
+        aggregate(
+          transform(col("__g"),
+            g => coalesce(element_at(lamLit, graft.operators.Curation.dsirBucket(g)), lit(0.0))
+              .cast("decimal(28,12)")),
+          lit(BigDecimal(0)).cast("decimal(28,12)"),
+          (acc, x) => (acc + x).cast("decimal(28,12)")).as("s"))
+      .select(col("doc_id"), col("n_g"),
+        round(col("s").cast("double") + col("n_g") * cBits, 4).as("logw"))
+  }
+
   // ---- KMV distinct sketch with bounded state --------------------------
 
   final case class KmvEv(event_type: String, h: Long)

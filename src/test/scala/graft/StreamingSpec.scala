@@ -71,6 +71,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.nonEmpty)
   }
 
+  test("streaming DSIR scoring == batch logw, zero state-store rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val (lam, c) = graft.operators.Curation.dsirModel(spark, sf)
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)]
+    val scored = EventStream.dsirScore(input.toDS().toDF("doc_id", "text"), lam, c)
+    val q = scored.writeStream.format("memory").queryName("dsir_stream")
+      .outputMode("append").start()
+    // two arbitrary slices: scoring is per-row, slicing must not matter
+    docs.grouped(math.max(1, docs.length / 2 + 1)).foreach { b =>
+      input.addData(b.toSeq); q.processAllAvailable()
+    }
+    // narrow plan ⇒ NO stateful operators at all
+    assert(q.lastProgress.stateOperators.isEmpty)
+    q.stop()
+    val got = spark.table("dsir_stream")
+      .select("doc_id", "logw").as[(Long, Double)].collect().toMap
+    // the gated batch sample's logw column is the ground truth on the
+    // docs it selects (its scoring joins through the same model)
+    val want = graft.operators.Curation.dsirSample(spark, sf)
+      .select("doc_id", "logw").as[(Long, Double)].collect()
+    assert(want.nonEmpty)
+    want.foreach { case (id, w) => assert(got(id) == w, s"doc $id: ${got(id)} != $w") }
+  }
+
   test("watermark-bounded dedup: state plateaus (evicts) under continuous ingest") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Long, String)]
