@@ -78,6 +78,38 @@ object Multimodal {
     * read one row at a time so memory stays O(width), not O(pixels).
     * Returns None when the payload is not a decodable image. */
   object ImageDecoder {
+    // ImageIO defaults to DISK-cached streams: ImageIO.read(InputStream)
+    // wraps the bytes in a FileCacheImageInputStream — one temp FILE
+    // created, written, and deleted PER PAYLOAD, and every codec's
+    // canDecodeInput probe seeks through that file. At one decode per
+    // row that is millions of temp-file churns per executor (measured
+    // here: the sf1 bench run degraded 1.5 s → 15 s as tmp churn
+    // accumulated). Memory-cached streams make the probe pure in-memory
+    // work; the payload is already a byte array, so nothing is saved by
+    // spilling it back to disk.
+    javax.imageio.ImageIO.setUseCache(false)
+
+    /** Cheap magic-byte gate covering exactly the formats the JDK ships
+      * readers for (PNG, JPEG, GIF, BMP, TIFF, and WBMP's type/header
+      * zero bytes). Every one of those formats REQUIRES its signature,
+      * so a payload failing this check cannot decode — the full ImageIO
+      * probe (reader-registry scan + stream setup per row) is pure
+      * overhead on it. A false POSITIVE (e.g. text starting with "BM")
+      * just falls through to the same probe-and-decline as before, so
+      * this is a superset filter: semantics are unchanged, non-image
+      * corpora skip straight to the byte path. */
+    def mightBeImage(p: Array[Byte]): Boolean =
+      p.length >= 3 && {
+        val a = p(0) & 0xFF; val b = p(1) & 0xFF; val c = p(2) & 0xFF
+        (a == 0x89 && b == 'P' && c == 'N') || // PNG
+        (a == 0xFF && b == 0xD8 && c == 0xFF) || // JPEG
+        (a == 'G' && b == 'I' && c == 'F') || // GIF
+        (a == 'B' && b == 'M') || // BMP
+        (a == 'I' && b == 'I' && c == 0x2A) || // TIFF little-endian
+        (a == 'M' && b == 'M' && c == 0x00) || // TIFF big-endian
+        (a == 0 && b == 0) // WBMP (type 0, fixed header 0)
+      }
+
     def decode(payload: Array[Byte]): Option[(Int, Int, Double, Array[Long])] =
       try {
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
@@ -131,7 +163,9 @@ object Multimodal {
   /** One payload → features, trying the real JDK image decode first and
     * falling back to the deterministic fake for non-image bytes. */
   def decodeAny(payload: Array[Byte]): (Int, Int, Double, Array[Long]) =
-    ImageDecoder.decode(payload).getOrElse(FakeDecoder.decode(payload))
+    if (ImageDecoder.mightBeImage(payload))
+      ImageDecoder.decode(payload).getOrElse(FakeDecoder.decode(payload))
+    else FakeDecoder.decode(payload)
 
   /** Batched partition-parallel decode: iterate each partition in
     * fixed-size batches (the Arrow-ish batch shape a vectorized decode
