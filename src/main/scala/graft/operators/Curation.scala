@@ -438,23 +438,31 @@ object Curation {
     conv(substring(md5(concat(lit("dsir:"), g)), 1, 15), 16, 10)
       .cast("long") % DsirBuckets
 
-  /** (doc_id, source, b): one hashed-gram occurrence row per doc gram. */
-  private def dsirGrams(spark: SparkSession, dir: String): DataFrame =
+  /** (doc_id, source, b, c): per-document hashed-feature bucket counts.
+    * ONE tokenize + gram explode + md5 pass over the corpus feeds both
+    * the LM aggregate and the scoring join — computing raw gram rows
+    * twice (as the first cut did) doubles the dominant cost, the
+    * per-gram md5. The aggregate keys on (doc, bucket), so its output
+    * is bounded by docs × min(grams-per-doc, B) and map-side combine
+    * collapses repeated buckets before the exchange. */
+  private def dsirDocBuckets(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), TextFns.tokens(col("text")).as("t"))
       .select(col("doc_id"), col("source"),
         explode(concat(col("t"), TextFns.shinglesFromTokens(col("t"), 2))).as("g"))
-      .select(col("doc_id"), col("source"), dsirBucket(col("g")).as("b"))
+      .groupBy(col("doc_id"), col("source"), dsirBucket(col("g")).as("b"))
+      .agg(count(lit(1)).as("c"))
 
   private def dsirIsTarget: Column = col("source").isin(DsirTargetSources: _*)
 
   /** The trained model as DataFrames: λ(b, lam) ≤B rows and the 1-row
-    * totals (nt, nr). One bucket-keyed aggregate builds BOTH LMs
-    * (map-side combined); λ and totals derive without rescans. */
-  private def dsirLm(grams: DataFrame): (DataFrame, DataFrame) = {
-    val lm = grams.groupBy(col("b")).agg(
-      count(when(dsirIsTarget, lit(1))).as("ct"),
-      count(when(!dsirIsTarget, lit(1))).as("cr"))
+    * totals (nt, nr), derived from the per-doc bucket counts with one
+    * tiny bucket-keyed aggregate (both LMs in one pass; a bucket seen
+    * only on one side coalesces to 0 on the other). */
+  private def dsirLm(db: DataFrame): (DataFrame, DataFrame) = {
+    val lm = db.groupBy(col("b")).agg(
+      coalesce(sum(when(dsirIsTarget, col("c"))), lit(0L)).as("ct"),
+      coalesce(sum(when(!dsirIsTarget, col("c"))), lit(0L)).as("cr"))
     val lam = lm.select(col("b"),
       round(log2(col("ct") + 1) - log2(col("cr") + 1), 8).as("lam"))
     val tot = lm.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
@@ -468,7 +476,7 @@ object Curation {
     * are identical to the batch plan's. Buckets absent from the map
     * carry λ = 0 (log2(0+1) − log2(0+1)) — the lookup must coalesce. */
   def dsirModel(spark: SparkSession, dir: String): (Map[Long, Double], Double) = {
-    val (lam, tot) = dsirLm(dsirGrams(spark, dir))
+    val (lam, tot) = dsirLm(dsirDocBuckets(spark, dir))
     val lamMap = lam.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val c = tot.select(
       round(log2(col("nr") + DsirBuckets) - log2(col("nt") + DsirBuckets), 8))
@@ -478,14 +486,24 @@ object Curation {
 
   def dsirSample(spark: SparkSession, dir: String): DataFrame = {
     val B = DsirBuckets
-    val grams = dsirGrams(spark, dir)
+    val db = dsirDocBuckets(spark, dir)
     val isTarget = dsirIsTarget
-    val (lam, tot) = dsirLm(grams)
-    grams.filter(!isTarget)
+    val (lam, tot) = dsirLm(db)
+    // Σ over a doc's gram OCCURRENCES of dec(λ) == Σ over its distinct
+    // buckets of c·dec(λ): the multiplication is exact decimal
+    // (DECIMAL(10,0) × DECIMAL(20,12) fits both engines' exact-multiply
+    // width rules), so the compact form is bit-identical to the
+    // per-occurrence fold while shuffling corpus-bounded (doc, bucket)
+    // rows instead of raw gram rows. (A fully narrow per-row fold over
+    // a broadcast λ map column was measured 2× SLOWER here: Spark map
+    // literals have no hash index — element_at is a linear scan, O(B)
+    // per gram. The streaming scorer gets the narrow shape the right
+    // way, with a DENSE ARRAY literal indexed by bucket.)
+    db.filter(!isTarget)
       .join(broadcast(lam), Seq("b")) // ≤B rows — broadcast at ANY corpus size
       .groupBy(col("doc_id"), col("source"))
-      .agg(count(lit(1)).as("n_g"),
-        sum(col("lam").cast("decimal(28,12)")).as("s"))
+      .agg(sum(col("c")).as("n_g"),
+        sum(col("c").cast("decimal(10,0)") * col("lam").cast("decimal(20,12)")).as("s"))
       .crossJoin(broadcast(tot)) // 1-row scalar totals
       .select(col("doc_id"), col("source"),
         round(col("s").cast("double") +
@@ -513,20 +531,21 @@ object Curation {
       SELECT doc_id, source,
              unnest(list_transform(range(len(t)-1), i -> array_to_string(t[i+1:i+2], ' '))) AS g
       FROM toks WHERE len(t) >= 2),
-    bk AS (SELECT doc_id, source,
-             CAST(concat('0x', substr(md5('dsir:' || g), 1, 15)) AS BIGINT) % $B AS b
-           FROM grams),
+    db AS (SELECT doc_id, source,
+             CAST(concat('0x', substr(md5('dsir:' || g), 1, 15)) AS BIGINT) % $B AS b,
+             count(*) AS c
+           FROM grams GROUP BY 1, 2, 3),
     lm AS (SELECT b,
-             count(CASE WHEN source IN ($tgt) THEN 1 END) AS ct,
-             count(CASE WHEN source NOT IN ($tgt) THEN 1 END) AS cr
-           FROM bk GROUP BY b),
+             CAST(coalesce(sum(CASE WHEN source IN ($tgt) THEN c END), 0) AS BIGINT) AS ct,
+             CAST(coalesce(sum(CASE WHEN source NOT IN ($tgt) THEN c END), 0) AS BIGINT) AS cr
+           FROM db GROUP BY b),
     lam AS (SELECT b, round(log2(ct + 1) - log2(cr + 1), 8) AS lam FROM lm),
     tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr FROM lm),
-    per AS (SELECT bk.doc_id, bk.source, count(*) AS n_g,
-              CAST(sum(CAST(lam AS DECIMAL(28,12))) AS DOUBLE) AS s
-            FROM bk JOIN lam USING (b)
-            WHERE bk.source NOT IN ($tgt)
-            GROUP BY bk.doc_id, bk.source),
+    per AS (SELECT db.doc_id, db.source, CAST(sum(c) AS BIGINT) AS n_g,
+              CAST(sum(CAST(c AS DECIMAL(10,0)) * CAST(lam AS DECIMAL(20,12))) AS DOUBLE) AS s
+            FROM db JOIN lam USING (b)
+            WHERE db.source NOT IN ($tgt)
+            GROUP BY db.doc_id, db.source),
     w AS (SELECT doc_id, source,
             round(s + n_g * round(log2(nr + $B) - log2(nt + $B), 8), 4) AS logw
           FROM per, tot),

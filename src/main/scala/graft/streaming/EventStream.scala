@@ -186,13 +186,20 @@ object EventStream {
     * join, no shuffle, no state-store rows, append-mode clean. That is
     * the right shape for ingest-time selection at any stream rate —
     * scoring cost is O(grams per doc), independent of corpus and stream
-    * history. Buckets unseen at training time coalesce to λ = 0, the
-    * exact Laplace value log2(0+1) − log2(0+1) the batch model would
-    * assign them. Weight semantics match the batch plan: per-gram λ
-    * rounded to 8 dp at training, DECIMAL(28,12) fold over the doc's
-    * grams, + n_grams·C, rounded to 4 dp. */
+    * history. Buckets unseen at training time score λ = 0, the exact
+    * Laplace value log2(0+1) − log2(0+1) the batch model would assign
+    * them. Weight semantics match the batch plan: per-gram λ rounded to
+    * 8 dp at training, DECIMAL(28,12) fold over the doc's grams,
+    * + n_grams·C, rounded to 4 dp.
+    *
+    * The model is densified to a B-element ARRAY literal indexed by
+    * bucket — NOT a map literal: Spark map data has no hash index, so
+    * `element_at(map, k)` is a linear scan (O(B) per gram — measured 2×
+    * the whole operator's cost at B=4096); array indexing is O(1). */
   def dsirScore(docs: DataFrame, lam: Map[Long, Double], cBits: Double): DataFrame = {
-    val lamLit = typedLit(lam)
+    val B = graft.operators.Curation.DsirBuckets
+    val lamLit = typedLit(
+      (0 until B).map(b => lam.getOrElse(b.toLong, 0.0)).toSeq)
     docs
       .withColumn("__t", graft.functions.TextFns.tokens(col("text")))
       .withColumn("__g", concat(col("__t"),
@@ -201,7 +208,8 @@ object EventStream {
         size(col("__g")).cast("long").as("n_g"),
         aggregate(
           transform(col("__g"),
-            g => coalesce(element_at(lamLit, graft.operators.Curation.dsirBucket(g)), lit(0.0))
+            g => element_at(lamLit,
+              (graft.operators.Curation.dsirBucket(g) + 1).cast("int"))
               .cast("decimal(28,12)")),
           lit(BigDecimal(0)).cast("decimal(28,12)"),
           (acc, x) => (acc + x).cast("decimal(28,12)")).as("s"))
