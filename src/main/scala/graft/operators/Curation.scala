@@ -438,36 +438,47 @@ object Curation {
     conv(substring(md5(concat(lit("dsir:"), g)), 1, 15), 16, 10)
       .cast("long") % DsirBuckets
 
-  /** (doc_id, source, b, c): per-document hashed-feature bucket counts.
-    * ONE tokenize + gram explode + md5 pass over the corpus feeds both
-    * the LM aggregate and the scoring join — computing raw gram rows
-    * twice (as the first cut did) doubles the dominant cost, the
-    * per-gram md5. The aggregate keys on (doc, bucket), so its output
-    * is bounded by docs × min(grams-per-doc, B) and map-side combine
-    * collapses repeated buckets before the exchange. */
-  private def dsirDocBuckets(spark: SparkSession, dir: String): DataFrame =
+  /** (source, b): one hashed-gram occurrence row per corpus gram — the
+    * LM training input. Deliberately NOT pre-aggregated per document:
+    * the bucket-keyed aggregate below partial-aggregates each partition
+    * to ≤B rows before its exchange, so grouping by (doc, bucket) first
+    * would only manufacture a corpus-sized shuffle (measured: 107 s vs
+    * 67 s at 1 M docs) to save work the combiner already elides. */
+  private def dsirGrams(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), TextFns.tokens(col("text")).as("t"))
-      .select(col("doc_id"), col("source"),
+      .select(col("source"), TextFns.tokens(col("text")).as("t"))
+      .select(col("source"),
         explode(concat(col("t"), TextFns.shinglesFromTokens(col("t"), 2))).as("g"))
-      .groupBy(col("doc_id"), col("source"), dsirBucket(col("g")).as("b"))
-      .agg(count(lit(1)).as("c"))
+      .select(col("source"), dsirBucket(col("g")).as("b"))
 
   private def dsirIsTarget: Column = col("source").isin(DsirTargetSources: _*)
 
-  /** The trained model as DataFrames: λ(b, lam) ≤B rows and the 1-row
-    * totals (nt, nr), derived from the per-doc bucket counts with one
-    * tiny bucket-keyed aggregate (both LMs in one pass; a bucket seen
-    * only on one side coalesces to 0 on the other). */
-  private def dsirLm(db: DataFrame): (DataFrame, DataFrame) = {
-    val lm = db.groupBy(col("b")).agg(
-      coalesce(sum(when(dsirIsTarget, col("c"))), lit(0L)).as("ct"),
-      coalesce(sum(when(!dsirIsTarget, col("c"))), lit(0L)).as("cr"))
-    val lam = lm.select(col("b"),
-      round(log2(col("ct") + 1) - log2(col("cr") + 1), 8).as("lam"))
-    val tot = lm.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
-    (lam, tot)
+  /** The shared narrow scorer: adds (n_g, logw) to a frame carrying a
+    * `text` column, from a dense B-element λ array (index = bucket) and
+    * the per-gram constant C — both inlined as LITERALS so the decimal
+    * fold stays inside whole-stage codegen (a joined 1-row model frame
+    * was measured 3× slower: the BNLJ projection evaluates the fold
+    * interpreted). No join, no shuffle, O(grams) per row with O(1)
+    * model lookups — used verbatim by the batch sample and the
+    * streaming ingest scorer (EventStream.dsirScore). */
+  private[graft] def dsirScored(docs: DataFrame, lamArr: Seq[Double],
+                                cBits: Column): DataFrame = {
+    val lamLit = typedLit(lamArr)
+    docs
+      .withColumn("__t", TextFns.tokens(col("text")))
+      .withColumn("__g", concat(col("__t"), TextFns.shinglesFromTokens(col("__t"), 2)))
+      .withColumn("n_g", size(col("__g")).cast("long"))
+      .withColumn("__s", aggregate(
+        transform(col("__g"),
+          g => element_at(lamLit, (dsirBucket(g) + 1).cast("int"))
+            .cast("decimal(28,12)")),
+        lit(BigDecimal(0)).cast("decimal(28,12)"),
+        (acc, x) => (acc + x).cast("decimal(28,12)")))
+      .withColumn("logw",
+        round(col("__s").cast("double") + col("n_g") * cBits, 4))
+      .drop("__t", "__g", "__s", "text")
   }
+
 
   /** The model in driver form for streaming ingest: the λ map (≤B
     * entries — driver-sized BY CONSTRUCTION, the fixed feature dimension
@@ -476,38 +487,77 @@ object Curation {
     * are identical to the batch plan's. Buckets absent from the map
     * carry λ = 0 (log2(0+1) − log2(0+1)) — the lookup must coalesce. */
   def dsirModel(spark: SparkSession, dir: String): (Map[Long, Double], Double) = {
-    val (lam, tot) = dsirLm(dsirDocBuckets(spark, dir))
-    val lamMap = lam.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    val c = tot.select(
-      round(log2(col("nr") + DsirBuckets) - log2(col("nt") + DsirBuckets), 8))
+    val (lamArr, nt, nr) = dsirTrain(spark, dir)
+    val lamMap = lamArr.zipWithIndex.collect {
+      case (l, b) if l != 0.0 => b.toLong -> l
+    }.toMap
+    val c = spark.range(1).select(
+      round(log2(lit(nr) + DsirBuckets) - log2(lit(nt) + DsirBuckets), 8))
       .head.getDouble(0)
     (lamMap, c)
   }
 
+  /** One training pass: the dense λ array (index = bucket; absent
+    * buckets hold λ = 0, the exact zero-count value) plus the exact
+    * (N_t, N_r) totals. λ values are computed by Spark's own
+    * log2/round expressions before the ≤B-row collect, so they are
+    * bit-identical to a fully in-plan formulation; a relational
+    * densify (range ⟕ lm → collect_list) was measured at 1.5 s of
+    * pure stage latency and rejected. */
+  private[graft] def dsirTrain(spark: SparkSession, dir: String): (Seq[Double], Long, Long) = {
+    val isTarget = dsirIsTarget
+    val lmRows = dsirGrams(spark, dir).groupBy(col("b")).agg(
+      count(when(isTarget, lit(1))).as("ct"),
+      count(when(!isTarget, lit(1))).as("cr"))
+      .select(col("b"),
+        round(log2(col("ct") + 1) - log2(col("cr") + 1), 8).as("lam"),
+        col("ct"), col("cr"))
+      .collect()
+    val a = Array.fill(DsirBuckets)(0.0)
+    lmRows.foreach(r => a(r.getLong(0).toInt) = r.getDouble(1))
+    (a.toSeq, lmRows.map(_.getLong(2)).sum, lmRows.map(_.getLong(3)).sum)
+  }
+
   def dsirSample(spark: SparkSession, dir: String): DataFrame = {
     val B = DsirBuckets
-    val db = dsirDocBuckets(spark, dir)
     val isTarget = dsirIsTarget
-    val (lam, tot) = dsirLm(db)
-    // Σ over a doc's gram OCCURRENCES of dec(λ) == Σ over its distinct
-    // buckets of c·dec(λ): the multiplication is exact decimal
-    // (DECIMAL(10,0) × DECIMAL(20,12) fits both engines' exact-multiply
-    // width rules), so the compact form is bit-identical to the
-    // per-occurrence fold while shuffling corpus-bounded (doc, bucket)
-    // rows instead of raw gram rows. (A fully narrow per-row fold over
-    // a broadcast λ map column was measured 2× SLOWER here: Spark map
-    // literals have no hash index — element_at is a linear scan, O(B)
-    // per gram. The streaming scorer gets the narrow shape the right
-    // way, with a DENSE ARRAY literal indexed by bucket.)
-    db.filter(!isTarget)
-      .join(broadcast(lam), Seq("b")) // ≤B rows — broadcast at ANY corpus size
-      .groupBy(col("doc_id"), col("source"))
-      .agg(sum(col("c")).as("n_g"),
-        sum(col("c").cast("decimal(10,0)") * col("lam").cast("decimal(20,12)")).as("s"))
-      .crossJoin(broadcast(tot)) // 1-row scalar totals
-      .select(col("doc_id"), col("source"),
-        round(col("s").cast("double") +
-          col("n_g") * round(log2(col("nr") + B) - log2(col("nt") + B), 8), 4).as("logw"))
+    // The WHOLE model — dense λ array + the (nt, nr) totals — is ONE
+    // driver row (≤B doubles + two longs, ~32 KB, driver-sized BY
+    // CONSTRUCTION — the same justification as packSequences' subtotal
+    // collect), materialized by one action over one pass of corpus
+    // grams, then inlined as a LITERAL into the scoring scan. Scoring
+    // is the shared narrow fold [[dsirScored]]: the only exchange in
+    // the whole operator carries ≤B×partitions LM rows. Designs
+    // measured and rejected on the way here (1 M-doc stress): per-gram
+    // rows joined to λ (corpus×grams shuffle, 107 s); a broadcast MAP
+    // column (Spark map data has no hash index — element_at is a
+    // linear scan, O(B) per gram); a crossJoined 1-row model frame
+    // (the BroadcastNestedLoopJoin projection runs the decimal fold
+    // OUTSIDE whole-stage codegen — 37 s where the literal runs in
+    // ~13 s). Equality: decimal addition is exact, so the fold equals
+    // the aggregation-order-free sum the oracle computes; absent
+    // buckets densify to λ = 0, the exact value of a zero-count
+    // bucket.
+    // λ is COMPUTED BY SPARK's own log2/round expressions (so its
+    // values are bit-identical to a fully in-plan formulation), then
+    // the ≤B (b, λ, ct, cr) rows are collected in one action and
+    // densified in Scala — a relational densify (range ⟕ lm →
+    // collect_list) was measured at 1.5 s of pure stage latency at
+    // sf0.1. Totals are exact integer sums, safe on the driver.
+    val (lamArr, nt, nr) = dsirTrain(spark, dir)
+    val cBits = round(log2(lit(nr) + B) - log2(lit(nt) + B), 8)
+    // docs with no grams carry no weight. The guard is a single-tokenize
+    // predicate BEFORE the scorer: an equivalent post-hoc `n_g > 0`
+    // filter gets pushed below the scoring projections and re-inlines
+    // the tokenize+shingle tree 4× per row inside the filter condition
+    // (measured: 24 s of the 30 s at 1 M docs). Zero grams ⟺ zero
+    // tokens, since bigrams only ever add to the gram array.
+    dsirScored(
+      Tables.documents(spark, dir).filter(!isTarget)
+        .filter(size(TextFns.tokens(col("text"))) > 0)
+        .select(col("doc_id"), col("source"), col("text")),
+      lamArr, cBits)
+      .select(col("doc_id"), col("source"), col("logw"))
       .withColumn("score", round(col("logw") +
         expr(s"-ln(-ln(cast(conv(substring(md5(concat('dsirg:', cast(doc_id as string))), 1, 15), 16, 10) as double) / 1152921504606846976.0)) / $Ln2"), 6))
       .orderBy(col("score").desc, col("doc_id"))

@@ -198,23 +198,11 @@ object EventStream {
     * the whole operator's cost at B=4096); array indexing is O(1). */
   def dsirScore(docs: DataFrame, lam: Map[Long, Double], cBits: Double): DataFrame = {
     val B = graft.operators.Curation.DsirBuckets
-    val lamLit = typedLit(
-      (0 until B).map(b => lam.getOrElse(b.toLong, 0.0)).toSeq)
-    docs
-      .withColumn("__t", graft.functions.TextFns.tokens(col("text")))
-      .withColumn("__g", concat(col("__t"),
-        graft.functions.TextFns.shinglesFromTokens(col("__t"), 2)))
-      .select(col("doc_id"),
-        size(col("__g")).cast("long").as("n_g"),
-        aggregate(
-          transform(col("__g"),
-            g => element_at(lamLit,
-              (graft.operators.Curation.dsirBucket(g) + 1).cast("int"))
-              .cast("decimal(28,12)")),
-          lit(BigDecimal(0)).cast("decimal(28,12)"),
-          (acc, x) => (acc + x).cast("decimal(28,12)")).as("s"))
-      .select(col("doc_id"), col("n_g"),
-        round(col("s").cast("double") + col("n_g") * cBits, 4).as("logw"))
+    graft.operators.Curation.dsirScored(
+      docs.select(col("doc_id"), col("text")),
+      (0 until B).map(b => lam.getOrElse(b.toLong, 0.0)),
+      lit(cBits))
+      .select(col("doc_id"), col("n_g"), col("logw"))
   }
 
   // ---- KMV distinct sketch with bounded state --------------------------
