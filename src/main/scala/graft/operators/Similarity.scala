@@ -499,18 +499,21 @@ object Similarity {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** The round-6 L2² snippet both PQ SQL twins rank by — ONE definition
+    * so plan/oracle can never drift apart. */
+  private def pqD2Sql(a: String, b: String): String =
+    s"round(list_dot_product($a, $a) + list_dot_product($b, $b) - 2*list_dot_product($a, $b), 6)"
+
   /** SQL twins of the grouped subspace k-means: CTEs `sub` (subvectors)
     * and `cb0`..`cb$iters` (codebooks); expects `unit(vec_id, vec)`. */
   private def pqSqlCtes(k: Int, iters: Int): String = {
-    val d2 = (a: String, b: String) =>
-      s"round(list_dot_product($a, $a) + list_dot_product($b, $b) - 2*list_dot_product($a, $b), 6)"
     val blocks = (0 until iters).map { n =>
       s"""
     pa$n AS (
       SELECT s, vec_id, svec, cid FROM (
         SELECT b.s, b.vec_id, b.svec, c.cid,
           CAST(row_number() OVER (PARTITION BY b.s, b.vec_id
-            ORDER BY ${d2("b.svec", "c.cvec")}, c.cid) AS INT) AS rn
+            ORDER BY ${pqD2Sql("b.svec", "c.cvec")}, c.cid) AS INT) AS rn
         FROM sub b JOIN cb$n c USING (s))
       WHERE rn = 1),
     pu$n AS (
@@ -538,8 +541,6 @@ object Similarity {
   /** Exact twin of [[topkPq]]: same codebooks, codes, lookup table, and
     * ADC ranking, unrolled in SQL. */
   val topkPqOracle: String = {
-    val d2 = (a: String, b: String) =>
-      s"round(list_dot_product($a, $a) + list_dot_product($b, $b) - 2*list_dot_product($a, $b), 6)"
     s"""
     WITH nv AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw,
@@ -551,7 +552,7 @@ object Similarity {
       SELECT s, vec_id, cid FROM (
         SELECT b.s, b.vec_id, c.cid,
           CAST(row_number() OVER (PARTITION BY b.s, b.vec_id
-            ORDER BY ${d2("b.svec", "c.cvec")}, c.cid) AS INT) AS rn
+            ORDER BY ${pqD2Sql("b.svec", "c.cvec")}, c.cid) AS INT) AS rn
         FROM sub b JOIN cb$PqIters c USING (s))
       WHERE rn = 1),
     lut AS (

@@ -190,7 +190,10 @@ object EventStream {
     * Laplace value log2(0+1) − log2(0+1) the batch model would assign
     * them. Weight semantics match the batch plan: per-gram λ rounded to
     * 8 dp at training, DECIMAL(28,12) fold over the doc's grams,
-    * + n_grams·C, rounded to 4 dp.
+    * + n_grams·C, rounded to 4 dp — and, like the batch sample,
+    * zero-gram documents are DROPPED rather than scored (logw would
+    * degenerate to 0 = importance weight 1, outranking every genuinely
+    * raw-scored doc at a selection threshold).
     *
     * The model is densified to a B-element ARRAY literal indexed by
     * bucket — NOT a map literal: Spark map data has no hash index, so
@@ -199,7 +202,11 @@ object EventStream {
   def dsirScore(docs: DataFrame, lam: Map[Long, Double], cBits: Double): DataFrame = {
     val B = graft.operators.Curation.DsirBuckets
     graft.operators.Curation.dsirScored(
-      docs.select(col("doc_id"), col("text")),
+      docs.select(col("doc_id"), col("text"))
+        // same cheap pre-scorer guard as the batch sample (zero grams ⟺
+        // zero tokens; a post-hoc n_g filter would re-inline the gram
+        // tree into the pushed-down condition)
+        .filter(size(graft.functions.TextFns.tokens(col("text"))) > 0),
       (0 until B).map(b => lam.getOrElse(b.toLong, 0.0)),
       lit(cBits))
       .select(col("doc_id"), col("n_g"), col("logw"))
