@@ -251,26 +251,33 @@ object Similarity {
   // seeding via the portable hash-order sample.
   def kmeansCentroids(data: DataFrame, k: Int, iters: Int): DataFrame = {
     val spark = data.sparkSession
-    var centroids = data
+    import spark.implicits._
+    // Centroids live on the DRIVER between rounds (k vectors — bounded
+    // by construction) and enter each round's plan as a nested-array
+    // LITERAL: Lloyd ASSIGNMENT is then a narrow per-row argmax over k
+    // O(1) element_at reads — no join, no per-round exchange-and-sort
+    // on vec_id. The only shuffle per round is the decimal-mean update
+    // aggregate (map-side combined to ≤k×dim rows). The previous
+    // broadcast-join + row_number formulation paid an exchange per
+    // round for work the row can do locally. Values are bit-identical:
+    // same md5-order seeds, the same cosine6 expression per
+    // (vec, centroid), argmax = FIRST position of the max (= lowest
+    // cid on round-6 ties, exactly the old window's tie-break), the
+    // same DECIMAL(28,12) means, empty cells keep their previous
+    // centroid.
+    var cents: IndexedSeq[Seq[Double]] = data
       .withColumn("__h", md5(concat(lit("km:"), col("vec_id").cast("string"))))
       .orderBy(col("__h"), col("vec_id")).limit(k)
-      // rank-without-window: the k seed rows are coalesced to one sorted
-      // partition and numbered by monotonically_increasing_id (ids 0..k-1
-      // in sort order on partition 0) — same determinism as a global
-      // row_number, without an unpartitioned WindowExec
       .coalesce(1).sortWithinPartitions(col("__h"), col("vec_id"))
-      .withColumn("cid", (monotonically_increasing_id() + 1).cast("int"))
-      .select(col("cid"), col("vec").as("cvec"))
-      .localCheckpoint()
+      .select(col("vec")).as[Seq[Double]].collect().toIndexedSeq
     for (_ <- 0 until iters) {
-      val assignW = Window.partitionBy(col("vec_id"))
-        .orderBy(col("sim").desc, col("cid"))
-      val assigned = data.join(broadcast(centroids), lit(true))
-        .select(col("vec_id"), col("vec"), col("cid"),
-          VectorFns.cosine6(col("vec"), col("cvec")).as("sim"))
-        .withColumn("rn", row_number().over(assignW))
-        .filter(col("rn") === 1)
-      val updated = assigned
+      val cArr = typedLit(cents)
+      val sims = transform(sequence(lit(1), lit(cents.length)),
+        i => VectorFns.cosine6(col("vec"), element_at(cArr, i)))
+      val updated = data
+        .withColumn("__sims", sims)
+        .withColumn("cid",
+          array_position(col("__sims"), array_max(col("__sims"))).cast("int"))
         .select(col("cid"), posexplode(col("vec")).as(Seq("pos", "v")))
         .groupBy(col("cid"), col("pos"))
         .agg((sum(col("v").cast("decimal(28,12)")) / count(lit(1)))
@@ -278,13 +285,11 @@ object Similarity {
         .groupBy(col("cid"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
           s => s.getField("c")).as("cvec"))
-      // clusters that lost all members keep their previous centroid
-      centroids = centroids.select(col("cid"), col("cvec").as("prev"))
-        .join(updated, Seq("cid"), "left")
-        .select(col("cid"), coalesce(col("cvec"), col("prev")).as("cvec"))
-        .localCheckpoint()
+        .as[(Int, Seq[Double])].collect().toMap
+      cents = cents.indices.map(i => updated.getOrElse(i + 1, cents(i)))
     }
-    centroids
+    spark.createDataset(cents.zipWithIndex.map { case (c, i) => (i + 1, c) })
+      .toDF("cid", "cvec")
   }
 
   /** IVF with trained coarse centroids: assign corpus to cells once,
