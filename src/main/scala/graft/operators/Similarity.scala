@@ -442,22 +442,32 @@ object Similarity {
 
   /** All-subspace codebooks via one grouped Lloyd loop → (s, cid, cvec). */
   def pqCodebooks(sub: DataFrame, k: Int, iters: Int): DataFrame = {
+    val spark = sub.sparkSession
+    import spark.implicits._
+    // Same driver-resident Lloyd shape as [[kmeansCentroids]], grouped
+    // by subspace: all PqM codebooks are PqM×k bounded vectors, so they
+    // ride between rounds as ONE nested literal (indexed s+1, then cid)
+    // and ASSIGNMENT is a narrow per-row argmin — no join, no per-round
+    // (s, vec_id) exchange-and-sort. Per round the only shuffle is the
+    // (s, cid, pos) decimal-mean aggregate. Values bit-identical: same
+    // per-subspace md5-order seeds, same pqD2 expression, argmin =
+    // FIRST position of the min (= lowest cid on round-6 ties), same
+    // means, empty cells keep their previous codeword.
     val seedW = Window.partitionBy(col("s")).orderBy(col("__h"), col("vec_id"))
-    var cents = sub
+    val seedRows = sub
       .withColumn("__h", md5(concat(lit("pq"), col("s").cast("string"),
         lit(":"), col("vec_id").cast("string"))))
       .withColumn("cid", row_number().over(seedW))
       .filter(col("cid") <= k)
-      .select(col("s"), col("cid"), col("svec").as("cvec"))
-      .localCheckpoint()
+      .select(col("s"), col("cid"), col("svec"))
+      .as[(Int, Int, Seq[Double])].collect()
+    val nS = seedRows.map(_._1).max + 1
+    var cents: IndexedSeq[IndexedSeq[Seq[Double]]] =
+      (0 until nS).map { s =>
+        seedRows.filter(_._1 == s).sortBy(_._2).map(_._3).toIndexedSeq
+      }
     for (_ <- 0 until iters) {
-      val assignW = Window.partitionBy(col("s"), col("vec_id"))
-        .orderBy(col("d2"), col("cid"))
-      val assigned = sub.join(broadcast(cents), Seq("s"))
-        .select(col("s"), col("vec_id"), col("svec"), col("cid"),
-          pqD2(col("svec"), col("cvec")).as("d2"))
-        .withColumn("rn", row_number().over(assignW)).filter(col("rn") === 1)
-      val updated = assigned
+      val updated = pqAssign(sub, cents)
         .select(col("s"), col("cid"), posexplode(col("svec")).as(Seq("pos", "v")))
         .groupBy(col("s"), col("cid"), col("pos"))
         .agg((sum(col("v").cast("decimal(28,12)")) / count(lit(1)))
@@ -465,28 +475,51 @@ object Similarity {
         .groupBy(col("s"), col("cid"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
           x => x.getField("c")).as("cvec"))
-      cents = cents.select(col("s"), col("cid"), col("cvec").as("prev"))
-        .join(updated, Seq("s", "cid"), "left")
-        .select(col("s"), col("cid"), coalesce(col("cvec"), col("prev")).as("cvec"))
-        .localCheckpoint()
+        .as[(Int, Int, Seq[Double])].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      cents = cents.zipWithIndex.map { case (cb, s) =>
+        cb.indices.map(i => updated.getOrElse((s, i + 1), cb(i)))
+      }
     }
-    cents
+    spark.createDataset(for {
+      (cb, s) <- cents.zipWithIndex
+      (c, i) <- cb.zipWithIndex
+    } yield (s, i + 1, c)).toDF("s", "cid", "cvec")
+  }
+
+  /** Narrow argmin cell assignment against driver-resident codebooks:
+    * adds `cid` to a (s, vec_id, svec) frame with no join or shuffle —
+    * shared by codebook training and corpus encoding. */
+  private def pqAssign(sub: DataFrame,
+                       cents: IndexedSeq[IndexedSeq[Seq[Double]]]): DataFrame = {
+    val cArr = typedLit(cents.map(_.toSeq).toSeq)
+    val cb = element_at(cArr, col("s") + 1)
+    val d2s = transform(sequence(lit(1), size(cb)),
+      i => pqD2(col("svec"), element_at(cb, i)))
+    sub
+      .withColumn("__d2s", d2s)
+      .withColumn("cid",
+        array_position(col("__d2s"), array_min(col("__d2s"))).cast("int"))
+      .drop("__d2s")
   }
 
   /** PQ top-k: encode the corpus once, score by ADC, rank per query. */
   def topkPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val all = emb(spark, dir).cache()
     val sub = pqSubvectors(all)
     val books = pqCodebooks(sub, PqK, PqIters)
-    val encW = Window.partitionBy(col("s"), col("vec_id"))
-      .orderBy(col("d2"), col("cid"))
-    // the code table: the ONLY corpus-sized object past this point —
-    // PqM small ints per vector, never the vector itself
-    val codes = sub.join(broadcast(books), Seq("s"))
-      .select(col("s"), col("vec_id"), col("cid"),
-        pqD2(col("svec"), col("cvec")).as("d2"))
-      .withColumn("rn", row_number().over(encW)).filter(col("rn") === 1)
-      .select(col("s"), col("vec_id"), col("cid"))
+    // the trained codebooks are PqM×PqK bounded vectors — pull them to
+    // the driver so ENCODING is the same narrow argmin as training
+    // (no join, no (s, vec_id) exchange); the code table is the ONLY
+    // corpus-sized object past this point — PqM small ints per vector,
+    // never the vector itself
+    val bookRows = books.as[(Int, Int, Seq[Double])].collect()
+    val cents: IndexedSeq[IndexedSeq[Seq[Double]]] =
+      (0 to bookRows.map(_._1).max).map { s =>
+        bookRows.filter(_._1 == s).sortBy(_._2).map(_._3).toIndexedSeq
+      }
+    val codes = pqAssign(sub, cents).select(col("s"), col("vec_id"), col("cid"))
     val lut = sub.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("qid"), col("s"), col("svec"))
       .join(broadcast(books), Seq("s"))
