@@ -80,7 +80,10 @@ class StreamingSpec extends AnyFunSuite {
     val scored = EventStream.dsirScore(input.toDS().toDF("doc_id", "text"), lam, c)
     val q = scored.writeStream.format("memory").queryName("dsir_stream")
       .outputMode("append").start()
-    // two arbitrary slices: scoring is per-row, slicing must not matter
+    // two arbitrary slices: scoring is per-row, slicing must not matter.
+    // A zero-gram doc rides along: it must be DROPPED (batch parity),
+    // not scored at the degenerate logw = 0.
+    input.addData((999999L, "..!!.."))
     docs.grouped(math.max(1, docs.length / 2 + 1)).foreach { b =>
       input.addData(b.toSeq); q.processAllAvailable()
     }
@@ -89,6 +92,7 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
     val got = spark.table("dsir_stream")
       .select("doc_id", "logw").as[(Long, Double)].collect().toMap
+    assert(!got.contains(999999L)) // zero-gram doc dropped, not scored
     // the gated batch sample's logw column is the ground truth on the
     // docs it selects (its scoring joins through the same model)
     val want = graft.operators.Curation.dsirSample(spark, sf)
