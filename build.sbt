@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output goes STRAIGHT to stdout, not through sbt's logger:
+// the default LoggedOutput prefixes every line with "[info] ", which
+// breaks any consumer that expects bare JSON lines (Bench/Verify emit
+// machine-read records; seven rounds of driver captures show the prefix
+// on every line and a never-successful parse).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -132,10 +132,21 @@ object Bench {
       }.mkString("{", ",", "}")
       s"""{"metric":"bench_shard","shard":$s,"reps":$m}"""
     }.toVector
+    // per-query MEDIAN shards — the most compact complete per-query
+    // representation (~300 chars per 10-query line). These print LAST so
+    // the driver's ~2000-char tail window is spent on complete,
+    // individually-parseable median lines instead of the head-truncated
+    // consolidated record (rounds 1-7: the full record is ~2.4k chars —
+    // it can never fit the window whole, so whatever prints last wins)
+    val medianShards = results.grouped(10).zipWithIndex.map { case (grp, s) =>
+      val m = grp.map { case (n, v, _) => "\"" + n + "\":" + f3(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"bench_medians","shard":$s,"queries":$m}"""
+    }.toVector
     // file first (survives log truncation/interleaving), then stdout
     // twice — once immediately, once after stop() — each line separated
     // so the record stays intact even if a logger write lands mid-buffer
-    val fileBody = (json +: totalLine +: shardLines).mkString("", "\n", "\n")
+    val fileBody = (json +: totalLine +: (shardLines ++ medianShards)).mkString("", "\n", "\n")
     try {
       val out = java.nio.file.Paths.get("target", "bench.json")
       java.nio.file.Files.createDirectories(out.getParent)
@@ -143,10 +154,14 @@ object Bench {
     } catch { case _: Throwable => () }
     def printAll(): Unit = {
       println()
-      // short lines FIRST (headline + shards always land), long line last
-      println(totalLine)
-      shardLines.foreach(println)
+      // long consolidated record first (intact in target/bench.json and
+      // in the full log); then per-rep shards; then the compact median
+      // shards and the headline total LAST — the driver's tail window
+      // keeps the end of the stream, so the final lines must be the
+      // short self-contained ones
       println(json)
+      shardLines.foreach(println)
+      medianShards.foreach(println)
       println(totalLine)
       Console.flush()
     }

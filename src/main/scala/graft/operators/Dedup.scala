@@ -83,10 +83,22 @@ object Dedup {
 
   // ---- 2. n-gram Jaccard set-similarity join ---------------------------
   // Candidate generation: self-join on shared shingle (the classic
-  // set-similarity join). Hot-shingle fanout is the scale risk: a df cap
-  // (stop-shingle filter) bounds it; at tested SFs no cap is needed so the
-  // oracle semantics stay exact.
+  // set-similarity join). Hot-shingle fanout is the scale risk: the
+  // GATED entry runs with the default stop-shingle df cap since round 8
+  // (the ScaleHotCatalog stress measured the uncapped self-join
+  // quadratic in hot-shingle df — 31.5 s at df 10 000, unbounded at
+  // df 1 M — so the uncapped form must not be what ships as the
+  // operator's default shape); the oracle mirrors the cap with a `keep`
+  // CTE and tools.CapGate proves the boundary flips identically
+  // cross-engine. Zero hot keys (every gated SF) short-circuits to a
+  // no-join passthrough, so capped == uncapped there by construction.
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardImpl(shingleSets(Tables.documents(spark, dir)).cache(),
+      maxDf = Some(DefaultMaxShingleDf), logDropsAs = Some("dedup_ngram_jaccard"))
+
+  /** Exact (uncapped) form — the correctness reference for specs; NOT
+    * the production default (quadratic in hot-shingle df). */
+  def ngramJaccardUncapped(spark: SparkSession, dir: String): DataFrame =
     ngramJaccardImpl(shingleSets(Tables.documents(spark, dir)).cache(), maxDf = None)
 
   /** Scale path: cap candidate-generation fanout with a stop-shingle
@@ -123,17 +135,31 @@ object Dedup {
     if (ordered) pairs.orderBy(col("da"), col("db")) else pairs
   }
 
-  val ngramJaccardOracle: String = s"""
-    WITH $shinglesSqlCte,
+  /** [[ngramJaccard]]'s oracle at a given df cap: `keep` mirrors
+    * Skew.capByFrequency — the intersection counts only shingles in
+    * ≤ maxDf docs (sh rows are (doc_id, s)-distinct, so count(*) per s
+    * IS the df), while sizes stay uncapped so surviving pairs' Jaccard
+    * is exact. `None` = the exact/uncapped form. */
+  private[graft] def ngramJaccardOracleFor(maxDf: Option[Long]): String = {
+    val keepCte = maxDf.fold("")(m =>
+      s"\n    keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= $m),")
+    val keepJoin = if (maxDf.isDefined) "\n      JOIN keep k ON a.s = k.s" else ""
+    s"""
+    WITH $shinglesSqlCte,$keepCte
     pairs AS (
       SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id$keepJoin
       GROUP BY 1, 2)
     SELECT da, db,
       round(CAST(inter AS DOUBLE) / CAST(x.n + y.n - inter AS DOUBLE), 6) AS jaccard
     FROM pairs JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
     WHERE CAST(inter AS DOUBLE) / CAST(x.n + y.n - inter AS DOUBLE) >= 0.5
     ORDER BY da, db"""
+  }
+
+  /** Uncapped oracle — stays the gate for `dedup_minhash_lsh` (LSH is
+    * uncapped; its recall is proven against the exact pair set). */
+  val ngramJaccardOracle: String = ngramJaccardOracleFor(None)
 
   // ---- 3. MinHash + banded LSH ----------------------------------------
   // k=32 permutations h_i(x) = (a_i·x + b_i) mod p over xxhash64 shingle
@@ -680,7 +706,9 @@ object Dedup {
 
   val oracle: Map[String, String] = Map(
     "dedup_exact"         -> exactOracle,
-    "dedup_ngram_jaccard" -> ngramJaccardOracle,
+    // capped gate since round 8: the oracle's keep CTE mirrors the
+    // default df cap the gated entry now runs with
+    "dedup_ngram_jaccard" -> ngramJaccardOracleFor(Some(DefaultMaxShingleDf)),
     // LSH affects recall only (precision is exact-verified); with 8 bands
     // × 4 rows, pairs at J≥0.8 are caught w.p. ≥1-(1-0.8⁴)⁸ ≈ 0.985 per
     // pair and the planted near-dups at the oracle SF are all caught

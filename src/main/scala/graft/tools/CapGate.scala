@@ -90,7 +90,26 @@ object CapGate {
       (1003L, "novel", -1L))
     require(got == want, s"capgate corpus drifted: got $got want $want")
 
+    // ---- the gated ngram-jaccard cap boundary (round 8) ----------------
+    // Over the SAME corpus, the gated (capped) pairwise operator: every
+    // hotText shingle has df ≈ 302 > 256, so the 300 identical catalog
+    // docs (and the hot-only near-dup 1000 / exact copy 1002) generate
+    // ZERO candidate pairs — uncapped this corpus has ~45k pairs at
+    // jaccard 1.0, the exact quadratic blowup the cap exists to stop.
+    // The only surviving pair is the rare-shingle near-dup (400, 1001),
+    // whose Jaccard is exact (sizes are uncapped). Both engines must
+    // agree on all of it.
+    val ngramPairs = Dedup.ngramJaccard(spark, dataDir)
+    ngramPairs.coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/dedup_ngram_jaccard_capfire")
+    val gotPairs = ngramPairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    require(gotPairs == Seq((400L, 1001L)),
+      s"capgate ngram corpus drifted: got ${gotPairs.toList}, want List((400,1001)) — " +
+      "the hot-shingle pairs must vanish under the cap and the rare pair must survive")
+
     val sql = Dedup.incrementalOracleFor(Cut, Dedup.DefaultMaxShingleDf)
+    val ngramSql = Dedup.ngramJaccardOracleFor(Some(Dedup.DefaultMaxShingleDf))
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -102,8 +121,10 @@ object CapGate {
     } + "\""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/oracle_sql.json"),
-      s"""{${q("dedup_incremental_capfire")}: ${q(sql)}}""")
-    println(s"[capgate] spark verdicts OK (hot-only near-dup flipped to novel by the cap); " +
+      s"""{${q("dedup_incremental_capfire")}: ${q(sql)},
+          ${q("dedup_ngram_jaccard_capfire")}: ${q(ngramSql)}}""")
+    println(s"[capgate] spark verdicts OK (hot-only near-dup flipped to novel by the cap; " +
+      s"capped pairwise join kept only the rare pair); " +
       s"now run: python3 tools/check.py $dataDir $outDir")
     spark.stop()
   }

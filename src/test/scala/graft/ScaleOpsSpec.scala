@@ -224,7 +224,7 @@ class ScaleOpsSpec extends AnyFunSuite {
     val tmp = java.nio.file.Files.createTempDirectory("cap").toString
     docs.write.parquet(s"$tmp/documents.parquet")
 
-    val uncapped = Dedup.ngramJaccard(spark, tmp)
+    val uncapped = Dedup.ngramJaccardUncapped(spark, tmp)
       .select("da", "db").as[(Long, Long)].collect().toSet
     val capped = Dedup.ngramJaccardCapped(spark, tmp, maxDf = 3)
       .select("da", "db").as[(Long, Long)].collect().toSet
