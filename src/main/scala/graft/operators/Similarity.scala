@@ -249,6 +249,45 @@ object Similarity {
   // argmax-cosine; update = exact-decimal per-dimension mean, so the
   // result is independent of partition/aggregation order). Deterministic
   // seeding via the portable hash-order sample.
+
+  /** Total doubles a driver-resident codebook may contribute to the
+    * PLAN as a typedLit before it ships as a one-row broadcast relation
+    * instead. The literal is optimal at gated sizes (k=10 cells / 4×16
+    * PQ codewords — zero join, zero broadcast round-trip), but the plan
+    * string, its serialization to every task, and codegen all grow
+    * linearly in k×dim: at the IVF scale point (k in the thousands,
+    * dim 64+) a per-round 10⁵-double literal is a plan-size blowup.
+    * Conf-overridable so the differential spec can force the join path
+    * at tiny k and prove the two paths value-identical. */
+  private val LiteralMaxDoubles = 16384L
+
+  private def literalMax(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.ann.literalMaxDoubles")
+      .map(_.toLong).getOrElse(LiteralMaxDoubles)
+
+  /** Adds column `name` holding the (arbitrarily nested) codebook array
+    * to every row of `df`. Small codebooks ride the plan as a typedLit;
+    * past [[literalMax]] total doubles they ship as a ONE-ROW broadcast
+    * relation joined in with a BroadcastNestedLoopJoin — each output
+    * row references the single broadcast row, so there is no fanout, no
+    * shuffle, and the plan carries a broadcast id instead of k×dim
+    * literal doubles. Downstream expressions are IDENTICAL either way
+    * (the same element_at reads over the same array value), so the two
+    * paths are value-identical — spec-proven, and the choice is logged
+    * because a silent path flip would make perf records unexplainable. */
+  private def withCodebook[T: scala.reflect.runtime.universe.TypeTag](
+      df: DataFrame, cb: T, nDoubles: Long, name: String): DataFrame = {
+    val spark = df.sparkSession
+    if (nDoubles <= literalMax(spark)) df.withColumn(name, typedLit(cb))
+    else {
+      System.err.println(s"[graft] codebook '$name': $nDoubles doubles > " +
+        s"literal budget ${literalMax(spark)} — shipping as broadcast relation")
+      import spark.implicits._
+      val one = Seq(Tuple1(cb)).toDF(name)
+      df.crossJoin(broadcast(one))
+    }
+  }
+
   def kmeansCentroids(data: DataFrame, k: Int, iters: Int): DataFrame = {
     val spark = data.sparkSession
     import spark.implicits._
@@ -271,13 +310,7 @@ object Similarity {
       .coalesce(1).sortWithinPartitions(col("__h"), col("vec_id"))
       .select(col("vec")).as[Seq[Double]].collect().toIndexedSeq
     for (_ <- 0 until iters) {
-      val cArr = typedLit(cents)
-      val sims = transform(sequence(lit(1), lit(cents.length)),
-        i => VectorFns.cosine6(col("vec"), element_at(cArr, i)))
-      val updated = data
-        .withColumn("__sims", sims)
-        .withColumn("cid",
-          array_position(col("__sims"), array_max(col("__sims"))).cast("int"))
+      val updated = assignCellsCosine(data, cents)
         .select(col("cid"), posexplode(col("vec")).as(Seq("pos", "v")))
         .groupBy(col("cid"), col("pos"))
         .agg((sum(col("v").cast("decimal(28,12)")) / count(lit(1)))
@@ -295,14 +328,17 @@ object Similarity {
   /** IVF with trained coarse centroids: assign corpus to cells once,
     * probe the 2 best cells per query, exact top-k within. */
   def topkIvfTrained(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val all = emb(spark, dir).cache()
     val centroids = kmeansCentroids(all, k = 10, iters = 3)
       .select(col("cid"), col("cvec"))
-    val cellW = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid"))
-    val cells = all.join(broadcast(centroids), lit(true))
-      .select(col("vec_id"), col("label"), col("vec"), col("cid"),
-        VectorFns.cosine6(col("vec"), col("cvec")).as("sim"))
-      .withColumn("rn", row_number().over(cellW)).filter(col("rn") === 1)
+    // corpus cell assignment is the narrow argmax (r8) — the previous
+    // broadcast-join + row_number paid an n×k fanout and a window
+    // exchange-and-sort for what each row computes locally; values are
+    // bit-identical (same cosine6, first-max == (sim desc, cid))
+    val cents = centroids.as[(Int, Seq[Double])].collect()
+      .sortBy(_._1).map(_._2).toIndexedSeq
+    val cells = assignCellsCosine(all, cents)
       .select(col("vec_id"), col("vec"), col("cid")).cache()
     val q = cells.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("qid"), col("vec").as("qvec"))
@@ -461,6 +497,10 @@ object Similarity {
       .filter(col("cid") <= k)
       .select(col("s"), col("cid"), col("svec"))
       .as[(Int, Int, Seq[Double])].collect()
+    // empty corpus → empty codebook frame with the right schema, like
+    // every other similarity operator degrades (no hard crash on .max)
+    if (seedRows.isEmpty)
+      return spark.emptyDataset[(Int, Int, Seq[Double])].toDF("s", "cid", "cvec")
     val nS = seedRows.map(_._1).max + 1
     var cents: IndexedSeq[IndexedSeq[Seq[Double]]] =
       (0 until nS).map { s =>
@@ -492,15 +532,90 @@ object Similarity {
     * shared by codebook training and corpus encoding. */
   private def pqAssign(sub: DataFrame,
                        cents: IndexedSeq[IndexedSeq[Seq[Double]]]): DataFrame = {
-    val cArr = typedLit(cents.map(_.toSeq).toSeq)
-    val cb = element_at(cArr, col("s") + 1)
+    val nested = cents.map(_.map(_.toSeq).toSeq).toSeq
+    val nDoubles = cents.iterator.map(_.iterator.map(_.length.toLong).sum).sum
+    val cb = element_at(col("__cbs"), col("s") + 1)
     val d2s = transform(sequence(lit(1), size(cb)),
       i => pqD2(col("svec"), element_at(cb, i)))
-    sub
+    withCodebook(sub, nested, nDoubles, "__cbs")
       .withColumn("__d2s", d2s)
       .withColumn("cid",
         array_position(col("__d2s"), array_min(col("__d2s"))).cast("int"))
-      .drop("__d2s")
+      .drop("__d2s", "__cbs")
+  }
+
+  /** Narrow per-row nearest-centroid assignment (round-6 L2² argmin —
+    * cosine order on unit vectors): adds `cid` (1-based, lowest wins
+    * ties) with no join, no shuffle. The public entry for IVF corpus
+    * encoding at arbitrary k: the codebook rides as a plan literal when
+    * small and as a one-row broadcast relation past the literal budget
+    * (see [[withCodebook]]), so k in the thousands neither blows up the
+    * plan nor changes values. */
+  def assignCells(data: DataFrame, cents: IndexedSeq[Seq[Double]],
+                  vecCol: String = "vec"): DataFrame =
+    pqAssign(data.withColumn("s", lit(0)).withColumn("svec", col(vecCol)),
+      IndexedSeq(cents)).drop("s", "svec")
+
+  /** Narrow per-row argmax-cosine6 assignment (ties → lowest cid) —
+    * bit-identical to the broadcast-join + row_number formulation it
+    * replaces throughout (the same cosine6 per (vec, centroid);
+    * first-position argmax == the (sim desc, cid) window tie-break),
+    * but with no n×k join fanout and no window exchange-and-sort.
+    * Used by the Lloyd loop, trained-IVF cell assignment, and
+    * semantic-dedup clustering; the codebook ships per [[withCodebook]]. */
+  def assignCellsCosine(data: DataFrame, cents: IndexedSeq[Seq[Double]],
+                        vecCol: String = "vec"): DataFrame = {
+    val sims = transform(sequence(lit(1), lit(cents.length)),
+      i => VectorFns.cosine6(col(vecCol), element_at(col("__cb"), i)))
+    withCodebook(data, cents.map(_.toSeq).toSeq,
+        cents.iterator.map(_.length.toLong).sum, "__cb")
+      .withColumn("__sims", sims)
+      .withColumn("cid",
+        array_position(col("__sims"), array_max(col("__sims"))).cast("int"))
+      .drop("__sims", "__cb")
+  }
+
+  // ---- 3e. two-level coarse assignment (IVF at real k) -----------------
+  // Exhaustive assignment is O(k·dim) per row no matter how the codebook
+  // ships — fine at gated k, linear-in-k pain at the 100 TB IVF design
+  // point (k in the thousands). The standard public answer is a
+  // hierarchical / multi-index codebook (Babenko & Lempitsky 2012, "The
+  // Inverted Multi-Index"; hierarchical k-means coarse quantizers in the
+  // FAISS line): k1 top cells × k2 sub-cells per top reach k1·k2
+  // effective cells while each row scores k1 + k2 centroids — O(√k) per
+  // row at k1 ≈ k2 ≈ √k. Training reuses the existing machinery
+  // verbatim: [[kmeansCentroids]] for the top level, then ONE grouped
+  // Lloyd loop ([[pqCodebooks]], keyed by top cell instead of subspace)
+  // trains ALL sub-codebooks simultaneously — same shuffle count as one
+  // flat codebook. Deterministic end-to-end (same seeds, argmins, and
+  // decimal means as the flat path).
+  /** (vec_id, cid1 ∈ [1,k1], cid2 ∈ [1,k2]): two-level cell of every
+    * vector. `train` substitutes a (sample) training frame — standard
+    * practice at corpus scale; a top cell absent from the sample falls
+    * back to one zero codeword, so assignment still total-functions. */
+  def assignTwoLevel(data: DataFrame, k1: Int, k2: Int, iters: Int,
+                     train: Option[DataFrame] = None): DataFrame = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val trainDf = train.getOrElse(data)
+    val tops = kmeansCentroids(trainDf, k1, iters)
+      .as[(Int, Seq[Double])].collect().sortBy(_._1).map(_._2).toIndexedSeq
+    def topAssign(df: DataFrame): DataFrame =
+      assignCells(df, tops).withColumnRenamed("cid", "cid1")
+    val subTrain = topAssign(trainDf)
+      .select((col("cid1") - 1).as("s"), col("vec_id"), col("vec").as("svec"))
+    val books = pqCodebooks(subTrain, k2, iters)
+      .as[(Int, Int, Seq[Double])].collect()
+    val dim = tops.headOption.map(_.length).getOrElse(0)
+    val cents2 = (0 until k1).map { s =>
+      val cb = books.filter(_._1 == s).sortBy(_._2).map(_._3).toIndexedSeq
+      if (cb.nonEmpty) cb else IndexedSeq(Seq.fill(dim)(0.0))
+    }
+    pqAssign(topAssign(data)
+        .select(col("vec_id"), (col("cid1") - 1).as("s"), col("vec").as("svec")),
+        cents2)
+      .select(col("vec_id"), (col("s") + 1).cast("int").as("cid1"),
+        col("cid").as("cid2"))
   }
 
   /** PQ top-k: encode the corpus once, score by ADC, rank per query. */
@@ -515,6 +630,9 @@ object Similarity {
     // corpus-sized object past this point — PqM small ints per vector,
     // never the vector itself
     val bookRows = books.as[(Int, Int, Seq[Double])].collect()
+    if (bookRows.isEmpty) // empty corpus: no codes, no neighbors
+      return spark.emptyDataset[(Long, Long, Double, Int)]
+        .toDF("qid", "nid", "adc", "rn")
     val cents: IndexedSeq[IndexedSeq[Seq[Double]]] =
       (0 to bookRows.map(_._1).max).map { s =>
         bookRows.filter(_._1 == s).sortBy(_._2).map(_._3).toIndexedSeq
@@ -624,6 +742,8 @@ object Similarity {
   // as the semantic guard.
   def semanticCollapse(vecs: DataFrame, k: Int, iters: Int,
                        threshold: Double): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
     // exact-value grouping (not xxhash64(vec)): a 64-bit collision
     // between distinct vectors would merge them pre-clustering
     val grouped = vecs
@@ -631,13 +751,16 @@ object Similarity {
       .agg(sort_array(collect_list(col("vec_id"))).as("members"))
       .cache() // feeds base, and the member mapping at the end
     val base = grouped.select(col("members")(0).as("vec_id"), col("vec"))
-    val centroids = kmeansCentroids(base, k, iters)
-    val cellW = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid"))
-    val cells = base.join(broadcast(centroids), lit(true))
-      .select(col("vec_id"), col("vec"), col("cid"),
-        VectorFns.cosine6(col("vec"), col("cvec")).as("sim"))
-      .withColumn("rn", row_number().over(cellW)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("vec"), col("cid"))
+    // cell assignment is the narrow argmax (r8, the dedup_clusters-style
+    // cache/plan pass this operator never got): the previous
+    // broadcast-join + row_number paid an n×k fanout and a window
+    // exchange-and-sort; values are bit-identical (same cosine6,
+    // first-max == (sim desc, cid) — the oracle's row_number CTE is
+    // unchanged). `cells` feeds BOTH self-join sides, so cache it.
+    val cents = kmeansCentroids(base, k, iters)
+      .as[(Int, Seq[Double])].collect().sortBy(_._1).map(_._2).toIndexedSeq
+    val cells = assignCellsCosine(base, cents)
+      .select(col("vec_id"), col("vec"), col("cid")).cache()
     val pairs = cells.select(col("cid"), col("vec_id").as("da"), col("vec").as("va"))
       .join(cells.select(col("cid"), col("vec_id").as("db"), col("vec").as("vb")), Seq("cid"))
       .filter(col("da") < col("db"))

@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** The codebook-shipping differential (round 8): past the literal
+  * budget, ANN assignment codebooks ride as a one-row broadcast
+  * relation instead of a typedLit. The two paths must be
+  * VALUE-IDENTICAL — same element_at reads over the same array — and
+  * the join path must actually plan as a BroadcastNestedLoopJoin (no
+  * shuffle, no plan-literal blowup). `spark.graft.ann.literalMaxDoubles
+  * = 0` forces the join path at spec-sized k.
+  */
+class AnnAssignSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.test
+  import spark.implicits._
+
+  private val SfDir = "/root/testdata/sf0.001"
+  private val ConfKey = "spark.graft.ann.literalMaxDoubles"
+
+  private def forced[T](body: => T): T = {
+    spark.conf.set(ConfKey, "0")
+    try body finally spark.conf.unset(ConfKey)
+  }
+
+  private def vecs(n: Int, dim: Int) =
+    spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        j => sin(col("id") * lit(7.3) + j * lit(1.7))).as("vec"))
+
+  test("assignCells: literal and broadcast-join codebooks are value-identical; join path plans as BNLJ") {
+    val data = vecs(300, 8).cache()
+    val cents = (0 until 7).map(c =>
+      (0 until 8).map(d => math.sin(c * 3.1 + d * 0.9)): Seq[Double])
+    val lit0 = Similarity.assignCells(data, cents)
+    val litRows = lit0.select("vec_id", "cid").as[(Long, Int)].collect().sortBy(_._1)
+    assert(!lit0.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"),
+      "small codebook should ride the plan as a literal, not a join")
+    val (joinRows, planStr) = forced {
+      val j = Similarity.assignCells(data, cents)
+      (j.select("vec_id", "cid").as[(Long, Int)].collect().sortBy(_._1),
+        j.queryExecution.executedPlan.toString)
+    }
+    assert(planStr.contains("BroadcastNestedLoopJoin"),
+      s"forced join path must plan as BNLJ:\n$planStr")
+    // the plan string must carry a broadcast reference, not k×dim doubles
+    assert(planStr.length < 20000, s"plan blew up: ${planStr.length} chars")
+    assert(litRows.toSeq == joinRows.toSeq)
+    assert(litRows.map(_._2).forall(c => c >= 1 && c <= 7))
+    data.unpersist()
+  }
+
+  test("sim_topk_ivf_trained and sim_topk_pq: gated results identical under the forced join path") {
+    for (name <- Seq("sim_topk_ivf_trained", "sim_topk_pq")) {
+      val q = SparkEntry.queries(name)
+      val base = q(spark, SfDir).collect().map(_.toString).sorted.toSeq
+      spark.catalog.clearCache()
+      val viaJoin = forced(q(spark, SfDir).collect().map(_.toString).sorted.toSeq)
+      spark.catalog.clearCache()
+      assert(base == viaJoin, s"$name drifted under the broadcast-join codebook path")
+      assert(base.nonEmpty)
+    }
+  }
+
+  test("assignTwoLevel: deterministic, in-range, and co-clustered points share cells") {
+    // 6 tight, well-separated clusters of 40 points each: every point of
+    // a cluster must land in the SAME (cid1, cid2), distinct clusters in
+    // distinct cells (k1*k2 = 9 >= 6 cells available)
+    val pts = (0 until 240).map { i =>
+      val c = i % 6
+      val base = (0 until 8).map(d => if (d == c) 10.0 else 0.0)
+      val jitter = (0 until 8).map(d => 0.001 * math.sin(i * 13.7 + d))
+      (i.toLong, base.zip(jitter).map { case (a, b) => a + b })
+    }
+    val df = pts.toDF("vec_id", "vec").cache()
+    val a1 = Similarity.assignTwoLevel(df, k1 = 3, k2 = 3, iters = 2)
+      .as[(Long, Int, Int)].collect().sortBy(_._1)
+    val a2 = Similarity.assignTwoLevel(df, k1 = 3, k2 = 3, iters = 2)
+      .as[(Long, Int, Int)].collect().sortBy(_._1)
+    assert(a1.toSeq == a2.toSeq, "two-level assignment must be deterministic")
+    assert(a1.forall { case (_, c1, c2) => c1 >= 1 && c1 <= 3 && c2 >= 1 && c2 <= 3 })
+    // k-means may legally SPLIT a tight cluster (k1·k2 = 9 cells for 6
+    // clusters leaves spare centroids that can land inside one), but
+    // well-separated clusters must never MERGE: no cell may contain
+    // points of two different clusters
+    val cellOf = a1.map { case (id, c1, c2) => id -> ((c1, c2)) }.toMap
+    val clustersPerCell = pts.indices.groupBy(i => cellOf(i.toLong))
+      .map { case (cell, ids) => cell -> ids.map(_ % 6).toSet }
+    for ((cell, cls) <- clustersPerCell)
+      assert(cls.size == 1, s"cell $cell merged distinct clusters $cls")
+    df.unpersist()
+  }
+}
