@@ -206,6 +206,89 @@ object Curation {
            coalesce(string_agg(CASE WHEN rn = 1 THEN chunk_text END, ' ' ORDER BY chunk_id), '') AS kept_text
     FROM r GROUP BY doc_id ORDER BY doc_id"""
 
+  // ---- substring-level exact dedup (round 8) ---------------------------
+  // Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+  // Better", arXiv:2107.06499 — public paper) deduplicate at SUBSTRING
+  // granularity with suffix arrays: any repeated passage of ≥ L tokens
+  // is removed from all but its first occurrence, at ARBITRARY offsets.
+  // [[chunkDedup]] only catches W-token-ALIGNED repeats — a passage
+  // duplicated one token off the chunk grid slips through entirely
+  // (spec-proven below). For FIXED L the suffix-array answer is
+  // equivalent to hashing EVERY length-L token window (the rolling-hash
+  // view: a repeated substring of length ≥ L is exactly a run of
+  // repeated length-L windows): occurrences of a window after the
+  // global first (doc_id, offset) are duplicates, and every token
+  // covered by a duplicate window is dropped.
+  //
+  // Scale shape: the window table is ~n_tokens rows per doc (doc_id,
+  // off, md5), never the window TEXT; first-occurrence is ONE
+  // min(struct(doc_id, off)) aggregate on the hash — map-side combined,
+  // the same single-shuffle shape as chunkDedup. Coverage explodes
+  // ONLY duplicate windows (×L) and kept-text reassembly is one
+  // anti-join + per-doc sort. No global window function anywhere. md5
+  // (not xxhash64) keeps the operator oracle-portable, the same trade
+  // simhash makes.
+  private val SubstrL = 16
+
+  def substringDedup(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Skew.maybeSpreadByConf(Tables.documents(spark, dir), "n_chars", "doc_id")
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+    val wins = toks.filter(size(col("t")) >= SubstrL)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), size(col("t")) - SubstrL)).as("off"))
+      .select(col("doc_id"), col("off"),
+        md5(expr(s"array_join(slice(t, off + 1, $SubstrL), ' ')")).as("wh"))
+    val first = wins.groupBy(col("wh"))
+      .agg(min(struct(col("doc_id"), col("off"))).as("f"))
+    val dups = wins.join(first, Seq("wh"))
+      .filter(col("doc_id") =!= col("f.doc_id") || col("off") =!= col("f.off"))
+      .select(col("doc_id"), col("off"))
+    val covered = dups
+      .select(col("doc_id"), explode(sequence(col("off"), col("off") + SubstrL - 1)).as("pos"))
+      .distinct()
+    val kept = toks
+      .select(col("doc_id"), posexplode(col("t")).as(Seq("pos", "tok")))
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept_raw"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ").as("kept_raw"))
+    toks.select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept_raw"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_raw"), lit("")).as("kept_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Exact twin of [[substringDedup]]: same window hashes, the
+    * row_number-over-(doc_id, off) first-occurrence rule, position
+    * coverage via a range cross, and ordered kept-token reassembly.
+    * DuckDB zips the parallel unnests in ptoks positionally. */
+  val substringDedupOracle: String = s"""
+    WITH toks AS (SELECT doc_id, $tokensSql AS t FROM documents),
+    w2 AS (
+      SELECT doc_id, off, md5(array_to_string(t[off + 1 : off + $SubstrL], ' ')) AS wh
+      FROM (SELECT doc_id, t, unnest(range(len(t) - $SubstrL + 1)) AS off
+            FROM toks WHERE len(t) >= $SubstrL)),
+    r AS (SELECT doc_id, off,
+            row_number() OVER (PARTITION BY wh ORDER BY doc_id, off) AS rn
+          FROM w2),
+    cov AS (SELECT DISTINCT doc_id, off + u AS pos
+            FROM r, (SELECT unnest(range($SubstrL)) AS u) WHERE rn > 1),
+    ptoks AS (SELECT doc_id, unnest(range(len(t))) AS pos, unnest(t) AS tok FROM toks),
+    kept AS (SELECT p.doc_id, p.pos, p.tok
+             FROM ptoks p LEFT JOIN cov c ON p.doc_id = c.doc_id AND p.pos = c.pos
+             WHERE c.pos IS NULL),
+    agg AS (SELECT doc_id, count(*) AS n_kept,
+              string_agg(tok, ' ' ORDER BY pos) AS kept_text
+            FROM kept GROUP BY doc_id)
+    SELECT t.doc_id, len(t.t) AS n_tokens,
+           coalesce(a.n_kept, 0) AS n_kept,
+           coalesce(a.kept_text, '') AS kept_text
+    FROM toks t LEFT JOIN agg a USING (doc_id)
+    ORDER BY t.doc_id"""
+
   // ---- temperature-weighted source mixing (round 4) -------------------
   // The multilingual/multi-source rebalancing stage (Conneau et al.
   // 2019's p_i^τ sampling): a source's share of the output budget is
@@ -616,6 +699,7 @@ object Curation {
     "curation_contamination"  -> (contamination _),
     "curation_pack_sequences" -> (packSequences _),
     "curation_chunk_dedup"   -> (chunkDedup _),
+    "curation_substring_dedup" -> (substringDedup _),
     "curation_temperature_mix" -> (temperatureMix _),
     "curation_quality_gate"  -> (qualityGate _),
     "curation_split"         -> (split _),
@@ -627,6 +711,7 @@ object Curation {
     "curation_contamination"  -> contaminationOracle,
     "curation_pack_sequences" -> packSequencesOracle,
     "curation_chunk_dedup"   -> chunkDedupOracle,
+    "curation_substring_dedup" -> substringDedupOracle,
     "curation_temperature_mix" -> temperatureMixOracle,
     "curation_quality_gate"  -> qualityGateOracle,
     "curation_split"         -> splitOracle,

@@ -257,6 +257,40 @@ class ScaleOpsSpec extends AnyFunSuite {
       (3L, 2L, 1L, d)))
   }
 
+  test("substringDedup catches the unaligned repeat that chunkDedup provably misses") {
+    // P duplicated at offset 0 in doc 0 and offset 1 in doc 1: one junk
+    // token shifts the copy off the 16-token chunk grid, so NEITHER of
+    // doc 1's chunks equals any other chunk — chunkDedup keeps
+    // everything, while the all-offsets window hash catches the copy
+    val P = (0 until 16).map(i => s"p$i").mkString(" ")
+    val f = (0 until 16).map(i => s"f$i").mkString(" ")
+    val g = (0 until 15).map(i => s"g$i").mkString(" ")
+    val u = (0 until 32).map(i => s"u$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"$P $f"),    // first occurrence of P — survives verbatim
+      (1L, s"jj $P $g"), // P again, one token off the grid
+      (2L, u)            // unique control
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("ssd").toString
+    docs.write.parquet(s"$tmp/documents.parquet")
+
+    // chunkDedup misses: every chunk is a first occurrence
+    val ch = Curation.chunkDedup(spark, tmp)
+      .select("doc_id", "n_chunks", "n_kept").as[(Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(ch.forall { case (_, n, k) => n == k },
+      s"chunkDedup unexpectedly caught the unaligned repeat: $ch")
+
+    // substringDedup catches exactly the shifted copy of P in doc 1
+    val got = Curation.substringDedup(spark, tmp)
+      .select("doc_id", "n_tokens", "n_kept", "kept_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (0L, 32L, 32L, s"$P $f"),
+      (1L, 32L, 16L, s"jj $g"),
+      (2L, 32L, 32L, u)))
+  }
+
   test("incremental dedup: exact_dup / near_dup / novel against a catalog, best match wins") {
     // catalog = doc_id < 250 (Dedup.IncrementalCut); incoming ≥ 250
     val base = (0 until 40).map(i => s"alpha$i beta$i gamma$i").mkString(" ")
