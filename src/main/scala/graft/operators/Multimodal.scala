@@ -84,10 +84,12 @@ object Multimodal {
     // canDecodeInput probe seeks through that file. At one decode per
     // row that is millions of temp-file churns per executor (measured
     // here: the sf1 bench run degraded 1.5 s → 15 s as tmp churn
-    // accumulated). Memory-cached streams make the probe pure in-memory
-    // work; the payload is already a byte array, so nothing is saved by
-    // spilling it back to disk.
-    javax.imageio.ImageIO.setUseCache(false)
+    // accumulated). The payload is already a byte array, so nothing is
+    // saved by spilling it back to disk — every decode site wraps its
+    // bytes in an EXPLICIT MemoryCacheImageInputStream (see
+    // [[memStream]]) rather than flipping ImageIO.setUseCache(false),
+    // which is a JVM-GLOBAL mutation that would silently change
+    // behavior for any other ImageIO user in the process.
 
     /** Cheap magic-byte gate covering exactly the formats the JDK ships
       * readers for (PNG, JPEG, GIF, BMP, TIFF, and WBMP's type/header
@@ -110,9 +112,15 @@ object Multimodal {
         (a == 0 && b == 0) // WBMP (type 0, fixed header 0)
       }
 
+    /** Decode from an explicit in-memory image stream: per-call override
+      * of ImageIO's disk-cache default with no JVM-global side effect. */
+    def memStream(payload: Array[Byte]): javax.imageio.stream.ImageInputStream =
+      new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+
     def decode(payload: Array[Byte]): Option[(Int, Int, Double, Array[Long])] =
       try {
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        val img = javax.imageio.ImageIO.read(memStream(payload))
         if (img == null) None
         else {
           val w = img.getWidth
@@ -192,6 +200,177 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  // ---- 4. image-level near-dup: dHash + pigeonhole blocks (round 8) ----
+  // The standard image-dedup stage of a multimodal training pipeline:
+  // dHash (difference hash — public technique: resize to a 9×8
+  // grayscale grid, each of the 64 bits is "cell brighter than its
+  // right neighbor") is crop/re-encode/resize tolerant; near-duplicate
+  // images land within a small Hamming ball. Candidates come from the
+  // same 4-block pigeonhole trick as [[Dedup.simhash]] (Hamming ≤ 3 ⇒
+  // ≥ 1 of 4 16-bit blocks equal — an equi-join on (block, value),
+  // never all-pairs). The hash is kept as FOUR 16-bit block ints
+  // rather than one 64-bit value: bit 63 would force signed-overflow
+  // semantics that Spark (wraps) and DuckDB (errors) disagree on.
+  //
+  // The GRID is real area-averaged grayscale pixels for payloads the
+  // JDK decodes (spec: two crops of one PNG pair up, distinct images
+  // don't), and a deterministic byte-sample fallback otherwise — the
+  // gated text-corpus entry therefore stays oracle-exact, same split
+  // as decodeFeatures.
+  private val GridW = 9
+  private val GridH = 8
+
+  /** 72-cell grayscale grid of a decodable image: integer area-average
+    * of (r+g+b)/3 over each cell of the 9×8 partition (empty cells at
+    * sub-grid sizes clamp to one pixel). Deterministic integer math. */
+  private def imageGrid(payload: Array[Byte]): Option[Array[Int]] =
+    try {
+      val img = javax.imageio.ImageIO.read(ImageDecoder.memStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val grid = new Array[Int](GridW * GridH)
+        var r = 0
+        while (r < GridH) {
+          var c = 0
+          while (c < GridW) {
+            val x0 = math.min(c * w / GridW, w - 1)
+            val x1 = math.max((c + 1) * w / GridW, x0 + 1)
+            val y0 = math.min(r * h / GridH, h - 1)
+            val y1 = math.max((r + 1) * h / GridH, y0 + 1)
+            var sum = 0L; var n = 0L
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                val rgb = img.getRGB(x, y)
+                sum += (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3
+                n += 1; x += 1
+              }
+              y += 1
+            }
+            grid(r * GridW + c) = (sum / n).toInt
+            c += 1
+          }
+          r += 1
+        }
+        Some(grid)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Byte-sample fallback grid: cell k = payload byte at (k·n)/72 —
+    * SQL-expressible (the oracle mirrors it with ascii/substr over the
+    * ASCII test corpus, like decodeFeatures' fake path). */
+  private def fakeGrid(payload: Array[Byte]): Array[Int] = {
+    val n = payload.length.toLong
+    Array.tabulate(GridW * GridH)(k =>
+      if (n == 0) 0 else payload(((k * n) / (GridW * GridH)).toInt) & 0xFF)
+  }
+
+  private def anyGrid(payload: Array[Byte]): Array[Int] =
+    if (ImageDecoder.mightBeImage(payload)) imageGrid(payload).getOrElse(fakeGrid(payload))
+    else fakeGrid(payload)
+
+  def imageDhashDedup(spark: SparkSession, dir: String): DataFrame =
+    dhashDedupOf(spark, media(spark, dir))
+
+  /** (doc_id, b0..b3): the dHash of every payload as its four 16-bit
+    * blocks. 16 bits per block j: rows 2j, 2j+1; bit b = cell(r,c) >
+    * cell(r,c+1) at r = 2j + b/8, c = b%8 (element_at is 1-based). */
+  def dhashOf(spark: SparkSession, frame: DataFrame): DataFrame = {
+    import spark.implicits._
+    val grids = frame.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions(_.map(r => (r.doc_id, anyGrid(r.payload))))
+      .toDF("doc_id", "grid")
+    val blockCols = (0 until 4).map { j =>
+      (0 until 16).map { b =>
+        val r = j * 2 + b / 8; val c = b % 8
+        when(element_at(col("grid"), r * GridW + c + 1) >
+             element_at(col("grid"), r * GridW + c + 2), lit(1 << b)).otherwise(lit(0))
+      }.reduce(_ + _).as(s"b$j")
+    }
+    grids.select(col("doc_id") +: blockCols: _*)
+  }
+
+  /** Dense gated twin: the per-doc hash table itself (the pair list is
+    * vacuous on the text stand-in corpus — no two docs land within
+    * Hamming 3 — so THIS entry is what makes the dHash computation
+    * hash-gated on every row; pair semantics are spec-proven on real
+    * PNG crops). */
+  def imageDhash(spark: SparkSession, dir: String): DataFrame =
+    dhashOf(spark, media(spark, dir)).orderBy(col("doc_id"))
+
+  /** Near-dup image pairs (da, db, hamming ≤ 3) over any
+    * (doc_id, payload) frame. */
+  def dhashDedupOf(spark: SparkSession, frame: DataFrame): DataFrame = {
+    val hashed = dhashOf(spark, frame).cache() // both join sides
+    val blocks = hashed.select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
+      explode(array((0 until 4).map(k =>
+        struct(lit(k).as("k"), col(s"b$k").as("bv"))): _*)).as("blk"))
+      .select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
+        col("blk.k"), col("blk.bv"))
+    val left = blocks.select(col("doc_id").as("da"), col("b0").as("ab0"),
+      col("b1").as("ab1"), col("b2").as("ab2"), col("b3").as("ab3"), col("k"), col("bv"))
+    val right = blocks.select(col("doc_id").as("db"), col("b0").as("bb0"),
+      col("b1").as("bb1"), col("b2").as("bb2"), col("b3").as("bb3"), col("k"), col("bv"))
+    left.join(right, Seq("k", "bv"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db"),
+        ((0 until 4).map(j => bit_count(col(s"ab$j").bitwiseXOR(col(s"bb$j"))))
+          .reduce(_ + _)).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy(col("da"), col("db"))
+  }
+
+  /** SQL twin of the dHash BLOCK values over the byte-sample grid —
+    * shared by the oracle so plan and oracle can't drift. */
+  private def dhashBlockSql(j: Int): String =
+    (0 until 16).map { b =>
+      val r = j * 2 + b / 8; val c = b % 8
+      s"(CASE WHEN grid[${r * GridW + c + 1}] > grid[${r * GridW + c + 2}] THEN ${1 << b} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** Exact twin of [[imageDhash]]: byte-sample grid + the same block
+    * bits, one row per document. */
+  val imageDhashOracle: String = s"""
+    WITH g AS (
+      SELECT doc_id, k,
+        CASE WHEN strlen(text) = 0 THEN 0
+             ELSE ascii(substr(text, CAST((k * strlen(text)) // ${GridW * GridH} AS INT) + 1, 1)) END AS v
+      FROM documents, (SELECT unnest(range(${GridW * GridH})) AS k)),
+    p AS (SELECT doc_id, list(v ORDER BY k) AS grid FROM g GROUP BY doc_id)
+    SELECT doc_id, ${(0 until 4).map(j => s"${dhashBlockSql(j)} AS b$j").mkString(", ")}
+    FROM p ORDER BY doc_id"""
+
+  /** Exact twin of [[imageDhashDedup]] on the (ASCII) text stand-in
+    * corpus: byte-sample grid, the same block bits, pigeonhole
+    * candidate join, Hamming ≤ 3. */
+  val imageDhashDedupOracle: String = s"""
+    WITH g AS (
+      SELECT doc_id, k,
+        CASE WHEN strlen(text) = 0 THEN 0
+             ELSE ascii(substr(text, CAST((k * strlen(text)) // ${GridW * GridH} AS INT) + 1, 1)) END AS v
+      FROM documents, (SELECT unnest(range(${GridW * GridH})) AS k)),
+    p AS (SELECT doc_id, list(v ORDER BY k) AS grid FROM g GROUP BY doc_id),
+    h AS (SELECT doc_id, ${(0 until 4).map(j => s"${dhashBlockSql(j)} AS b$j").mkString(", ")} FROM p),
+    bl AS (
+      SELECT doc_id, b0, b1, b2, b3, k,
+        CASE k WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS bv
+      FROM h, (SELECT unnest(range(4)) AS k)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+        a.b0 AS ab0, a.b1 AS ab1, a.b2 AS ab2, a.b3 AS ab3,
+        b.b0 AS bb0, b.b1 AS bb1, b.b2 AS bb2, b.b3 AS bb3
+      FROM bl a JOIN bl b ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id)
+    SELECT da, db,
+      CAST(bit_count(xor(ab0, bb0)) + bit_count(xor(ab1, bb1)) +
+           bit_count(xor(ab2, bb2)) + bit_count(xor(ab3, bb3)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ab0, bb0)) + bit_count(xor(ab1, bb1)) +
+          bit_count(xor(ab2, bb2)) + bit_count(xor(ab3, bb3)) <= 3
+    ORDER BY da, db"""
+
   // ---- registry -------------------------------------------------------
 
   /** Exact twin of the GATED decode entry: text payloads never parse as
@@ -229,10 +408,14 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta"     -> (binaryMeta _),
     "mm_chunk_sample"    -> (chunkSample _),
-    "mm_decode_features" -> (decodeFeatures _))
+    "mm_decode_features" -> (decodeFeatures _),
+    "mm_image_dhash"     -> (imageDhash _),
+    "mm_image_dhash_dedup" -> (imageDhashDedup _))
 
   val oracle: Map[String, String] = Map(
     "mm_binary_meta"     -> binaryMetaOracle,
     "mm_chunk_sample"    -> chunkSampleOracle,
-    "mm_decode_features" -> decodeFeaturesOracle)
+    "mm_decode_features" -> decodeFeaturesOracle,
+    "mm_image_dhash"     -> imageDhashOracle,
+    "mm_image_dhash_dedup" -> imageDhashDedupOracle)
 }

@@ -265,4 +265,46 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(feats(1).getInt(1) == 16 + ('j' & 0x0F)) // fake path dims
   }
 
+  test("image dHash dedup: crops/re-encodes of one image pair up, distinct images don't") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+
+    // a 72x64 image with smooth horizontal+vertical gradients — crop
+    // tolerance needs structure that survives a few-pixel shift
+    def render(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = f(x, y) & 0xFF
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val b = new ByteArrayOutputStream(); ImageIO.write(img, "png", b); b.toByteArray
+    }
+    val grad = (x: Int, y: Int) => (x * 3 + y * 2) % 256
+    val base = render(72, 64, grad)
+    val crop = render(68, 61, (x, y) => grad(x + 2, y + 1))   // interior crop
+    val reenc = render(72, 64, (x, y) => math.min(255, grad(x, y) + 3)) // brightness shift
+    val distinct1 = render(72, 64, (x, y) => (x * x * 7 + y * y * 13 + x * y) % 256)
+    val distinct2 = render(72, 64, (x, y) => ((x ^ y) * 29 + y * 5) % 256)
+
+    val frame = Seq(
+      (0L, base), (1L, crop), (2L, reenc), (3L, distinct1), (4L, distinct2)
+    ).toDF("doc_id", "payload")
+    val pairs = Multimodal.dhashDedupOf(spark, frame)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), s"crop failed to pair with original: $pairs")
+    assert(pairs.contains((0L, 2L)), s"re-encode failed to pair with original: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"distinct image 3 paired: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      s"distinct image 4 paired: $pairs")
+
+    // deterministic byte-path: text payloads hash identically across runs
+    val t1 = "some text payload standing in for media".getBytes("UTF-8")
+    val tf = Seq((10L, t1), (11L, t1)).toDF("doc_id", "payload")
+    val tp = Multimodal.dhashDedupOf(spark, tf)
+      .select("da", "db", "hamming").as[(Long, Long, Int)].collect().toSeq
+    assert(tp == Seq((10L, 11L, 0)), s"identical byte payloads must pair at hamming 0: $tp")
+  }
+
 }
