@@ -4,8 +4,9 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.operators.Dedup
 
-/** Cross-engine proof that the incremental-dedup df cap fires
-  * IDENTICALLY on Spark and DuckDB.
+/** Cross-engine proof that the shingle df caps fire IDENTICALLY on
+  * Spark and DuckDB — both the incremental-dedup catalog cap and
+  * (round 8) the gated pairwise ngram-jaccard cap.
   *
   * The gated `dedup_incremental` splits at doc_id 250, so its catalog
   * can never hold more than 250 docs and the default cap

@@ -61,7 +61,11 @@ object ScaleDsirPq {
       val (lam, c) = Curation.dsirModel(spark, dir)
       val docs = graft.sources.Tables.documents(spark, dir)
         .select(col("doc_id"), col("text"))
-      graft.streaming.EventStream.dsirScore(docs, lam, c).count()
+      // aggregate OVER logw: count() would let Spark prune the scoring
+      // fold itself and time only the tokenize filter
+      val r = graft.streaming.EventStream.dsirScore(docs, lam, c)
+        .agg(count(lit(1)), sum(col("logw"))).first()
+      r.getLong(0)
     })
     time("unigram_surprisal 1M docs")(TextAnalysis.unigramSurprisal(spark, dir).count())
     time("sim_topk_pq 100k vecs")(Similarity.topkPq(spark, dir).count())

@@ -81,12 +81,20 @@ object ScaleStream {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
       val docs = allDocs.filter(col("doc_id") < n)
       val nb = 5
-      val (fp0, sh0) = Dedup.buildCatalog(docs.filter(pmod(col("doc_id"), lit(nb)) === 0))
+      // split by REP index (doc_id / 5000), not doc_id % nb — reps are
+      // multiples of 5000, so a doc_id % nb split puts each ORIGINAL's
+      // copies all in one batch and no batch ever re-sees a catalog
+      // doc (everything classifies novel — not the ingest shape).
+      // Rep-split batches carry fresh copies of every original, so
+      // later batches exact-match the catalog dominantly, which is
+      // what a nightly re-crawl looks like.
+      val batchCol = pmod(floor(col("doc_id") / 5000L), lit(nb))
+      val (fp0, sh0) = Dedup.buildCatalog(docs.filter(batchCol === 0))
       fp0.write.mode("overwrite").parquet(s"$root/fp")
       sh0.write.mode("overwrite").parquet(s"$root/sh")
       val t0 = System.nanoTime()
       for (b <- 1 until nb)
-        EventStream.classifyBatch(docs.filter(pmod(col("doc_id"), lit(nb)) === b),
+        EventStream.classifyBatch(docs.filter(batchCol === b),
           b.toLong, s"$root/fp", s"$root/sh", s"$root/verdicts")
       val sec = (System.nanoTime() - t0) / 1e9
       val verd = spark.read.option("recursiveFileLookup", "true")
