@@ -449,6 +449,44 @@ object Curation {
           FROM documents)
     ORDER BY doc_id"""
 
+  // ---- leakage-safe split (round 8) ------------------------------------
+  // Near-dup leakage is the quiet eval killer (Lee et al. 2022 §6 — a
+  // test document whose near-duplicate sits in train inflates every
+  // benchmark it touches): the plain per-doc hash split ([[split]])
+  // puts ~20% of each near-dup family's copies in val/test by
+  // construction. The safe split hashes the doc's DEDUP CLUSTER id
+  // instead, so a whole near-dup family lands on ONE side. Singleton
+  // docs are their own cluster with cluster_id == doc_id, so they split
+  // exactly as the baseline — the operators differ only where leakage
+  // would have happened.
+  //
+  // Scale shape: dedupClusters' bucketed shingle join + pointer-jumping
+  // CC (already proven to 1 M docs), then the same narrow hash
+  // arithmetic; a production pipeline reuses its materialized cluster
+  // table instead of recomputing. Same salt as [[split]] on purpose —
+  // reviewable as "the baseline split, keyed by cluster rep".
+  def splitLeakSafe(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = Dedup.dedupClusters(spark, dir)
+    val u = conv(substring(md5(concat(lit("split:"), col("cluster_id").cast("string"))), 1, 15), 16, 10)
+      .cast("long").cast("double") / lit(1.152921504606846976e18)
+    Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+      .join(clusters, Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("cluster_id"),
+        when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  val splitLeakSafeOracle: String = s"""
+    WITH RECURSIVE
+    ${Dedup.clustersCteSql}
+    SELECT doc_id, source, cluster_id,
+      CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+    FROM (SELECT d.doc_id, d.source, c.cluster_id,
+            CAST(CAST(concat('0x', substr(md5('split:' || CAST(c.cluster_id AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE)
+              / 1152921504606846976.0 AS u
+          FROM documents d JOIN clu c USING (doc_id))
+    ORDER BY doc_id"""
+
   // ---- per-source corpus card (round 4) --------------------------------
   // The release artifact a curated corpus ships with: per source, how
   // many documents, how many tokens, and what fraction survives the
@@ -703,6 +741,7 @@ object Curation {
     "curation_temperature_mix" -> (temperatureMix _),
     "curation_quality_gate"  -> (qualityGate _),
     "curation_split"         -> (split _),
+    "curation_split_leak_safe" -> (splitLeakSafe _),
     "curation_dsir_sample"   -> (dsirSample _),
     "curation_corpus_stats"  -> (corpusStats _))
 
@@ -715,6 +754,7 @@ object Curation {
     "curation_temperature_mix" -> temperatureMixOracle,
     "curation_quality_gate"  -> qualityGateOracle,
     "curation_split"         -> splitOracle,
+    "curation_split_leak_safe" -> splitLeakSafeOracle,
     "curation_dsir_sample"   -> dsirSampleOracle,
     "curation_corpus_stats"  -> corpusStatsOracle)
 }

@@ -407,8 +407,10 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  val dedupClustersOracle: String = s"""
-    WITH RECURSIVE
+  /** The recursive-CTE cluster computation, shared by the clusters
+    * oracle and the leakage-safe split oracle (Curation): produces CTE
+    * `clu(doc_id, cluster_id)`. Callers prepend WITH RECURSIVE. */
+  private[operators] val clustersCteSql: String = s"""
     $shinglesSqlCte,
     pairs AS (
       SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
@@ -422,10 +424,16 @@ object Dedup {
       SELECT a, b FROM edges
       UNION
       SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-    minreach AS (SELECT a, min(b) AS mb FROM reach GROUP BY a)
-    SELECT d.doc_id, least(d.doc_id, coalesce(m.mb, d.doc_id)) AS cluster_id
-    FROM documents d LEFT JOIN minreach m ON m.a = d.doc_id
-    ORDER BY d.doc_id"""
+    minreach AS (SELECT a, min(b) AS mb FROM reach GROUP BY a),
+    clu AS (
+      SELECT d.doc_id, least(d.doc_id, coalesce(m.mb, d.doc_id)) AS cluster_id
+      FROM documents d LEFT JOIN minreach m ON m.a = d.doc_id)"""
+
+  val dedupClustersOracle: String = s"""
+    WITH RECURSIVE
+    $clustersCteSql
+    SELECT doc_id, cluster_id FROM clu
+    ORDER BY doc_id"""
 
   // ---- registry -------------------------------------------------------
 

@@ -147,8 +147,12 @@ object Similarity {
     val n = base.count()
     val planes = math.max(NPlanes,
       math.ceil(math.log(math.max(1.0, n / 64.0)) / math.log(2)).toInt)
+    // dim from the RAW scan, not `base`: a limit(1) over the grouped
+    // collapse would re-execute its shuffle (the cache materializes
+    // later); one narrow parquet row is free and the width is the same
+    val dim = vecDim(emb(spark, dir))
     val all = (0 until NTables).foldLeft(base) { (df, t) =>
-      df.withColumn(s"b$t", lshBucket(col("vec"), t, planes))
+      df.withColumn(s"b$t", lshBucket(col("vec"), t, planes, dim))
     }.cache()
     val cand = (0 until NTables).map { t =>
       all.select(col("vec_id").as("da"), col(s"b$t").as("bucket"))
@@ -829,26 +833,50 @@ object Similarity {
   // (bucket + 8 single-bit flips) then exact top-k within candidates.
   private val NPlanes = 8
 
+  /** ±1 sign of hyperplane (table, j) at dimension i, computed on the
+    * DRIVER — bit-identical to the md5 EXPRESSION the oracle still
+    * uses (the low bit of the first hex nibble of
+    * md5("lsh:<table·1024+j>:<i>")): java.security MD5 and Spark's md5
+    * are the same function, so hoisting it out of the per-row lambda
+    * changes where the constant is computed, never its value (the
+    * sim_topk_lsh/dedup_embedding_lsh hash gates prove it). */
+  private[operators] def planeSign(table: Int, j: Int, i: Int): Double = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"lsh:${table * 1024 + j}:$i".getBytes("UTF-8"))
+    ((((h(0) >> 4) & 0xF) % 2) * 2 - 1).toDouble
+  }
+
   /** Sign-bit bucket of a double-vector column; `table` selects an
     * independent set of hyperplanes (multi-table LSH), `planes` the
     * bucket-space size — size it to the corpus (log2(n/target_bucket))
-    * or in-bucket pair volume grows quadratically. */
-  def lshBucket(vec: Column, table: Int = 0, planes: Int = NPlanes): Column =
+    * or in-bucket pair volume grows quadratically. `dim` is the vector
+    * width: the plane-sign matrix is a CONSTANT per (plane, dim), so it
+    * rides as a literal instead of being re-derived through an md5
+    * expression per element per row (8 planes × 64 dims × n rows of
+    * md5+conv+substring was most of the operator's cost — round 8
+    * measured 2.1 → ~0.6 s on sim_topk_lsh). The fold is the same
+    * sequential zip_with product-sum, so buckets are bit-identical. */
+  def lshBucket(vec: Column, table: Int = 0, planes: Int = NPlanes,
+                dim: Int = 64): Column =
     (0 until planes).map { j =>
+      val signs = typedLit((0 until dim).map(i => planeSign(table, j, i)))
       val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          // plane sign from md5 (portable to the DuckDB oracle, like the
-          // simhash token hash) — first hex nibble's low bit of
-          // md5("lsh:<table·1024+j>:<dim>") picks ±1
-          (x, i) => x * (conv(substring(md5(
-            concat(lit(s"lsh:${table * 1024 + j}:"), i.cast("string"))), 1, 1), 16, 10)
-            .cast("int") % 2 * 2 - 1).cast("double")),
+        zip_with(vec, signs, (x, s) => x * s),
         lit(0.0), (acc, x) => acc + x)
       when(proj > 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** Vector width of a (vec_id, vec) frame — one single-row action (the
+    * plane-sign literal must match the data's true width: zip_with
+    * null-pads a mismatch). Empty frame → 0 (no rows to bucket). */
+  private def vecDim(df: DataFrame): Int =
+    df.select(size(col("vec"))).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+
   def topkLsh(spark: SparkSession, dir: String): DataFrame = {
-    val all = emb(spark, dir).withColumn("bucket", lshBucket(col("vec"))).cache()
+    val pre = emb(spark, dir)
+    val all = pre.withColumn("bucket", lshBucket(col("vec"), dim = vecDim(pre)))
+      .cache()
     val q = all.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("qid"), col("vec").as("qvec"), col("bucket"))
       // multi-probe: own bucket + every single-bit flip

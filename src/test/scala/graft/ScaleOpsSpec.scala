@@ -291,6 +291,45 @@ class ScaleOpsSpec extends AnyFunSuite {
       (2L, 32L, 32L, u)))
   }
 
+  test("leakage-safe split: near-dup families land on one side, singletons match the baseline split") {
+    // same hash arithmetic as the operator, driver-side, to CHOOSE ids
+    // whose baseline splits differ — so the test is provably non-vacuous
+    def u(id: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"split:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16).toDouble / 1.152921504606846976e18
+    }
+    def bucket(id: Long) = { val x = u(id); if (x < 0.8) "train" else if (x < 0.9) "val" else "test" }
+    val a = (0L until 200L).find(bucket(_) == "train").get
+    val b = (a + 1 until 200L).find(bucket(_) != bucket(a)).get
+    val base = (0 until 40).map(i => s"alpha$i beta$i gamma$i").mkString(" ")
+    val docs = Seq(
+      (a, base),                            // near-dup family straddling
+      (b, base.replace("alpha3", "edited")),// the baseline split by construction
+      (500L, "completely different words that share nothing with the family"),
+      (501L, "another standalone document with its own unique vocabulary")
+    ).toDF("doc_id", "text").withColumn("source", lit("s"))
+    val tmp = java.nio.file.Files.createTempDirectory("lsplit").toString
+    docs.write.parquet(s"$tmp/documents.parquet")
+
+    val plain = Curation.split(spark, tmp)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(plain(a) != plain(b), "crafted family must straddle the baseline split")
+
+    val safe = Curation.splitLeakSafe(spark, tmp)
+      .select("doc_id", "cluster_id", "split").as[(Long, Long, String)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(safe(a)._1 == a && safe(b)._1 == a, "family must share the min-id cluster")
+    assert(safe(a)._2 == safe(b)._2, "family must land on ONE side")
+    assert(safe(a)._2 == bucket(a), "family side is the cluster rep's bucket")
+    // singletons are their own cluster → identical to the baseline split
+    for (s <- Seq(500L, 501L)) {
+      assert(safe(s)._1 == s)
+      assert(safe(s)._2 == plain(s))
+    }
+  }
+
   test("incremental dedup: exact_dup / near_dup / novel against a catalog, best match wins") {
     // catalog = doc_id < 250 (Dedup.IncrementalCut); incoming ≥ 250
     val base = (0 until 40).map(i => s"alpha$i beta$i gamma$i").mkString(" ")
