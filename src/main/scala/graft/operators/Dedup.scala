@@ -93,7 +93,13 @@ object Dedup {
   // cross-engine. Zero hot keys (every gated SF) short-circuits to a
   // no-join passthrough, so capped == uncapped there by construction.
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
-    ngramJaccardImpl(shingleSets(Tables.documents(spark, dir)).cache(),
+    // pre-partitioned on the shingle (the dedup_clusters trick): the
+    // df-cap frequency aggregate AND both self-join sides key on `s`,
+    // so one exchange at cache materialization serves all three — the
+    // cap's extra pass then reads the cache in place instead of
+    // re-shuffling it
+    ngramJaccardImpl(shingleSets(Tables.documents(spark, dir))
+        .repartition(col("s")).cache(),
       maxDf = Some(DefaultMaxShingleDf), logDropsAs = Some("dedup_ngram_jaccard"))
 
   /** Exact (uncapped) form — the correctness reference for specs; NOT
