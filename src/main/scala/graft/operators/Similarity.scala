@@ -733,6 +733,64 @@ object Similarity {
     ORDER BY qid, rn"""
   }
 
+  // ---- 3f. prototypicality ranking (round 8) ----------------------------
+  // D4 (Tirumala et al. 2023, "D4: Improving LLM Pretraining via
+  // Document De-Duplication and Diversification", arXiv:2308.12284 —
+  // public paper) ranks examples by proximity to their k-means cluster
+  // centroid: the most PROTOTYPICAL points (nearest the centroid) are
+  // the redundant cluster cores SemDeDup-style pruning removes first,
+  // the farthest are outliers/noise — both tails are what embedding-
+  // space curation inspects. Reuses the deterministic Lloyd trainer and
+  // the narrow argmax assignment verbatim; the only addition is keeping
+  // the winning cosine as the prototypicality score and ranking within
+  // the cell. The per-cell rank is a window over cid — k partitions of
+  // ~n/k rows each; at corpus scale a threshold on the score (or an
+  // approx-quantile cut per cell) replaces the full rank, same as every
+  // top-k consumer here.
+  def prototypicality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val all = emb(spark, dir).cache()
+    val cents = kmeansCentroids(all, k = 10, iters = 3)
+      .as[(Int, Seq[Double])].collect().sortBy(_._1).map(_._2).toIndexedSeq
+    val sims = transform(sequence(lit(1), lit(cents.length)),
+      i => VectorFns.cosine6(col("vec"), element_at(col("__cb"), i)))
+    val w = Window.partitionBy(col("cid"))
+      .orderBy(col("proto_cos").desc, col("vec_id"))
+    withCodebook(all, cents.map(_.toSeq).toSeq,
+        cents.iterator.map(_.length.toLong).sum, "__cb")
+      .withColumn("__sims", sims)
+      .withColumn("cid",
+        array_position(col("__sims"), array_max(col("__sims"))).cast("int"))
+      .withColumn("proto_cos", array_max(col("__sims")))
+      .select(col("vec_id"), col("cid"), col("proto_cos"))
+      .withColumn("rk", row_number().over(w))
+      .orderBy(col("cid"), col("rk"))
+  }
+
+  /** Exact twin of [[prototypicality]]: same unrolled Lloyd rounds, the
+    * row_number cell assignment (== first-max argmax), the winning
+    * cosine as the score, and the same per-cell rank. */
+  val prototypicalityOracle: String = s"""
+    WITH nv AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw,
+        sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+      FROM embeddings),
+    unit AS (SELECT vec_id, list_transform(raw, x -> x / nrm) AS vec FROM nv),
+    ${kmeansSqlCtes(k = 10, iters = 3)},
+    cells AS (
+      SELECT vec_id, cid, sim AS proto_cos FROM (
+        SELECT u.vec_id, c.cid,
+          round(list_cosine_similarity(u.vec, c.cvec), 6) AS sim,
+          CAST(row_number() OVER (PARTITION BY u.vec_id
+            ORDER BY round(list_cosine_similarity(u.vec, c.cvec), 6) DESC, c.cid) AS INT) AS rn
+        FROM unit u CROSS JOIN cent3 c)
+      WHERE rn = 1)
+    SELECT vec_id, cid, proto_cos,
+      CAST(row_number() OVER (PARTITION BY cid
+        ORDER BY proto_cos DESC, vec_id) AS INT) AS rk
+    FROM cells
+    ORDER BY cid, rk"""
+
   // ---- 3c. SemDeDup-style semantic dedup ------------------------------
   // The embedding-space analog of dedupPipeline (Abbas et al. 2023,
   // "SemDeDup", arXiv:2303.09540 — public paper): cluster the corpus
@@ -991,6 +1049,7 @@ object Similarity {
     "sim_topk_ivf_trained" -> (topkIvfTrained _),
     "sim_topk_lsh"        -> (topkLsh _),
     "sim_topk_pq"         -> (topkPq _),
+    "curation_prototypicality" -> (prototypicality _),
     "dedup_semantic"      -> (dedupSemantic _))
 
   val oracle: Map[String, String] = Map(
@@ -999,6 +1058,7 @@ object Similarity {
     "sim_topk_ivf_trained" -> topkIvfTrainedOracle,
     "sim_topk_lsh"        -> topkLshOracle,
     "sim_topk_pq"         -> topkPqOracle,
+    "curation_prototypicality" -> prototypicalityOracle,
     "dedup_semantic"      -> dedupSemanticOracle,
     "dedup_embedding"     -> nearDupPairsOracle,
     "dedup_embedding_lsh" -> nearDupPairsLshOracle)

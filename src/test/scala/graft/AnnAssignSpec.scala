@@ -63,6 +63,24 @@ class AnnAssignSpec extends AnyFunSuite {
     }
   }
 
+  test("prototypicality: dense per-cell ranks, score non-increasing with rank") {
+    val rows = Similarity.prototypicality(spark, SfDir)
+      .select("vec_id", "cid", "proto_cos", "rk")
+      .as[(Long, Int, Double, Int)].collect()
+    spark.catalog.clearCache()
+    assert(rows.nonEmpty)
+    for ((cid, cell) <- rows.groupBy(_._2)) {
+      val byRk = cell.sortBy(_._4)
+      assert(byRk.map(_._4).toSeq == (1 to cell.length), s"cell $cid ranks not dense")
+      assert(byRk.sliding(2).forall {
+        case Array(a, b) => a._3 >= b._3
+        case _ => true
+      }, s"cell $cid score increases with rank")
+    }
+    // every vector ranked exactly once
+    assert(rows.map(_._1).distinct.length == rows.length)
+  }
+
   test("assignTwoLevel: deterministic, in-range, and co-clustered points share cells") {
     // 6 tight, well-separated clusters of 40 points each: every point of
     // a cluster must land in the SAME (cid1, cid2), distinct clusters in
