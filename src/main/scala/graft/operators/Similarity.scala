@@ -597,16 +597,18 @@ object Similarity {
     * vector. `train` substitutes a (sample) training frame — standard
     * practice at corpus scale; a top cell absent from the sample falls
     * back to one zero codeword, so assignment still total-functions. */
-  def assignTwoLevel(data: DataFrame, k1: Int, k2: Int, iters: Int,
-                     train: Option[DataFrame] = None): DataFrame = {
+  /** Trains the two-level codebook: (top centroids, per-top-cell sub
+    * codebooks, indexed s = cid1 − 1). Both levels are driver-sized by
+    * construction (k1 + k1·k2 vectors). */
+  private[operators] def trainTwoLevel(data: DataFrame, k1: Int, k2: Int,
+      iters: Int, train: Option[DataFrame]):
+      (IndexedSeq[Seq[Double]], IndexedSeq[IndexedSeq[Seq[Double]]]) = {
     val spark = data.sparkSession
     import spark.implicits._
     val trainDf = train.getOrElse(data)
     val tops = kmeansCentroids(trainDf, k1, iters)
       .as[(Int, Seq[Double])].collect().sortBy(_._1).map(_._2).toIndexedSeq
-    def topAssign(df: DataFrame): DataFrame =
-      assignCells(df, tops).withColumnRenamed("cid", "cid1")
-    val subTrain = topAssign(trainDf)
+    val subTrain = assignCells(trainDf, tops).withColumnRenamed("cid", "cid1")
       .select((col("cid1") - 1).as("s"), col("vec_id"), col("vec").as("svec"))
     val books = pqCodebooks(subTrain, k2, iters)
       .as[(Int, Int, Seq[Double])].collect()
@@ -615,12 +617,114 @@ object Similarity {
       val cb = books.filter(_._1 == s).sortBy(_._2).map(_._3).toIndexedSeq
       if (cb.nonEmpty) cb else IndexedSeq(Seq.fill(dim)(0.0))
     }
-    pqAssign(topAssign(data)
+    (tops, cents2)
+  }
+
+  /** Per-row (cid1, cid2) under an already-trained two-level codebook. */
+  private def assignWithTwoLevel(data: DataFrame, tops: IndexedSeq[Seq[Double]],
+      cents2: IndexedSeq[IndexedSeq[Seq[Double]]]): DataFrame =
+    pqAssign(assignCells(data, tops).withColumnRenamed("cid", "cid1")
         .select(col("vec_id"), (col("cid1") - 1).as("s"), col("vec").as("svec")),
         cents2)
       .select(col("vec_id"), (col("s") + 1).cast("int").as("cid1"),
         col("cid").as("cid2"))
+
+  def assignTwoLevel(data: DataFrame, k1: Int, k2: Int, iters: Int,
+                     train: Option[DataFrame] = None): DataFrame = {
+    val (tops, cents2) = trainTwoLevel(data, k1, k2, iters, train)
+    assignWithTwoLevel(data, tops, cents2)
   }
+
+  // ---- 3g. two-level IVF search (round 8) -------------------------------
+  // The search operator over [[assignTwoLevel]]'s cells — the gated
+  // proof that the sub-linear assignment path answers queries, not just
+  // partitions corpora. A query probes its OWN top cell (top assignment
+  // IS the argmax-cosine probe rule) and the 2 best sub-cells within it
+  // (round-6 L2² to the sub codewords — the assignment metric), then
+  // exact top-k within the probed cells. Oracle: unrolled top Lloyd
+  // (kmeansSqlCtes) + the grouped sub-Lloyd keyed by top cell
+  // (groupedLloydSqlCtes — the trainer never looks inside the group
+  // key, so the PQ generator applies verbatim) + the same probe and
+  // in-cell ranking.
+  private val Ivf2K1 = 4
+  private val Ivf2K2 = 4
+  private val Ivf2Iters = 2
+
+  def topkIvf2(spark: SparkSession, dir: String): DataFrame = {
+    val all = emb(spark, dir).cache()
+    val (tops, cents2) = trainTwoLevel(all, Ivf2K1, Ivf2K2, Ivf2Iters, None)
+    val cells = all.select(col("vec_id"), col("vec"))
+      .join(assignWithTwoLevel(all, tops, cents2), Seq("vec_id")).cache()
+    val cbs = typedLit(cents2.map(_.map(_.toSeq).toSeq).toSeq) // k1·k2·dim ≤ 1024 doubles — literal budget
+    val q = cells.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"), col("cid1").as("pcid1"))
+    val probeW = Window.partitionBy(col("qid")).orderBy(col("pd2"), col("scid"))
+    val probes = q
+      .select(col("qid"), col("qvec"), col("pcid1"),
+        explode(sequence(lit(1), lit(Ivf2K2))).as("scid"))
+      .withColumn("pd2",
+        pqD2(col("qvec"), element_at(element_at(cbs, col("pcid1")), col("scid"))))
+      .filter(col("pd2").isNotNull) // sub cell absent (short codebook) ⇔ no oracle row
+      .withColumn("rn", row_number().over(probeW)).filter(col("rn") <= 2)
+      .select(col("qid"), col("qvec"), col("pcid1"), col("scid"))
+    val scored = cells.join(broadcast(probes),
+        col("cid1") === col("pcid1") && col("cid2") === col("scid") &&
+          col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        VectorFns.dot6(col("qvec"), col("vec")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= K)
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  /** Exact twin of [[topkIvf2]]. */
+  val topkIvf2Oracle: String = s"""
+    WITH nv AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw,
+        sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+      FROM embeddings),
+    unit AS (SELECT vec_id, list_transform(raw, x -> x / nrm) AS vec FROM nv),
+    ${kmeansSqlCtes(k = Ivf2K1, iters = Ivf2Iters)},
+    ta AS (
+      SELECT vec_id, vec, cid AS cid1 FROM (
+        SELECT u.vec_id, u.vec, c.cid,
+          CAST(row_number() OVER (PARTITION BY u.vec_id
+            ORDER BY ${pqD2Sql("u.vec", "c.cvec")}, c.cid) AS INT) AS rn
+        FROM unit u CROSS JOIN cent$Ivf2Iters c)
+      WHERE rn = 1),
+    sub AS (SELECT cid1 - 1 AS s, vec_id, vec AS svec FROM ta),
+    ${groupedLloydSqlCtes(k = Ivf2K2, iters = Ivf2Iters)},
+    sa AS (
+      SELECT vec_id, cid AS cid2, s FROM (
+        SELECT b.vec_id, b.s, c.cid,
+          CAST(row_number() OVER (PARTITION BY b.vec_id
+            ORDER BY ${pqD2Sql("b.svec", "c.cvec")}, c.cid) AS INT) AS rn
+        FROM sub b JOIN cb$Ivf2Iters c USING (s))
+      WHERE rn = 1),
+    cells AS (
+      SELECT t.vec_id, t.vec, t.cid1, a.cid2
+      FROM ta t JOIN sa a ON a.vec_id = t.vec_id),
+    qp AS (
+      SELECT qid, qvec, pcid1, scid FROM (
+        SELECT q.vec_id AS qid, q.vec AS qvec, q.cid1 AS pcid1, c.cid AS scid,
+          CAST(row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY ${pqD2Sql("q.vec", "c.cvec")}, c.cid) AS INT) AS rn
+        FROM (SELECT * FROM cells WHERE vec_id < $NQueries) q
+        JOIN cb$Ivf2Iters c ON c.s = q.cid1 - 1)
+      WHERE rn <= 2),
+    sc AS (
+      SELECT p.qid, m.vec_id AS nid,
+        round(list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]),
+                                     CAST(ec.embedding AS DOUBLE[])), 6) AS cos
+      FROM qp p
+      JOIN cells m ON m.cid1 = p.pcid1 AND m.cid2 = p.scid AND m.vec_id <> p.qid
+      JOIN embeddings eq ON eq.vec_id = p.qid
+      JOIN embeddings ec ON ec.vec_id = m.vec_id)
+    SELECT qid, nid, cos,
+      CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INT) AS rn
+    FROM sc
+    QUALIFY rn <= $K
+    ORDER BY qid, rn"""
 
   /** PQ top-k: encode the corpus once, score by ADC, rank per query. */
   def topkPq(spark: SparkSession, dir: String): DataFrame = {
@@ -664,9 +768,11 @@ object Similarity {
   private def pqD2Sql(a: String, b: String): String =
     s"round(list_dot_product($a, $a) + list_dot_product($b, $b) - 2*list_dot_product($a, $b), 6)"
 
-  /** SQL twins of the grouped subspace k-means: CTEs `sub` (subvectors)
-    * and `cb0`..`cb$iters` (codebooks); expects `unit(vec_id, vec)`. */
-  private def pqSqlCtes(k: Int, iters: Int): String = {
+  /** SQL twin of the grouped Lloyd loop ([[pqCodebooks]]): expects a
+    * CTE `sub(s, vec_id, svec)` — ANY grouping key works (PQ subspaces,
+    * two-level top cells) because the trainer itself never looks inside
+    * `s` — and emits `cb0`..`cb$iters`. */
+  private def groupedLloydSqlCtes(k: Int, iters: Int): String = {
     val blocks = (0 until iters).map { n =>
       s"""
     pa$n AS (
@@ -686,9 +792,6 @@ object Similarity {
       FROM cb$n p LEFT JOIN pv$n v USING (s, cid))"""
     }
     s"""
-    sub AS (
-      SELECT vec_id, s, vec[s*$PqSub+1 : s*$PqSub+$PqSub] AS svec
-      FROM unit CROSS JOIN (SELECT unnest(range($PqM)) AS s)),
     cb0 AS (
       SELECT s, cid, svec AS cvec FROM (
         SELECT s, vec_id, svec,
@@ -697,6 +800,15 @@ object Similarity {
         FROM sub)
       WHERE cid <= $k)""" + blocks.mkString(",", ",", "")
   }
+
+  /** SQL twins of the grouped subspace k-means: CTEs `sub` (subvectors)
+    * and `cb0`..`cb$iters` (codebooks); expects `unit(vec_id, vec)`. */
+  private def pqSqlCtes(k: Int, iters: Int): String =
+    s"""
+    sub AS (
+      SELECT vec_id, s, vec[s*$PqSub+1 : s*$PqSub+$PqSub] AS svec
+      FROM unit CROSS JOIN (SELECT unnest(range($PqM)) AS s)),
+    ${groupedLloydSqlCtes(k, iters)}"""
 
   /** Exact twin of [[topkPq]]: same codebooks, codes, lookup table, and
     * ADC ranking, unrolled in SQL. */
@@ -1049,6 +1161,7 @@ object Similarity {
     "sim_topk_ivf_trained" -> (topkIvfTrained _),
     "sim_topk_lsh"        -> (topkLsh _),
     "sim_topk_pq"         -> (topkPq _),
+    "sim_topk_ivf2"       -> (topkIvf2 _),
     "curation_prototypicality" -> (prototypicality _),
     "dedup_semantic"      -> (dedupSemantic _))
 
@@ -1058,6 +1171,7 @@ object Similarity {
     "sim_topk_ivf_trained" -> topkIvfTrainedOracle,
     "sim_topk_lsh"        -> topkLshOracle,
     "sim_topk_pq"         -> topkPqOracle,
+    "sim_topk_ivf2"       -> topkIvf2Oracle,
     "curation_prototypicality" -> prototypicalityOracle,
     "dedup_semantic"      -> dedupSemanticOracle,
     "dedup_embedding"     -> nearDupPairsOracle,

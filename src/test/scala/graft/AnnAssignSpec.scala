@@ -52,7 +52,7 @@ class AnnAssignSpec extends AnyFunSuite {
   }
 
   test("sim_topk_ivf_trained and sim_topk_pq: gated results identical under the forced join path") {
-    for (name <- Seq("sim_topk_ivf_trained", "sim_topk_pq")) {
+    for (name <- Seq("sim_topk_ivf_trained", "sim_topk_pq", "sim_topk_ivf2")) {
       val q = SparkEntry.queries(name)
       val base = q(spark, SfDir).collect().map(_.toString).sorted.toSeq
       spark.catalog.clearCache()
