@@ -243,9 +243,22 @@ object Curation {
     val dups = wins.join(first, Seq("wh"))
       .filter(col("doc_id") =!= col("f.doc_id") || col("off") =!= col("f.off"))
       .select(col("doc_id"), col("off"))
+    // coverage via a per-doc offsets aggregate, NOT explode-then-
+    // distinct: a duplicate window covers L positions, so exploding
+    // every dup window shuffles ~L× the dup count into a global
+    // distinct — 860 M rows on the 200×-replicated 1 M-doc stress
+    // (80.8 s). Aggregating the offsets per doc first shuffles only
+    // the dup offsets (≤ one per window), and the L-expansion +
+    // dedup happen inside the row (arrays bounded by doc length, the
+    // same bound chunkDedup's reassembly carries); the exploded
+    // covered-position volume is then ≤ n_tokens per doc by
+    // construction. Same positions, same output.
     val covered = dups
-      .select(col("doc_id"), explode(sequence(col("off"), col("off") + SubstrL - 1)).as("pos"))
-      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("off")).as("__offs"))
+      .select(col("doc_id"),
+        explode(array_distinct(flatten(transform(col("__offs"),
+          o => sequence(o, o + SubstrL - 1))))).as("pos"))
     val kept = toks
       .select(col("doc_id"), posexplode(col("t")).as(Seq("pos", "tok")))
       .join(covered, Seq("doc_id", "pos"), "left_anti")
