@@ -230,19 +230,23 @@ object Curation {
   // simhash makes.
   private val SubstrL = 16
 
-  def substringDedup(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Skew.maybeSpreadByConf(Tables.documents(spark, dir), "n_chars", "doc_id")
+  /** (doc_id, t): tokenized documents frame for the substring stages. */
+  private[graft] def substringToks(docs: DataFrame): DataFrame =
+    Skew.maybeSpreadByConf(docs, "n_chars", "doc_id")
       .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
-    val wins = toks.filter(size(col("t")) >= SubstrL)
+
+  /** (doc_id, off, wh): every length-L token window's md5. */
+  private[graft] def windowHashes(toks: DataFrame): DataFrame =
+    toks.filter(size(col("t")) >= SubstrL)
       .select(col("doc_id"), col("t"),
         explode(sequence(lit(0), size(col("t")) - SubstrL)).as("off"))
       .select(col("doc_id"), col("off"),
         md5(expr(s"array_join(slice(t, off + 1, $SubstrL), ' ')")).as("wh"))
-    val first = wins.groupBy(col("wh"))
-      .agg(min(struct(col("doc_id"), col("off"))).as("f"))
-    val dups = wins.join(first, Seq("wh"))
-      .filter(col("doc_id") =!= col("f.doc_id") || col("off") =!= col("f.off"))
-      .select(col("doc_id"), col("off"))
+
+  /** Kept-text reassembly from a duplicate-window occurrence list
+    * (doc_id, off) — duplicate offsets are harmless (positions dedup
+    * in-row). Shared by the batch operator and the streaming scrub. */
+  private[graft] def keptFromDups(toks: DataFrame, dups: DataFrame): DataFrame = {
     // coverage via a per-doc offsets aggregate, NOT explode-then-
     // distinct: a duplicate window covers L positions, so exploding
     // every dup window shuffles ~L× the dup count into a global
@@ -272,6 +276,17 @@ object Curation {
         coalesce(col("n_kept_raw"), lit(0L)).as("n_kept"),
         coalesce(col("kept_raw"), lit("")).as("kept_text"))
       .orderBy(col("doc_id"))
+  }
+
+  def substringDedup(spark: SparkSession, dir: String): DataFrame = {
+    val toks = substringToks(Tables.documents(spark, dir))
+    val wins = windowHashes(toks)
+    val first = wins.groupBy(col("wh"))
+      .agg(min(struct(col("doc_id"), col("off"))).as("f"))
+    val dups = wins.join(first, Seq("wh"))
+      .filter(col("doc_id") =!= col("f.doc_id") || col("off") =!= col("f.off"))
+      .select(col("doc_id"), col("off"))
+    keptFromDups(toks, dups)
   }
 
   /** Exact twin of [[substringDedup]]: same window hashes, the

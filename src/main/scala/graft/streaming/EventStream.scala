@@ -199,6 +199,83 @@ object EventStream {
     * bucket — NOT a map literal: Spark map data has no hash index, so
     * `element_at(map, k)` is a linear scan (O(B) per gram — measured 2×
     * the whole operator's cost at B=4096); array indexing is O(1). */
+  /** Ingest-time SUB-DOCUMENT scrubbing against a growing SPAN catalog —
+    * the streaming twin of `Curation.substringDedup` (Lee-et-al-2022
+    * substring dedup, fixed L), shaped like [[classifyAgainstCatalog]]:
+    * the parquet span-hash catalog IS the state, every batch lands
+    * batchId-keyed so crash retries overwrite their own partial output
+    * instead of duplicating spans, and a retry reads the catalog
+    * EXCLUDING its own earlier append. A document arriving after a
+    * batch that already contributed a passage gets that passage cut at
+    * ANY offset; within a batch the global first occurrence survives —
+    * sequential scrubs equal one batch `substringDedup` over the
+    * concatenated corpus when doc ids respect arrival order
+    * (spec-proven). Scale shape: catalog side is hashes only (32 chars
+    * per DISTINCT span corpus-wide), the batch side is the usual
+    * ~n_tokens window rows, and both joins are hash equi-joins. */
+  def scrubAgainstSpanCatalog(docs: DataFrame, spanPath: String, outPath: String,
+                              checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) scrubBatch(batch.toDF(), batchId, spanPath, outPath)
+        ()
+      }
+      .start()
+
+  /** One micro-batch of [[scrubAgainstSpanCatalog]], callable directly
+    * so the crash-retry and batch-twin-equality paths are spec-testable. */
+  def scrubBatch(batch: DataFrame, batchId: Long,
+                 spanPath: String, outPath: String): Unit = {
+    val sp = batch.sparkSession
+    import graft.operators.Curation
+    val toks = Curation.substringToks(batch)
+    val wins = Curation.windowHashes(toks).cache() // feeds dup detect + span append
+    val catalog = readSpanCatalog(sp, spanPath, excludeBatch = Some(batchId))
+    // a window is a duplicate if the catalog has its hash (ANY
+    // occurrence, including the batch's first) OR an earlier (doc_id,
+    // off) in THIS batch has it — exactly substringDedup's rule with
+    // catalog spans ordered before the batch. keptFromDups dedups
+    // overlapping positions in-row, so the union needs no distinct.
+    val catHit = wins.join(catalog, Seq("wh"), "left_semi")
+      .select(col("doc_id"), col("off"))
+    val first = wins.groupBy(col("wh"))
+      .agg(min(struct(col("doc_id"), col("off"))).as("f"))
+    val batchDup = wins.join(first, Seq("wh"))
+      .filter(col("doc_id") =!= col("f.doc_id") || col("off") =!= col("f.off"))
+      .select(col("doc_id"), col("off"))
+    Curation.keptFromDups(toks, catHit.unionByName(batchDup))
+      .write.mode("overwrite").parquet(s"$outPath/batch-$batchId")
+    // grow the catalog: the batch's distinct NEW hashes, batchId-keyed
+    // idempotent overwrite (readSpanCatalog above already excluded this
+    // batch's own earlier append, so a retry recomputes the same rows)
+    wins.select(col("wh")).distinct()
+      .join(catalog, Seq("wh"), "left_anti")
+      .write.mode("overwrite").parquet(s"$spanPath/batch-$batchId")
+    wins.unpersist()
+  }
+
+  /** Span catalog reader: batch-keyed subdirectories like
+    * [[graft.operators.Dedup.readCatalog]]; a missing root (first
+    * batch ever) reads as the empty catalog instead of failing. */
+  def readSpanCatalog(spark: SparkSession, root: String,
+                      excludeBatch: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val empty = spark.emptyDataset[String].toDF("wh")
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // missing root = first batch ever; root holding ONLY the excluded
+    // batch's own dir = retry of the first batch — both read empty
+    // (Dedup.readCatalog would pass zero paths to the parquet reader)
+    if (!fs.exists(p)) empty
+    else if (excludeBatch.exists(id => fs.listStatus(p).forall { st =>
+      st.getPath.getName.startsWith("_") || st.getPath.getName.startsWith(".") ||
+        st.getPath.getName == s"batch-$id"
+    })) empty
+    else graft.operators.Dedup.readCatalog(spark, root, excludeBatch)
+  }
+
   def dsirScore(docs: DataFrame, lam: Map[Long, Double], cBits: Double): DataFrame = {
     val B = graft.operators.Curation.DsirBuckets
     graft.operators.Curation.dsirScored(

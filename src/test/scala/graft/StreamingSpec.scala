@@ -373,4 +373,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
     assert(got.nonEmpty)
   }
+
+  test("streaming span scrub: cross-batch passages cut at any offset, retry-idempotent, == batch twin") {
+    val tmp = java.nio.file.Files.createTempDirectory("scrub").toString
+    val spanPath = s"$tmp/spans"; val outPath = s"$tmp/scrubbed"
+    def span(p: String, n: Int) = (0 until n).map(i => s"$p$i").mkString(" ")
+    val P = span("p", 20)  // 20-token passage (L=16 → 5 windows)
+    val f = span("f", 16); val g = span("g", 15)
+    val b1 = Seq(
+      (0L, s"$P $f"),                       // P's first occurrence — survives
+      (1L, span("u", 24))                   // unique
+    ).toDF("doc_id", "text")
+    val b2 = Seq(
+      (10L, s"jj $P $g"),                   // P again, one token off any grid
+      (11L, span("v", 24))                  // unique
+    ).toDF("doc_id", "text")
+
+    EventStream.scrubBatch(b1, 0L, spanPath, outPath)
+    EventStream.scrubBatch(b2, 1L, spanPath, outPath)
+    def readOut() = spark.read.option("recursiveFileLookup", "true").parquet(outPath)
+      .select("doc_id", "n_tokens", "n_kept", "kept_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    val got = readOut()
+    assert(got.map(r => (r._1, r._2, r._3)) ==
+      Seq((0L, 36L, 36L), (1L, 24L, 24L), (10L, 36L, 16L), (11L, 24L, 24L)))
+    assert(got.find(_._1 == 10L).get._4 == s"jj $g",
+      "the catalog passage must be cut from the later batch at its shifted offset")
+
+    // crash-retry of batch 1: identical outputs, no duplicated catalog rows
+    EventStream.scrubBatch(b2, 1L, spanPath, outPath)
+    assert(readOut() == got)
+    val spans = EventStream.readSpanCatalog(spark, spanPath).as[String].collect()
+    assert(spans.length == spans.distinct.length, "retry duplicated span rows")
+
+    // sequential scrubs == one batch substringDedup over the whole
+    // corpus (doc ids respect arrival order)
+    val tmpAll = java.nio.file.Files.createTempDirectory("scruball").toString
+    b1.unionByName(b2).write.parquet(s"$tmpAll/documents.parquet")
+    val twin = graft.operators.Curation.substringDedup(spark, tmpAll)
+      .select("doc_id", "n_tokens", "n_kept", "kept_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == twin, "streaming scrub must equal the batch operator")
+
+    // retry of the FIRST batch ever: the catalog view excluding its own
+    // append must read empty, not fail on a zero-path parquet read
+    val spans0 = EventStream.readSpanCatalog(spark, spanPath, excludeBatch = Some(0L))
+    assert(spans0.columns.toSeq == Seq("wh"))
+    val freshRoot = s"$tmp/neverwritten"
+    assert(EventStream.readSpanCatalog(spark, freshRoot).count() == 0)
+  }
 }
