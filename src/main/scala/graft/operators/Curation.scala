@@ -494,7 +494,7 @@ object Curation {
   // table instead of recomputing. Same salt as [[split]] on purpose —
   // reviewable as "the baseline split, keyed by cluster rep".
   def splitLeakSafe(spark: SparkSession, dir: String): DataFrame = {
-    val clusters = Dedup.dedupClusters(spark, dir)
+    val clusters = Dedup.dedupClustersOf(spark, dir, ordered = false)
     val u = conv(substring(md5(concat(lit("split:"), col("cluster_id").cast("string"))), 1, 15), 16, 10)
       .cast("long").cast("double") / lit(1.152921504606846976e18)
     Tables.documents(spark, dir).select(col("doc_id"), col("source"))

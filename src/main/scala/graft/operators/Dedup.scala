@@ -360,7 +360,15 @@ object Dedup {
   // the shingle threshold get a per-doc fingerprint and stay their own rep.
   val DefaultMaxShingleDf = 256L
 
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    dedupClustersOf(spark, dir, ordered = true)
+
+  /** `ordered = false` skips the trailing corpus-sized range sort —
+    * composing consumers (the leakage-safe split's join) destroy row
+    * order immediately, so they shouldn't pay the exchange for it
+    * (the ngramJaccardImpl precedent). */
+  private[operators] def dedupClustersOf(spark: SparkSession, dir: String,
+                                         ordered: Boolean): DataFrame = {
     // canonical knob namespace is spark.graft.*; the round-2 name
     // graft.dedup.maxShingleDf stays honored for compatibility
     val maxDf = spark.conf.getOption("spark.graft.dedup.maxShingleDf")
@@ -407,10 +415,10 @@ object Dedup {
       .select(col("da").as("src"), col("db").as("dst"))
     val comp = Graph.connectedComponents(
       repIds.select(col("doc_id").as("id")), edges)
-    withRep
+    val out = withRep
       .join(comp.select(col("id").as("rep"), col("component")), Seq("rep"))
       .select(col("doc_id"), col("component").as("cluster_id"))
-      .orderBy(col("doc_id"))
+    if (ordered) out.orderBy(col("doc_id")) else out
   }
 
   /** The recursive-CTE cluster computation, shared by the clusters
