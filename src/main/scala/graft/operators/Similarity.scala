@@ -292,7 +292,24 @@ object Similarity {
     }
   }
 
-  def kmeansCentroids(data: DataFrame, k: Int, iters: Int): DataFrame = {
+  /** [[kmeansCentroidSeqs]] wrapped as a (cid, cvec) frame — for
+    * consumers that JOIN against the centroids (probe scoring). Code
+    * that needs the driver-side seq should call the Seq variant
+    * directly instead of collecting this frame straight back. */
+  def kmeansCentroids(data: DataFrame, k: Int, iters: Int): DataFrame =
+    centroidsDf(data.sparkSession, kmeansCentroidSeqs(data, k, iters))
+
+  /** Driver seq → (cid, cvec) frame (index i ⇔ cid i+1). */
+  private def centroidsDf(spark: SparkSession,
+                          cents: IndexedSeq[Seq[Double]]): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(cents.zipWithIndex.map { case (c, i) => (i + 1, c) })
+      .toDF("cid", "cvec")
+  }
+
+  /** The trained centroids as the driver-side seq they already are at
+    * the end of the Lloyd loop (index i ⇔ cid i+1). */
+  def kmeansCentroidSeqs(data: DataFrame, k: Int, iters: Int): IndexedSeq[Seq[Double]] = {
     val spark = data.sparkSession
     import spark.implicits._
     // Centroids live on the DRIVER between rounds (k vectors — bounded
@@ -325,23 +342,21 @@ object Similarity {
         .as[(Int, Seq[Double])].collect().toMap
       cents = cents.indices.map(i => updated.getOrElse(i + 1, cents(i)))
     }
-    spark.createDataset(cents.zipWithIndex.map { case (c, i) => (i + 1, c) })
-      .toDF("cid", "cvec")
+    cents
   }
 
   /** IVF with trained coarse centroids: assign corpus to cells once,
     * probe the 2 best cells per query, exact top-k within. */
   def topkIvfTrained(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val all = emb(spark, dir).cache()
-    val centroids = kmeansCentroids(all, k = 10, iters = 3)
-      .select(col("cid"), col("cvec"))
     // corpus cell assignment is the narrow argmax (r8) — the previous
     // broadcast-join + row_number paid an n×k fanout and a window
     // exchange-and-sort for what each row computes locally; values are
-    // bit-identical (same cosine6, first-max == (sim desc, cid))
-    val cents = centroids.as[(Int, Seq[Double])].collect()
-      .sortBy(_._1).map(_._2).toIndexedSeq
+    // bit-identical (same cosine6, first-max == (sim desc, cid)). The
+    // trained centroids stay the driver seq they already are; the
+    // (cid, cvec) frame below exists only for the probe join.
+    val cents = kmeansCentroidSeqs(all, k = 10, iters = 3)
+    val centroids = centroidsDf(spark, cents)
     val cells = assignCellsCosine(all, cents)
       .select(col("vec_id"), col("vec"), col("cid")).cache()
     val q = cells.filter(col("vec_id") < NQueries)
@@ -548,13 +563,18 @@ object Similarity {
       .drop("__d2s", "__cbs")
   }
 
-  /** Narrow per-row nearest-centroid assignment (round-6 L2² argmin —
-    * cosine order on unit vectors): adds `cid` (1-based, lowest wins
-    * ties) with no join, no shuffle. The public entry for IVF corpus
-    * encoding at arbitrary k: the codebook rides as a plan literal when
-    * small and as a one-row broadcast relation past the literal budget
-    * (see [[withCodebook]]), so k in the thousands neither blows up the
-    * plan nor changes values. */
+  /** Narrow per-row nearest-centroid assignment by round-6 L2² argmin —
+    * the PQ/assignment metric. NOTE: this is NOT cosine order when
+    * centroids have unequal norms (Lloyd means of unit vectors are
+    * non-unit, and their norms differ per cell), so this rule can pick
+    * a different cell than [[assignCellsCosine]] — a genuinely
+    * different quantizer, not an optimization of the same one. Each
+    * gated consumer's oracle mirrors whichever rule that consumer uses,
+    * so the gates hold either way. Adds `cid` (1-based, lowest wins
+    * ties) with no join, no shuffle; the codebook rides as a plan
+    * literal when small and as a one-row broadcast relation past the
+    * literal budget (see [[withCodebook]]), so k in the thousands
+    * neither blows up the plan nor changes values. */
   def assignCells(data: DataFrame, cents: IndexedSeq[Seq[Double]],
                   vecCol: String = "vec"): DataFrame =
     pqAssign(data.withColumn("s", lit(0)).withColumn("svec", col(vecCol)),
@@ -568,14 +588,20 @@ object Similarity {
     * Used by the Lloyd loop, trained-IVF cell assignment, and
     * semantic-dedup clustering; the codebook ships per [[withCodebook]]. */
   def assignCellsCosine(data: DataFrame, cents: IndexedSeq[Seq[Double]],
-                        vecCol: String = "vec"): DataFrame = {
+                        vecCol: String = "vec",
+                        keepScoreAs: Option[String] = None): DataFrame = {
     val sims = transform(sequence(lit(1), lit(cents.length)),
       i => VectorFns.cosine6(col(vecCol), element_at(col("__cb"), i)))
-    withCodebook(data, cents.map(_.toSeq).toSeq,
+    val assigned = withCodebook(data, cents.map(_.toSeq).toSeq,
         cents.iterator.map(_.length.toLong).sum, "__cb")
       .withColumn("__sims", sims)
       .withColumn("cid",
         array_position(col("__sims"), array_max(col("__sims"))).cast("int"))
+    // keepScoreAs: also emit the winning cosine (prototypicality's
+    // score) — ONE definition of the codebook shipping + argmax +
+    // tie-break rule for every consumer
+    keepScoreAs.fold(assigned)(n =>
+        assigned.withColumn(n, array_max(col("__sims"))))
       .drop("__sims", "__cb")
   }
 
@@ -606,8 +632,7 @@ object Similarity {
     val spark = data.sparkSession
     import spark.implicits._
     val trainDf = train.getOrElse(data)
-    val tops = kmeansCentroids(trainDf, k1, iters)
-      .as[(Int, Seq[Double])].collect().sortBy(_._1).map(_._2).toIndexedSeq
+    val tops = kmeansCentroidSeqs(trainDf, k1, iters)
     val subTrain = assignCells(trainDf, tops).withColumnRenamed("cid", "cid1")
       .select((col("cid1") - 1).as("s"), col("vec_id"), col("vec").as("svec"))
     val books = pqCodebooks(subTrain, k2, iters)
@@ -638,10 +663,12 @@ object Similarity {
   // ---- 3g. two-level IVF search (round 8) -------------------------------
   // The search operator over [[assignTwoLevel]]'s cells — the gated
   // proof that the sub-linear assignment path answers queries, not just
-  // partitions corpora. A query probes its OWN top cell (top assignment
-  // IS the argmax-cosine probe rule) and the 2 best sub-cells within it
-  // (round-6 L2² to the sub codewords — the assignment metric), then
-  // exact top-k within the probed cells. Oracle: unrolled top Lloyd
+  // partitions corpora. A query probes its OWN top cell (corpus top
+  // assignment and the probe share the round-6 L2² rule, so "my cell"
+  // IS "my nearest top cell" — note this is the L2² quantizer, NOT the
+  // cosine rule the flat trained-IVF path uses; see [[assignCells]])
+  // and the 2 best sub-cells within it (same L2² to the sub codewords),
+  // then exact top-k within the probed cells. Oracle: unrolled top Lloyd
   // (kmeansSqlCtes) + the grouped sub-Lloyd keyed by top cell
   // (groupedLloydSqlCtes — the trainer never looks inside the group
   // key, so the PQ generator applies verbatim) + the same probe and
@@ -862,18 +889,10 @@ object Similarity {
   def prototypicality(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val all = emb(spark, dir).cache()
-    val cents = kmeansCentroids(all, k = 10, iters = 3)
-      .as[(Int, Seq[Double])].collect().sortBy(_._1).map(_._2).toIndexedSeq
-    val sims = transform(sequence(lit(1), lit(cents.length)),
-      i => VectorFns.cosine6(col("vec"), element_at(col("__cb"), i)))
+    val cents = kmeansCentroidSeqs(all, k = 10, iters = 3)
     val w = Window.partitionBy(col("cid"))
       .orderBy(col("proto_cos").desc, col("vec_id"))
-    withCodebook(all, cents.map(_.toSeq).toSeq,
-        cents.iterator.map(_.length.toLong).sum, "__cb")
-      .withColumn("__sims", sims)
-      .withColumn("cid",
-        array_position(col("__sims"), array_max(col("__sims"))).cast("int"))
-      .withColumn("proto_cos", array_max(col("__sims")))
+    assignCellsCosine(all, cents, keepScoreAs = Some("proto_cos"))
       .select(col("vec_id"), col("cid"), col("proto_cos"))
       .withColumn("rk", row_number().over(w))
       .orderBy(col("cid"), col("rk"))
@@ -931,8 +950,7 @@ object Similarity {
     // exchange-and-sort; values are bit-identical (same cosine6,
     // first-max == (sim desc, cid) — the oracle's row_number CTE is
     // unchanged). `cells` feeds BOTH self-join sides, so cache it.
-    val cents = kmeansCentroids(base, k, iters)
-      .as[(Int, Seq[Double])].collect().sortBy(_._1).map(_._2).toIndexedSeq
+    val cents = kmeansCentroidSeqs(base, k, iters)
     val cells = assignCellsCosine(base, cents)
       .select(col("vec_id"), col("vec"), col("cid")).cache()
     val pairs = cells.select(col("cid"), col("vec_id").as("da"), col("vec").as("va"))
@@ -1025,9 +1043,11 @@ object Similarity {
     * expression per element per row (8 planes × 64 dims × n rows of
     * md5+conv+substring was most of the operator's cost — round 8
     * measured 2.1 → ~0.6 s on sim_topk_lsh). The fold is the same
-    * sequential zip_with product-sum, so buckets are bit-identical. */
-  def lshBucket(vec: Column, table: Int = 0, planes: Int = NPlanes,
-                dim: Int = 64): Column =
+    * sequential zip_with product-sum, so buckets are bit-identical.
+    * `dim` is REQUIRED and must equal the actual vector width: a
+    * mismatch null-pads the zip and silently collapses every row into
+    * bucket 0 (use [[vecDim]]-style one-row probes to derive it). */
+  def lshBucket(vec: Column, table: Int, planes: Int, dim: Int): Column =
     (0 until planes).map { j =>
       val signs = typedLit((0 until dim).map(i => planeSign(table, j, i)))
       val proj = aggregate(
@@ -1045,7 +1065,8 @@ object Similarity {
 
   def topkLsh(spark: SparkSession, dir: String): DataFrame = {
     val pre = emb(spark, dir)
-    val all = pre.withColumn("bucket", lshBucket(col("vec"), dim = vecDim(pre)))
+    val all = pre.withColumn("bucket",
+      lshBucket(col("vec"), table = 0, planes = NPlanes, dim = vecDim(pre)))
       .cache()
     val q = all.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("qid"), col("vec").as("qvec"), col("bucket"))

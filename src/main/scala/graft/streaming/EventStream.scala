@@ -199,6 +199,19 @@ object EventStream {
     * bucket — NOT a map literal: Spark map data has no hash index, so
     * `element_at(map, k)` is a linear scan (O(B) per gram — measured 2×
     * the whole operator's cost at B=4096); array indexing is O(1). */
+  def dsirScore(docs: DataFrame, lam: Map[Long, Double], cBits: Double): DataFrame = {
+    val B = graft.operators.Curation.DsirBuckets
+    graft.operators.Curation.dsirScored(
+      docs.select(col("doc_id"), col("text"))
+        // same cheap pre-scorer guard as the batch sample (zero grams ⟺
+        // zero tokens; a post-hoc n_g filter would re-inline the gram
+        // tree into the pushed-down condition)
+        .filter(size(graft.functions.TextFns.tokens(col("text"))) > 0),
+      (0 until B).map(b => lam.getOrElse(b.toLong, 0.0)),
+      lit(cBits))
+      .select(col("doc_id"), col("n_g"), col("logw"))
+  }
+
   /** Ingest-time SUB-DOCUMENT scrubbing against a growing SPAN catalog —
     * the streaming twin of `Curation.substringDedup` (Lee-et-al-2022
     * substring dedup, fixed L), shaped like [[classifyAgainstCatalog]]:
@@ -274,19 +287,6 @@ object EventStream {
         st.getPath.getName == s"batch-$id"
     })) empty
     else graft.operators.Dedup.readCatalog(spark, root, excludeBatch)
-  }
-
-  def dsirScore(docs: DataFrame, lam: Map[Long, Double], cBits: Double): DataFrame = {
-    val B = graft.operators.Curation.DsirBuckets
-    graft.operators.Curation.dsirScored(
-      docs.select(col("doc_id"), col("text"))
-        // same cheap pre-scorer guard as the batch sample (zero grams ⟺
-        // zero tokens; a post-hoc n_g filter would re-inline the gram
-        // tree into the pushed-down condition)
-        .filter(size(graft.functions.TextFns.tokens(col("text"))) > 0),
-      (0 until B).map(b => lam.getOrElse(b.toLong, 0.0)),
-      lit(cBits))
-      .select(col("doc_id"), col("n_g"), col("logw"))
   }
 
   // ---- KMV distinct sketch with bounded state --------------------------

@@ -64,8 +64,7 @@ object ScaleAnnK {
     val walls = scala.collection.mutable.LinkedHashMap[String, Double]()
     for (k <- Seq(64, 256, 1024)) {
       val (cents, _) = time(s"train flat k=$k (50k sample, 1 iter)") {
-        Similarity.kmeansCentroids(sample, k, iters = 1)
-          .as[(Int, Seq[Double])].collect().sortBy(_._1).map(_._2).toIndexedSeq
+        Similarity.kmeansCentroidSeqs(sample, k, iters = 1)
       }
       val assigned = Similarity.assignCells(corpus, cents)
       val plan = assigned.queryExecution.executedPlan.toString
