@@ -680,6 +680,16 @@ object Similarity {
   def topkIvf2(spark: SparkSession, dir: String): DataFrame = {
     val all = emb(spark, dir).cache()
     val (tops, cents2) = trainTwoLevel(all, Ivf2K1, Ivf2K2, Ivf2Iters, None)
+    topkIvf2Search(all, tops, cents2)
+  }
+
+  /** Search half of [[topkIvf2]] under an already-trained codebook —
+    * factored so the short-sub-codebook path (a top cell trained with
+    * fewer than Ivf2K2 rows, or the zero-codeword fallback) is directly
+    * testable with a ragged `cents2`. */
+  private[graft] def topkIvf2Search(all: DataFrame,
+      tops: IndexedSeq[Seq[Double]],
+      cents2: IndexedSeq[IndexedSeq[Seq[Double]]]): DataFrame = {
     val cells = all.select(col("vec_id"), col("vec"))
       .join(assignWithTwoLevel(all, tops, cents2), Seq("vec_id")).cache()
     val cbs = typedLit(cents2.map(_.map(_.toSeq).toSeq).toSeq) // k1·k2·dim ≤ 1024 doubles — literal budget
@@ -687,11 +697,15 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("vec").as("qvec"), col("cid1").as("pcid1"))
     val probeW = Window.partitionBy(col("qid")).orderBy(col("pd2"), col("scid"))
     val probes = q
+      // Probe ids bounded by the ACTUAL sub-codebook length, not a fixed
+      // 1..Ivf2K2 range: under ANSI mode (Spark 4 default) an out-of-bounds
+      // element_at THROWS rather than returning NULL, so a top cell trained
+      // short (<Ivf2K2 rows, or trainTwoLevel's 1-codeword zero fallback)
+      // must never be probed past its length — the oracle just emits no row.
       .select(col("qid"), col("qvec"), col("pcid1"),
-        explode(sequence(lit(1), lit(Ivf2K2))).as("scid"))
+        explode(sequence(lit(1), size(element_at(cbs, col("pcid1"))))).as("scid"))
       .withColumn("pd2",
         pqD2(col("qvec"), element_at(element_at(cbs, col("pcid1")), col("scid"))))
-      .filter(col("pd2").isNotNull) // sub cell absent (short codebook) ⇔ no oracle row
       .withColumn("rn", row_number().over(probeW)).filter(col("rn") <= 2)
       .select(col("qid"), col("qvec"), col("pcid1"), col("scid"))
     val scored = cells.join(broadcast(probes),

@@ -278,15 +278,19 @@ object EventStream {
     val empty = spark.emptyDataset[String].toDF("wh")
     val p = new org.apache.hadoop.fs.Path(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // missing root = first batch ever; root holding ONLY the excluded
-    // batch's own dir = retry of the first batch — both read empty
-    // (Dedup.readCatalog would pass zero paths to the parquet reader)
+    // missing root = first batch ever; a root with NO usable batch-* dirs
+    // (empty dir, only _/. bookkeeping files, or only the excluded batch's
+    // own dir on a first-batch retry) reads empty too — Dedup.readCatalog
+    // would otherwise hand the parquet reader zero paths and die on
+    // schema inference. The guard is independent of excludeBatch.
     if (!fs.exists(p)) empty
-    else if (excludeBatch.exists(id => fs.listStatus(p).forall { st =>
-      st.getPath.getName.startsWith("_") || st.getPath.getName.startsWith(".") ||
-        st.getPath.getName == s"batch-$id"
-    })) empty
-    else graft.operators.Dedup.readCatalog(spark, root, excludeBatch)
+    else {
+      val usable = fs.listStatus(p).map(_.getPath.getName).filter { n =>
+        n.startsWith("batch-") && !excludeBatch.exists(id => n == s"batch-$id")
+      }
+      if (usable.isEmpty) empty
+      else graft.operators.Dedup.readCatalog(spark, root, excludeBatch)
+    }
   }
 
   // ---- KMV distinct sketch with bounded state --------------------------

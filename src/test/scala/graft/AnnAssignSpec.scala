@@ -109,4 +109,33 @@ class AnnAssignSpec extends AnyFunSuite {
       assert(cls.size == 1, s"cell $cell merged distinct clusters $cls")
     df.unpersist()
   }
+
+  test("topkIvf2Search: a short sub-codebook (zero-codeword fallback) must not crash the probe") {
+    // Under ANSI mode element_at throws on out-of-bounds reads, so a
+    // fixed 1..Ivf2K2 probe range over a ragged codebook (a top cell
+    // trained with <k2 rows, or trainTwoLevel's 1-codeword zero
+    // fallback) crashed at runtime before the round-9 fix. Drive the
+    // search directly with a ragged cents2: top cell 2 has ONE codeword.
+    val dim = 4
+    val pts = (0 until 30).map { i =>
+      // ids 0..4 are the query ids (NQueries = 5); put query 4 in cell 2
+      val inCell2 = i == 4 || i >= 25
+      val base = if (inCell2) Seq(0.0, 10.0, 0.0, 0.0) else Seq(10.0, 0.0, 0.0, 0.0)
+      (i.toLong, base.zipWithIndex.map { case (v, d) => v + 0.01 * math.sin(i * 3.1 + d) })
+    }
+    val all = pts.toDF("vec_id", "vec").cache()
+    val tops = IndexedSeq(Seq(10.0, 0.0, 0.0, 0.0), Seq(0.0, 10.0, 0.0, 0.0))
+    val cents2 = IndexedSeq(
+      (0 until 4).map(j => (0 until dim).map(d => 10.0 * math.cos(j + d)): Seq[Double]).toIndexedSeq,
+      IndexedSeq(Seq.fill(dim)(0.0))) // the short book — probing scid 2..4 here would throw
+    val out = Similarity.topkIvf2Search(all, tops, cents2)
+      .select("qid", "nid", "rn").as[(Long, Long, Int)].collect()
+    assert(out.nonEmpty)
+    // query 4 lives in the short-book cell and must still answer: its
+    // only probe is the single sub-cell, neighbors are the cell-2 points
+    val q4 = out.filter(_._1 == 4L).map(_._2).toSet
+    assert(q4.nonEmpty, "query in the short-codebook cell must produce neighbors")
+    assert(q4.subsetOf((25L until 30L).toSet), s"q4 neighbors should be cell-2 points, got $q4")
+    all.unpersist()
+  }
 }

@@ -421,5 +421,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(spans0.columns.toSeq == Seq("wh"))
     val freshRoot = s"$tmp/neverwritten"
     assert(EventStream.readSpanCatalog(spark, freshRoot).count() == 0)
+
+    // a root that EXISTS but holds no batch dirs (empty, or only _/. files)
+    // must read empty with excludeBatch=None too — not die on parquet
+    // schema inference over zero paths (round-9 ADVICE fix)
+    val emptyRoot = s"$tmp/existsempty"
+    new java.io.File(emptyRoot).mkdirs()
+    assert(EventStream.readSpanCatalog(spark, emptyRoot).count() == 0)
+    new java.io.File(s"$emptyRoot/_SUCCESS").createNewFile()
+    new java.io.File(s"$emptyRoot/.hidden").createNewFile()
+    assert(EventStream.readSpanCatalog(spark, emptyRoot).count() == 0)
   }
 }
