@@ -118,10 +118,14 @@ object Bench {
       s""""rep_failures":${repFailures.mkString("{", ",", "}")}}"""
     // a short self-contained total line: the driver's log capture has
     // twice truncated the HEAD of the long record — this one always fits
-    // in any capture window, so the headline number survives regardless
-    val totalLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
+    // in any capture window, so the headline number survives regardless.
+    // Loadavg at 1 dp here (full 2-dp copy rides in the long record):
+    // every char of this line competes with a median in the tail window.
+    val loadShort = loadAvgs.map(d => "%.1f".formatLocal(java.util.Locale.ROOT, d))
+      .mkString("[", ",", "]")
+    val totalLine = s"""{"metric":"total","value":${f2(total)},"unit":"sec",""" +
       s""""n_queries":${results.length},"n_failed":${failedQueries.length},""" +
-      s""""failed_reps":$failedReps,"loadavg":$loadLine,"sf":"$sfDir"}"""
+      s""""failed_reps":$failedReps,"loadavg":$loadShort,"sf":"$sfDir"}"""
     // the full per-REP detail, sharded into self-contained ~10-query
     // lines each well under any capture window: medians can be recomputed
     // and a poisoned window spotted (one rep >> the others) from the
@@ -132,21 +136,62 @@ object Bench {
       }.mkString("{", ",", "}")
       s"""{"metric":"bench_shard","shard":$s,"reps":$m}"""
     }.toVector
-    // per-query MEDIAN shards — the most compact complete per-query
-    // representation (~300 chars per 10-query line). These print LAST so
-    // the driver's ~2000-char tail window is spent on complete,
-    // individually-parseable median lines instead of the head-truncated
-    // consolidated record (rounds 1-7: the full record is ~2.4k chars —
-    // it can never fit the window whole, so whatever prints last wins)
-    val medianShards = results.grouped(10).zipWithIndex.map { case (grp, s) =>
-      val m = grp.map { case (n, v, _) => "\"" + n + "\":" + f3(v) }
-        .mkString("{", ",", "}")
-      s"""{"metric":"bench_medians","shard":$s,"queries":$m}"""
-    }.toVector
+    // per-query MEDIAN lines — round 9: the WHOLE set must fit the
+    // driver's ~2000-char tail window TOGETHER with the headline total
+    // (round 8 still clipped the first ~3 of 10 shard lines: 40 of 91
+    // medians existed only in target/bench.json). Three compressions,
+    // all documented by the legend line below (which prints early — it
+    // may be clipped from the tail, but survives in the full log and in
+    // target/bench.json):
+    //  - queries are grouped by family prefix and the prefix is hoisted
+    //    into a one-letter "g" code, so each key ships once per line
+    //    instead of once per query;
+    //  - the 22 TPC-H keys (q<N>_...) collapse to their bare number;
+    //  - values are 2-dp seconds with a redundant trailing zero dropped
+    //    ("0.50"→"0.5"); if the block still exceeds the budget the whole
+    //    set rebuilds at 1 dp (never silently truncates).
+    val groupDefs = Vector( // (code, prefix) — first match wins
+      "e" -> "q_events_", "s" -> "sim_topk_", "c" -> "curation_",
+      "d" -> "dedup_", "t" -> "text_", "m" -> "mm_", "r" -> "ref_",
+      "q" -> "q_")
+    val TpcH = "^q(\\d+)_.*$".r
+    def groupOf(k: String): (String, String) = k match {
+      case TpcH(n) => ("h", n)
+      case _ => groupDefs.find { case (_, p) => k.startsWith(p) }
+        .map { case (c, p) => (c, k.stripPrefix(p)) }
+        .getOrElse(("x", k))
+    }
+    val legend = groupDefs.map { case (c, p) => "\"" + c + "\":\"" + p + "\"" }
+      .mkString("""{"metric":"bench_medians_legend","groups":{""",
+        ",", ""","h":"q<N>_ (TPC-H, bare number)","x":""},""") +
+      """"note":"median seconds; keys = group prefix + short key"}"""
+    def fmt(v: Double, dp: Int): String = {
+      val s = s"%.${dp}f".formatLocal(java.util.Locale.ROOT, v)
+      if (dp == 2 && s.endsWith("0")) s.dropRight(1) else s
+    }
+    def medianLines(dp: Int): Vector[String] =
+      results.map { case (n, v, _) => (groupOf(n), v) }
+        .groupBy(_._1._1).toVector.sortBy(_._1)
+        .map { case (code, grp) =>
+          val m = grp.sortBy(_._1._2)
+            .map { case ((_, k), v) => "\"" + k + "\":" + fmt(v, dp) }
+            .mkString("{", ",", "}")
+          s"""{"g":"$code","q":$m}"""
+        }
+    // the tail block = every median line + the total line; it must fit
+    // the driver's ~2000-char window with room for sbt's trailing
+    // [success] line. Try 2 dp first, fall back to 1 dp; if even that
+    // overflows (far more queries than today), print anyway — partial
+    // clipping then degrades exactly like round 8, never worse.
+    val TailBudget = 1820
+    val medianShards = Iterator(2, 1).map(medianLines)
+      .find(ls => ls.map(_.length + 1).sum + totalLine.length + 1 <= TailBudget)
+      .getOrElse(medianLines(1))
     // file first (survives log truncation/interleaving), then stdout
     // twice — once immediately, once after stop() — each line separated
     // so the record stays intact even if a logger write lands mid-buffer
-    val fileBody = (json +: totalLine +: (shardLines ++ medianShards)).mkString("", "\n", "\n")
+    val fileBody = (json +: totalLine +: legend +: (shardLines ++ medianShards))
+      .mkString("", "\n", "\n")
     try {
       val out = java.nio.file.Paths.get("target", "bench.json")
       java.nio.file.Files.createDirectories(out.getParent)
@@ -154,13 +199,14 @@ object Bench {
     } catch { case _: Throwable => () }
     def printAll(): Unit = {
       println()
-      // long consolidated record first (intact in target/bench.json and
-      // in the full log); then per-rep shards; then the compact median
-      // shards and the headline total LAST — the driver's tail window
-      // keeps the end of the stream, so the final lines must be the
-      // short self-contained ones
+      // long consolidated record + per-rep shards + legend first (intact
+      // in target/bench.json and the full log; clipped from the tail);
+      // then the compact median lines and the headline total LAST — the
+      // driver's tail window keeps the end of the stream, so the final
+      // lines must be the complete self-contained ones
       println(json)
       shardLines.foreach(println)
+      println(legend)
       medianShards.foreach(println)
       println(totalLine)
       Console.flush()

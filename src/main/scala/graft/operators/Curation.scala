@@ -493,12 +493,23 @@ object Curation {
   // arithmetic; a production pipeline reuses its materialized cluster
   // table instead of recomputing. Same salt as [[split]] on purpose —
   // reviewable as "the baseline split, keyed by cluster rep".
-  def splitLeakSafe(spark: SparkSession, dir: String): DataFrame = {
-    val clusters = Dedup.dedupClustersOf(spark, dir, ordered = false)
+  def splitLeakSafe(spark: SparkSession, dir: String): DataFrame =
+    splitLeakSafeOf(
+      Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+      Dedup.dedupClustersOf(spark, dir, ordered = false))
+
+  /** The split given an ALREADY-MATERIALIZED (doc_id, cluster_id) table
+    * — the production form (round 9, the [[graft.operators.Multimodal
+    * dhashDedupOf]] pattern): a pipeline that has run `dedup_clusters`
+    * reuses its output instead of recomputing the shingle join + CC
+    * here, leaving only the narrow hash arithmetic and one doc_id join
+    * (~the [[split]] cost). The gated entry keeps the self-contained
+    * inline form; the spec proves the composed form equal. */
+  def splitLeakSafeOf(docs: DataFrame, clusters: DataFrame): DataFrame = {
     val u = conv(substring(md5(concat(lit("split:"), col("cluster_id").cast("string"))), 1, 15), 16, 10)
       .cast("long").cast("double") / lit(1.152921504606846976e18)
-    Tables.documents(spark, dir).select(col("doc_id"), col("source"))
-      .join(clusters, Seq("doc_id"))
+    docs.select(col("doc_id"), col("source"))
+      .join(clusters.select(col("doc_id"), col("cluster_id")), Seq("doc_id"))
       .select(col("doc_id"), col("source"), col("cluster_id"),
         when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test").as("split"))
       .orderBy(col("doc_id"))

@@ -367,8 +367,8 @@ object Dedup {
     * composing consumers (the leakage-safe split's join) destroy row
     * order immediately, so they shouldn't pay the exchange for it
     * (the ngramJaccardImpl precedent). */
-  private[operators] def dedupClustersOf(spark: SparkSession, dir: String,
-                                         ordered: Boolean): DataFrame = {
+  private[graft] def dedupClustersOf(spark: SparkSession, dir: String,
+                                     ordered: Boolean): DataFrame = {
     // canonical knob namespace is spark.graft.*; the round-2 name
     // graft.dedup.maxShingleDf stays honored for compatibility
     val maxDf = spark.conf.getOption("spark.graft.dedup.maxShingleDf")

@@ -40,6 +40,27 @@ object ScaleDedup {
       .agg(count(lit(1)), sum(col("n_kept")), sum(col("n_tokens"))).first()
     println(f"[scale] substring_dedup 1M docs: ${(System.nanoTime()-t1)/1e9}%.2f s  " +
       s"docs=${sub.getLong(0)} kept_tokens=${sub.getLong(1)}/${sub.getLong(2)}")
+
+    // composed leakage-safe split (round 9): a production pipeline that
+    // has materialized dedup_clusters pays only the curation_split cost
+    // for the safe split — NOT the clusters recompute the gated inline
+    // entry carries. Measured at sf0.1 (where the inline entry benches
+    // ~4-5 s): clusters written once, then the composed split timed
+    // alone. min(split) forces the hash arithmetic on every row.
+    val sf = "/root/testdata/sf0.1"
+    if (new java.io.File(s"$sf/documents.parquet").exists()) {
+      val clPath = "target/tmp/sf01_clusters.parquet"
+      val tc = System.nanoTime()
+      Dedup.dedupClusters(spark, sf).write.mode("overwrite").parquet(clPath)
+      println(f"[scale] clusters materialize sf0.1: ${(System.nanoTime()-tc)/1e9}%.2f s (paid once)")
+      val docs = graft.sources.Tables.documents(spark, sf).select("doc_id", "source")
+      val ts = System.nanoTime()
+      val comp = graft.operators.Curation
+        .splitLeakSafeOf(docs, spark.read.parquet(clPath))
+        .agg(count(lit(1)), min(col("split"))).first()
+      println(f"[scale] composed splitLeakSafeOf sf0.1: ${(System.nanoTime()-ts)/1e9}%.2f s  " +
+        s"rows=${comp.getLong(0)}")
+    }
     spark.stop()
   }
 }

@@ -328,6 +328,19 @@ class ScaleOpsSpec extends AnyFunSuite {
       assert(safe(s)._1 == s)
       assert(safe(s)._2 == plain(s))
     }
+
+    // composed form (round 9): given a MATERIALIZED cluster table —
+    // written to parquet and read back, the production shape — the
+    // split equals the self-contained inline form exactly
+    val clusterPath = s"$tmp/clusters.parquet"
+    Dedup.dedupClustersOf(spark, tmp, ordered = false)
+      .write.parquet(clusterPath)
+    val composed = Curation.splitLeakSafeOf(
+        spark.read.parquet(s"$tmp/documents.parquet").select("doc_id", "source"),
+        spark.read.parquet(clusterPath))
+      .select("doc_id", "cluster_id", "split").as[(Long, Long, String)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(composed == safe, "composed split must equal the inline form")
   }
 
   test("incremental dedup: exact_dup / near_dup / novel against a catalog, best match wins") {
