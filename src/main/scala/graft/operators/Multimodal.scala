@@ -271,8 +271,30 @@ object Multimodal {
     if (ImageDecoder.mightBeImage(payload)) imageGrid(payload).getOrElse(fakeGrid(payload))
     else fakeGrid(payload)
 
-  def imageDhashDedup(spark: SparkSession, dir: String): DataFrame =
-    dhashDedupOf(spark, media(spark, dir))
+  /** Crafted seed payloads unioned into the GATED pair entry (round 9):
+    * the sf0.01 text stand-in corpus has no two docs within Hamming 3,
+    * so the pair query gated vacuously (0 == 0 rows — join, verify and
+    * distinct never produced a row under the oracle). Two identical
+    * payloads guarantee a Hamming-0 pair; the one-char edit exercises
+    * the near-but-not-exact path (whether it lands within the threshold
+    * is corpus-free determinism — engine and oracle compute the same
+    * grid, so the gate is exact either way). Negative ids keep the
+    * seeds disjoint from every corpus doc_id; ASCII only, so the
+    * byte-sample oracle arithmetic holds. The dense twin
+    * [[imageDhash]] stays seed-free — it gates the hash on REAL rows. */
+  private[graft] val DhashSeedBase =
+    "graft dhash pair seed: the quick brown fox jumps over the lazy dog 0123456789 abcdefghijklmnopqrstuvwxyz"
+  private[graft] val DhashSeeds: Seq[(Long, String)] = Seq(
+    -3L -> DhashSeedBase,
+    -2L -> DhashSeedBase,
+    -1L -> DhashSeedBase.replace("quick", "quack"))
+
+  def imageDhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val seeds = DhashSeeds.toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    dhashDedupOf(spark, media(spark, dir).unionByName(seeds))
+  }
 
   /** (doc_id, b0..b3): the dHash of every payload as its four 16-bit
     * blocks. 16 bits per block j: rows 2j, 2j+1; bit b = cell(r,c) >
@@ -345,13 +367,17 @@ object Multimodal {
 
   /** Exact twin of [[imageDhashDedup]] on the (ASCII) text stand-in
     * corpus: byte-sample grid, the same block bits, pigeonhole
-    * candidate join, Hamming ≤ 3. */
+    * candidate join, Hamming ≤ 3. The seed rows are generated from the
+    * SAME Scala constants as the Spark side, so the two can't drift. */
   val imageDhashDedupOracle: String = s"""
-    WITH g AS (
+    WITH dseed(doc_id, text) AS (VALUES ${
+      DhashSeeds.map { case (id, t) => s"(CAST($id AS BIGINT), '$t')" }.mkString(", ")}),
+    dplus AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM dseed),
+    g AS (
       SELECT doc_id, k,
         CASE WHEN strlen(text) = 0 THEN 0
              ELSE ascii(substr(text, CAST((k * strlen(text)) // ${GridW * GridH} AS INT) + 1, 1)) END AS v
-      FROM documents, (SELECT unnest(range(${GridW * GridH})) AS k)),
+      FROM dplus, (SELECT unnest(range(${GridW * GridH})) AS k)),
     p AS (SELECT doc_id, list(v ORDER BY k) AS grid FROM g GROUP BY doc_id),
     h AS (SELECT doc_id, ${(0 until 4).map(j => s"${dhashBlockSql(j)} AS b$j").mkString(", ")} FROM p),
     bl AS (
