@@ -771,7 +771,112 @@ object Curation {
     FROM top ORDER BY rk"""
   }
 
+  // ---- trained quality classifier (round 9) ----------------------------
+  // The single most-used curation component real LLM pipelines ship
+  // that resampling alone doesn't cover: GPT-3 (Brown et al. 2020,
+  // appendix A) and the LLaMA line filter the crawl with a CLASSIFIER
+  // trained to tell a trusted reference corpus from raw crawl text —
+  // every incoming document gets a score and a keep verdict, not just a
+  // resampled subset. Ours is multinomial Naive Bayes over the SAME
+  // hashed bag-of-ngrams feature space as DSIR — deliberately: the NB
+  // feature log-likelihood-ratio in bits IS [[dsirScored]]'s logw
+  // (per-gram λ[b] = log2(ct+1)−log2(cr+1) plus the per-gram Laplace
+  // normalizer C), so training is [[dsirTrain]] verbatim (one gram
+  // aggregate, fixed B-dimension model) plus ONE doc-count aggregate
+  // for the class prior, and scoring is the shared narrow decimal fold
+  // — no join, no shuffle, streaming-safe. Per doc:
+  //  - nb_bits  = logw + log2(D_t)−log2(D_r): posterior log-odds of
+  //    "target-like" in bits (4 dp, the honest calibrated quantity);
+  //  - margin   = logw / n_g: the length-normalized per-gram margin —
+  //    raw log-odds grow with doc length (the standard NB artifact), so
+  //    thresholding pipelines use the per-gram rate (6 dp);
+  //  - keep     = nb_bits > 0 (posterior favors the reference class).
+  // Unlike [[dsirSample]] it scores EVERY document (target slice
+  // included — a classifier must rank its own training domain high;
+  // the direction spec asserts exactly that).
+  private[graft] def classPriorBits(spark: SparkSession, dir: String): Double =
+    Tables.documents(spark, dir)
+      .agg(count(when(dsirIsTarget, lit(1))).as("dt"),
+           count(when(!dsirIsTarget, lit(1))).as("dr"))
+      .select(round(log2(col("dt")) - log2(col("dr")), 8)).head.getDouble(0)
+
+  /** Verdict columns over a [[dsirScored]] frame — ONE definition of
+    * the posterior/margin/keep arithmetic for the batch entry and the
+    * streaming ingest scorer (EventStream.classifierScore). */
+  private[graft] def classifierVerdict(scored: DataFrame, priorBits: Double): DataFrame =
+    scored
+      .withColumn("nb_bits", round(col("logw") + lit(priorBits), 4))
+      .withColumn("margin", round(col("logw") / col("n_g"), 6))
+      .withColumn("keep", col("nb_bits") > 0)
+
+  /** The trained model in driver form for streaming ingest: DSIR's
+    * (λ map, C) plus the class-prior bits. ≤B+2 doubles — driver-sized
+    * by construction, same argument as [[dsirModel]]. */
+  def qualityClassifierModel(spark: SparkSession, dir: String): (Map[Long, Double], Double, Double) = {
+    val (lamMap, c) = dsirModel(spark, dir)
+    (lamMap, c, classPriorBits(spark, dir))
+  }
+
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val B = DsirBuckets
+    val (lamArr, nt, nr) = dsirTrain(spark, dir)
+    val cBits = round(log2(lit(nr) + B) - log2(lit(nt) + B), 8)
+    val prior = classPriorBits(spark, dir)
+    // same pre-scorer zero-gram guard as dsirSample (zero grams ⟺ zero
+    // tokens; a post-hoc n_g filter re-inlines the gram tree into the
+    // pushed-down condition)
+    classifierVerdict(
+      dsirScored(
+        Tables.documents(spark, dir)
+          .filter(size(TextFns.tokens(col("text"))) > 0)
+          .select(col("doc_id"), col("source"), col("text")),
+        lamArr, cBits),
+      prior)
+      .select(col("doc_id"), col("source"), col("n_g"),
+        col("nb_bits"), col("margin"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityClassifierOracle: String = {
+    val B = DsirBuckets
+    val tgt = DsirTargetSources.map(s => s"'$s'").mkString(", ")
+    s"""
+    WITH toks AS (SELECT doc_id, source, $tokensSql AS t FROM documents),
+    grams AS (
+      SELECT doc_id, source, unnest(t) AS g FROM toks
+      UNION ALL
+      SELECT doc_id, source,
+             unnest(list_transform(range(len(t)-1), i -> array_to_string(t[i+1:i+2], ' '))) AS g
+      FROM toks WHERE len(t) >= 2),
+    db AS (SELECT doc_id, source,
+             CAST(concat('0x', substr(md5('dsir:' || g), 1, 15)) AS BIGINT) % $B AS b,
+             count(*) AS c
+           FROM grams GROUP BY 1, 2, 3),
+    lm AS (SELECT b,
+             CAST(coalesce(sum(CASE WHEN source IN ($tgt) THEN c END), 0) AS BIGINT) AS ct,
+             CAST(coalesce(sum(CASE WHEN source NOT IN ($tgt) THEN c END), 0) AS BIGINT) AS cr
+           FROM db GROUP BY b),
+    lam AS (SELECT b, round(log2(ct + 1) - log2(cr + 1), 8) AS lam FROM lm),
+    tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr FROM lm),
+    pri AS (SELECT round(log2(count(CASE WHEN source IN ($tgt) THEN 1 END))
+                 - log2(count(CASE WHEN source NOT IN ($tgt) THEN 1 END)), 8) AS prior
+            FROM documents),
+    per AS (SELECT db.doc_id, db.source, CAST(sum(c) AS BIGINT) AS n_g,
+              CAST(sum(CAST(c AS DECIMAL(10,0)) * CAST(lam AS DECIMAL(20,12))) AS DOUBLE) AS s
+            FROM db JOIN lam USING (b)
+            GROUP BY db.doc_id, db.source),
+    w AS (SELECT doc_id, source, n_g,
+            round(s + n_g * round(log2(nr + $B) - log2(nt + $B), 8), 4) AS logw
+          FROM per, tot)
+    SELECT doc_id, source, n_g,
+      round(logw + prior, 4) AS nb_bits,
+      round(logw / n_g, 6) AS margin,
+      (round(logw + prior, 4) > 0) AS keep
+    FROM w, pri ORDER BY doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curation_quality_classifier" -> (qualityClassifier _),
     "curation_stratified_mix" -> (stratifiedMix _),
     "curation_contamination"  -> (contamination _),
     "curation_pack_sequences" -> (packSequences _),
@@ -785,6 +890,7 @@ object Curation {
     "curation_corpus_stats"  -> (corpusStats _))
 
   val oracle: Map[String, String] = Map(
+    "curation_quality_classifier" -> qualityClassifierOracle,
     "curation_stratified_mix" -> stratifiedMixOracle,
     "curation_contamination"  -> contaminationOracle,
     "curation_pack_sequences" -> packSequencesOracle,

@@ -212,6 +212,27 @@ object EventStream {
       .select(col("doc_id"), col("n_g"), col("logw"))
   }
 
+  /** Ingest-time quality classification (round 9) — the streaming twin
+    * of `Curation.qualityClassifier`, shaped exactly like
+    * [[dsirScore]]: the offline-trained model (λ map + per-gram C +
+    * class-prior bits, ≤B+2 doubles by construction) rides as literals,
+    * scoring is the shared narrow decimal fold plus the shared verdict
+    * projection — no join, no shuffle, ZERO state-store rows at any
+    * stream rate. Verdict arithmetic bit-matches the batch entry (same
+    * λ, same fold, same 4/6-dp rounds). */
+  def classifierScore(docs: DataFrame, lam: Map[Long, Double], cBits: Double,
+                      priorBits: Double): DataFrame = {
+    val B = graft.operators.Curation.DsirBuckets
+    graft.operators.Curation.classifierVerdict(
+      graft.operators.Curation.dsirScored(
+        docs.select(col("doc_id"), col("text"))
+          .filter(size(graft.functions.TextFns.tokens(col("text"))) > 0),
+        (0 until B).map(b => lam.getOrElse(b.toLong, 0.0)),
+        lit(cBits)),
+      priorBits)
+      .select(col("doc_id"), col("n_g"), col("nb_bits"), col("margin"), col("keep"))
+  }
+
   /** Ingest-time SUB-DOCUMENT scrubbing against a growing SPAN catalog —
     * the streaming twin of `Curation.substringDedup` (Lee-et-al-2022
     * substring dedup, fixed L), shaped like [[classifyAgainstCatalog]]:

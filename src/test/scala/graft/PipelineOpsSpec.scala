@@ -220,6 +220,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.sortBy(_._3).map(_._3).toSeq == Seq(1, 2)) // ranks dense from 1
   }
 
+  test("quality classifier: reference-like docs keep, crawl-junk drops, margins ordered") {
+    // trusted slice (src0/src1): a distinctive technical vocabulary;
+    // crawl: one doc echoing it, one spam doc. The classifier must (a)
+    // rank its own training domain high (keep), (b) keep the echo, (c)
+    // drop the spam, (d) order the per-gram margins echo > spam — the
+    // GPT-3-style filtering signal's direction. Repetition factors give
+    // the LM enough mass that the verdict isn't prior-dominated.
+    val tgt = "quantum field energy physics lattice boson " * 6
+    val tmp = java.nio.file.Files.createTempDirectory("qcls").toString
+    Seq(
+      (1L, tgt, "src0"), (2L, tgt, "src1"),
+      // the echo repeats the reference PHRASE (bigram structure intact —
+      // NB with bigram features rightly punishes shuffled word salad of
+      // the right vocabulary) plus a couple of novel tokens
+      (10L, "quantum field energy physics lattice boson " * 5 + "decay decay", "web"),
+      (11L, "buy cheap pills now limited offer click " * 5, "web"))
+      .toDF("doc_id", "text", "source").write.parquet(s"$tmp/documents.parquet")
+    val got = graft.operators.Curation.qualityClassifier(spark, tmp)
+      .select("doc_id", "nb_bits", "margin", "keep")
+      .as[(Long, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.keySet == Set(1L, 2L, 10L, 11L)) // scores EVERY doc, target included
+    assert(got(1L)._3 && got(2L)._3, "training-domain docs must classify as keep")
+    assert(got(10L)._3, "the target-like crawl doc must keep")
+    assert(!got(11L)._3, "the spam doc must drop")
+    assert(got(10L)._2 > got(11L)._2, "per-gram margin must rank echo above spam")
+    assert(got(1L)._1 > got(10L)._1, "in-domain beats merely-similar on log-odds")
+  }
+
   test("real image decode: PNG features exact, JPEG dims, non-image falls back") {
     import java.awt.image.BufferedImage
     import java.io.ByteArrayOutputStream

@@ -101,6 +101,33 @@ class StreamingSpec extends AnyFunSuite {
     want.foreach { case (id, w) => assert(got(id) == w, s"doc $id: ${got(id)} != $w") }
   }
 
+  test("streaming quality classifier == batch verdicts, zero state-store rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val (lam, c, prior) = graft.operators.Curation.qualityClassifierModel(spark, sf)
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)]
+    val scored = EventStream.classifierScore(input.toDS().toDF("doc_id", "text"), lam, c, prior)
+    val q = scored.writeStream.format("memory").queryName("cls_stream")
+      .outputMode("append").start()
+    docs.grouped(math.max(1, docs.length / 2 + 1)).foreach { b =>
+      input.addData(b.toSeq); q.processAllAvailable()
+    }
+    assert(q.lastProgress.stateOperators.isEmpty) // narrow plan, no state
+    q.stop()
+    val got = spark.table("cls_stream")
+      .select("doc_id", "nb_bits", "margin", "keep")
+      .as[(Long, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // the gated batch entry is the ground truth on every doc
+    val want = graft.operators.Curation.qualityClassifier(spark, sf)
+      .select("doc_id", "nb_bits", "margin", "keep")
+      .as[(Long, Double, Double, Boolean)].collect()
+    assert(want.nonEmpty && want.length == got.size)
+    want.foreach { case (id, nb, m, k) =>
+      assert(got(id) == ((nb, m, k)), s"doc $id: ${got(id)} != ($nb,$m,$k)") }
+  }
+
   test("watermark-bounded dedup: state plateaus (evicts) under continuous ingest") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Long, String)]
