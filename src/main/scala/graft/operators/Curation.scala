@@ -317,6 +317,100 @@ object Curation {
     FROM toks t LEFT JOIN agg a USING (doc_id)
     ORDER BY t.doc_id"""
 
+  // ---- line-level dedup (round 9) -------------------------------------
+  // The C4 line filter (Raffel et al. 2020 §2.2 discard-repeated-spans
+  // family; RefinedWeb and CCNet both run a line-level pass FIRST —
+  // it's cheaper than any fuzzy stage and catches navigation chrome,
+  // cookie banners, and boilerplate footers that repeat verbatim
+  // across a crawl): a line survives only at its corpus-wide first
+  // occurrence; later copies are dropped and each document reassembles
+  // from its surviving lines.
+  //
+  // Semantics: lines split on '\n' (empty trailing segments kept in
+  // n_lines); matching key = the space-trimmed line (leading/trailing
+  // padding doesn't make a line novel — both engines' trim is
+  // space-only, a verified portability pair); whitespace-only lines
+  // are dropped outright (blank-artifact removal); first occurrence =
+  // min (doc_id, line_no) per key, the substringDedup rule; kept_text
+  // preserves the RAW line bytes in original order.
+  //
+  // Scale shape: the only exchanges are one md5(line)-keyed aggregate
+  // (map-side combined min-struct) and the equi-join back — the
+  // substringDedup plan with lines for windows, so the 100 TB story is
+  // identical: bounded-key equi-joins, no all-pairs, no global sort.
+  // Reassembly aggregates per doc (arrays bounded by doc length).
+  /** Composable form: line dedup over any (doc_id, text) frame. */
+  private[graft] def lineDedupOf(docs: DataFrame): DataFrame = {
+    val segs = docs.select(col("doc_id"),
+      posexplode(org.apache.spark.sql.functions.split(col("text"), "\n", -1))
+        .as(Seq("ln", "raw")))
+    val keyed = segs
+      .withColumn("lh", md5(trim(col("raw"))))
+      .filter(trim(col("raw")) =!= "")
+    val first = keyed.groupBy(col("lh"))
+      .agg(min(struct(col("doc_id"), col("ln"))).as("f"))
+    val dups = keyed.join(first, Seq("lh"))
+      .filter(col("doc_id") =!= col("f.doc_id") || col("ln") =!= col("f.ln"))
+      .select(col("doc_id"), col("ln"))
+    val kept = keyed.join(dups, Seq("doc_id", "ln"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept_raw"),
+        array_join(transform(array_sort(collect_list(struct(col("ln"), col("raw")))),
+          s => s.getField("raw")), "\n").as("kept_raw"))
+    docs.select(col("doc_id"),
+        size(org.apache.spark.sql.functions.split(col("text"), "\n", -1))
+          .cast("long").as("n_lines"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept_raw"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_raw"), lit("")).as("kept_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Crafted multi-line seeds unioned into the GATED entry: the sf
+    * stand-in corpus carries no '\n', so every corpus doc is one line
+    * and the gate would only exercise whole-doc duplicates. The shared
+    * footer repeats across all three seeds (−1's copy padded with
+    * spaces — the trim-key path), so the line join, first-occurrence
+    * rule, and reassembly all produce rows. Negative ids keep seeds
+    * disjoint from corpus doc_ids; same-constant generation on both
+    * sides (the DhashSeeds pattern) so engine and oracle can't drift. */
+  private[graft] val LineSeedFooter =
+    "subscribe to our newsletter | all rights reserved"
+  private[graft] val LineSeeds: Seq[(Long, String)] = Seq(
+    -3L -> s"alpha opening line\n$LineSeedFooter\nalpha closing line",
+    -2L -> s"beta opening line\n$LineSeedFooter\nbeta closing line",
+    -1L -> s"gamma opening line\n  $LineSeedFooter  \n\ngamma closing line")
+
+  def lineDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val seeds = LineSeeds.toDF("doc_id", "text")
+    lineDedupOf(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).unionByName(seeds))
+  }
+
+  val lineDedupOracle: String = s"""
+    WITH lseed(doc_id, text) AS (VALUES ${
+      LineSeeds.map { case (id, t) =>
+        s"(CAST($id AS BIGINT), '${t.replace("'", "''")}')" }.mkString(", ")}),
+    dplus AS (SELECT doc_id, text FROM documents
+              UNION ALL SELECT doc_id, text FROM lseed),
+    segs AS (SELECT doc_id, unnest(range(len(l))) AS ln, unnest(l) AS raw
+             FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM dplus)),
+    keyed AS (SELECT doc_id, ln, raw, md5(trim(raw)) AS lh
+              FROM segs WHERE trim(raw) <> ''),
+    r AS (SELECT doc_id, ln, raw,
+            row_number() OVER (PARTITION BY lh ORDER BY doc_id, ln) AS rn
+          FROM keyed),
+    agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+              string_agg(raw, chr(10) ORDER BY ln) AS kept_text
+            FROM r WHERE rn = 1 GROUP BY doc_id)
+    SELECT d.doc_id, CAST(len(string_split(d.text, chr(10))) AS BIGINT) AS n_lines,
+           coalesce(a.n_kept, 0) AS n_kept,
+           coalesce(a.kept_text, '') AS kept_text
+    FROM dplus d LEFT JOIN agg a USING (doc_id)
+    ORDER BY d.doc_id"""
+
   // ---- temperature-weighted source mixing (round 4) -------------------
   // The multilingual/multi-source rebalancing stage (Conneau et al.
   // 2019's p_i^τ sampling): a source's share of the output budget is
@@ -882,6 +976,7 @@ object Curation {
     "curation_pack_sequences" -> (packSequences _),
     "curation_chunk_dedup"   -> (chunkDedup _),
     "curation_substring_dedup" -> (substringDedup _),
+    "curation_line_dedup"    -> (lineDedup _),
     "curation_temperature_mix" -> (temperatureMix _),
     "curation_quality_gate"  -> (qualityGate _),
     "curation_split"         -> (split _),
@@ -896,6 +991,7 @@ object Curation {
     "curation_pack_sequences" -> packSequencesOracle,
     "curation_chunk_dedup"   -> chunkDedupOracle,
     "curation_substring_dedup" -> substringDedupOracle,
+    "curation_line_dedup"    -> lineDedupOracle,
     "curation_temperature_mix" -> temperatureMixOracle,
     "curation_quality_gate"  -> qualityGateOracle,
     "curation_split"         -> splitOracle,

@@ -677,9 +677,17 @@ object Similarity {
   private val Ivf2K2 = 4
   private val Ivf2Iters = 2
 
-  def topkIvf2(spark: SparkSession, dir: String): DataFrame = {
-    val all = emb(spark, dir).cache()
-    val (tops, cents2) = trainTwoLevel(all, Ivf2K1, Ivf2K2, Ivf2Iters, None)
+  def topkIvf2(spark: SparkSession, dir: String): DataFrame =
+    topkIvf2Of(emb(spark, dir).cache(), Ivf2K1, Ivf2K2, Ivf2Iters, None)
+
+  /** Composable two-level search over any (vec_id, vec) frame, with the
+    * sampled-training path first-class: `train` is the 100 TB reality
+    * (codebooks come from a hash-sample, never a full-corpus Lloyd) —
+    * stress-gated with a recall-vs-bruteforce floor in
+    * [[graft.tools.ScaleAnnK]]. */
+  def topkIvf2Of(all: DataFrame, k1: Int, k2: Int, iters: Int,
+                 train: Option[DataFrame] = None): DataFrame = {
+    val (tops, cents2) = trainTwoLevel(all, k1, k2, iters, train)
     topkIvf2Search(all, tops, cents2)
   }
 

@@ -414,6 +414,155 @@ object TextAnalysis {
       round(CAST(sum(CAST(bits AS DECIMAL(28,12))) AS DOUBLE) / count(*), 4) AS avg_bits
     FROM term GROUP BY doc_id ORDER BY doc_id"""
 
+  // ---- 6d. interpolated bigram LM surprisal (round 9) -----------------
+  // The bigram member of the CCNet perplexity-bucketing family
+  // (Wenzek et al. 2019, arXiv:1911.00359): per document, the average
+  // interpolated surprisal of each token under the corpus's OWN hashed
+  // bigram+unigram LM. Hashing grams into a FIXED B=4096 bucket space
+  // (the DSIR trick, Curation.scala) keeps the model 3·B doubles —
+  // inside the 16384-double literal budget (AnnAssignSpec), always
+  // broadcastable no matter the corpus size, so scoring is a pure
+  // narrow projection: no join, no shuffle, O(tokens) per row.
+  //
+  // Interpolation is in LOG space (weighted geometric mean of the two
+  // probabilities — Jelinek–Mercer's deterministic cousin): per
+  // position i, bits(i) = 0.75·bits2 + 0.25·bits1 for i ≥ 2, bits1
+  // alone at i = 1, where
+  //   bits1 = log2(N1 + B) − log2(c1[bu(t_i)] + 1)          (Laplace)
+  //   bits2 = log2(c1[bu(t_{i−1})] + B) − log2(c2[bb(t_{i−1} t_i)] + 1)
+  // with bu/bb md5-hashed buckets under distinct salts. A probability-
+  // space mix (0.75·p2 + 0.25·p1) would need a transcendental of a SUM
+  // at the gate — unportable; the log-space blend keeps every log2
+  // argument a smoothed INTEGER count, the proven 8-dp recipe
+  // (unigramSurprisal above), and the 0.75/0.25 blend is exact decimal
+  // arithmetic (8-dp terms widen to 10 dp — still exact in
+  // DECIMAL(28,12)).
+  //
+  // Scale shape: training is one gram explode into the bucket-keyed
+  // conditional aggregate (map-side combined to ≤B rows per partition
+  // — the dsirTrain argument verbatim); per-bucket bits are computed
+  // by Spark's OWN log2/round expressions before the ≤B-row collect.
+  // Scoring inlines the three dense arrays as literals (a joined model
+  // frame runs the fold interpreted — the dsirScored measurement) and
+  // folds per-position terms with the decimal-sum recipe, 4 dp out.
+  private[graft] val BslmBuckets = 4096
+
+  private def bslmBucket(kind: String, g: Column): Column =
+    conv(substring(md5(concat(lit(s"bslm:$kind:"), g)), 1, 15), 16, 10)
+      .cast("long") % BslmBuckets
+
+  def bigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    val B = BslmBuckets
+    val toks = Tables.documents(spark, dir)
+      .select(TextFns.tokens(col("text")).as("t"))
+    val uni = toks.select(explode(col("t")).as("g"))
+      .select(lit("u").as("k"), bslmBucket("u", col("g")).as("b"))
+    val bi = toks.select(explode(TextFns.shinglesFromTokens(col("t"), 2)).as("g"))
+      .select(lit("b").as("k"), bslmBucket("b", col("g")).as("b"))
+    val lm = uni.union(bi).groupBy(col("b")).agg(
+        count(when(col("k") === "u", lit(1))).as("c1"),
+        count(when(col("k") === "b", lit(1))).as("c2"))
+      .select(col("b"), col("c1"),
+        round(log2(col("c1") + 1), 8).as("d1"),
+        round(log2(col("c1") + B), 8).as("a1"),
+        round(log2(col("c2") + 1), 8).as("d2"))
+      .collect()
+    // densify: absent buckets carry the exact zero-count values
+    // (d1 = d2 = log2(1) = 0; a1 = log2(B) — computed through Spark's
+    // expression so rounding semantics match the in-plan rows)
+    val a1Default = spark.range(1)
+      .select(round(log2(lit(0L) + B), 8)).head.getDouble(0)
+    val d1 = Array.fill(B)(0.0)
+    val a1 = Array.fill(B)(a1Default)
+    val d2 = Array.fill(B)(0.0)
+    var n1 = 0L
+    lm.foreach { r =>
+      val b = r.getLong(0).toInt
+      n1 += r.getLong(1)
+      d1(b) = r.getDouble(2); a1(b) = r.getDouble(3); d2(b) = r.getDouble(4)
+    }
+    val uBits = spark.range(1)
+      .select(round(log2(lit(n1) + B), 8)).head.getDouble(0)
+    val d1L = typedLit(d1.toSeq); val a1L = typedLit(a1.toSeq)
+    val d2L = typedLit(d2.toSeq)
+    def dec(c: Column) = c.cast("decimal(28,12)")
+    Tables.documents(spark, dir)
+      .filter(size(TextFns.tokens(col("text"))) > 0)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("__t"))
+      .withColumn("__terms",
+        transform(sequence(lit(1), size(col("__t"))), i => {
+          val cur = element_at(col("__t"), i)
+          val uTerm = dec(lit(uBits)) -
+            dec(element_at(d1L, (bslmBucket("u", cur) + 1).cast("int")))
+          // prev only evaluates in the i ≥ 2 branch (CaseWhen is lazy —
+          // element_at(__t, 0) would throw under ANSI otherwise)
+          val prev = element_at(col("__t"), i - 1)
+          val gTerm =
+            dec(element_at(a1L, (bslmBucket("u", prev) + 1).cast("int"))) -
+            dec(element_at(d2L,
+              (bslmBucket("b", concat_ws(" ", prev, cur)) + 1).cast("int")))
+          when(i === 1, dec(uTerm))
+            .otherwise(dec(lit(BigDecimal("0.75")) * gTerm +
+              lit(BigDecimal("0.25")) * uTerm))
+        }))
+      .select(col("doc_id"),
+        size(col("__t")).cast("long").as("n_tokens"),
+        round(aggregate(col("__terms"),
+          lit(BigDecimal(0)).cast("decimal(28,12)"),
+          (acc, x) => (acc + x).cast("decimal(28,12)")).cast("double") /
+          size(col("__t")), 4).as("avg_bits"))
+      .orderBy(col("doc_id"))
+  }
+
+  val bigramSurprisalOracle: String = {
+    val B = BslmBuckets
+    s"""
+    WITH toks AS (SELECT doc_id, $tokensSql AS t FROM documents),
+    grams AS (
+      SELECT 'u' AS k,
+        CAST(concat('0x', substr(md5('bslm:u:' || g), 1, 15)) AS BIGINT) % $B AS b
+      FROM (SELECT unnest(t) AS g FROM toks)
+      UNION ALL
+      SELECT 'b' AS k,
+        CAST(concat('0x', substr(md5('bslm:b:' || g), 1, 15)) AS BIGINT) % $B AS b
+      FROM (SELECT unnest(list_transform(range(len(t)-1),
+              i -> array_to_string(t[i+1:i+2], ' '))) AS g
+            FROM toks WHERE len(t) >= 2)),
+    lm AS (SELECT b,
+             CAST(count(CASE WHEN k = 'u' THEN 1 END) AS BIGINT) AS c1,
+             CAST(count(CASE WHEN k = 'b' THEN 1 END) AS BIGINT) AS c2
+           FROM grams GROUP BY b),
+    tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1 FROM lm),
+    pos AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+            FROM toks WHERE len(t) >= 1),
+    bk AS (SELECT doc_id, i,
+             CAST(concat('0x', substr(md5('bslm:u:' || t[i]), 1, 15)) AS BIGINT) % $B AS bu,
+             CASE WHEN i > 1 THEN
+               CAST(concat('0x', substr(md5('bslm:u:' || t[i-1]), 1, 15)) AS BIGINT) % $B END AS bp,
+             CASE WHEN i > 1 THEN
+               CAST(concat('0x', substr(md5('bslm:b:' || t[i-1] || ' ' || t[i]), 1, 15)) AS BIGINT) % $B END AS bg
+           FROM pos),
+    term AS (SELECT doc_id, i,
+        CAST(round(log2(n1 + $B), 8) AS DECIMAL(28,12)) -
+          CAST(round(log2(coalesce(cu.c1, 0) + 1), 8) AS DECIMAL(28,12)) AS u,
+        CASE WHEN i > 1 THEN
+          CAST(round(log2(coalesce(cp.c1, 0) + $B), 8) AS DECIMAL(28,12)) -
+            CAST(round(log2(coalesce(cg.c2, 0) + 1), 8) AS DECIMAL(28,12)) END AS g
+      FROM bk
+      LEFT JOIN lm cu ON cu.b = bk.bu
+      LEFT JOIN lm cp ON cp.b = bk.bp
+      LEFT JOIN lm cg ON cg.b = bk.bg
+      CROSS JOIN tot),
+    td AS (SELECT doc_id,
+        CAST(CASE WHEN i = 1 THEN u
+             ELSE CAST(0.75 AS DECIMAL(4,2)) * g + CAST(0.25 AS DECIMAL(4,2)) * u END
+          AS DECIMAL(28,12)) AS term
+      FROM term)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      round(CAST(sum(term) AS DOUBLE) / count(*), 4) AS avg_bits
+    FROM td GROUP BY doc_id ORDER BY doc_id"""
+  }
+
   // ---- 7. repetition filters (round 4) --------------------------------
   // The MassiveText/Gopher repetition quality filters (Rae et al. 2021,
   // arXiv:2112.11446 §A1.1 — public paper): documents dominated by a
@@ -605,6 +754,7 @@ object TextAnalysis {
     "text_chunk_windows"   -> (chunkWindows _),
     "text_levenshtein"     -> (levenshteinPairs _),
     "text_unigram_surprisal" -> (unigramSurprisal _),
+    "text_bigram_surprisal" -> (bigramSurprisal _),
     "text_token_histogram" -> (tokenHistogram _))
 
   val oracle: Map[String, String] = Map(
@@ -620,5 +770,6 @@ object TextAnalysis {
     "text_chunk_windows"   -> chunkWindowsOracle,
     "text_levenshtein"     -> levenshteinPairsOracle,
     "text_unigram_surprisal" -> unigramSurprisalOracle,
+    "text_bigram_surprisal" -> bigramSurprisalOracle,
     "text_token_histogram" -> tokenHistogramOracle)
 }

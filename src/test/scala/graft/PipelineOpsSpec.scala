@@ -200,6 +200,49 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == Seq((1L, 4L, 1.25), (2L, 1L, 2.0)))
   }
 
+  test("line dedup: repeated boilerplate footer drops corpus-wide, first copy survives") {
+    // three docs share a footer (one copy space-padded — the trim-key
+    // path); doc 1's copy is the corpus-wide first occurrence and
+    // survives, every later copy drops, unique lines all survive, and
+    // blank lines drop outright. The C4 line-filter contract.
+    val tmp = java.nio.file.Files.createTempDirectory("ldd").toString
+    Seq(
+      (1L, "intro one\nfollow us on social media\noutro one"),
+      (2L, "intro two\nfollow us on social media\noutro two"),
+      (3L, "intro three\n  follow us on social media  \n\noutro three"))
+      .toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+    val got = graft.operators.Curation
+      .lineDedupOf(spark.read.parquet(s"$tmp/documents.parquet"))
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 3L, "intro one\nfollow us on social media\noutro one"),
+      (2L, 3L, 2L, "intro two\noutro two"),
+      (3L, 4L, 2L, "intro three\noutro three")))
+  }
+
+  test("bigram surprisal: corpus-phrased doc scores below its own scramble") {
+    // corpus phrasing dominated by "the cat sat on the mat"; doc 11
+    // follows it, doc 12 is the SAME unigram multiset scrambled so its
+    // bigrams are corpus-unseen. Unigram surprisal can't tell them
+    // apart (identical token counts) — the bigram component must, and
+    // the interpolation direction is lower-bits-for-fluent. This is
+    // exactly the CCNet signal a unigram LM misses.
+    val tmp = java.nio.file.Files.createTempDirectory("bslm").toString
+    Seq(
+      (1L, "the cat sat on the mat " * 5),
+      (11L, "the cat sat on the mat"),
+      (12L, "mat the on sat cat the"))
+      .toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+    val got = graft.operators.TextAnalysis.bigramSurprisal(spark, tmp)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.keySet == Set(1L, 11L, 12L))
+    assert(got(11L)._1 == 6L && got(12L)._1 == 6L)
+    assert(got(11L)._2 < got(12L)._2,
+      s"fluent ${got(11L)._2} !< scrambled ${got(12L)._2}")
+    // the corpus-dominant doc is itself fluent by construction
+    assert(got(1L)._2 < got(12L)._2)
+  }
+
   test("dsir: target-like raw docs outweigh target-unlike ones") {
     // target slice (src0): a distinctive vocabulary; raw pool: one doc
     // echoing the target's vocabulary, one disjoint. The importance
