@@ -563,6 +563,127 @@ object TextAnalysis {
     FROM td GROUP BY doc_id ORDER BY doc_id"""
   }
 
+  // ---- 6e. BPE vocabulary training (round 9) --------------------------
+  // Learns the merge table itself (Sennrich et al. 2015, arXiv:
+  // 1508.07909) — text_token_count_bpe COUNTS under a fixed
+  // pre-tokenizer, this TRAINS: start from characters (plus an
+  // end-of-word marker), repeatedly merge the corpus-wide most
+  // frequent adjacent symbol pair. The driver-loop pattern shared
+  // with Lloyd/pointer-jumping: per round ONE vocab-sized aggregate
+  // (words, not corpus — the word-count table is the only input after
+  // the first aggregate) picks the top pair as driver state
+  // (≤ merges rows), and the merge applies as a NARROW per-word array
+  // fold — no shuffle beyond the pair aggregate, vocab-bounded state,
+  // so the 100 TB story is the corpus→vocab aggregate once, then
+  // rounds over the (tiny) vocab table.
+  //
+  // The fold IS greedy left-to-right non-overlapping merging: it
+  // merges x into the tail exactly when tail == l and x == r, and
+  // within one round every newly created symbol is l+r ≠ l (r is
+  // never empty), so a just-merged tail can never falsely re-match l
+  // — each match consumes exactly the pair greedy would. The oracle
+  // replicates greedy selection relationally (gaps-and-islands over
+  // match positions: consecutive matches alternate, odd ranks merge)
+  // with one unrolled CTE block per round — the kmeansSqlCtes recipe.
+  // Tie-break: highest count, then (lhs, rhs) lexicographic — total
+  // and engine-independent.
+  private[graft] val BpeMerges = 8
+  private val BpeEow = "</w>"
+
+  /** One greedy merge pass of (l, r) over a symbol array column. */
+  private def bpeMergeFold(sym: Column, l: String, r: String): Column =
+    aggregate(sym, array().cast("array<string>"), (out, x) =>
+      when(size(out) === 0, array(x))
+        .otherwise(when(element_at(out, -1) === lit(l) && x === lit(r),
+            concat(slice(out, lit(1), size(out) - 1), array(lit(l + r))))
+          .otherwise(concat(out, array(x)))))
+
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, dir)
+      .select(explode(TextFns.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .select(col("n"),
+        concat(transform(sequence(lit(1), length(col("w"))),
+            i => substring(col("w"), i, lit(1))),
+          array(lit(BpeEow))).as("sym"))
+      .cache()
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var rank = 1
+    var done = false
+    while (rank <= BpeMerges && !done) {
+      // symbols under the merges so far: one projection of nested folds
+      // over the CACHED base (re-derivation is narrow and vocab-sized;
+      // a per-round persist would buy nothing at ≤ merges depth)
+      val cur = merges.foldLeft(col("sym")) { case (c, (_, l, r, _)) =>
+        bpeMergeFold(c, l, r)
+      }
+      val top = base.select(col("n"), cur.as("s"))
+        .filter(size(col("s")) >= 2)
+        .select(col("n"), explode(transform(sequence(lit(1), size(col("s")) - 1),
+          i => struct(element_at(col("s"), i).as("l"),
+            element_at(col("s"), i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
+        .collect()
+      if (top.isEmpty) done = true
+      else {
+        val t = top.head
+        merges += ((rank, t.getString(0), t.getString(1), t.getLong(2)))
+        rank += 1
+      }
+    }
+    base.unpersist()
+    merges.toSeq.toDF("rank", "lhs", "rhs", "cnt")
+      .orderBy(col("rank"))
+  }
+
+  /** Unrolled twin of [[bpeTrain]]: v0 = char symbols + marker; per
+    * round k, pair counts → top-1 pick → greedy merge via the
+    * island-alternation rule. */
+  val bpeTrainOracle: String = {
+    val rounds = (1 to BpeMerges).map { k =>
+      val prev = s"v${k - 1}"
+      s"""
+    pr$k AS (SELECT sym[i] AS l, sym[i+1] AS r, CAST(sum(n) AS BIGINT) AS cnt
+             FROM (SELECT n, sym, unnest(range(1, len(sym))) AS i FROM $prev)
+             GROUP BY 1, 2),
+    tp$k AS MATERIALIZED (SELECT l, r, cnt FROM pr$k ORDER BY cnt DESC, l, r LIMIT 1),
+    mp$k AS (SELECT p.w, p.i FROM
+               (SELECT w, sym, unnest(range(1, len(sym))) AS i FROM $prev) p,
+               tp$k t
+             WHERE p.sym[p.i] = t.l AND p.sym[p.i+1] = t.r),
+    sel$k AS (SELECT w, i FROM (
+               SELECT w, i, row_number() OVER (PARTITION BY w, i - rn ORDER BY i) AS rr
+               FROM (SELECT w, i, row_number() OVER (PARTITION BY w ORDER BY i) AS rn
+                     FROM mp$k))
+             WHERE rr % 2 = 1),
+    v$k AS MATERIALIZED (SELECT p.w, any_value(p.n) AS n,
+              list(CASE WHEN sj.i IS NOT NULL THEN t.l || t.r ELSE p.s END ORDER BY p.j) AS sym
+            FROM (SELECT w, n, unnest(range(1, len(sym)+1)) AS j, unnest(sym) AS s
+                  FROM $prev) p
+            LEFT JOIN sel$k sj ON sj.w = p.w AND sj.i = p.j
+            LEFT JOIN sel$k sp ON sp.w = p.w AND sp.i = p.j - 1
+            CROSS JOIN tp$k t
+            WHERE sp.i IS NULL
+            GROUP BY p.w)"""
+    }.mkString(",")
+    val out = (1 to BpeMerges)
+      .map(k => s"SELECT CAST($k AS INT) AS rank, l AS lhs, r AS rhs, cnt FROM tp$k")
+      .mkString("\n    UNION ALL ")
+    s"""
+    WITH toks AS (SELECT $tokensSql AS t FROM documents),
+    words AS (SELECT g AS w, CAST(count(*) AS BIGINT) AS n
+              FROM (SELECT unnest(t) AS g FROM toks) GROUP BY g),
+    v0 AS MATERIALIZED (SELECT w, n,
+             list_append(list_transform(range(strlen(w)), i -> substr(w, i + 1, 1)),
+               '$BpeEow') AS sym
+           FROM words),$rounds
+    $out
+    ORDER BY rank"""
+  }
+
   // ---- 7. repetition filters (round 4) --------------------------------
   // The MassiveText/Gopher repetition quality filters (Rae et al. 2021,
   // arXiv:2112.11446 §A1.1 — public paper): documents dominated by a
@@ -755,6 +876,7 @@ object TextAnalysis {
     "text_levenshtein"     -> (levenshteinPairs _),
     "text_unigram_surprisal" -> (unigramSurprisal _),
     "text_bigram_surprisal" -> (bigramSurprisal _),
+    "text_bpe_train"       -> (bpeTrain _),
     "text_token_histogram" -> (tokenHistogram _))
 
   val oracle: Map[String, String] = Map(
@@ -771,5 +893,6 @@ object TextAnalysis {
     "text_levenshtein"     -> levenshteinPairsOracle,
     "text_unigram_surprisal" -> unigramSurprisalOracle,
     "text_bigram_surprisal" -> bigramSurprisalOracle,
+    "text_bpe_train"       -> bpeTrainOracle,
     "text_token_histogram" -> tokenHistogramOracle)
 }

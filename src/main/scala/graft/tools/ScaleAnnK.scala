@@ -1,6 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.Similarity
 import graft.functions.VectorFns
@@ -97,6 +98,48 @@ object ScaleAnnK {
     println(f"[scale] sub-linear check: 1024 effective cells via two-level = $s2%.2f s vs " +
       f"flat k=1024 = ${walls("flat_k1024")}%.2f s (${walls("flat_k1024") / s2}%.1fx); " +
       f"flat k=64 (same per-row score count) = ${walls("flat_k64")}%.2f s")
+    // ---- sampled-training two-level SEARCH recall (round 9) -----------
+    // The 100 TB reality: codebooks train on a hash-sample, never a
+    // full-corpus Lloyd. The `% 20` assignment sample above would be
+    // BIASED for search purposes (gcd(20, 1024) = 4 — only every 4th
+    // synthetic cluster is represented); the md5-uniform sample is the
+    // production recipe: deterministic, rerunnable, independent of the
+    // cluster id. Gate: two-level search (k1·k2 = 256 effective cells)
+    // trained on the 10% sample must still find the TRUE exact-cosine
+    // top-5 of each query over the full 1 M corpus — recall@5 vs
+    // brute force ≥ 0.60, the ScaleAnnK PQ-floor contract. A sampling
+    // or training regression (empty cells, collapsed codebooks,
+    // probe-path drift) sends neighbors to foreign cells and trips it.
+    val mdSample = corpus.filter(
+      conv(substring(md5(concat(lit("annsamp:"), col("vec_id"))), 1, 15), 16, 10)
+        .cast("long") % 10 === 0)
+    val (ivf2df, sTrain) = time("ivf2 train 16x16 (md5-10% of 1M)") {
+      Similarity.topkIvf2Of(corpus, k1 = 16, k2 = 16, iters = 1,
+        train = Some(mdSample))
+    }
+    val (ivf2, sSearch) = time("ivf2 search 1M corpus, 5 queries") {
+      ivf2df.select("qid", "nid").as[(Long, Long)].collect()
+    }
+    walls("ivf2_sample_train") = sTrain
+    walls("ivf2_sample_search") = sSearch
+    val qs = corpus.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+    val wbf = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    val (bf, sBf) = time("bruteforce truth 5 x 1M") {
+      corpus.crossJoin(broadcast(qs)).filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid"),
+          VectorFns.dot6(col("qvec"), col("vec")).as("cos"))
+        .withColumn("rn", row_number().over(wbf)).filter(col("rn") <= 5)
+        .select("qid", "nid").as[(Long, Long)].collect()
+    }
+    walls("ivf2_bruteforce") = sBf
+    val bfSet = bf.toSet
+    val ivf2Recall = ivf2.count(bfSet.contains).toDouble / bf.length
+    println(f"[scale] ivf2 sampled-training recall@5 vs bruteforce: $ivf2Recall%.3f")
+    require(ivf2.length == 25, s"expected 5 queries x top-5, got ${ivf2.length}")
+    require(bf.length == 25, s"expected 5 queries x top-5 truth, got ${bf.length}")
+    require(ivf2Recall >= 0.6,
+      f"sampled-training IVF2 recall regression: $ivf2Recall%.3f < 0.60 floor")
     corpus.unpersist()
 
     // ---- PQ recall gate on a 100k clustered corpus --------------------
@@ -130,7 +173,7 @@ object ScaleAnnK {
 
     val rec = walls.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
-    println(f"""{"metric":"scale_annk","walls":$rec,"pq_recall":$recall%.3f}""")
+    println(f"""{"metric":"scale_annk","walls":$rec,"pq_recall":$recall%.3f,"ivf2_sample_recall":$ivf2Recall%.3f}""")
     spark.stop()
   }
 }

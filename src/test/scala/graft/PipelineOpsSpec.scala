@@ -243,6 +243,60 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got(1L)._2 < got(12L)._2)
   }
 
+  test("bpe training: merge table equals an independent reference implementation") {
+    // the Sennrich example family: "low lower newest widest" with
+    // skewed counts. The reference below is a direct, list-based
+    // greedy BPE (count adjacent pairs weighted by word count, merge
+    // the (cnt desc, l, r) winner non-overlapping left-to-right) —
+    // structurally unrelated to the operator's fold/aggregate plan, so
+    // agreement is a real differential check, not a tautology.
+    val corpus = Seq.fill(5)("low").mkString(" ") + " " +
+      Seq.fill(2)("lower").mkString(" ") + " " +
+      Seq.fill(6)("newest").mkString(" ") + " " +
+      Seq.fill(3)("widest").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("bpe").toString
+    Seq((1L, corpus)).toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+
+    def refBpe(words: Map[String, Long], nMerges: Int): Seq[(Int, String, String, Long)] = {
+      var vocab: Map[Vector[String], Long] =
+        words.map { case (w, n) => (w.map(_.toString).toVector :+ "</w>") -> n }
+      val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+      for (rank <- 1 to nMerges) {
+        val pairs = scala.collection.mutable.Map[(String, String), Long]()
+        vocab.foreach { case (sym, n) =>
+          sym.sliding(2).foreach {
+            case Vector(a, b) => pairs((a, b)) = pairs.getOrElse((a, b), 0L) + n
+            case _ =>
+          }
+        }
+        if (pairs.nonEmpty) {
+          val ((l, r), cnt) = pairs.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+          out += ((rank, l, r, cnt))
+          vocab = vocab.map { case (sym, n) =>
+            val merged = scala.collection.mutable.ArrayBuffer[String]()
+            var i = 0
+            while (i < sym.length) {
+              if (i + 1 < sym.length && sym(i) == l && sym(i + 1) == r) {
+                merged += (l + r); i += 2
+              } else { merged += sym(i); i += 1 }
+            }
+            merged.toVector -> n
+          }
+        }
+      }
+      out.toSeq
+    }
+    val expected = refBpe(
+      Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L),
+      graft.operators.TextAnalysis.BpeMerges)
+    val got = graft.operators.TextAnalysis.bpeTrain(spark, tmp)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got == expected, s"got $got\nexpected $expected")
+    // sanity on the known example: "es" (newest+widest stems) must be
+    // the first merge at 9 occurrences
+    assert(expected.head._2 == "e" && expected.head._3 == "s" && expected.head._4 == 9L)
+  }
+
   test("dsir: target-like raw docs outweigh target-unlike ones") {
     // target slice (src0): a distinctive vocabulary; raw pool: one doc
     // echoing the target's vocabulary, one disjoint. The importance
