@@ -451,7 +451,14 @@ object TextAnalysis {
     conv(substring(md5(concat(lit(s"bslm:$kind:"), g)), 1, 15), 16, 10)
       .cast("long") % BslmBuckets
 
-  def bigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
+  /** The trained hashed LM in driver form: three dense B-arrays of
+    * 8-dp per-bucket bits plus the unigram total term — ≤3B+1 doubles,
+    * driver-sized BY CONSTRUCTION (the fixed feature dimension), so it
+    * rides as literals into any scoring scan, batch or streaming. */
+  final case class BslmModel(d1: Seq[Double], a1: Seq[Double],
+                             d2: Seq[Double], uBits: Double)
+
+  def bslmTrain(spark: SparkSession, dir: String): BslmModel = {
     val B = BslmBuckets
     val toks = Tables.documents(spark, dir)
       .select(TextFns.tokens(col("text")).as("t"))
@@ -483,16 +490,24 @@ object TextAnalysis {
     }
     val uBits = spark.range(1)
       .select(round(log2(lit(n1) + B), 8)).head.getDouble(0)
-    val d1L = typedLit(d1.toSeq); val a1L = typedLit(a1.toSeq)
-    val d2L = typedLit(d2.toSeq)
+    BslmModel(d1.toSeq, a1.toSeq, d2.toSeq, uBits)
+  }
+
+  /** The shared narrow scorer over a (doc_id, text) frame — ONE
+    * definition of the per-position blend + decimal fold for the batch
+    * entry and the streaming ingest scorer (EventStream.surprisalScore).
+    * Zero-token docs are dropped (they carry no distribution). */
+  private[graft] def bslmScored(docs: DataFrame, m: BslmModel): DataFrame = {
+    val d1L = typedLit(m.d1); val a1L = typedLit(m.a1)
+    val d2L = typedLit(m.d2)
     def dec(c: Column) = c.cast("decimal(28,12)")
-    Tables.documents(spark, dir)
+    docs
       .filter(size(TextFns.tokens(col("text"))) > 0)
       .select(col("doc_id"), TextFns.tokens(col("text")).as("__t"))
       .withColumn("__terms",
         transform(sequence(lit(1), size(col("__t"))), i => {
           val cur = element_at(col("__t"), i)
-          val uTerm = dec(lit(uBits)) -
+          val uTerm = dec(lit(m.uBits)) -
             dec(element_at(d1L, (bslmBucket("u", cur) + 1).cast("int")))
           // prev only evaluates in the i ≥ 2 branch (CaseWhen is lazy —
           // element_at(__t, 0) would throw under ANSI otherwise)
@@ -511,8 +526,13 @@ object TextAnalysis {
           lit(BigDecimal(0)).cast("decimal(28,12)"),
           (acc, x) => (acc + x).cast("decimal(28,12)")).cast("double") /
           size(col("__t")), 4).as("avg_bits"))
-      .orderBy(col("doc_id"))
   }
+
+  def bigramSurprisal(spark: SparkSession, dir: String): DataFrame =
+    bslmScored(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      bslmTrain(spark, dir))
+      .orderBy(col("doc_id"))
 
   val bigramSurprisalOracle: String = {
     val B = BslmBuckets

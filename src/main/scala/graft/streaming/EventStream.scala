@@ -233,6 +233,18 @@ object EventStream {
       .select(col("doc_id"), col("n_g"), col("nb_bits"), col("margin"), col("keep"))
   }
 
+  /** Ingest-time LM-surprisal bucketing (round 9) — the streaming twin
+    * of `TextAnalysis.bigramSurprisal`, shaped exactly like
+    * [[dsirScore]]: the offline-trained hashed bigram+unigram LM
+    * (three dense B-arrays + the unigram total, ≤3B+1 doubles by
+    * construction) rides as literals, scoring is the shared
+    * per-position decimal blend — no join, no shuffle, ZERO state-store
+    * rows at any stream rate. Values bit-match the batch entry. */
+  def surprisalScore(docs: DataFrame,
+                     model: graft.operators.TextAnalysis.BslmModel): DataFrame =
+    graft.operators.TextAnalysis.bslmScored(
+      docs.select(col("doc_id"), col("text")), model)
+
   /** Ingest-time SUB-DOCUMENT scrubbing against a growing SPAN catalog —
     * the streaming twin of `Curation.substringDedup` (Lee-et-al-2022
     * substring dedup, fixed L), shaped like [[classifyAgainstCatalog]]:

@@ -101,6 +101,34 @@ class StreamingSpec extends AnyFunSuite {
     want.foreach { case (id, w) => assert(got(id) == w, s"doc $id: ${got(id)} != $w") }
   }
 
+  test("streaming bigram surprisal == batch avg_bits, zero state-store rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val model = graft.operators.TextAnalysis.bslmTrain(spark, sf)
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)]
+    val scored = EventStream.surprisalScore(input.toDS().toDF("doc_id", "text"), model)
+    val q = scored.writeStream.format("memory").queryName("bslm_stream")
+      .outputMode("append").start()
+    // a zero-token doc rides along: dropped (batch parity), not scored
+    input.addData((999999L, "..!!.."))
+    docs.grouped(math.max(1, docs.length / 2 + 1)).foreach { b =>
+      input.addData(b.toSeq); q.processAllAvailable()
+    }
+    assert(q.lastProgress.stateOperators.isEmpty) // narrow plan, no state
+    q.stop()
+    val got = spark.table("bslm_stream")
+      .select("doc_id", "n_tokens", "avg_bits")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(!got.contains(999999L))
+    val want = graft.operators.TextAnalysis.bigramSurprisal(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    assert(want.nonEmpty && want.length == got.size)
+    want.foreach { case (id, n, b) =>
+      assert(got(id) == ((n, b)), s"doc $id: ${got(id)} != ($n,$b)") }
+  }
+
   test("streaming quality classifier == batch verdicts, zero state-store rows") {
     implicit val sqlCtx = spark.sqlContext
     val (lam, c, prior) = graft.operators.Curation.qualityClassifierModel(spark, sf)
