@@ -41,6 +41,23 @@ object ScaleDedup {
     println(f"[scale] substring_dedup 1M docs: ${(System.nanoTime()-t1)/1e9}%.2f s  " +
       s"docs=${sub.getLong(0)} kept_tokens=${sub.getLong(1)}/${sub.getLong(2)}")
 
+    // line-level dedup at 1 M docs (round 9): every doc gets a shared
+    // boilerplate footer line appended — ONE line key with 1 000 000
+    // occurrences (the hottest possible line, the cookie-banner case)
+    // on top of the 200×-duplicated body lines. The min-struct
+    // aggregate partial-combines the hot key map-side; the join back
+    // carries one dup row per occurrence (bounded by line volume, not
+    // df²). sum() over outputs forces full reassembly.
+    val t2 = System.nanoTime()
+    val footer = "subscribe to our newsletter all rights reserved contact us terms of service"
+    val lined = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        concat(col("text"), lit("\n"), lit(footer)).as("text"))
+    val ld = graft.operators.Curation.lineDedupOf(lined)
+      .agg(count(lit(1)), sum(col("n_kept")), sum(col("n_lines"))).first()
+    println(f"[scale] line_dedup 1M docs + 1M-hot footer: ${(System.nanoTime()-t2)/1e9}%.2f s  " +
+      s"docs=${ld.getLong(0)} kept_lines=${ld.getLong(1)}/${ld.getLong(2)}")
+
     // composed leakage-safe split (round 9): a production pipeline that
     // has materialized dedup_clusters pays only the curation_split cost
     // for the safe split — NOT the clusters recompute the gated inline
