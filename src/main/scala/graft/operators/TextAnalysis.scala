@@ -618,12 +618,15 @@ object TextAnalysis {
             concat(slice(out, lit(1), size(out) - 1), array(lit(l + r))))
           .otherwise(concat(out, array(x)))))
 
-  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  /** The learning loop shared by [[bpeTrain]] and [[bpeEncode]]:
+    * returns the CACHED (w, n, sym) vocab base (caller unpersists or
+    * lets the session cache-clear reclaim it) plus the merge list. */
+  private[graft] def bpeLearn(spark: SparkSession, dir: String):
+      (DataFrame, Seq[(Int, String, String, Long)]) = {
     val base = Tables.documents(spark, dir)
       .select(explode(TextFns.tokens(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
-      .select(col("n"),
+      .select(col("w"), col("n"),
         concat(transform(sequence(lit(1), length(col("w"))),
             i => substring(col("w"), i, lit(1))),
           array(lit(BpeEow))).as("sym"))
@@ -654,15 +657,48 @@ object TextAnalysis {
         rank += 1
       }
     }
+    (base, merges.toSeq)
+  }
+
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (base, merges) = bpeLearn(spark, dir)
     base.unpersist()
-    merges.toSeq.toDF("rank", "lhs", "rhs", "cnt")
+    merges.toDF("rank", "lhs", "rhs", "cnt")
       .orderBy(col("rank"))
   }
 
-  /** Unrolled twin of [[bpeTrain]]: v0 = char symbols + marker; per
-    * round k, pair counts → top-1 pick → greedy merge via the
-    * island-alternation rule. */
-  val bpeTrainOracle: String = {
+  /** ENCODE under the learned table — the other half of the tokenizer
+    * story: per document, the token count under the trained BPE vocab
+    * and the compression ratio vs whitespace tokens (a quality signal
+    * in its own right: garble compresses badly under a corpus-fit
+    * vocab). The scale-right shape: the merge folds run once per
+    * DISTINCT word (the cached vocab base symbolized in one narrow
+    * projection), and documents join to that vocab table by word —
+    * vocab-sized build side (AQE broadcasts it at gated SF), never a
+    * per-occurrence fold. */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val (base, merges) = bpeLearn(spark, dir)
+    val finalSym = merges.foldLeft(col("sym")) { case (c, (_, l, r, _)) =>
+      bpeMergeFold(c, l, r)
+    }
+    val vocab = base.select(col("w"), size(finalSym).as("n_sym"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("w"))
+      .join(vocab, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("n_sym")).cast("long").as("n_bpe"))
+      .withColumn("ratio",
+        round(col("n_bpe").cast("double") / col("n_tokens"), 4))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Unrolled twin of the [[bpeLearn]] loop: v0 = char symbols +
+    * marker; per round k, pair counts → top-1 pick → greedy merge via
+    * the island-alternation rule. Shared by the train and encode
+    * oracles. */
+  private val bpeCtes: String = {
     val rounds = (1 to BpeMerges).map { k =>
       val prev = s"v${k - 1}"
       s"""
@@ -689,20 +725,35 @@ object TextAnalysis {
             WHERE sp.i IS NULL
             GROUP BY p.w)"""
     }.mkString(",")
-    val out = (1 to BpeMerges)
-      .map(k => s"SELECT CAST($k AS INT) AS rank, l AS lhs, r AS rhs, cnt FROM tp$k")
-      .mkString("\n    UNION ALL ")
-    s"""
-    WITH toks AS (SELECT $tokensSql AS t FROM documents),
+    s"""toks AS (SELECT doc_id, $tokensSql AS t FROM documents),
     words AS (SELECT g AS w, CAST(count(*) AS BIGINT) AS n
               FROM (SELECT unnest(t) AS g FROM toks) GROUP BY g),
     v0 AS MATERIALIZED (SELECT w, n,
              list_append(list_transform(range(strlen(w)), i -> substr(w, i + 1, 1)),
                '$BpeEow') AS sym
-           FROM words),$rounds
+           FROM words),$rounds"""
+  }
+
+  val bpeTrainOracle: String = {
+    val out = (1 to BpeMerges)
+      .map(k => s"SELECT CAST($k AS INT) AS rank, l AS lhs, r AS rhs, cnt FROM tp$k")
+      .mkString("\n    UNION ALL ")
+    s"""
+    WITH $bpeCtes
     $out
     ORDER BY rank"""
   }
+
+  /** Encode twin: the final-round vocab v{N} IS the trained
+    * symbolization of every corpus word — encoding is one join. */
+  val bpeEncodeOracle: String = s"""
+    WITH $bpeCtes
+    SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      CAST(sum(len(v.sym)) AS BIGINT) AS n_bpe,
+      round(CAST(sum(len(v.sym)) AS DOUBLE) / count(*), 4) AS ratio
+    FROM (SELECT doc_id, unnest(t) AS w FROM toks) d
+    JOIN v$BpeMerges v ON v.w = d.w
+    GROUP BY d.doc_id ORDER BY d.doc_id"""
 
   // ---- 7. repetition filters (round 4) --------------------------------
   // The MassiveText/Gopher repetition quality filters (Rae et al. 2021,
@@ -897,6 +948,7 @@ object TextAnalysis {
     "text_unigram_surprisal" -> (unigramSurprisal _),
     "text_bigram_surprisal" -> (bigramSurprisal _),
     "text_bpe_train"       -> (bpeTrain _),
+    "text_bpe_encode"      -> (bpeEncode _),
     "text_token_histogram" -> (tokenHistogram _))
 
   val oracle: Map[String, String] = Map(
@@ -914,5 +966,6 @@ object TextAnalysis {
     "text_unigram_surprisal" -> unigramSurprisalOracle,
     "text_bigram_surprisal" -> bigramSurprisalOracle,
     "text_bpe_train"       -> bpeTrainOracle,
+    "text_bpe_encode"      -> bpeEncodeOracle,
     "text_token_histogram" -> tokenHistogramOracle)
 }

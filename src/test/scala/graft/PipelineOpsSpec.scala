@@ -286,15 +286,38 @@ class PipelineOpsSpec extends AnyFunSuite {
       }
       out.toSeq
     }
-    val expected = refBpe(
-      Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L),
-      graft.operators.TextAnalysis.BpeMerges)
+    val wordCounts = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val expected = refBpe(wordCounts, graft.operators.TextAnalysis.BpeMerges)
     val got = graft.operators.TextAnalysis.bpeTrain(spark, tmp)
       .as[(Int, String, String, Long)].collect().toSeq
     assert(got == expected, s"got $got\nexpected $expected")
     // sanity on the known example: "es" (newest+widest stems) must be
     // the first merge at 9 occurrences
     assert(expected.head._2 == "e" && expected.head._3 == "s" && expected.head._4 == 9L)
+
+    // encode under the same reference: replay the expected merges over
+    // each word with the same greedy loop, then the one doc's BPE count
+    // is the count-weighted sum of final symbol counts
+    def encodeWord(w: String): Int = {
+      var sym = w.map(_.toString).toVector :+ "</w>"
+      expected.foreach { case (_, l, r, _) =>
+        val merged = scala.collection.mutable.ArrayBuffer[String]()
+        var i = 0
+        while (i < sym.length) {
+          if (i + 1 < sym.length && sym(i) == l && sym(i + 1) == r) {
+            merged += (l + r); i += 2
+          } else { merged += sym(i); i += 1 }
+        }
+        sym = merged.toVector
+      }
+      sym.length
+    }
+    val nTok = wordCounts.values.sum
+    val nBpe = wordCounts.map { case (w, n) => n * encodeWord(w) }.sum
+    val enc = graft.operators.TextAnalysis.bpeEncode(spark, tmp)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(enc == Seq((1L, nTok, nBpe,
+      math.floor(nBpe.toDouble / nTok * 1e4 + 0.5) / 1e4)), s"encode: $enc")
   }
 
   test("dsir: target-like raw docs outweigh target-unlike ones") {
