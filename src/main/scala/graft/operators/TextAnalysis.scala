@@ -618,6 +618,22 @@ object TextAnalysis {
             concat(slice(out, lit(1), size(out) - 1), array(lit(l + r))))
           .otherwise(concat(out, array(x)))))
 
+  /** Char symbols + end-of-word marker for a word column — the v0 of
+    * every BPE consumer. */
+  private[graft] def bpeCharSyms(w: Column): Column =
+    concat(transform(sequence(lit(1), length(w)),
+      i => substring(w, i, lit(1))), array(lit(BpeEow)))
+
+  /** Final symbol count of one word under a trained merge list — the
+    * per-occurrence path the STREAMING scorer uses (a stream batch has
+    * no vocabulary reuse to exploit; batch [[bpeEncode]] folds once per
+    * DISTINCT word instead). Same folds, same counts. */
+  private[graft] def bpeSymCount(w: Column,
+      merges: Seq[(Int, String, String, Long)]): Column =
+    size(merges.foldLeft(bpeCharSyms(w)) { case (c, (_, l, r, _)) =>
+      bpeMergeFold(c, l, r)
+    })
+
   /** The learning loop shared by [[bpeTrain]] and [[bpeEncode]]:
     * returns the CACHED (w, n, sym) vocab base (caller unpersists or
     * lets the session cache-clear reclaim it) plus the merge list. */
@@ -626,10 +642,7 @@ object TextAnalysis {
     val base = Tables.documents(spark, dir)
       .select(explode(TextFns.tokens(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
-      .select(col("w"), col("n"),
-        concat(transform(sequence(lit(1), length(col("w"))),
-            i => substring(col("w"), i, lit(1))),
-          array(lit(BpeEow))).as("sym"))
+      .select(col("w"), col("n"), bpeCharSyms(col("w")).as("sym"))
       .cache()
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var rank = 1

@@ -245,6 +245,31 @@ object EventStream {
     graft.operators.TextAnalysis.bslmScored(
       docs.select(col("doc_id"), col("text")), model)
 
+  /** Ingest-time BPE encoding (round 9) — the streaming twin of
+    * `TextAnalysis.bpeEncode`: the trained MERGE LIST (≤ BpeMerges
+    * pairs — the smallest model in the whole engine) rides into a
+    * per-row fold chain (char symbols → greedy merges → count per
+    * word, summed in-row), so there is no vocab join and no state.
+    * Per-occurrence folding is the right streaming tradeoff: a stream
+    * batch has no vocabulary reuse for the batch entry's
+    * distinct-word optimization to exploit. Counts bit-match batch
+    * (same folds either way). */
+  def bpeEncodeScore(docs: DataFrame,
+      merges: Seq[(Int, String, String, Long)]): DataFrame = {
+    val tA = graft.operators.TextAnalysis
+    docs.select(col("doc_id"), col("text"))
+      .filter(size(graft.functions.TextFns.tokens(col("text"))) > 0)
+      .select(col("doc_id"),
+        graft.functions.TextFns.tokens(col("text")).as("__t"))
+      .withColumn("n_tokens", size(col("__t")).cast("long"))
+      .withColumn("n_bpe",
+        aggregate(transform(col("__t"), w => tA.bpeSymCount(w, merges)),
+          lit(0), (a, x) => a + x).cast("long"))
+      .withColumn("ratio",
+        round(col("n_bpe").cast("double") / col("n_tokens"), 4))
+      .drop("__t")
+  }
+
   /** Ingest-time SUB-DOCUMENT scrubbing against a growing SPAN catalog —
     * the streaming twin of `Curation.substringDedup` (Lee-et-al-2022
     * substring dedup, fixed L), shaped like [[classifyAgainstCatalog]]:

@@ -129,6 +129,32 @@ class StreamingSpec extends AnyFunSuite {
       assert(got(id) == ((n, b)), s"doc $id: ${got(id)} != ($n,$b)") }
   }
 
+  test("streaming bpe encode == batch counts, zero state-store rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val (base, merges) = graft.operators.TextAnalysis.bpeLearn(spark, sf)
+    base.unpersist()
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)]
+    val scored = EventStream.bpeEncodeScore(input.toDS().toDF("doc_id", "text"), merges)
+    val q = scored.writeStream.format("memory").queryName("bpe_stream")
+      .outputMode("append").start()
+    docs.grouped(math.max(1, docs.length / 2 + 1)).foreach { b =>
+      input.addData(b.toSeq); q.processAllAvailable()
+    }
+    assert(q.lastProgress.stateOperators.isEmpty) // no join, no state
+    q.stop()
+    val got = spark.table("bpe_stream")
+      .select("doc_id", "n_tokens", "n_bpe", "ratio")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val want = graft.operators.TextAnalysis.bpeEncode(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(want.nonEmpty && want.length == got.size)
+    want.foreach { case (id, n, b, r) =>
+      assert(got(id) == ((n, b, r)), s"doc $id: ${got(id)} != ($n,$b,$r)") }
+  }
+
   test("streaming quality classifier == batch verdicts, zero state-store rows") {
     implicit val sqlCtx = spark.sqlContext
     val (lam, c, prior) = graft.operators.Curation.qualityClassifierModel(spark, sf)
