@@ -768,6 +768,83 @@ object TextAnalysis {
     JOIN v$BpeMerges v ON v.w = d.w
     GROUP BY d.doc_id ORDER BY d.doc_id"""
 
+  // ---- 6f. winnowing fingerprints (round 9) ---------------------------
+  // THE standard local document fingerprinting algorithm (Schleimer,
+  // Wilkerson & Aiken 2003, "Winnowing: Local Algorithms for Document
+  // Fingerprinting" — the MOSS algorithm): hash every k-gram, slide a
+  // window of w consecutive hashes, keep each window's MINIMUM (ties →
+  // rightmost occurrence), dedup. Guarantee: any match of length
+  // ≥ k + w − 1 tokens between two documents shares at least one
+  // fingerprint, at expected density 2/(w+1) — position-robust (an
+  // insertion far from a passage can't change which of ITS hashes are
+  // window-minima), unlike fixed-stride sampling. This is the
+  // contamination/plagiarism primitive 26g's full-shingle overlap pays
+  // ~w/2× more index volume for.
+  //
+  // Scale shape: everything happens INSIDE the row (gram hashes,
+  // window minima, rightmost-tie positions, in-row distinct) — one
+  // narrow projection then the output explode; no shuffle at all
+  // before the deterministic output sort. Hashes are the md5-60-bit
+  // recipe, so the fingerprint VALUES are portable and joinable
+  // across corpora (the contamination use: index eval-set
+  // fingerprints, equi-join the crawl's).
+  private[graft] val WinK = 5
+  private[graft] val WinW = 4
+
+  def winnowFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val ghash = transform(
+      TextFns.shinglesFromTokens(TextFns.tokens(col("text")), WinK),
+      g => conv(substring(md5(concat(lit("win:"), g)), 1, 15), 16, 10)
+        .cast("long"))
+    // The gram-hash array is BOUND ONCE as a lambda variable via the
+    // 1-element transform(array(...)) wrapper: a withColumn alias would
+    // collapse into the consuming projection and re-inline the whole
+    // tokenize→shingle→md5 tree into EVERY element_at/slice reference —
+    // measured ~0.6 s/doc (each window recomputing every gram hash in
+    // the doc) vs milliseconds bound. Lambda-variable references are
+    // O(1) reads of the already-evaluated array.
+    val fps = element_at(transform(array(ghash), gh =>
+      array_distinct(
+        transform(sequence(lit(1), size(gh) - WinW + 1), s => {
+          val m = array_min(slice(gh, s, lit(WinW)))
+          val pos = array_max(filter(sequence(s, s + WinW - 1),
+            j => element_at(gh, j) === m))
+          struct(pos.as("pos"), m.as("fp"))
+        }))), 1)
+    Tables.documents(spark, dir)
+      // n_grams ≥ w ⟺ n_tokens ≥ k + w − 1 (cheap token-count guard —
+      // a size(gh) filter would re-inline the hash tree too)
+      .filter(size(TextFns.tokens(col("text"))) >= WinK + WinW - 1)
+      .select(col("doc_id"), explode(fps).as("f"))
+      .select(col("doc_id"), col("f.pos").as("pos"), col("f.fp").as("fp"))
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
+  /** Exact twin: window minima via a w-row window frame, rightmost tie
+    * via a bounded range self-join, DISTINCT for the in-row dedup. */
+  val winnowFingerprintOracle: String = s"""
+    WITH toks AS (SELECT doc_id, $tokensSql AS t FROM documents),
+    g AS (SELECT doc_id, i,
+            CAST(concat('0x', substr(md5('win:' || gr), 1, 15)) AS BIGINT) AS gh
+          FROM (SELECT doc_id, unnest(range(1, len(t) - $WinK + 2)) AS i,
+                  unnest(list_transform(range(len(t) - $WinK + 1),
+                    x -> array_to_string(t[x+1:x+$WinK], ' '))) AS gr
+                FROM toks WHERE len(t) >= $WinK)),
+    n AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY doc_id),
+    w1 AS (SELECT doc_id, i AS s,
+             min(gh) OVER (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN CURRENT ROW AND ${WinW - 1} FOLLOWING) AS wmin
+           FROM g),
+    ws AS (SELECT w1.doc_id, w1.s, w1.wmin
+           FROM w1 JOIN n USING (doc_id)
+           WHERE w1.s <= n.ng - $WinW + 1),
+    sel AS (SELECT ws.doc_id, max(g.i) AS pos, ws.wmin AS fp
+            FROM ws JOIN g ON g.doc_id = ws.doc_id
+              AND g.i BETWEEN ws.s AND ws.s + ${WinW - 1}
+              AND g.gh = ws.wmin
+            GROUP BY ws.doc_id, ws.s, ws.wmin)
+    SELECT DISTINCT doc_id, pos, fp FROM sel ORDER BY doc_id, pos"""
+
   // ---- 7. repetition filters (round 4) --------------------------------
   // The MassiveText/Gopher repetition quality filters (Rae et al. 2021,
   // arXiv:2112.11446 §A1.1 — public paper): documents dominated by a
@@ -962,6 +1039,7 @@ object TextAnalysis {
     "text_bigram_surprisal" -> (bigramSurprisal _),
     "text_bpe_train"       -> (bpeTrain _),
     "text_bpe_encode"      -> (bpeEncode _),
+    "text_winnow_fingerprint" -> (winnowFingerprint _),
     "text_token_histogram" -> (tokenHistogram _))
 
   val oracle: Map[String, String] = Map(
@@ -980,5 +1058,6 @@ object TextAnalysis {
     "text_bigram_surprisal" -> bigramSurprisalOracle,
     "text_bpe_train"       -> bpeTrainOracle,
     "text_bpe_encode"      -> bpeEncodeOracle,
+    "text_winnow_fingerprint" -> winnowFingerprintOracle,
     "text_token_histogram" -> tokenHistogramOracle)
 }

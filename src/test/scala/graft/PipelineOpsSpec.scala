@@ -320,6 +320,29 @@ class PipelineOpsSpec extends AnyFunSuite {
       math.floor(nBpe.toDouble / nTok * 1e4 + 0.5) / 1e4)), s"encode: $enc")
   }
 
+  test("winnowing: shared passage of k+w-1 tokens guarantees a shared fingerprint") {
+    // the Schleimer et al. guarantee: any match of length >= k+w-1
+    // (= 8 tokens here) yields at least one common fingerprint — even
+    // when the passage sits at DIFFERENT offsets in the two docs
+    // (position robustness, the property fixed-stride sampling lacks).
+    // The unrelated doc must share nothing.
+    val passage = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
+    val tmp = java.nio.file.Files.createTempDirectory("win").toString
+    Seq(
+      (1L, s"one two $passage three four"),
+      (2L, s"five six seven eight nine ten eleven $passage"),
+      (3L, "cold dark matter spins around silent ancient stars tonight"))
+      .toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+    val fps = graft.operators.TextAnalysis.winnowFingerprint(spark, tmp)
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).map { case (d, rs) => d -> rs.map(_._3).toSet }
+    assert((fps(1L) intersect fps(2L)).nonEmpty, "guaranteed shared fingerprint missing")
+    assert((fps(1L) intersect fps(3L)).isEmpty)
+    assert((fps(2L) intersect fps(3L)).isEmpty)
+    // density sanity: winnowing keeps far fewer than all gram hashes
+    assert(fps(1L).size < 9) // 8 windows max for a 12-token doc
+  }
+
   test("dsir: target-like raw docs outweigh target-unlike ones") {
     // target slice (src0): a distinctive vocabulary; raw pool: one doc
     // echoing the target's vocabulary, one disjoint. The importance
