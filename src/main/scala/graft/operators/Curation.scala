@@ -84,6 +84,57 @@ object Curation {
     GROUP BY sh.doc_id
     ORDER BY sh.doc_id"""
 
+  // ---- winnowing-based contamination (round 9) --------------------------
+  // The fingerprint-join form of the eval-set decontamination scan —
+  // what winnowing (TextAnalysis 25j) exists FOR in a pipeline: index
+  // the benchmark slice's fingerprints, equi-join the crawl's. Same
+  // probe convention as `curation_contamination` (doc_id < ProbeDocs =
+  // the benchmark) but the probe index carries only each doc's
+  // window-minima (~2/(w+1) of its gram hashes) instead of every
+  // distinct shingle, with the Schleimer guarantee that any shared
+  // passage ≥ k+w−1 tokens still surfaces — the index the broadcast
+  // side actually affords at a 100 TB crawl against a fixed eval set.
+  /** Seeds keeping the gate non-vacuous (the LineSeeds pattern): the
+    * sf corpus has 4-token overlaps with the probe slice (26g gates on
+    * them) but no ≥ k+w−1 = 8-token passage, so the fingerprint join
+    * matched nothing. One seed lands INSIDE the probe (doc_id −1 <
+    * ProbeDocs), one in the crawl (huge id), sharing a 12-token
+    * passage — the guarantee forces ≥ 1 shared fingerprint. */
+  private[graft] val WinnowSeedPassage =
+    "the quick brown fox jumps over the lazy dog near the riverbank"
+  private[graft] val WinnowSeeds: Seq[(Long, String)] = Seq(
+    -1L -> s"benchmark eval item: $WinnowSeedPassage",
+    9000000001L -> s"crawl page copies $WinnowSeedPassage and adds its own chatter")
+
+  def winnowContamination(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val seeds = WinnowSeeds.toDF("doc_id", "text")
+    val fps = TextAnalysis
+      .winnowFingerprintOf(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text")).unionByName(seeds))
+      .select(col("doc_id"), col("fp"))
+    val probe = fps.filter(col("doc_id") < ProbeDocs).select(col("fp"))
+    fps.filter(col("doc_id") >= ProbeDocs)
+      .join(broadcast(probe.distinct()), Seq("fp"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("fp")).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
+  val winnowContaminationOracle: String = s"""
+    WITH wseed(doc_id, text) AS (VALUES ${
+      WinnowSeeds.map { case (id, t) =>
+        s"(CAST($id AS BIGINT), '${t.replace("'", "''")}')" }.mkString(", ")}),
+    wplus AS (SELECT doc_id, text FROM documents
+              UNION ALL SELECT doc_id, text FROM wseed),
+    ${TextAnalysis.winnowCtes("wplus")},
+    probe AS (SELECT DISTINCT fp FROM wfp WHERE doc_id < $ProbeDocs)
+    SELECT w.doc_id, count(DISTINCT w.fp) AS n_shared
+    FROM wfp w JOIN probe USING (fp)
+    WHERE w.doc_id >= $ProbeDocs
+    GROUP BY w.doc_id
+    ORDER BY w.doc_id"""
+
   // ---- sequence packing (round 4) --------------------------------------
   // GPT-style concat-and-chunk: the corpus token stream in doc_id order
   // is cut into fixed BlockTokens-token training blocks; each doc maps
@@ -973,6 +1024,7 @@ object Curation {
     "curation_quality_classifier" -> (qualityClassifier _),
     "curation_stratified_mix" -> (stratifiedMix _),
     "curation_contamination"  -> (contamination _),
+    "curation_winnow_contamination" -> (winnowContamination _),
     "curation_pack_sequences" -> (packSequences _),
     "curation_chunk_dedup"   -> (chunkDedup _),
     "curation_substring_dedup" -> (substringDedup _),
@@ -988,6 +1040,7 @@ object Curation {
     "curation_quality_classifier" -> qualityClassifierOracle,
     "curation_stratified_mix" -> stratifiedMixOracle,
     "curation_contamination"  -> contaminationOracle,
+    "curation_winnow_contamination" -> winnowContaminationOracle,
     "curation_pack_sequences" -> packSequencesOracle,
     "curation_chunk_dedup"   -> chunkDedupOracle,
     "curation_substring_dedup" -> substringDedupOracle,

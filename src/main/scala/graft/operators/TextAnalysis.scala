@@ -791,7 +791,9 @@ object TextAnalysis {
   private[graft] val WinK = 5
   private[graft] val WinW = 4
 
-  def winnowFingerprint(spark: SparkSession, dir: String): DataFrame = {
+  /** Composable form over any (doc_id, text) frame — unordered
+    * (doc_id, pos, fp) rows; the contamination join consumes this. */
+  private[graft] def winnowFingerprintOf(docs: DataFrame): DataFrame = {
     val ghash = transform(
       TextFns.shinglesFromTokens(TextFns.tokens(col("text")), WinK),
       g => conv(substring(md5(concat(lit("win:"), g)), 1, 15), 16, 10)
@@ -811,19 +813,24 @@ object TextAnalysis {
             j => element_at(gh, j) === m))
           struct(pos.as("pos"), m.as("fp"))
         }))), 1)
-    Tables.documents(spark, dir)
+    docs
       // n_grams ≥ w ⟺ n_tokens ≥ k + w − 1 (cheap token-count guard —
       // a size(gh) filter would re-inline the hash tree too)
       .filter(size(TextFns.tokens(col("text"))) >= WinK + WinW - 1)
       .select(col("doc_id"), explode(fps).as("f"))
       .select(col("doc_id"), col("f.pos").as("pos"), col("f.fp").as("fp"))
-      .orderBy(col("doc_id"), col("pos"))
   }
 
-  /** Exact twin: window minima via a w-row window frame, rightmost tie
-    * via a bounded range self-join, DISTINCT for the in-row dedup. */
-  val winnowFingerprintOracle: String = s"""
-    WITH toks AS (SELECT doc_id, $tokensSql AS t FROM documents),
+  def winnowFingerprint(spark: SparkSession, dir: String): DataFrame =
+    winnowFingerprintOf(Tables.documents(spark, dir))
+      .orderBy(col("doc_id"), col("pos"))
+
+  /** Exact CTE twin ending in wfp(doc_id, pos, fp): window minima via a
+    * w-row window frame, rightmost tie via a bounded range self-join,
+    * DISTINCT for the in-row dedup. Shared by the fingerprint and
+    * contamination oracles; `src` lets the latter read a seeded union. */
+  private[graft] def winnowCtes(src: String = "documents"): String = s"""
+    toks AS (SELECT doc_id, $tokensSql AS t FROM $src),
     g AS (SELECT doc_id, i,
             CAST(concat('0x', substr(md5('win:' || gr), 1, 15)) AS BIGINT) AS gh
           FROM (SELECT doc_id, unnest(range(1, len(t) - $WinK + 2)) AS i,
@@ -842,8 +849,12 @@ object TextAnalysis {
             FROM ws JOIN g ON g.doc_id = ws.doc_id
               AND g.i BETWEEN ws.s AND ws.s + ${WinW - 1}
               AND g.gh = ws.wmin
-            GROUP BY ws.doc_id, ws.s, ws.wmin)
-    SELECT DISTINCT doc_id, pos, fp FROM sel ORDER BY doc_id, pos"""
+            GROUP BY ws.doc_id, ws.s, ws.wmin),
+    wfp AS MATERIALIZED (SELECT DISTINCT doc_id, pos, fp FROM sel)"""
+
+  val winnowFingerprintOracle: String = s"""
+    WITH ${winnowCtes()}
+    SELECT doc_id, pos, fp FROM wfp ORDER BY doc_id, pos"""
 
   // ---- 7. repetition filters (round 4) --------------------------------
   // The MassiveText/Gopher repetition quality filters (Rae et al. 2021,

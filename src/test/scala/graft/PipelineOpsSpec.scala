@@ -343,6 +343,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(fps(1L).size < 9) // 8 windows max for a 12-token doc
   }
 
+  test("winnow contamination: crawl doc sharing a benchmark passage flags, stranger doesn't") {
+    // probe slice = doc_id < 5; doc 10 lifts an 8-token passage from
+    // probe doc 2 (offset-shifted), doc 11 shares nothing. The
+    // fingerprint join must flag exactly doc 10 (plus the built-in
+    // seed pair's crawl side).
+    val passage = "alpha beta gamma delta epsilon zeta eta theta"
+    val tmp = java.nio.file.Files.createTempDirectory("wc").toString
+    Seq(
+      (2L, s"benchmark question text $passage end of item"),
+      (3L, "another benchmark item with entirely distinct words here today"),
+      (10L, s"some crawl preamble then $passage trailing chatter follows now"),
+      (11L, "completely unrelated crawl document about silent ancient stars tonight"))
+      .toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+    val got = graft.operators.Curation.winnowContamination(spark, tmp)
+      .as[(Long, Long)].collect().toMap
+    assert(got.contains(10L) && got(10L) >= 1L, s"lifted passage not flagged: $got")
+    assert(!got.contains(11L))
+    assert(got.contains(graft.operators.Curation.WinnowSeeds.last._1)) // seed pair
+  }
+
   test("dsir: target-like raw docs outweigh target-unlike ones") {
     // target slice (src0): a distinctive vocabulary; raw pool: one doc
     // echoing the target's vocabulary, one disjoint. The importance
