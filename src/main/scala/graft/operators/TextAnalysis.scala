@@ -792,8 +792,23 @@ object TextAnalysis {
   private[graft] val WinW = 4
 
   /** Composable form over any (doc_id, text) frame — unordered
-    * (doc_id, pos, fp) rows; the contamination join consumes this. */
+    * (doc_id, pos, fp) rows; the contamination join consumes this.
+    * The whole winnow (gram md5s, window minima, rightmost ties,
+    * position-dedup) runs in the native one-pass [[graft.functions.WinnowFps]]
+    * expression — the composable HOF formulation it bit-matches
+    * (differential-spec'd) paid ~5 s at sf0.1 in intermediate gram/hex
+    * strings and per-window array allocations. */
   private[graft] def winnowFingerprintOf(docs: DataFrame): DataFrame = {
+    val fps = graft.functions.WinnowFps.of(TextFns.tokens(col("text")), WinK, WinW)
+    docs
+      .select(col("doc_id"), explode(fps).as("f"))
+      .select(col("doc_id"), col("f.pos").as("pos"), col("f.fp").as("fp"))
+  }
+
+  /** The round-9 composable HOF formulation, kept as the differential
+    * reference for [[graft.functions.WinnowFps]]'s bit-compatibility
+    * spec (and as documentation of the lambda-binding trap below). */
+  private[graft] def winnowFingerprintHof(docs: DataFrame): DataFrame = {
     val ghash = transform(
       TextFns.shinglesFromTokens(TextFns.tokens(col("text")), WinK),
       g => conv(substring(md5(concat(lit("win:"), g)), 1, 15), 16, 10)

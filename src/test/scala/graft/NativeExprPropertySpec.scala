@@ -120,4 +120,27 @@ class NativeExprPropertySpec extends AnyFunSuite {
       .foreach(t => assert(mg.contains(t), s"heavy hitter $t dropped"))
     toks.unpersist()
   }
+
+  test("WinnowFps == composable HOF winnowing, per-doc set-identical") {
+    import spark.implicits._
+    // crafted edges (repeats force min-ties; short docs hit the guard)
+    // plus the sf0.001 corpus
+    val crafted = Seq(
+      (9001L, ("tok " * 20).trim),                 // all grams identical
+      (9002L, (0 until 30).map(i => s"w${i % 7}").mkString(" ")), // periodic
+      (9003L, "a b c d e f g h"),                  // exactly k+w-1 tokens
+      (9004L, "a b c d e f g"),                    // one below the guard
+      (9005L, (0 until 50).map(i => s"u$i").mkString(" "))) // all distinct
+      .toDF("doc_id", "text")
+    val sf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text").limit(50)
+    for (docs <- Seq(crafted, sf)) {
+      val native = graft.operators.TextAnalysis.winnowFingerprintOf(docs)
+        .as[(Long, Int, Long)].collect().toSet
+      val hof = graft.operators.TextAnalysis.winnowFingerprintHof(docs)
+        .as[(Long, Int, Long)].collect().toSet
+      assert(native == hof,
+        s"diff: native-only=${native -- hof}, hof-only=${hof -- native}")
+    }
+  }
 }
