@@ -14,12 +14,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Analytics.queries ++ RefCore.queries ++ Dedup.queries ++
       Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries ++
-      AsOfJoin.queries ++ RangeJoin.queries ++ Curation.queries
+      AsOfJoin.queries ++ RangeJoin.queries ++ Curation.queries ++
+      Retrieval.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Analytics.oracle ++ RefCore.oracle ++ Dedup.oracle ++
       Similarity.oracle ++ TextAnalysis.oracle ++ Multimodal.oracle ++
-      AsOfJoin.oracle ++ RangeJoin.oracle ++ Curation.oracle
+      AsOfJoin.oracle ++ RangeJoin.oracle ++ Curation.oracle ++
+      Retrieval.oracle
 }

@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+import graft.functions.TextFns
+
+/** Retrieval ranking over the `documents` corpus (SURVEY §2e/§2d) — the
+  * query side the reference's IR datasets (CISI, wikIR — api.py's whole
+  * subject matter) exist FOR, and the retrieval stage of a RAG pipeline:
+  *
+  *  - BM25 top-k (Robertson–Spärck Jones; the Lucene idf variant):
+  *    classic lexical ranking, k1 = 1.2, b = 0.75.
+  *  - Hybrid reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009):
+  *    RRF over the BM25 list and the embedding-cosine list — the
+  *    standard lexical+dense ensemble, score = Σ 1/(60 + rank).
+  *
+  * Probe convention (shared with the `sim_topk_*` family): queries are
+  * the first [[NQ]] ids; a BM25 query is the DISTINCT term set of that
+  * probe doc, and candidates exclude the probe itself.
+  *
+  * Scale shape: everything query-sized (term sets, per-term idf, both
+  * ranked lists) is broadcast; the ONLY corpus-sized work is one
+  * tokenize scan for corpus stats and one explode whose output is
+  * filtered against the broadcast query vocabulary BEFORE the tf
+  * aggregate — so the shuffle carries query-term POSTINGS, not the
+  * corpus vocabulary. df comes from the same cached postings frame. At
+  * 100 TB with a fixed query set this is a semi-join-pruned scan plus
+  * postings-sized aggregates; nothing all-pairs, nothing vocab-wide.
+  *
+  * Cross-engine exactness (the proven §2e recipe): idf is a difference
+  * of log2 over INTEGERS — the +0.5 Lucene smoothing is multiplied
+  * through: idf = log2(2N+2) − log2(2·df+1) ≡ log2((N+1)/(df+0.5)) —
+  * rounded to 8 dp; the tf factor clears k1/b/avgdl denominators into
+  * one exact-integer ratio (avgdl = T/N ⇒ numerator 22·tf·T, denominator
+  * 10·tf·T + 3·T + 9·dl·N; every product < 2^53 so both engines IEEE-
+  * divide identical operands), rounded to 8 dp; per-term contributions
+  * round to 6 dp and sum as DECIMAL(28,12). No transcendental ever takes
+  * a non-integer argument.
+  */
+object Retrieval {
+
+  private val tokensSql =
+    "list_filter(regexp_split_to_array(lower(regexp_replace(text, '[^\\w\\s]', ' ', 'g')), '\\s+'), x -> x <> '')"
+
+  private val NQ = 5 // probe queries: distinct terms of docs 0..NQ-1
+  private val K = 5 // final list depth (gated)
+  private val FuseK = 20 // per-system list depth feeding RRF
+  private val RrfC = 60 // the standard RRF constant
+
+  /** BM25 top-`k` per probe query: (qid, rn, doc_id, score). */
+  def bm25Ranked(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("ts"))
+      .select(col("doc_id"), col("ts"), size(col("ts")).as("dl"))
+    // corpus scalars N (docs) and T (tokens): a 2-value driver collect
+    val st = toks.agg(count(lit(1)), sum(col("dl"))).head
+    val nDocs = st.getLong(0)
+    val tToks = st.getLong(1)
+    // query term sets: a pushed-down NQ-doc scan, then broadcast everywhere
+    val qterms = toks.filter(col("doc_id") < NQ)
+      .select(col("doc_id").as("qid"), explode(col("ts")).as("term"))
+      .distinct()
+    val qvocab = qterms.select(col("term")).distinct()
+    // postings of query-vocabulary terms ONLY: the broadcast semi-filter
+    // runs before the tf aggregate, so the one corpus shuffle is
+    // postings-sized. Cached: feeds both df and the candidate join.
+    val postings = toks
+      .select(col("doc_id"), col("dl"), explode(col("ts")).as("term"))
+      .join(broadcast(qvocab), "term")
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .cache()
+    val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qidf = dfreq.join(qterms, "term") // both frames are query-sized
+      .select(col("qid"), col("term"),
+        round(log2(lit(2L * nDocs + 2L)) - log2(col("df") * 2L + lit(1L)), 8)
+          .as("idf"))
+    val contrib = postings.join(broadcast(qidf), "term")
+      .filter(col("doc_id") =!= col("qid"))
+      .select(col("qid"), col("doc_id"),
+        round(col("idf") *
+          round((col("tf") * lit(22L * tToks)).cast("double") /
+            (col("tf") * lit(10L * tToks) + lit(3L * tToks) +
+              col("dl") * lit(9L * nDocs)).cast("double"), 8), 6).as("c"))
+    val scored = contrib.groupBy(col("qid"), col("doc_id"))
+      .agg(round(sum(col("c").cast("decimal(28,12)")).cast("double"), 4)
+        .as("score"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("doc_id"), col("score"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  def bm25Topk(spark: SparkSession, dir: String): DataFrame =
+    bm25Ranked(spark, dir, K)
+
+  /** The bm25 CTE stack, parameterized by list depth (shared with the
+    * hybrid oracle). Yields a relation (qid, rn, doc_id, score). */
+  private def bm25OracleCtes(k: Int): String = s"""
+    tl AS (SELECT doc_id, $tokensSql AS ts FROM documents),
+    toks AS (SELECT doc_id, ts, len(ts) AS dl FROM tl),
+    stats AS (SELECT count(*) AS n, sum(dl) AS t FROM toks),
+    posts AS (
+      SELECT doc_id, dl, term, count(*) AS tf
+      FROM (SELECT doc_id, dl, unnest(ts) AS term FROM toks)
+      GROUP BY doc_id, dl, term),
+    qterms AS (SELECT DISTINCT qid, term FROM
+      (SELECT doc_id AS qid, unnest(ts) AS term FROM toks WHERE doc_id < $NQ)),
+    dfreq AS (SELECT term, count(*) AS df FROM posts
+      WHERE term IN (SELECT term FROM qterms) GROUP BY term),
+    qidf AS (SELECT qid, term, round(log2(2*n + 2) - log2(2*df + 1), 8) AS idf
+      FROM qterms JOIN dfreq USING (term), stats),
+    cand AS (SELECT qid, doc_id,
+        round(idf * round(CAST(tf * 22 * t AS DOUBLE) /
+          CAST(tf * 10 * t + 3 * t + dl * 9 * n AS DOUBLE), 8), 6) AS c
+      FROM posts JOIN qidf USING (term), stats
+      WHERE doc_id <> qid),
+    scored AS (SELECT qid, doc_id,
+        round(CAST(sum(CAST(c AS DECIMAL(28,12))) AS DOUBLE), 4) AS score
+      FROM cand GROUP BY qid, doc_id),
+    textr AS (SELECT qid,
+        CAST(row_number() OVER (PARTITION BY qid
+          ORDER BY score DESC, doc_id) AS INT) AS rn, doc_id, score
+      FROM scored QUALIFY rn <= $k)"""
+
+  val bm25TopkOracle: String = s"""
+    WITH ${bm25OracleCtes(K)}
+    SELECT qid, rn, doc_id, score FROM textr ORDER BY qid, rn"""
+
+  /** Hybrid retrieval: RRF over the BM25 and embedding-cosine lists
+    * (depth [[FuseK]] each), fused top-[[K]]: (qid, rn, id, rrf).
+    * Contributions 1/(C+rank) are 8-dp-rounded doubles summed as
+    * DECIMAL(28,12) — identical rank lists fuse identically. */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val text = bm25Ranked(spark, dir, FuseK)
+      .select(col("qid"), col("doc_id").as("id"), col("rn"))
+    val vec = Similarity.cosineRanked(spark, dir, NQ, FuseK)
+      .select(col("qid"), col("nid").as("id"), col("rn"))
+    val both = text.unionByName(vec)
+      .select(col("qid"), col("id"),
+        round(lit(1.0) / (col("rn") + lit(RrfC)), 8).as("c"))
+    val fused = both.groupBy(col("qid"), col("id"))
+      .agg(round(sum(col("c").cast("decimal(28,12)")).cast("double"), 8)
+        .as("rrf"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("rrf").desc, col("id"))
+    fused.withColumn("rn", row_number().over(w)).filter(col("rn") <= K)
+      .select(col("qid"), col("rn"), col("id"), col("rrf"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  val hybridRrfOracle: String = s"""
+    WITH ${bm25OracleCtes(FuseK)},
+    vecr AS (
+      SELECT q.vec_id AS qid, c.vec_id AS id,
+        CAST(row_number() OVER (PARTITION BY q.vec_id
+          ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                         CAST(c.embedding AS DOUBLE[])), 6) DESC, c.vec_id)
+          AS INT) AS rn
+      FROM embeddings q JOIN embeddings c
+        ON q.vec_id < $NQ AND c.vec_id <> q.vec_id
+      QUALIFY rn <= $FuseK),
+    unioned AS (
+      SELECT qid, doc_id AS id,
+        round(CAST(1 AS DOUBLE) / (rn + $RrfC), 8) AS c FROM textr
+      UNION ALL
+      SELECT qid, id, round(CAST(1 AS DOUBLE) / (rn + $RrfC), 8) AS c FROM vecr),
+    fused AS (SELECT qid, id,
+        round(CAST(sum(CAST(c AS DECIMAL(28,12))) AS DOUBLE), 8) AS rrf
+      FROM unioned GROUP BY qid, id)
+    SELECT qid, CAST(row_number() OVER (PARTITION BY qid
+        ORDER BY rrf DESC, id) AS INT) AS rn, id, rrf
+    FROM fused QUALIFY rn <= $K ORDER BY qid, rn"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bm25_topk" -> (bm25Topk _),
+    "sim_hybrid_rrf" -> (hybridRrf _))
+
+  val oracle: Map[String, String] = Map(
+    "text_bm25_topk" -> bm25TopkOracle,
+    "sim_hybrid_rrf" -> hybridRrfOracle)
+}

@@ -28,18 +28,23 @@ object Similarity {
   private val K = 5
 
   // ---- 1. exact brute-force top-k -------------------------------------
-  def topkBruteforce(spark: SparkSession, dir: String): DataFrame = {
+  /** Parameterized exact ranking (also feeds [[Retrieval.hybridRrf]]):
+    * (qid, nid, cos, rn) for rn ≤ `k` over the first `nq` probe ids. */
+  def cosineRanked(spark: SparkSession, dir: String, nq: Int, k: Int): DataFrame = {
     val all = emb(spark, dir)
-    val q = all.filter(col("vec_id") < NQueries)
+    val q = all.filter(col("vec_id") < nq)
       .select(col("vec_id").as("qid"), col("vec").as("qvec"))
     val scored = all.join(broadcast(q), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
         VectorFns.dot6(col("qvec"), col("vec")).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= K)
+      .filter(col("rn") <= k)
       .orderBy(col("qid"), col("rn"))
   }
+
+  def topkBruteforce(spark: SparkSession, dir: String): DataFrame =
+    cosineRanked(spark, dir, NQueries, K)
 
   val topkBruteforceOracle: String = s"""
     SELECT q.vec_id AS qid, c.vec_id AS nid,

@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Retrieval
+
+class RetrievalSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.test
+  import spark.implicits._
+
+  /** Fixture: probe doc 0's query is {zebra, common}. "zebra" is rare
+    * (df 4), "common" is corpus-wide (df 22); docs 12/13 probe tf
+    * saturation and length normalization on "zebra" alone. Filler tokens
+    * never match the query, so each candidate's score isolates ONE term. */
+  private def corpus(): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("bm25").toString
+    val filler = (0 until 30).map(i => s"filler$i").mkString(" ")
+    val rows = Seq(
+      (0L, "zebra common"), // the probe
+      (10L, s"zebra $filler"), // rare-term match, tf=1
+      (11L, s"common $filler"), // common-term match, tf=1, same length
+      (12L, ("zebra " * 10) + filler), // tf=10
+      (13L, s"zebra $filler $filler") // tf=1, twice the length
+    ) ++ (100L until 120L).map(i => (i, s"common pad$i $filler"))
+    rows.toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  test("bm25: rare-term match outranks common-term match (idf), tf saturates, length normalizes") {
+    val tmp = corpus()
+    val ranked = Retrieval.bm25Ranked(spark, tmp, 25)
+      .filter($"qid" === 0L)
+      .select($"doc_id", $"score").as[(Long, Double)].collect().toMap
+    // idf: "zebra" (df 4) carries more bits than "common" (df 22)
+    assert(ranked(10L) > ranked(11L), s"rare-term doc below common-term doc: $ranked")
+    // tf saturation: tf=10 scores above tf=1, but below the k1+1 = 2.2x asymptote
+    assert(ranked(12L) > ranked(10L))
+    assert(ranked(12L) < 2.2 * ranked(10L))
+    // length normalization: same tf=1, doc twice as long scores lower
+    assert(ranked(13L) < ranked(10L))
+  }
+
+  test("rrf: fused ranks equal the hand-computed reciprocal-rank sum on sf0.001") {
+    val sf = "/root/testdata/sf0.001"
+    val text = Retrieval.bm25Ranked(spark, sf, 20)
+      .select($"qid", $"doc_id", $"rn").as[(Long, Long, Int)].collect()
+    val vec = graft.operators.Similarity.cosineRanked(spark, sf, 5, 20)
+      .select($"qid", $"nid", $"rn").as[(Long, Long, Int)].collect()
+    // driver-side reference fusion with exact decimal arithmetic
+    val contrib = (text ++ vec).toSeq.groupBy(t => (t._1, t._2)).map { case (k, rows) =>
+      k -> rows.map(r => BigDecimal(1.0 / (r._3 + 60))
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP)).sum
+    }
+    val expected = contrib.groupBy(_._1._1).flatMap { case (qid, m) =>
+      m.toSeq.sortBy { case ((_, id), s) => (-s, id) }.take(5).zipWithIndex
+        .map { case (((_, id), s), i) => (qid, i + 1, id, s.toDouble) }
+    }.toSet
+    val got = Retrieval.hybridRrf(spark, sf)
+      .select($"qid", $"rn", $"id", $"rrf").as[(Long, Int, Long, Double)]
+      .collect().toSet
+    assert(got == expected, s"fused mismatch:\n got=$got\n exp=$expected")
+  }
+}
