@@ -24,7 +24,7 @@ class EntrySpec extends AnyFunSuite {
       graft.operators.Dedup.queries.size, graft.operators.Similarity.queries.size,
       graft.operators.TextAnalysis.queries.size, graft.operators.Multimodal.queries.size,
       graft.operators.AsOfJoin.queries.size, graft.operators.RangeJoin.queries.size,
-      graft.operators.Curation.queries.size).sum
+      graft.operators.Curation.queries.size, graft.operators.Retrieval.queries.size).sum
     assert(moduleCounts == qs.size, s"duplicate query keys across modules: $moduleCounts vs ${qs.size}")
   }
 
