@@ -129,26 +129,32 @@ object Retrieval {
     WITH ${bm25OracleCtes(K)}
     SELECT qid, rn, doc_id, score FROM textr ORDER BY qid, rn"""
 
-  /** Hybrid retrieval: RRF over the BM25 and embedding-cosine lists
-    * (depth [[FuseK]] each), fused top-[[K]]: (qid, rn, id, rrf).
+  /** Composable fusion over any materialized rank lists — (qid, id, rn)
+    * frames — so production reuses per-system retrieval outputs instead
+    * of recomputing them per fusion (the `splitLeakSafeOf` pattern).
     * Contributions 1/(C+rank) are 8-dp-rounded doubles summed as
     * DECIMAL(28,12) — identical rank lists fuse identically. */
-  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
-    val text = bm25Ranked(spark, dir, FuseK)
-      .select(col("qid"), col("doc_id").as("id"), col("rn"))
-    val vec = Similarity.cosineRanked(spark, dir, NQ, FuseK)
-      .select(col("qid"), col("nid").as("id"), col("rn"))
-    val both = text.unionByName(vec)
+  def rrfFuseOf(lists: Seq[DataFrame], k: Int): DataFrame = {
+    val both = lists.reduce(_ unionByName _)
       .select(col("qid"), col("id"),
         round(lit(1.0) / (col("rn") + lit(RrfC)), 8).as("c"))
     val fused = both.groupBy(col("qid"), col("id"))
       .agg(round(sum(col("c").cast("decimal(28,12)")).cast("double"), 8)
         .as("rrf"))
     val w = Window.partitionBy(col("qid")).orderBy(col("rrf").desc, col("id"))
-    fused.withColumn("rn", row_number().over(w)).filter(col("rn") <= K)
+    fused.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("qid"), col("rn"), col("id"), col("rrf"))
       .orderBy(col("qid"), col("rn"))
   }
+
+  /** Hybrid retrieval: RRF over the BM25 and embedding-cosine lists
+    * (depth [[FuseK]] each), fused top-[[K]]: (qid, rn, id, rrf). */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame =
+    rrfFuseOf(Seq(
+      bm25Ranked(spark, dir, FuseK)
+        .select(col("qid"), col("doc_id").as("id"), col("rn")),
+      Similarity.cosineRanked(spark, dir, NQ, FuseK)
+        .select(col("qid"), col("nid").as("id"), col("rn"))), K)
 
   val hybridRrfOracle: String = s"""
     WITH ${bm25OracleCtes(FuseK)},

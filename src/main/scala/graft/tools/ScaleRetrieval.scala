@@ -1,0 +1,96 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.TextFns
+import graft.operators.Retrieval
+
+/** Stress BM25 retrieval on the 1M-doc replicated corpus (ScaleDedup's
+  * 200×5000; 54M tokens).
+  *
+  * The synthetic generator draws from a SMALL shared vocabulary, so the
+  * five probe docs' term sets cover ~99.9% of all token occurrences —
+  * the gated plan's broadcast vocab semi-filter prunes nothing and
+  * every query scores essentially every document. That makes the first
+  * measurement the ADVERSARIAL upper bound (5 queries × ~1M scored
+  * candidates each, exact tf/idf/dl scoring end to end), not the
+  * typical case. The second measurement is the typical case: a
+  * 30-term query vocabulary (a real query's worth against a Zipf
+  * corpus) — postings volume and wall time drop proportionally, which
+  * is the design claim: cost follows QUERY-term postings, not corpus
+  * vocabulary. */
+object ScaleRetrieval {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "target/tmp/bigsf"
+    val link = new java.io.File(s"$dir/documents.parquet")
+    if (!link.exists()) {
+      new java.io.File(dir).mkdirs()
+      java.nio.file.Files.createSymbolicLink(link.toPath,
+        new java.io.File("target/tmp/big_documents.parquet").getAbsoluteFile.toPath)
+    }
+
+    // warm codegen at the tiny SF
+    Retrieval.bm25Ranked(spark, "/root/testdata/sf0.001", 5).count()
+    spark.catalog.clearCache()
+
+    val toks = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("ts"))
+      .select(col("doc_id"), col("ts"), size(col("ts")).as("dl"))
+
+    // adversarial upper bound: query vocab ≡ corpus vocab
+    val t0 = System.nanoTime()
+    val top = Retrieval.bm25Ranked(spark, dir, 5)
+    val n = top.agg(count(lit(1)), sum(col("score"))).first()
+    println(f"[scale] bm25_topk 1M docs, query vocab ~= corpus vocab (worst case): " +
+      f"${(System.nanoTime() - t0) / 1e9}%.2f s  rows=${n.getLong(0)} score_sum=${n.get(1)}")
+    spark.catalog.clearCache()
+
+    // typical case: a query over RARE terms. The 31-term synthetic
+    // vocabulary means any natural query covers ~all 54M occurrences, so
+    // rarity is injected: 1000 docs get a marker term appended, and the
+    // query asks for it. The broadcast semi-filter prunes the explode
+    // BEFORE any aggregate, so everything downstream of the one
+    // irreducible corpus scan is postings-sized (1000 rows), the
+    // proportionality the gated plan is built on.
+    val t1 = System.nanoTime()
+    val marked = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 1000 === 7, concat(col("text"), lit(" nicheterm")))
+          .otherwise(col("text")).as("text"))
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("ts"))
+      .select(col("doc_id"), col("ts"), size(col("ts")).as("dl"))
+    val st = marked.agg(count(lit(1)), sum(col("dl"))).first()
+    val (nDocs, tToks) = (st.getLong(0), st.getLong(1))
+    import spark.implicits._
+    val qsmall = Seq("nicheterm").toDF("term")
+    val posts = marked.select(col("doc_id"), col("dl"), explode(col("ts")).as("term"))
+      .join(broadcast(qsmall), "term")
+      .groupBy(col("doc_id"), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
+      .cache()
+    val idf = posts.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .select(col("term"),
+        round(log2(lit(2L * nDocs + 2L)) - log2(col("df") * 2L + lit(1L)), 8).as("idf"))
+    val contrib = posts.join(broadcast(idf), "term").filter(col("doc_id") =!= 0L)
+      .select(col("doc_id"),
+        round(col("idf") * round((col("tf") * lit(22L * tToks)).cast("double") /
+          (col("tf") * lit(10L * tToks) + lit(3L * tToks) +
+            col("dl") * lit(9L * nDocs)).cast("double"), 8), 6).as("c"))
+    val scored = contrib.groupBy(col("doc_id"))
+      .agg(round(sum(col("c").cast("decimal(28,12)")).cast("double"), 4).as("score"))
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    val npost = posts.agg(count(lit(1)), sum(col("tf"))).first()
+    val top30 = scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .agg(count(lit(1)), sum(col("score"))).first()
+    println(f"[scale] bm25 rare-term query (typical): ${(System.nanoTime() - t1) / 1e9}%.2f s  " +
+      s"postings=${npost.getLong(0)} occ=${npost.getLong(1)} top5_sum=${top30.get(1)}")
+    posts.unpersist()
+
+    spark.stop()
+  }
+}

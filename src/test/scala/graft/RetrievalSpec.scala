@@ -58,5 +58,18 @@ class RetrievalSpec extends AnyFunSuite {
       .select($"qid", $"rn", $"id", $"rrf").as[(Long, Int, Long, Double)]
       .collect().toSet
     assert(got == expected, s"fused mismatch:\n got=$got\n exp=$expected")
+
+    // the composed form over MATERIALIZED rank-list tables (the
+    // production path — no per-fusion retrieval recompute) is identical
+    val tmp = java.nio.file.Files.createTempDirectory("rrf").toString
+    spark.createDataFrame(text.toSeq.map(t => (t._1, t._2, t._3)))
+      .toDF("qid", "id", "rn").write.parquet(s"$tmp/text")
+    spark.createDataFrame(vec.toSeq.map(t => (t._1, t._2, t._3)))
+      .toDF("qid", "id", "rn").write.parquet(s"$tmp/vec")
+    val composed = Retrieval.rrfFuseOf(Seq(
+        spark.read.parquet(s"$tmp/text"), spark.read.parquet(s"$tmp/vec")), 5)
+      .select($"qid", $"rn", $"id", $"rrf").as[(Long, Int, Long, Double)]
+      .collect().toSet
+    assert(composed == expected)
   }
 }
