@@ -899,6 +899,105 @@ object Similarity {
     ORDER BY qid, rn"""
   }
 
+  // ---- 3e2. int8 scalar quantization (round 9) -------------------------
+  // The faiss-SQ8 memory path: per-DIMENSION affine quantization of the
+  // RAW float embeddings to one byte each (8× smaller than float64, 4×
+  // smaller than the parquet float32 — the simplest store-the-codes
+  // format, and the standard first rung below PQ). Quantizing the raw
+  // floats (not the normalized doubles) is what makes this hash-gatable:
+  // parquet floats are bit-identical in both engines, so per-dim min/max,
+  // the (x−mn)·255/(mx−mn) floor codes, and the affine reconstruction
+  // are all exact IEEE ops on identical operands — no normalization fold
+  // whose last ulp could flip a floor boundary. Scoring is cosine of
+  // reconstructions with per-pair products cast DECIMAL(28,12) before
+  // summing (the order-free sum recipe), rounded to 6 dp.
+  //
+  // Scale shape: the 64×2 stats are a posexplode + per-dim min/max (one
+  // map-side-combined aggregate), shipped back as 128 literal doubles;
+  // encode/reconstruct are narrow per-row transforms; ranking is the
+  // brute-force broadcast join at gated SF (an IVF/LSH candidate stage
+  // composes in front of it at corpus scale — SQ8 is the SCORER, the
+  // candidate generators are orthogonal and already built).
+  private val Sq8Levels = 255
+
+  /** Decimal-fold dot of two double arrays: per-dim products cast to
+    * DECIMAL(28,12) then summed — aggregation-order-free, so the oracle's
+    * GROUP BY sum matches exactly. */
+  private def dotDec(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x * y).cast("decimal(28,12)")),
+      lit(0).cast("decimal(38,12)"),
+      (acc, v) => (acc + v).cast("decimal(38,12)"))
+
+  def topkSq8(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), VectorFns.asDouble(col("embedding")).as("raw"))
+    // per-dimension min/max: driver-bounded collect of dim*2 doubles
+    val stats = raw.select(posexplode(col("raw")).as(Seq("pos", "v")))
+      .groupBy(col("pos")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val dims = stats.size
+    val mnLit = array((0 until dims).map(i => lit(stats(i)._1)): _*)
+    val mxLit = array((0 until dims).map(i => lit(stats(i)._2)): _*)
+    // codes: c_d = clamp(floor((x−mn)·255/(mx−mn))); constant dims → 0
+    val codes = zip_with(col("raw"), sequence(lit(0), lit(dims - 1)), (x, i) => {
+      val mn = element_at(mnLit, i + 1)
+      val mx = element_at(mxLit, i + 1)
+      when(mx === mn, lit(0)).otherwise(
+        least(lit(Sq8Levels), greatest(lit(0),
+          floor((x - mn) * Sq8Levels / (mx - mn)))).cast("int"))
+    })
+    // affine reconstruction from the codes alone (what a code-only store
+    // can compute): xh_d = mn_d + c_d·(mx_d−mn_d)/255
+    val rec = zip_with(codes, sequence(lit(0), lit(dims - 1)), (c, i) => {
+      val mn = element_at(mnLit, i + 1)
+      val mx = element_at(mxLit, i + 1)
+      mn + c.cast("double") * (mx - mn) / Sq8Levels
+    })
+    val enc = raw.select(col("vec_id"), rec.as("xh"))
+      .withColumn("nn", sqrt(dotDec(col("xh"), col("xh")).cast("double")))
+    val q = enc.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("xh").as("qh"), col("nn").as("qn"))
+    val scored = enc.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        round(dotDec(col("qh"), col("xh")).cast("double") /
+          (col("qn") * col("nn")), 6).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= K)
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  /** Exact twin: same stats, codes, reconstruction, decimal-fold cosine. */
+  val topkSq8Oracle: String = s"""
+    WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    dims AS (SELECT CAST(unnest(range(1, len(v) + 1)) AS INT) AS i
+             FROM (SELECT v FROM emb LIMIT 1)),
+    stats AS (SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
+              FROM emb, dims GROUP BY i),
+    rec AS (
+      SELECT e.vec_id, s.i,
+        s.mn + (CASE WHEN s.mx = s.mn THEN 0
+                ELSE least($Sq8Levels, greatest(0,
+                  floor((e.v[s.i] - s.mn) * $Sq8Levels / (s.mx - s.mn)))) END)
+          * (s.mx - s.mn) / $Sq8Levels AS xh
+      FROM emb e, stats s),
+    nrm AS (SELECT vec_id,
+        sqrt(CAST(sum(CAST(xh * xh AS DECIMAL(28,12))) AS DOUBLE)) AS nn
+      FROM rec GROUP BY vec_id),
+    sc AS (
+      SELECT q.vec_id AS qid, c.vec_id AS nid,
+        round(CAST(sum(CAST(q.xh * c.xh AS DECIMAL(28,12))) AS DOUBLE) /
+          (qn.nn * cn.nn), 6) AS cos
+      FROM rec q JOIN rec c ON q.i = c.i AND q.vec_id < $NQueries
+        AND c.vec_id <> q.vec_id
+      JOIN nrm qn ON qn.vec_id = q.vec_id
+      JOIN nrm cn ON cn.vec_id = c.vec_id
+      GROUP BY q.vec_id, c.vec_id, qn.nn, cn.nn)
+    SELECT qid, nid, cos,
+      CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INT) AS rn
+    FROM sc
+    QUALIFY rn <= $K
+    ORDER BY qid, rn"""
+
   // ---- 3f. prototypicality ranking (round 8) ----------------------------
   // D4 (Tirumala et al. 2023, "D4: Improving LLM Pretraining via
   // Document De-Duplication and Diversification", arXiv:2308.12284 —
@@ -1209,6 +1308,7 @@ object Similarity {
     "sim_topk_ivf_trained" -> (topkIvfTrained _),
     "sim_topk_lsh"        -> (topkLsh _),
     "sim_topk_pq"         -> (topkPq _),
+    "sim_topk_sq8"        -> (topkSq8 _),
     "sim_topk_ivf2"       -> (topkIvf2 _),
     "curation_prototypicality" -> (prototypicality _),
     "dedup_semantic"      -> (dedupSemantic _))
@@ -1219,6 +1319,7 @@ object Similarity {
     "sim_topk_ivf_trained" -> topkIvfTrainedOracle,
     "sim_topk_lsh"        -> topkLshOracle,
     "sim_topk_pq"         -> topkPqOracle,
+    "sim_topk_sq8"        -> topkSq8Oracle,
     "sim_topk_ivf2"       -> topkIvf2Oracle,
     "curation_prototypicality" -> prototypicalityOracle,
     "dedup_semantic"      -> dedupSemanticOracle,

@@ -138,4 +138,18 @@ class AnnAssignSpec extends AnyFunSuite {
     assert(q4.subsetOf((25L until 30L).toSet), s"q4 neighbors should be cell-2 points, got $q4")
     all.unpersist()
   }
+
+  test("sim_topk_sq8: one-byte codes preserve exact top-5 recall >= 0.8 on sf0.001") {
+    val sf = "/root/testdata/sf0.001"
+    val exact = Similarity.topkBruteforce(spark, sf)
+      .select($"qid", $"nid").as[(Long, Long)].collect().groupBy(_._1)
+      .map { case (q, a) => q -> a.map(_._2).toSet }
+    val sq8 = Similarity.topkSq8(spark, sf)
+      .select($"qid", $"nid").as[(Long, Long)].collect().groupBy(_._1)
+      .map { case (q, a) => q -> a.map(_._2).toSet }
+    assert(sq8.keySet == exact.keySet)
+    val recall = exact.map { case (q, e) => (sq8(q) & e).size.toDouble / e.size }
+    val mean = recall.sum / recall.size
+    assert(mean >= 0.8, s"SQ8 recall@5 vs exact = $mean (per-query $recall)")
+  }
 }
