@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
-import graft.functions.TextFns
+import graft.functions.{TextFns, VectorFns}
 
 /** Retrieval ranking over the `documents` corpus (SURVEY §2e/§2d) — the
   * query side the reference's IR datasets (CISI, wikIR — api.py's whole
@@ -179,11 +179,102 @@ object Retrieval {
         ORDER BY rrf DESC, id) AS INT) AS rn, id, rrf
     FROM fused QUALIFY rn <= $K ORDER BY qid, rn"""
 
+  // ---- MMR diversified re-ranking (Carbonell & Goldstein 1998) --------
+  // The standard retrieve-then-diversify stage: greedily select K of the
+  // top-FuseK cosine candidates, each round's winner maximizing
+  // λ·relevance − (1−λ)·max-similarity-to-already-selected. Greedy
+  // selection is inherently sequential in K but K is small and fixed —
+  // each round is ONE narrow argmax over the broadcast-sized candidate
+  // set (the Lloyd/CC bounded-driver-loop pattern; candidate sets stay
+  // ≤ FuseK rows per query at ANY corpus size because the retrieval leg
+  // in front already cut them down). Determinism: cosines and MMR
+  // scores round to 6 dp, ties break on candidate id, every round.
+  private val MmrNum = 7 // λ = 0.7 (×10 to keep literals exact)
+
+  def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    val all = Similarity.emb(spark, dir)
+      .select(col("vec_id"), col("vec"))
+    val cands = Similarity.cosineRanked(spark, dir, NQ, FuseK)
+      .select(col("qid"), col("nid"), col("cos"))
+      .join(all.select(col("vec_id").as("nid"), col("vec")), "nid")
+      .cache()
+    val w0 = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    var sel = cands
+      .withColumn("rnk", row_number().over(w0)).filter(col("rnk") === 1)
+      .select(col("qid"), col("nid"),
+        round(lit(MmrNum) * col("cos") / 10d, 6).as("mmr"), lit(1).as("rn"))
+    for (r <- 2 to K) {
+      val selv = sel.select(col("qid"), col("nid").as("sid"))
+        .join(all.select(col("vec_id").as("sid"), col("vec").as("svec")), "sid")
+      val un = cands.join(sel.select(col("qid"), col("nid")),
+        Seq("qid", "nid"), "left_anti")
+      val scored = un.join(selv, "qid")
+        .groupBy(col("qid"), col("nid"), col("cos"))
+        .agg(max(VectorFns.dot6(col("vec"), col("svec"))).as("pen"))
+        .select(col("qid"), col("nid"),
+          round((lit(MmrNum) * col("cos") - lit(10 - MmrNum) * col("pen")) / 10d, 6)
+            .as("mmr"))
+      val wr = Window.partitionBy(col("qid")).orderBy(col("mmr").desc, col("nid"))
+      sel = sel.unionByName(scored
+        .withColumn("rnk", row_number().over(wr)).filter(col("rnk") === 1)
+        .select(col("qid"), col("nid"), col("mmr"), lit(r).as("rn")))
+    }
+    sel.orderBy(col("qid"), col("rn"))
+  }
+
+  /** Exact twin: the greedy rounds unroll as MATERIALIZED CTEs (an
+    * inlined round-k CTE referenced twice re-expands the tree per
+    * round); pair cosines use the raw-embedding formulation the
+    * brute-force oracle already proves equal to dot-of-normalized. */
+  val mmrRerankOracle: String = {
+    val cos = (a: String, b: String) =>
+      s"round(list_cosine_similarity(CAST($a.embedding AS DOUBLE[]), CAST($b.embedding AS DOUBLE[])), 6)"
+    val rounds = (2 to K).map { r =>
+      s"""
+    sel$r AS MATERIALIZED (
+      SELECT qid, nid, mmr, $r AS rn FROM (
+        SELECT p.qid, p.nid,
+          round(($MmrNum * p.cos - ${10 - MmrNum} * p.pen) / 10, 6) AS mmr,
+          row_number() OVER (PARTITION BY p.qid ORDER BY
+            round(($MmrNum * p.cos - ${10 - MmrNum} * p.pen) / 10, 6) DESC,
+            p.nid) AS rnk
+        FROM (
+          SELECT c.qid, c.nid, c.cos, max(${cos("e1", "e2")}) AS pen
+          FROM mcands c
+          JOIN selu${r - 1} s ON s.qid = c.qid
+          JOIN embeddings e1 ON e1.vec_id = c.nid
+          JOIN embeddings e2 ON e2.vec_id = s.nid
+          WHERE NOT EXISTS (SELECT 1 FROM selu${r - 1} x
+                            WHERE x.qid = c.qid AND x.nid = c.nid)
+          GROUP BY c.qid, c.nid, c.cos) p)
+      WHERE rnk = 1),
+    selu$r AS MATERIALIZED (
+      SELECT qid, nid FROM selu${r - 1} UNION ALL SELECT qid, nid FROM sel$r),"""
+    }.mkString
+    s"""
+    WITH mcands AS MATERIALIZED (
+      SELECT q.vec_id AS qid, c.vec_id AS nid, ${cos("q", "c")} AS cos
+      FROM embeddings q JOIN embeddings c
+        ON q.vec_id < $NQ AND c.vec_id <> q.vec_id
+      QUALIFY CAST(row_number() OVER (PARTITION BY q.vec_id
+        ORDER BY ${cos("q", "c")} DESC, c.vec_id) AS INT) <= $FuseK),
+    sel1 AS MATERIALIZED (
+      SELECT qid, nid, round($MmrNum * cos / 10, 6) AS mmr, 1 AS rn FROM (
+        SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid
+          ORDER BY cos DESC, nid) AS rnk FROM mcands)
+      WHERE rnk = 1),
+    selu1 AS MATERIALIZED (SELECT qid, nid FROM sel1),$rounds
+    allsel AS (${(1 to K).map(r => s"SELECT * FROM sel$r").mkString(" UNION ALL ")})
+    SELECT qid, CAST(rn AS INT) AS rn, nid, mmr FROM allsel ORDER BY qid, rn"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bm25_topk" -> (bm25Topk _),
-    "sim_hybrid_rrf" -> (hybridRrf _))
+    "sim_hybrid_rrf" -> (hybridRrf _),
+    "sim_mmr_rerank" -> (mmrRerank _))
 
   val oracle: Map[String, String] = Map(
     "text_bm25_topk" -> bm25TopkOracle,
-    "sim_hybrid_rrf" -> hybridRrfOracle)
+    "sim_hybrid_rrf" -> hybridRrfOracle,
+    "sim_mmr_rerank" -> mmrRerankOracle)
 }

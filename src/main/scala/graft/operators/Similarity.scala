@@ -17,7 +17,7 @@ object Similarity {
 
   /** vec = unit-normalized double vector: pairwise cosine is then one
     * dot fold per pair (cosine(a,b) == dot(â,b̂)). */
-  private def emb(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def emb(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), VectorFns.asDouble(col("embedding")).as("raw"))
       .withColumn("nrm", VectorFns.norm(col("raw")))

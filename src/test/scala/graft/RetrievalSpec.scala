@@ -72,4 +72,30 @@ class RetrievalSpec extends AnyFunSuite {
       .collect().toSet
     assert(composed == expected)
   }
+
+  test("mmr: an exact duplicate of the top hit is deferred below a diverse alternative") {
+    // probe 0 = +x. Candidate 10 (cos .95, residual +y), its EXACT
+    // duplicate 11, and 12 (cos .85, residual −y). Plain cosine order is
+    // [10, 11, 12]; MMR round 2 penalizes 11 by sim=1.0 →
+    // mmr(11) = .7·.95 − .3 = .365 < mmr(12) = .7·.85 − .3·(a·b = .643)
+    // = .402, so the diverse 12 is selected before the duplicate.
+    val tmp = java.nio.file.Files.createTempDirectory("mmr").toString
+    def pad(v: Seq[Double]) = v.map(_.toFloat)
+    val rows = Seq(
+      (0L, pad(Seq(1.0, 0, 0, 0)), 0),
+      (1L, pad(Seq(0, 0, 0, 1.0)), 0), // probes 1-4: junk directions
+      (2L, pad(Seq(0, 0, 1.0, 0)), 0),
+      (3L, pad(Seq(0, 1.0, 0, 0)), 0),
+      (4L, pad(Seq(0, 0.6, 0.8, 0)), 0),
+      (10L, pad(Seq(0.95, 0.312250, 0, 0)), 1),
+      (11L, pad(Seq(0.95, 0.312250, 0, 0)), 1), // exact duplicate of 10
+      (12L, pad(Seq(0.85, -0.526783, 0, 0)), 1))
+      .toDF("vec_id", "embedding", "label")
+    rows.write.parquet(s"$tmp/embeddings.parquet")
+    val sel = Retrieval.mmrRerank(spark, tmp)
+      .filter($"qid" === 0L).orderBy($"rn")
+      .select($"nid").as[Long].collect().toSeq
+    assert(sel.take(3) == Seq(10L, 12L, 11L),
+      s"expected diverse pick [10, 12, 11], got $sel")
+  }
 }
