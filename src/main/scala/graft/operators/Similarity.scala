@@ -928,31 +928,49 @@ object Similarity {
       lit(0).cast("decimal(38,12)"),
       (acc, v) => (acc + v).cast("decimal(38,12)"))
 
-  def topkSq8(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-dimension (min, max) over the corpus — the SQ8 "model", a
+    * driver-bounded dims×2 collect (what ships to an ingest encoder). */
+  def sq8Stats(spark: SparkSession, dir: String): (Array[Double], Array[Double]) = {
     val raw = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), VectorFns.asDouble(col("embedding")).as("raw"))
-    // per-dimension min/max: driver-bounded collect of dim*2 doubles
+      .select(VectorFns.asDouble(col("embedding")).as("raw"))
     val stats = raw.select(posexplode(col("raw")).as(Seq("pos", "v")))
       .groupBy(col("pos")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
       .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    val dims = stats.size
-    val mnLit = array((0 until dims).map(i => lit(stats(i)._1)): _*)
-    val mxLit = array((0 until dims).map(i => lit(stats(i)._2)): _*)
-    // codes: c_d = clamp(floor((x−mn)·255/(mx−mn))); constant dims → 0
-    val codes = zip_with(col("raw"), sequence(lit(0), lit(dims - 1)), (x, i) => {
+    ((0 until stats.size).map(i => stats(i)._1).toArray,
+     (0 until stats.size).map(i => stats(i)._2).toArray)
+  }
+
+  /** One-byte codes: c_d = clamp(floor((x−mn)·255/(mx−mn))); constant
+    * dims → 0. Narrow per-row transform, shared batch + streaming. */
+  def sq8Codes(x: Column, mins: Array[Double], maxs: Array[Double]): Column = {
+    val mnLit = array(mins.map(lit(_)): _*)
+    val mxLit = array(maxs.map(lit(_)): _*)
+    zip_with(x, sequence(lit(0), lit(mins.length - 1)), (v, i) => {
       val mn = element_at(mnLit, i + 1)
       val mx = element_at(mxLit, i + 1)
       when(mx === mn, lit(0)).otherwise(
         least(lit(Sq8Levels), greatest(lit(0),
-          floor((x - mn) * Sq8Levels / (mx - mn)))).cast("int"))
+          floor((v - mn) * Sq8Levels / (mx - mn)))).cast("int"))
     })
-    // affine reconstruction from the codes alone (what a code-only store
-    // can compute): xh_d = mn_d + c_d·(mx_d−mn_d)/255
-    val rec = zip_with(codes, sequence(lit(0), lit(dims - 1)), (c, i) => {
+  }
+
+  /** Affine reconstruction from the codes alone (what a code-only store
+    * can compute): xh_d = mn_d + c_d·(mx_d−mn_d)/255. */
+  def sq8Reconstruct(codes: Column, mins: Array[Double], maxs: Array[Double]): Column = {
+    val mnLit = array(mins.map(lit(_)): _*)
+    val mxLit = array(maxs.map(lit(_)): _*)
+    zip_with(codes, sequence(lit(0), lit(mins.length - 1)), (c, i) => {
       val mn = element_at(mnLit, i + 1)
       val mx = element_at(mxLit, i + 1)
       mn + c.cast("double") * (mx - mn) / Sq8Levels
     })
+  }
+
+  def topkSq8(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), VectorFns.asDouble(col("embedding")).as("raw"))
+    val (mins, maxs) = sq8Stats(spark, dir)
+    val rec = sq8Reconstruct(sq8Codes(col("raw"), mins, maxs), mins, maxs)
     val enc = raw.select(col("vec_id"), rec.as("xh"))
       .withColumn("nn", sqrt(dotDec(col("xh"), col("xh")).cast("double")))
     val q = enc.filter(col("vec_id") < NQueries)

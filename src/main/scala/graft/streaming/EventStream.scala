@@ -270,6 +270,22 @@ object EventStream {
       .drop("__t")
   }
 
+  /** Ingest-time SQ8 vector encoding (round 9) — the streaming twin of
+    * `Similarity.topkSq8`'s encode stage, for the embed-and-index
+    * pipeline: the frozen per-dimension (min, max) stats (2·dims
+    * doubles, the smallest model after the BPE merge list) ride as
+    * literals and each arriving vector maps to its one-byte codes in
+    * one narrow per-row transform — no join, no shuffle, ZERO
+    * state-store rows at any stream rate. Codes bit-match the batch
+    * encoder (same literals, same floor/clamp arithmetic). */
+  def sq8EncodeScore(vecs: DataFrame,
+      mins: Array[Double], maxs: Array[Double]): DataFrame = {
+    import graft.functions.VectorFns
+    vecs.select(col("vec_id"),
+      graft.operators.Similarity.sq8Codes(
+        VectorFns.asDouble(col("embedding")), mins, maxs).as("codes"))
+  }
+
   /** Ingest-time SUB-DOCUMENT scrubbing against a growing SPAN catalog —
     * the streaming twin of `Curation.substringDedup` (Lee-et-al-2022
     * substring dedup, fixed L), shaped like [[classifyAgainstCatalog]]:

@@ -513,4 +513,33 @@ class StreamingSpec extends AnyFunSuite {
     new java.io.File(s"$emptyRoot/.hidden").createNewFile()
     assert(EventStream.readSpanCatalog(spark, emptyRoot).count() == 0)
   }
+
+  test("streaming sq8 encode == batch codes, zero state-store rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val (mins, maxs) = graft.operators.Similarity.sq8Stats(spark, sf)
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    val input = MemoryStream[(Long, Seq[Float])]
+    val coded = EventStream.sq8EncodeScore(
+      input.toDS().toDF("vec_id", "embedding"), mins, maxs)
+    val q = coded.writeStream.format("memory").queryName("sq8_stream")
+      .outputMode("append").start()
+    vecs.grouped(math.max(1, vecs.length / 2 + 1)).foreach { b =>
+      input.addData(b.toSeq); q.processAllAvailable()
+    }
+    assert(q.lastProgress.stateOperators.isEmpty) // narrow plan, no state
+    q.stop()
+    val got = spark.table("sq8_stream")
+      .as[(Long, Seq[Int])].collect().toMap
+    val want = EventStream.sq8EncodeScore(
+        graft.sources.Tables.embeddings(spark, sf), mins, maxs)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(want.nonEmpty && want.size == got.size)
+    // every code in byte range; streamed == batch bit-for-bit
+    want.foreach { case (id, codes) =>
+      assert(codes.forall(c => c >= 0 && c <= 255))
+      assert(got(id) == codes, s"vec $id codes diverge")
+    }
+  }
 }
