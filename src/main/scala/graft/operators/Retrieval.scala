@@ -192,34 +192,46 @@ object Retrieval {
   private val MmrNum = 7 // λ = 0.7 (×10 to keep literals exact)
 
   def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val all = Similarity.emb(spark, dir)
       .select(col("vec_id"), col("vec"))
     val cands = Similarity.cosineRanked(spark, dir, NQ, FuseK)
       .select(col("qid"), col("nid"), col("cos"))
       .join(all.select(col("vec_id").as("nid"), col("vec")), "nid")
       .cache()
+    // each round's winner set is ≤ NQ rows, so selections live on the
+    // driver (the Lloyd/CC bounded-loop pattern) and re-enter each round
+    // as a literal frame — a growing union lineage would re-execute
+    // every prior round ~3^K times (measured 16 s vs ~1 s at sf0.1)
     val w0 = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
-    var sel = cands
+    val first = cands
       .withColumn("rnk", row_number().over(w0)).filter(col("rnk") === 1)
       .select(col("qid"), col("nid"),
-        round(lit(MmrNum) * col("cos") / 10d, 6).as("mmr"), lit(1).as("rn"))
+        round(lit(MmrNum) * col("cos") / 10d, 6).as("mmr"))
+      .as[(Long, Long, Double)].collect().toSeq
+    var selected = first.map(t => (t._1, t._2, t._3, 1))
     for (r <- 2 to K) {
-      val selv = sel.select(col("qid"), col("nid").as("sid"))
+      val selDf = selected.map(t => (t._1, t._2)).toDF("qid", "sid")
+      val selv = selDf
         .join(all.select(col("vec_id").as("sid"), col("vec").as("svec")), "sid")
-      val un = cands.join(sel.select(col("qid"), col("nid")),
+      val un = cands.join(selDf.select(col("qid"), col("sid").as("nid")),
         Seq("qid", "nid"), "left_anti")
-      val scored = un.join(selv, "qid")
+      val wr = Window.partitionBy(col("qid")).orderBy(col("mmr").desc, col("nid"))
+      val pick = un.join(broadcast(selv), "qid")
         .groupBy(col("qid"), col("nid"), col("cos"))
         .agg(max(VectorFns.dot6(col("vec"), col("svec"))).as("pen"))
         .select(col("qid"), col("nid"),
           round((lit(MmrNum) * col("cos") - lit(10 - MmrNum) * col("pen")) / 10d, 6)
             .as("mmr"))
-      val wr = Window.partitionBy(col("qid")).orderBy(col("mmr").desc, col("nid"))
-      sel = sel.unionByName(scored
         .withColumn("rnk", row_number().over(wr)).filter(col("rnk") === 1)
-        .select(col("qid"), col("nid"), col("mmr"), lit(r).as("rn")))
+        .select(col("qid"), col("nid"), col("mmr"))
+        .as[(Long, Long, Double)].collect()
+      selected = selected ++ pick.map(t => (t._1, t._2, t._3, r))
     }
-    sel.orderBy(col("qid"), col("rn"))
+    cands.unpersist()
+    selected.toDF("qid", "nid", "mmr", "rn")
+      .select(col("qid"), col("nid"), col("mmr"), col("rn"))
+      .orderBy(col("qid"), col("rn"))
   }
 
   /** Exact twin: the greedy rounds unroll as MATERIALIZED CTEs (an
