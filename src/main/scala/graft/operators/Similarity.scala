@@ -182,8 +182,10 @@ object Similarity {
   // decimals, so the whole operator is deterministic AND SQL-expressible
   // — full DuckDB oracle since round 4 (was rows-only); the recall spec
   // vs brute force still guards the ANN quality itself.
-  def topkIvf(spark: SparkSession, dir: String): DataFrame = {
-    val all = emb(spark, dir).cache()
+  /** Probe selection shared by [[topkIvf]] and [[topkIvfSq8]]: the two
+    * nearest label-cells per query by exact-decimal centroid cosine —
+    * (qid, qvec, clabel). */
+  private def ivfProbes(all: DataFrame): DataFrame = {
     val centroids = all
       .select(col("label"), posexplode(col("vec")).as(Seq("pos", "v")))
       .groupBy(col("label"), col("pos"))
@@ -197,12 +199,17 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("vec").as("qvec"))
     val probeW = Window.partitionBy(col("qid"))
       .orderBy(col("ccos").desc, col("clabel"))
-    val probes = q.join(broadcast(centroids), lit(true))
+    q.join(broadcast(centroids), lit(true))
       .select(col("qid"), col("qvec"), col("clabel"),
         VectorFns.cosine6(col("qvec"), col("cvec")).as("ccos"))
       .withColumn("pr", row_number().over(probeW))
       .filter(col("pr") <= 2)
       .select(col("qid"), col("qvec"), col("clabel"))
+  }
+
+  def topkIvf(spark: SparkSession, dir: String): DataFrame = {
+    val all = emb(spark, dir).cache()
+    val probes = ivfProbes(all)
     val scored = all.join(broadcast(probes),
       col("label") === col("clabel") && col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
@@ -1016,6 +1023,91 @@ object Similarity {
     QUALIFY rn <= $K
     ORDER BY qid, rn"""
 
+  // ---- 3e3. IVF candidates × SQ8 scoring (round 9) ---------------------
+  // The production ANN shape at corpus scale, as ONE gated composition:
+  // the IVF probe stage cuts candidates to two cells per query, the SQ8
+  // scorer ranks them from one-byte codes alone (both sides
+  // reconstructed — the symmetric quantized distance a code-only store
+  // computes). Nothing new is trained: probes are [[ivfProbes]]
+  // verbatim, codes/reconstruction are the 22f stack verbatim — the
+  // entry exists to prove the candidate-generator × quantized-scorer
+  // seam is hash-exact end to end, not just per piece.
+  def topkIvfSq8(spark: SparkSession, dir: String): DataFrame = {
+    val all = emb(spark, dir).cache()
+    val probes = ivfProbes(all).select(col("qid"), col("clabel"))
+    val (mins, maxs) = sq8Stats(spark, dir)
+    val rec = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        sq8Reconstruct(sq8Codes(
+          VectorFns.asDouble(col("embedding")), mins, maxs), mins, maxs).as("xh"))
+      .withColumn("nn", sqrt(dotDec(col("xh"), col("xh")).cast("double")))
+    val q = rec.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("xh").as("qh"), col("nn").as("qn"))
+      .join(probes, "qid")
+    val scored = rec.join(broadcast(q),
+      col("label") === col("clabel") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        round(dotDec(col("qh"), col("xh")).cast("double") /
+          (col("qn") * col("nn")), 6).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= K)
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  /** Exact twin: the IVF oracle's probe CTEs composed with the SQ8
+    * oracle's reconstruction CTEs. */
+  val topkIvfSq8Oracle: String = s"""
+    WITH nv AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS raw,
+        sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+      FROM embeddings),
+    unit AS (SELECT vec_id, label, list_transform(raw, x -> x / nrm) AS vec FROM nv),
+    cexp AS (SELECT label, unnest(range(len(vec))) AS pos, unnest(vec) AS v
+             FROM unit),
+    cpos AS (SELECT label, pos,
+               CAST(sum(CAST(v AS DECIMAL(28,12))) / count(*) AS DOUBLE) AS c
+             FROM cexp GROUP BY label, pos),
+    cvecs AS (SELECT label AS clabel, list(c ORDER BY pos) AS cvec
+              FROM cpos GROUP BY label),
+    qs AS (SELECT vec_id AS qid, vec AS qvec FROM unit WHERE vec_id < $NQueries),
+    pr AS (
+      SELECT qid, clabel FROM (
+        SELECT qid, clabel,
+          CAST(row_number() OVER (PARTITION BY qid
+            ORDER BY round(list_cosine_similarity(qvec, cvec), 6) DESC, clabel) AS INT) AS prn
+        FROM qs CROSS JOIN cvecs)
+      WHERE prn <= 2),
+    emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    dims AS (SELECT CAST(unnest(range(1, len(v) + 1)) AS INT) AS i
+             FROM (SELECT v FROM emb LIMIT 1)),
+    stats AS (SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
+              FROM emb, dims GROUP BY i),
+    rec AS (
+      SELECT e.vec_id, e.label, s.i,
+        s.mn + (CASE WHEN s.mx = s.mn THEN 0
+                ELSE least($Sq8Levels, greatest(0,
+                  floor((e.v[s.i] - s.mn) * $Sq8Levels / (s.mx - s.mn)))) END)
+          * (s.mx - s.mn) / $Sq8Levels AS xh
+      FROM emb e, stats s),
+    nrm AS (SELECT vec_id,
+        sqrt(CAST(sum(CAST(xh * xh AS DECIMAL(28,12))) AS DOUBLE)) AS nn
+      FROM rec GROUP BY vec_id),
+    sc AS (
+      SELECT p.qid, c.vec_id AS nid,
+        round(CAST(sum(CAST(q.xh * c.xh AS DECIMAL(28,12))) AS DOUBLE) /
+          (qn.nn * cn.nn), 6) AS cos
+      FROM pr p
+      JOIN rec q ON q.vec_id = p.qid
+      JOIN rec c ON c.i = q.i AND c.label = p.clabel AND c.vec_id <> p.qid
+      JOIN nrm qn ON qn.vec_id = p.qid
+      JOIN nrm cn ON cn.vec_id = c.vec_id
+      GROUP BY p.qid, c.vec_id, qn.nn, cn.nn)
+    SELECT qid, nid, cos,
+      CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INT) AS rn
+    FROM sc
+    QUALIFY rn <= $K
+    ORDER BY qid, rn"""
+
   // ---- 3f. prototypicality ranking (round 8) ----------------------------
   // D4 (Tirumala et al. 2023, "D4: Improving LLM Pretraining via
   // Document De-Duplication and Diversification", arXiv:2308.12284 —
@@ -1327,6 +1419,7 @@ object Similarity {
     "sim_topk_lsh"        -> (topkLsh _),
     "sim_topk_pq"         -> (topkPq _),
     "sim_topk_sq8"        -> (topkSq8 _),
+    "sim_topk_ivf_sq8"    -> (topkIvfSq8 _),
     "sim_topk_ivf2"       -> (topkIvf2 _),
     "curation_prototypicality" -> (prototypicality _),
     "dedup_semantic"      -> (dedupSemantic _))
@@ -1338,6 +1431,7 @@ object Similarity {
     "sim_topk_lsh"        -> topkLshOracle,
     "sim_topk_pq"         -> topkPqOracle,
     "sim_topk_sq8"        -> topkSq8Oracle,
+    "sim_topk_ivf_sq8"    -> topkIvfSq8Oracle,
     "sim_topk_ivf2"       -> topkIvf2Oracle,
     "curation_prototypicality" -> prototypicalityOracle,
     "dedup_semantic"      -> dedupSemanticOracle,

@@ -152,4 +152,20 @@ class AnnAssignSpec extends AnyFunSuite {
     val mean = recall.sum / recall.size
     assert(mean >= 0.8, s"SQ8 recall@5 vs exact = $mean (per-query $recall)")
   }
+
+  test("sim_topk_ivf_sq8: the composed candidate x quantized-scorer path tracks plain IVF") {
+    val sf = "/root/testdata/sf0.001"
+    val ivf = Similarity.topkIvf(spark, sf)
+      .select($"qid", $"nid").as[(Long, Long)].collect().groupBy(_._1)
+      .map { case (q, a) => q -> a.map(_._2).toSet }
+    val composed = Similarity.topkIvfSq8(spark, sf)
+      .select($"qid", $"nid").as[(Long, Long)].collect().groupBy(_._1)
+      .map { case (q, a) => q -> a.map(_._2).toSet }
+    assert(composed.keySet == ivf.keySet)
+    // same candidate cells, one-byte scoring: ranks may shuffle at the
+    // margin but the lists must largely agree
+    val overlap = ivf.map { case (q, e) => (composed(q) & e).size.toDouble / e.size }
+    val mean = overlap.sum / overlap.size
+    assert(mean >= 0.8, s"IVF-SQ8 overlap with IVF = $mean (per-query $overlap)")
+  }
 }
