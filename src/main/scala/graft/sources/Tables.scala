@@ -24,12 +24,27 @@ object Tables {
   def part(s: SparkSession, d: String)       = apply(s, d, "part")
   def orders(s: SparkSession, d: String)     = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String)   = apply(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects;
-    * read it as a raw nanosecond long and do exact integer time math
-    * downstream (a double cannot hold a ns epoch — 1.7e18 > 2^53). */
+  /** events.ts — schema-adaptive read, normalized to a NANOSECOND LONG.
+    *
+    * The generator has shipped `ts` as parquet TIMESTAMP(NANOS) (which
+    * Spark's reader only accepts as a raw long via `nanosAsLong`) and as
+    * timestamp[us] `isAdjustedToUTC=false` (which Spark reads as
+    * TIMESTAMP_NTZ). Downstream event-time operators do exact integer
+    * math (a double cannot hold a ns epoch — 1.7e18 > 2^53), so both
+    * encodings are normalized here to one contract: `ts` is epoch
+    * nanoseconds as LONG. The ntz→ltz cast is wall-clock-preserving only
+    * under UTC, so the session time zone is pinned; DuckDB's naive
+    * `epoch_us(CAST(ts AS TIMESTAMP))` oracle then agrees bit-for-bit. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
+    val raw = apply(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw // TIMESTAMP(NANOS) as raw ns
+      case _ =>
+        s.conf.set("spark.sql.session.timeZone", "UTC")
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.expr("unix_micros(cast(ts as timestamp_ltz)) * 1000L"))
+    }
   }
   def documents(s: SparkSession, d: String)  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String) = apply(s, d, "embeddings")

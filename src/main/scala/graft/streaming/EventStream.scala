@@ -16,20 +16,35 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object EventStream {
 
   val eventSchema = "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+  val eventSchemaNtz = "event_id LONG, ts TIMESTAMP_NTZ, user_id LONG, event_type STRING, value DOUBLE, props STRING"
 
-  /** File-source stream over an events table (ns-long `ts`). Handles
-    * both layouts: `events.parquet` as a DIRECTORY of part files (read
+  /** File-source stream over an events table, normalized like
+    * `Tables.events`: `ts` is epoch NANOSECONDS as LONG whether the
+    * parquet encodes TIMESTAMP(NANOS) (read as raw long) or
+    * timestamp[us] ntz (read as TIMESTAMP_NTZ, converted under a pinned
+    * UTC session zone). A one-off batch read sniffs the encoding — the
+    * streaming file source needs the schema up front. Handles both
+    * layouts: `events.parquet` as a DIRECTORY of part files (read
     * directly — a pathGlobFilter would silently exclude every part
     * file and yield an empty stream) and as a single FILE (the file
     * source requires a directory, so read the parent with a glob). */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = new java.io.File(s"$dir/events.parquet")
-    val reader = spark.readStream.schema(eventSchema)
+    val tsIsLong =
+      spark.read.parquet(path.getPath).schema("ts").dataType ==
+        org.apache.spark.sql.types.LongType
+    val reader = spark.readStream.schema(if (tsIsLong) eventSchema else eventSchemaNtz)
     val raw =
       if (path.isDirectory) reader.parquet(path.getPath)
       else reader.option("pathGlobFilter", "events.parquet").parquet(dir)
-    raw.withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+    val ns =
+      if (tsIsLong) raw
+      else {
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        raw.withColumn("ts", expr("unix_micros(cast(ts as timestamp_ltz)) * 1000L"))
+      }
+    ns.withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Tumbling 1 h windowed counts/sums with a 1 h watermark. */

@@ -161,7 +161,7 @@ class ScaleOpsSpec extends AnyFunSuite {
 
   test("funnel autoSalt: regime (a) on real data → no salt; salt count capped by maxSalts") {
     import graft.operators.Analytics
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
       .select(col("user_id"), col("event_type"), expr("ts div 1000").as("us"))
     val entered = ev.filter(col("event_type") === "click")
       .groupBy(col("user_id")).agg(min(col("us")).as("a_us"))

@@ -404,7 +404,7 @@ class StreamingSpec extends AnyFunSuite {
       .start()
     q.awaitTermination(120000)
 
-    val batch = spark.read.parquet(s"$sf/events.parquet")
+    val batch = graft.sources.Tables.events(spark, sf)
       .withColumn("event_ts",
         timestamp_micros(expr("ts div 1000")))
     val bc = batch.filter(col("event_type") === "click")
@@ -428,7 +428,7 @@ class StreamingSpec extends AnyFunSuite {
     import EventStream.{Ev, Session}
     implicit val sqlCtx = spark.sqlContext
 
-    val events = spark.read.parquet(s"$sf/events.parquet")
+    val events = graft.sources.Tables.events(spark, sf)
       .select(col("user_id"), expr("ts div 1000").as("us"), col("value"))
       .as[(Long, Long, Double)].collect()
       .map { case (u, us, v) => Ev(u, us, v) }
