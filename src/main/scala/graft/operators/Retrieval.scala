@@ -49,6 +49,37 @@ object Retrieval {
   private val FuseK = 20 // per-system list depth feeding RRF
   private val RrfC = 60 // the standard RRF constant
 
+  /** The shared BM25 scoring tail: query-vocabulary postings
+    * (doc_id, dl, term, tf) + query term sets (qid, term) + corpus
+    * scalars → top-`k` (qid, rn, doc_id, score). Both the inline plan
+    * (postings semi-filtered BEFORE the tf aggregate) and the
+    * materialized-index plan ([[bm25Of]]) produce the same qposts
+    * relation on the query vocabulary, so sharing this tail makes their
+    * equality structural, not coincidental. Caller caches `qposts` — it
+    * feeds both the df aggregate and the candidate join. */
+  private def bm25Score(qposts: DataFrame, qterms: DataFrame,
+                        nDocs: Long, tToks: Long, k: Int): DataFrame = {
+    val dfreq = qposts.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qidf = dfreq.join(qterms, "term") // both frames are query-sized
+      .select(col("qid"), col("term"),
+        round(log2(lit(2L * nDocs + 2L)) - log2(col("df") * 2L + lit(1L)), 8)
+          .as("idf"))
+    val contrib = qposts.join(broadcast(qidf), "term")
+      .filter(col("doc_id") =!= col("qid"))
+      .select(col("qid"), col("doc_id"),
+        round(col("idf") *
+          round((col("tf") * lit(22L * tToks)).cast("double") /
+            (col("tf") * lit(10L * tToks) + lit(3L * tToks) +
+              col("dl") * lit(9L * nDocs)).cast("double"), 8), 6).as("c"))
+    val scored = contrib.groupBy(col("qid"), col("doc_id"))
+      .agg(round(sum(col("c").cast("decimal(28,12)")).cast("double"), 4)
+        .as("score"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("doc_id"), col("score"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
   /** BM25 top-`k` per probe query: (qid, rn, doc_id, score). */
   def bm25Ranked(spark: SparkSession, dir: String, k: Int): DataFrame = {
     val toks = Tables.documents(spark, dir)
@@ -65,36 +96,79 @@ object Retrieval {
     val qvocab = qterms.select(col("term")).distinct()
     // postings of query-vocabulary terms ONLY: the broadcast semi-filter
     // runs before the tf aggregate, so the one corpus shuffle is
-    // postings-sized. Cached: feeds both df and the candidate join.
-    val postings = toks
+    // postings-sized.
+    val qposts = toks
       .select(col("doc_id"), col("dl"), explode(col("ts")).as("term"))
       .join(broadcast(qvocab), "term")
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
       .cache()
-    val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val qidf = dfreq.join(qterms, "term") // both frames are query-sized
-      .select(col("qid"), col("term"),
-        round(log2(lit(2L * nDocs + 2L)) - log2(col("df") * 2L + lit(1L)), 8)
-          .as("idf"))
-    val contrib = postings.join(broadcast(qidf), "term")
-      .filter(col("doc_id") =!= col("qid"))
-      .select(col("qid"), col("doc_id"),
-        round(col("idf") *
-          round((col("tf") * lit(22L * tToks)).cast("double") /
-            (col("tf") * lit(10L * tToks) + lit(3L * tToks) +
-              col("dl") * lit(9L * nDocs)).cast("double"), 8), 6).as("c"))
-    val scored = contrib.groupBy(col("qid"), col("doc_id"))
-      .agg(round(sum(col("c").cast("decimal(28,12)")).cast("double"), 4)
-        .as("score"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-      .select(col("qid"), col("rn"), col("doc_id"), col("score"))
-      .orderBy(col("qid"), col("rn"))
+    bm25Score(qposts, qterms, nDocs, tToks, k)
   }
 
   def bm25Topk(spark: SparkSession, dir: String): DataFrame =
     bm25Ranked(spark, dir, K)
+
+  // ---- materialized postings index (round 10) -------------------------
+  // The inline plan's one irreducible cost is the full tokenize scan per
+  // query BATCH — the honest bound ScaleRetrieval measures at 43 s for
+  // 1M docs. A production retrieval service amortizes it: build the
+  // postings + stats tables ONCE, persist them, and serve every later
+  // query batch against the stored index — batch 2+ never touches
+  // `text` again (the `rrfFuseOf`/`splitLeakSafeOf` composability
+  // pattern). At 100 TB the index is the thing you shuffle-partition by
+  // `term` and store bucketed; each query batch then reads only the
+  // term-buckets its broadcast vocabulary names.
+
+  /** Build the full BM25 index from a (doc_id, text) frame:
+    * (postings(doc_id, dl, term, tf), stats(n_docs, t_toks)) — both
+    * persistable; `bm25Of` serves any query batch from them. */
+  def bm25IndexOf(docs: DataFrame): (DataFrame, DataFrame) = {
+    val toks = docs
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("ts"))
+      .select(col("doc_id"), col("ts"), size(col("ts")).as("dl"))
+    val postings = toks
+      .select(col("doc_id"), col("dl"), explode(col("ts")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val stats = toks.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_toks"))
+    (postings, stats)
+  }
+
+  /** BM25 top-`k` over a MATERIALIZED index: `postings`/`stats` are
+    * [[bm25IndexOf]] outputs (typically parquet-roundtripped), `qterms`
+    * is any (qid, term) query batch. Per-term df on the vocabulary
+    * restriction equals corpus df (the filter is on `term` alone), so
+    * scores are bit-identical to the inline plan's. */
+  def bm25Of(postings: DataFrame, stats: DataFrame, qterms: DataFrame,
+             k: Int): DataFrame = {
+    val st = stats.head
+    val nDocs = st.getLong(0)
+    val tToks = st.getLong(1)
+    val qvocab = qterms.select(col("term")).distinct()
+    val qposts = postings.join(broadcast(qvocab), "term")
+      .select(col("doc_id"), col("dl"), col("term"), col("tf"))
+      .cache()
+    bm25Score(qposts, qterms, nDocs, tToks, k)
+  }
+
+  /** Gated twin of `text_bm25_topk` served from an mtime-keyed
+    * materialized index (same oracle — identical output, different
+    * provenance): warm runs skip the tokenize scan entirely. */
+  def bm25TopkIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val docsFile = new java.io.File(s"$dir/documents.parquet")
+    val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${docsFile.lastModified}"
+    val base = s"target/tmp/bm25_index/$key"
+    if (!new java.io.File(s"$base/postings/_SUCCESS").exists()) {
+      val (p, s) = bm25IndexOf(Tables.documents(spark, dir))
+      p.write.mode("overwrite").parquet(s"$base/postings")
+      s.write.mode("overwrite").parquet(s"$base/stats")
+    }
+    val postings = spark.read.parquet(s"$base/postings")
+    val qterms = postings.filter(col("doc_id") < NQ)
+      .select(col("doc_id").as("qid"), col("term")) // already distinct per (doc, term)
+    bm25Of(postings, spark.read.parquet(s"$base/stats"), qterms, K)
+  }
 
   /** The bm25 CTE stack, parameterized by list depth (shared with the
     * hybrid oracle). Yields a relation (qid, rn, doc_id, score). */
@@ -282,11 +356,13 @@ object Retrieval {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bm25_topk" -> (bm25Topk _),
+    "text_bm25_topk_indexed" -> (bm25TopkIndexed _),
     "sim_hybrid_rrf" -> (hybridRrf _),
     "sim_mmr_rerank" -> (mmrRerank _))
 
   val oracle: Map[String, String] = Map(
     "text_bm25_topk" -> bm25TopkOracle,
+    "text_bm25_topk_indexed" -> bm25TopkOracle,
     "sim_hybrid_rrf" -> hybridRrfOracle,
     "sim_mmr_rerank" -> mmrRerankOracle)
 }

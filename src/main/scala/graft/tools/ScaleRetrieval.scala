@@ -28,6 +28,14 @@ object ScaleRetrieval {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = "target/tmp/bigsf"
+    if (!new java.io.File("target/tmp/big_documents.parquet").exists()) {
+      spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+        .withColumn("rep", explode(sequence(lit(0), lit(199))))
+        .select((col("doc_id") + col("rep") * 5000L).as("doc_id"),
+          col("text"), col("lang"), col("source"), col("n_chars"))
+        .repartition(32)
+        .write.mode("overwrite").parquet("target/tmp/big_documents.parquet")
+    }
     val link = new java.io.File(s"$dir/documents.parquet")
     if (!link.exists()) {
       new java.io.File(dir).mkdirs()
@@ -90,6 +98,29 @@ object ScaleRetrieval {
     println(f"[scale] bm25 rare-term query (typical): ${(System.nanoTime() - t1) / 1e9}%.2f s  " +
       s"postings=${npost.getLong(0)} occ=${npost.getLong(1)} top5_sum=${top30.get(1)}")
     posts.unpersist()
+
+    // materialized index (round 10): pay the tokenize scan ONCE at build,
+    // then serve query batches from stored postings — batch 2+ never
+    // re-reads `text`. The build cost ~= one adversarial query; every
+    // batch after is postings-join-sized.
+    val t2 = System.nanoTime()
+    val idxBase = "target/tmp/bm25_index_1m"
+    val (p, s) = Retrieval.bm25IndexOf(graft.sources.Tables.documents(spark, dir))
+    p.write.mode("overwrite").parquet(s"$idxBase/postings")
+    s.write.mode("overwrite").parquet(s"$idxBase/stats")
+    println(f"[scale] bm25 index build+persist 1M docs: ${(System.nanoTime() - t2) / 1e9}%.2f s (paid once)")
+    val postings = spark.read.parquet(s"$idxBase/postings")
+    val stats = spark.read.parquet(s"$idxBase/stats")
+    for (b <- 1 to 2) {
+      val tb = System.nanoTime()
+      val qb = postings.filter(col("doc_id") >= lit((b - 1) * 5L) && col("doc_id") < lit(b * 5L))
+        .select(col("doc_id").as("qid"), col("term"))
+      val r = Retrieval.bm25Of(postings, stats, qb, 5)
+        .agg(count(lit(1)), sum(col("score"))).first()
+      println(f"[scale] bm25 batch $b from stored index: ${(System.nanoTime() - tb) / 1e9}%.2f s  " +
+        s"rows=${r.getLong(0)} score_sum=${r.get(1)} (no tokenize scan)")
+      spark.catalog.clearCache()
+    }
 
     spark.stop()
   }

@@ -73,6 +73,36 @@ class RetrievalSpec extends AnyFunSuite {
     assert(composed == expected)
   }
 
+  test("bm25 over a parquet-roundtripped materialized index == inline plan") {
+    val sf = "/root/testdata/sf0.001"
+    val inline = Retrieval.bm25Ranked(spark, sf, 5)
+      .select($"qid", $"rn", $"doc_id", $"score")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(inline.nonEmpty)
+
+    // build the index once, persist, serve the same query batch from it
+    val tmp = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    val (p, s) = Retrieval.bm25IndexOf(graft.sources.Tables.documents(spark, sf))
+    p.write.parquet(s"$tmp/postings")
+    s.write.parquet(s"$tmp/stats")
+    val postings = spark.read.parquet(s"$tmp/postings")
+    val qterms = postings.filter($"doc_id" < 5)
+      .select($"doc_id".as("qid"), $"term")
+    val indexed = Retrieval.bm25Of(postings,
+        spark.read.parquet(s"$tmp/stats"), qterms, 5)
+      .select($"qid", $"rn", $"doc_id", $"score")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(indexed == inline)
+
+    // batch 2 (a different query set) runs against the SAME stored index
+    // — no tokenize scan anywhere in its plan (the amortization claim)
+    val q2 = postings.filter($"doc_id" >= 5 && $"doc_id" < 8)
+      .select($"doc_id".as("qid"), $"term")
+    val b2 = Retrieval.bm25Of(postings, spark.read.parquet(s"$tmp/stats"), q2, 5)
+    assert(!b2.queryExecution.executedPlan.toString.contains("documents.parquet"))
+    assert(b2.count() > 0)
+  }
+
   test("mmr: an exact duplicate of the top hit is deferred below a diverse alternative") {
     // probe 0 = +x. Candidate 10 (cos .95, residual +y), its EXACT
     // duplicate 11, and 12 (cos .85, residual −y). Plain cosine order is
