@@ -119,6 +119,13 @@ object Dedup {
   /** `ordered = false` skips the trailing global sort — consumers that
     * feed the pair list into a join or connected components (where row
     * order is meaningless) shouldn't pay a range exchange for it. */
+  /** Profiling hook (tools/ProfClusters): the dedup_clusters edge plan
+    * from an already-built rep-shingle frame. */
+  private[graft] def profEdgesFrom(repSh: DataFrame): DataFrame =
+    ngramJaccardImpl(repSh, maxDf = Some(DefaultMaxShingleDf),
+      logDropsAs = Some("prof_clusters"), ordered = false)
+      .select(col("da").as("src"), col("db").as("dst"))
+
   private def ngramJaccardImpl(sh: DataFrame, maxDf: Option[Long],
                                logDropsAs: Option[String] = None,
                                ordered: Boolean = true): DataFrame = {
