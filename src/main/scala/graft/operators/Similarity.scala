@@ -1108,6 +1108,103 @@ object Similarity {
     QUALIFY rn <= $K
     ORDER BY qid, rn"""
 
+  // ---- 3e4. IVF candidates × PQ ADC scoring (round 10) -----------------
+  // The OTHER production ANN composition — the faiss IVFPQ shape: the
+  // IVF probe stage cuts candidates to two cells per query, then ADC
+  // ranks them from PqM-small-int codes alone (the 64×-smaller store).
+  // Like 22h (IVF∘SQ8) nothing new is trained: probes are [[ivfProbes]]
+  // verbatim, codebooks/codes/LUT are the 22c stack verbatim — the entry
+  // proves THIS candidate-generator × quantized-scorer seam hash-exact
+  // end to end. Scale shape: the corpus-sized objects are the code
+  // table (PqM ints/vector) and the label column; the LUT (query ×
+  // subspace × codeword dots, joined to the 2-cell probe list) stays
+  // broadcast-sized at any corpus size.
+  def topkIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val all = emb(spark, dir).cache()
+    val probes = ivfProbes(all).select(col("qid"), col("clabel"))
+    val sub = pqSubvectors(all)
+    val books = pqCodebooks(sub, PqK, PqIters)
+    val bookRows = books.as[(Int, Int, Seq[Double])].collect()
+    if (bookRows.isEmpty) // empty corpus: no codes, no neighbors
+      return spark.emptyDataset[(Long, Long, Double, Int)]
+        .toDF("qid", "nid", "adc", "rn")
+    val cents: IndexedSeq[IndexedSeq[Seq[Double]]] =
+      (0 to bookRows.map(_._1).max).map { s =>
+        bookRows.filter(_._1 == s).sortBy(_._2).map(_._3).toIndexedSeq
+      }
+    val codes = pqAssign(sub, cents).select(col("s"), col("vec_id"), col("cid"))
+      .join(all.select(col("vec_id"), col("label")), "vec_id")
+    val lut = sub.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("s"), col("svec"))
+      .join(broadcast(books), Seq("s"))
+      .select(col("qid"), col("s"), col("cid"),
+        VectorFns.dot6(col("svec"), col("cvec")).as("d"))
+      .join(probes, "qid") // ×2 probe cells per qid — still query-sized
+    val scored = codes.join(broadcast(lut), Seq("s", "cid"))
+      .filter(col("vec_id") =!= col("qid") && col("label") === col("clabel"))
+      .groupBy(col("qid"), col("vec_id"))
+      // exactly PqM six-dp terms per surviving pair (one LUT row per
+      // subspace matches after the probe-cell filter) → exact DECIMAL sum
+      .agg(round(sum(col("d").cast("decimal(18,6)")).cast("double"), 6).as("adc"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("nid"))
+    scored.select(col("qid"), col("vec_id").as("nid"), col("adc"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= K)
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  /** Exact twin: the IVF oracle's probe CTEs composed with the PQ
+    * oracle's codebook/code/LUT CTEs. */
+  val topkIvfPqOracle: String = s"""
+    WITH nv AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS raw,
+        sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+      FROM embeddings),
+    unit AS (SELECT vec_id, label, list_transform(raw, x -> x / nrm) AS vec FROM nv),
+    cexp AS (SELECT label, unnest(range(len(vec))) AS pos, unnest(vec) AS v
+             FROM unit),
+    cpos AS (SELECT label, pos,
+               CAST(sum(CAST(v AS DECIMAL(28,12))) / count(*) AS DOUBLE) AS c
+             FROM cexp GROUP BY label, pos),
+    cvecs AS (SELECT label AS clabel, list(c ORDER BY pos) AS cvec
+              FROM cpos GROUP BY label),
+    qs AS (SELECT vec_id AS qid, vec AS qvec FROM unit WHERE vec_id < $NQueries),
+    pr AS (
+      SELECT qid, clabel FROM (
+        SELECT qid, clabel,
+          CAST(row_number() OVER (PARTITION BY qid
+            ORDER BY round(list_cosine_similarity(qvec, cvec), 6) DESC, clabel) AS INT) AS prn
+        FROM qs CROSS JOIN cvecs)
+      WHERE prn <= 2),
+    ${pqSqlCtes(k = PqK, iters = PqIters)},
+    codes AS (
+      SELECT s, vec_id, cid FROM (
+        SELECT b.s, b.vec_id, c.cid,
+          CAST(row_number() OVER (PARTITION BY b.s, b.vec_id
+            ORDER BY ${pqD2Sql("b.svec", "c.cvec")}, c.cid) AS INT) AS rn
+        FROM sub b JOIN cb$PqIters c USING (s))
+      WHERE rn = 1),
+    lab AS (SELECT vec_id, label FROM unit),
+    lut AS (
+      SELECT q.vec_id AS qid, q.s, c.cid,
+        round(list_dot_product(q.svec, c.cvec), 6) AS d
+      FROM sub q JOIN cb$PqIters c USING (s)
+      WHERE q.vec_id < $NQueries),
+    sc AS (
+      SELECT l.qid, k.vec_id AS nid,
+        round(CAST(sum(CAST(l.d AS DECIMAL(18,6))) AS DOUBLE), 6) AS adc
+      FROM codes k
+      JOIN lab b ON b.vec_id = k.vec_id
+      JOIN lut l ON l.s = k.s AND l.cid = k.cid
+      JOIN pr p ON p.qid = l.qid AND p.clabel = b.label
+      WHERE k.vec_id <> l.qid
+      GROUP BY l.qid, k.vec_id)
+    SELECT qid, nid, adc,
+      CAST(row_number() OVER (PARTITION BY qid ORDER BY adc DESC, nid) AS INT) AS rn
+    FROM sc
+    QUALIFY rn <= $K
+    ORDER BY qid, rn"""
+
   // ---- 3f. prototypicality ranking (round 8) ----------------------------
   // D4 (Tirumala et al. 2023, "D4: Improving LLM Pretraining via
   // Document De-Duplication and Diversification", arXiv:2308.12284 —
@@ -1420,6 +1517,7 @@ object Similarity {
     "sim_topk_pq"         -> (topkPq _),
     "sim_topk_sq8"        -> (topkSq8 _),
     "sim_topk_ivf_sq8"    -> (topkIvfSq8 _),
+    "sim_topk_ivf_pq"     -> (topkIvfPq _),
     "sim_topk_ivf2"       -> (topkIvf2 _),
     "curation_prototypicality" -> (prototypicality _),
     "dedup_semantic"      -> (dedupSemantic _))
@@ -1432,6 +1530,7 @@ object Similarity {
     "sim_topk_pq"         -> topkPqOracle,
     "sim_topk_sq8"        -> topkSq8Oracle,
     "sim_topk_ivf_sq8"    -> topkIvfSq8Oracle,
+    "sim_topk_ivf_pq"     -> topkIvfPqOracle,
     "sim_topk_ivf2"       -> topkIvf2Oracle,
     "curation_prototypicality" -> prototypicalityOracle,
     "dedup_semantic"      -> dedupSemanticOracle,

@@ -168,4 +168,23 @@ class AnnAssignSpec extends AnyFunSuite {
     val mean = overlap.sum / overlap.size
     assert(mean >= 0.8, s"IVF-SQ8 overlap with IVF = $mean (per-query $overlap)")
   }
+
+  test("sim_topk_ivf_pq: candidates stay in probed cells; ADC scores equal full-PQ's on shared pairs") {
+    val sf = "/root/testdata/sf0.001"
+    val composed = Similarity.topkIvfPq(spark, sf)
+      .select($"qid", $"nid", $"adc").as[(Long, Long, Double)].collect()
+    assert(composed.nonEmpty)
+    assert(composed.map(_._1).distinct.length == 5)
+    // the ADC value of a pair is probe-independent: wherever the full-PQ
+    // top-5 and the IVF-restricted top-5 share a (qid, nid) pair, the
+    // scores must be bit-identical (same codes, same LUT)
+    val pq = Similarity.topkPq(spark, sf)
+      .select($"qid", $"nid", $"adc").as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val shared = composed.filter(t => pq.contains((t._1, t._2)))
+    assert(shared.nonEmpty)
+    shared.foreach { case (q, n, a) =>
+      assert(pq((q, n)) == a, s"ADC drift on ($q,$n): ivfpq=$a pq=${pq((q, n))}")
+    }
+  }
 }
