@@ -187,4 +187,19 @@ class AnnAssignSpec extends AnyFunSuite {
       assert(pq((q, n)) == a, s"ADC drift on ($q,$n): ivfpq=$a pq=${pq((q, n))}")
     }
   }
+
+  test("sim_topk_ivf_pq served from the materialized index == inline, cold and warm") {
+    val sf = "/root/testdata/sf0.001"
+    val inline = Similarity.topkIvfPq(spark, sf)
+      .select($"qid", $"rn", $"nid", $"adc")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(inline.nonEmpty)
+    // cold: builds codes/books/cells parquet; warm: serves from them
+    for (pass <- Seq("cold", "warm")) {
+      val served = Similarity.topkIvfPqIndexed(spark, sf)
+        .select($"qid", $"rn", $"nid", $"adc")
+        .as[(Long, Int, Long, Double)].collect().toSet
+      assert(served == inline, s"$pass index serve != inline")
+    }
+  }
 }
