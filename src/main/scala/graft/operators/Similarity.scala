@@ -209,6 +209,11 @@ object Similarity {
       .select(col("qid"), col("qvec"), col("clabel"))
   }
 
+  /** Probe selection against stored cells — (qid, qvec, clabel); the
+    * serve-path probes, exposed for the ScaleIvfPq recall gate. */
+  private[graft] def probesFromStored(q: DataFrame, cells: DataFrame): DataFrame =
+    probesFrom(q, cells)
+
   /** Probe selection shared by [[topkIvf]] and [[topkIvfSq8]]: the two
     * nearest label-cells per query by exact-decimal centroid cosine —
     * (qid, qvec, clabel). */
@@ -1136,11 +1141,12 @@ object Similarity {
     * PqM small ints + a label per vector; books and cells are
     * model-sized. Empty corpus → three empty frames with the right
     * schemas (every consumer degrades, no hard crash). */
-  def ivfPqIndexOf(all: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+  def ivfPqIndexOf(all: DataFrame, k: Int = PqK,
+                   iters: Int = PqIters): (DataFrame, DataFrame, DataFrame) = {
     val spark = all.sparkSession
     import spark.implicits._
     val sub = pqSubvectors(all)
-    val books = pqCodebooks(sub, PqK, PqIters)
+    val books = pqCodebooks(sub, k, iters)
     val bookRows = books.as[(Int, Int, Seq[Double])].collect()
     val codes =
       if (bookRows.isEmpty)
