@@ -508,8 +508,8 @@ object Similarity {
   // DECIMAL(28,12)-exact per-position means, empty cells keeping their
   // previous centroid — so DuckDB unrolls the same rounds as CTEs and
   // the gate is hash-exact, while the recall spec guards ANN quality.
-  private val PqM = 4
-  private val PqSub = 16
+  private[graft] val PqM = 4
+  private[graft] val PqSub = 16
   private val PqK = 16
   private val PqIters = 2
 
@@ -519,7 +519,7 @@ object Similarity {
       posexplode(array((0 until PqM).map(s =>
         slice(col("vec"), s * PqSub + 1, PqSub)): _*)).as(Seq("s", "svec")))
 
-  private def pqD2(v: Column, c: Column): Column =
+  private[graft] def pqD2(v: Column, c: Column): Column =
     round(VectorFns.dot(v, v) + VectorFns.dot(c, c)
       - lit(2) * VectorFns.dot(v, c), 6)
 
@@ -1189,6 +1189,31 @@ object Similarity {
     scored.select(col("qid"), col("vec_id").as("nid"), col("adc"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= K)
       .orderBy(col("qid"), col("rn"))
+  }
+
+  /** [[ivfPqIndexOf]] over the standard embeddings table — the spec /
+    * tooling entry point. */
+  def ivfPqIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
+    ivfPqIndexOf(emb(spark, dir))
+
+  /** Driver-resident models from a stored IVFPQ index — cells sorted by
+    * the natural order of `clabel` (the probe tie order) and stringified
+    * for transport, books indexed [s][cid-1]. What ships to the ingest
+    * encoder ([[graft.streaming.EventStream.ivfPqEncodeScore]]). */
+  def ivfPqModels(books: DataFrame, cells: DataFrame)
+      : (Seq[(String, Seq[Double])], IndexedSeq[IndexedSeq[Seq[Double]]]) = {
+    val spark = books.sparkSession
+    import spark.implicits._
+    val b = books.as[(Int, Int, Seq[Double])].collect()
+    val nested: IndexedSeq[IndexedSeq[Seq[Double]]] =
+      if (b.isEmpty) IndexedSeq.empty
+      else (0 to b.map(_._1).max).map { s =>
+        b.filter(_._1 == s).sortBy(_._2).map(_._3).toIndexedSeq
+      }
+    val c = cells.orderBy(col("clabel"))
+      .select(col("clabel").cast("string"), col("cvec"))
+      .as[(String, Seq[Double])].collect().toSeq
+    (c, nested)
   }
 
   def topkIvfPq(spark: SparkSession, dir: String): DataFrame = {

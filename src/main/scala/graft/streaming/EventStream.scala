@@ -301,6 +301,48 @@ object EventStream {
         VectorFns.asDouble(col("embedding")), mins, maxs).as("codes"))
   }
 
+  /** Ingest-time IVFPQ encoding (round 10) — the index-MAINTENANCE half
+    * of the materialized IVFPQ index (`Similarity.ivfPqIndexOf` /
+    * `ivfPqOf`): while the stored index serves query batches, arriving
+    * embeddings map to their index row — nearest stored cell + PqM
+    * codes — in ONE narrow per-row transform, appendable to the codes
+    * table without retraining. Both frozen models ride as literals
+    * (cells ≤ |cells|·dim doubles, books PqM·k·sub — the 21c broadcast
+    * budget); no join, no shuffle, ZERO state-store rows at any rate.
+    *
+    * Codes bit-match `ivfPqIndexOf`'s encode on the same vectors (same
+    * pqD2 argmin, first-min tie — spec-proven); the cell is the
+    * first-max 6-dp centroid cosine in the CALLER-SORTED cells order
+    * (sort by clabel to match the serve path's probe tie-break). */
+  def ivfPqEncodeScore(vecs: DataFrame, cells: Seq[(String, Seq[Double])],
+                       books: IndexedSeq[IndexedSeq[Seq[Double]]]): DataFrame = {
+    import graft.functions.VectorFns
+    import graft.operators.Similarity
+    val cellNames = typedLit(cells.map(_._1))
+    val cellVecs = typedLit(cells.map(_._2))
+    val cbs = typedLit(books.map(_.map(_.toSeq).toSeq).toSeq)
+    val unit = vecs
+      .select(col("vec_id"), VectorFns.asDouble(col("embedding")).as("raw"))
+      .withColumn("__n", VectorFns.norm(col("raw")))
+      .select(col("vec_id"),
+        VectorFns.normalize(col("raw"), col("__n")).as("__v"))
+    val ccos = transform(cellVecs, cv => VectorFns.cosine6(col("__v"), cv))
+    val codes = transform(sequence(lit(0), lit(Similarity.PqM - 1)), s => {
+      val sv = slice(col("__v"), s * Similarity.PqSub + 1, lit(Similarity.PqSub))
+      val cb = element_at(cbs, s + 1)
+      val d2s = transform(sequence(lit(1), size(cb)),
+        i => Similarity.pqD2(sv, element_at(cb, i)))
+      array_position(d2s, array_min(d2s)).cast("int")
+    })
+    unit
+      .withColumn("__ccos", ccos)
+      .select(col("vec_id"),
+        element_at(cellNames,
+          array_position(col("__ccos"), array_max(col("__ccos"))).cast("int"))
+          .as("cell"),
+        codes.as("codes"))
+  }
+
   /** Ingest-time SUB-DOCUMENT scrubbing against a growing SPAN catalog —
     * the streaming twin of `Curation.substringDedup` (Lee-et-al-2022
     * substring dedup, fixed L), shaped like [[classifyAgainstCatalog]]:

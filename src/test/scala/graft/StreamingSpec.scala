@@ -542,4 +542,41 @@ class StreamingSpec extends AnyFunSuite {
       assert(got(id) == codes, s"vec $id codes diverge")
     }
   }
+
+  test("streaming ivfpq encode: codes == stored-index codes bit-for-bit, zero state rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val sim = graft.operators.Similarity
+    val (codesDf, booksDf, cellsDf) = sim.ivfPqIndex(spark, sf)
+    val (cellModel, bookModel) = sim.ivfPqModels(booksDf, cellsDf)
+    // the stored index's per-vector code words, ordered by subspace
+    val stored = codesDf.select(col("s"), col("vec_id"), col("cid"))
+      .as[(Int, Long, Int)].collect().groupBy(_._2)
+      .map { case (id, rows) => id -> rows.sortBy(_._1).map(_._3).toSeq }
+    assert(stored.nonEmpty)
+
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    val input = MemoryStream[(Long, Seq[Float])]
+    val coded = EventStream.ivfPqEncodeScore(
+      input.toDS().toDF("vec_id", "embedding"), cellModel, bookModel)
+    val q = coded.writeStream.format("memory").queryName("ivfpq_stream")
+      .outputMode("append").start()
+    vecs.grouped(math.max(1, vecs.length / 2 + 1)).foreach { b =>
+      input.addData(b.toSeq); q.processAllAvailable()
+    }
+    assert(q.lastProgress.stateOperators.isEmpty) // narrow plan, no state
+    q.stop()
+    val got = spark.table("ivfpq_stream")
+      .as[(Long, String, Seq[Int])].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(got.size == stored.size)
+    // ingest-encoded codes bit-match the batch index build's codes, and
+    // every assigned cell is one of the stored cells
+    val cellNames = cellModel.map(_._1).toSet
+    stored.foreach { case (id, codes) =>
+      assert(got(id)._2 == codes, s"vec $id ingest codes diverge from index build")
+      assert(cellNames.contains(got(id)._1))
+    }
+  }
 }
