@@ -12,13 +12,19 @@ object ScaleAll {
     val dir = "target/tmp/bigsf"
     // big events (1M) and embeddings (100k) alongside the 1M docs
     if (!new java.io.File(s"$dir/events.parquet").exists()) {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+      // Tables.events normalizes either ts encoding (TIMESTAMP(NANOS) or
+      // timestamp[us]) to the ns-long contract the replication math needs
+      graft.sources.Tables.events(spark, "/root/testdata/sf0.1")
         .withColumn("rep", explode(sequence(lit(0), lit(9))))
         .select((col("event_id") + col("rep") * 100000L).as("event_id"),
           (col("ts") + col("rep") * 1000000L).as("ts"),
           col("user_id"), col("event_type"), col("value"), col("props"))
         .repartition(32).write.parquet(s"$dir/events.parquet")
+    }
+    // separate guard: another tool (ScaleStream) may have left events
+    // behind without embeddings — coupling the two under one guard
+    // skipped this build and failed the embedding stages downstream
+    if (!new java.io.File(s"$dir/embeddings.parquet").exists()) {
       spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
         .withColumn("rep", explode(sequence(lit(0), lit(49))))
         .select((col("vec_id") + col("rep") * 2000L).as("vec_id"),

@@ -16,8 +16,9 @@ object ScaleStream {
     // ScaleDedup run left it behind (same construction as ScaleAll)
     if (!new java.io.File(s"$dir/events.parquet").exists()) {
       new java.io.File(dir).mkdirs()
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+      // Tables.events normalizes either ts encoding (TIMESTAMP(NANOS) or
+      // timestamp[us]) to the ns-long contract the replication math needs
+      graft.sources.Tables.events(spark, "/root/testdata/sf0.1")
         .withColumn("rep", explode(sequence(lit(0), lit(9))))
         .select((col("event_id") + col("rep") * 100000L).as("event_id"),
           (col("ts") + col("rep") * 1000000L).as("ts"),
