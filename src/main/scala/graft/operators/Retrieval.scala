@@ -152,6 +152,24 @@ object Retrieval {
     bm25Score(qposts, qterms, nDocs, tToks, k)
   }
 
+  /** Incremental index maintenance — the `dedup_incremental` catalog
+    * pattern applied to the retrieval index: postings rows are per-doc
+    * independent and the corpus scalars are additive, so absorbing a
+    * new document batch is ONE batch-sized tokenize + a union/sum —
+    * never a rebuild. df is derived from postings AT QUERY TIME
+    * (`bm25Of`'s aggregate), so no stored statistic goes stale.
+    * Returns the merged (postings, stats); spec proves merged ==
+    * built-from-union exactly. At 100 TB this is the nightly-crawl
+    * shape: O(batch) work per ingest, the stored index only ever
+    * appends. */
+  def bm25IndexMerge(postings: DataFrame, stats: DataFrame,
+                     newDocs: DataFrame): (DataFrame, DataFrame) = {
+    val (np, ns) = bm25IndexOf(newDocs)
+    val mergedStats = stats.unionByName(ns)
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("t_toks")).as("t_toks"))
+    (postings.unionByName(np), mergedStats)
+  }
+
   /** Gated twin of `text_bm25_topk` served from an mtime-keyed
     * materialized index (same oracle — identical output, different
     * provenance): warm runs skip the tokenize scan entirely. */

@@ -103,6 +103,30 @@ class RetrievalSpec extends AnyFunSuite {
     assert(b2.count() > 0)
   }
 
+  test("bm25 incremental index merge == built-from-union, and new docs become retrievable") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val (half1, half2) = (docs.filter($"doc_id" % 2 === 0), docs.filter($"doc_id" % 2 =!= 0))
+    val (p1, s1) = Retrieval.bm25IndexOf(half1)
+    val (pm, sm) = Retrieval.bm25IndexMerge(p1, s1, half2)
+    val (pu, su) = Retrieval.bm25IndexOf(docs)
+    // postings: identical row sets; stats: identical scalars
+    val key = Seq("doc_id", "dl", "term", "tf")
+      .map(org.apache.spark.sql.functions.col)
+    assert(pm.select(key: _*).exceptAll(pu.select(key: _*)).isEmpty)
+    assert(pu.select(key: _*).exceptAll(pm.select(key: _*)).isEmpty)
+    assert(sm.as[(Long, Long)].head() == su.as[(Long, Long)].head())
+    // a query batch served from the merged index == served from the
+    // union-built index, bit for bit — and it retrieves across BOTH halves
+    val qterms = pu.filter($"doc_id" < 5).select($"doc_id".as("qid"), $"term")
+    val a = Retrieval.bm25Of(pm, sm, qterms, 5)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    val b = Retrieval.bm25Of(pu, su, qterms, 5)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(a == b && a.nonEmpty)
+    assert(a.map(_._3).exists(_ % 2 == 0) || a.map(_._3).exists(_ % 2 != 0))
+  }
+
   test("mmr: an exact duplicate of the top hit is deferred below a diverse alternative") {
     // probe 0 = +x. Candidate 10 (cos .95, residual +y), its EXACT
     // duplicate 11, and 12 (cos .85, residual −y). Plain cosine order is
