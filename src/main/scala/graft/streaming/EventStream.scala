@@ -473,6 +473,26 @@ object EventStream {
       }
   }
 
+  // ---- heavy-hitters candidate sketch, continuously maintained ---------
+
+  /** Streaming twin of `TextAnalysis.heavyHitters`' PASS-1 sketch — and
+    * literally the SAME definition: `MisraGriesTopK` is a mergeable
+    * `TypedImperativeAggregate`, so a streaming global aggregate keeps
+    * the MG buffer as its state (ONE row of ≤cap entries, map-side
+    * pre-merged per batch — the stateful operator never sees raw token
+    * rows). State is bounded by `cap` forever, the sketch guarantee
+    * (every token with true count > n/cap survives) holds under the
+    * sequential batch merges MG is associative for, and the exact
+    * second pass stays a batch job over the candidates — the
+    * sketch-then-verify split a continuous pipeline actually runs.
+    * Works batch AND streaming unchanged; spec proves streamed == batch
+    * on the same corpus. Complete output mode: the sink row is the
+    * current sketch. */
+  def heavyHittersSketch(toks: DataFrame, cap: Int = 256): DataFrame =
+    toks.agg(
+      graft.functions.MisraGriesTopK.of(col("token"), cap).as("hh"),
+      count(lit(1)).as("n_total"))
+
   // ---- gap sessionization with explicit state --------------------------
 
   final case class Ev(user_id: Long, us: Long, value: Double)

@@ -543,6 +543,46 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming heavy-hitters sketch: continuously-maintained MG == batch sketch; bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val toks = graft.sources.Tables.documents(spark, sf)
+      .select(explode(graft.functions.TextFns.tokens(col("text"))).as("token"))
+      .as[String].collect()
+    val input = MemoryStream[String]
+    val q = EventStream.heavyHittersSketch(input.toDS().toDF("token"))
+      .writeStream.format("memory").queryName("hh_stream")
+      .outputMode("complete").start()
+    toks.grouped(math.max(1, toks.length / 3 + 1)).foreach { b =>
+      input.addData(b.toSeq); q.processAllAvailable()
+    }
+    // state is the ONE aggregate row (the MG buffer), not per-token rows
+    assert(q.lastProgress.stateOperators.head.numRowsTotal == 1L)
+    q.stop()
+    val got = spark.table("hh_stream").head()
+    val want = EventStream.heavyHittersSketch(
+      graft.sources.Tables.documents(spark, sf)
+        .select(explode(graft.functions.TextFns.tokens(col("text"))).as("token"))).head()
+    assert(got.getLong(1) == want.getLong(1)) // n_total
+    def entries(r: org.apache.spark.sql.Row) =
+      r.getSeq[org.apache.spark.sql.Row](0).map(e => (e.getString(0), e.getLong(1))).toSet
+    assert(entries(got) == entries(want), "streamed MG sketch != batch sketch")
+    assert(entries(got).nonEmpty)
+
+    // superset guarantee past the capacity: cap=4 over a crafted stream —
+    // the two true hitters (> n/4) must survive the decrements
+    val crafted = (Seq.fill(40)("alpha") ++ Seq.fill(30)("beta") ++
+      (1 to 30).map(i => s"rare$i")).toArray
+    val in2 = MemoryStream[String]
+    val q2 = EventStream.heavyHittersSketch(in2.toDS().toDF("token"), cap = 4)
+      .writeStream.format("memory").queryName("hh_small")
+      .outputMode("complete").start()
+    crafted.grouped(25).foreach { b => in2.addData(b.toSeq); q2.processAllAvailable() }
+    q2.stop()
+    val surv = entries(spark.table("hh_small").head()).map(_._1)
+    assert(surv.contains("alpha") && surv.contains("beta"),
+      s"true hitters lost by the streamed sketch: $surv")
+  }
+
   test("streaming ivfpq encode: codes == stored-index codes bit-for-bit, zero state rows") {
     implicit val sqlCtx = spark.sqlContext
     val sim = graft.operators.Similarity
