@@ -159,9 +159,12 @@ object Retrieval {
     * never a rebuild. df is derived from postings AT QUERY TIME
     * (`bm25Of`'s aggregate), so no stored statistic goes stale.
     * Returns the merged (postings, stats); spec proves merged ==
-    * built-from-union exactly. At 100 TB this is the nightly-crawl
-    * shape: O(batch) work per ingest, the stored index only ever
-    * appends. */
+    * built-from-union exactly. Contract: `newDocs` doc_ids are disjoint
+    * from the indexed corpus (dedup upstream — the same precondition
+    * `dedup_incremental`'s catalog append states); an overlapping id
+    * would double-count its postings. At 100 TB this is the
+    * nightly-crawl shape: O(batch) work per ingest, the stored index
+    * only ever appends. */
   def bm25IndexMerge(postings: DataFrame, stats: DataFrame,
                      newDocs: DataFrame): (DataFrame, DataFrame) = {
     val (np, ns) = bm25IndexOf(newDocs)
