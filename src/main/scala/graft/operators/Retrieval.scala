@@ -251,6 +251,30 @@ object Retrieval {
       Similarity.cosineRanked(spark, dir, NQ, FuseK)
         .select(col("qid"), col("nid").as("id"), col("rn"))), K)
 
+  /** Gated twin of `sim_hybrid_rrf` over MATERIALIZED rank lists (the
+    * `splitLeakSafeOf` pattern, same oracle): each retrieval system's
+    * ranked list persists once per corpus version (mtime-keyed), and
+    * the fusion pays only `rrfFuseOf` — rank-list-sized work, no
+    * retrieval recompute per fusion. At 100 TB each system's list is a
+    * stored table the ensemble (and every re-weighting experiment over
+    * it) reuses. */
+  def hybridRrfComposed(spark: SparkSession, dir: String): DataFrame = {
+    val mt = Seq("documents", "embeddings")
+      .map(t => new java.io.File(s"$dir/$t.parquet").lastModified).mkString("_")
+    val base = s"target/tmp/rrf_lists/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_$mt"
+    if (!new java.io.File(s"$base/text/_SUCCESS").exists()) {
+      bm25Ranked(spark, dir, FuseK)
+        .select(col("qid"), col("doc_id").as("id"), col("rn"))
+        .write.mode("overwrite").parquet(s"$base/text")
+      Similarity.cosineRanked(spark, dir, NQ, FuseK)
+        .select(col("qid"), col("nid").as("id"), col("rn"))
+        .write.mode("overwrite").parquet(s"$base/vec")
+    }
+    rrfFuseOf(Seq(
+      spark.read.parquet(s"$base/text"),
+      spark.read.parquet(s"$base/vec")), K)
+  }
+
   val hybridRrfOracle: String = s"""
     WITH ${bm25OracleCtes(FuseK)},
     vecr AS (
@@ -379,11 +403,13 @@ object Retrieval {
     "text_bm25_topk" -> (bm25Topk _),
     "text_bm25_topk_indexed" -> (bm25TopkIndexed _),
     "sim_hybrid_rrf" -> (hybridRrf _),
+    "sim_hybrid_rrf_composed" -> (hybridRrfComposed _),
     "sim_mmr_rerank" -> (mmrRerank _))
 
   val oracle: Map[String, String] = Map(
     "text_bm25_topk" -> bm25TopkOracle,
     "text_bm25_topk_indexed" -> bm25TopkOracle,
     "sim_hybrid_rrf" -> hybridRrfOracle,
+    "sim_hybrid_rrf_composed" -> hybridRrfOracle,
     "sim_mmr_rerank" -> mmrRerankOracle)
 }
