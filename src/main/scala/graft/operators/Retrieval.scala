@@ -180,7 +180,9 @@ object Retrieval {
     val docsFile = new java.io.File(s"$dir/documents.parquet")
     val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${docsFile.lastModified}"
     val base = s"target/tmp/bm25_index/$key"
-    if (!new java.io.File(s"$base/postings/_SUCCESS").exists()) {
+    // guard on the LAST-written table: a crash between writes leaves it
+    // absent, so the next run rebuilds instead of serving a torn cache
+    if (!new java.io.File(s"$base/stats/_SUCCESS").exists()) {
       val (p, s) = bm25IndexOf(Tables.documents(spark, dir))
       p.write.mode("overwrite").parquet(s"$base/postings")
       s.write.mode("overwrite").parquet(s"$base/stats")
@@ -262,7 +264,9 @@ object Retrieval {
     val mt = Seq("documents", "embeddings")
       .map(t => new java.io.File(s"$dir/$t.parquet").lastModified).mkString("_")
     val base = s"target/tmp/rrf_lists/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_$mt"
-    if (!new java.io.File(s"$base/text/_SUCCESS").exists()) {
+    // guard on the LAST-written list (vec): a crash between writes
+    // leaves it absent → rebuild, never a torn cache
+    if (!new java.io.File(s"$base/vec/_SUCCESS").exists()) {
       bm25Ranked(spark, dir, FuseK)
         .select(col("qid"), col("doc_id").as("id"), col("rn"))
         .write.mode("overwrite").parquet(s"$base/text")

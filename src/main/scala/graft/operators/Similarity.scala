@@ -209,11 +209,6 @@ object Similarity {
       .select(col("qid"), col("qvec"), col("clabel"))
   }
 
-  /** Probe selection against stored cells — (qid, qvec, clabel); the
-    * serve-path probes, exposed for the ScaleIvfPq recall gate. */
-  private[graft] def probesFromStored(q: DataFrame, cells: DataFrame): DataFrame =
-    probesFrom(q, cells)
-
   /** Probe selection shared by [[topkIvf]] and [[topkIvfSq8]]: the two
     * nearest label-cells per query by exact-decimal centroid cosine —
     * (qid, qvec, clabel). */
@@ -548,11 +543,7 @@ object Similarity {
     // every other similarity operator degrades (no hard crash on .max)
     if (seedRows.isEmpty)
       return spark.emptyDataset[(Int, Int, Seq[Double])].toDF("s", "cid", "cvec")
-    val nS = seedRows.map(_._1).max + 1
-    var cents: IndexedSeq[IndexedSeq[Seq[Double]]] =
-      (0 until nS).map { s =>
-        seedRows.filter(_._1 == s).sortBy(_._2).map(_._3).toIndexedSeq
-      }
+    var cents: IndexedSeq[IndexedSeq[Seq[Double]]] = booksToNested(seedRows.toSeq)
     for (_ <- 0 until iters) {
       val updated = pqAssign(sub, cents)
         .select(col("s"), col("cid"), posexplode(col("svec")).as(Seq("pos", "v")))
@@ -573,6 +564,16 @@ object Similarity {
       (c, i) <- cb.zipWithIndex
     } yield (s, i + 1, c)).toDF("s", "cid", "cvec")
   }
+
+  /** Collected (s, cid, cvec) codebook rows → nested [s][cid-1]
+    * driver-resident form — ONE definition for the three consumers
+    * (topkPq, ivfPqIndexOf, ivfPqModels) so a tie-break or cid-indexing
+    * change can never desynchronize encode from serve. */
+  private def booksToNested(rows: Seq[(Int, Int, Seq[Double])]): IndexedSeq[IndexedSeq[Seq[Double]]] =
+    if (rows.isEmpty) IndexedSeq.empty
+    else (0 to rows.map(_._1).max).map { s =>
+      rows.filter(_._1 == s).sortBy(_._2).map(_._3).toIndexedSeq
+    }
 
   /** Narrow argmin cell assignment against driver-resident codebooks:
     * adds `cid` to a (s, vec_id, svec) frame with no join or shuffle —
@@ -818,10 +819,7 @@ object Similarity {
     if (bookRows.isEmpty) // empty corpus: no codes, no neighbors
       return spark.emptyDataset[(Long, Long, Double, Int)]
         .toDF("qid", "nid", "adc", "rn")
-    val cents: IndexedSeq[IndexedSeq[Seq[Double]]] =
-      (0 to bookRows.map(_._1).max).map { s =>
-        bookRows.filter(_._1 == s).sortBy(_._2).map(_._3).toIndexedSeq
-      }
+    val cents = booksToNested(bookRows)
     val codes = pqAssign(sub, cents).select(col("s"), col("vec_id"), col("cid"))
     val lut = sub.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("qid"), col("s"), col("svec"))
@@ -1151,14 +1149,9 @@ object Similarity {
     val codes =
       if (bookRows.isEmpty)
         spark.emptyDataset[(Int, Long, Int, String)].toDF("s", "vec_id", "cid", "label")
-      else {
-        val cents: IndexedSeq[IndexedSeq[Seq[Double]]] =
-          (0 to bookRows.map(_._1).max).map { s =>
-            bookRows.filter(_._1 == s).sortBy(_._2).map(_._3).toIndexedSeq
-          }
-        pqAssign(sub, cents).select(col("s"), col("vec_id"), col("cid"))
+      else
+        pqAssign(sub, booksToNested(bookRows)).select(col("s"), col("vec_id"), col("cid"))
           .join(all.select(col("vec_id"), col("label")), "vec_id")
-      }
     (codes, books, labelCentroids(all))
   }
 
@@ -1205,11 +1198,7 @@ object Similarity {
     val spark = books.sparkSession
     import spark.implicits._
     val b = books.as[(Int, Int, Seq[Double])].collect()
-    val nested: IndexedSeq[IndexedSeq[Seq[Double]]] =
-      if (b.isEmpty) IndexedSeq.empty
-      else (0 to b.map(_._1).max).map { s =>
-        b.filter(_._1 == s).sortBy(_._2).map(_._3).toIndexedSeq
-      }
+    val nested = booksToNested(b.toSeq)
     val c = cells.orderBy(col("clabel"))
       .select(col("clabel").cast("string"), col("cvec"))
       .as[(String, Seq[Double])].collect().toSeq
@@ -1238,7 +1227,9 @@ object Similarity {
     val embFile = new java.io.File(s"$dir/embeddings.parquet")
     val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${embFile.lastModified}"
     val base = s"target/tmp/ivfpq_index/$key"
-    if (!new java.io.File(s"$base/codes/_SUCCESS").exists()) {
+    // guard on the LAST-written table: a crash between writes leaves it
+    // absent, so the next run rebuilds instead of serving a torn cache
+    if (!new java.io.File(s"$base/cells/_SUCCESS").exists()) {
       val all = emb(spark, dir).cache()
       val (codes, books, cells) = ivfPqIndexOf(all)
       codes.write.mode("overwrite").parquet(s"$base/codes")

@@ -485,9 +485,11 @@ object EventStream {
     * sequential batch merges MG is associative for, and the exact
     * second pass stays a batch job over the candidates — the
     * sketch-then-verify split a continuous pipeline actually runs.
-    * Works batch AND streaming unchanged; spec proves streamed == batch
-    * on the same corpus. Complete output mode: the sink row is the
-    * current sketch. */
+    * Works batch AND streaming unchanged. Sketch CONTENTS are
+    * merge-order dependent once decrements fire (the MisraGriesTopK
+    * caveat); what the spec proves is the survival guarantee on both
+    * paths, plus exact equality in the zero-decrement regime. Complete
+    * output mode: the sink row is the current sketch. */
   def heavyHittersSketch(toks: DataFrame, cap: Int = 256): DataFrame =
     toks.agg(
       graft.functions.MisraGriesTopK.of(col("token"), cap).as("hh"),

@@ -11,15 +11,7 @@ object Scale {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val big = "target/tmp/big_documents.parquet"
-    if (!new java.io.File(big).exists()) {
-      spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-        .withColumn("rep", explode(sequence(lit(0), lit(199))))
-        .select((col("doc_id") + col("rep") * 5000L).as("doc_id"),
-          col("text"), col("lang"), col("source"), col("n_chars"))
-        .repartition(32)
-        .write.mode("overwrite").parquet(big)
-    }
+    val big = Corpora.ensureBigDocuments(spark)
     spark.read.parquet(big).count() // warm
     val out = "target/tmp/big_extract"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))

@@ -27,15 +27,7 @@ object ScaleDsirPq {
     val dir = "target/tmp/bigsf"
 
     // same corpus pieces as Scale/ScaleDedup/ScaleAll, built if absent
-    val big = "target/tmp/big_documents.parquet"
-    if (!new java.io.File(big).exists()) {
-      spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-        .withColumn("rep", explode(sequence(lit(0), lit(199))))
-        .select((col("doc_id") + col("rep") * 5000L).as("doc_id"),
-          col("text"), col("lang"), col("source"), col("n_chars"))
-        .repartition(32)
-        .write.mode("overwrite").parquet(big)
-    }
+    val big = Corpora.ensureBigDocuments(spark)
     val link = new java.io.File(s"$dir/documents.parquet")
     if (!link.exists()) {
       new java.io.File(dir).mkdirs()

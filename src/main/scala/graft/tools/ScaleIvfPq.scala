@@ -17,11 +17,13 @@ import graft.functions.VectorFns
   *  - SERVE: `ivfPqOf` per query batch against the stored tables. No
   *    training, no corpus encode, no full-vector scan — the corpus-
   *    sized input is the code table alone.
-  *  - RECALL FLOOR: top-5 by served IVFPQ vs exact cosine over the
-  *    probed cells' candidates; mean recall vs exact-over-same-cells
-  *    must clear 0.6 (ADC on 16-codeword-per-subspace codes is a
-  *    coarser scorer than SQ8's 255 levels; the floor guards against
-  *    silent collapse, the gated ADC-equality spec guards exactness).
+  *  - GATES (`require`): served-from-parquet == inline EXACTLY at 1 M,
+  *    and cluster-mate precision@5 ≥ 0.9 in the SEPARABLE regime
+  *    (16 cells / 64 codewords — cells resolve to distinct codes).
+  *    The capacity-limited regime (256 cells / 64 codewords) is
+  *    measured and printed as the provisioning finding, not gated:
+  *    cells sharing codewords in all subspaces are indistinguishable
+  *    to a code-only store by construction.
   *
   * Run: sbt "runMain graft.tools.ScaleIvfPq"
   */

@@ -28,20 +28,7 @@ object ScaleRetrieval {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = "target/tmp/bigsf"
-    if (!new java.io.File("target/tmp/big_documents.parquet").exists()) {
-      spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-        .withColumn("rep", explode(sequence(lit(0), lit(199))))
-        .select((col("doc_id") + col("rep") * 5000L).as("doc_id"),
-          col("text"), col("lang"), col("source"), col("n_chars"))
-        .repartition(32)
-        .write.mode("overwrite").parquet("target/tmp/big_documents.parquet")
-    }
-    val link = new java.io.File(s"$dir/documents.parquet")
-    if (!link.exists()) {
-      new java.io.File(dir).mkdirs()
-      java.nio.file.Files.createSymbolicLink(link.toPath,
-        new java.io.File("target/tmp/big_documents.parquet").getAbsoluteFile.toPath)
-    }
+    Corpora.linkBigDocuments(spark, dir)
 
     // warm codegen at the tiny SF
     Retrieval.bm25Ranked(spark, "/root/testdata/sf0.001", 5).count()

@@ -66,15 +66,7 @@ object ScaleStream {
     // nightly-ingest shape. bigsf docs are sf0.1 × 200 exact copies, so
     // this also exercises the exact-dup fast path + df-capped shingle
     // join at duplication-heavy scale.
-    if (!new java.io.File("target/tmp/big_documents.parquet").exists()) {
-      spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-        .withColumn("rep", explode(sequence(lit(0), lit(199))))
-        .select((col("doc_id") + col("rep") * 5000L).as("doc_id"),
-          col("text"), col("lang"), col("source"), col("n_chars"))
-        .repartition(32)
-        .write.mode("overwrite").parquet("target/tmp/big_documents.parquet")
-    }
-    val allDocs = spark.read.parquet("target/tmp/big_documents.parquet")
+    val allDocs = spark.read.parquet(Corpora.ensureBigDocuments(spark))
       .select(col("doc_id"), col("text"))
 
     def classifyLoop(label: String, n: Long): Double = {
@@ -114,12 +106,7 @@ object ScaleStream {
     // ingest-time scorer timed at both slice sizes; sum(logw) forces the
     // full decimal fold (count() would prune the scorer itself)
     val bigDir = "target/tmp/bigsf"
-    if (!new java.io.File(s"$bigDir/documents.parquet").exists()) {
-      new java.io.File(bigDir).mkdirs()
-      java.nio.file.Files.createSymbolicLink(
-        new java.io.File(s"$bigDir/documents.parquet").toPath,
-        new java.io.File("target/tmp/big_documents.parquet").getAbsoluteFile.toPath)
-    }
+    Corpora.linkBigDocuments(spark, bigDir)
     val (lam, cBits) = Curation.dsirModel(spark, bigDir)
     def dsirAt(label: String, n: Long): Double = {
       val t0 = System.nanoTime()

@@ -124,7 +124,9 @@ class RetrievalSpec extends AnyFunSuite {
     val b = Retrieval.bm25Of(pu, su, qterms, 5)
       .as[(Long, Int, Long, Double)].collect().toSeq
     assert(a == b && a.nonEmpty)
-    assert(a.map(_._3).exists(_ % 2 == 0) || a.map(_._3).exists(_ % 2 != 0))
+    // the merged postings really carry the appended half — a regression
+    // that unions the wrong frame would leave the odd half unretrievable
+    assert(pm.filter($"doc_id" % 2 =!= 0).count() > 0)
   }
 
   test("mmr: an exact duplicate of the top hit is deferred below a diverse alternative") {

@@ -565,8 +565,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.getLong(1) == want.getLong(1)) // n_total
     def entries(r: org.apache.spark.sql.Row) =
       r.getSeq[org.apache.spark.sql.Row](0).map(e => (e.getString(0), e.getLong(1))).toSet
-    assert(entries(got) == entries(want), "streamed MG sketch != batch sketch")
     assert(entries(got).nonEmpty)
+    // MG contents are merge-order dependent once decrements fire (the
+    // sketch's own documented caveat), so the robust cross-checks are:
+    // the survival GUARANTEE (every token with true count > n/cap is in
+    // BOTH sketches), and exact equality only when neither run
+    // decremented (sum(est) == n_total → the sketch held every token)
+    val trueCounts = toks.groupBy(identity).map { case (t, a) => t -> a.length.toLong }
+    val n = got.getLong(1)
+    val mustSurvive = trueCounts.filter(_._2 * 256L > n).keySet
+    assert(mustSurvive.subsetOf(entries(got).map(_._1)),
+      "streamed sketch lost a guaranteed hitter")
+    assert(mustSurvive.subsetOf(entries(want).map(_._1)),
+      "batch sketch lost a guaranteed hitter")
+    if (entries(got).toSeq.map(_._2).sum == n && entries(want).toSeq.map(_._2).sum == n)
+      assert(entries(got) == entries(want), "zero-decrement sketches must be identical")
 
     // superset guarantee past the capacity: cap=4 over a crafted stream —
     // the two true hitters (> n/4) must survive the decrements
