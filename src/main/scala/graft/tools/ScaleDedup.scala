@@ -14,13 +14,10 @@ object ScaleDedup {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = "target/tmp/bigsf"
-    // Tables.documents expects <dir>/documents.parquet
-    val link = new java.io.File(s"$dir/documents.parquet")
-    if (!link.exists()) {
-      new java.io.File(dir).mkdirs()
-      java.nio.file.Files.createSymbolicLink(link.toPath,
-        new java.io.File("target/tmp/big_documents.parquet").getAbsoluteFile.toPath)
-    }
+    // Tables.documents expects <dir>/documents.parquet; builds the big
+    // corpus too if no other tool has yet (was: a bare symlink that
+    // required a prior Scale* run)
+    Corpora.linkBigDocuments(spark, dir)
     val t0 = System.nanoTime()
     val out = Dedup.dedupPipeline(spark, dir)
     val byStatus = out.groupBy("status").count().collect()
