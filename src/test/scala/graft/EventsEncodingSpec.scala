@@ -18,24 +18,33 @@ class EventsEncodingSpec extends AnyFunSuite {
   private def fixture(enc: String): String =
     getClass.getResource(s"/events_enc/$enc").getPath
 
-  test("Tables.events normalizes TIMESTAMP(NANOS) and timestamp[us] to the same ns longs") {
-    val ns = graft.sources.Tables.events(spark, fixture("ns"))
-    val us = graft.sources.Tables.events(spark, fixture("us"))
-    assert(ns.schema("ts").dataType == LongType)
-    assert(us.schema("ts").dataType == LongType)
-    val a = ns.select("event_id", "ts").collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    val b = us.select("event_id", "ts").collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    assert(a.nonEmpty)
-    assert(a.sameElements(b))
+  // the four encodings a parquet events table plausibly arrives in:
+  // TIMESTAMP(NANOS) (read as raw long via nanosAsLong), timestamp[us]
+  // and timestamp[ms] (both read as TIMESTAMP_NTZ), and legacy INT96
+  // (read as TimestampType ltz). All must normalize to the same ns longs.
+  private val encodings = Seq("ns", "us", "ms", "int96")
+
+  test("Tables.events normalizes all four parquet ts encodings to the same ns longs") {
+    val per = encodings.map { enc =>
+      val df = graft.sources.Tables.events(spark, fixture(enc))
+      assert(df.schema("ts").dataType == LongType, s"$enc not normalized to long")
+      enc -> df.select("event_id", "ts").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    }.toMap
+    val ref = per("ns")
+    assert(ref.nonEmpty)
     // and they really are nanoseconds: 2025-01-01T00:00:00Z in ns
-    assert(a.head._2 == 1735689600L * 1000000000L)
+    assert(ref.head._2 == 1735689600L * 1000000000L)
+    for (enc <- encodings.tail)
+      assert(per(enc).sameElements(ref), s"$enc ts longs diverge from ns fixture")
   }
 
   test("sessionize is encoding-invariant (would have caught the r9 break)") {
-    val outNs = graft.operators.Analytics.eventsSessionize(spark, fixture("ns")).collect().toSeq
-    val outUs = graft.operators.Analytics.eventsSessionize(spark, fixture("us")).collect().toSeq
-    assert(outNs.nonEmpty)
-    assert(outNs == outUs)
+    val outs = encodings.map(enc =>
+      enc -> graft.operators.Analytics.eventsSessionize(spark, fixture(enc)).collect().toSeq).toMap
+    assert(outs("ns").nonEmpty)
+    for (enc <- encodings.tail)
+      assert(outs(enc) == outs("ns"), s"sessionize($enc) != sessionize(ns)")
   }
 
   test("streaming readEvents is encoding-invariant") {
