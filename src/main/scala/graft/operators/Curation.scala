@@ -672,9 +672,8 @@ object Curation {
     val docsFile = new java.io.File(s"$dir/documents.parquet")
     // the df cap changes dedupClustersOf's edges/clusters — it must be
     // part of the cache identity or a knob change serves stale clusters
-    val maxDf = spark.conf.getOption("spark.graft.dedup.maxShingleDf")
-      .orElse(spark.conf.getOption("graft.dedup.maxShingleDf"))
-      .map(_.toLong).getOrElse(Dedup.DefaultMaxShingleDf)
+    // (shared definition so key and computation can never disagree)
+    val maxDf = Dedup.effectiveMaxShingleDf(spark)
     val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${docsFile.lastModified}_df$maxDf"
     val path = s"target/tmp/clusters_cache/$key"
     if (!new java.io.File(s"$path/_SUCCESS").exists())

@@ -374,13 +374,19 @@ object Dedup {
     * composing consumers (the leakage-safe split's join) destroy row
     * order immediately, so they shouldn't pay the exchange for it
     * (the ngramJaccardImpl precedent). */
-  private[graft] def dedupClustersOf(spark: SparkSession, dir: String,
-                                     ordered: Boolean): DataFrame = {
-    // canonical knob namespace is spark.graft.*; the round-2 name
-    // graft.dedup.maxShingleDf stays honored for compatibility
-    val maxDf = spark.conf.getOption("spark.graft.dedup.maxShingleDf")
+  /** The effective shingle-df cap: canonical knob namespace is
+    * spark.graft.*; the round-2 name graft.dedup.maxShingleDf stays
+    * honored for compatibility. ONE definition — cache keys derived
+    * from this value (splitLeakSafeComposed) must always agree with
+    * what the cluster computation actually used. */
+  private[graft] def effectiveMaxShingleDf(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.dedup.maxShingleDf")
       .orElse(spark.conf.getOption("graft.dedup.maxShingleDf"))
       .map(_.toLong).getOrElse(DefaultMaxShingleDf)
+
+  private[graft] def dedupClustersOf(spark: SparkSession, dir: String,
+                                     ordered: Boolean): DataFrame = {
+    val maxDf = effectiveMaxShingleDf(spark)
     val docs = Tables.documents(spark, dir)
     // tokenize ONCE: the cached token projection feeds both the
     // fingerprint pass and the rep shingle explode — previously the docs

@@ -11,9 +11,11 @@ import org.apache.spark.sql.functions._
 object Corpora {
   val BigDocs = "target/tmp/big_documents.parquet"
 
-  /** Build (if absent) and return the 1 M-doc corpus path. */
+  /** Build (if absent) and return the 1 M-doc corpus path. Guarded on
+    * _SUCCESS, not bare directory existence — a crash mid-write must
+    * trigger a rebuild, never hand the tools a torn corpus. */
   def ensureBigDocuments(spark: SparkSession): String = {
-    if (!new java.io.File(BigDocs).exists()) {
+    if (!new java.io.File(s"$BigDocs/_SUCCESS").exists()) {
       spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
         .withColumn("rep", explode(sequence(lit(0), lit(199))))
         .select((col("doc_id") + col("rep") * 5000L).as("doc_id"),

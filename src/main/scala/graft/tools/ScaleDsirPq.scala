@@ -27,13 +27,7 @@ object ScaleDsirPq {
     val dir = "target/tmp/bigsf"
 
     // same corpus pieces as Scale/ScaleDedup/ScaleAll, built if absent
-    val big = Corpora.ensureBigDocuments(spark)
-    val link = new java.io.File(s"$dir/documents.parquet")
-    if (!link.exists()) {
-      new java.io.File(dir).mkdirs()
-      java.nio.file.Files.createSymbolicLink(link.toPath,
-        new java.io.File(big).getAbsoluteFile.toPath)
-    }
+    Corpora.linkBigDocuments(spark, dir)
     if (!new java.io.File(s"$dir/embeddings.parquet").exists()) {
       spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
         .withColumn("rep", explode(sequence(lit(0), lit(49))))

@@ -7,8 +7,9 @@ import graft.functions.VectorFns
 
 /** Round-10 stress: the materialized IVFPQ index at the 100 TB design
   * point — build cost (codebook training + corpus encode, paid once)
-  * vs served-batch cost at 1 M × 64-d vectors, plus a recall floor for
-  * the served path (the ScaleAnnK/ScaleSq8 gate pattern).
+  * vs served-batch cost at 1 M × 64-d vectors, with `require`-enforced
+  * gates on the served path (the ScaleAnnK/ScaleSq8 gate pattern; see
+  * the GATES bullet for exactly what is enforced).
   *
   *  - BUILD: `ivfPqIndexOf` + parquet persist. Wall ∝ rows (Lloyd
   *    rounds on subvectors + one narrow encode scan); the stored codes

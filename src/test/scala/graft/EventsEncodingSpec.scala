@@ -7,10 +7,11 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Schema-drift guard for the events table (round-9 regression: the
   * generator switched `ts` from parquet TIMESTAMP(NANOS) to
   * timestamp[us], and every event-time operator broke on raw-long
-  * math). Two tiny fixture parquets carry the SAME logical rows in both
-  * encodings; `Tables.events` must normalize them to the identical
-  * ns-long `ts`, and a representative event-time operator (sessionize)
-  * must produce identical output on both.
+  * math). Four tiny fixture parquets carry the SAME logical rows in
+  * every plausible ts encoding; `Tables.events` must normalize them to
+  * the identical ns-long `ts`, and a representative event-time operator
+  * (sessionize) plus the streaming reader must produce identical
+  * output on all of them.
   */
 class EventsEncodingSpec extends AnyFunSuite {
   lazy val spark = GraftSession.test
@@ -48,18 +49,18 @@ class EventsEncodingSpec extends AnyFunSuite {
   }
 
   test("streaming readEvents is encoding-invariant") {
-    for (enc <- Seq("ns", "us")) {
+    for (enc <- encodings) {
       val ev = graft.streaming.EventStream.readEvents(spark, fixture(enc))
       assert(ev.schema("ts").dataType == LongType)
       val q = ev.writeStream.format("memory").queryName(s"enc_$enc")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       q.awaitTermination(60000)
     }
-    val a = spark.table("enc_ns").select("event_id", "ts").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    val b = spark.table("enc_us").select("event_id", "ts").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    assert(a.nonEmpty)
-    assert(a.sameElements(b))
+    def rows(enc: String) = spark.table(s"enc_$enc").select("event_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val ref = rows("ns")
+    assert(ref.nonEmpty)
+    for (enc <- encodings.tail)
+      assert(rows(enc).sameElements(ref), s"streamed $enc ts diverges from ns")
   }
 }

@@ -124,9 +124,8 @@ class RetrievalSpec extends AnyFunSuite {
     val b = Retrieval.bm25Of(pu, su, qterms, 5)
       .as[(Long, Int, Long, Double)].collect().toSeq
     assert(a == b && a.nonEmpty)
-    // the merged postings really carry the appended half — a regression
-    // that unions the wrong frame would leave the odd half unretrievable
-    assert(pm.filter($"doc_id" % 2 =!= 0).count() > 0)
+    // (the exceptAll row-set equality above already proves the merged
+    // postings carry the appended odd half — no separate check needed)
   }
 
   test("mmr: an exact duplicate of the top hit is deferred below a diverse alternative") {

@@ -548,8 +548,10 @@ class StreamingSpec extends AnyFunSuite {
     val toks = graft.sources.Tables.documents(spark, sf)
       .select(explode(graft.functions.TextFns.tokens(col("text"))).as("token"))
       .as[String].collect()
+    val hhCap = 256 // the cap BOTH sketches below are built with — the
+    // survival-guarantee threshold must use the same value
     val input = MemoryStream[String]
-    val q = EventStream.heavyHittersSketch(input.toDS().toDF("token"))
+    val q = EventStream.heavyHittersSketch(input.toDS().toDF("token"), cap = hhCap)
       .writeStream.format("memory").queryName("hh_stream")
       .outputMode("complete").start()
     toks.grouped(math.max(1, toks.length / 3 + 1)).foreach { b =>
@@ -561,7 +563,8 @@ class StreamingSpec extends AnyFunSuite {
     val got = spark.table("hh_stream").head()
     val want = EventStream.heavyHittersSketch(
       graft.sources.Tables.documents(spark, sf)
-        .select(explode(graft.functions.TextFns.tokens(col("text"))).as("token"))).head()
+        .select(explode(graft.functions.TextFns.tokens(col("text"))).as("token")),
+      cap = hhCap).head()
     assert(got.getLong(1) == want.getLong(1)) // n_total
     def entries(r: org.apache.spark.sql.Row) =
       r.getSeq[org.apache.spark.sql.Row](0).map(e => (e.getString(0), e.getLong(1))).toSet
@@ -573,7 +576,7 @@ class StreamingSpec extends AnyFunSuite {
     // decremented (sum(est) == n_total → the sketch held every token)
     val trueCounts = toks.groupBy(identity).map { case (t, a) => t -> a.length.toLong }
     val n = got.getLong(1)
-    val mustSurvive = trueCounts.filter(_._2 * 256L > n).keySet
+    val mustSurvive = trueCounts.filter(_._2 * hhCap.toLong > n).keySet
     assert(mustSurvive.subsetOf(entries(got).map(_._1)),
       "streamed sketch lost a guaranteed hitter")
     assert(mustSurvive.subsetOf(entries(want).map(_._1)),
