@@ -9,6 +9,13 @@ import org.apache.spark.sql.functions._
   */
 object TextFns {
 
+  /** Version of [[tokens]]'s semantics, folded into the cache keys of
+    * every on-disk artifact derived from tokenization (BM25 postings,
+    * RRF rank lists). BUMP THIS whenever `tokens` changes behavior —
+    * otherwise a stored index built under the old tokenizer is served
+    * as if current. */
+  val TokVersion = 1
+
   /** Reference-faithful tokenizer (api.py:470-489): punctuation→space,
     * lowercase, split on whitespace, drop empties — as the native
     * single-scan [[TokenizeWs]] expression (same semantics as the

@@ -80,13 +80,28 @@ object Retrieval {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** [[bm25Score]] with cache lifecycle: materialize the query-sized
+    * result (≤ k rows/query), then RELEASE `qposts` — the serve paths
+    * run once per query batch in a long-lived session, and leaving a
+    * postings-sized cache behind per batch accumulates in executor
+    * storage memory. The returned frame stays cached (tiny); a caller
+    * serving unbounded batches owns unpersisting it when done. */
+  private def bm25ScoreReleasing(qposts: DataFrame, qterms: DataFrame,
+                                 nDocs: Long, tToks: Long, k: Int): DataFrame = {
+    val out = bm25Score(qposts, qterms, nDocs, tToks, k).cache()
+    out.count() // forces both qposts consumers (df agg + candidate join)
+    qposts.unpersist()
+    out
+  }
+
   /** BM25 top-`k` per probe query: (qid, rn, doc_id, score). */
   def bm25Ranked(spark: SparkSession, dir: String, k: Int): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), TextFns.tokens(col("text")).as("ts"))
       .select(col("doc_id"), col("ts"), size(col("ts")).as("dl"))
     // corpus scalars N (docs) and T (tokens): a 2-value driver collect
-    val st = toks.agg(count(lit(1)), sum(col("dl"))).head
+    // (coalesce: an empty corpus yields T=0, not a NULL→getLong NPE)
+    val st = toks.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head
     val nDocs = st.getLong(0)
     val tToks = st.getLong(1)
     // query term sets: a pushed-down NQ-doc scan, then broadcast everywhere
@@ -103,7 +118,7 @@ object Retrieval {
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
       .cache()
-    bm25Score(qposts, qterms, nDocs, tToks, k)
+    bm25ScoreReleasing(qposts, qterms, nDocs, tToks, k)
   }
 
   def bm25Topk(spark: SparkSession, dir: String): DataFrame =
@@ -131,7 +146,11 @@ object Retrieval {
       .select(col("doc_id"), col("dl"), explode(col("ts")).as("term"))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val stats = toks.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_toks"))
+    // coalesce: sum over zero rows is NULL — an empty corpus must yield
+    // t_toks = 0, not an NPE in bm25Of's getLong (the same graceful
+    // empty-corpus degradation the PQ/IVFPQ index paths guarantee)
+    val stats = toks.agg(count(lit(1)).as("n_docs"),
+      coalesce(sum(col("dl")), lit(0L)).as("t_toks"))
     (postings, stats)
   }
 
@@ -149,7 +168,7 @@ object Retrieval {
     val qposts = postings.join(broadcast(qvocab), "term")
       .select(col("doc_id"), col("dl"), col("term"), col("tf"))
       .cache()
-    bm25Score(qposts, qterms, nDocs, tToks, k)
+    bm25ScoreReleasing(qposts, qterms, nDocs, tToks, k)
   }
 
   /** Incremental index maintenance — the `dedup_incremental` catalog
@@ -178,7 +197,12 @@ object Retrieval {
     * provenance): warm runs skip the tokenize scan entirely. */
   def bm25TopkIndexed(spark: SparkSession, dir: String): DataFrame = {
     val docsFile = new java.io.File(s"$dir/documents.parquet")
-    val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${docsFile.lastModified}"
+    // key = data version (dir+mtime) + every constant BAKED INTO the
+    // stored artifact (tokenizer version — postings are token rows).
+    // K/NQ apply at serve time over the stored index, so they don't
+    // key the cache (the splitLeakSafeComposed maxDf convention).
+    val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${docsFile.lastModified}" +
+      s"_tok${TextFns.TokVersion}"
     val base = s"target/tmp/bm25_index/$key"
     // guard on the LAST-written table: a crash between writes leaves it
     // absent, so the next run rebuilds instead of serving a torn cache
@@ -263,7 +287,11 @@ object Retrieval {
   def hybridRrfComposed(spark: SparkSession, dir: String): DataFrame = {
     val mt = Seq("documents", "embeddings")
       .map(t => new java.io.File(s"$dir/$t.parquet").lastModified).mkString("_")
-    val base = s"target/tmp/rrf_lists/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_$mt"
+    // key = data version + constants BAKED INTO the stored lists: their
+    // depth (FuseK) and the tokenizer behind the BM25 leg. RrfC/K apply
+    // at fuse time over the stored lists, so they don't key the cache.
+    val base = s"target/tmp/rrf_lists/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_$mt" +
+      s"_f${FuseK}_tok${TextFns.TokVersion}"
     // guard on the LAST-written list (vec): a crash between writes
     // leaves it absent → rebuild, never a torn cache
     if (!new java.io.File(s"$base/vec/_SUCCESS").exists()) {

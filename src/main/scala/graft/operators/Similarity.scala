@@ -1160,7 +1160,15 @@ object Similarity {
     * the stored codes of those cells against the query-side LUT. The
     * only corpus-sized input is `codes`; everything query- or
     * model-sized broadcasts. `queries` is a (qid, qvec) frame of unit
-    * vectors. */
+    * vectors.
+    *
+    * Self-exclusion contract: `qid` and `vec_id` share ONE id
+    * namespace — the `vec_id =!= qid` filter implements the probe
+    * convention (queries are corpus rows asking for neighbors OTHER
+    * than themselves). A caller supplying external query batches must
+    * assign qids disjoint from corpus vec_ids (e.g. negative ids);
+    * a colliding qid would silently drop that unrelated corpus vector
+    * from its result list. */
   def ivfPqOf(codes: DataFrame, books: DataFrame, cells: DataFrame,
               queries: DataFrame): DataFrame = {
     val probes = probesFrom(queries, cells).select(col("qid"), col("clabel"))
@@ -1225,7 +1233,12 @@ object Similarity {
   def topkIvfPqIndexed(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val embFile = new java.io.File(s"$dir/embeddings.parquet")
-    val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${embFile.lastModified}"
+    // key = data version + the constants BAKED INTO the stored index
+    // (codebook size / training rounds — codes and books change with
+    // them). K/NQueries apply at serve time, so they don't key the
+    // cache (the splitLeakSafeComposed maxDf convention).
+    val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${embFile.lastModified}" +
+      s"_k${PqK}i$PqIters"
     val base = s"target/tmp/ivfpq_index/$key"
     // guard on the LAST-written table: a crash between writes leaves it
     // absent, so the next run rebuilds instead of serving a torn cache

@@ -34,14 +34,22 @@ object Tables {
     * encodings are normalized here to one contract: `ts` is epoch
     * nanoseconds as LONG. The ntz→ltz cast is wall-clock-preserving only
     * under UTC, so the session time zone is pinned; DuckDB's naive
-    * `epoch_us(CAST(ts AS TIMESTAMP))` oracle then agrees bit-for-bit. */
+    * `epoch_us(CAST(ts AS TIMESTAMP))` oracle then agrees bit-for-bit.
+    *
+    * UTC is the responsibility of SESSION CONSTRUCTION — every entry
+    * point (GraftSession, Verify, Bench, the tools mains) pins
+    * `spark.sql.session.timeZone=UTC` in its builder. The set below is
+    * a defensive no-op for a caller who built a session elsewhere, and
+    * runs UNCONDITIONALLY (not just on the ntz path) so session
+    * behavior never depends on which ts encoding the data carries or
+    * whether `events` was read first. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = apply(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => raw // TIMESTAMP(NANOS) as raw ns
       case _ =>
-        s.conf.set("spark.sql.session.timeZone", "UTC")
         raw.withColumn("ts",
           org.apache.spark.sql.functions.expr("unix_micros(cast(ts as timestamp_ltz)) * 1000L"))
     }
