@@ -726,9 +726,16 @@ object Similarity {
     * testable with a ragged `cents2`. */
   private[graft] def topkIvf2Search(all: DataFrame,
       tops: IndexedSeq[Seq[Double]],
+      cents2: IndexedSeq[IndexedSeq[Seq[Double]]]): DataFrame =
+    ivf2SearchCells(all.select(col("vec_id"), col("vec"))
+      .join(assignWithTwoLevel(all, tops, cents2), Seq("vec_id")), cents2)
+
+  /** The search tail over an ALREADY-ASSIGNED cells frame
+    * (vec_id, vec, cid1, cid2) — shared by the inline path and the
+    * materialized-index serve path so their equality is structural. */
+  private def ivf2SearchCells(cellsIn: DataFrame,
       cents2: IndexedSeq[IndexedSeq[Seq[Double]]]): DataFrame = {
-    val cells = all.select(col("vec_id"), col("vec"))
-      .join(assignWithTwoLevel(all, tops, cents2), Seq("vec_id")).cache()
+    val cells = cellsIn.cache()
     val cbs = typedLit(cents2.map(_.map(_.toSeq).toSeq).toSeq) // k1·k2·dim ≤ 1024 doubles — literal budget
     val q = cells.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("qid"), col("vec").as("qvec"), col("cid1").as("pcid1"))
@@ -753,6 +760,65 @@ object Similarity {
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= K)
       .orderBy(col("qid"), col("rn"))
+  }
+
+  /** Build the persistable two-level IVF index from a (vec_id, vec)
+    * frame: (cells(vec_id, vec, cid1, cid2), subbooks(s, cid, cvec),
+    * s = cid1 − 1). `cells` keeps the FULL vectors — IVF is a
+    * PARTITIONING index (probed cells are scored exactly), so unlike
+    * PQ the corpus-sized artifact is vectors + two small ints, laid
+    * out so a probe reads only its cell. The sub-codebooks are the
+    * model-sized artifact the probe stage needs; the top centroids are
+    * not stored — corpus rows carry their cid1, and the probe
+    * convention (queries are corpus rows) reads it from `cells`. */
+  def ivf2IndexOf(all: DataFrame, k1: Int = Ivf2K1, k2: Int = Ivf2K2,
+                  iters: Int = Ivf2Iters): (DataFrame, DataFrame) = {
+    val spark = all.sparkSession
+    import spark.implicits._
+    val (tops, cents2) = trainTwoLevel(all, k1, k2, iters, None)
+    val cells = all.select(col("vec_id"), col("vec"))
+      .join(assignWithTwoLevel(all, tops, cents2), Seq("vec_id"))
+    val subbooks = spark.createDataset(for {
+      (cb, s) <- cents2.zipWithIndex
+      (c, i) <- cb.zipWithIndex
+    } yield (s, i + 1, c)).toDF("s", "cid", "cvec")
+    (cells, subbooks)
+  }
+
+  /** Top-K from a (possibly parquet-roundtripped) two-level IVF index:
+    * the sub-codebooks re-enter the plan as the probe literal, and the
+    * search tail is [[ivf2SearchCells]] verbatim. */
+  def ivf2Of(cells: DataFrame, subbooks: DataFrame): DataFrame = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val rows = subbooks.as[(Int, Int, Seq[Double])].collect()
+    if (rows.isEmpty) // empty corpus: no cells, no neighbors
+      return spark.emptyDataset[(Long, Long, Double, Int)]
+        .toDF("qid", "nid", "cos", "rn")
+    ivf2SearchCells(cells, booksToNested(rows.toSeq))
+  }
+
+  /** Gated twin of `sim_topk_ivf2` served from an mtime-keyed
+    * MATERIALIZED index (same oracle — identical output, different
+    * provenance): both Lloyd loops and the corpus assignment are paid
+    * once per corpus version; warm runs read stored cells + subbooks
+    * and never touch the raw embeddings table. */
+  def topkIvf2Indexed(spark: SparkSession, dir: String): DataFrame = {
+    val embFile = new java.io.File(s"$dir/embeddings.parquet")
+    // data version + constants baked into the stored index (see
+    // topkIvfPqIndexed for the key convention)
+    val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${embFile.lastModified}" +
+      s"_k${Ivf2K1}x${Ivf2K2}i$Ivf2Iters"
+    val base = s"target/tmp/ivf2_index/$key"
+    // guard on the LAST-written table: a crash between writes leaves it
+    // absent, so the next run rebuilds instead of serving a torn cache
+    if (!new java.io.File(s"$base/subbooks/_SUCCESS").exists()) {
+      val (cells, subbooks) = ivf2IndexOf(emb(spark, dir).cache())
+      cells.write.mode("overwrite").parquet(s"$base/cells")
+      subbooks.write.mode("overwrite").parquet(s"$base/subbooks")
+    }
+    ivf2Of(spark.read.parquet(s"$base/cells"),
+      spark.read.parquet(s"$base/subbooks"))
   }
 
   /** Exact twin of [[topkIvf2]]. */
@@ -804,24 +870,39 @@ object Similarity {
     QUALIFY rn <= $K
     ORDER BY qid, rn"""
 
-  /** PQ top-k: encode the corpus once, score by ADC, rank per query. */
-  def topkPq(spark: SparkSession, dir: String): DataFrame = {
+  /** Build the persistable PQ index from a (vec_id, vec) frame:
+    * (codes(s, vec_id, cid), books(s, cid, cvec)). The trained
+    * codebooks are PqM×k bounded vectors — pulled to the driver so
+    * ENCODING is the same narrow argmin as training (no join, no
+    * (s, vec_id) exchange); the code table is the ONLY corpus-sized
+    * output — PqM small ints per vector, never the vector itself.
+    * Empty corpus → two empty frames with the right schemas. */
+  def pqIndexOf(all: DataFrame, k: Int = PqK,
+                iters: Int = PqIters): (DataFrame, DataFrame) = {
+    val spark = all.sparkSession
     import spark.implicits._
-    val all = emb(spark, dir).cache()
     val sub = pqSubvectors(all)
-    val books = pqCodebooks(sub, PqK, PqIters)
-    // the trained codebooks are PqM×PqK bounded vectors — pull them to
-    // the driver so ENCODING is the same narrow argmin as training
-    // (no join, no (s, vec_id) exchange); the code table is the ONLY
-    // corpus-sized object past this point — PqM small ints per vector,
-    // never the vector itself
+    val books = pqCodebooks(sub, k, iters)
     val bookRows = books.as[(Int, Int, Seq[Double])].collect()
-    if (bookRows.isEmpty) // empty corpus: no codes, no neighbors
-      return spark.emptyDataset[(Long, Long, Double, Int)]
-        .toDF("qid", "nid", "adc", "rn")
-    val cents = booksToNested(bookRows)
-    val codes = pqAssign(sub, cents).select(col("s"), col("vec_id"), col("cid"))
-    val lut = sub.filter(col("vec_id") < NQueries)
+    val codes =
+      if (bookRows.isEmpty)
+        spark.emptyDataset[(Int, Long, Int)].toDF("s", "vec_id", "cid")
+      else
+        pqAssign(sub, booksToNested(bookRows))
+          .select(col("s"), col("vec_id"), col("cid"))
+    (codes, books)
+  }
+
+  /** ADC top-K from a (possibly parquet-roundtripped) PQ index —
+    * [[ivfPqOf]] minus the probe stage (full-corpus ADC). `queries` is
+    * a (qid, qvec) frame of unit vectors; the qid/vec_id shared-
+    * namespace self-exclusion contract of [[ivfPqOf]] applies here
+    * verbatim. The LUT (query × subspace × codeword dots) broadcasts;
+    * `codes` is the only corpus-sized input. */
+  def pqOf(codes: DataFrame, books: DataFrame, queries: DataFrame): DataFrame = {
+    val qsub = pqSubvectors(
+      queries.select(col("qid").as("vec_id"), col("qvec").as("vec")))
+    val lut = qsub
       .select(col("vec_id").as("qid"), col("s"), col("svec"))
       .join(broadcast(books), Seq("s"))
       .select(col("qid"), col("s"), col("cid"),
@@ -836,6 +917,49 @@ object Similarity {
     scored.select(col("qid"), col("vec_id").as("nid"), col("adc"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= K)
       .orderBy(col("qid"), col("rn"))
+  }
+
+  /** PQ top-k: encode the corpus once, score by ADC, rank per query —
+    * [[pqIndexOf]] composed with [[pqOf]] inline. */
+  def topkPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val all = emb(spark, dir).cache()
+    val (codes, books) = pqIndexOf(all)
+    if (books.isEmpty) // empty corpus: no codes, no neighbors
+      return spark.emptyDataset[(Long, Long, Double, Int)]
+        .toDF("qid", "nid", "adc", "rn")
+    pqOf(codes, books,
+      all.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("vec").as("qvec")))
+  }
+
+  /** Gated twin of `sim_topk_pq` served from an mtime-keyed
+    * MATERIALIZED index (same oracle — identical output, different
+    * provenance): codebook training + corpus encode are paid once per
+    * corpus version; warm runs touch only the stored codes/books plus
+    * a pruned query-vector scan. */
+  def topkPqIndexed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val embFile = new java.io.File(s"$dir/embeddings.parquet")
+    // data version + constants baked into the stored index (see
+    // topkIvfPqIndexed for the key convention)
+    val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${embFile.lastModified}" +
+      s"_k${PqK}i$PqIters"
+    val base = s"target/tmp/pq_index/$key"
+    // guard on the LAST-written table: a crash between writes leaves it
+    // absent, so the next run rebuilds instead of serving a torn cache
+    if (!new java.io.File(s"$base/books/_SUCCESS").exists()) {
+      val (codes, books) = pqIndexOf(emb(spark, dir).cache())
+      codes.write.mode("overwrite").parquet(s"$base/codes")
+      books.write.mode("overwrite").parquet(s"$base/books")
+    }
+    val books = spark.read.parquet(s"$base/books")
+    if (books.isEmpty)
+      return spark.emptyDataset[(Long, Long, Double, Int)]
+        .toDF("qid", "nid", "adc", "rn")
+    pqOf(spark.read.parquet(s"$base/codes"), books,
+      emb(spark, dir).filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("vec").as("qvec")))
   }
 
   /** The round-6 L2² snippet both PQ SQL twins rank by — ONE definition
@@ -1621,11 +1745,13 @@ object Similarity {
     "sim_topk_ivf_trained" -> (topkIvfTrained _),
     "sim_topk_lsh"        -> (topkLsh _),
     "sim_topk_pq"         -> (topkPq _),
+    "sim_topk_pq_indexed" -> (topkPqIndexed _),
     "sim_topk_sq8"        -> (topkSq8 _),
     "sim_topk_ivf_sq8"    -> (topkIvfSq8 _),
     "sim_topk_ivf_pq"     -> (topkIvfPq _),
     "sim_topk_ivf_pq_indexed" -> (topkIvfPqIndexed _),
     "sim_topk_ivf2"       -> (topkIvf2 _),
+    "sim_topk_ivf2_indexed" -> (topkIvf2Indexed _),
     "curation_prototypicality" -> (prototypicality _),
     "dedup_semantic"      -> (dedupSemantic _))
 
@@ -1635,11 +1761,13 @@ object Similarity {
     "sim_topk_ivf_trained" -> topkIvfTrainedOracle,
     "sim_topk_lsh"        -> topkLshOracle,
     "sim_topk_pq"         -> topkPqOracle,
+    "sim_topk_pq_indexed" -> topkPqOracle,
     "sim_topk_sq8"        -> topkSq8Oracle,
     "sim_topk_ivf_sq8"    -> topkIvfSq8Oracle,
     "sim_topk_ivf_pq"     -> topkIvfPqOracle,
     "sim_topk_ivf_pq_indexed" -> topkIvfPqOracle,
     "sim_topk_ivf2"       -> topkIvf2Oracle,
+    "sim_topk_ivf2_indexed" -> topkIvf2Oracle,
     "curation_prototypicality" -> prototypicalityOracle,
     "dedup_semantic"      -> dedupSemanticOracle,
     "dedup_embedding"     -> nearDupPairsOracle,

@@ -188,6 +188,36 @@ class AnnAssignSpec extends AnyFunSuite {
     }
   }
 
+  test("sim_topk_pq served from the materialized index == inline, cold and warm") {
+    val sf = "/root/testdata/sf0.001"
+    val inline = Similarity.topkPq(spark, sf)
+      .select($"qid", $"rn", $"nid", $"adc")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(inline.nonEmpty)
+    // cold: builds codes/books parquet; warm: serves from them
+    for (pass <- Seq("cold", "warm")) {
+      val served = Similarity.topkPqIndexed(spark, sf)
+        .select($"qid", $"rn", $"nid", $"adc")
+        .as[(Long, Int, Long, Double)].collect().toSet
+      assert(served == inline, s"$pass index serve != inline")
+    }
+  }
+
+  test("sim_topk_ivf2 served from the materialized index == inline, cold and warm") {
+    val sf = "/root/testdata/sf0.001"
+    val inline = Similarity.topkIvf2(spark, sf)
+      .select($"qid", $"rn", $"nid", $"cos")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(inline.nonEmpty)
+    // cold: builds cells/subbooks parquet; warm: serves from them
+    for (pass <- Seq("cold", "warm")) {
+      val served = Similarity.topkIvf2Indexed(spark, sf)
+        .select($"qid", $"rn", $"nid", $"cos")
+        .as[(Long, Int, Long, Double)].collect().toSet
+      assert(served == inline, s"$pass index serve != inline")
+    }
+  }
+
   test("sim_topk_ivf_pq served from the materialized index == inline, cold and warm") {
     val sf = "/root/testdata/sf0.001"
     val inline = Similarity.topkIvfPq(spark, sf)
