@@ -17,7 +17,7 @@ object Similarity {
 
   /** vec = unit-normalized double vector: pairwise cosine is then one
     * dot fold per pair (cosine(a,b) == dot(â,b̂)). */
-  private[operators] def emb(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def emb(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), VectorFns.asDouble(col("embedding")).as("raw"))
       .withColumn("nrm", VectorFns.norm(col("raw")))
@@ -1381,6 +1381,60 @@ object Similarity {
       spark.read.parquet(s"$base/cells"),
       emb(spark, dir).filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("qid"), col("vec").as("qvec")))
+  }
+
+  /** Incremental IVFPQ index maintenance — [[graft.operators.Retrieval.bm25IndexMerge]]'s
+    * ANN twin: GIVEN THE FROZEN MODELS (books; cells are untouched),
+    * absorbing a new vector batch is one batch-sized narrow encode plus
+    * a union — never a retrain, never a corpus re-encode. Codes rows are
+    * per-vector independent and the encode argmin is deterministic, so
+    * merged == the codes table a full rebuild under the SAME books would
+    * produce (spec-proven). Contract: `newVecs` is a (vec_id, label,
+    * vec) frame of unit vectors whose vec_ids are disjoint from the
+    * indexed corpus (dedup upstream — the `dedup_incremental` catalog
+    * precondition); an overlapping id would duplicate its codes. At
+    * 100 TB this is the nightly-crawl shape: O(batch) work per ingest,
+    * the stored codes table only ever appends.
+    *
+    * Retrain policy: frozen models quantize a DRIFTING corpus ever
+    * worse — [[ivfPqDriftGate]] is the documented trigger; when it
+    * fires, rebuild with [[ivfPqIndexOf]] (a new corpus version, new
+    * cache key) instead of merging further. */
+  def ivfPqIndexMerge(codes: DataFrame, books: DataFrame,
+                      newVecs: DataFrame): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val bookRows = books.as[(Int, Int, Seq[Double])].collect()
+    // an empty-model index cannot encode — it was built on an empty
+    // corpus and must be (re)built, not merged into
+    require(bookRows.nonEmpty,
+      "ivfPqIndexMerge: empty codebooks — build the index with ivfPqIndexOf first")
+    val np = pqAssign(pqSubvectors(newVecs), booksToNested(bookRows))
+      .select(col("s"), col("vec_id"), col("cid"))
+      .join(newVecs.select(col("vec_id"), col("label")), "vec_id")
+    codes.unionByName(np)
+  }
+
+  /** The documented drift gate for [[ivfPqIndexMerge]]: cell-occupancy
+    * skew = max cell population / mean cell population over the coarse
+    * partition (one `s` slice of the codes table — one row per vector).
+    * Balanced cells keep probe-2 candidate volume (and thus serve cost
+    * AND recall) predictable; a corpus drifting away from the training
+    * distribution piles into few cells, which this ratio sees without
+    * reading a single vector. Returns (skew, retrain): retrain when
+    * skew > `threshold` (default 4× — a probed cell averaging > 4× its
+    * fair share of candidates). One model-sized aggregate over the
+    * codes table; empty index → (0, false). */
+  def ivfPqDriftGate(codes: DataFrame, threshold: Double = 4.0): (Double, Boolean) = {
+    val occ = codes.filter(col("s") === 0)
+      .groupBy(col("label")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).cast("double").as("mx"), avg(col("n")).as("mn"))
+      .head
+    if (occ.isNullAt(0)) (0.0, false)
+    else {
+      val skew = occ.getDouble(0) / occ.getDouble(1)
+      (skew, skew > threshold)
+    }
   }
 
   /** Exact twin: the IVF oracle's probe CTEs composed with the PQ

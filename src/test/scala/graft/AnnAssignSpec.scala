@@ -188,6 +188,46 @@ class AnnAssignSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfPqIndexMerge: appended codes == full rebuild under frozen models; drift gate fires on skew") {
+    val sf = "/root/testdata/sf0.001"
+    val all = Similarity.emb(spark, sf).cache()
+    // frozen models + full-corpus codes are the rebuild reference
+    val (codesAll, books, cells) = Similarity.ivfPqIndexOf(all)
+    val ca = codesAll.cache()
+    val half1Ids = all.filter($"vec_id" % 2 === 0).select($"vec_id")
+    val codes1 = ca.join(half1Ids, "vec_id")
+      .select($"s", $"vec_id", $"cid", $"label")
+    val half2 = all.filter($"vec_id" % 2 =!= 0)
+    // merge encodes ONLY the new batch, yet must reproduce the full
+    // encode bit for bit (deterministic per-row argmin, frozen books)
+    val merged = Similarity.ivfPqIndexMerge(codes1, books, half2)
+    val key = Seq($"s", $"vec_id", $"cid", $"label")
+    assert(merged.select(key: _*).exceptAll(ca.select(key: _*)).isEmpty)
+    assert(ca.select(key: _*).exceptAll(merged.select(key: _*)).isEmpty)
+    // a query batch served from the merged index == from the rebuilt one
+    val qs = all.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"vec".as("qvec"))
+    val a = Similarity.ivfPqOf(merged, books, cells, qs)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val b = Similarity.ivfPqOf(ca, books, cells, qs)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(a == b && a.nonEmpty)
+    // drift gate: sane on the real (near-balanced) index, fires on a
+    // corpus that piled into one cell
+    val (skew, retrain) = Similarity.ivfPqDriftGate(ca)
+    assert(skew >= 1.0 && !retrain, s"balanced index flagged: skew=$skew")
+    val skewed = spark.range(100).select(
+      org.apache.spark.sql.functions.lit(0).as("s"), $"id".as("vec_id"),
+      org.apache.spark.sql.functions.lit(1).as("cid"),
+      org.apache.spark.sql.functions
+        .when($"id" < 96, "hot").otherwise(org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("c"), $"id")).as("label"))
+    val (skew2, retrain2) = Similarity.ivfPqDriftGate(skewed)
+    assert(retrain2, s"5-cell 96/1/1/1/1 occupancy must trigger retrain (skew=$skew2)")
+    // empty index: graceful, no retrain
+    assert(Similarity.ivfPqDriftGate(skewed.filter($"s" === 1)) == ((0.0, false)))
+  }
+
   test("sim_topk_pq served from the materialized index == inline, cold and warm") {
     val sf = "/root/testdata/sf0.001"
     val inline = Similarity.topkPq(spark, sf)

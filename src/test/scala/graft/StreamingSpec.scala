@@ -599,6 +599,66 @@ class StreamingSpec extends AnyFunSuite {
       s"true hitters lost by the streamed sketch: $surv")
   }
 
+  test("composed serve+maintain: stream-appended codes grow the served IVFPQ index into the inline rebuild") {
+    // The end-to-end index story 22i2 + 31n only proved separately:
+    // a stored IVFPQ index SERVES query batches (ivfPqOf) while the
+    // ingest encoder APPENDS arriving vectors' codes — and once the
+    // stream has delivered everything, the grown index serves results
+    // identical to a full inline rebuild. Models stay frozen throughout
+    // (the ivfPqIndexMerge contract; ivfPqDriftGate owns the retrain
+    // decision); arriving rows carry their catalog label, the stream
+    // contributes the code words.
+    implicit val sqlCtx = spark.sqlContext
+    val sim = graft.operators.Similarity
+    val all = sim.emb(spark, sf).cache()
+    val (codesAll, booksDf, cellsDf) = sim.ivfPqIndexOf(all)
+    val ca = codesAll.cache()
+    val (cellModel, bookModel) = sim.ivfPqModels(booksDf, cellsDf)
+    val qs = all.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"vec".as("qvec")).cache()
+    val rebuilt = sim.ivfPqOf(ca, booksDf, cellsDf, qs)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(rebuilt.nonEmpty)
+
+    val codes1 = ca.filter($"vec_id" % 2 === 0).cache() // already indexed
+    val arriving = graft.sources.Tables.embeddings(spark, sf)
+      .filter($"vec_id" % 2 =!= 0).select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect()
+    val input = MemoryStream[(Long, Seq[Float])]
+    val coded = EventStream.ivfPqEncodeScore(
+      input.toDS().toDF("vec_id", "embedding"), cellModel, bookModel)
+    val q = coded.writeStream.format("memory").queryName("ivfpq_grow")
+      .outputMode("append").start()
+    val labels = all.select($"vec_id", $"label")
+    def grown() = codes1.unionByName(
+      spark.table("ivfpq_grow")
+        .select($"vec_id", posexplode($"codes").as(Seq("s0", "cid")))
+        .select($"s0".cast("int").as("s"), $"vec_id", $"cid")
+        .join(labels, "vec_id")
+        .select($"s", $"vec_id", $"cid", $"label"))
+
+    // serve WHILE growing: after the first appended batch the partial
+    // index answers queries, and every neighbor is an indexed vector
+    val batches = arriving.grouped(math.max(1, arriving.length / 2 + 1)).toSeq
+    input.addData(batches.head.toSeq); q.processAllAvailable()
+    val midIdx = grown().cache()
+    val midIds = midIdx.select($"vec_id").distinct().as[Long].collect().toSet
+    val mid = sim.ivfPqOf(midIdx, booksDf, cellsDf, qs)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(mid.nonEmpty && mid.forall(r => midIds.contains(r._2)),
+      "partial index served a vector it does not hold")
+    // release the partial-index cache: grown() rebuilds the SAME logical
+    // plan, and the cache manager would otherwise serve the stale
+    // partial rows in place of the fully-grown table
+    midIdx.unpersist()
+
+    batches.tail.foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
+    q.stop()
+    val fin = sim.ivfPqOf(grown(), booksDf, cellsDf, qs)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(fin == rebuilt, "fully-grown streamed index must serve == inline rebuild")
+  }
+
   test("streaming ivfpq encode: codes == stored-index codes bit-for-bit, zero state rows") {
     implicit val sqlCtx = spark.sqlContext
     val sim = graft.operators.Similarity
