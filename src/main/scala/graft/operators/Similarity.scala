@@ -26,6 +26,13 @@ object Similarity {
 
   private val NQueries = 5
   private val K = 5
+  /** Cells probed per query across the IVF family (label cells, trained
+    * cells, IVF2 sub-cells). 4-of-10 label cells on the near-isotropic
+    * testdata roughly doubles recall@5 vs 2 probes (see the recall
+    * floor specs) at proportional candidate volume — still cell-
+    * bounded, still sublinear at the 100 TB design point where the
+    * cell count is in the thousands. */
+  private[graft] val Probes = 4
 
   // ---- 1. exact brute-force top-k -------------------------------------
   /** Parameterized exact ranking (also feeds [[Retrieval.hybridRrf]]):
@@ -197,7 +204,7 @@ object Similarity {
       .select(col("label").as("clabel"), col("cvec"))
 
   /** Probe selection against a GIVEN centroid table — (qid, qvec,
-    * clabel), two nearest cells per query by 6-dp centroid cosine. */
+    * clabel), the `Probes` nearest cells per query by 6-dp centroid cosine. */
   private def probesFrom(q: DataFrame, centroids: DataFrame): DataFrame = {
     val probeW = Window.partitionBy(col("qid"))
       .orderBy(col("ccos").desc, col("clabel"))
@@ -205,7 +212,7 @@ object Similarity {
       .select(col("qid"), col("qvec"), col("clabel"),
         VectorFns.cosine6(col("qvec"), col("cvec")).as("ccos"))
       .withColumn("pr", row_number().over(probeW))
-      .filter(col("pr") <= 2)
+      .filter(col("pr") <= Probes)
       .select(col("qid"), col("qvec"), col("clabel"))
   }
 
@@ -257,7 +264,7 @@ object Similarity {
           CAST(row_number() OVER (PARTITION BY qid
             ORDER BY round(list_cosine_similarity(qvec, cvec), 6) DESC, clabel) AS INT) AS prn
         FROM qs CROSS JOIN cvecs)
-      WHERE prn <= 2),
+      WHERE prn <= $Probes),
     sc AS (
       SELECT p.qid, c.vec_id AS nid,
         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
@@ -369,7 +376,7 @@ object Similarity {
   }
 
   /** IVF with trained coarse centroids: assign corpus to cells once,
-    * probe the 2 best cells per query, exact top-k within. */
+    * probe the `Probes` best cells per query, exact top-k within. */
   def topkIvfTrained(spark: SparkSession, dir: String): DataFrame = {
     val all = emb(spark, dir).cache()
     // corpus cell assignment is the narrow argmax (r8) — the previous
@@ -388,7 +395,7 @@ object Similarity {
     val probes = q.join(broadcast(centroids), lit(true))
       .select(col("qid"), col("qvec"), col("cid"),
         VectorFns.cosine6(col("qvec"), col("cvec")).as("ccos"))
-      .withColumn("pr", row_number().over(probeW)).filter(col("pr") <= 2)
+      .withColumn("pr", row_number().over(probeW)).filter(col("pr") <= Probes)
       .select(col("qid"), col("qvec"), col("cid"))
     val scored = cells.join(broadcast(probes),
       cells("cid") === probes("cid") && col("vec_id") =!= col("qid"))
@@ -438,7 +445,7 @@ object Similarity {
   }
 
   /** Exact twin of [[topkIvfTrained]]: k-means(k=10, 3 iterations) in
-    * SQL via [[kmeansSqlCtes]], then the same cell assignment, 2-cell
+    * SQL via [[kmeansSqlCtes]], then the same cell assignment, `Probes`-cell
     * probe and in-cell exact top-k as [[topkIvfOracle]]. */
   val topkIvfTrainedOracle: String = s"""
     WITH nv AS (
@@ -461,7 +468,7 @@ object Similarity {
             ORDER BY round(list_cosine_similarity(q.vec, c.cvec), 6) DESC, c.cid) AS INT) AS prn
         FROM (SELECT vec_id, vec FROM cells WHERE vec_id < $NQueries) q
         CROSS JOIN cent3 c)
-      WHERE prn <= 2),
+      WHERE prn <= $Probes),
     sc AS (
       SELECT p.qid, m.vec_id AS nid,
         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
@@ -488,7 +495,7 @@ object Similarity {
   // a 64-d float vector is 256 bytes, its PQ code is PqM=4 codes (≤1
   // byte each at PqK=16) — 64× smaller, so a corpus whose raw
   // embeddings never fit in cluster RAM scans as codes. The plan keeps
-  // every centroid-sized object broadcast: codebooks are PqM×PqK = 64
+  // every centroid-sized object broadcast: codebooks are PqM×PqK = 256
   // rows, the per-query lookup table is NQueries×PqM×PqK rows, and the
   // scoring pass is ONE broadcast join from the code table + a
   // per-(query, vector) aggregate over PqM rows — no full-width vector
@@ -503,9 +510,9 @@ object Similarity {
   // DECIMAL(28,12)-exact per-position means, empty cells keeping their
   // previous centroid — so DuckDB unrolls the same rounds as CTEs and
   // the gate is hash-exact, while the recall spec guards ANN quality.
-  private[graft] val PqM = 4
-  private[graft] val PqSub = 16
-  private val PqK = 16
+  private[graft] val PqM = 8
+  private[graft] val PqSub = 8
+  private val PqK = 64
   private val PqIters = 2
 
   /** (vec_id, s, svec): the PqM subvectors of each unit vector. */
@@ -696,7 +703,7 @@ object Similarity {
   // assignment and the probe share the round-6 L2² rule, so "my cell"
   // IS "my nearest top cell" — note this is the L2² quantizer, NOT the
   // cosine rule the flat trained-IVF path uses; see [[assignCells]])
-  // and the 2 best sub-cells within it (same L2² to the sub codewords),
+  // and the `Probes` best sub-cells within it (same L2² to the sub codewords),
   // then exact top-k within the probed cells. Oracle: unrolled top Lloyd
   // (kmeansSqlCtes) + the grouped sub-Lloyd keyed by top cell
   // (groupedLloydSqlCtes — the trainer never looks inside the group
@@ -750,7 +757,7 @@ object Similarity {
         explode(sequence(lit(1), size(element_at(cbs, col("pcid1"))))).as("scid"))
       .withColumn("pd2",
         pqD2(col("qvec"), element_at(element_at(cbs, col("pcid1")), col("scid"))))
-      .withColumn("rn", row_number().over(probeW)).filter(col("rn") <= 2)
+      .withColumn("rn", row_number().over(probeW)).filter(col("rn") <= Probes)
       .select(col("qid"), col("qvec"), col("pcid1"), col("scid"))
     val scored = cells.join(broadcast(probes),
         col("cid1") === col("pcid1") && col("cid2") === col("scid") &&
@@ -855,7 +862,7 @@ object Similarity {
             ORDER BY ${pqD2Sql("q.vec", "c.cvec")}, c.cid) AS INT) AS rn
         FROM (SELECT * FROM cells WHERE vec_id < $NQueries) q
         JOIN cb$Ivf2Iters c ON c.s = q.cid1 - 1)
-      WHERE rn <= 2),
+      WHERE rn <= $Probes),
     sc AS (
       SELECT p.qid, m.vec_id AS nid,
         round(list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]),
@@ -944,7 +951,7 @@ object Similarity {
     // data version + constants baked into the stored index (see
     // topkIvfPqIndexed for the key convention)
     val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${embFile.lastModified}" +
-      s"_k${PqK}i$PqIters"
+      s"_m${PqM}k${PqK}i$PqIters"
     val base = s"target/tmp/pq_index/$key"
     // guard on the LAST-written table: a crash between writes leaves it
     // absent, so the next run rebuilds instead of serving a torn cache
@@ -1163,7 +1170,7 @@ object Similarity {
 
   // ---- 3e3. IVF candidates × SQ8 scoring (round 9) ---------------------
   // The production ANN shape at corpus scale, as ONE gated composition:
-  // the IVF probe stage cuts candidates to two cells per query, the SQ8
+  // the IVF probe stage cuts candidates to `Probes` cells per query, the SQ8
   // scorer ranks them from one-byte codes alone (both sides
   // reconstructed — the symmetric quantized distance a code-only store
   // computes). Nothing new is trained: probes are [[ivfProbes]]
@@ -1214,7 +1221,7 @@ object Similarity {
           CAST(row_number() OVER (PARTITION BY qid
             ORDER BY round(list_cosine_similarity(qvec, cvec), 6) DESC, clabel) AS INT) AS prn
         FROM qs CROSS JOIN cvecs)
-      WHERE prn <= 2),
+      WHERE prn <= $Probes),
     emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     dims AS (SELECT CAST(unnest(range(1, len(v) + 1)) AS INT) AS i
              FROM (SELECT v FROM emb LIMIT 1)),
@@ -1248,14 +1255,14 @@ object Similarity {
 
   // ---- 3e4. IVF candidates × PQ ADC scoring (round 10) -----------------
   // The OTHER production ANN composition — the faiss IVFPQ shape: the
-  // IVF probe stage cuts candidates to two cells per query, then ADC
+  // IVF probe stage cuts candidates to `Probes` cells per query, then ADC
   // ranks them from PqM-small-int codes alone (the 64×-smaller store).
   // Like 22h (IVF∘SQ8) nothing new is trained: probes are [[ivfProbes]]
   // verbatim, codebooks/codes/LUT are the 22c stack verbatim — the entry
   // proves THIS candidate-generator × quantized-scorer seam hash-exact
   // end to end. Scale shape: the corpus-sized objects are the code
   // table (PqM ints/vector) and the label column; the LUT (query ×
-  // subspace × codeword dots, joined to the 2-cell probe list) stays
+  // subspace × codeword dots, joined to the probed-cell list) stays
   // broadcast-sized at any corpus size.
   /** Build the persistable IVFPQ index from a (vec_id, label, vec)
     * frame: (codes(s, vec_id, cid, label), books(s, cid, cvec),
@@ -1280,7 +1287,7 @@ object Similarity {
   }
 
   /** Top-K from a (possibly parquet-roundtripped) IVFPQ index: probe
-    * two cells per query against the stored centroid table, ADC-score
+    * `Probes` cells per query against the stored centroid table, ADC-score
     * the stored codes of those cells against the query-side LUT. The
     * only corpus-sized input is `codes`; everything query- or
     * model-sized broadcasts. `queries` is a (qid, qvec) frame of unit
@@ -1303,7 +1310,7 @@ object Similarity {
       .join(broadcast(books), Seq("s"))
       .select(col("qid"), col("s"), col("cid"),
         VectorFns.dot6(col("svec"), col("cvec")).as("d"))
-      .join(probes, "qid") // ×2 probe cells per qid — still query-sized
+      .join(probes, "qid") // ×Probes cells per qid — still query-sized
     val scored = codes.join(broadcast(lut), Seq("s", "cid"))
       .filter(col("vec_id") =!= col("qid") && col("label") === col("clabel"))
       .groupBy(col("qid"), col("vec_id"))
@@ -1362,7 +1369,7 @@ object Similarity {
     // them). K/NQueries apply at serve time, so they don't key the
     // cache (the splitLeakSafeComposed maxDf convention).
     val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${embFile.lastModified}" +
-      s"_k${PqK}i$PqIters"
+      s"_m${PqM}k${PqK}i$PqIters"
     val base = s"target/tmp/ivfpq_index/$key"
     // guard on the LAST-written table: a crash between writes leaves it
     // absent, so the next run rebuilds instead of serving a torn cache
@@ -1459,7 +1466,7 @@ object Similarity {
           CAST(row_number() OVER (PARTITION BY qid
             ORDER BY round(list_cosine_similarity(qvec, cvec), 6) DESC, clabel) AS INT) AS prn
         FROM qs CROSS JOIN cvecs)
-      WHERE prn <= 2),
+      WHERE prn <= $Probes),
     ${pqSqlCtes(k = PqK, iters = PqIters)},
     codes AS (
       SELECT s, vec_id, cid FROM (

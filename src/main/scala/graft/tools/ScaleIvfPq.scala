@@ -13,8 +13,8 @@ import graft.functions.VectorFns
   *
   *  - BUILD: `ivfPqIndexOf` + parquet persist. Wall ∝ rows (Lloyd
   *    rounds on subvectors + one narrow encode scan); the stored codes
-  *    are PqM=4 small ints + a label per vector — 64× smaller than the
-  *    float64 vectors.
+  *    are PqM small ints + a label per vector — tens of times smaller
+  *    than the float64 vectors.
   *  - SERVE: `ivfPqOf` per query batch against the stored tables. No
   *    training, no corpus encode, no full-vector scan — the corpus-
   *    sized input is the code table alone.
@@ -38,11 +38,19 @@ object ScaleIvfPq {
     import spark.implicits._
 
     val dim = 64
-    def synth(n: Long, clusters: Int): DataFrame =
+    // `phase` is the per-cluster phase step. The default 7.31 is fine
+    // for the capacity-limited 256-cell corpus, but it is NOT separable
+    // at 16 cells: 7.31·6 ≈ 7·2π, so cluster pairs six apart nearly
+    // coincide (center cosine ~0.9965 — inside PQ resolution at 8-dim
+    // subspaces). The separable-regime gate therefore places its 16
+    // clusters at exact 2π/16 spacing: nearest wrong-cluster center
+    // cosine ≈ cos(2π/16) ≈ 0.92, far below the ~0.98 in-cluster
+    // cosine, in EVERY subspace (the phase offset is per-coordinate).
+    def synth(n: Long, clusters: Int, phase: Double = 7.31): DataFrame =
       spark.range(n).select(col("id").as("vec_id"),
         concat(lit("c"), (col("id") % clusters).cast("string")).as("label"),
         transform(sequence(lit(0), lit(dim - 1)), j =>
-          sin((col("id") % clusters) * lit(7.31) + j * lit(1.709)) +
+          sin((col("id") % clusters) * lit(phase) + j * lit(1.709)) +
             lit(0.15) * sin(col("id") * lit(13.17) + j * lit(0.37))).as("raw"))
         .withColumn("nrm", VectorFns.norm(col("raw")))
         .select(col("vec_id"), col("label"),
@@ -118,7 +126,7 @@ object ScaleIvfPq {
     // every cell resolves to distinct codes, so served neighbors must
     // stay in-cluster. This isolates the probe/LUT/ADC machinery from
     // quantizer capacity.
-    val corpus16 = synth(1000000L, 16).repartition(64).cache()
+    val corpus16 = synth(1000000L, 16, phase = 2.0 * math.Pi / 16).repartition(64).cache()
     corpus16.count()
     val (sep, _) = time("ivfpq separable regime (16 cells, 1M rows)") {
       val (c3, b3, ce3) = Similarity.ivfPqIndexOf(corpus16, k = PqKStress)
