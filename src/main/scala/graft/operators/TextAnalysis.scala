@@ -635,11 +635,19 @@ object TextAnalysis {
     })
 
   /** The learning loop shared by [[bpeTrain]] and [[bpeEncode]]:
-    * returns the CACHED (w, n, sym) vocab base (caller unpersists or
-    * lets the session cache-clear reclaim it) plus the merge list. */
+    * returns the CACHED, FULLY-MERGED (w, n, sym) vocab (caller
+    * unpersists or lets the session cache-clear reclaim it) plus the
+    * merge list. Symbol state is carried INCREMENTALLY — each round
+    * applies exactly ONE new fold to the previous round's cached
+    * frame, so total fold work is R folds over the vocab, not the
+    * R²/2 a per-round re-derivation from char symbols would pay (the
+    * r10 decade bench's biggest honest grower; vocab grows Heaps-like
+    * with corpus size, so the quadratic factor compounds at scale).
+    * Identical values: applying merge r to the (r−1)-merged state IS
+    * the foldLeft composition. */
   private[graft] def bpeLearn(spark: SparkSession, dir: String):
       (DataFrame, Seq[(Int, String, String, Long)]) = {
-    val base = Tables.documents(spark, dir)
+    var syms = Tables.documents(spark, dir)
       .select(explode(TextFns.tokens(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
       .select(col("w"), col("n"), bpeCharSyms(col("w")).as("sym"))
@@ -648,13 +656,7 @@ object TextAnalysis {
     var rank = 1
     var done = false
     while (rank <= BpeMerges && !done) {
-      // symbols under the merges so far: one projection of nested folds
-      // over the CACHED base (re-derivation is narrow and vocab-sized;
-      // a per-round persist would buy nothing at ≤ merges depth)
-      val cur = merges.foldLeft(col("sym")) { case (c, (_, l, r, _)) =>
-        bpeMergeFold(c, l, r)
-      }
-      val top = base.select(col("n"), cur.as("s"))
+      val top = syms.select(col("n"), col("sym").as("s"))
         .filter(size(col("s")) >= 2)
         .select(col("n"), explode(transform(sequence(lit(1), size(col("s")) - 1),
           i => struct(element_at(col("s"), i).as("l"),
@@ -667,16 +669,24 @@ object TextAnalysis {
       else {
         val t = top.head
         merges += ((rank, t.getString(0), t.getString(1), t.getLong(2)))
+        // ONE fold forward; materialize before releasing the parent so
+        // the new state never recomputes through the old plan
+        val next = syms.select(col("w"), col("n"),
+          bpeMergeFold(col("sym"), t.getString(0), t.getString(1)).as("sym"))
+          .cache()
+        next.count()
+        syms.unpersist()
+        syms = next
         rank += 1
       }
     }
-    (base, merges.toSeq)
+    (syms, merges.toSeq)
   }
 
   def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val (base, merges) = bpeLearn(spark, dir)
-    base.unpersist()
+    val (syms, merges) = bpeLearn(spark, dir)
+    syms.unpersist()
     merges.toDF("rank", "lhs", "rhs", "cnt")
       .orderBy(col("rank"))
   }
@@ -691,11 +701,10 @@ object TextAnalysis {
     * vocab-sized build side (AQE broadcasts it at gated SF), never a
     * per-occurrence fold. */
   def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
-    val (base, merges) = bpeLearn(spark, dir)
-    val finalSym = merges.foldLeft(col("sym")) { case (c, (_, l, r, _)) =>
-      bpeMergeFold(c, l, r)
-    }
-    val vocab = base.select(col("w"), size(finalSym).as("n_sym"))
+    // bpeLearn's returned vocab is already fully merged — the encode
+    // side reuses its final symbol state instead of re-folding
+    val (syms, _) = bpeLearn(spark, dir)
+    val vocab = syms.select(col("w"), size(col("sym")).as("n_sym"))
     Tables.documents(spark, dir)
       .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("w"))
       .join(vocab, Seq("w"))
