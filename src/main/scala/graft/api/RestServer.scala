@@ -116,12 +116,19 @@ object RestServer {
     })
 
     // Reference: POST /api/extract/ww2 (api.py:849-980) — crawl WW2
-    // category members, download each article, convert to PDF. The live
-    // wiki fetch is out of engine scope (zero egress); the selection
+    // category members, download each article (api.py:716-849
+    // download_wiki_article_to_pdf), convert to PDF. The live wiki
+    // fetch is out of engine scope (zero egress); the selection
     // semantics run against a LOCAL category snapshot (listing_path →
     // CrawlSource.parquetProvider), and each selected title exports
     // through the real distributed PDF sink. Same job type, clamp, and
-    // response shape as the reference.
+    // response shape as the reference. An optional `content_path`
+    // parquet (title, content|text — one row per title, e.g. a wiki
+    // dump extract snapshotted next to the category listing) supplies
+    // REAL article bodies, the reference's downloaded text re-expressed
+    // as a snapshot: selected titles join their body (the ≤1000-title
+    // selection broadcasts against the arbitrarily large body table);
+    // titles missing from the snapshot keep the placeholder body.
     server.createContext("/api/extract/ww2", (ex: HttpExchange) => handle(ex) { q =>
       requirePost(ex).getOrElse {
         q.get("listing_path") match {
@@ -134,19 +141,49 @@ object RestServer {
                 Resp(400, obj("error" -> "Limit must be an integer"))
               case scala.util.Success(limit) =>
                 val capped = graft.sources.CrawlSource.clampLimit(limit)
+                val contentPath = q.get("content_path")
                 val id = Jobs.submitAsync("ww2_wiki", outDir) {
                   import spark.implicits._
+                  import org.apache.spark.sql.functions._
                   val titles = graft.sources.CrawlSource.articleTitles(
                     graft.sources.CrawlSource.parquetProvider(spark, path), capped)
-                  val docs = titles.zipWithIndex.map { case (t, i) =>
-                    (i.toLong, t,
-                      s"Wikipedia article: $t\n\n(Article body download requires " +
-                        "live wiki access - out of engine scope. Title selected " +
-                        "from the local category snapshot.)")
-                  }.toDF("doc_id", "title", "content")
-                    .repartition(math.max(spark.sparkContext.defaultParallelism, 4))
-                  graft.sinks.DocumentExportSink.export(docs, outDir,
-                    graft.sinks.DocumentExportSink.PdfRenderer, prefix = "ww2")
+                  def placeholder(t: String) =
+                    s"Wikipedia article: $t\n\n(Article body download requires " +
+                      "live wiki access - out of engine scope. Title selected " +
+                      "from the local category snapshot.)"
+                  val docs = contentPath match {
+                    case None =>
+                      titles.zipWithIndex.map { case (t, i) =>
+                        (i.toLong, t, placeholder(t))
+                      }.toDF("doc_id", "title", "content")
+                    case Some(cp) =>
+                      val raw = spark.read.parquet(cp)
+                      val bodyCol =
+                        if (raw.columns.contains("content")) col("content")
+                        else col("text")
+                      val sel = titles.zipWithIndex
+                        .map { case (t, i) => (i.toLong, t) }
+                        .toDF("doc_id", "title")
+                      // body table may be corpus-sized; the bounded
+                      // selection is the broadcast side, and max()
+                      // makes a multi-revision snapshot deterministic
+                      val hit = raw.select(col("title"), bodyCol.as("content"))
+                        .join(broadcast(sel), Seq("title"))
+                        .groupBy(col("doc_id"), col("title"))
+                        .agg(max(col("content")).as("content"))
+                      val miss = sel
+                        .join(hit.select(col("doc_id")), Seq("doc_id"), "left_anti")
+                        .select(col("doc_id"), col("title"),
+                          concat(lit("Wikipedia article: "), col("title"),
+                            lit("\n\n(Article body download requires " +
+                              "live wiki access - out of engine scope. Title " +
+                              "selected from the local category snapshot.)"))
+                            .as("content"))
+                      hit.unionByName(miss)
+                  }
+                  graft.sinks.DocumentExportSink.export(
+                    docs.repartition(math.max(spark.sparkContext.defaultParallelism, 4)),
+                    outDir, graft.sinks.DocumentExportSink.PdfRenderer, prefix = "ww2")
                 }
                 ok(obj("job_id" -> id, "status" -> "running",
                   "message" -> s"Downloading WW2 Wikipedia articles in the background (limit: $capped)"))

@@ -182,6 +182,46 @@ class RestServerSpec extends AnyFunSuite {
     assert(http("POST", "/api/extract/ww2?output_dir=x")._1 == 400)
   }
 
+  test("ww2 extract with a content snapshot renders real article bodies into the PDFs") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("rest_ww2_body")
+    val listing = tmp.resolve("listing.parquet").toString
+    val content = tmp.resolve("content.parquet").toString
+    val out = tmp.resolve("articles").toString
+    new java.io.File(out).mkdirs()
+    Seq(
+      ("World_War_II", 0L, "D-Day", 0),
+      ("World_War_II", 1L, "Blitz", 0),
+      ("World_War_II", 2L, "Battle of Midway", 0))
+      .toDF("category", "pos", "title", "namespace").write.parquet(listing)
+    // bodies for two of the three selected titles; an extra article the
+    // selection must ignore
+    Seq(
+      ("D-Day", "The Normandy landings commenced on 6 June 1944."),
+      ("Blitz", "The Blitz was a German bombing campaign against the UK."),
+      ("Unselected Article", "Must not be exported."))
+      .toDF("title", "content").write.parquet(content)
+
+    val (code, body) = http("POST",
+      s"/api/extract/ww2?listing_path=$listing&content_path=$content&output_dir=$out&limit=10")
+    assert(code == 200)
+    val id = "\"job_id\":\"(job-\\d+)\"".r.findFirstMatchIn(body).get.group(1)
+    val done = Jobs.await(id).get
+    assert(done.status == "completed" && done.fileCount == 3)
+
+    def pdfText(name: String): String = new String(java.nio.file.Files
+      .readAllBytes(java.nio.file.Paths.get(out, name)), "US-ASCII")
+    // doc ids follow selection order: D-Day, Blitz, Battle of Midway
+    assert(pdfText("ww2_0.pdf").contains("Normandy landings commenced"),
+      "snapshot body missing from ww2_0.pdf")
+    assert(pdfText("ww2_1.pdf").contains("German bombing campaign"),
+      "snapshot body missing from ww2_1.pdf")
+    // the title with no snapshot body keeps the placeholder
+    assert(pdfText("ww2_2.pdf").contains("out of engine scope"))
+    assert(!new java.io.File(out).list().exists(n =>
+      pdfText(n).contains("Must not be exported")))
+  }
+
   test("download rejects path traversal") {
     val out = java.nio.file.Files.createTempDirectory("rest_trav").toString
     val secret = new java.io.File(out, "inside.txt")
