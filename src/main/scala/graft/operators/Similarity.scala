@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
-import graft.functions.VectorFns
+import graft.functions.{VecNative, VectorFns}
 
 /** Similarity search over the `embeddings` table (SURVEY §2d).
   *
@@ -589,14 +589,15 @@ object Similarity {
                        cents: IndexedSeq[IndexedSeq[Seq[Double]]]): DataFrame = {
     val nested = cents.map(_.map(_.toSeq).toSeq).toSeq
     val nDoubles = cents.iterator.map(_.iterator.map(_.length.toLong).sum).sum
+    // Native argmin (VecNative.nearestByD2): bit-identical to the HOF
+    // transform+array_position formulation (NativeAssignSpec) but one
+    // tight JVM loop per row instead of k interpreted lambda evals —
+    // the round-11 fix for the k=64 assignment pass costing ~1.2 s of
+    // expression-interpreter overhead at 16k rows (ProfPq).
     val cb = element_at(col("__cbs"), col("s") + 1)
-    val d2s = transform(sequence(lit(1), size(cb)),
-      i => pqD2(col("svec"), element_at(cb, i)))
     withCodebook(sub, nested, nDoubles, "__cbs")
-      .withColumn("__d2s", d2s)
-      .withColumn("cid",
-        array_position(col("__d2s"), array_min(col("__d2s"))).cast("int"))
-      .drop("__d2s", "__cbs")
+      .withColumn("cid", VecNative.nearestByD2Col(col("svec"), cb))
+      .drop("__cbs")
   }
 
   /** Narrow per-row nearest-centroid assignment by round-6 L2² argmin —
@@ -626,19 +627,19 @@ object Similarity {
   def assignCellsCosine(data: DataFrame, cents: IndexedSeq[Seq[Double]],
                         vecCol: String = "vec",
                         keepScoreAs: Option[String] = None): DataFrame = {
-    val sims = transform(sequence(lit(1), lit(cents.length)),
-      i => VectorFns.cosine6(col(vecCol), element_at(col("__cb"), i)))
+    // Native argmax (VecNative.bestCosine6): bit-identical to the HOF
+    // transform+array_position formulation (NativeAssignSpec) but one
+    // tight JVM loop per row — see pqAssign for the round-11 rationale.
     val assigned = withCodebook(data, cents.map(_.toSeq).toSeq,
         cents.iterator.map(_.length.toLong).sum, "__cb")
-      .withColumn("__sims", sims)
-      .withColumn("cid",
-        array_position(col("__sims"), array_max(col("__sims"))).cast("int"))
+      .withColumn("__best", VecNative.bestCosine6Col(col(vecCol), col("__cb")))
+      .withColumn("cid", col("__best").getField("cid"))
     // keepScoreAs: also emit the winning cosine (prototypicality's
     // score) — ONE definition of the codebook shipping + argmax +
     // tie-break rule for every consumer
     keepScoreAs.fold(assigned)(n =>
-        assigned.withColumn(n, array_max(col("__sims"))))
-      .drop("__sims", "__cb")
+        assigned.withColumn(n, col("__best").getField("sim")))
+      .drop("__best", "__cb")
   }
 
   // ---- 3e. two-level coarse assignment (IVF at real k) -----------------
@@ -1796,9 +1797,120 @@ object Similarity {
     ORDER BY cos DESC, da, db
     LIMIT 20"""
 
+  // ---- 5. kNN graph + density prune (round 11) ------------------------
+  // The missing graph-shaped output of the ANN family: not "top-k for
+  // NQueries probes" (the serve path) but EVERY corpus vector's top-J
+  // neighbor list — the substrate for SemDeDup-style diversity pruning,
+  // density-aware mixing, and graph clustering over a training corpus.
+  // Candidates are within-cell only (the dedup_semantic trade): kmeans
+  // cells bound the self-join to per-cell pair volume, never all-pairs —
+  // at 100 TB, k scales with n to hold cell size, and the per-cell join
+  // is one equi-keyed shuffle. J-bounded output ranks plan as
+  // WindowGroupLimit (top-J per vector pushed below the full sort).
+
+  private val KnnJ = 3
+
+  /** Per-vector top-[[KnnJ]] within-cell neighbor list:
+    * (vec_id, nid, sim, rn) — sim is round-6 cosine (dot of unit
+    * vectors), ties → lowest nid. Vectors alone in their cell emit no
+    * rows (no within-cell candidates); callers needing full coverage
+    * raise k-means k or add probe cells, the standard recall/cost knob
+    * this family documents. */
+  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val all = emb(spark, dir).cache()
+    val cents = kmeansCentroidSeqs(all, k = 10, iters = 3)
+    // one cached cell frame feeds BOTH self-join sides (the
+    // dedup_semantic plan shape)
+    val cells = assignCellsCosine(all, cents)
+      .select(col("vec_id"), col("vec"), col("cid")).cache()
+    val scored = cells
+      .join(cells.select(col("cid"), col("vec_id").as("nid"), col("vec").as("nvec")),
+        Seq("cid"))
+      .filter(col("vec_id") =!= col("nid"))
+      .select(col("vec_id"), col("nid"),
+        VectorFns.dot6(col("vec"), col("nvec")).as("sim"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= KnnJ)
+      .orderBy(col("vec_id"), col("rn"))
+  }
+
+  /** Shared CTE chain for the two graph oracles: `unit` → kmeans →
+    * `cells` → `knn(vec_id, nid, sim, rn ≤ J)`. */
+  private def knnGraphSqlCtes: String = s"""
+    WITH nv AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw,
+        sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+      FROM embeddings),
+    unit AS (SELECT vec_id, list_transform(raw, x -> x / nrm) AS vec FROM nv),
+    ${kmeansSqlCtes(k = 10, iters = 3)},
+    cells AS (
+      SELECT vec_id, vec, cid FROM (
+        SELECT u.vec_id, u.vec, c.cid,
+          CAST(row_number() OVER (PARTITION BY u.vec_id
+            ORDER BY round(list_cosine_similarity(u.vec, c.cvec), 6) DESC, c.cid) AS INT) AS rn
+        FROM unit u CROSS JOIN cent3 c)
+      WHERE rn = 1),
+    sc AS (
+      SELECT a.vec_id, b.vec_id AS nid,
+        round(list_dot_product(a.vec, b.vec), 6) AS sim
+      FROM cells a JOIN cells b ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+    knn AS (
+      SELECT vec_id, nid, sim,
+        CAST(row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nid) AS INT) AS rn
+      FROM sc
+      QUALIFY rn <= $KnnJ)"""
+
+  /** Exact twin of [[knnGraph]]. */
+  val knnGraphOracle: String = s"""
+    $knnGraphSqlCtes
+    SELECT vec_id, nid, sim, rn FROM knn ORDER BY vec_id, rn"""
+
+  /** Corpus-calibrated "dense region" bar: on the near-isotropic
+    * testdata nearest-neighbor cosines top out ~0.5 (measured round
+    * 11), so 0.40 marks the top-of-distribution neighborhoods without
+    * being vacuous at either gated SF. Production corpora calibrate τ
+    * as a quantile of the kNN sims. */
+  private val DensityTau = 0.40
+
+  /** SemDeDup-flavored diversity prune over the [[knnGraph]]: a
+    * vector's `close` set is its top-[[KnnJ]] neighbors at sim ≥ τ;
+    * `keep` = the vector has no close neighbor with a smaller id —
+    * every dense neighborhood keeps exactly its locally-minimal ids,
+    * sparse vectors keep trivially. One aggregation over the J-bounded
+    * graph (≤ J rows/vector), so the prune costs nothing beyond the
+    * graph itself. Output (vec_id, close_cnt, keep) — the downstream
+    * filter is `WHERE keep`. */
+  def densityPrune(spark: SparkSession, dir: String): DataFrame = {
+    val g = knnGraph(spark, dir)
+    val agg = g.filter(col("sim") >= DensityTau)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).cast("int").as("close_cnt"),
+        min(col("nid")).as("min_close"))
+    emb(spark, dir).select(col("vec_id"))
+      .join(agg, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("close_cnt"), lit(0)).as("close_cnt"),
+        (col("min_close").isNull || col("vec_id") < col("min_close")).as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Exact twin of [[densityPrune]]. */
+  val densityPruneOracle: String = s"""
+    $knnGraphSqlCtes,
+    cl AS (
+      SELECT vec_id, CAST(count(*) AS INT) AS close_cnt, min(nid) AS min_close
+      FROM knn WHERE sim >= $DensityTau GROUP BY vec_id)
+    SELECT e.vec_id,
+      coalesce(cl.close_cnt, 0) AS close_cnt,
+      (cl.min_close IS NULL OR e.vec_id < cl.min_close) AS keep
+    FROM embeddings e LEFT JOIN cl ON cl.vec_id = e.vec_id
+    ORDER BY e.vec_id"""
+
   // ---- registry -------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_knn_graph"       -> (knnGraph _),
+    "curation_density_prune" -> (densityPrune _),
     "sim_topk_bruteforce" -> (topkBruteforce _),
     "dedup_embedding"     -> (nearDupPairs _),
     "dedup_embedding_lsh" -> (nearDupPairsLsh _),
@@ -1817,6 +1929,8 @@ object Similarity {
     "dedup_semantic"      -> (dedupSemantic _))
 
   val oracle: Map[String, String] = Map(
+    "sim_knn_graph"       -> knnGraphOracle,
+    "curation_density_prune" -> densityPruneOracle,
     "sim_topk_bruteforce" -> topkBruteforceOracle,
     "sim_topk_ivf"        -> topkIvfOracle,
     "sim_topk_ivf_trained" -> topkIvfTrainedOracle,
