@@ -1189,7 +1189,55 @@ object Analytics {
     SELECT cw AS cohort_week, week_offset, n_active FROM r
     ORDER BY cohort_week, week_offset"""
 
+  // --- anomaly flagging: z-score outliers per event type ----------------
+  // The data-cleaning shape of "find broken values before training on
+  // them": one exact aggregation pass for per-type moments (map-side
+  // combined to 5 rows), then a broadcast join back and a narrow per-row
+  // z — no window, no second shuffle, linear at any scale. Exactness
+  // rules from the kmeans trainer: values pre-rounded to 6 dp so the
+  // DECIMAL(28,12) casts are exact and the mean/second-moment sums are
+  // aggregation-order-independent; z rounds to 6 dp; zero-variance
+  // groups emit no rows via the guarded CASE (also keeps ANSI division
+  // happy) — all mirrored verbatim in the oracle.
+  def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        round(col("value"), 6).as("v6"))
+    val stats = e.groupBy(col("event_type")).agg(
+      (sum(col("v6").cast("decimal(28,12)")) / count(lit(1)))
+        .cast("double").as("mean"),
+      (sum((col("v6") * col("v6")).cast("decimal(28,12)")) / count(lit(1)))
+        .cast("double").as("m2"))
+    val vr = col("m2") - col("mean") * col("mean")
+    e.join(broadcast(stats), Seq("event_type"))
+      .withColumn("z",
+        when(vr > 0, round((col("v6") - col("mean")) / sqrt(vr), 6)))
+      .filter(abs(col("z")) >= 3.0)
+      .select(col("event_id"), col("event_type"), col("v6"), col("z"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Exact twin of [[eventsAnomaly]]. */
+  val eventsAnomalyOracle: String = """
+    WITH e AS (
+      SELECT event_id, event_type, round(value, 6) AS v6 FROM events),
+    st AS (
+      SELECT event_type,
+        CAST(sum(CAST(v6 AS DECIMAL(28,12))) / count(*) AS DOUBLE) AS mean,
+        CAST(sum(CAST(v6 * v6 AS DECIMAL(28,12))) / count(*) AS DOUBLE) AS m2
+      FROM e GROUP BY event_type),
+    z AS (
+      SELECT e.event_id, e.event_type, e.v6,
+        CASE WHEN st.m2 - st.mean * st.mean > 0
+          THEN round((e.v6 - st.mean) / sqrt(st.m2 - st.mean * st.mean), 6)
+        END AS z
+      FROM e JOIN st USING (event_type))
+    SELECT event_id, event_type, v6, z FROM z
+    WHERE abs(z) >= 3.0
+    ORDER BY event_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_anomaly"     -> (eventsAnomaly _),
     "q4_order_priority"    -> (q4OrderPriority _),
     "q9_profit_by_nation"  -> (q9ProfitByNation _),
     "q11_value_shares"     -> (q11ValueShares _),
@@ -1226,6 +1274,7 @@ object Analytics {
     "q_events_windowed_agg" -> (eventsWindowedAgg _))
 
   val oracle: Map[String, String] = Map(
+    "q_events_anomaly"     -> eventsAnomalyOracle,
     "q4_order_priority"    -> q4Oracle,
     "q9_profit_by_nation"  -> q9Oracle,
     "q11_value_shares"     -> q11Oracle,

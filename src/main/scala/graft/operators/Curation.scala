@@ -568,10 +568,12 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
-  val qualityGateOracle: String = {
+  /** The gate's CTE chain up to `f(doc_id, n_tokens, f_* flags)` —
+    * shared verbatim between [[qualityGateOracle]] and the composed
+    * pipeline oracle so the two can never drift. */
+  private def gateCtes: String = {
     val stopList = TextAnalysis.profiles.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
-    s"""
-    WITH toks AS (SELECT doc_id, $tokensSql AS t FROM documents),
+    s"""toks AS (SELECT doc_id, $tokensSql AS t FROM documents),
     ${TextAnalysis.gramFractionCtes},
     base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
         round(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t), 4) AS atl,
@@ -584,7 +586,11 @@ object Curation {
         stop < 0.02 AS f_stop,
         round(coalesce(s2.top2, 0), 6) > 0.20 AS f_rep2,
         round(coalesce(s3.dup3, 0), 6) > 0.60 AS f_rep3
-      FROM base LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id))
+      FROM base LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id))"""
+  }
+
+  val qualityGateOracle: String = s"""
+    WITH $gateCtes
     SELECT doc_id, n_tokens,
       NOT (f_short OR f_long OR f_toklen OR f_stop OR f_rep2 OR f_rep3) AS keep,
       concat_ws(',',
@@ -593,7 +599,62 @@ object Curation {
         CASE WHEN f_rep2 THEN 'rep_2gram' END, CASE WHEN f_rep3 THEN 'rep_3gram' END) AS reasons
     FROM f
     ORDER BY doc_id"""
+
+  // ---- composed curation pipeline (round 11) ---------------------------
+  // The CCNet-shaped end-to-end call: quality gate → exact dedup among
+  // the kept docs → language-id the survivors — one entry a user runs
+  // to turn raw documents into a curated, deduplicated, lang-tagged
+  // manifest. Each stage REUSES the gated single-op definition
+  // (qualityGate, the exact-dedup min-id rule, predictedLang), so the
+  // composition can't drift from the parts; lang scoring runs on
+  // SURVIVORS ONLY (filter early, score late — at 100 TB the gate+dedup
+  // typically drop half the corpus before the expensive per-token
+  // scoring). Plan: the gate's one aggregation pass, one fingerprint
+  // shuffle, then narrow per-row scoring — no new shuffle shapes.
+  def pipelineCurate(spark: SparkSession, dir: String): DataFrame = {
+    val kept = qualityGate(spark, dir).filter(col("keep"))
+      .select(col("doc_id"), col("n_tokens"))
+    val fp = Tables.documents(spark, dir)
+      .join(kept, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"),
+        md5(concat_ws(" ", TextFns.tokens(col("text")))).as("content_fp"))
+    val surv = fp.groupBy(col("content_fp"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+    Tables.documents(spark, dir)
+      .join(surv.select(col("doc_id"), col("n_copies")), Seq("doc_id"))
+      .join(fp.select(col("doc_id"), col("n_tokens")), Seq("doc_id"))
+      .select(col("doc_id"),
+        TextAnalysis.predictedLang(col("text")).as("predicted_lang"),
+        col("n_tokens"), col("n_copies"))
+      .orderBy(col("doc_id"))
   }
+
+  /** Exact twin of [[pipelineCurate]]: the shared [[gateCtes]] chain,
+    * the exact-dedup fingerprint rule, then the shared lang-id
+    * score/CASE fragments over survivors only. */
+  val pipelineCurateOracle: String = s"""
+    WITH $gateCtes,
+    kept AS (
+      SELECT doc_id, n_tokens FROM f
+      WHERE NOT (f_short OR f_long OR f_toklen OR f_stop OR f_rep2 OR f_rep3)),
+    fp AS (
+      SELECT d.doc_id, k.n_tokens,
+        md5(array_to_string($tokensSql, ' ')) AS content_fp
+      FROM documents d JOIN kept k USING (doc_id)),
+    surv AS (
+      SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+      FROM fp GROUP BY content_fp),
+    scored AS (
+      SELECT toks.doc_id,
+      ${TextAnalysis.langScoreSql}
+      FROM toks JOIN surv ON surv.doc_id = toks.doc_id)
+    SELECT s.doc_id,
+      ${TextAnalysis.langCaseSql} AS predicted_lang,
+      fp.n_tokens, surv.n_copies
+    FROM scored s
+    JOIN surv ON surv.doc_id = s.doc_id
+    JOIN fp ON fp.doc_id = s.doc_id
+    ORDER BY s.doc_id"""
 
   // ---- deterministic train/val/test split (round 4) --------------------
   // Hash-bucket split assignment (80/10/10): u = md5-derived 60-bit
@@ -1055,6 +1116,7 @@ object Curation {
     "curation_line_dedup"    -> (lineDedup _),
     "curation_temperature_mix" -> (temperatureMix _),
     "curation_quality_gate"  -> (qualityGate _),
+    "curation_pipeline"      -> (pipelineCurate _),
     "curation_split"         -> (split _),
     "curation_split_leak_safe" -> (splitLeakSafe _),
     "curation_split_leak_safe_composed" -> (splitLeakSafeComposed _),
@@ -1072,6 +1134,7 @@ object Curation {
     "curation_line_dedup"    -> lineDedupOracle,
     "curation_temperature_mix" -> temperatureMixOracle,
     "curation_quality_gate"  -> qualityGateOracle,
+    "curation_pipeline"      -> pipelineCurateOracle,
     "curation_split"         -> splitOracle,
     "curation_split_leak_safe" -> splitLeakSafeOracle,
     "curation_split_leak_safe_composed" -> splitLeakSafeOracle,

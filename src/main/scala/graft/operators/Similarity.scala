@@ -1894,6 +1894,79 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** PageRank damping factor and fixed round count. Fixed rounds (not
+    * convergence-tested) keep the oracle unrollable and the lineage
+    * bounded; 3 rounds on a J=3-out-degree graph already separates hub
+    * vectors from leaves (the spec asserts the ordering is non-trivial).
+    * More rounds at scale → checkpoint pr every ~10 rounds, the
+    * standard lineage-truncation practice for iterative frames. */
+  private val PrD = 0.85
+  private val PrRounds = 3
+
+  /** PageRank over the [[knnGraph]] edges — graph centrality as a
+    * data-curation signal (hub vectors = over-represented regions;
+    * periphery = rare/diverse samples). The iterative-DataFrame shape:
+    * pr stays DISTRIBUTED (corpus-sized — never collected, unlike the
+    * bounded Lloyd codebooks); each round is one equi-keyed groupBy on
+    * the J-bounded edge list plus a broadcast-free left join back to
+    * the node frame. Exactness rules: per-edge contributions are
+    * double-divided (IEEE-portable), cast to DECIMAL(28,12) (12-dp
+    * deterministic rounding) so the per-target SUM is
+    * aggregation-order-independent, and each round's pr is rounded to
+    * 12 dp — the oracle unrolls identical rounds as CTEs. Dangling
+    * vectors (no out-edges) leak their mass (1−d keeps totals stable
+    * enough for RANKING, the curation use; full dangling redistribution
+    * would add an all-reduce per round for no ordering change). */
+  def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val edges = knnGraph(spark, dir)
+      .select(col("vec_id").as("src"), col("nid").as("dst")).cache()
+    val nodes = emb(spark, dir).select(col("vec_id")).cache()
+    val n = nodes.count()
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    var pr = nodes.select(col("vec_id"), lit(1.0 / n).as("pr"))
+    for (_ <- 1 to PrRounds) {
+      val sums = edges
+        .join(pr.withColumnRenamed("vec_id", "src"), Seq("src"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst"), (col("pr") / col("od")).as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c").cast("decimal(28,12)")).cast("double").as("s"))
+      pr = nodes
+        .join(sums.withColumnRenamed("dst", "vec_id"), Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          round(lit((1.0 - PrD) / n) + lit(PrD) * coalesce(col("s"), lit(0.0)), 12)
+            .as("pr"))
+    }
+    pr.select(col("vec_id"), round(col("pr"), 9).as("pr"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Exact twin of [[graphPagerank]]: same knn CTE chain, then
+    * [[PrRounds]] unrolled rank updates. */
+  val graphPagerankOracle: String = {
+    val rounds = (0 until PrRounds).map { i =>
+      s"""
+    s$i AS (
+      SELECT e.dst, CAST(sum(CAST(p.pr / od.od AS DECIMAL(28,12))) AS DOUBLE) AS s
+      FROM edges e
+      JOIN pr$i p ON p.vec_id = e.src
+      JOIN outdeg od ON od.src = e.src
+      GROUP BY e.dst),
+    pr${i + 1} AS (
+      SELECT nd.vec_id,
+        round((1.0 - $PrD) / nn.n + $PrD * coalesce(s.s, 0.0), 12) AS pr
+      FROM nodes nd CROSS JOIN nn LEFT JOIN s$i s ON s.dst = nd.vec_id)"""
+    }
+    s"""
+    $knnGraphSqlCtes,
+    edges AS (SELECT vec_id AS src, nid AS dst FROM knn),
+    nodes AS (SELECT vec_id FROM embeddings),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+    pr0 AS (SELECT vec_id, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn)${rounds.mkString(",", ",", "")}
+    SELECT vec_id, round(pr, 9) AS pr FROM pr$PrRounds ORDER BY vec_id"""
+  }
+
   /** Exact twin of [[densityPrune]]. */
   val densityPruneOracle: String = s"""
     $knnGraphSqlCtes,
@@ -1910,6 +1983,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_knn_graph"       -> (knnGraph _),
+    "sim_graph_pagerank"  -> (graphPagerank _),
     "curation_density_prune" -> (densityPrune _),
     "sim_topk_bruteforce" -> (topkBruteforce _),
     "dedup_embedding"     -> (nearDupPairs _),
@@ -1930,6 +2004,7 @@ object Similarity {
 
   val oracle: Map[String, String] = Map(
     "sim_knn_graph"       -> knnGraphOracle,
+    "sim_graph_pagerank"  -> graphPagerankOracle,
     "curation_density_prune" -> densityPruneOracle,
     "sim_topk_bruteforce" -> topkBruteforceOracle,
     "sim_topk_ivf"        -> topkIvfOracle,

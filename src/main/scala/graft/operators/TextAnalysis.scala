@@ -34,42 +34,53 @@ object TextAnalysis {
     }
   }
 
-  def langId(spark: SparkSession, dir: String): DataFrame = {
-    val scores = langScores(col("text"))
-    val scoreCols = scores.map { case (l, c) => c.as(s"${l}_score") }
-    val predicted = scores.tail.foldLeft((scores.head._2, lit(scores.head._1))) {
+  /** The lang-id argmax as ONE reusable column (strict >, earlier
+    * profile wins ties — the fold langId always used): shared with the
+    * composed curation pipeline so the two can never drift. */
+  def predictedLang(text: Column): Column = {
+    val scores = langScores(text)
+    scores.tail.foldLeft((scores.head._2, lit(scores.head._1))) {
       case ((best, bestLang), (lang, score)) =>
         (when(score > best, score).otherwise(best),
          when(score > best, lit(lang)).otherwise(bestLang))
     }._2
+  }
+
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val scoreCols = langScores(col("text")).map { case (l, c) => c.as(s"${l}_score") }
     Tables.documents(spark, dir)
-      .select(col("doc_id") +: scoreCols :+ predicted.as("predicted_lang"): _*)
+      .select(col("doc_id") +: scoreCols :+ predictedLang(col("text")).as("predicted_lang"): _*)
       .orderBy(col("doc_id"))
   }
 
-  val langIdOracle: String = {
-    val scoreSql = profiles.map { case (lang, words) =>
+  /** Per-lang score select-list over a token column `t` — the SQL twin
+    * of [[langScores]], shared with the composed pipeline oracle. */
+  private[operators] val langScoreSql: String =
+    profiles.map { case (lang, words) =>
       val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
       s"round(CAST(len(list_filter(t, x -> list_contains($list, x))) AS DOUBLE) / len(t), 6) AS ${lang}_score"
     }.mkString(",\n      ")
-    // argmax with strict >, earlier profile wins ties — exactly the
-    // Spark-side fold: a later lang replaces the best only when strictly
-    // greater, so lang L wins iff score(L) > max(scores of earlier langs).
-    s"""
-    WITH toks AS (SELECT doc_id, $tokensSql AS t FROM documents),
-    scored AS (SELECT doc_id,
-      $scoreSql
-    FROM toks)
-    SELECT doc_id, en_score, es_score, de_score, fr_score,
-      CASE
+
+  /** The argmax CASE over the [[langScoreSql]] columns — strict >,
+    * earlier profile wins ties — exactly the Spark-side fold: a later
+    * lang replaces the best only when strictly greater, so lang L wins
+    * iff score(L) > max(scores of earlier langs). */
+  private[operators] val langCaseSql: String = """CASE
         WHEN fr_score > greatest(en_score, es_score, de_score) THEN 'fr'
         WHEN de_score > greatest(en_score, es_score) THEN 'de'
         WHEN es_score > en_score THEN 'es'
         ELSE 'en'
-      END AS predicted_lang
+      END"""
+
+  val langIdOracle: String = s"""
+    WITH toks AS (SELECT doc_id, $tokensSql AS t FROM documents),
+    scored AS (SELECT doc_id,
+      $langScoreSql
+    FROM toks)
+    SELECT doc_id, en_score, es_score, de_score, fr_score,
+      $langCaseSql AS predicted_lang
     FROM scored
     ORDER BY doc_id"""
-  }
 
   // ---- 2. quality scoring ---------------------------------------------
   def quality(spark: SparkSession, dir: String): DataFrame = {

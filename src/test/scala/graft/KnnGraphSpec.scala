@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** Structural properties of the round-11 graph-shaped ANN outputs:
+  * sim_knn_graph (per-vector top-J within-cell neighbor lists) and
+  * curation_density_prune (SemDeDup-style keep-the-local-minimum rule
+  * over that graph). The DuckDB hash gate proves value-exactness; this
+  * spec pins the graph invariants and the plan shape so a rewrite that
+  * keeps values but breaks the scale story (e.g. loses the top-J
+  * WindowGroupLimit pushdown) fails loudly.
+  */
+class KnnGraphSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.test
+  import spark.implicits._
+
+  private val SfDir = "/root/testdata/sf0.01"
+
+  test("knnGraph: <=J dense-ranked rows per vector, no self-edges, sims sorted") {
+    val g = Similarity.knnGraph(spark, SfDir)
+      .select("vec_id", "nid", "sim", "rn")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(g.nonEmpty)
+    assert(g.forall { case (v, n, _, _) => v != n }, "self-edge found")
+    g.groupBy(_._1).foreach { case (v, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.size <= 3, s"vec $v has ${sorted.size} > J rows")
+      assert(sorted.map(_._4) == (1 to sorted.size), s"vec $v ranks not dense")
+      // sims non-increasing with rank; ties broken by ascending nid
+      sorted.sliding(2).foreach {
+        case Seq((_, n1, s1, _), (_, n2, s2, _)) =>
+          assert(s1 > s2 || (s1 == s2 && n1 < n2), s"vec $v order violated")
+        case _ => ()
+      }
+    }
+    // the graph must cover most of the corpus (only vectors alone in
+    // their cell may be absent — documented contract)
+    val nVecs = Similarity.emb(spark, SfDir).count()
+    assert(g.map(_._1).distinct.size >= nVecs * 0.9,
+      "more than 10% of vectors have no within-cell neighbors")
+  }
+
+  test("densityPrune: one row per vector; dense neighborhoods keep their local min id") {
+    val g = Similarity.knnGraph(spark, SfDir)
+      .select("vec_id", "nid", "sim")
+      .as[(Long, Long, Double)].collect().toSeq
+    val p = Similarity.densityPrune(spark, SfDir)
+      .as[(Long, Int, Boolean)].collect().toSeq
+    val nVecs = Similarity.emb(spark, SfDir).count()
+    assert(p.size == nVecs, "prune must emit one decision per vector")
+    val close = g.filter(_._3 >= 0.40).groupBy(_._1)
+    p.foreach { case (v, cnt, keep) =>
+      val nbrs = close.getOrElse(v, Seq.empty).map(_._2)
+      assert(cnt == nbrs.size, s"vec $v close_cnt $cnt != ${nbrs.size}")
+      assert(keep == (nbrs.isEmpty || v < nbrs.min), s"vec $v keep rule violated")
+    }
+    // non-vacuous at the gated SF: some vectors must actually be dropped
+    assert(p.exists(!_._3), "density prune is vacuous at sf0.01 — recalibrate tau")
+    assert(p.count(_._3) > p.size / 2, "prune dropped most of the corpus")
+  }
+
+  test("graphPagerank: one score per vector, positive, non-uniform, mass bounded") {
+    val pr = Similarity.graphPagerank(spark, SfDir)
+      .as[(Long, Double)].collect().toSeq
+    val nVecs = Similarity.emb(spark, SfDir).count()
+    assert(pr.size == nVecs)
+    assert(pr.forall(_._2 > 0), "pagerank scores must be positive")
+    // the graph must actually separate hubs from leaves: a uniform
+    // vector would mean the edge join contributed nothing
+    assert(pr.map(_._2).distinct.size > 10, "pagerank collapsed to near-uniform")
+    // dangling-mass leak only SHRINKS totals: sum <= 1 (+rounding),
+    // and the floor term keeps it above (1-d) = 0.15
+    val total = pr.map(_._2).sum
+    assert(total <= 1.0 + 1e-6 && total >= 0.15, s"total mass $total out of range")
+    // in-degree-0 vectors sit exactly on the floor term
+    val g = Similarity.knnGraph(spark, SfDir).select("nid").distinct()
+      .as[Long].collect().toSet
+    val floor = pr.filter(p => !g.contains(p._1)).map(_._2)
+    assert(floor.forall(v => math.abs(v - 0.15 / nVecs) < 1e-9),
+      "in-degree-0 vectors must hold exactly the (1-d)/N floor")
+  }
+
+  test("knnGraph: top-J rank plans as WindowGroupLimit (no full per-cell sort survives)") {
+    val df = Similarity.knnGraph(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+  }
+}
