@@ -1199,6 +1199,33 @@ object Analytics {
   // aggregation-order-independent; z rounds to 6 dp; zero-variance
   // groups emit no rows via the guarded CASE (also keeps ANSI division
   // happy) — all mirrored verbatim in the oracle.
+  /** The shared z rule over a frame carrying (event_id, event_type,
+    * v6, mean, m2) — ONE definition for the batch entry and the
+    * streaming ingest scorer ([[graft.streaming.EventStream.anomalyScore]])
+    * so flags can never drift between the two. */
+  private[graft] def anomalyFlag(scored: DataFrame): DataFrame = {
+    val vr = col("m2") - col("mean") * col("mean")
+    scored
+      .withColumn("z",
+        when(vr > 0, round((col("v6") - col("mean")) / sqrt(vr), 6)))
+      .filter(abs(col("z")) >= 3.0)
+      .select(col("event_id"), col("event_type"), col("v6"), col("z"))
+  }
+
+  /** Per-type exact moments (mean, second moment) — the bounded
+    * "model" the streaming scorer ships as literals (|event types|
+    * rows by construction). */
+  def anomalyStats(spark: SparkSession, dir: String): Map[String, (Double, Double)] = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"), round(col("value"), 6).as("v6"))
+    e.groupBy(col("event_type")).agg(
+      (sum(col("v6").cast("decimal(28,12)")) / count(lit(1)))
+        .cast("double").as("mean"),
+      (sum((col("v6") * col("v6")).cast("decimal(28,12)")) / count(lit(1)))
+        .cast("double").as("m2"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+  }
+
   def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
       .select(col("event_id"), col("event_type"),
@@ -1208,12 +1235,7 @@ object Analytics {
         .cast("double").as("mean"),
       (sum((col("v6") * col("v6")).cast("decimal(28,12)")) / count(lit(1)))
         .cast("double").as("m2"))
-    val vr = col("m2") - col("mean") * col("mean")
-    e.join(broadcast(stats), Seq("event_type"))
-      .withColumn("z",
-        when(vr > 0, round((col("v6") - col("mean")) / sqrt(vr), 6)))
-      .filter(abs(col("z")) >= 3.0)
-      .select(col("event_id"), col("event_type"), col("v6"), col("z"))
+    anomalyFlag(e.join(broadcast(stats), Seq("event_type")))
       .orderBy(col("event_id"))
   }
 

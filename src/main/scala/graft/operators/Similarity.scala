@@ -1880,19 +1880,24 @@ object Similarity {
     * graph (≤ J rows/vector), so the prune costs nothing beyond the
     * graph itself. Output (vec_id, close_cnt, keep) — the downstream
     * filter is `WHERE keep`. */
-  def densityPrune(spark: SparkSession, dir: String): DataFrame = {
-    val g = knnGraph(spark, dir)
-    val agg = g.filter(col("sim") >= DensityTau)
+  /** The prune over ANY (vec_id, nid, sim) graph frame + (vec_id) node
+    * frame — decomposed like [[pagerankOf]] so a materialized graph
+    * serves every downstream consumer without a rebuild. */
+  def densityPruneOf(nodes: DataFrame, graph: DataFrame): DataFrame = {
+    val agg = graph.filter(col("sim") >= DensityTau)
       .groupBy(col("vec_id"))
       .agg(count(lit(1)).cast("int").as("close_cnt"),
         min(col("nid")).as("min_close"))
-    emb(spark, dir).select(col("vec_id"))
+    nodes.select(col("vec_id"))
       .join(agg, Seq("vec_id"), "left")
       .select(col("vec_id"),
         coalesce(col("close_cnt"), lit(0)).as("close_cnt"),
         (col("min_close").isNull || col("vec_id") < col("min_close")).as("keep"))
       .orderBy(col("vec_id"))
   }
+
+  def densityPrune(spark: SparkSession, dir: String): DataFrame =
+    densityPruneOf(emb(spark, dir).select(col("vec_id")), knnGraph(spark, dir))
 
   /** PageRank damping factor and fixed round count. Fixed rounds (not
     * convergence-tested) keep the oracle unrollable and the lineage
@@ -1917,21 +1922,24 @@ object Similarity {
     * vectors (no out-edges) leak their mass (1−d keeps totals stable
     * enough for RANKING, the curation use; full dangling redistribution
     * would add an all-reduce per round for no ordering change). */
-  def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
-    val edges = knnGraph(spark, dir)
-      .select(col("vec_id").as("src"), col("nid").as("dst")).cache()
-    val nodes = emb(spark, dir).select(col("vec_id")).cache()
-    val n = nodes.count()
-    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
-    var pr = nodes.select(col("vec_id"), lit(1.0 / n).as("pr"))
+  /** PageRank over ANY (src, dst) edge frame + (vec_id) node frame —
+    * the decomposed serve API: edges can come from a MATERIALIZED
+    * (parquet-roundtripped) [[knnGraph]] so re-ranking never pays the
+    * graph build (the rrfFuseOf pattern; spec-proven identical). */
+  def pagerankOf(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val nodesC = nodes.cache()
+    val edgesC = edges.cache()
+    val n = nodesC.count()
+    val outdeg = edgesC.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    var pr = nodesC.select(col("vec_id"), lit(1.0 / n).as("pr"))
     for (_ <- 1 to PrRounds) {
-      val sums = edges
+      val sums = edgesC
         .join(pr.withColumnRenamed("vec_id", "src"), Seq("src"))
         .join(outdeg, Seq("src"))
         .select(col("dst"), (col("pr") / col("od")).as("c"))
         .groupBy(col("dst"))
         .agg(sum(col("c").cast("decimal(28,12)")).cast("double").as("s"))
-      pr = nodes
+      pr = nodesC
         .join(sums.withColumnRenamed("dst", "vec_id"), Seq("vec_id"), "left")
         .select(col("vec_id"),
           round(lit((1.0 - PrD) / n) + lit(PrD) * coalesce(col("s"), lit(0.0)), 12)
@@ -1940,6 +1948,10 @@ object Similarity {
     pr.select(col("vec_id"), round(col("pr"), 9).as("pr"))
       .orderBy(col("vec_id"))
   }
+
+  def graphPagerank(spark: SparkSession, dir: String): DataFrame =
+    pagerankOf(emb(spark, dir).select(col("vec_id")),
+      knnGraph(spark, dir).select(col("vec_id").as("src"), col("nid").as("dst")))
 
   /** Exact twin of [[graphPagerank]]: same knn CTE chain, then
     * [[PrRounds]] unrolled rank updates. */

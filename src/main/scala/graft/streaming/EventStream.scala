@@ -227,6 +227,33 @@ object EventStream {
       .select(col("doc_id"), col("n_g"), col("logw"))
   }
 
+  /** Ingest-time anomaly flagging (round 11) — the streaming twin of
+    * `Analytics.eventsAnomaly`, shaped like every scorer here: the
+    * offline per-type moments (|event types| pairs by construction —
+    * the smallest model after BPE's merge list) ride as a CASE chain of
+    * literals, so there is no join, no shuffle, and ZERO state-store
+    * rows at any stream rate; the z rule itself is the SHARED
+    * `Analytics.anomalyFlag` projection, so stream flags bit-match the
+    * batch entry on the same moments. Types absent from the stats map
+    * are DROPPED by an explicit isnan guard (fail-closed: unknown
+    * regimes alert via the unmatched-type count, not fake z-scores) —
+    * the guard must be explicit because Spark orders NaN ABOVE every
+    * value, so an unguarded NaN variance would sail through both the
+    * `vr > 0` and `abs(z) >= 3` predicates. */
+  def anomalyScore(events: DataFrame,
+                   stats: Map[String, (Double, Double)]): DataFrame = {
+    def caseOf(pick: ((Double, Double)) => Double): org.apache.spark.sql.Column =
+      stats.foldLeft(lit(Double.NaN)) { case (acc, (t, ms)) =>
+        when(col("event_type") === lit(t), lit(pick(ms))).otherwise(acc)
+      }
+    graft.operators.Analytics.anomalyFlag(
+      events.select(col("event_id"), col("event_type"),
+          round(col("value"), 6).as("v6"))
+        .withColumn("mean", caseOf(_._1))
+        .withColumn("m2", caseOf(_._2))
+        .filter(!isnan(col("mean"))))
+  }
+
   /** Ingest-time quality classification (round 9) — the streaming twin
     * of `Curation.qualityClassifier`, shaped exactly like
     * [[dsirScore]]: the offline-trained model (λ map + per-gram C +

@@ -82,6 +82,25 @@ class KnnGraphSpec extends AnyFunSuite {
       "in-degree-0 vectors must hold exactly the (1-d)/N floor")
   }
 
+  test("pagerankOf/densityPruneOf: a parquet-roundtripped graph serves identically to inline") {
+    val dir = "/root/testdata/sf0.001"
+    val out = "target/tmp/knn_graph_spec"
+    Similarity.knnGraph(spark, dir).write.mode("overwrite").parquet(out)
+    val stored = spark.read.parquet(out)
+    val nodes = Similarity.emb(spark, dir).select(col("vec_id"))
+    val prInline = Similarity.graphPagerank(spark, dir)
+      .as[(Long, Double)].collect().toSeq
+    val prStored = Similarity.pagerankOf(nodes,
+        stored.select(col("vec_id").as("src"), col("nid").as("dst")))
+      .as[(Long, Double)].collect().toSeq
+    assert(prInline == prStored, "pagerank from the stored graph must bit-match inline")
+    val dpInline = Similarity.densityPrune(spark, dir)
+      .as[(Long, Int, Boolean)].collect().toSeq
+    val dpStored = Similarity.densityPruneOf(nodes, stored)
+      .as[(Long, Int, Boolean)].collect().toSeq
+    assert(dpInline == dpStored, "prune from the stored graph must bit-match inline")
+  }
+
   test("knnGraph: top-J rank plans as WindowGroupLimit (no full per-cell sort survives)") {
     val df = Similarity.knnGraph(spark, "/root/testdata/sf0.001")
     df.collect()

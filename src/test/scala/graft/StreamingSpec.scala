@@ -101,6 +101,37 @@ class StreamingSpec extends AnyFunSuite {
     want.foreach { case (id, w) => assert(got(id) == w, s"doc $id: ${got(id)} != $w") }
   }
 
+  test("streaming anomaly score == batch flags, zero state-store rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val stats = graft.operators.Analytics.anomalyStats(spark, sf)
+    assert(stats.nonEmpty)
+    val evs = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .as[(Long, String, Double)].collect()
+    val input = MemoryStream[(Long, String, Double)]
+    val scored = EventStream.anomalyScore(
+      input.toDS().toDF("event_id", "event_type", "value"), stats)
+    val q = scored.writeStream.format("memory").queryName("anom_stream")
+      .outputMode("append").start()
+    // an unknown event type rides along: fail-closed, never flagged
+    input.addData((999999L, "unknown_type", 1e9))
+    evs.grouped(math.max(1, evs.length / 3 + 1)).foreach { b =>
+      input.addData(b.toSeq); q.processAllAvailable()
+    }
+    assert(q.lastProgress.stateOperators.isEmpty) // narrow plan, no state
+    q.stop()
+    val got = spark.table("anom_stream")
+      .select("event_id", "event_type", "v6", "z")
+      .as[(Long, String, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(!got.contains(999999L))
+    val want = graft.operators.Analytics.eventsAnomaly(spark, sf)
+      .as[(Long, String, Double, Double)].collect()
+    assert(want.nonEmpty && want.length == got.size)
+    want.foreach { case (id, t, v, z) =>
+      assert(got(id) == ((t, v, z)), s"event $id: ${got(id)} != ($t,$v,$z)") }
+  }
+
   test("streaming bigram surprisal == batch avg_bits, zero state-store rows") {
     implicit val sqlCtx = spark.sqlContext
     val model = graft.operators.TextAnalysis.bslmTrain(spark, sf)
