@@ -1816,13 +1816,13 @@ object Similarity {
     * rows (no within-cell candidates); callers needing full coverage
     * raise k-means k or add probe cells, the standard recall/cost knob
     * this family documents. */
-  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
-    val all = emb(spark, dir).cache()
-    val cents = kmeansCentroidSeqs(all, k = 10, iters = 3)
-    // one cached cell frame feeds BOTH self-join sides (the
-    // dedup_semantic plan shape)
-    val cells = assignCellsCosine(all, cents)
-      .select(col("vec_id"), col("vec"), col("cid")).cache()
+  /** The graph build over ANY pre-bucketed (vec_id, vec, cid) frame —
+    * cid can come from flat k-means (the gated entry), two-level
+    * assignment at real k (ScaleKnn: 1024 effective cells over 1 M
+    * vectors), or any other partitioner; the builder only needs cells
+    * small enough that per-cell pair volume is affordable. One
+    * self-join on the cell key + a top-J rank (WindowGroupLimit). */
+  def knnGraphOf(cells: DataFrame, j: Int = KnnJ): DataFrame = {
     val scored = cells
       .join(cells.select(col("cid"), col("vec_id").as("nid"), col("vec").as("nvec")),
         Seq("cid"))
@@ -1830,8 +1830,17 @@ object Similarity {
       .select(col("vec_id"), col("nid"),
         VectorFns.dot6(col("vec"), col("nvec")).as("sim"))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("nid"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= KnnJ)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= j)
       .orderBy(col("vec_id"), col("rn"))
+  }
+
+  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val all = emb(spark, dir).cache()
+    val cents = kmeansCentroidSeqs(all, k = 10, iters = 3)
+    // one cached cell frame feeds BOTH self-join sides (the
+    // dedup_semantic plan shape)
+    knnGraphOf(assignCellsCosine(all, cents)
+      .select(col("vec_id"), col("vec"), col("cid")).cache())
   }
 
   /** Shared CTE chain for the two graph oracles: `unit` → kmeans →
@@ -1899,13 +1908,21 @@ object Similarity {
   def densityPrune(spark: SparkSession, dir: String): DataFrame =
     densityPruneOf(emb(spark, dir).select(col("vec_id")), knnGraph(spark, dir))
 
-  /** PageRank damping factor and fixed round count. Fixed rounds (not
-    * convergence-tested) keep the oracle unrollable and the lineage
-    * bounded; 3 rounds on a J=3-out-degree graph already separates hub
-    * vectors from leaves (the spec asserts the ordering is non-trivial).
-    * More rounds at scale → checkpoint pr every ~10 rounds, the
-    * standard lineage-truncation practice for iterative frames. */
-  private val PrD = 0.85
+  /** PageRank fixed-point scale, damping (as the rational 17/20), and
+    * fixed round count. FIXED-POINT BIGINT, not doubles: the first cut
+    * kept pr as 12-dp-rounded doubles and diverged from DuckDB by one
+    * ulp at sf0.1 (deep-decimal rounds of division results are not
+    * portable — the quotient's digits beyond the round point land near
+    * .5 boundaries often enough at 18k divisions/run). Integer
+    * micro-rank units with truncating division are exact in BOTH
+    * engines by construction: no float op ever touches the rank.
+    * Fixed rounds (not convergence-tested) keep the oracle unrollable
+    * and the lineage bounded; 3 rounds on a J=3-out-degree graph
+    * already separates hubs from leaves. More rounds at scale →
+    * checkpoint pr every ~10 rounds, the standard lineage-truncation
+    * practice for iterative frames. Overflow headroom: total mass ≤
+    * PrE=1e12, per-term products ≤ 17·1e12 ≪ 2⁶³. */
+  private val PrE = 1000000000000L
   private val PrRounds = 3
 
   /** PageRank over the [[knnGraph]] edges — graph centrality as a
@@ -1930,23 +1947,23 @@ object Similarity {
     val nodesC = nodes.cache()
     val edgesC = edges.cache()
     val n = nodesC.count()
+    // the (1-d)·E/n floor term, integer-exact: 3E/(20n) truncated
+    val base = (3L * PrE) / (20L * n)
     val outdeg = edgesC.groupBy(col("src")).agg(count(lit(1)).as("od"))
-    var pr = nodesC.select(col("vec_id"), lit(1.0 / n).as("pr"))
+    var pr = nodesC.select(col("vec_id"), lit(PrE / n).as("pr"))
     for (_ <- 1 to PrRounds) {
       val sums = edgesC
         .join(pr.withColumnRenamed("vec_id", "src"), Seq("src"))
         .join(outdeg, Seq("src"))
-        .select(col("dst"), (col("pr") / col("od")).as("c"))
+        .select(col("dst"), expr("pr div od").as("c"))
         .groupBy(col("dst"))
-        .agg(sum(col("c").cast("decimal(28,12)")).cast("double").as("s"))
+        .agg(sum(col("c")).as("s"))
       pr = nodesC
         .join(sums.withColumnRenamed("dst", "vec_id"), Seq("vec_id"), "left")
         .select(col("vec_id"),
-          round(lit((1.0 - PrD) / n) + lit(PrD) * coalesce(col("s"), lit(0.0)), 12)
-            .as("pr"))
+          (lit(base) + expr("(17 * coalesce(s, 0)) div 20")).as("pr"))
     }
-    pr.select(col("vec_id"), round(col("pr"), 9).as("pr"))
-      .orderBy(col("vec_id"))
+    pr.select(col("vec_id"), col("pr")).orderBy(col("vec_id"))
   }
 
   def graphPagerank(spark: SparkSession, dir: String): DataFrame =
@@ -1959,24 +1976,26 @@ object Similarity {
     val rounds = (0 until PrRounds).map { i =>
       s"""
     s$i AS (
-      SELECT e.dst, CAST(sum(CAST(p.pr / od.od AS DECIMAL(28,12))) AS DOUBLE) AS s
+      SELECT e.dst, CAST(sum(p.pr // od.od) AS BIGINT) AS s
       FROM edges e
       JOIN pr$i p ON p.vec_id = e.src
       JOIN outdeg od ON od.src = e.src
       GROUP BY e.dst),
     pr${i + 1} AS (
       SELECT nd.vec_id,
-        round((1.0 - $PrD) / nn.n + $PrD * coalesce(s.s, 0.0), 12) AS pr
-      FROM nodes nd CROSS JOIN nn LEFT JOIN s$i s ON s.dst = nd.vec_id)"""
+        CAST(b.base + (17 * coalesce(s.s, 0)) // 20 AS BIGINT) AS pr
+      FROM nodes nd CROSS JOIN b LEFT JOIN s$i s ON s.dst = nd.vec_id)"""
     }
     s"""
     $knnGraphSqlCtes,
     edges AS (SELECT vec_id AS src, nid AS dst FROM knn),
     nodes AS (SELECT vec_id FROM embeddings),
     nn AS (SELECT count(*) AS n FROM nodes),
-    outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
-    pr0 AS (SELECT vec_id, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn)${rounds.mkString(",", ",", "")}
-    SELECT vec_id, round(pr, 9) AS pr FROM pr$PrRounds ORDER BY vec_id"""
+    b AS (SELECT CAST((3 * ${PrE}) // (20 * nn.n) AS BIGINT) AS base,
+                 CAST($PrE // nn.n AS BIGINT) AS init FROM nn),
+    outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM edges GROUP BY src),
+    pr0 AS (SELECT vec_id, b.init AS pr FROM nodes CROSS JOIN b)${rounds.mkString(",", ",", "")}
+    SELECT vec_id, pr FROM pr$PrRounds ORDER BY vec_id"""
   }
 
   /** Exact twin of [[densityPrune]]. */

@@ -1,0 +1,100 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.functions.VectorFns
+
+/** Round-11 stress: the kNN-graph + pagerank family at the 100 TB
+  * design point — 1 M × 64-d vectors bucketed into 1024 effective
+  * cells by the TWO-LEVEL assignment (the gated entry's flat k=10 holds
+  * only at sf scale; the graph build itself, [[Similarity.knnGraphOf]],
+  * is partitioner-agnostic by design).
+  *
+  * What must hold:
+  *  - per-cell pair volume stays bounded (~1 M²/1024 ≈ 1 M pairs/cell
+  *    at uniform occupancy): the build is minutes of equi-join, never
+  *    the 10¹² all-pairs product;
+  *  - QUALITY on the clustered corpus: each vector's top-1 neighbor
+  *    shares its true synthetic cluster ≥ 95% of sampled vectors (the
+  *    cells respect cluster structure, so within-cell candidates
+  *    contain the true neighbors);
+  *  - pagerank over the 1 M-node / ≤3 M-edge graph completes in one
+  *    bounded round-loop with the rank vector distributed end to end.
+  *
+  * Run: sbt "runMain graft.tools.ScaleKnn"
+  */
+object ScaleKnn {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val dim = 64
+    val clusters = 1024
+    def synth(n: Long): DataFrame =
+      spark.range(n).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)), j =>
+          sin((col("id") % clusters) * lit(7.31) + j * lit(1.709)) +
+            lit(0.15) * sin(col("id") * lit(13.17) + j * lit(0.37))).as("raw"))
+        .withColumn("nrm", VectorFns.norm(col("raw")))
+        .select(col("vec_id"), VectorFns.normalize(col("raw"), col("nrm")).as("vec"))
+
+    def time[T](label: String)(f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $label%-40s $s%8.2f s")
+      (r, s)
+    }
+
+    val corpus = synth(1000000L).repartition(64).cache()
+    corpus.count()
+    val sample = corpus.filter(col("vec_id") % 20 === 0)
+
+    // ---- two-level bucketing: 32 x 32 = 1024 effective cells ----------
+    val (cells, tAssign) = time("two-level assign (32x32) + cache") {
+      val c = Similarity.assignTwoLevel(corpus, k1 = 32, k2 = 32, iters = 1,
+          train = Some(sample))
+        .select(col("vec_id"),
+          (col("cid1").cast("long") * 1000 + col("cid2")).as("cid"))
+        .join(corpus, Seq("vec_id"))
+        .select(col("vec_id"), col("vec"), col("cid"))
+        .repartition(64, col("cid")).cache()
+      c.count(); c
+    }
+    val occ = cells.groupBy(col("cid")).count()
+      .agg(max(col("count")), avg(col("count"))).first()
+    println(s"[scale] cell occupancy max=${occ.getLong(0)} avg=${occ.getDouble(1)}%.0f"
+      .replace("%.0f", f"${occ.getDouble(1)}%.0f"))
+
+    // ---- graph build ---------------------------------------------------
+    val (graph, tBuild) = time("knnGraphOf J=3 over 1M, 1024 cells") {
+      val g = Similarity.knnGraphOf(cells, j = 3).cache()
+      g.count(); g
+    }
+    val nEdges = graph.count()
+    require(nEdges <= 3000000L, s"edge count $nEdges exceeds J*n")
+    require(graph.filter(col("vec_id") === col("nid")).isEmpty, "self-edge found")
+
+    // top-1 neighbor shares the true cluster (sampled: every 997th vector)
+    val top1 = graph.filter(col("rn") === 1 && col("vec_id") % 997 === 0)
+      .select((col("vec_id") % clusters).as("ca"), (col("nid") % clusters).as("cb"))
+    val agree = top1.filter(col("ca") === col("cb")).count().toDouble / top1.count()
+    println(f"[scale] top-1 same-cluster agreement: $agree%.3f")
+    require(agree >= 0.95, f"agreement $agree%.3f below 0.95 floor")
+
+    // ---- pagerank over the built graph --------------------------------
+    val (_, tPr) = time("pagerankOf over 1M nodes / 3M edges") {
+      Similarity.pagerankOf(corpus.select(col("vec_id")),
+          graph.select(col("vec_id").as("src"), col("nid").as("dst")))
+        .agg(count(lit(1)), sum(col("pr"))).first()
+    }
+
+    println(f"[scale] RECORD assign=$tAssign%.1f build=$tBuild%.1f pagerank=$tPr%.1f " +
+      f"edges=$nEdges agree=$agree%.3f")
+    spark.stop()
+  }
+}

@@ -62,24 +62,29 @@ class KnnGraphSpec extends AnyFunSuite {
   }
 
   test("graphPagerank: one score per vector, positive, non-uniform, mass bounded") {
+    // pr is FIXED-POINT BIGINT (1e12-scale micro-rank units — no float
+    // op ever touches the rank; see the PrE scaladoc for why)
+    val E = 1000000000000L
     val pr = Similarity.graphPagerank(spark, SfDir)
-      .as[(Long, Double)].collect().toSeq
+      .as[(Long, Long)].collect().toSeq
     val nVecs = Similarity.emb(spark, SfDir).count()
     assert(pr.size == nVecs)
     assert(pr.forall(_._2 > 0), "pagerank scores must be positive")
     // the graph must actually separate hubs from leaves: a uniform
     // vector would mean the edge join contributed nothing
     assert(pr.map(_._2).distinct.size > 10, "pagerank collapsed to near-uniform")
-    // dangling-mass leak only SHRINKS totals: sum <= 1 (+rounding),
-    // and the floor term keeps it above (1-d) = 0.15
+    // dangling mass and truncation only SHRINK totals: sum <= E, and
+    // the floor term keeps it above (1-d)*E = 0.15*E (minus truncation)
     val total = pr.map(_._2).sum
-    assert(total <= 1.0 + 1e-6 && total >= 0.15, s"total mass $total out of range")
-    // in-degree-0 vectors sit exactly on the floor term
+    assert(total <= E && total >= (3L * E) / 20L - nVecs,
+      s"total mass $total out of range")
+    // in-degree-0 vectors sit exactly on the integer floor term
     val g = Similarity.knnGraph(spark, SfDir).select("nid").distinct()
       .as[Long].collect().toSet
+    val base = (3L * E) / (20L * nVecs)
     val floor = pr.filter(p => !g.contains(p._1)).map(_._2)
-    assert(floor.forall(v => math.abs(v - 0.15 / nVecs) < 1e-9),
-      "in-degree-0 vectors must hold exactly the (1-d)/N floor")
+    assert(floor.forall(_ == base),
+      "in-degree-0 vectors must hold exactly the (1-d)E/N floor")
   }
 
   test("pagerankOf/densityPruneOf: a parquet-roundtripped graph serves identically to inline") {
@@ -89,10 +94,10 @@ class KnnGraphSpec extends AnyFunSuite {
     val stored = spark.read.parquet(out)
     val nodes = Similarity.emb(spark, dir).select(col("vec_id"))
     val prInline = Similarity.graphPagerank(spark, dir)
-      .as[(Long, Double)].collect().toSeq
+      .as[(Long, Long)].collect().toSeq
     val prStored = Similarity.pagerankOf(nodes,
         stored.select(col("vec_id").as("src"), col("nid").as("dst")))
-      .as[(Long, Double)].collect().toSeq
+      .as[(Long, Long)].collect().toSeq
     assert(prInline == prStored, "pagerank from the stored graph must bit-match inline")
     val dpInline = Similarity.densityPrune(spark, dir)
       .as[(Long, Int, Boolean)].collect().toSeq
