@@ -238,9 +238,36 @@ object RefCore {
     FROM picked
     ORDER BY doc_id"""
 
+  // ---- JSONL roundtrip (round 11; engine capability, not reference
+  // parity) — the de-facto LLM-corpus interchange format through
+  // [[graft.sources.JsonlSource]]: full documents table → distributed
+  // JSONL write → pinned-schema read → identity projection. The gate
+  // proves VALUE identity through JSON string escaping (md5 of the
+  // text survives the encode/decode) and TYPE identity through the
+  // pinned schema (the driver compare is type-strict). ---------------
+  def jsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val out = scratch(dir, "jsonl") + "/docs"
+    graft.sources.JsonlSource.write(Tables.documents(spark, dir), out)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    graft.sources.JsonlSource.read(spark, out, schema)
+      .select(col("doc_id"), md5(col("text")).as("content_md5"),
+        col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val jsonlRoundtripOracle: String = """
+    SELECT doc_id, md5(text) AS content_md5, lang, source, n_chars
+    FROM documents
+    ORDER BY doc_id"""
+
   // ---- registry -------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "jsonl_roundtrip"      -> (jsonlRoundtrip _),
     "ref_wikir_fields"     -> (wikirFields _),
     "ref_schema_columns"   -> (schemaColumns _),
     "ref_sample_papers"    -> (samplePapers _),
@@ -252,6 +279,7 @@ object RefCore {
     "ref_extract_manifest" -> (extractManifest _))
 
   val oracle: Map[String, String] = Map(
+    "jsonl_roundtrip"      -> jsonlRoundtripOracle,
     "ref_wikir_fields"     -> wikirFieldsOracle,
     "ref_schema_columns"   -> schemaColumnsOracle,
     "ref_sample_papers"    -> samplePapersOracle,
