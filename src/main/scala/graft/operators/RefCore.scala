@@ -264,10 +264,34 @@ object RefCore {
     FROM documents
     ORDER BY doc_id"""
 
+  // ---- CSV roundtrip (round 11) — same gate shape as jsonl_roundtrip
+  // through [[graft.sources.CsvSource]]: full documents table →
+  // distributed RFC-4180 write → pinned-schema read → identity
+  // projection. Proves the quoting/escape/null-token choices are
+  // actually lossless (md5 of text survives quote-doubling; the \N
+  // null token keeps "" and NULL distinct; types rehydrate from the
+  // pinned schema under the driver's type-strict compare). -----------
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val out = scratch(dir, "csv") + "/docs"
+    graft.sources.CsvSource.write(Tables.documents(spark, dir), out)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    graft.sources.CsvSource.read(spark, out, schema)
+      .select(col("doc_id"), md5(col("text")).as("content_md5"),
+        col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val csvRoundtripOracle: String = jsonlRoundtripOracle
+
   // ---- registry -------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "jsonl_roundtrip"      -> (jsonlRoundtrip _),
+    "csv_roundtrip"        -> (csvRoundtrip _),
     "ref_wikir_fields"     -> (wikirFields _),
     "ref_schema_columns"   -> (schemaColumns _),
     "ref_sample_papers"    -> (samplePapers _),
@@ -280,6 +304,7 @@ object RefCore {
 
   val oracle: Map[String, String] = Map(
     "jsonl_roundtrip"      -> jsonlRoundtripOracle,
+    "csv_roundtrip"        -> csvRoundtripOracle,
     "ref_wikir_fields"     -> wikirFieldsOracle,
     "ref_schema_columns"   -> schemaColumnsOracle,
     "ref_sample_papers"    -> samplePapersOracle,
