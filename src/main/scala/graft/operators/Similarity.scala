@@ -1998,6 +1998,98 @@ object Similarity {
     SELECT vec_id, pr FROM pr$PrRounds ORDER BY vec_id"""
   }
 
+  /** Label-propagation community detection (Raghavan et al. 2007,
+    * "Near linear time algorithm to detect community structures in
+    * large-scale networks" — public paper), made DETERMINISTIC the
+    * same way pagerank was: synchronous rounds (every node updates
+    * from the same snapshot — no order-dependence), a FIXED round
+    * count (unrollable oracle, bounded lineage), majority neighbor
+    * label with ties → smallest label, isolated nodes keep their own.
+    * Communities are the soft complement of [[Graph.connectedComponents]]:
+    * CC fuses everything reachable (dedup's "same document" semantics);
+    * LPA splits a connected graph at its sparse cuts (curation's
+    * "same REGION of the data distribution" semantics — mixture
+    * weights, per-community quotas, diversity audits).
+    *
+    * Round cost on a J-bounded edge list: one equi-keyed count
+    * aggregate on (dst, label), one WindowGroupLimit argmax per node,
+    * one join back to nodes — all shuffles on the node key, so a
+    * pre-partitioned graph reuses one exchange. More rounds at scale →
+    * checkpoint labels every ~10 rounds, as pagerank documents. */
+  private[graft] val LpRounds = 4
+
+  /** LPA over ANY (src, dst) edge frame + (vec_id) node frame — the
+    * decomposed serve API ([[pagerankOf]] pattern): edges can come
+    * from a materialized [[knnGraph]] without a rebuild. Edges are
+    * treated as DIRECTED here; symmetrize first for the usual
+    * undirected semantics (the gated entry does). */
+  def labelPropagateOf(nodes: DataFrame, edges: DataFrame,
+                       rounds: Int = LpRounds): DataFrame = {
+    val nodesC = nodes.select(col("vec_id")).cache()
+    val edgesC = edges.cache()
+    var lbl = nodesC.select(col("vec_id"), col("vec_id").as("lbl"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("c").desc, col("lbl"))
+    for (_ <- 1 to rounds) {
+      val pick = edgesC
+        .join(lbl.withColumnRenamed("vec_id", "src"), Seq("src"))
+        .groupBy(col("dst").as("vec_id"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("lbl").as("nl"))
+      lbl = nodesC
+        .join(lbl, Seq("vec_id"))
+        .join(pick, Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col("nl"), col("lbl")).as("lbl"))
+    }
+    val sizes = lbl.groupBy(col("lbl")).agg(count(lit(1)).cast("int").as("csize"))
+    lbl.join(sizes, Seq("lbl"))
+      .select(col("vec_id"), col("lbl").as("community"), col("csize"))
+      .orderBy(col("vec_id"))
+  }
+
+  def graphCommunities(spark: SparkSession, dir: String): DataFrame = {
+    val knn = knnGraph(spark, dir)
+      .select(col("vec_id").as("src"), col("nid").as("dst"))
+    // undirected LPA: a kNN edge counts as contact for BOTH endpoints
+    val sym = knn.union(knn.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    labelPropagateOf(emb(spark, dir).select(col("vec_id")), sym)
+  }
+
+  /** Exact twin of [[graphCommunities]]: same knn CTE chain,
+    * symmetrized edges, [[LpRounds]] unrolled majority-label updates. */
+  val graphCommunitiesOracle: String = {
+    val rounds = (0 until LpRounds).map { i =>
+      s"""
+    ct$i AS (
+      SELECT e.dst AS vec_id, l.lbl, count(*) AS c
+      FROM ue e JOIN lp$i l ON l.vec_id = e.src
+      GROUP BY e.dst, l.lbl),
+    pk$i AS (
+      SELECT vec_id, lbl FROM (
+        SELECT vec_id, lbl,
+          row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, lbl) AS rn
+        FROM ct$i)
+      WHERE rn = 1),
+    lp${i + 1} AS (
+      SELECT n.vec_id, coalesce(p.lbl, l.lbl) AS lbl
+      FROM nodes n
+      JOIN lp$i l ON l.vec_id = n.vec_id
+      LEFT JOIN pk$i p ON p.vec_id = n.vec_id)"""
+    }
+    s"""
+    $knnGraphSqlCtes,
+    de AS (SELECT vec_id AS src, nid AS dst FROM knn),
+    ue AS (SELECT DISTINCT src, dst FROM
+      (SELECT src, dst FROM de UNION ALL SELECT dst, src FROM de)),
+    nodes AS (SELECT vec_id FROM embeddings),
+    lp0 AS (SELECT vec_id, vec_id AS lbl FROM nodes)${rounds.mkString(",", ",", "")},
+    sz AS (SELECT lbl, CAST(count(*) AS INT) AS csize FROM lp$LpRounds GROUP BY lbl)
+    SELECT l.vec_id, l.lbl AS community, sz.csize
+    FROM lp$LpRounds l JOIN sz ON sz.lbl = l.lbl
+    ORDER BY l.vec_id"""
+  }
+
   /** Exact twin of [[densityPrune]]. */
   val densityPruneOracle: String = s"""
     $knnGraphSqlCtes,
@@ -2015,6 +2107,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_knn_graph"       -> (knnGraph _),
     "sim_graph_pagerank"  -> (graphPagerank _),
+    "sim_graph_communities" -> (graphCommunities _),
     "curation_density_prune" -> (densityPrune _),
     "sim_topk_bruteforce" -> (topkBruteforce _),
     "dedup_embedding"     -> (nearDupPairs _),
@@ -2036,6 +2129,7 @@ object Similarity {
   val oracle: Map[String, String] = Map(
     "sim_knn_graph"       -> knnGraphOracle,
     "sim_graph_pagerank"  -> graphPagerankOracle,
+    "sim_graph_communities" -> graphCommunitiesOracle,
     "curation_density_prune" -> densityPruneOracle,
     "sim_topk_bruteforce" -> topkBruteforceOracle,
     "sim_topk_ivf"        -> topkIvfOracle,

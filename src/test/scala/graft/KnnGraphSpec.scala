@@ -106,6 +106,46 @@ class KnnGraphSpec extends AnyFunSuite {
     assert(dpInline == dpStored, "prune from the stored graph must bit-match inline")
   }
 
+  test("labelPropagateOf: cliques joined by one bridge split; singletons keep their label") {
+    // two 3-cliques {0,1,2} and {3,4,5}, one undirected bridge 2–3, and
+    // an isolated node 6 — LPA must NOT fuse across the sparse cut
+    // (that is connectedComponents' job) and must leave 6 alone
+    val cliqueA = Seq((0L, 1L), (0L, 2L), (1L, 2L))
+    val cliqueB = Seq((3L, 4L), (3L, 5L), (4L, 5L))
+    val und = (cliqueA ++ cliqueB ++ Seq((2L, 3L)))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val nodes = (0L to 6L).toDF("vec_id")
+    val res = Similarity.labelPropagateOf(nodes, und.toDF("src", "dst"))
+      .as[(Long, Long, Int)].collect().toSeq.sortBy(_._1)
+    assert(res.map(_._1) == (0L to 6L))
+    val lbl = res.map(r => r._1 -> r._2).toMap
+    assert(Set(lbl(0), lbl(1), lbl(2)).size == 1, "clique A not one community")
+    assert(Set(lbl(3), lbl(4), lbl(5)).size == 1, "clique B not one community")
+    assert(lbl(0) != lbl(3), "bridge fused the two cliques")
+    assert(lbl(6) == 6L, "isolated node must keep its own label")
+    // csize is consistent with the label partition
+    res.foreach { case (v, l, sz) =>
+      assert(sz == res.count(_._2 == l), s"vec $v csize $sz inconsistent") }
+  }
+
+  test("labelPropagateOf: a parquet-roundtripped graph serves identically to inline") {
+    val dir = "/root/testdata/sf0.001"
+    val out = "target/tmp/knn_graph_spec_lpa"
+    Similarity.knnGraph(spark, dir).write.mode("overwrite").parquet(out)
+    val de = spark.read.parquet(out)
+      .select(col("vec_id").as("src"), col("nid").as("dst"))
+    val sym = de.union(de.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    val inline = Similarity.graphCommunities(spark, dir)
+      .as[(Long, Long, Int)].collect().toSeq
+    val stored = Similarity.labelPropagateOf(
+        Similarity.emb(spark, dir).select(col("vec_id")), sym)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(inline == stored, "communities from the stored graph must bit-match inline")
+    // non-degenerate at sf0.001: more than one community, none corpus-sized
+    assert(inline.map(_._2).distinct.size > 1, "LPA collapsed to one community")
+    assert(inline.map(_._3).max < inline.size, "one community swallowed the corpus")
+  }
+
   test("knnGraph: top-J rank plans as WindowGroupLimit (no full per-cell sort survives)") {
     val df = Similarity.knnGraph(spark, "/root/testdata/sf0.001")
     df.collect()
