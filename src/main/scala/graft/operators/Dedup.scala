@@ -730,7 +730,97 @@ object Dedup {
 
   val incrementalOracle: String = incrementalOracleFor(IncrementalCut, DefaultMaxShingleDf)
 
+  // ---- Bloom-prefiltered catalog probe (round 11) ---------------------
+  // The 100 TB shape of "is this document already in the catalog?":
+  // at scale the catalog is billions of fingerprints, and the naive
+  // answer — shuffle-join every incoming batch against it — moves the
+  // whole batch over the wire to discover that MOST documents are
+  // novel. A Bloom filter inverts that: one broadcastable bit array
+  // answers "definitely novel" for the overwhelming majority NARROWLY
+  // (no shuffle, no catalog scan per batch), and only the maybe-members
+  // pay the exact confirm join. Built on Spark's own runtime-filter
+  // expressions (functions/Bloom.scala) so the engine's tested
+  // xxhash64/bit-merge machinery does the work.
+  //
+  // Sizing is the codebook trade stated in bits: numBits is the
+  // broadcast budget (8 bits/key ≈ 2% fpp → 1 MB/M keys; a 1 B-key
+  // catalog at 8 bits/key is ~1 GB — past broadcast comfort, so beyond
+  // ~100 M keys fall back to the shuffle semi-join of
+  // [[incrementalOf]], or shard the filter by key range). fpp only
+  // moves the confirm join's input volume, NEVER the answer.
+
+  /** Exact anti-join served through a Bloom prefilter: returns the
+    * incoming rows whose `keyCol` is NOT in `catalogKeys`. Definite
+    * Bloom misses pass straight through (no false negatives = truth);
+    * maybe-members are confirmed by an exact anti-join whose input is
+    * only the (true dups + false positives) sliver. Output EQUALS the
+    * plain anti-join for every filter size — exactness is
+    * gate-checked, pruning is spec-checked. */
+  def bloomAntiJoin(incoming: DataFrame, catalogKeys: DataFrame, keyCol: String,
+                    expectedItems: Long, numBits: Long): DataFrame = {
+    import graft.functions.Bloom
+    val row = catalogKeys
+      .agg(Bloom.bloomAgg(col(keyCol), expectedItems, numBits).as("bf")).head()
+    if (row.isNullAt(0)) return incoming // empty catalog: everything novel
+    val bytes = row.getAs[Array[Byte]](0)
+    val maybe = incoming.filter(Bloom.mightContain(bytes, col(keyCol)))
+      .join(catalogKeys.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+    incoming.filter(!Bloom.mightContain(bytes, col(keyCol)))
+      .unionByName(maybe.select(incoming.columns.map(col).toSeq: _*))
+  }
+
+  /** Seeds shared verbatim by the gated entry and its oracle (the
+    * DhashSeeds pattern): the organic corpus has ~no exact-text dups
+    * across the [[IncrementalCut]], so without seeds the probe would be
+    * a vacuous identity. Two incoming texts collide with catalog seeds
+    * (must be dropped), one is novel (must survive). */
+  private[graft] val BloomCatalogSeeds: Seq[(Long, String)] = Seq(
+    (-1L, "graft bloom seed alpha"),
+    (-2L, "graft bloom seed beta"),
+    (-3L, "graft bloom seed gamma"))
+  private[graft] val BloomIncomingSeeds: Seq[(Long, String)] = Seq(
+    (9000001L, "graft bloom seed alpha"),
+    (9000002L, "graft bloom seed beta"),
+    (9000003L, "graft bloom novel delta"))
+
+  /** Gated entry: novel documents (by exact md5(text) fingerprint)
+    * among `doc_id >= cut` + incoming seeds, probed against the
+    * catalog of `doc_id < cut` + catalog seeds through [[bloomAntiJoin]]. */
+  def bloomProbe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val cat = docs.filter(col("doc_id") < IncrementalCut)
+      .unionByName(BloomCatalogSeeds.toDF("doc_id", "text"))
+      .select(md5(col("text")).as("fp"))
+    val inc = docs.filter(col("doc_id") >= IncrementalCut)
+      .unionByName(BloomIncomingSeeds.toDF("doc_id", "text"))
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+    bloomAntiJoin(inc, cat, "fp", expectedItems = 4096, numBits = 32768)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Exact twin of [[bloomProbe]] — a PLAIN anti-join: the Bloom stage
+    * is pure routing (definite-miss vs confirm-join) and provably never
+    * changes the result set. */
+  val bloomProbeOracle: String = {
+    def vals(s: Seq[(Long, String)]) =
+      s.map { case (id, t) => s"(CAST($id AS BIGINT), '$t')" }.mkString(", ")
+    s"""
+    WITH cat AS (
+      SELECT md5(text) AS fp FROM (
+        SELECT text FROM documents WHERE doc_id < $IncrementalCut
+        UNION ALL SELECT text FROM (VALUES ${vals(BloomCatalogSeeds)}) s(doc_id, text))),
+    inc AS (
+      SELECT doc_id, md5(text) AS fp FROM (
+        SELECT doc_id, text FROM documents WHERE doc_id >= $IncrementalCut
+        UNION ALL SELECT doc_id, text FROM (VALUES ${vals(BloomIncomingSeeds)}) s(doc_id, text)))
+    SELECT doc_id, fp FROM inc
+    WHERE NOT EXISTS (SELECT 1 FROM cat WHERE cat.fp = inc.fp)
+    ORDER BY doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_bloom_probe"   -> (bloomProbe _),
     "dedup_exact"         -> (exact _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_lsh"   -> (minhashLsh _),
@@ -740,6 +830,7 @@ object Dedup {
     "dedup_incremental"   -> (incremental _))
 
   val oracle: Map[String, String] = Map(
+    "dedup_bloom_probe"   -> bloomProbeOracle,
     "dedup_exact"         -> exactOracle,
     // capped gate since round 8: the oracle's keep CTE mirrors the
     // default df cap the gated entry now runs with
