@@ -522,6 +522,28 @@ object EventStream {
       graft.functions.MisraGriesTopK.of(col("token"), cap).as("hh"),
       count(lit(1)).as("n_total"))
 
+  // ---- ingest-time Bloom novelty routing -------------------------------
+
+  /** Streaming twin of [[graft.operators.Dedup.bloomAntiJoin]]'s ROUTING
+    * stage: flag each incoming document against a FIXED serialized Bloom
+    * filter of catalog fingerprints (built offline by
+    * `functions.Bloom.bloomAgg`, persisted next to the catalog like the
+    * SQ8/IVFPQ models). `maybe_dup = false` is TRUTH (no false
+    * negatives) — those documents are safe to admit with no catalog
+    * access at all; `maybe_dup = true` is a candidate set for the exact
+    * confirm (route to [[classifyAgainstCatalog]] or a batch
+    * `bloomAntiJoin`). The filter bytes ride as a binary plan literal,
+    * so the scorer is a narrow per-row projection: no join, no shuffle,
+    * no state-store rows, append-mode clean — per-doc cost is one
+    * xxhash64 + k bit probes, independent of catalog size and stream
+    * history. Re-flag with a refreshed filter when the catalog grows;
+    * an out-of-date filter only ADMITS more maybes (still exact after
+    * confirm), never drops a novel doc. */
+  def bloomNovelScore(docs: DataFrame, filterBytes: Array[Byte]): DataFrame =
+    docs.select(col("doc_id"), md5(col("text")).as("fp"))
+      .withColumn("maybe_dup",
+        graft.functions.Bloom.mightContain(filterBytes, col("fp")))
+
   // ---- gap sessionization with explicit state --------------------------
 
   final case class Ev(user_id: Long, us: Long, value: Double)

@@ -726,4 +726,46 @@ class StreamingSpec extends AnyFunSuite {
       assert(cellNames.contains(got(id)._1))
     }
   }
+
+  test("streaming bloom novelty: flags == batch, no false negatives, zero state rows") {
+    implicit val sqlCtx = spark.sqlContext
+    // catalog filter built offline over the first half of the corpus +
+    // the gated seeds (the dedup_bloom_probe split)
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val catKeys = docs.filter(col("doc_id") < 250)
+      .unionByName(graft.operators.Dedup.BloomCatalogSeeds.toDF("doc_id", "text"))
+      .select(md5(col("text")).as("fp"))
+    val bytes = catKeys
+      .agg(graft.functions.Bloom.bloomAgg(col("fp"), 4096, 32768).as("bf"))
+      .head().getAs[Array[Byte]](0)
+
+    val incoming = docs.filter(col("doc_id") >= 250)
+      .unionByName(graft.operators.Dedup.BloomIncomingSeeds.toDF("doc_id", "text"))
+      .as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)]
+    val flagged = EventStream.bloomNovelScore(
+      input.toDS().toDF("doc_id", "text"), bytes)
+    val q = flagged.writeStream.format("memory").queryName("bloom_stream")
+      .outputMode("append").start()
+    incoming.grouped(math.max(1, incoming.length / 3 + 1)).foreach { b =>
+      input.addData(b.toSeq); q.processAllAvailable()
+    }
+    assert(q.lastProgress.stateOperators.isEmpty) // narrow plan, no state
+    q.stop()
+    val got = spark.table("bloom_stream")
+      .select("doc_id", "maybe_dup").as[(Long, Boolean)].collect().toMap
+    assert(got.size == incoming.length)
+    // streamed == batch scorer bit-for-bit
+    val want = EventStream.bloomNovelScore(
+        docs.filter(col("doc_id") >= 250)
+          .unionByName(graft.operators.Dedup.BloomIncomingSeeds.toDF("doc_id", "text")),
+        bytes)
+      .select("doc_id", "maybe_dup").as[(Long, Boolean)].collect().toMap
+    assert(got == want)
+    // no false negatives: the seeded true dups MUST be flagged maybe
+    assert(got(9000001L) && got(9000002L), "true catalog member not flagged")
+    // and the routing is non-vacuous: most organic docs pass as definite-novel
+    assert(got.count(!_._2) > got.size / 2, "filter flags most of the stream")
+  }
 }
