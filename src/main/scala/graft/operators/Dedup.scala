@@ -762,11 +762,47 @@ object Dedup {
     val row = catalogKeys
       .agg(Bloom.bloomAgg(col(keyCol), expectedItems, numBits).as("bf")).head()
     if (row.isNullAt(0)) return incoming // empty catalog: everything novel
-    val bytes = row.getAs[Array[Byte]](0)
-    val maybe = incoming.filter(Bloom.mightContain(bytes, col(keyCol)))
-      .join(catalogKeys.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
-    incoming.filter(!Bloom.mightContain(bytes, col(keyCol)))
-      .unionByName(maybe.select(incoming.columns.map(col).toSeq: _*))
+    bloomAntiJoinWith(incoming, catalogKeys, keyCol, row.getAs[Array[Byte]](0))
+  }
+
+  /** The SERVE form: probe with a PREBUILT serialized filter (persisted
+    * next to the catalog, built once by `functions.Bloom.bloomAgg`) —
+    * the per-batch cost never includes the filter build. The filter may
+    * be stale-but-superset-safe: a filter missing recently-appended
+    * catalog keys would be WRONG (false negatives admit true dups), so
+    * refresh on append; a filter containing extra retired keys only
+    * fattens the confirm sliver.
+    *
+    * Confirm-join plan shape (the actual scale win, measured in
+    * ScaleBloom): the maybe sliver is SMALL by construction (true dups
+    * + fpp·batch), so it broadcasts — the catalog is only ever
+    * SCANNED (broadcast semi-join against the sliver's keys), never
+    * shuffled or distinct'd. A first cut that anti-joined the sliver
+    * against `catalog.distinct()` shuffled all 10 M catalog keys per
+    * batch and lost to the plain anti-join 22 s vs 5.5 s; this shape
+    * wins 3.3 s vs 5.5 s and, at a real 1000-executor catalog, moves
+    * O(sliver) bytes per batch instead of O(catalog). If the sliver
+    * outgrows the broadcast budget (a mostly-duplicate batch), fall
+    * back to the plain shuffle anti-join — exactness is identical. */
+  def bloomAntiJoinWith(incoming: DataFrame, catalogKeys: DataFrame,
+                        keyCol: String, filterBytes: Array[Byte]): DataFrame =
+    bloomAntiJoinBc(incoming, catalogKeys, keyCol,
+      graft.functions.Bloom.broadcastFilter(incoming.sparkSession, filterBytes))
+
+  /** [[bloomAntiJoinWith]] from an ALREADY-broadcast filter — the
+    * long-lived serve handle: broadcast once, probe from every later
+    * batch without re-shipping the bytes. */
+  def bloomAntiJoinBc(incoming: DataFrame, catalogKeys: DataFrame, keyCol: String,
+                      filter: org.apache.spark.broadcast.Broadcast[Array[Byte]]): DataFrame = {
+    import graft.functions.Bloom
+    val maybe = incoming.filter(Bloom.mightContainBc(filter, col(keyCol)))
+    val maybeKeys = maybe.select(col(keyCol)).distinct()
+    // catalog-side broadcast semi: one narrow catalog scan, no exchange
+    val matched = catalogKeys.join(broadcast(maybeKeys), Seq(keyCol), "left_semi")
+      .select(col(keyCol)).distinct()
+    val novelMaybes = maybe.join(broadcast(matched), Seq(keyCol), "left_anti")
+    incoming.filter(!Bloom.mightContainBc(filter, col(keyCol)))
+      .unionByName(novelMaybes.select(incoming.columns.map(col).toSeq: _*))
   }
 
   /** Seeds shared verbatim by the gated entry and its oracle (the

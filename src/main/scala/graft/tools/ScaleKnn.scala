@@ -93,8 +93,33 @@ object ScaleKnn {
         .agg(count(lit(1)), sum(col("pr"))).first()
     }
 
+    // ---- label propagation over the same graph ------------------------
+    // communities must respect the synthetic cluster structure: sampled
+    // nodes sharing a community share the true cluster (the kNN edges
+    // are overwhelmingly intra-cluster at 0.95+ top-1 agreement, so LPA
+    // should almost never fuse across clusters)
+    val (comm, tLpa) = time("labelPropagateOf over 1M nodes / sym edges") {
+      val de = graph.select(col("vec_id").as("src"), col("nid").as("dst"))
+      val c = Similarity.labelPropagateOf(corpus.select(col("vec_id")),
+        de.union(de.select(col("dst").as("src"), col("src").as("dst"))).distinct())
+        .cache()
+      c.count(); c
+    }
+    val nComm = comm.select(col("community")).distinct().count()
+    val crossPairs = comm.filter(col("vec_id") % 499 === 0)
+      .select((col("vec_id") % clusters).as("truec"), col("community"))
+      .groupBy(col("community"))
+      .agg(countDistinct(col("truec")).as("nc"))
+    val fused = crossPairs.filter(col("nc") > 1).count()
+    val nSampledComms = crossPairs.count()
+    println(s"[scale] LPA communities=$nComm fusedSampledComms=$fused/$nSampledComms")
+    require(nComm >= clusters / 2,
+      s"LPA collapsed: $nComm communities for $clusters true clusters")
+    require(fused <= nSampledComms / 10,
+      s"LPA fused across clusters in $fused of $nSampledComms sampled communities")
+
     println(f"[scale] RECORD assign=$tAssign%.1f build=$tBuild%.1f pagerank=$tPr%.1f " +
-      f"edges=$nEdges agree=$agree%.3f")
+      f"lpa=$tLpa%.1f communities=$nComm edges=$nEdges agree=$agree%.3f")
     spark.stop()
   }
 }

@@ -46,6 +46,21 @@ class BloomSpec extends AnyFunSuite {
     assert(hits == 1000, "false negative — Bloom contract broken")
   }
 
+  test("literal and broadcast probes agree bit-for-bit") {
+    val catalog = keys(0 until 300, "key").select(col("fp"))
+    val probeSet = keys(0 until 150, "key").union(keys(0 until 150, "other"))
+    val bytes = catalog
+      .agg(Bloom.bloomAgg(col("fp"), 300, 4096).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val bc = Bloom.broadcastFilter(spark, bytes)
+    val lit = probeSet.withColumn("m", Bloom.mightContain(bytes, col("fp")))
+      .select("doc_id", "fp", "m").as[(Long, String, Boolean)].collect().toSet
+    val viaBc = probeSet.withColumn("m", Bloom.mightContainBc(bc, col("fp")))
+      .select("doc_id", "fp", "m").as[(Long, String, Boolean)].collect().toSet
+    assert(lit == viaBc, "probe forms diverge — xxhash64 contract broken")
+    assert(lit.exists(_._3) && lit.exists(!_._3))
+  }
+
   test("empty catalog degrades gracefully: everything is novel") {
     val catalog = keys(0 until 0, "key").select(col("fp"))
     val inc = keys(0 until 10, "x")
