@@ -110,6 +110,36 @@ object Extractor {
       .partitionBy(partitionCol)
       .parquet(outputDir)
 
+  /** Write a corpus Z-ORDERED on several numeric columns — the layout
+    * for "we filter this table by time AND quality AND length, pick
+    * one sort order": bit-interleaved keys keep every contiguous file's
+    * min/max narrow in EVERY listed dimension, so parquet stats prune
+    * scans on ANY of them (~n_files^(1/d) of the files touched for a
+    * point-ish predicate, vs all files for every non-leading column of
+    * a lexicographic sort). Bounds for bucketizing are ONE min/max agg
+    * over the corpus, shipped as literals; the key build is narrow; the
+    * write is `repartitionByRange(zkey)` (one range shuffle — contiguous
+    * disjoint key ranges per file, which is what makes the per-file
+    * stats tight) + an in-partition sort. Columns must be numeric;
+    * map categoricals through a dictionary first. */
+  def writeCorpusZOrdered(df: DataFrame, outputDir: String,
+                          zCols: Seq[String], nFiles: Int = 16,
+                          bits: Int = 16): Unit = {
+    import graft.functions.ZOrder
+    require(zCols.nonEmpty, "writeCorpusZOrdered needs at least one layout column")
+    val aggs = zCols.flatMap(c =>
+      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+    val bounds = df.agg(aggs.head, aggs.tail: _*).head()
+    val bucketed = zCols.zipWithIndex.map { case (c, i) =>
+      ZOrder.bucketize(col(c), bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1), bits)
+    }
+    df.withColumn("__zkey", ZOrder.zkey(bucketed, bits))
+      .repartitionByRange(nFiles, col("__zkey"))
+      .sortWithinPartitions(col("__zkey"))
+      .drop("__zkey")
+      .write.mode("overwrite").parquet(outputDir)
+  }
+
   final case class CleanupResult(deleted: Long, bytes: Long)
 
   /** Delete generated files in an output directory (cleanup_wikir.py:9),
