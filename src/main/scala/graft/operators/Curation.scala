@@ -48,6 +48,55 @@ object Curation {
     SELECT doc_id, source, rk FROM r WHERE rk <= 10
     ORDER BY source, rk"""
 
+  // ---- weighted priority sampling (round 11) --------------------------
+  // One-pass weighted sampling WITHOUT replacement (Efraimidis &
+  // Spirakis 2006, "Weighted random sampling with a reservoir" — the
+  // A-ES scheme): each row gets key u^(1/w) for a uniform u and weight
+  // w; the top-K keys ARE a weighted sample without replacement. The
+  // 100 TB shape: ONE narrow pass to key every row + ONE global top-K
+  // (TakeOrdered / WindowGroupLimit — never a full sort), versus
+  // dsir_sample's normalize-then-resample which needs the weight sum
+  // first. Works for any positive weight column: token mass (here),
+  // quality scores, inverse-duplication counts.
+  //
+  // Determinism/portability: u is md5-derived (the stratifiedMix hash
+  // convention) mapped to (0,1]; ln(u) is ROUNDED 8 dp at the libm
+  // call (the bslm log2 discipline — pin the one op whose last ulp
+  // engines may disagree on, then do exact arithmetic); the ordering
+  // key uses ln(u)/w (monotone in u^(1/w)), scaled ×1e6 before the
+  // 6-dp round so small keys keep ~10 significant digits; ties break
+  // on doc_id.
+  private val PriorityK = 20
+
+  def prioritySample(spark: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(concat(lit("ps:"), col("doc_id").cast("string"))), 1, 15),
+      16, 10).cast("long")
+    val lnu = round(log((h + 1) / lit(1152921504606846976.0)), 8) // ln, 2^60
+    val w = greatest(col("n_chars").cast("double"), lit(1.0))
+    val key = round(lnu * 1000000.0 / w, 6)
+    val win = Window.orderBy(col("key").desc, col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"), key.as("key"))
+      .withColumn("rk", row_number().over(win))
+      .filter(col("rk") <= PriorityK)
+      .select(col("rk"), col("doc_id"), col("n_chars"), col("key"))
+      .orderBy(col("rk"))
+  }
+
+  val prioritySampleOracle: String = s"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+        round(round(ln((CAST(concat('0x', substr(md5('ps:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1)
+              / 1152921504606846976.0), 8)
+          * 1000000.0 / greatest(CAST(n_chars AS DOUBLE), 1.0), 6) AS key
+      FROM documents),
+    r AS (
+      SELECT doc_id, n_chars, key,
+        CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS INT) AS rk
+      FROM keyed)
+    SELECT rk, doc_id, n_chars, key FROM r WHERE rk <= $PriorityK
+    ORDER BY rk"""
+
   private val ContamN = 4
   private val ProbeDocs = 5
 
@@ -1108,6 +1157,7 @@ object Curation {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curation_quality_classifier" -> (qualityClassifier _),
     "curation_stratified_mix" -> (stratifiedMix _),
+    "curation_priority_sample" -> (prioritySample _),
     "curation_contamination"  -> (contamination _),
     "curation_winnow_contamination" -> (winnowContamination _),
     "curation_pack_sequences" -> (packSequences _),
@@ -1126,6 +1176,7 @@ object Curation {
   val oracle: Map[String, String] = Map(
     "curation_quality_classifier" -> qualityClassifierOracle,
     "curation_stratified_mix" -> stratifiedMixOracle,
+    "curation_priority_sample" -> prioritySampleOracle,
     "curation_contamination"  -> contaminationOracle,
     "curation_winnow_contamination" -> winnowContaminationOracle,
     "curation_pack_sequences" -> packSequencesOracle,

@@ -49,6 +49,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("\\*\\(\\d+\\) HashAggregate".r.findFirstIn(plan).isDefined, plan.take(2000))
   }
 
+  test("prioritySample: global top-K never full-sorts the corpus") {
+    // Catalyst plants TakeOrderedAndProject(limit=K) BELOW the rank
+    // window (LimitPushDownThroughWindow) — per-partition heaps, one
+    // K-row reducer; WindowGroupLimit is the acceptable fallback shape
+    val plan = finalPlan(graft.operators.Curation.prioritySample(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject") || plan.contains("WindowGroupLimit"),
+      plan.take(2000))
+  }
+
   test("kmv: rank filter plans as WindowGroupLimit (bounded per-group state below the exchange)") {
     val plan = finalPlan(Analytics.eventsKmv(spark, sf))
     assert(plan.contains("WindowGroupLimit"), plan.take(2000))
