@@ -462,6 +462,53 @@ object Dedup {
     SELECT doc_id, cluster_id FROM clu
     ORDER BY doc_id"""
 
+  // ---- survivorship policy (round 11) ---------------------------------
+  // dedup_clusters names each cluster by its min doc_id — an ARBITRARY
+  // survivor. Production dedup keeps the BEST member (RefinedWeb/Lee
+  // et al. practice: the longest or highest-quality duplicate is
+  // usually the most complete version; min-id keeps whichever crawled
+  // first). Survivorship = one rank-1 window over the cluster frame —
+  // the policy costs one K-bounded-per-cluster window on top of the
+  // clusters, nothing corpus-shaped.
+
+  /** Pick one survivor per cluster from a (doc_id, cluster_id) frame
+    * joined with per-doc metadata: rank by the given policy columns
+    * (first = most important, descending), ties → lowest doc_id.
+    * Returns the input plus `keep` (true for the cluster's survivor). */
+  def survivorshipOf(clusters: DataFrame, meta: DataFrame,
+                     policyCols: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(policyCols.map(col(_).desc) :+ col("doc_id").asc: _*)
+    clusters.join(meta, Seq("doc_id"))
+      .withColumn("keep", row_number().over(w) === 1)
+  }
+
+  /** Gated entry: longest-document survivorship over the organic
+    * clusters (policy = n_chars desc, doc_id tie-break). */
+  def survivorship(spark: SparkSession, dir: String): DataFrame =
+    survivorshipOf(
+      dedupClustersOf(spark, dir, ordered = false),
+      Tables.documents(spark, dir).select(col("doc_id"), col("n_chars")),
+      Seq("n_chars"))
+      .select(col("doc_id"), col("cluster_id"), col("n_chars"), col("keep"))
+      .orderBy(col("doc_id"))
+
+  /** Exact twin of [[survivorship]] over the shared cluster CTEs. */
+  val survivorshipOracle: String = s"""
+    WITH RECURSIVE
+    $clustersCteSql,
+    jn AS (
+      SELECT c.doc_id, c.cluster_id, d.n_chars
+      FROM clu c JOIN documents d ON d.doc_id = c.doc_id),
+    r AS (
+      SELECT doc_id, cluster_id, n_chars,
+        row_number() OVER (PARTITION BY cluster_id
+          ORDER BY n_chars DESC, doc_id) AS rn
+      FROM jn)
+    SELECT doc_id, cluster_id, n_chars, (rn = 1) AS keep FROM r
+    ORDER BY doc_id"""
+
   // ---- registry -------------------------------------------------------
 
   // ---- incremental (catalog) dedup — round 4, two-table API round 5 ----
@@ -863,6 +910,7 @@ object Dedup {
     "dedup_simhash"       -> (simhash _),
     "dedup_pipeline"      -> (dedupPipeline _),
     "dedup_clusters"      -> (dedupClusters _),
+    "dedup_survivorship"  -> (survivorship _),
     "dedup_incremental"   -> (incremental _))
 
   val oracle: Map[String, String] = Map(
@@ -881,7 +929,8 @@ object Dedup {
     "dedup_incremental"   -> incrementalOracle,
     "dedup_simhash"       -> simhashOracle,
     "dedup_pipeline"      -> dedupPipelineOracle,
-    "dedup_clusters"      -> dedupClustersOracle)
+    "dedup_clusters"      -> dedupClustersOracle,
+    "dedup_survivorship"  -> survivorshipOracle)
 
   // Exact twin of `simhash`: the md5-derived 60-bit token hash makes the
   // signature, the 4-block pigeonhole candidate join, and the Hamming

@@ -499,4 +499,15 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(tp == Seq((10L, 11L, 0)), s"identical byte payloads must pair at hamming 0: $tp")
   }
 
+  test("survivorshipOf: best-member policy beats min-id; ties break low; singletons keep") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L))
+      .toDF("doc_id", "cluster_id")
+    val meta = Seq((1L, 100L), (2L, 300L), (3L, 300L), (9L, 50L))
+      .toDF("doc_id", "n_chars")
+    val out = graft.operators.Dedup.survivorshipOf(clusters, meta, Seq("n_chars"))
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    // longest wins (NOT min-id doc 1); the 300-char tie breaks to doc 2
+    assert(out == Map(1L -> false, 2L -> true, 3L -> false, 9L -> true))
+  }
+
 }
