@@ -2028,14 +2028,21 @@ object Similarity {
     val nodesC = nodes.select(col("vec_id")).cache()
     val edgesC = edges.cache()
     var lbl = nodesC.select(col("vec_id"), col("vec_id").as("lbl"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("c").desc, col("lbl"))
     for (_ <- 1 to rounds) {
+      // majority-with-min-tie as ONE lexicographic max over (count,
+      // -label) — both engines order structs field-by-field. vs the
+      // rank-window formulation: partial-aggregates map-side and skips
+      // the per-node sort. At sf0.1 the gated entry's wall barely moves
+      // (measured 7.7→7.6 s — the cost there is ~20 AQE stage
+      // schedulings for 2 000 rows, a fixed floor), but at 1 M nodes
+      // the sort volume is real (ScaleKnn carries the record).
       val pick = edgesC
         .join(lbl.withColumnRenamed("vec_id", "src"), Seq("src"))
         .groupBy(col("dst").as("vec_id"), col("lbl"))
         .agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("vec_id"), col("lbl").as("nl"))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("vec_id"), (-col("m").getField("nl")).as("nl"))
       lbl = nodesC
         .join(lbl, Seq("vec_id"))
         .join(pick, Seq("vec_id"), "left")
@@ -2066,11 +2073,8 @@ object Similarity {
       FROM ue e JOIN lp$i l ON l.vec_id = e.src
       GROUP BY e.dst, l.lbl),
     pk$i AS (
-      SELECT vec_id, lbl FROM (
-        SELECT vec_id, lbl,
-          row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, lbl) AS rn
-        FROM ct$i)
-      WHERE rn = 1),
+      SELECT vec_id, -((max(struct_pack(c := c, nl := -lbl))).nl) AS lbl
+      FROM ct$i GROUP BY vec_id),
     lp${i + 1} AS (
       SELECT n.vec_id, coalesce(p.lbl, l.lbl) AS lbl
       FROM nodes n
