@@ -55,4 +55,18 @@ class CsvSourceSpec extends AnyFunSuite {
     val rows = Seq((1L, "line one\nline two\r\nline three"), (2L, "flat"))
     assert(roundtrip(rows, multiLine = true) == rows.toMap)
   }
+
+  test("ORC roundtrip: values and schema identical to the parquet frame") {
+    // DuckDB can't read ORC, so this is the spec-only twin of the
+    // csv/jsonl gated roundtrips: documents parquet → ORC → read back
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = java.nio.file.Files.createTempDirectory("orcspec").toString + "/docs"
+    graft.sources.OrcSource.write(docs, out)
+    val back = graft.sources.OrcSource.read(spark, out, docs.schema)
+    assert(back.schema == docs.schema, "ORC read must rehydrate the exact schema")
+    val a = docs.orderBy("doc_id").collect().toSeq
+    val b = back.orderBy("doc_id").collect().toSeq
+    assert(a == b, "ORC roundtrip must be value-identical")
+    assert(a.nonEmpty)
+  }
 }
