@@ -66,14 +66,20 @@ object Curation {
   // key uses ln(u)/w (monotone in u^(1/w)), scaled ×1e6 before the
   // 6-dp round so small keys keep ~10 significant digits; ties break
   // on doc_id.
-  private val PriorityK = 20
+  private[graft] val PriorityK = 20
 
-  def prioritySample(spark: SparkSession, dir: String): DataFrame = {
-    val h = conv(substring(md5(concat(lit("ps:"), col("doc_id").cast("string"))), 1, 15),
+  /** The A-ES priority key — ONE definition shared by the batch sampler
+    * and the streaming reservoir (EventStream.priorityReservoir), so
+    * the streamed top-K provably equals the batch top-K. */
+  private[graft] def priorityKeyCol(docId: Column, weight: Column): Column = {
+    val h = conv(substring(md5(concat(lit("ps:"), docId.cast("string"))), 1, 15),
       16, 10).cast("long")
     val lnu = round(log((h + 1) / lit(1152921504606846976.0)), 8) // ln, 2^60
-    val w = greatest(col("n_chars").cast("double"), lit(1.0))
-    val key = round(lnu * 1000000.0 / w, 6)
+    round(lnu * 1000000.0 / greatest(weight.cast("double"), lit(1.0)), 6)
+  }
+
+  def prioritySample(spark: SparkSession, dir: String): DataFrame = {
+    val key = priorityKeyCol(col("doc_id"), col("n_chars"))
     val win = Window.orderBy(col("key").desc, col("doc_id"))
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("n_chars"), key.as("key"))

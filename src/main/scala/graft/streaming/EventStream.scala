@@ -522,6 +522,49 @@ object EventStream {
       graft.functions.MisraGriesTopK.of(col("token"), cap).as("hh"),
       count(lit(1)).as("n_total"))
 
+  // ---- streaming weighted reservoir ------------------------------------
+
+  final case class PrioEv(doc_id: Long, n_chars: Long, key: Double)
+  final case class PrioState(entries: List[PrioEv], batch: Long)
+  final case class PrioPick(batch: Long, rk: Int, doc_id: Long,
+                            n_chars: Long, key: Double)
+
+  /** Streaming weighted sampling without replacement — A-ES
+    * (Efraimidis & Spirakis 2006) IS a reservoir algorithm, so the
+    * batch `curation_priority_sample` has an exact streaming twin: keep
+    * the K best priority keys seen so far. ONE state row holding ≤K
+    * entries forever (the KMV/heavy-hitters bounded-state pattern; the
+    * per-batch fold is O(K) memory however many rows a batch brings),
+    * and because the key column is the SAME shared expression the batch
+    * sampler ranks by, the final reservoir equals the batch top-K
+    * BIT-FOR-BIT — spec-proven, not approximately. Each batch re-emits
+    * the current reservoir tagged with a batch counter (update mode). */
+  def priorityReservoir(docs: DataFrame,
+                        k: Int = graft.operators.Curation.PriorityK): Dataset[PrioPick] = {
+    import docs.sparkSession.implicits._
+    val keyed = docs.select(col("doc_id"), col("n_chars"),
+        graft.operators.Curation.priorityKeyCol(col("doc_id"), col("n_chars"))
+          .as("key"))
+      .as[PrioEv]
+    val ord: Ordering[PrioEv] = Ordering.by(e => (-e.key, e.doc_id))
+    keyed.groupByKey(_ => 0)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: Int, evs: Iterator[PrioEv], state: GroupState[PrioState]) =>
+          val set = scala.collection.mutable.TreeSet.empty[PrioEv](ord)
+          val prior = state.getOption.getOrElse(PrioState(Nil, 0L))
+          set ++= prior.entries
+          evs.foreach { e =>
+            if (set.size < k) set += e
+            else if (ord.lt(e, set.last)) { set += e; set -= set.last }
+          }
+          val kept = set.toList // best-first
+          state.update(PrioState(kept, prior.batch + 1))
+          kept.zipWithIndex.iterator.map { case (e, i) =>
+            PrioPick(prior.batch + 1, i + 1, e.doc_id, e.n_chars, e.key)
+          }
+      }
+  }
+
   // ---- ingest-time Bloom novelty routing -------------------------------
 
   /** Streaming twin of [[graft.operators.Dedup.bloomAntiJoin]]'s ROUTING

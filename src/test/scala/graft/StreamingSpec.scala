@@ -727,6 +727,39 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming weighted reservoir: final top-K == batch priority sample bit-for-bit, one state row") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)].collect()
+    val input = MemoryStream[(Long, Long)]
+    val picks = EventStream.priorityReservoir(
+      input.toDS().toDF("doc_id", "n_chars"))
+    val q = picks.writeStream.format("memory").queryName("prio_stream")
+      .outputMode("update").start()
+    var batches = 0L
+    docs.grouped(math.max(1, docs.length / 3 + 1)).foreach { b =>
+      input.addData(b.toSeq); q.processAllAvailable(); batches += 1
+    }
+    assert(q.lastProgress.stateOperators.map(_.numRowsTotal).sum == 1,
+      "reservoir must be ONE state row")
+    q.stop()
+    val all = spark.table("prio_stream")
+      .as[(Long, Int, Long, Long, Double)].collect()
+    assert(all.map(_._1).max == batches)
+    val finalRes = all.filter(_._1 == batches)
+      .map(t => (t._2, t._3, t._4, t._5)).sortBy(_._1).toSeq
+    val want = graft.operators.Curation.prioritySample(spark, sf)
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    assert(want.nonEmpty && finalRes == want,
+      "streamed reservoir must equal the batch top-K exactly")
+    // intermediate reservoirs are prefix-correct: batch-1 picks are the
+    // top-K of the first chunk alone
+    val firstChunk = docs.take(math.max(1, docs.length / 3 + 1)).map(_._1).toSet
+    val b1 = all.filter(_._1 == 1L).map(_._3)
+    assert(b1.nonEmpty && b1.forall(firstChunk.contains))
+  }
+
   test("streaming bloom novelty: flags == batch, no false negatives, zero state rows") {
     implicit val sqlCtx = spark.sqlContext
     // catalog filter built offline over the first half of the corpus +
