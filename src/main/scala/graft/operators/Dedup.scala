@@ -777,6 +777,76 @@ object Dedup {
 
   val incrementalOracle: String = incrementalOracleFor(IncrementalCut, DefaultMaxShingleDf)
 
+  // ---- containment dedup (round 11) -----------------------------------
+  // ASYMMETRIC near-dup: containment = |A∩B| / min(|A|,|B|) catches a
+  // short document subsumed by a longer one (quote expansion, excerpt
+  // + commentary, boilerplate-wrapped reposts) that symmetric Jaccard
+  // structurally misses — a 5-shingle doc inside a 100-shingle doc has
+  // containment 1.0 but Jaccard ≈ 0.05. Same bounded candidate
+  // machinery as ngramJaccard (shared-shingle equi-join, default df
+  // cap); only the score and threshold differ. The organic corpus has
+  // no containment-only pairs (measured: all 25 pairs ≥ 0.8
+  // containment are also ≥ 0.5 Jaccard), so the gate seeds one — a
+  // short text whose shingles are a strict subset of a longer seed's
+  // (containment 1.0, Jaccard 3/8) — proving the operator catches what
+  // dedup_ngram_jaccard provably cannot.
+
+  private[graft] val ContainSeeds: Seq[(Long, String)] = Seq(
+    (9100001L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+    (9100002L, "alpha bravo charlie delta echo"))
+  private val ContainT = 0.8
+
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .unionByName(ContainSeeds.toDF("doc_id", "text"))
+    val sh = shingleSets(docs).repartition(col("s")).cache()
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val joinable = Skew.capByFrequency(sh, "s", "doc_id", DefaultMaxShingleDf,
+      Some("dedup_containment"), distinctPairs = true)
+    val inter = joinable.select(col("doc_id").as("da"), col("s"))
+      .join(joinable.select(col("doc_id").as("db"), col("s")), Seq("s"))
+      .filter(col("da") < col("db"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+      .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+      .select(col("da"), col("db"),
+        round(col("inter").cast("double") / least(col("na"), col("nb")).cast("double"), 6)
+          .as("containment"),
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"), 6).as("jaccard"))
+      .filter(col("containment") >= ContainT)
+      .orderBy(col("da"), col("db"))
+  }
+
+  val containmentOracle: String = {
+    val seedVals = ContainSeeds
+      .map { case (id, t) => s"(CAST($id AS BIGINT), '$t')" }.mkString(", ")
+    s"""
+    WITH docs2 AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id, text FROM (VALUES $seedVals) s(doc_id, text)),
+    toks AS (SELECT doc_id, $tokensSql AS t FROM docs2),
+    sh AS (SELECT DISTINCT doc_id, s FROM (
+      SELECT doc_id, unnest(list_transform(range(len(t)-2),
+        i -> array_to_string(t[i+1:i+3], ' '))) AS s
+      FROM toks WHERE len(t) >= 3)),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= $DefaultMaxShingleDf),
+    pairs AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      JOIN keep k ON a.s = k.s
+      GROUP BY 1, 2)
+    SELECT da, db,
+      round(CAST(inter AS DOUBLE) / CAST(least(x.n, y.n) AS DOUBLE), 6) AS containment,
+      round(CAST(inter AS DOUBLE) / CAST(x.n + y.n - inter AS DOUBLE), 6) AS jaccard
+    FROM pairs JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+    WHERE CAST(inter AS DOUBLE) / CAST(least(x.n, y.n) AS DOUBLE) >= $ContainT
+    ORDER BY da, db"""
+  }
+
   // ---- Bloom-prefiltered catalog probe (round 11) ---------------------
   // The 100 TB shape of "is this document already in the catalog?":
   // at scale the catalog is billions of fingerprints, and the naive
@@ -906,6 +976,7 @@ object Dedup {
     "dedup_bloom_probe"   -> (bloomProbe _),
     "dedup_exact"         -> (exact _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
+    "dedup_containment"   -> (containmentPairs _),
     "dedup_minhash_lsh"   -> (minhashLsh _),
     "dedup_simhash"       -> (simhash _),
     "dedup_pipeline"      -> (dedupPipeline _),
@@ -919,6 +990,7 @@ object Dedup {
     // capped gate since round 8: the oracle's keep CTE mirrors the
     // default df cap the gated entry now runs with
     "dedup_ngram_jaccard" -> ngramJaccardOracleFor(Some(DefaultMaxShingleDf)),
+    "dedup_containment"   -> containmentOracle,
     // LSH affects recall only (precision is exact-verified); with 8 bands
     // × 4 rows, pairs at J≥0.8 are caught w.p. ≥1-(1-0.8⁴)⁸ ≈ 0.985 per
     // pair and the planted near-dups at the oracle SF are all caught

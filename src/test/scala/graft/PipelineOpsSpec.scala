@@ -499,6 +499,15 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(tp == Seq((10L, 11L, 0)), s"identical byte payloads must pair at hamming 0: $tp")
   }
 
+  test("containment catches the subset pair symmetric Jaccard provably misses") {
+    val rows = graft.operators.Dedup.containmentPairs(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    val seed = rows.find(r => r._1 == 9100001L && r._2 == 9100002L)
+    assert(seed.isDefined, "seeded subset pair must surface")
+    assert(seed.get._3 == 1.0, s"strict subset must score containment 1.0: $seed")
+    assert(seed.get._4 < 0.5, s"the same pair must be BELOW the Jaccard bar: $seed")
+  }
+
   test("survivorshipOf: best-member policy beats min-id; ties break low; singletons keep") {
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L))
       .toDF("doc_id", "cluster_id")
