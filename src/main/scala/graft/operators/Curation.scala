@@ -784,21 +784,13 @@ object Curation {
     * entry carries. Same oracle: the output is bit-identical, only where
     * the cluster table comes from differs. The mtime in the cache key
     * makes a testdata regen invalidate the cache (the r9 lesson). */
-  def splitLeakSafeComposed(spark: SparkSession, dir: String): DataFrame = {
-    val docsFile = new java.io.File(s"$dir/documents.parquet")
-    // the df cap changes dedupClustersOf's edges/clusters — it must be
-    // part of the cache identity or a knob change serves stale clusters
-    // (shared definition so key and computation can never disagree)
-    val maxDf = Dedup.effectiveMaxShingleDf(spark)
-    val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${docsFile.lastModified}_df$maxDf"
-    val path = s"target/tmp/clusters_cache/$key"
-    if (!new java.io.File(s"$path/_SUCCESS").exists())
-      Dedup.dedupClustersOf(spark, dir, ordered = false)
-        .write.mode("overwrite").parquet(path)
+  def splitLeakSafeComposed(spark: SparkSession, dir: String): DataFrame =
+    // the shared mtime+df-cap-keyed materialization (Dedup.clustersCached)
+    // — the cap is part of the cache identity, so a knob change can
+    // never serve stale clusters
     splitLeakSafeOf(
       Tables.documents(spark, dir).select(col("doc_id"), col("source")),
-      spark.read.parquet(path))
-  }
+      Dedup.clustersCached(spark, dir))
 
   val splitLeakSafeOracle: String = s"""
     WITH RECURSIVE

@@ -1836,11 +1836,34 @@ object Similarity {
 
   def knnGraph(spark: SparkSession, dir: String): DataFrame = {
     val all = emb(spark, dir).cache()
-    val cents = kmeansCentroidSeqs(all, k = 10, iters = 3)
+    val cents = kmeansCentroidSeqs(all, k = KnnCells, iters = KnnKmIters)
     // one cached cell frame feeds BOTH self-join sides (the
     // dedup_semantic plan shape)
     knnGraphOf(assignCellsCosine(all, cents)
       .select(col("vec_id"), col("vec"), col("cid")).cache())
+  }
+
+  // the knnGraph build constants, lifted so the graph cache key below
+  // can reference them — a constant folded into the key by hand would
+  // silently serve a stale graph when the constant changes
+  private val KnnCells = 10
+  private val KnnKmIters = 3
+
+  /** The mtime+constants-keyed materialized kNN graph — ONE build per
+    * corpus version serves every graph CONSUMER (pagerank, communities,
+    * density prune; stored == inline is spec-proven for each).
+    * `sim_knn_graph` itself stays the inline build: it IS the operator
+    * under test. First measured before this cache existed: the three
+    * consumers re-paid the 12.5 s sf1 graph build each, ~30 s of the
+    * decade total. */
+  def knnGraphCached(spark: SparkSession, dir: String): DataFrame = {
+    val embFile = new java.io.File(s"$dir/embeddings.parquet")
+    val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${embFile.lastModified}" +
+      s"_j${KnnJ}_k${KnnCells}i$KnnKmIters"
+    val path = s"target/tmp/knn_graph_cache/$key"
+    if (!new java.io.File(s"$path/_SUCCESS").exists())
+      knnGraph(spark, dir).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
   }
 
   /** Shared CTE chain for the two graph oracles: `unit` → kmeans →
@@ -1906,7 +1929,8 @@ object Similarity {
   }
 
   def densityPrune(spark: SparkSession, dir: String): DataFrame =
-    densityPruneOf(emb(spark, dir).select(col("vec_id")), knnGraph(spark, dir))
+    densityPruneOf(emb(spark, dir).select(col("vec_id")),
+      knnGraphCached(spark, dir))
 
   /** PageRank fixed-point scale, damping (as the rational 17/20), and
     * fixed round count. FIXED-POINT BIGINT, not doubles: the first cut
@@ -1968,7 +1992,8 @@ object Similarity {
 
   def graphPagerank(spark: SparkSession, dir: String): DataFrame =
     pagerankOf(emb(spark, dir).select(col("vec_id")),
-      knnGraph(spark, dir).select(col("vec_id").as("src"), col("nid").as("dst")))
+      knnGraphCached(spark, dir)
+        .select(col("vec_id").as("src"), col("nid").as("dst")))
 
   /** Exact twin of [[graphPagerank]]: same knn CTE chain, then
     * [[PrRounds]] unrolled rank updates. */
@@ -2055,7 +2080,7 @@ object Similarity {
   }
 
   def graphCommunities(spark: SparkSession, dir: String): DataFrame = {
-    val knn = knnGraph(spark, dir)
+    val knn = knnGraphCached(spark, dir)
       .select(col("vec_id").as("src"), col("nid").as("dst"))
     // undirected LPA: a kNN edge counts as contact for BOTH endpoints
     val sym = knn.union(knn.select(col("dst").as("src"), col("src").as("dst")))
