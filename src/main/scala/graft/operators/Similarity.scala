@@ -1836,7 +1836,8 @@ object Similarity {
 
   def knnGraph(spark: SparkSession, dir: String): DataFrame = {
     val all = emb(spark, dir).cache()
-    val cents = kmeansCentroidSeqs(all, k = KnnCells, iters = KnnKmIters)
+    val cents = kmeansCentroidSeqs(all, k = knnCellsFor(all.count()),
+      iters = KnnKmIters)
     // one cached cell frame feeds BOTH self-join sides (the
     // dedup_semantic plan shape)
     knnGraphOf(assignCellsCosine(all, cents)
@@ -1849,6 +1850,18 @@ object Similarity {
   private val KnnCells = 10
   private val KnnKmIters = 3
 
+  /** Corpus-adaptive cell count — the SURVEY §2 design note ("k scales
+    * with n to hold cell size") made real after the decade harness
+    * measured the fixed-k=10 build at 7.4× for 10× data (per-cell pair
+    * volume is n²/k — fixed k makes the build quadratic): cells sized
+    * ~√(50n) hold per-cell pairs at ~50n, linear in the corpus. Same
+    * convention as nearDupPairsLsh's corpus-sized plane count: the SQL
+    * oracle hardcodes k=10, which EQUALS this formula for every
+    * n ≤ 5 000 — far above the gated SFs (500 / 2 000 vectors); past
+    * that the oracle would need regenerating at the matching k. */
+  private[graft] def knnCellsFor(n: Long): Int =
+    math.max(KnnCells, math.ceil(math.sqrt(n / 50.0)).toInt)
+
   /** The mtime+constants-keyed materialized kNN graph — ONE build per
     * corpus version serves every graph CONSUMER (pagerank, communities,
     * density prune; stored == inline is spec-proven for each).
@@ -1858,16 +1871,21 @@ object Similarity {
     * decade total. */
   def knnGraphCached(spark: SparkSession, dir: String): DataFrame = {
     val embFile = new java.io.File(s"$dir/embeddings.parquet")
+    // the EFFECTIVE adaptive k is part of the identity (a corpus
+    // rewrite that changes n re-keys even at an unchanged mtime path)
+    val k = knnCellsFor(emb(spark, dir).count())
     val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${embFile.lastModified}" +
-      s"_j${KnnJ}_k${KnnCells}i$KnnKmIters"
+      s"_j${KnnJ}_k${k}i$KnnKmIters"
     val path = s"target/tmp/knn_graph_cache/$key"
     if (!new java.io.File(s"$path/_SUCCESS").exists())
       knnGraph(spark, dir).write.mode("overwrite").parquet(path)
     spark.read.parquet(path)
   }
 
-  /** Shared CTE chain for the two graph oracles: `unit` → kmeans →
-    * `cells` → `knn(vec_id, nid, sim, rn ≤ J)`. */
+  /** Shared CTE chain for the graph oracles: `unit` → kmeans →
+    * `cells` → `knn(vec_id, nid, sim, rn ≤ J)`. The hardcoded k=10
+    * equals [[knnCellsFor]] for every n ≤ 5 000 (see its scaladoc) —
+    * regenerate at the matching k beyond that. */
   private def knnGraphSqlCtes: String = s"""
     WITH nv AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw,
