@@ -1852,15 +1852,22 @@ object Similarity {
 
   /** Corpus-adaptive cell count — the SURVEY §2 design note ("k scales
     * with n to hold cell size") made real after the decade harness
-    * measured the fixed-k=10 build at 7.4× for 10× data (per-cell pair
-    * volume is n²/k — fixed k makes the build quadratic): cells sized
-    * ~√(50n) hold per-cell pairs at ~50n, linear in the corpus. Same
-    * convention as nearDupPairsLsh's corpus-sized plane count: the SQL
-    * oracle hardcodes k=10, which EQUALS this formula for every
-    * n ≤ 5 000 — far above the gated SFs (500 / 2 000 vectors); past
-    * that the oracle would need regenerating at the matching k. */
+    * measured the fixed-k=10 build at 7.4× for 10× data. Per-cell pair
+    * volume is Σ m² ≈ n·(n/k); holding it LINEAR in n requires constant
+    * cell SIZE, i.e. k ∝ n (the first attempt's k ~ √(n/50) left total
+    * pairs at n^1.5 and moved the sf1 build not at all — measured
+    * 12.5 s → 12.9 s). Cell size pins at ~[[KnnCellSize]]: per-vector
+    * candidate work is then O(cellSize·dim) forever, and training/
+    * assignment stay O(k·dim)/row with the native argmax (k=100 at the
+    * decade SF, thousands at 100 TB — the two-level assigner takes over
+    * past ~10⁴ cells, see ScaleKnn). Same convention as
+    * nearDupPairsLsh's corpus-sized plane count: the SQL oracle
+    * hardcodes k=10, which EQUALS this formula for every n ≤ 2 000 —
+    * exactly the gated SFs (500 / 2 000 vectors); past that the oracle
+    * would need regenerating at the matching k. */
+  private val KnnCellSize = 200
   private[graft] def knnCellsFor(n: Long): Int =
-    math.max(KnnCells, math.ceil(math.sqrt(n / 50.0)).toInt)
+    math.max(KnnCells, math.ceil(n.toDouble / KnnCellSize).toInt)
 
   /** The mtime+constants-keyed materialized kNN graph — ONE build per
     * corpus version serves every graph CONSUMER (pagerank, communities,
@@ -2086,10 +2093,19 @@ object Similarity {
         .groupBy(col("vec_id"))
         .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
         .select(col("vec_id"), (-col("m").getField("nl")).as("nl"))
+      // Per-round eager localCheckpoint: labels are a node-sized frame
+      // and each round is inherently a barrier, so materializing it (a)
+      // keeps the plan one round deep — the 4-round unrolled lineage
+      // re-entered Catalyst+AQE ~5 shuffles × rounds deep and cost
+      // 8.1 s WARM at sf0.1 for 2 000 rows, 2.3 s after this change —
+      // and (b) is the bounded-lineage story the scale note below
+      // promises (Pregel-style systems persist the message frame every
+      // superstep for the same reason).
       lbl = nodesC
         .join(lbl, Seq("vec_id"))
         .join(pick, Seq("vec_id"), "left")
         .select(col("vec_id"), coalesce(col("nl"), col("lbl")).as("lbl"))
+        .localCheckpoint(true)
     }
     val sizes = lbl.groupBy(col("lbl")).agg(count(lit(1)).cast("int").as("csize"))
     lbl.join(sizes, Seq("lbl"))
