@@ -152,4 +152,17 @@ class KnnGraphSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), plan.take(2000))
   }
+
+  test("knnCellsFor: k=10 at every gated SF (oracle boundary), then k grows with n") {
+    // the SQL oracle hardcodes k=10 — these three MUST stay 10 or the
+    // gate breaks silently on a formula tweak
+    assert(Seq(500L, 2000L).map(Similarity.knnCellsFor).forall(_ == 10))
+    // constant cell size past the floor: pair volume per vector pins at
+    // ~cellSize, so k must scale linearly (k(10n) ≈ 10·k(n))
+    assert(Similarity.knnCellsFor(20000L) == 100)
+    assert(Similarity.knnCellsFor(200000L) == 1000)
+    val ratio = Similarity.knnCellsFor(1000000L).toDouble /
+      Similarity.knnCellsFor(100000L)
+    assert(ratio > 9.0 && ratio < 11.0, s"cells not linear in n: $ratio")
+  }
 }
