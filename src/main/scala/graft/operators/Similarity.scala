@@ -1836,12 +1836,53 @@ object Similarity {
 
   def knnGraph(spark: SparkSession, dir: String): DataFrame = {
     val all = emb(spark, dir).cache()
-    val cents = kmeansCentroidSeqs(all, k = knnCellsFor(all.count()),
-      iters = KnnKmIters)
-    // one cached cell frame feeds BOTH self-join sides (the
-    // dedup_semantic plan shape)
-    knnGraphOf(assignCellsCosine(all, cents)
-      .select(col("vec_id"), col("vec"), col("cid")).cache())
+    knnGraphOf(knnCells(all).cache())
+  }
+
+  /** Flat-assignment ceiling for the kNN-graph build: past this many
+    * cells the per-row flat argmax (O(k·dim)) costs more than the
+    * per-cell pair join it feeds, and the build switches to the
+    * two-level coarse assigner (k1·k2 ≈ k effective cells at k1+k2
+    * scores/row — ScaleAnnK measured 12.0 s vs 51.7 s flat at 1 M×1024
+    * cells). Conf-settable ONLY so the spec can force the two-level
+    * path at sf scale; both gated SFs sit at k=10, far under any sane
+    * value. */
+  private val KnnFlatMaxCellsConf = "spark.graft.knn.flatMaxCells"
+  private val KnnFlatMaxCellsDefault = 1024
+
+  private def knnFlatMaxCells(spark: SparkSession): Int =
+    spark.conf.getOption(KnnFlatMaxCellsConf)
+      .map(_.toInt).getOrElse(KnnFlatMaxCellsDefault)
+
+  /** (vec_id, vec, cid): the graph build's cell frame at corpus-adaptive
+    * k — flat cosine argmax up to [[knnFlatMaxCells]] cells (the gated
+    * path: k=10 at both gated SFs, matching the SQL oracle), two-level
+    * L2² assignment beyond it (cid = composed (cid1, cid2); trained on
+    * a deterministic 1-in-⌈n/(20·k1)⌉ vec_id sample so Lloyd never
+    * scans the full corpus k1 times at billion-row n). */
+  private[graft] def knnCells(all: DataFrame): DataFrame = {
+    val spark = all.sparkSession
+    val n = all.count()
+    val k = knnCellsFor(n)
+    if (k <= knnFlatMaxCells(spark)) {
+      val cents = kmeansCentroidSeqs(all, k, iters = KnnKmIters)
+      // one cached cell frame feeds BOTH self-join sides (the
+      // dedup_semantic plan shape)
+      assignCellsCosine(all, cents)
+        .select(col("vec_id"), col("vec"), col("cid"))
+    } else {
+      val k1 = math.ceil(math.sqrt(k.toDouble)).toInt
+      val sampleMod = math.max(1L, n / (20L * k1 * k1))
+      val train = if (sampleMod == 1L) None
+        else Some(all.filter(col("vec_id") % sampleMod === 0))
+      val (tops, cents2) = trainTwoLevel(all, k1, k1, KnnKmIters, train)
+      // pqAssign keeps every input column, so vec rides through both
+      // levels — no join back to the corpus for the pair stage
+      pqAssign(assignCells(all, tops).withColumnRenamed("cid", "cid1")
+          .withColumn("s", col("cid1") - 1).withColumn("svec", col("vec")), cents2)
+        .select(col("vec_id"), col("vec"),
+          ((col("cid1") - 1) * k1 + col("cid")).cast("int").as("cid"))
+    }
   }
 
   // the knnGraph build constants, lifted so the graph cache key below
@@ -1881,8 +1922,10 @@ object Similarity {
     // the EFFECTIVE adaptive k is part of the identity (a corpus
     // rewrite that changes n re-keys even at an unchanged mtime path)
     val k = knnCellsFor(emb(spark, dir).count())
+    // the flat/two-level cutover changes the quantizer (cosine argmax
+    // vs composed L2²) — fold it in so a conf flip re-keys
     val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${embFile.lastModified}" +
-      s"_j${KnnJ}_k${k}i$KnnKmIters"
+      s"_j${KnnJ}_k${k}i${KnnKmIters}f${knnFlatMaxCells(spark)}"
     val path = s"target/tmp/knn_graph_cache/$key"
     if (!new java.io.File(s"$path/_SUCCESS").exists())
       knnGraph(spark, dir).write.mode("overwrite").parquet(path)

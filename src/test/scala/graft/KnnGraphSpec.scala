@@ -153,6 +153,31 @@ class KnnGraphSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), plan.take(2000))
   }
 
+  test("knnGraph two-level path: forced cutover still yields a valid graph") {
+    // flatMaxCells=1 pushes even k=10 onto the two-level assigner — the
+    // path a billion-row corpus takes; the graph invariants must hold
+    // there exactly as on the flat path
+    spark.conf.set("spark.graft.knn.flatMaxCells", "1")
+    try {
+      val all = Similarity.emb(spark, "/root/testdata/sf0.001").cache()
+      val cells = Similarity.knnCells(all).cache()
+      val nVecs = all.count()
+      assert(cells.count() == nVecs, "two-level assignment must be total")
+      val cid = cells.select("cid").as[Int].collect()
+      assert(cid.forall(c => c >= 1 && c <= 16), "composed cid out of range")
+      assert(cid.distinct.size > 1, "two-level assignment collapsed to one cell")
+      val g = Similarity.knnGraphOf(cells)
+        .select("vec_id", "nid", "sim", "rn")
+        .as[(Long, Long, Double, Int)].collect()
+      assert(g.nonEmpty, "two-level graph is empty")
+      assert(g.forall { case (v, n, _, _) => v != n }, "self-edge found")
+      g.groupBy(_._1).foreach { case (v, rows) =>
+        assert(rows.size <= 3, s"vec $v has ${rows.size} > J rows")
+        assert(rows.map(_._4).sorted.toSeq == (1 to rows.size), s"vec $v ranks not dense")
+      }
+    } finally spark.conf.unset("spark.graft.knn.flatMaxCells")
+  }
+
   test("knnCellsFor: k=10 at every gated SF (oracle boundary), then k grows with n") {
     // the SQL oracle hardcodes k=10 — these three MUST stay 10 or the
     // gate breaks silently on a formula tweak
