@@ -1594,8 +1594,15 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
-  def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
-    semanticCollapse(emb(spark, dir), k = 10, iters = 3, threshold = 0.95)
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+    // corpus-adaptive k, the [[knnCellsFor]] policy: constant cell size
+    // keeps the within-cell pair volume linear in n (the fixed k=10
+    // this entry shipped with leaves it at n²/10). Identical k=10 at
+    // both gated SFs, so the oracle's hardcoded k still matches.
+    val all = emb(spark, dir)
+    semanticCollapse(all, k = knnCellsFor(all.count()), iters = 3,
+      threshold = 0.95)
+  }
 
   /** Exact twin of [[dedupSemantic]]: exact-value collapse of duplicate
     * (normalized) vectors to their min-id rep, k-means over reps via
