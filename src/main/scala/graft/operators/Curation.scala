@@ -590,10 +590,15 @@ object Curation {
   private val GateMinTok = 20L
   private val GateMaxTok = 100000L
 
-  def qualityGate(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
+  def qualityGate(spark: SparkSession, dir: String): DataFrame =
+    qualityGateOf(Tables.documents(spark, dir)
       .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
-      .cache() // feeds the stats pass + both gram passes (harness clears it)
+      .cache()) // feeds the stats pass + both gram passes (harness clears it)
+
+  /** The gate over a PRE-TOKENIZED (doc_id, t) frame — the
+    * tokenize-once seam [[pipelineCurate]] shares (round 12): callers
+    * hand in one cached tokens projection and every stage reads it. */
+  def qualityGateOf(toks: DataFrame): DataFrame = {
     // the gate's repetition flags use text_repetition's OWN aggregates —
     // one definition, no drift
     val (s2, s3) = TextAnalysis.gramFractions(toks)
@@ -660,26 +665,33 @@ object Curation {
   // the kept docs → language-id the survivors — one entry a user runs
   // to turn raw documents into a curated, deduplicated, lang-tagged
   // manifest. Each stage REUSES the gated single-op definition
-  // (qualityGate, the exact-dedup min-id rule, predictedLang), so the
-  // composition can't drift from the parts; lang scoring runs on
+  // (qualityGateOf, the exact-dedup min-id rule, predictedLangT), so
+  // the composition can't drift from the parts; lang scoring runs on
   // SURVIVORS ONLY (filter early, score late — at 100 TB the gate+dedup
   // typically drop half the corpus before the expensive per-token
-  // scoring). Plan: the gate's one aggregation pass, one fingerprint
-  // shuffle, then narrow per-row scoring — no new shuffle shapes.
+  // scoring). TOKENIZE ONCE (round 12): the r11 form re-tokenized the
+  // corpus in each of the gate, fingerprint, and lang stages — 7.5 s /
+  // 3.6× growth at sf1; one cached (doc_id, t) projection now feeds
+  // all three (the r7 shared-fragment pattern applied to the plan, not
+  // just the oracle). Plan: one tokenize scan, the gate's aggregation
+  // passes, one fingerprint shuffle, then narrow per-row scoring.
   def pipelineCurate(spark: SparkSession, dir: String): DataFrame = {
-    val kept = qualityGate(spark, dir).filter(col("keep"))
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+      .cache() // the single tokenize: gate stats + grams, fp, lang
+    val kept = qualityGateOf(toks).filter(col("keep"))
       .select(col("doc_id"), col("n_tokens"))
-    val fp = Tables.documents(spark, dir)
+    val fp = toks
       .join(kept, Seq("doc_id"))
       .select(col("doc_id"), col("n_tokens"),
-        md5(concat_ws(" ", TextFns.tokens(col("text")))).as("content_fp"))
+        md5(concat_ws(" ", col("t"))).as("content_fp"))
     val surv = fp.groupBy(col("content_fp"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
-    Tables.documents(spark, dir)
+    toks
       .join(surv.select(col("doc_id"), col("n_copies")), Seq("doc_id"))
       .join(fp.select(col("doc_id"), col("n_tokens")), Seq("doc_id"))
       .select(col("doc_id"),
-        TextAnalysis.predictedLang(col("text")).as("predicted_lang"),
+        TextAnalysis.predictedLangT(col("t")).as("predicted_lang"),
         col("n_tokens"), col("n_copies"))
       .orderBy(col("doc_id"))
   }

@@ -515,10 +515,12 @@ object Dedup {
       .select(col("doc_id"), col("cluster_id"), col("n_chars"), col("keep"))
       .orderBy(col("doc_id"))
 
-  /** Exact twin of [[survivorship]] over the shared cluster CTEs. */
-  val survivorshipOracle: String = s"""
-    WITH RECURSIVE
-    $clustersCteSql,
+  /** The survivorship rank CTEs (`jn`, `r`) over a `clu(doc_id,
+    * cluster_id)` CTE — the 19h policy (n_chars desc, doc_id
+    * tie-break), shared VERBATIM by [[survivorshipOracle]] and the
+    * composed [[dedupPipelineSurvivorshipOracle]] so the two gates can
+    * never encode different policies. */
+  private[operators] val survivorshipRankCtesSql: String = s"""
     jn AS (
       SELECT c.doc_id, c.cluster_id, d.n_chars
       FROM clu c JOIN documents d ON d.doc_id = c.doc_id),
@@ -526,9 +528,69 @@ object Dedup {
       SELECT doc_id, cluster_id, n_chars,
         row_number() OVER (PARTITION BY cluster_id
           ORDER BY n_chars DESC, doc_id) AS rn
-      FROM jn)
+      FROM jn)"""
+
+  /** Exact twin of [[survivorship]] over the shared cluster CTEs. */
+  val survivorshipOracle: String = s"""
+    WITH RECURSIVE
+    $clustersCteSql,
+    $survivorshipRankCtesSql
     SELECT doc_id, cluster_id, n_chars, (rn = 1) AS keep FROM r
     ORDER BY doc_id"""
+
+  // ---- pipeline × survivorship (round 12) ------------------------------
+  // VERDICT r11 #6: dedup_pipeline kept min-id; the production manifest
+  // should keep the POLICY survivor. This entry is the composition —
+  // the organic clusters (same transitive semantics as dedup_pipeline's
+  // rep components expanded through exact groups, served from the
+  // mtime-keyed cluster cache) with the 19h longest-document policy
+  // choosing each cluster's survivor, and the pipeline's auditable
+  // per-doc status RELATIVE TO THAT SURVIVOR: `kept` for the survivor,
+  // `exact_dup` when the doc's content fingerprint equals the
+  // survivor's (a byte-identical copy of what survived), `near_dup`
+  // otherwise. Cost on top of the cached clusters: one rank-1 window
+  // (K-bounded per cluster), one fingerprint scan joined twice (doc
+  // side + survivor side) — nothing corpus-quadratic.
+  def dedupPipelineSurvivorship(spark: SparkSession, dir: String): DataFrame = {
+    val surv = survivorshipOf(
+      clustersCached(spark, dir),
+      Tables.documents(spark, dir).select(col("doc_id"), col("n_chars")),
+      Seq("n_chars")).cache()
+    val winners = surv.filter(col("keep"))
+      .select(col("cluster_id"), col("doc_id").as("survivor_id"))
+    val fp = Tables.documents(spark, dir).select(col("doc_id"),
+      md5(concat_ws(" ", TextFns.tokens(col("text")))).as("content_fp"))
+      .cache() // joined on both the doc and the survivor side
+    surv.select(col("doc_id"), col("cluster_id"))
+      .join(winners, Seq("cluster_id"))
+      .join(fp, Seq("doc_id"))
+      .join(fp.select(col("doc_id").as("survivor_id"),
+        col("content_fp").as("surv_fp")), Seq("survivor_id"))
+      .select(col("doc_id"), col("survivor_id"),
+        when(col("doc_id") === col("survivor_id"), "kept")
+          .when(col("content_fp") === col("surv_fp"), "exact_dup")
+          .otherwise("near_dup").as("status"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Exact twin of [[dedupPipelineSurvivorship]]: the shared cluster
+    * CTEs + the shared 19h rank CTEs + the status CASE. */
+  val dedupPipelineSurvivorshipOracle: String = s"""
+    WITH RECURSIVE
+    $clustersCteSql,
+    $survivorshipRankCtesSql,
+    win AS (SELECT cluster_id, doc_id AS survivor_id FROM r WHERE rn = 1),
+    fps AS (SELECT doc_id, md5(array_to_string($tokensSql, ' ')) AS content_fp
+            FROM documents)
+    SELECT c.doc_id, w.survivor_id,
+      CASE WHEN c.doc_id = w.survivor_id THEN 'kept'
+           WHEN f1.content_fp = f2.content_fp THEN 'exact_dup'
+           ELSE 'near_dup' END AS status
+    FROM clu c
+    JOIN win w USING (cluster_id)
+    JOIN fps f1 ON f1.doc_id = c.doc_id
+    JOIN fps f2 ON f2.doc_id = w.survivor_id
+    ORDER BY c.doc_id"""
 
   // ---- registry -------------------------------------------------------
 
@@ -1001,6 +1063,7 @@ object Dedup {
     "dedup_minhash_lsh"   -> (minhashLsh _),
     "dedup_simhash"       -> (simhash _),
     "dedup_pipeline"      -> (dedupPipeline _),
+    "dedup_pipeline_survivorship" -> (dedupPipelineSurvivorship _),
     "dedup_clusters"      -> (dedupClusters _),
     "dedup_survivorship"  -> (survivorship _),
     "dedup_incremental"   -> (incremental _))
@@ -1022,6 +1085,7 @@ object Dedup {
     "dedup_incremental"   -> incrementalOracle,
     "dedup_simhash"       -> simhashOracle,
     "dedup_pipeline"      -> dedupPipelineOracle,
+    "dedup_pipeline_survivorship" -> dedupPipelineSurvivorshipOracle,
     "dedup_clusters"      -> dedupClustersOracle,
     "dedup_survivorship"  -> survivorshipOracle)
 

@@ -204,15 +204,17 @@ object Similarity {
       .select(col("label").as("clabel"), col("cvec"))
 
   /** Probe selection against a GIVEN centroid table — (qid, qvec,
-    * clabel), the `Probes` nearest cells per query by 6-dp centroid cosine. */
-  private def probesFrom(q: DataFrame, centroids: DataFrame): DataFrame = {
+    * clabel), the `nProbes` nearest cells per query by 6-dp centroid
+    * cosine. */
+  private def probesFrom(q: DataFrame, centroids: DataFrame,
+                         nProbes: Int = Probes): DataFrame = {
     val probeW = Window.partitionBy(col("qid"))
       .orderBy(col("ccos").desc, col("clabel"))
     q.join(broadcast(centroids), lit(true))
       .select(col("qid"), col("qvec"), col("clabel"),
         VectorFns.cosine6(col("qvec"), col("cvec")).as("ccos"))
       .withColumn("pr", row_number().over(probeW))
-      .filter(col("pr") <= Probes)
+      .filter(col("pr") <= nProbes)
       .select(col("qid"), col("qvec"), col("clabel"))
   }
 
@@ -415,7 +417,15 @@ object Similarity {
     * so each unrolled round is a pure function both engines compute
     * identically. Produces CTEs `cent0` (seeds) .. `cent$iters` (final);
     * expects a CTE `unit(vec_id, vec)` with unit-normalized vectors. */
-  private def kmeansSqlCtes(k: Int, iters: Int): String = {
+  private def kmeansSqlCtes(k: Int, iters: Int): String =
+    kmeansSqlCtes(k.toString, iters)
+
+  /** As above with a SQL-expression cell count — the regen-safe form:
+    * oracles whose Spark side derives k from the corpus (the
+    * [[knnCellsFor]] policy) embed the same formula as a scalar
+    * subquery instead of a pinned constant, so a testdata regen at a
+    * different n re-derives k in BOTH engines or in neither. */
+  private def kmeansSqlCtes(kSql: String, iters: Int): String = {
     val blocks = (0 until iters).map { n =>
       s"""
     a$n AS (
@@ -441,7 +451,7 @@ object Similarity {
             ORDER BY md5(concat('km:', CAST(vec_id AS VARCHAR))), vec_id) AS INT) AS cid,
           vec AS cvec
         FROM unit)
-      WHERE cid <= $k)""" + blocks.mkString(",", ",", "")
+      WHERE cid <= ($kSql))""" + blocks.mkString(",", ",", "")
   }
 
   /** Exact twin of [[topkIvfTrained]]: k-means(k=10, 3 iterations) in
@@ -1009,12 +1019,14 @@ object Similarity {
   }
 
   /** SQL twins of the grouped subspace k-means: CTEs `sub` (subvectors)
-    * and `cb0`..`cb$iters` (codebooks); expects `unit(vec_id, vec)`. */
-  private def pqSqlCtes(k: Int, iters: Int): String =
+    * and `cb0`..`cb$iters` (codebooks); expects a `src(vec_id, vec)`
+    * CTE — `unit` for raw-vector PQ (22c), `res` for the residual
+    * IVFPQ encode (22i). */
+  private def pqSqlCtes(k: Int, iters: Int, src: String = "unit"): String =
     s"""
     sub AS (
       SELECT vec_id, s, vec[s*$PqSub+1 : s*$PqSub+$PqSub] AS svec
-      FROM unit CROSS JOIN (SELECT unnest(range($PqM)) AS s)),
+      FROM $src CROSS JOIN (SELECT unnest(range($PqM)) AS s)),
     ${groupedLloydSqlCtes(k, iters)}"""
 
   /** Exact twin of [[topkPq]]: same codebooks, codes, lookup table, and
@@ -1265,17 +1277,34 @@ object Similarity {
   // table (PqM ints/vector) and the label column; the LUT (query ×
   // subspace × codeword dots, joined to the probed-cell list) stays
   // broadcast-sized at any corpus size.
+  /** (vec_id, vec) of RESIDUALS: each vector minus its label-cell
+    * centroid. The round-12 recall fix (Jégou et al. 2011 §IV — what
+    * faiss IVFPQ ships): the PQ codebook spends its codewords on
+    * WITHIN-cell variance instead of re-encoding the cell's global
+    * position, which the coarse quantizer already knows. `cells` is the
+    * bounded (clabel, cvec) table, so the join broadcasts; the
+    * subtraction is one codegen'd zip_with per row. */
+  private def residualsOf(all: DataFrame, cells: DataFrame): DataFrame =
+    all.join(broadcast(cells), col("label") === col("clabel"))
+      .select(col("vec_id"),
+        zip_with(col("vec"), col("cvec"), (a, b) => a - b).as("vec"))
+
   /** Build the persistable IVFPQ index from a (vec_id, label, vec)
     * frame: (codes(s, vec_id, cid, label), books(s, cid, cvec),
     * cells(clabel, cvec)). Codes are the only corpus-sized output —
     * PqM small ints + a label per vector; books and cells are
-    * model-sized. Empty corpus → three empty frames with the right
-    * schemas (every consumer degrades, no hard crash). */
+    * model-sized. The codebooks are trained on and the codes assigned
+    * from RESIDUALS (vec − cell centroid, see [[residualsOf]]) — serve
+    * therefore scores dot(q, x) ≈ dot(q, centroid) + Σ_s lut(s, code_s),
+    * the per-cell offset living in [[ivfPqOf]]. Empty corpus → three
+    * empty frames with the right schemas (every consumer degrades, no
+    * hard crash). */
   def ivfPqIndexOf(all: DataFrame, k: Int = PqK,
                    iters: Int = PqIters): (DataFrame, DataFrame, DataFrame) = {
     val spark = all.sparkSession
     import spark.implicits._
-    val sub = pqSubvectors(all)
+    val cells = labelCentroids(all).cache()
+    val sub = pqSubvectors(residualsOf(all, cells))
     val books = pqCodebooks(sub, k, iters)
     val bookRows = books.as[(Int, Int, Seq[Double])].collect()
     val codes =
@@ -1284,7 +1313,7 @@ object Similarity {
       else
         pqAssign(sub, booksToNested(bookRows)).select(col("s"), col("vec_id"), col("cid"))
           .join(all.select(col("vec_id"), col("label")), "vec_id")
-    (codes, books, labelCentroids(all))
+    (codes, books, cells)
   }
 
   /** Top-K from a (possibly parquet-roundtripped) IVFPQ index: probe
@@ -1301,9 +1330,37 @@ object Similarity {
     * assign qids disjoint from corpus vec_ids (e.g. negative ids);
     * a colliding qid would silently drop that unrelated corpus vector
     * from its result list. */
+  /** The IVFPQ probe SCHEDULE (round 12): probe more cells than the
+    * flat-IVF default because a probed cell costs only a code-table
+    * slice here, not full-vector dots — the faiss guidance (nprobe
+    * grows ~√nlist, and PQ indexes run HIGHER nprobe than flat ones at
+    * equal latency because ADC is cheap). min(n, max(Probes,
+    * ⌈2·√n⌉)): 10 cells → 7 probes, 256 → 32, 4096 → 128 — the probed
+    * FRACTION falls as the index grows, per-query candidate volume
+    * stays ~2·√n · cellsize. The gated oracle computes the same cutoff
+    * from count(cvecs), so a testdata regen with a different label
+    * cardinality re-derives it instead of breaking the gate. */
+  private[graft] def ivfPqProbeSchedule(nCells: Int): Int =
+    math.min(nCells, math.max(Probes, math.ceil(2 * math.sqrt(nCells)).toInt))
+
+  /** Exact-refine factor: the ADC ranking keeps K·RefineFactor
+    * candidates per query; the refine stage re-scores only those with
+    * true vectors. Per-query full-vector reads are bounded by this —
+    * the faiss IndexRefineFlat k_factor. */
+  private[graft] val RefineFactor = 10
+
   def ivfPqOf(codes: DataFrame, books: DataFrame, cells: DataFrame,
-              queries: DataFrame): DataFrame = {
-    val probes = probesFrom(queries, cells).select(col("qid"), col("clabel"))
+              queries: DataFrame, refine: Option[DataFrame] = None): DataFrame = {
+    val probesV = probesFrom(queries, cells,
+      ivfPqProbeSchedule(cells.count().toInt))
+    val probes = probesV.select(col("qid"), col("clabel"))
+    // Residual ADC (see [[ivfPqIndexOf]]): dot(q, x) ≈ dot(q, c_cell)
+    // + Σ_s dot(q_s, codeword_s). The first term is this per-(query,
+    // probed-cell) offset — query×Probes rows, always broadcast-sized.
+    val offs = probesV
+      .join(broadcast(cells), Seq("clabel"))
+      .select(col("qid"), col("clabel").as("label"),
+        VectorFns.dot6(col("qvec"), col("cvec")).as("off"))
     val qsub = pqSubvectors(
       queries.select(col("qid").as("vec_id"), col("qvec").as("vec")))
     val lut = qsub
@@ -1314,14 +1371,45 @@ object Similarity {
       .join(probes, "qid") // ×Probes cells per qid — still query-sized
     val scored = codes.join(broadcast(lut), Seq("s", "cid"))
       .filter(col("vec_id") =!= col("qid") && col("label") === col("clabel"))
-      .groupBy(col("qid"), col("vec_id"))
+      .groupBy(col("qid"), col("vec_id"), col("label"))
       // exactly PqM six-dp terms per surviving pair (one LUT row per
       // subspace matches after the probe-cell filter) → exact DECIMAL sum
-      .agg(round(sum(col("d").cast("decimal(18,6)")).cast("double"), 6).as("adc"))
+      .agg(sum(col("d").cast("decimal(18,6)")).as("sd"))
+      .join(broadcast(offs), Seq("qid", "label"))
+      // PqM + 1 six-dp decimal terms per pair — exact, order-independent
+      .select(col("qid"), col("vec_id").as("nid"),
+        round((col("sd") + col("off").cast("decimal(18,6)")).cast("double"), 6)
+          .as("adc"))
     val w = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("nid"))
-    scored.select(col("qid"), col("vec_id").as("nid"), col("adc"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") <= K)
-      .orderBy(col("qid"), col("rn"))
+    refine match {
+      case None =>
+        // code-only serve: ADC order IS the result (streaming serve /
+        // stress path — zero full-vector reads)
+        scored
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= K)
+          .orderBy(col("qid"), col("rn"))
+      case Some(vecs) =>
+        // exact refine (faiss IndexRefineFlat): the quantizer only
+        // GENERATES candidates — the top K·RefineFactor by ADC re-score
+        // against true vectors, so quantization error can reorder but
+        // no longer drop a neighbor that made the candidate list. Reads
+        // exactly K·RefineFactor full vectors per query: candidates
+        // broadcast against the vector table, never the reverse.
+        val cand = scored
+          .withColumn("arn", row_number().over(w))
+          .filter(col("arn") <= K * RefineFactor)
+          .select(col("qid"), col("nid"))
+          .join(broadcast(queries), Seq("qid"))
+        val rer = vecs
+          .select(col("vec_id").as("nid"), col("vec").as("nvec"))
+          .join(broadcast(cand), Seq("nid"))
+          .select(col("qid"), col("nid"),
+            VectorFns.dot6(col("qvec"), col("nvec")).as("cos"))
+        val wr = Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("nid"))
+        rer.withColumn("rn", row_number().over(wr)).filter(col("rn") <= K)
+          .orderBy(col("qid"), col("rn"))
+    }
   }
 
   /** [[ivfPqIndexOf]] over the standard embeddings table — the spec /
@@ -1351,10 +1439,11 @@ object Similarity {
     val (codes, books, cells) = ivfPqIndexOf(all)
     if (books.isEmpty) // empty corpus: no codes, no neighbors
       return spark.emptyDataset[(Long, Long, Double, Int)]
-        .toDF("qid", "nid", "adc", "rn")
+        .toDF("qid", "nid", "cos", "rn")
     ivfPqOf(codes, books, cells,
       all.filter(col("vec_id") < NQueries)
-        .select(col("vec_id").as("qid"), col("vec").as("qvec")))
+        .select(col("vec_id").as("qid"), col("vec").as("qvec")),
+      refine = Some(all))
   }
 
   /** Gated twin of `sim_topk_ivf_pq` served from an mtime-keyed
@@ -1369,8 +1458,10 @@ object Similarity {
     // (codebook size / training rounds — codes and books change with
     // them). K/NQueries apply at serve time, so they don't key the
     // cache (the splitLeakSafeComposed maxDf convention).
+    // "res" marks the round-12 residual encode — a stored raw-encode
+    // index from an earlier build must not serve under the new math
     val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${embFile.lastModified}" +
-      s"_m${PqM}k${PqK}i$PqIters"
+      s"_resm${PqM}k${PqK}i$PqIters"
     val base = s"target/tmp/ivfpq_index/$key"
     // guard on the LAST-written table: a crash between writes leaves it
     // absent, so the next run rebuilds instead of serving a torn cache
@@ -1384,15 +1475,17 @@ object Similarity {
     val books = spark.read.parquet(s"$base/books")
     if (books.isEmpty)
       return spark.emptyDataset[(Long, Long, Double, Int)]
-        .toDF("qid", "nid", "adc", "rn")
+        .toDF("qid", "nid", "cos", "rn")
     ivfPqOf(spark.read.parquet(s"$base/codes"), books,
       spark.read.parquet(s"$base/cells"),
       emb(spark, dir).filter(col("vec_id") < NQueries)
-        .select(col("vec_id").as("qid"), col("vec").as("qvec")))
+        .select(col("vec_id").as("qid"), col("vec").as("qvec")),
+      refine = Some(emb(spark, dir)))
   }
 
   /** Incremental IVFPQ index maintenance — [[graft.operators.Retrieval.bm25IndexMerge]]'s
-    * ANN twin: GIVEN THE FROZEN MODELS (books; cells are untouched),
+    * ANN twin: GIVEN THE FROZEN MODELS (books AND cells — the residual
+    * encode needs the cell centroids, see [[ivfPqIndexOf]]),
     * absorbing a new vector batch is one batch-sized narrow encode plus
     * a union — never a retrain, never a corpus re-encode. Codes rows are
     * per-vector independent and the encode argmin is deterministic, so
@@ -1408,7 +1501,7 @@ object Similarity {
     * worse — [[ivfPqDriftGate]] is the documented trigger; when it
     * fires, rebuild with [[ivfPqIndexOf]] (a new corpus version, new
     * cache key) instead of merging further. */
-  def ivfPqIndexMerge(codes: DataFrame, books: DataFrame,
+  def ivfPqIndexMerge(codes: DataFrame, books: DataFrame, cells: DataFrame,
                       newVecs: DataFrame): DataFrame = {
     val spark = codes.sparkSession
     import spark.implicits._
@@ -1417,7 +1510,12 @@ object Similarity {
     // corpus and must be (re)built, not merged into
     require(bookRows.nonEmpty,
       "ivfPqIndexMerge: empty codebooks — build the index with ivfPqIndexOf first")
-    val np = pqAssign(pqSubvectors(newVecs), booksToNested(bookRows))
+    // frozen models = frozen CELL CENTROIDS too: the residual encode
+    // (see ivfPqIndexOf) subtracts the stored cell table's centroid for
+    // the row's label, so merged codes bit-match a rebuild under the
+    // same books+cells
+    val np = pqAssign(pqSubvectors(residualsOf(newVecs, cells)),
+        booksToNested(bookRows))
       .select(col("s"), col("vec_id"), col("cid"))
       .join(newVecs.select(col("vec_id"), col("label")), "vec_id")
     codes.unionByName(np)
@@ -1446,7 +1544,17 @@ object Similarity {
   }
 
   /** Exact twin: the IVF oracle's probe CTEs composed with the PQ
-    * oracle's codebook/code/LUT CTEs. */
+    * oracle's codebook/code/LUT CTEs — over RESIDUALS (vec − its
+    * label-cell centroid; the `resx`/`res` CTEs mirror [[residualsOf]],
+    * relying on DuckDB's positional zip of parallel unnests — the
+    * `cexp` precedent), with the per-(query, probed-cell) offset term
+    * dot(q, centroid) added to the subspace ADC sum exactly as
+    * [[ivfPqOf]] does. The query-side LUT reads RAW query subvectors
+    * (`qsub`), never residuals — dot(q, c) + dot(q, x − c) telescopes
+    * to dot(q, x). The probe cutoff is COMPUTED from count(cvecs) with
+    * the same schedule as [[ivfPqProbeSchedule]] (regen-safe — a new
+    * label cardinality re-derives it), and the `cand`/`rr` tail is the
+    * exact-refine re-rank of [[ivfPqOf]]'s refine arm. */
   val topkIvfPqOracle: String = s"""
     WITH nv AS (
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS raw,
@@ -1467,8 +1575,16 @@ object Similarity {
           CAST(row_number() OVER (PARTITION BY qid
             ORDER BY round(list_cosine_similarity(qvec, cvec), 6) DESC, clabel) AS INT) AS prn
         FROM qs CROSS JOIN cvecs)
-      WHERE prn <= $Probes),
-    ${pqSqlCtes(k = PqK, iters = PqIters)},
+      WHERE prn <= (SELECT least(count(*),
+          greatest($Probes, CAST(ceil(2 * sqrt(count(*))) AS INT)))
+        FROM cvecs)),
+    resx AS (
+      SELECT u.vec_id, unnest(range(len(u.vec))) AS pos, unnest(u.vec) AS v,
+        unnest(c.cvec) AS cv
+      FROM unit u JOIN cvecs c ON c.clabel = u.label),
+    res AS (SELECT vec_id, list(v - cv ORDER BY pos) AS vec
+            FROM resx GROUP BY vec_id),
+    ${pqSqlCtes(k = PqK, iters = PqIters, src = "res")},
     codes AS (
       SELECT s, vec_id, cid FROM (
         SELECT b.s, b.vec_id, c.cid,
@@ -1477,23 +1593,50 @@ object Similarity {
         FROM sub b JOIN cb$PqIters c USING (s))
       WHERE rn = 1),
     lab AS (SELECT vec_id, label FROM unit),
+    qsub AS (
+      SELECT vec_id, s, vec[s*$PqSub+1 : s*$PqSub+$PqSub] AS svec
+      FROM unit CROSS JOIN (SELECT unnest(range($PqM)) AS s)
+      WHERE vec_id < $NQueries),
     lut AS (
       SELECT q.vec_id AS qid, q.s, c.cid,
         round(list_dot_product(q.svec, c.cvec), 6) AS d
-      FROM sub q JOIN cb$PqIters c USING (s)
-      WHERE q.vec_id < $NQueries),
-    sc AS (
-      SELECT l.qid, k.vec_id AS nid,
-        round(CAST(sum(CAST(l.d AS DECIMAL(18,6))) AS DOUBLE), 6) AS adc
+      FROM qsub q JOIN cb$PqIters c USING (s)),
+    ofs AS (
+      SELECT p.qid, p.clabel,
+        round(list_dot_product(q.qvec, c.cvec), 6) AS off
+      FROM pr p
+      JOIN qs q ON q.qid = p.qid
+      JOIN cvecs c ON c.clabel = p.clabel),
+    sums AS (
+      SELECT l.qid, k.vec_id AS nid, b.label,
+        sum(CAST(l.d AS DECIMAL(18,6))) AS sd
       FROM codes k
       JOIN lab b ON b.vec_id = k.vec_id
       JOIN lut l ON l.s = k.s AND l.cid = k.cid
       JOIN pr p ON p.qid = l.qid AND p.clabel = b.label
       WHERE k.vec_id <> l.qid
-      GROUP BY l.qid, k.vec_id)
-    SELECT qid, nid, adc,
-      CAST(row_number() OVER (PARTITION BY qid ORDER BY adc DESC, nid) AS INT) AS rn
-    FROM sc
+      GROUP BY l.qid, k.vec_id, b.label),
+    sc AS (
+      SELECT m.qid, m.nid,
+        round(CAST(m.sd + CAST(o.off AS DECIMAL(18,6)) AS DOUBLE), 6) AS adc
+      FROM sums m JOIN ofs o ON o.qid = m.qid AND o.clabel = m.label),
+    cand AS (
+      SELECT qid, nid FROM (
+        SELECT qid, nid,
+          CAST(row_number() OVER (PARTITION BY qid
+            ORDER BY adc DESC, nid) AS INT) AS arn
+        FROM sc)
+      WHERE arn <= ${K * RefineFactor}),
+    rr AS (
+      SELECT c.qid, c.nid,
+        round(list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]),
+                                     CAST(en.embedding AS DOUBLE[])), 6) AS cos
+      FROM cand c
+      JOIN embeddings eq ON eq.vec_id = c.qid
+      JOIN embeddings en ON en.vec_id = c.nid)
+    SELECT qid, nid, cos,
+      CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INT) AS rn
+    FROM rr
     QUALIFY rn <= $K
     ORDER BY qid, rn"""
 
@@ -1559,7 +1702,22 @@ object Similarity {
   // connected components); the crafted dup/near-dup/distinct spec stays
   // as the semantic guard.
   def semanticCollapse(vecs: DataFrame, k: Int, iters: Int,
-                       threshold: Double): DataFrame = {
+                       threshold: Double): DataFrame =
+    semanticCollapseImpl(vecs, Some(k), iters, threshold)
+
+  /** [[semanticCollapse]] at corpus-adaptive k — derived from the
+    * DEDUPED representative count with the [[knnCellsFor]] policy
+    * (round 12; was the pre-dedup row count, which overshoots the
+    * constant-cell-size target on a heavily duplicated corpus: k-means
+    * clusters the reps, so the reps are what cell size must hold
+    * against). Costs no extra scan — the rep count reads the already
+    * cached `grouped` frame. */
+  def semanticCollapseAdaptive(vecs: DataFrame, iters: Int,
+                               threshold: Double): DataFrame =
+    semanticCollapseImpl(vecs, None, iters, threshold)
+
+  private def semanticCollapseImpl(vecs: DataFrame, kExplicit: Option[Int],
+                                   iters: Int, threshold: Double): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
     // exact-value grouping (not xxhash64(vec)): a 64-bit collision
@@ -1567,8 +1725,9 @@ object Similarity {
     val grouped = vecs
       .groupBy(col("vec"))
       .agg(sort_array(collect_list(col("vec_id"))).as("members"))
-      .cache() // feeds base, and the member mapping at the end
+      .cache() // feeds base, the rep count, and the member mapping
     val base = grouped.select(col("members")(0).as("vec_id"), col("vec"))
+    val k = kExplicit.getOrElse(knnCellsFor(base.count()))
     // cell assignment is the narrow argmax (r8, the dedup_clusters-style
     // cache/plan pass this operator never got): the previous
     // broadcast-join + row_number paid an n×k fanout and a window
@@ -1594,15 +1753,13 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
-  def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
     // corpus-adaptive k, the [[knnCellsFor]] policy: constant cell size
     // keeps the within-cell pair volume linear in n (the fixed k=10
-    // this entry shipped with leaves it at n²/10). Identical k=10 at
-    // both gated SFs, so the oracle's hardcoded k still matches.
-    val all = emb(spark, dir)
-    semanticCollapse(all, k = knnCellsFor(all.count()), iters = 3,
-      threshold = 0.95)
-  }
+    // this entry shipped with leaves it at n²/10). k derives from the
+    // deduped rep count — the oracle computes the identical formula
+    // over its `unit` (reps) CTE, so any corpus agrees by construction.
+    semanticCollapseAdaptive(emb(spark, dir), iters = 3, threshold = 0.95)
 
   /** Exact twin of [[dedupSemantic]]: exact-value collapse of duplicate
     * (normalized) vectors to their min-id rep, k-means over reps via
@@ -1619,7 +1776,7 @@ object Similarity {
     g AS (SELECT vec, min(vec_id) AS base_id, list(vec_id) AS members
           FROM unitall GROUP BY vec),
     unit AS (SELECT base_id AS vec_id, vec FROM g),
-    ${kmeansSqlCtes(k = 10, iters = 3)},
+    ${kmeansSqlCtes(knnCellsForSql, iters = 3)},
     cells AS (
       SELECT vec_id, vec, cid FROM (
         SELECT u.vec_id, u.vec, c.cid,
@@ -1865,8 +2022,9 @@ object Similarity {
     * k — flat cosine argmax up to [[knnFlatMaxCells]] cells (the gated
     * path: k=10 at both gated SFs, matching the SQL oracle), two-level
     * L2² assignment beyond it (cid = composed (cid1, cid2); trained on
-    * a deterministic 1-in-⌈n/(20·k1)⌉ vec_id sample so Lloyd never
-    * scans the full corpus k1 times at billion-row n). */
+    * a deterministic 1-in-⌈n/(20·k1²)⌉ vec_id sample — ~20·k1² training
+    * rows, i.e. ~20 per effective cell — so Lloyd never scans the full
+    * corpus k1 times at billion-row n). */
   private[graft] def knnCells(all: DataFrame): DataFrame = {
     val spark = all.sparkSession
     val n = all.count()
@@ -1895,7 +2053,10 @@ object Similarity {
   // the knnGraph build constants, lifted so the graph cache key below
   // can reference them — a constant folded into the key by hand would
   // silently serve a stale graph when the constant changes
-  private val KnnCells = 10
+  // final + literal = compile-time constants, so the oracle vals that
+  // textually precede these definitions (dedupSemanticOracle) can embed
+  // them via knnCellsForSql without an object-init ordering hazard
+  private final val KnnCells = 10
   private val KnnKmIters = 3
 
   /** Corpus-adaptive cell count — the SURVEY §2 design note ("k scales
@@ -1908,14 +2069,18 @@ object Similarity {
     * candidate work is then O(cellSize·dim) forever, and training/
     * assignment stay O(k·dim)/row with the native argmax (k=100 at the
     * decade SF, thousands at 100 TB — the two-level assigner takes over
-    * past ~10⁴ cells, see ScaleKnn). Same convention as
-    * nearDupPairsLsh's corpus-sized plane count: the SQL oracle
-    * hardcodes k=10, which EQUALS this formula for every n ≤ 2 000 —
-    * exactly the gated SFs (500 / 2 000 vectors); past that the oracle
-    * would need regenerating at the matching k. */
-  private val KnnCellSize = 200
+    * past [[KnnFlatMaxCellsDefault]] = 1024 cells, see ScaleKnn). The
+    * SQL oracles compute k from count(unit) via [[knnCellsForSql]]
+    * (round 12), so the formula holds at ANY n without regenerating. */
+  private final val KnnCellSize = 200
   private[graft] def knnCellsFor(n: Long): Int =
     math.max(KnnCells, math.ceil(n.toDouble / KnnCellSize).toInt)
+
+  /** SQL twin of [[knnCellsFor]], counting a `unit(vec_id, vec)` CTE —
+    * feed to [[kmeansSqlCtes]]'s kSql form so data-adaptive oracles
+    * re-derive k from whatever corpus they run on. */
+  private def knnCellsForSql: String =
+    s"SELECT greatest($KnnCells, CAST(ceil(count(*) / $KnnCellSize.0) AS INT)) FROM unit"
 
   /** The mtime+constants-keyed materialized kNN graph — ONE build per
     * corpus version serves every graph CONSUMER (pagerank, communities,
@@ -1940,16 +2105,17 @@ object Similarity {
   }
 
   /** Shared CTE chain for the graph oracles: `unit` → kmeans →
-    * `cells` → `knn(vec_id, nid, sim, rn ≤ J)`. The hardcoded k=10
-    * equals [[knnCellsFor]] for every n ≤ 5 000 (see its scaladoc) —
-    * regenerate at the matching k beyond that. */
+    * `cells` → `knn(vec_id, nid, sim, rn ≤ J)`. k is COMPUTED from
+    * count(unit) with the [[knnCellsFor]] formula (round 12; was a
+    * hardcoded 10 that silently required n ≤ 2 000) — a testdata regen
+    * at any n re-derives the same k both engines use. */
   private def knnGraphSqlCtes: String = s"""
     WITH nv AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw,
         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
       FROM embeddings),
     unit AS (SELECT vec_id, list_transform(raw, x -> x / nrm) AS vec FROM nv),
-    ${kmeansSqlCtes(k = 10, iters = 3)},
+    ${kmeansSqlCtes(knnCellsForSql, iters = 3)},
     cells AS (
       SELECT vec_id, vec, cid FROM (
         SELECT u.vec_id, u.vec, c.cid,
@@ -2125,9 +2291,15 @@ object Similarity {
     * undirected semantics (the gated entry does). */
   def labelPropagateOf(nodes: DataFrame, edges: DataFrame,
                        rounds: Int = LpRounds): DataFrame = {
+    val sc = nodes.sparkSession.sparkContext
     val nodesC = nodes.select(col("vec_id")).cache()
     val edgesC = edges.cache()
     var lbl = nodesC.select(col("vec_id"), col("vec_id").as("lbl"))
+    // ids of the previous round's checkpointed RDDs, freed as soon as
+    // the next round's checkpoint has consumed them (round 12 — the
+    // eager per-round localCheckpoint otherwise left every round's
+    // blocks pinned for the session)
+    var prevCpIds: scala.collection.Set[Int] = Set.empty
     for (_ <- 1 to rounds) {
       // majority-with-min-tie as ONE lexicographic max over (count,
       // -label) — both engines order structs field-by-field. vs the
@@ -2150,12 +2322,24 @@ object Similarity {
       // 8.1 s WARM at sf0.1 for 2 000 rows, 2.3 s after this change —
       // and (b) is the bounded-lineage story the scale note below
       // promises (Pregel-style systems persist the message frame every
-      // superstep for the same reason).
+      // superstep for the same reason). Trade-offs, documented: eager
+      // checkpointing means CONSTRUCTING this frame runs Spark jobs,
+      // and localCheckpoint blocks are lost with their executor — at
+      // cluster scale swap in RELIABLE checkpointing
+      // (sc.setCheckpointDir + .checkpoint()) at the same cadence.
+      val before = sc.getPersistentRDDs.keySet
       lbl = nodesC
         .join(lbl, Seq("vec_id"))
         .join(pick, Seq("vec_id"), "left")
         .select(col("vec_id"), coalesce(col("nl"), col("lbl")).as("lbl"))
         .localCheckpoint(true)
+      val added = sc.getPersistentRDDs.keySet -- before
+      // the new checkpoint fully materialized from the previous one —
+      // free the old blocks. isCheckpointed filters out plain caches
+      // (nodesC/edgesC materialize inside round 1's diff window).
+      prevCpIds.foreach(id => sc.getPersistentRDDs.get(id)
+        .filter(_.isCheckpointed).foreach(_.unpersist(blocking = false)))
+      prevCpIds = added
     }
     val sizes = lbl.groupBy(col("lbl")).agg(count(lit(1)).cast("int").as("csize"))
     lbl.join(sizes, Seq("lbl"))

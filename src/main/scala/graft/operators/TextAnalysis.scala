@@ -25,20 +25,29 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "das", "und", "ist", "von"),
     "fr" -> Seq("le", "la", "de", "et", "les", "est"))
 
-  def langScores(text: Column): Seq[(String, Column)] = {
-    val ts = TextFns.tokens(text)
+  def langScores(text: Column): Seq[(String, Column)] =
+    langScoresT(TextFns.tokens(text))
+
+  /** [[langScores]] over an ALREADY-TOKENIZED column — the
+    * tokenize-once seam the composed curation pipeline scores through
+    * (round 12: one tokens projection feeds gate, fingerprint, and
+    * lang stages instead of three full re-tokenizations). */
+  def langScoresT(ts: Column): Seq[(String, Column)] =
     profiles.map { case (lang, words) =>
       val hits = size(filter(ts, t =>
         words.map(w => t === lit(w)).reduce(_ || _)))
       lang -> round(hits.cast("double") / size(ts), 6)
     }
-  }
 
   /** The lang-id argmax as ONE reusable column (strict >, earlier
     * profile wins ties — the fold langId always used): shared with the
     * composed curation pipeline so the two can never drift. */
-  def predictedLang(text: Column): Column = {
-    val scores = langScores(text)
+  def predictedLang(text: Column): Column =
+    predictedLangT(TextFns.tokens(text))
+
+  /** [[predictedLang]] over an already-tokenized column. */
+  def predictedLangT(ts: Column): Column = {
+    val scores = langScoresT(ts)
     scores.tail.foldLeft((scores.head._2, lit(scores.head._1))) {
       case ((best, bestLang), (lang, score)) =>
         (when(score > best, score).otherwise(best),

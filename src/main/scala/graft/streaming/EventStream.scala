@@ -337,10 +337,19 @@ object EventStream {
     * (cells ≤ |cells|·dim doubles, books PqM·k·sub — the 21c broadcast
     * budget); no join, no shuffle, ZERO state-store rows at any rate.
     *
-    * Codes bit-match `ivfPqIndexOf`'s encode on the same vectors (same
-    * pqD2 argmin, first-min tie — spec-proven); the cell is the
-    * first-max 6-dp centroid cosine in the CALLER-SORTED cells order
-    * (sort by clabel to match the serve path's probe tie-break). */
+    * Codes bit-match `ivfPqIndexOf`'s RESIDUAL encode on the same
+    * vectors (same zip_with subtraction against the row's cell
+    * centroid, same pqD2 argmin, first-min tie — spec-proven). The
+    * cell the residual is taken against: rows carrying a `label`
+    * column (the catalog-ingest contract — `ivfPqIndexMerge`'s
+    * newVecs shape) use THAT cell, so streamed codes equal the batch
+    * encode exactly; unlabeled rows fall back to the first-max 6-dp
+    * centroid cosine in the CALLER-SORTED cells order (sort by clabel
+    * to match the serve path's probe tie-break) — the right cell for
+    * a vector the catalog hasn't classified, but only
+    * coincidentally the label cell. A label absent from `cells`
+    * throws (ANSI element_at on position 0) rather than encoding
+    * against an arbitrary centroid. */
   def ivfPqEncodeScore(vecs: DataFrame, cells: Seq[(String, Seq[Double])],
                        books: IndexedSeq[IndexedSeq[Seq[Double]]]): DataFrame = {
     import graft.functions.VectorFns
@@ -349,24 +358,32 @@ object EventStream {
     val cellVecs = typedLit(cells.map(_._2))
     val cbs = typedLit(books.map(_.map(_.toSeq).toSeq).toSeq)
     val unit = vecs
-      .select(col("vec_id"), VectorFns.asDouble(col("embedding")).as("raw"))
+      .select(Seq(col("vec_id"), VectorFns.asDouble(col("embedding")).as("raw")) ++
+        (if (vecs.columns.contains("label")) Seq(col("label")) else Nil): _*)
       .withColumn("__n", VectorFns.norm(col("raw")))
-      .select(col("vec_id"),
-        VectorFns.normalize(col("raw"), col("__n")).as("__v"))
+      .withColumn("__v", VectorFns.normalize(col("raw"), col("__n")))
+      .drop("raw", "__n")
     val ccos = transform(cellVecs, cv => VectorFns.cosine6(col("__v"), cv))
+    val cellIdx =
+      if (vecs.columns.contains("label"))
+        array_position(cellNames, col("label").cast("string")).cast("int")
+      else
+        array_position(ccos, array_max(ccos)).cast("int")
+    // residual = unit vector − its cell's centroid, exactly the batch
+    // encoder's zip_with (Similarity.residualsOf)
     val codes = transform(sequence(lit(0), lit(Similarity.PqM - 1)), s => {
-      val sv = slice(col("__v"), s * Similarity.PqSub + 1, lit(Similarity.PqSub))
+      val sv = slice(col("__r"), s * Similarity.PqSub + 1, lit(Similarity.PqSub))
       val cb = element_at(cbs, s + 1)
       val d2s = transform(sequence(lit(1), size(cb)),
         i => Similarity.pqD2(sv, element_at(cb, i)))
       array_position(d2s, array_min(d2s)).cast("int")
     })
     unit
-      .withColumn("__ccos", ccos)
+      .withColumn("__ci", cellIdx)
+      .withColumn("__r", zip_with(col("__v"),
+        element_at(cellVecs, col("__ci")), (a, b) => a - b))
       .select(col("vec_id"),
-        element_at(cellNames,
-          array_position(col("__ccos"), array_max(col("__ccos"))).cast("int"))
-          .as("cell"),
+        element_at(cellNames, col("__ci")).as("cell"),
         codes.as("codes"))
   }
 

@@ -111,16 +111,19 @@ object ScaleIvfPq {
     require(inline.toSet == served.toSet,
       "served-from-parquet IVFPQ != inline IVFPQ at 1M vectors")
 
-    // Measured finding on THIS corpus (256 cells / 64 codewords per
-    // subspace): ~half the served neighbors come from the co-probed
-    // cell via exact code TIES — clusters that share codewords in all
-    // PqM subspaces are indistinguishable to a code-only store. That is
-    // quantizer capacity, not an engine defect; the capacity rule it
-    // teaches (provision the codebook for cell-level separability) is
-    // gated below in the regime where the quantizer CAN resolve cells.
+    // Through round 11 this regime was capacity-limited (~0.5 precision:
+    // clusters sharing codewords in all PqM subspaces were
+    // indistinguishable to the raw-vector code store). The round-12
+    // residual encode dissolves that: codewords encode WITHIN-cell
+    // offsets and the per-cell dot(q, centroid) term separates cells, so
+    // 256 cells / 64 codewords now measures 1.000 — gate it like the
+    // separable regime below.
     val precision256 = served.map { case (q, n) => if (n % 256 == q % 256) 1.0 else 0.0 }
+    val meanP256 = precision256.sum / precision256.size
     println(f"[scale] cluster-mate precision@5 at 256 cells / k=$PqKStress%d " +
-      f"(capacity-limited, informational): ${precision256.sum / precision256.size}%.3f")
+      f"(residual encode): $meanP256%.3f")
+    require(meanP256 >= 0.9,
+      f"residual IVFPQ lost the cluster at 256 cells: $meanP256%.3f < 0.9")
 
     // Gate 2 — separable regime: 16 cells, k=64 codewords/subspace →
     // every cell resolves to distinct codes, so served neighbors must

@@ -169,38 +169,54 @@ class AnnAssignSpec extends AnyFunSuite {
     assert(mean >= 0.8, s"IVF-SQ8 overlap with IVF = $mean (per-query $overlap)")
   }
 
-  test("sim_topk_ivf_pq: candidates stay in probed cells; ADC scores equal full-PQ's on shared pairs") {
+  test("sim_topk_ivf_pq: residual ADC approximates the true cosine better than raw-PQ ADC") {
+    // Until round 11 this test pinned ivfpq ADC == raw-PQ ADC (shared
+    // codes). Round 12's residual encode makes the two DIFFERENT
+    // estimators by design: ivfpq scores dot(q, centroid) + residual
+    // ADC, raw PQ scores position-encoding ADC — the residual form is
+    // the one that should sit closer to the true cosine (Jégou et al.
+    // 2011 §IV, the faiss IVFPQ shape). Assert exactly that, on each
+    // estimator's own served pairs against exact unit-vector dots.
     val sf = "/root/testdata/sf0.001"
-    val composed = Similarity.topkIvfPq(spark, sf)
+    val all = Similarity.emb(spark, sf).cache()
+    val (codes, books, cellsDf) = Similarity.ivfPqIndexOf(all)
+    // refine = None exposes the raw ADC ordering this test measures
+    // (the gated entry re-ranks with exact vectors on top of it)
+    val composed = Similarity.ivfPqOf(codes, books, cellsDf,
+        all.filter($"vec_id" < 5)
+          .select($"vec_id".as("qid"), $"vec".as("qvec")))
       .select($"qid", $"nid", $"adc").as[(Long, Long, Double)].collect()
     assert(composed.nonEmpty)
     assert(composed.map(_._1).distinct.length == 5)
-    // the ADC value of a pair is probe-independent: wherever the full-PQ
-    // top-5 and the IVF-restricted top-5 share a (qid, nid) pair, the
-    // scores must be bit-identical (same codes, same LUT)
+    val vecs = all.select($"vec_id", $"vec")
+      .as[(Long, Seq[Double])].collect().toMap
+    def cos(a: Long, b: Long): Double =
+      vecs(a).lazyZip(vecs(b)).map(_ * _).sum
     val pq = Similarity.topkPq(spark, sf)
       .select($"qid", $"nid", $"adc").as[(Long, Long, Double)].collect()
-      .map(t => (t._1, t._2) -> t._3).toMap
-    val shared = composed.filter(t => pq.contains((t._1, t._2)))
-    assert(shared.nonEmpty)
-    shared.foreach { case (q, n, a) =>
-      assert(pq((q, n)) == a, s"ADC drift on ($q,$n): ivfpq=$a pq=${pq((q, n))}")
-    }
+    assert(pq.nonEmpty)
+    val resErr = composed.map { case (q, n, a) => math.abs(a - cos(q, n)) }
+    val rawErr = pq.map { case (q, n, a) => math.abs(a - cos(q, n)) }
+    val (mRes, mRaw) = (resErr.sum / resErr.length, rawErr.sum / rawErr.length)
+    info(f"mean |adc - cos|: residual $mRes%.4f vs raw-PQ $mRaw%.4f")
+    assert(mRes < mRaw,
+      f"residual ADC error $mRes%.4f not below raw-PQ ADC error $mRaw%.4f")
   }
 
-  test("sim_topk_ivf_pq: recall@5 vs bruteforce >= 0.3 at sf0.01 (and the indexed twin serves the same lists)") {
+  test("sim_topk_ivf_pq: recall@5 vs bruteforce >= 0.6 at sf0.01 (and the indexed twin serves the same lists)") {
     // The gated oracle proves hash-exactness of the IVFPQ plan, not that
     // the plan retrieves the RIGHT neighbors — this is the quality floor
-    // (the SQ8-spec pattern at the next sf up). IVFPQ is the lossiest
-    // gated config — probe miss × ADC error compound — and the sf
-    // testdata embeddings are near-isotropic (within-label mean cosine
-    // 0.0016 vs 0.0003 across), the structurally hostile regime for
-    // coarse quantization. Measured r11 (Probes=4, PqM=8, PqK=64):
-    // ivf .72, ivf_sq8 .72, ivf_trained .56, ivf2 .48, ivf_pq .44,
-    // pq .40, sq8 .96 — the floor sits under the IVFPQ value with
-    // headroom for seed drift. (The r10 config — 2 probes, PqM=4,
-    // PqK=16 — measured 0.04 here; the ScaleIvfPq stress separately
-    // gates 1.000 precision in the separable regime.)
+    // (the SQ8-spec pattern at the next sf up). The sf testdata
+    // embeddings are near-isotropic (within-label mean cosine 0.0016 vs
+    // 0.0003 across), the structurally hostile regime for coarse
+    // quantization — r11's pure-ADC config measured 0.44 here. Round
+    // 12's production shape (residual encode + the 2√n probe schedule
+    // + exact refine of the ADC top-50) measures 0.80: the probe
+    // schedule lifts the candidate ceiling (7 of 10 cells ≈ 0.9+), the
+    // refine stage recovers every true neighbor the ADC ranking kept
+    // in its top-50. Floor 0.6 leaves seed-drift headroom. (Other r11
+    // recall values for context: ivf .72, ivf_sq8 .72, ivf_trained
+    // .56, ivf2 .48, pq .40, sq8 .96.)
     val sf = "/root/testdata/sf0.01"
     val exact = Similarity.topkBruteforce(spark, sf)
       .select($"qid", $"nid").as[(Long, Long)].collect().groupBy(_._1)
@@ -211,7 +227,8 @@ class AnnAssignSpec extends AnyFunSuite {
     assert(ivfpq.keySet == exact.keySet)
     val recall = exact.map { case (q, e) => (ivfpq(q) & e).size.toDouble / e.size }
     val mean = recall.sum / recall.size
-    assert(mean >= 0.3, s"IVFPQ recall@5 vs exact = $mean (per-query $recall)")
+    info(f"IVFPQ recall@5 vs exact = $mean%.3f")
+    assert(mean >= 0.6, s"IVFPQ recall@5 vs exact = $mean (per-query $recall)")
     // the materialized-index twin is the same math from stored tables
     val served = Similarity.topkIvfPqIndexed(spark, sf)
       .select($"qid", $"nid").as[(Long, Long)].collect().groupBy(_._1)
@@ -231,7 +248,7 @@ class AnnAssignSpec extends AnyFunSuite {
     val half2 = all.filter($"vec_id" % 2 =!= 0)
     // merge encodes ONLY the new batch, yet must reproduce the full
     // encode bit for bit (deterministic per-row argmin, frozen books)
-    val merged = Similarity.ivfPqIndexMerge(codes1, books, half2)
+    val merged = Similarity.ivfPqIndexMerge(codes1, books, cells, half2)
     val key = Seq($"s", $"vec_id", $"cid", $"label")
     assert(merged.select(key: _*).exceptAll(ca.select(key: _*)).isEmpty)
     assert(ca.select(key: _*).exceptAll(merged.select(key: _*)).isEmpty)
@@ -292,13 +309,13 @@ class AnnAssignSpec extends AnyFunSuite {
   test("sim_topk_ivf_pq served from the materialized index == inline, cold and warm") {
     val sf = "/root/testdata/sf0.001"
     val inline = Similarity.topkIvfPq(spark, sf)
-      .select($"qid", $"rn", $"nid", $"adc")
+      .select($"qid", $"rn", $"nid", $"cos")
       .as[(Long, Int, Long, Double)].collect().toSet
     assert(inline.nonEmpty)
     // cold: builds codes/books/cells parquet; warm: serves from them
     for (pass <- Seq("cold", "warm")) {
       val served = Similarity.topkIvfPqIndexed(spark, sf)
-        .select($"qid", $"rn", $"nid", $"adc")
+        .select($"qid", $"rn", $"nid", $"cos")
         .as[(Long, Int, Long, Double)].collect().toSet
       assert(served == inline, s"$pass index serve != inline")
     }

@@ -652,12 +652,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(rebuilt.nonEmpty)
 
     val codes1 = ca.filter($"vec_id" % 2 === 0).cache() // already indexed
+    // arriving rows carry their catalog label — the residual encode's
+    // cell (the ivfPqIndexMerge newVecs contract)
     val arriving = graft.sources.Tables.embeddings(spark, sf)
-      .filter($"vec_id" % 2 =!= 0).select($"vec_id", $"embedding")
-      .as[(Long, Seq[Float])].collect()
-    val input = MemoryStream[(Long, Seq[Float])]
+      .filter($"vec_id" % 2 =!= 0).select($"vec_id", $"embedding", $"label")
+      .as[(Long, Seq[Float], String)].collect()
+    val input = MemoryStream[(Long, Seq[Float], String)]
     val coded = EventStream.ivfPqEncodeScore(
-      input.toDS().toDF("vec_id", "embedding"), cellModel, bookModel)
+      input.toDS().toDF("vec_id", "embedding", "label"), cellModel, bookModel)
     val q = coded.writeStream.format("memory").queryName("ivfpq_grow")
       .outputMode("append").start()
     val labels = all.select($"vec_id", $"label")
@@ -701,12 +703,15 @@ class StreamingSpec extends AnyFunSuite {
       .map { case (id, rows) => id -> rows.sortBy(_._1).map(_._3).toSeq }
     assert(stored.nonEmpty)
 
+    // labeled rows: the residual encode takes each vector against ITS
+    // label cell, exactly as the batch index build does — bit-for-bit
+    // equality is only defined under the same cell choice
     val vecs = graft.sources.Tables.embeddings(spark, sf)
-      .select(col("vec_id"), col("embedding"))
-      .as[(Long, Seq[Float])].collect()
-    val input = MemoryStream[(Long, Seq[Float])]
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .as[(Long, Seq[Float], String)].collect()
+    val input = MemoryStream[(Long, Seq[Float], String)]
     val coded = EventStream.ivfPqEncodeScore(
-      input.toDS().toDF("vec_id", "embedding"), cellModel, bookModel)
+      input.toDS().toDF("vec_id", "embedding", "label"), cellModel, bookModel)
     val q = coded.writeStream.format("memory").queryName("ivfpq_stream")
       .outputMode("append").start()
     vecs.grouped(math.max(1, vecs.length / 2 + 1)).foreach { b =>
