@@ -2003,6 +2003,42 @@ object Similarity {
     knnGraphOf(knnCells(all).cache())
   }
 
+  /** Incremental kNN-graph maintenance (round 12, VERDICT r11 #5) —
+    * [[ivfPqIndexMerge]]'s graph twin: GIVEN FROZEN CELL CENTROIDS, an
+    * arriving vector batch only changes the top-J lists of the cells
+    * it lands in — every other vector's candidate set is untouched, so
+    * its edges are reused verbatim from the stored graph. Inputs:
+    * `graph` = the stored edge list, `cells` = the stored
+    * (vec_id, vec, cid) cell frame it was built from, `newAssigned` =
+    * the arriving batch ALREADY ASSIGNED under the same frozen
+    * centroids (the ingest side runs the same narrow
+    * [[assignCellsCosine]] the build used — streaming-safe, no
+    * shuffle). Work is |touched cells| × cellsize² pair volume plus a
+    * filter over the stored graph — O(batch) cells touched, never a
+    * full rebuild. Merged == [[knnGraphOf]] over the union cell frame
+    * under the same centroids, bit for bit (spec-proven).
+    *
+    * Contracts mirroring ivfPqIndexMerge: new vec_ids are disjoint
+    * from `cells` (dedup upstream); frozen centroids drift — gate with
+    * cell-occupancy skew (the [[ivfPqDriftGate]] rule applies to any
+    * coarse partition) and rebuild on a fired gate, since the adaptive
+    * cell COUNT itself ([[knnCellsFor]]) wants to grow with n. */
+  def knnGraphMerge(graph: DataFrame, cells: DataFrame,
+                    newAssigned: DataFrame, j: Int = KnnJ): DataFrame = {
+    val touched = newAssigned.select(col("cid")).distinct()
+    val allCells = cells.select(col("vec_id"), col("vec"), col("cid"))
+      .unionByName(newAssigned.select(col("vec_id"), col("vec"), col("cid")))
+    // k is corpus/[[KnnCellSize]] — driver-bounded, so the touched-cell
+    // list always broadcasts
+    val rebuiltPart = knnGraphOf(
+      allCells.join(broadcast(touched), Seq("cid")), j)
+    val keptRows = graph.join(
+      cells.join(broadcast(touched), Seq("cid"), "left_anti")
+        .select(col("vec_id")),
+      Seq("vec_id"))
+    keptRows.unionByName(rebuiltPart)
+  }
+
   /** Flat-assignment ceiling for the kNN-graph build: past this many
     * cells the per-row flat argmax (O(k·dim)) costs more than the
     * per-cell pair join it feeds, and the build switches to the

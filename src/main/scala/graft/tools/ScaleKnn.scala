@@ -118,8 +118,26 @@ object ScaleKnn {
     require(fused <= nSampledComms / 10,
       s"LPA fused across clusters in $fused of $nSampledComms sampled communities")
 
+    // ---- round-count linearity (round 12) ------------------------------
+    // The per-round localCheckpoint cadence must make LPA wall LINEAR
+    // in rounds (each round: one count agg + one argmax + one join,
+    // lineage cut every round — no superlinear re-planning). 12 rounds
+    // vs the 4-round default: allow 4x for 3x the rounds (scheduling
+    // floor noise), require the curve is not quadratic (9x+).
+    val (_, tLpa12) = time("labelPropagateOf 12 rounds (linearity)") {
+      val de = graph.select(col("vec_id").as("src"), col("nid").as("dst"))
+      Similarity.labelPropagateOf(corpus.select(col("vec_id")),
+          de.union(de.select(col("dst").as("src"), col("src").as("dst"))).distinct(),
+          rounds = 12)
+        .agg(count(lit(1))).first()
+    }
+    println(f"[scale] lpa rounds 4->12: $tLpa%.1f -> $tLpa12%.1f s " +
+      f"(${tLpa12 / tLpa}%.2fx for 3x rounds)")
+    require(tLpa12 <= tLpa * 4.5,
+      f"12-round LPA wall ${tLpa12}%.1f s superlinear vs 4-round ${tLpa}%.1f s")
+
     println(f"[scale] RECORD assign=$tAssign%.1f build=$tBuild%.1f pagerank=$tPr%.1f " +
-      f"lpa=$tLpa%.1f communities=$nComm edges=$nEdges agree=$agree%.3f")
+      f"lpa=$tLpa%.1f lpa12=$tLpa12%.1f communities=$nComm edges=$nEdges agree=$agree%.3f")
     spark.stop()
   }
 }

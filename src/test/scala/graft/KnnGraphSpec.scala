@@ -42,6 +42,45 @@ class KnnGraphSpec extends AnyFunSuite {
       "more than 10% of vectors have no within-cell neighbors")
   }
 
+  test("knnGraphMerge: merged == full rebuild under frozen centroids; untouched cells reuse stored edges") {
+    // the ivfPqIndexMerge proof shape for the graph family: train
+    // centroids on the WHOLE corpus (frozen model), build the stored
+    // graph from half, merge the second half in — must equal the
+    // one-shot build over everything, bit for bit
+    val all = Similarity.emb(spark, SfDir).cache()
+    val k = Similarity.knnCellsFor(all.count())
+    val cents = Similarity.kmeansCentroidSeqs(all, k, iters = 3)
+    val assigned = Similarity.assignCellsCosine(all, cents)
+      .select($"vec_id", $"vec", $"cid").cache()
+    val cells1 = assigned.filter($"vec_id" % 2 === 0).cache()
+    val arriving = assigned.filter($"vec_id" % 2 =!= 0)
+    val stored = Similarity.knnGraphOf(cells1).cache()
+    val merged = Similarity.knnGraphMerge(stored, cells1, arriving)
+      .select($"vec_id", $"nid", $"sim", $"rn")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val rebuilt = Similarity.knnGraphOf(assigned)
+      .select($"vec_id", $"nid", $"sim", $"rn")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(merged == rebuilt && merged.nonEmpty,
+      "merged graph must equal the frozen-centroid rebuild exactly")
+
+    // a batch that touches ONE cell: every other vector's rows must
+    // come through the merge as the STORED rows, verbatim
+    val oneCell = arriving.orderBy($"vec_id").limit(1).cache()
+    val cid0 = oneCell.select($"cid").as[Int].head()
+    val merged1 = Similarity.knnGraphMerge(stored, cells1, oneCell)
+    val untouchedStored = stored.join(cells1.filter($"cid" =!= cid0)
+        .select($"vec_id"), Seq("vec_id"))
+      .select($"vec_id", $"nid", $"sim", $"rn")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val untouchedMerged = merged1.join(cells1.filter($"cid" =!= cid0)
+        .select($"vec_id"), Seq("vec_id"))
+      .select($"vec_id", $"nid", $"sim", $"rn")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(untouchedMerged == untouchedStored && untouchedStored.nonEmpty,
+      "merge must not disturb cells the batch didn't land in")
+  }
+
   test("densityPrune: one row per vector; dense neighborhoods keep their local min id") {
     val g = Similarity.knnGraph(spark, SfDir)
       .select("vec_id", "nid", "sim")
@@ -126,6 +165,46 @@ class KnnGraphSpec extends AnyFunSuite {
     // csize is consistent with the label partition
     res.foreach { case (v, l, sz) =>
       assert(sz == res.count(_._2 == l), s"vec $v csize $sz inconsistent") }
+  }
+
+  test("labelPropagateOf at 12 rounds == the unchecked reference loop (checkpoint cadence changes nothing)") {
+    // VERDICT r11 #9: the per-round localCheckpoint is a lineage/AQE
+    // tactic and must be INVISIBLE to values at any round count. The
+    // reference loop below is the same synchronous majority-min update
+    // written with NO checkpointing; 12 rounds on a crafted graph
+    // (a 13-node path, slow to converge, plus a 4-clique) must agree
+    // exactly. The wall-linearity half of the story is ScaleKnn's
+    // 12-round case at 1 M nodes.
+    val path = (0L until 12L).map(i => (i, i + 1))
+    val clique = Seq((20L, 21L), (20L, 22L), (20L, 23L),
+      (21L, 22L), (21L, 23L), (22L, 23L))
+    val und = (path ++ clique).flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val nodes = ((0L to 12L) ++ (20L to 23L)).toDF("vec_id")
+    val edges = und.toDF("src", "dst")
+    val rounds = 12
+    val got = Similarity.labelPropagateOf(nodes, edges, rounds)
+      .as[(Long, Long, Int)].collect().toSeq.sortBy(_._1)
+
+    // reference: plain Scala synchronous LPA, no Spark, no checkpoints
+    val nodeIds = ((0L to 12L) ++ (20L to 23L)).toSeq
+    val inEdges = und.groupBy(_._2).map { case (d, es) => d -> es.map(_._1) }
+    var lbl = nodeIds.map(v => v -> v).toMap
+    for (_ <- 1 to rounds) {
+      val next = nodeIds.map { v =>
+        val nbrLbls = inEdges.getOrElse(v, Seq.empty).map(lbl)
+        if (nbrLbls.isEmpty) v -> lbl(v)
+        else {
+          val byLbl = nbrLbls.groupBy(identity).map { case (l, o) => (l, o.size) }
+          // majority, ties -> smallest label (the max(struct(c, -l)) rule)
+          v -> byLbl.toSeq.maxBy { case (l, c) => (c, -l) }._1
+        }
+      }.toMap
+      lbl = next
+    }
+    val sizes = lbl.values.groupBy(identity).map { case (l, o) => l -> o.size }
+    val want = nodeIds.sorted.map(v => (v, lbl(v), sizes(lbl(v))))
+    assert(got == want,
+      s"12-round checkpointed LPA diverged from the reference loop:\n$got\nvs\n$want")
   }
 
   test("labelPropagateOf: a parquet-roundtripped graph serves identically to inline") {

@@ -692,6 +692,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(fin == rebuilt, "fully-grown streamed index must serve == inline rebuild")
   }
 
+  test("composed graph serve+maintain: stream-assigned vectors merge the stored kNN graph into the rebuild") {
+    // 22i3's composed story for the graph family: a stored kNN graph
+    // serves consumers while arriving vectors are cell-assigned
+    // IN-STREAM under the frozen centroids (one narrow per-row argmax,
+    // zero state rows) and knnGraphMerge folds them in — the grown
+    // graph must equal a one-shot rebuild over everything.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.VectorFns
+    val sim = graft.operators.Similarity
+    val all = sim.emb(spark, sf).cache()
+    val k = sim.knnCellsFor(all.count())
+    val cents = sim.kmeansCentroidSeqs(all, k, iters = 3)
+    val assigned = sim.assignCellsCosine(all, cents)
+      .select($"vec_id", $"vec", $"cid").cache()
+    val cells1 = assigned.filter($"vec_id" % 2 === 0).cache()
+    val stored = sim.knnGraphOf(cells1).cache()
+    assert(stored.count() > 0)
+
+    val arriving = graft.sources.Tables.embeddings(spark, sf)
+      .filter($"vec_id" % 2 =!= 0).select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect()
+    val input = MemoryStream[(Long, Seq[Float])]
+    // the batch build's exact normalize + argmax, as a streaming map
+    val unitized = input.toDS().toDF("vec_id", "embedding")
+      .select($"vec_id", VectorFns.asDouble($"embedding").as("raw"))
+      .withColumn("__n", VectorFns.norm($"raw"))
+      .select($"vec_id", VectorFns.normalize($"raw", $"__n").as("vec"))
+    val coded = sim.assignCellsCosine(unitized, cents)
+      .select($"vec_id", $"vec", $"cid")
+    val q = coded.writeStream.format("memory").queryName("knn_grow")
+      .outputMode("append").start()
+    arriving.grouped(math.max(1, arriving.length / 2 + 1)).foreach { b =>
+      input.addData(b.toSeq); q.processAllAvailable()
+    }
+    assert(q.lastProgress.stateOperators.isEmpty) // narrow plan, no state
+    q.stop()
+
+    val newAssigned = spark.table("knn_grow")
+      .select($"vec_id", $"vec", $"cid")
+    // stream-assigned cells == the batch assigner's, bit for bit
+    val batchAssign = assigned.filter($"vec_id" % 2 =!= 0)
+      .select($"vec_id", $"cid").as[(Long, Int)].collect().toMap
+    newAssigned.select($"vec_id", $"cid").as[(Long, Int)].collect()
+      .foreach { case (v, c) =>
+        assert(batchAssign(v) == c, s"vec $v stream cell $c != batch ${batchAssign(v)}")
+      }
+    val merged = sim.knnGraphMerge(stored, cells1, newAssigned)
+      .select($"vec_id", $"nid", $"sim", $"rn")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val rebuilt = sim.knnGraphOf(assigned)
+      .select($"vec_id", $"nid", $"sim", $"rn")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(merged == rebuilt && merged.nonEmpty,
+      "stream-grown graph must equal the frozen-centroid rebuild")
+  }
+
   test("streaming ivfpq encode: codes == stored-index codes bit-for-bit, zero state rows") {
     implicit val sqlCtx = spark.sqlContext
     val sim = graft.operators.Similarity
