@@ -45,8 +45,17 @@ object RestServer {
     new File(".").getCanonicalFile,
     new File(System.getProperty("java.io.tmpdir")).getCanonicalFile)
 
+  /** `ww2Bodies` is the live-fetch INJECTION POINT (reference
+    * api.py:716-849): a deployment with wiki access passes a
+    * client-backed [[graft.sources.CrawlSource.BodyProvider]] and the
+    * ww2 endpoint renders real bodies without a `content_path`
+    * snapshot; the default fetches nothing, so every title keeps the
+    * documented placeholder. The snapshot path (`content_path`) is
+    * independent of this and takes precedence when supplied. */
   def start(spark: SparkSession, port: Int = 0,
-            cleanupRoots: Seq[File] = defaultCleanupRoots): HttpServer = {
+            cleanupRoots: Seq[File] = defaultCleanupRoots,
+            ww2Bodies: graft.sources.CrawlSource.BodyProvider =
+              graft.sources.CrawlSource.noBodyProvider): HttpServer = {
     val roots = cleanupRoots.map(_.getCanonicalFile.toPath)
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/api/health", (ex: HttpExchange) =>
@@ -147,15 +156,12 @@ object RestServer {
                   import org.apache.spark.sql.functions._
                   val titles = graft.sources.CrawlSource.articleTitles(
                     graft.sources.CrawlSource.parquetProvider(spark, path), capped)
-                  def placeholder(t: String) =
-                    s"Wikipedia article: $t\n\n(Article body download requires " +
-                      "live wiki access - out of engine scope. Title selected " +
-                      "from the local category snapshot.)"
                   val docs = contentPath match {
                     case None =>
-                      titles.zipWithIndex.map { case (t, i) =>
-                        (i.toLong, t, placeholder(t))
-                      }.toDF("doc_id", "title", "content")
+                      // provider route: the injected live fetch (or the
+                      // no-network default, whose misses all keep the
+                      // placeholder — byte-identical to the r11 arm)
+                      graft.sources.CrawlSource.fetchBodies(spark, titles, ww2Bodies)
                     case Some(cp) =>
                       val raw = spark.read.parquet(cp)
                       val bodyCol =

@@ -85,4 +85,42 @@ object CrawlSource {
       }
     (cat: String) => byCat.getOrElse(cat, Seq.empty)
   }
+
+  // ---- article-body fetch (round 12) ----------------------------------
+  // The reference's per-article download (api.py:716-849
+  // download_wiki_article_to_pdf) as the SAME provider seam the
+  // category walk already has: a live HTTP deployment injects a
+  // wiki-client-backed function here — an injection point, not a
+  // rewrite — while the sandbox uses in-memory stubs and the snapshot
+  // path (`content_path`) stays the zero-egress production route.
+
+  /** title → Some(article body), or None when the fetch fails / the
+    * article is missing — the reference's per-article try/except
+    * degrades to a placeholder, mirrored by [[fetchBodies]]. */
+  type BodyProvider = String => Option[String]
+
+  /** The no-network default: every title misses, so every doc keeps
+    * the placeholder body (exactly the pre-round-12 behavior). */
+  val noBodyProvider: BodyProvider = _ => None
+
+  /** The documented placeholder body for a title whose fetch missed. */
+  def placeholderBody(title: String): String =
+    s"Wikipedia article: $title\n\n(Article body download requires " +
+      "live wiki access - out of engine scope. Title selected " +
+      "from the local category snapshot.)"
+
+  /** (doc_id, title, content) for the selected titles through a body
+    * provider; misses keep [[placeholderBody]]. Driver-side by design —
+    * the selection is ≤1000 titles (the endpoint clamp), matching the
+    * reference's sequential download loop; the distributed part is the
+    * downstream render + PDF export. A throwing provider counts as a
+    * miss for that title (the reference's per-article try/except). */
+  def fetchBodies(spark: SparkSession, titles: Seq[String],
+                  provider: BodyProvider): DataFrame = {
+    import spark.implicits._
+    titles.zipWithIndex.map { case (t, i) =>
+      val body = try provider(t) catch { case scala.util.control.NonFatal(_) => None }
+      (i.toLong, t, body.getOrElse(placeholderBody(t)))
+    }.toDF("doc_id", "title", "content")
+  }
 }
