@@ -236,6 +236,21 @@ class AnnAssignSpec extends AnyFunSuite {
     assert(served == ivfpq, "indexed twin diverged from inline lists")
   }
 
+  test("ivfPqProbeSchedule: floor at Probes, 2*sqrt(n) growth, capped at n") {
+    // the schedule the gated oracle re-derives in SQL from count(cvecs)
+    // — pin the Scala form at the boundary points so a drift between
+    // the two formulas fails here before it fails as a hash mismatch
+    assert(Similarity.ivfPqProbeSchedule(1) == 1)    // capped at n
+    assert(Similarity.ivfPqProbeSchedule(3) == 3)    // n < Probes → n
+    assert(Similarity.ivfPqProbeSchedule(4) == 4)    // floor = Probes
+    assert(Similarity.ivfPqProbeSchedule(10) == 7)   // ceil(2*sqrt(10))
+    assert(Similarity.ivfPqProbeSchedule(16) == 8)
+    assert(Similarity.ivfPqProbeSchedule(256) == 32)
+    assert(Similarity.ivfPqProbeSchedule(4096) == 128)
+    // probed FRACTION falls as the index grows — the scale property
+    assert(32.0 / 256 < 7.0 / 10 && 128.0 / 4096 < 32.0 / 256)
+  }
+
   test("ivfPqIndexMerge: appended codes == full rebuild under frozen models; drift gate fires on skew") {
     val sf = "/root/testdata/sf0.001"
     val all = Similarity.emb(spark, sf).cache()
