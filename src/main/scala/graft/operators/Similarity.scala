@@ -2163,7 +2163,7 @@ object Similarity {
       SELECT a.vec_id, b.vec_id AS nid,
         round(list_dot_product(a.vec, b.vec), 6) AS sim
       FROM cells a JOIN cells b ON a.cid = b.cid AND a.vec_id <> b.vec_id),
-    knn AS (
+    knn AS MATERIALIZED (
       SELECT vec_id, nid, sim,
         CAST(row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nid) AS INT) AS rn
       FROM sc
@@ -2290,7 +2290,9 @@ object Similarity {
     }
     s"""
     $knnGraphSqlCtes,
-    edges AS (SELECT vec_id AS src, nid AS dst FROM knn),
+    -- MATERIALIZED for the same reason as the communities oracle's ue:
+    -- edges is referenced once per unrolled rank round + outdeg
+    edges AS MATERIALIZED (SELECT vec_id AS src, nid AS dst FROM knn),
     nodes AS (SELECT vec_id FROM embeddings),
     nn AS (SELECT count(*) AS n FROM nodes),
     b AS (SELECT CAST((3 * ${PrE}) // (20 * nn.n) AS BIGINT) AS base,
@@ -2413,7 +2415,11 @@ object Similarity {
     s"""
     $knnGraphSqlCtes,
     de AS (SELECT vec_id AS src, nid AS dst FROM knn),
-    ue AS (SELECT DISTINCT src, dst FROM
+    -- MATERIALIZED: ue is referenced once per unrolled round; inlined,
+    -- DuckDB re-evaluates the whole knn chain LpRounds times (measured
+    -- 50+ GB of spill at n=5000 — the RegenGate corpus). Planner hint
+    -- only; values unchanged.
+    ue AS MATERIALIZED (SELECT DISTINCT src, dst FROM
       (SELECT src, dst FROM de UNION ALL SELECT dst, src FROM de)),
     nodes AS (SELECT vec_id FROM embeddings),
     lp0 AS (SELECT vec_id, vec_id AS lbl FROM nodes)${rounds.mkString(",", ",", "")},
