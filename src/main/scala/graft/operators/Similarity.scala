@@ -1531,9 +1531,17 @@ object Similarity {
     * skew > `threshold` (default 4× — a probed cell averaging > 4× its
     * fair share of candidates). One model-sized aggregate over the
     * codes table; empty index → (0, false). */
-  def ivfPqDriftGate(codes: DataFrame, threshold: Double = 4.0): (Double, Boolean) = {
-    val occ = codes.filter(col("s") === 0)
-      .groupBy(col("label")).agg(count(lit(1)).as("n"))
+  def ivfPqDriftGate(codes: DataFrame, threshold: Double = 4.0): (Double, Boolean) =
+    occupancyDriftGate(codes.filter(col("s") === 0), "label", threshold)
+
+  /** The occupancy-skew rule factored for ANY frozen coarse partition
+    * (round 12): max/mean population over `cellCol` of `assigned`.
+    * [[ivfPqDriftGate]] applies it to one s-slice of a codes table;
+    * [[knnGraphDriftGate]] to a kNN-graph cell frame. */
+  def occupancyDriftGate(assigned: DataFrame, cellCol: String,
+                         threshold: Double = 4.0): (Double, Boolean) = {
+    val occ = assigned
+      .groupBy(col(cellCol)).agg(count(lit(1)).as("n"))
       .agg(max(col("n")).cast("double").as("mx"), avg(col("n")).as("mn"))
       .head
     if (occ.isNullAt(0)) (0.0, false)
@@ -1542,6 +1550,17 @@ object Similarity {
       (skew, skew > threshold)
     }
   }
+
+  /** The retrain trigger for [[knnGraphMerge]]'s frozen centroids —
+    * the ivfPqDriftGate rule over the stored (vec_id, vec, cid) cell
+    * frame. Fires when the biggest cell averages > `threshold`× its
+    * fair share: merge work for batches landing there degrades toward
+    * the full rebuild (pair volume is per-cell-quadratic), and a
+    * drifting corpus also wants the cell COUNT regrown
+    * ([[knnCellsFor]] scales with n). Rebuild via [[knnGraph]] /
+    * [[knnGraphCached]] (a new corpus version re-keys the cache). */
+  def knnGraphDriftGate(cells: DataFrame, threshold: Double = 4.0): (Double, Boolean) =
+    occupancyDriftGate(cells, "cid", threshold)
 
   /** Exact twin: the IVF oracle's probe CTEs composed with the PQ
     * oracle's codebook/code/LUT CTEs — over RESIDUALS (vec − its

@@ -79,6 +79,17 @@ class KnnGraphSpec extends AnyFunSuite {
       .as[(Long, Long, Double, Int)].collect().toSet
     assert(untouchedMerged == untouchedStored && untouchedStored.nonEmpty,
       "merge must not disturb cells the batch didn't land in")
+
+    // drift gate on the frozen cells: sane on the organic assignment,
+    // fires when a batch piles into one cell
+    val (skew, retrain) = Similarity.knnGraphDriftGate(assigned)
+    assert(skew >= 1.0 && !retrain, s"organic cells flagged: skew=$skew")
+    val piled = assigned.select($"vec_id", $"vec", lit(1).as("cid"))
+      .limit(400).union(assigned.filter($"vec_id" < 10)
+        .select($"vec_id" + 10000, $"vec", ($"vec_id" % 5 + 2).cast("int").as("cid")))
+    val (skew2, retrain2) = Similarity.knnGraphDriftGate(piled)
+    assert(retrain2, s"400-in-one-cell pile must trigger retrain (skew=$skew2)")
+    assert(Similarity.knnGraphDriftGate(piled.filter($"cid" < 0)) == ((0.0, false)))
   }
 
   test("densityPrune: one row per vector; dense neighborhoods keep their local min id") {
