@@ -918,6 +918,18 @@ object Similarity {
     * verbatim. The LUT (query × subspace × codeword dots) broadcasts;
     * `codes` is the only corpus-sized input. */
   def pqOf(codes: DataFrame, books: DataFrame, queries: DataFrame): DataFrame = {
+    val scored = pqScoresOf(codes, books, queries)
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("nid"))
+    scored
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= K)
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  /** [[pqOf]]'s scoring stage without the rank cut — (qid, nid, adc)
+    * for every (query, corpus) pair, the frame [[refineOf]] consumes
+    * (`sim_topk_pq_refined`). */
+  def pqScoresOf(codes: DataFrame, books: DataFrame,
+                 queries: DataFrame): DataFrame = {
     val qsub = pqSubvectors(
       queries.select(col("qid").as("vec_id"), col("qvec").as("vec")))
     val lut = qsub
@@ -925,16 +937,35 @@ object Similarity {
       .join(broadcast(books), Seq("s"))
       .select(col("qid"), col("s"), col("cid"),
         VectorFns.dot6(col("svec"), col("cvec")).as("d"))
-    val scored = codes.join(broadcast(lut), Seq("s", "cid"))
+    codes.join(broadcast(lut), Seq("s", "cid"))
       .filter(col("vec_id") =!= col("qid"))
       .groupBy(col("qid"), col("vec_id"))
       // exactly PqM six-dp terms per pair → DECIMAL sum is exact and
       // aggregation-order-independent
       .agg(round(sum(col("d").cast("decimal(18,6)")).cast("double"), 6).as("adc"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("nid"))
-    scored.select(col("qid"), col("vec_id").as("nid"), col("adc"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") <= K)
-      .orderBy(col("qid"), col("rn"))
+      .select(col("qid"), col("vec_id").as("nid"), col("adc"))
+  }
+
+  /** Gated `sim_topk_pq_refined`: the PQ ADC candidate generator
+    * composed with [[refineOf]] — the faiss IndexRefineFlat wrapping
+    * of IndexPQ, and the proof the refine stage is a composable
+    * primitive rather than an IVFPQ special case. ADC (codes-only,
+    * 64×-smaller store) ranks all pairs; the exact re-rank reads
+    * K·RefineFactor true vectors per query. On the near-isotropic
+    * gated corpus this recovers nearly all of brute force's list
+    * (recall@5 spec ≥ 0.9 — ADC's top-50-of-500 almost surely holds
+    * the true top-5 even at ADC recall .40); at 100 TB the candidate
+    * stage stays code-table-sized and the refine reads are bounded. */
+  def topkPqRefined(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val all = emb(spark, dir).cache()
+    val (codes, books) = pqIndexOf(all)
+    if (books.isEmpty)
+      return spark.emptyDataset[(Long, Long, Double, Int)]
+        .toDF("qid", "nid", "cos", "rn")
+    val queries = all.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+    refineOf(pqScoresOf(codes, books, queries), "adc", queries, all)
   }
 
   /** PQ top-k: encode the corpus once, score by ADC, rank per query —
@@ -1029,10 +1060,11 @@ object Similarity {
       FROM $src CROSS JOIN (SELECT unnest(range($PqM)) AS s)),
     ${groupedLloydSqlCtes(k, iters)}"""
 
-  /** Exact twin of [[topkPq]]: same codebooks, codes, lookup table, and
-    * ADC ranking, unrolled in SQL. */
-  val topkPqOracle: String = {
-    s"""
+  /** The full-corpus PQ/ADC chain shared by [[topkPqOracle]] and
+    * [[topkPqRefinedOracle]]: nv/unit, the grouped-Lloyd codebooks,
+    * codes, LUT, and `sc(qid, nid, adc)` — ONE definition so the plain
+    * and refined gates can never encode different ADC math. */
+  private def pqAdcSqlCtes: String = s"""
     WITH nv AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw,
         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
@@ -1056,13 +1088,42 @@ object Similarity {
         round(CAST(sum(CAST(l.d AS DECIMAL(18,6))) AS DOUBLE), 6) AS adc
       FROM codes k JOIN lut l ON l.s = k.s AND l.cid = k.cid
       WHERE k.vec_id <> l.qid
-      GROUP BY l.qid, k.vec_id)
+      GROUP BY l.qid, k.vec_id)"""
+
+  /** Exact twin of [[topkPq]]: same codebooks, codes, lookup table, and
+    * ADC ranking, unrolled in SQL. */
+  val topkPqOracle: String = s"""
+    $pqAdcSqlCtes
     SELECT qid, nid, adc,
       CAST(row_number() OVER (PARTITION BY qid ORDER BY adc DESC, nid) AS INT) AS rn
     FROM sc
     QUALIFY rn <= $K
     ORDER BY qid, rn"""
-  }
+
+  /** Exact twin of [[topkPqRefined]]: the shared ADC chain + the
+    * refine tail (ADC top-K·RefineFactor → exact-cosine re-rank) —
+    * the same `cand`/`rr` shape as the IVFPQ oracle's. */
+  val topkPqRefinedOracle: String = s"""
+    $pqAdcSqlCtes,
+    cand AS (
+      SELECT qid, nid FROM (
+        SELECT qid, nid,
+          CAST(row_number() OVER (PARTITION BY qid
+            ORDER BY adc DESC, nid) AS INT) AS arn
+        FROM sc)
+      WHERE arn <= ${K * RefineFactor}),
+    rr AS (
+      SELECT c.qid, c.nid,
+        round(list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]),
+                                     CAST(en.embedding AS DOUBLE[])), 6) AS cos
+      FROM cand c
+      JOIN embeddings eq ON eq.vec_id = c.qid
+      JOIN embeddings en ON en.vec_id = c.nid)
+    SELECT qid, nid, cos,
+      CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INT) AS rn
+    FROM rr
+    QUALIFY rn <= $K
+    ORDER BY qid, rn"""
 
   // ---- 3e2. int8 scalar quantization (round 9) -------------------------
   // The faiss-SQ8 memory path: per-DIMENSION affine quantization of the
@@ -1346,8 +1407,9 @@ object Similarity {
   /** Exact-refine factor: the ADC ranking keeps K·RefineFactor
     * candidates per query; the refine stage re-scores only those with
     * true vectors. Per-query full-vector reads are bounded by this —
-    * the faiss IndexRefineFlat k_factor. */
-  private[graft] val RefineFactor = 10
+    * the faiss IndexRefineFlat k_factor. (final + literal = constant,
+    * safe for the oracle vals that textually precede this line.) */
+  private[graft] final val RefineFactor = 10
 
   def ivfPqOf(codes: DataFrame, books: DataFrame, cells: DataFrame,
               queries: DataFrame, refine: Option[DataFrame] = None): DataFrame = {
@@ -1389,27 +1451,43 @@ object Similarity {
           .withColumn("rn", row_number().over(w)).filter(col("rn") <= K)
           .orderBy(col("qid"), col("rn"))
       case Some(vecs) =>
-        // exact refine (faiss IndexRefineFlat): the quantizer only
-        // GENERATES candidates — the top K·RefineFactor by ADC re-score
-        // against true vectors, so quantization error can reorder but
-        // no longer drop a neighbor that made the candidate list. Reads
-        // exactly K·RefineFactor full vectors per query: candidates
-        // broadcast against the vector table, never the reverse.
-        val cand = scored
-          .withColumn("arn", row_number().over(w))
-          .filter(col("arn") <= K * RefineFactor)
-          .select(col("qid"), col("nid"))
-          .join(broadcast(queries), Seq("qid"))
-        val rer = vecs
-          .select(col("vec_id").as("nid"), col("vec").as("nvec"))
-          .join(broadcast(cand), Seq("nid"))
-          .select(col("qid"), col("nid"),
-            VectorFns.dot6(col("qvec"), col("nvec")).as("cos"))
-        val wr = Window.partitionBy(col("qid"))
-          .orderBy(col("cos").desc, col("nid"))
-        rer.withColumn("rn", row_number().over(wr)).filter(col("rn") <= K)
-          .orderBy(col("qid"), col("rn"))
+        refineOf(scored, "adc", queries, vecs)
     }
+  }
+
+  /** Exact refine re-rank (faiss IndexRefineFlat), composable over ANY
+    * scoring-limited candidate generator — shared by the IVFPQ refine
+    * arm and `sim_topk_pq_refined`: keep each query's top
+    * k·[[RefineFactor]] candidates by the generator's own `scoreCol`,
+    * re-score ONLY those against true vectors, emit exact-cosine
+    * top-k. The quantizer only GENERATES candidates — quantization
+    * error can reorder but no longer drop a neighbor that made the
+    * candidate list. Reads exactly k·RefineFactor full vectors per
+    * query: candidates broadcast against the vector table, never the
+    * reverse. `cands` = (qid, nid, scoreCol), `queries` = (qid, qvec)
+    * unit vectors, `vecs` = (vec_id, vec) the true-vector store.
+    * NOTE: refine lifts recall only when the generator's SCORING is
+    * the lossy stage (PQ/IVFPQ ADC); a probe-limited generator that
+    * already scores exact cosines in-cell (IVF, IVF2) gains nothing —
+    * its misses were never in the candidate set. */
+  def refineOf(cands: DataFrame, scoreCol: String, queries: DataFrame,
+               vecs: DataFrame, k: Int = K): DataFrame = {
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col(scoreCol).desc, col("nid"))
+    val cand = cands
+      .withColumn("arn", row_number().over(w))
+      .filter(col("arn") <= k * RefineFactor)
+      .select(col("qid"), col("nid"))
+      .join(broadcast(queries), Seq("qid"))
+    val rer = vecs
+      .select(col("vec_id").as("nid"), col("vec").as("nvec"))
+      .join(broadcast(cand), Seq("nid"))
+      .select(col("qid"), col("nid"),
+        VectorFns.dot6(col("qvec"), col("nvec")).as("cos"))
+    val wr = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    rer.withColumn("rn", row_number().over(wr)).filter(col("rn") <= k)
+      .orderBy(col("qid"), col("rn"))
   }
 
   /** [[ivfPqIndexOf]] over the standard embeddings table — the spec /
@@ -2474,6 +2552,7 @@ object Similarity {
     "sim_topk_ivf_trained" -> (topkIvfTrained _),
     "sim_topk_lsh"        -> (topkLsh _),
     "sim_topk_pq"         -> (topkPq _),
+    "sim_topk_pq_refined" -> (topkPqRefined _),
     "sim_topk_pq_indexed" -> (topkPqIndexed _),
     "sim_topk_sq8"        -> (topkSq8 _),
     "sim_topk_ivf_sq8"    -> (topkIvfSq8 _),
@@ -2494,6 +2573,7 @@ object Similarity {
     "sim_topk_ivf_trained" -> topkIvfTrainedOracle,
     "sim_topk_lsh"        -> topkLshOracle,
     "sim_topk_pq"         -> topkPqOracle,
+    "sim_topk_pq_refined" -> topkPqRefinedOracle,
     "sim_topk_pq_indexed" -> topkPqOracle,
     "sim_topk_sq8"        -> topkSq8Oracle,
     "sim_topk_ivf_sq8"    -> topkIvfSq8Oracle,

@@ -236,6 +236,25 @@ class AnnAssignSpec extends AnyFunSuite {
     assert(served == ivfpq, "indexed twin diverged from inline lists")
   }
 
+  test("sim_topk_pq_refined: exact refine over ADC candidates recovers recall@5 >= 0.9") {
+    // the refine primitive composed with the LOSSIEST generator (pure
+    // ADC, recall .40 alone): the true top-5 almost surely sit in
+    // ADC's top-50, so the exact re-rank recovers nearly all of brute
+    // force's list while reading only K*RefineFactor vectors per query
+    val sf = "/root/testdata/sf0.01"
+    val exact = Similarity.topkBruteforce(spark, sf)
+      .select($"qid", $"nid").as[(Long, Long)].collect().groupBy(_._1)
+      .map { case (q, a) => q -> a.map(_._2).toSet }
+    val ref = Similarity.topkPqRefined(spark, sf)
+      .select($"qid", $"nid").as[(Long, Long)].collect().groupBy(_._1)
+      .map { case (q, a) => q -> a.map(_._2).toSet }
+    assert(ref.keySet == exact.keySet)
+    val recall = exact.map { case (q, e) => (ref(q) & e).size.toDouble / e.size }
+    val mean = recall.sum / recall.size
+    info(f"PQ+refine recall@5 vs exact = $mean%.3f")
+    assert(mean >= 0.9, s"PQ+refine recall@5 vs exact = $mean (per-query $recall)")
+  }
+
   test("ivfPqProbeSchedule: floor at Probes, 2*sqrt(n) growth, capped at n") {
     // the schedule the gated oracle re-derives in SQL from count(cvecs)
     // — pin the Scala form at the boundary points so a drift between
