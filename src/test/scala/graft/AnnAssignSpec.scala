@@ -270,6 +270,31 @@ class AnnAssignSpec extends AnyFunSuite {
     assert(32.0 / 256 < 7.0 / 10 && 128.0 / 4096 < 32.0 / 256)
   }
 
+  test("residual telescoping: dot(q, centroid) + dot(q, vec - centroid) == dot(q, vec)") {
+    // the identity the residual ADC rests on — checked on real data to
+    // float precision, so a future change to residualsOf / the offset
+    // term that silently breaks the decomposition fails here, not as a
+    // recall regression
+    val sf = "/root/testdata/sf0.001"
+    val all = Similarity.emb(spark, sf).cache()
+    val (_, _, cellsDf) = Similarity.ivfPqIndexOf(all)
+    val cents = cellsDf.as[(String, Seq[Double])].collect().toMap
+    val rows = all.select($"vec_id", $"label", $"vec")
+      .as[(Long, String, Seq[Double])].collect()
+    val q = rows.head._3
+    var checked = 0
+    rows.take(200).foreach { case (_, lbl, v) =>
+      val c = cents(lbl)
+      val full = q.lazyZip(v).map(_ * _).sum
+      val off = q.lazyZip(c).map(_ * _).sum
+      val res = q.lazyZip(v.lazyZip(c).map(_ - _)).map(_ * _).sum
+      assert(math.abs(off + res - full) < 1e-9,
+        s"telescoping broke: $off + $res != $full")
+      checked += 1
+    }
+    assert(checked == 200)
+  }
+
   test("ivfPqIndexMerge: appended codes == full rebuild under frozen models; drift gate fires on skew") {
     val sf = "/root/testdata/sf0.001"
     val all = Similarity.emb(spark, sf).cache()
