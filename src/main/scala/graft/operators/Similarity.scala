@@ -723,6 +723,13 @@ object Similarity {
   private val Ivf2K1 = 4
   private val Ivf2K2 = 4
   private val Ivf2Iters = 2
+  /** Top-level cells probed per query (round 12). Through round 11 a
+    * query probed only its OWN top cell, capping recall at that cell's
+    * share of the true neighbors (measured 0.48 at the gated SF); the
+    * inverted-multi-index practice is to visit several coarse cells.
+    * 2 of 4 tops at the gated geometry; the probed FRACTION falls as
+    * k1 grows at scale (ScaleAnnK runs 16×16). */
+  private final val Ivf2TopProbes = 2
 
   def topkIvf2(spark: SparkSession, dir: String): DataFrame =
     topkIvf2Of(emb(spark, dir).cache(), Ivf2K1, Ivf2K2, Ivf2Iters, None)
@@ -746,19 +753,35 @@ object Similarity {
       tops: IndexedSeq[Seq[Double]],
       cents2: IndexedSeq[IndexedSeq[Seq[Double]]]): DataFrame =
     ivf2SearchCells(all.select(col("vec_id"), col("vec"))
-      .join(assignWithTwoLevel(all, tops, cents2), Seq("vec_id")), cents2)
+      .join(assignWithTwoLevel(all, tops, cents2), Seq("vec_id")), tops, cents2)
 
   /** The search tail over an ALREADY-ASSIGNED cells frame
     * (vec_id, vec, cid1, cid2) — shared by the inline path and the
-    * materialized-index serve path so their equality is structural. */
+    * materialized-index serve path so their equality is structural.
+    * Round 12: probes [[Ivf2TopProbes]] nearest TOP cells per query by
+    * the same round-6 L2² rule the corpus assignment uses (so the
+    * nearest top IS the query's own cell — strictly more candidates
+    * than the pre-r12 own-cell-only probe), then `Probes` nearest
+    * sub-cells within EACH probed top. */
   private def ivf2SearchCells(cellsIn: DataFrame,
+      tops: IndexedSeq[Seq[Double]],
       cents2: IndexedSeq[IndexedSeq[Seq[Double]]]): DataFrame = {
     val cells = cellsIn.cache()
     val cbs = typedLit(cents2.map(_.map(_.toSeq).toSeq).toSeq) // k1·k2·dim ≤ 1024 doubles — literal budget
+    val topsLit = typedLit(tops.map(_.toSeq).toSeq)
     val q = cells.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("qid"), col("vec").as("qvec"), col("cid1").as("pcid1"))
-    val probeW = Window.partitionBy(col("qid")).orderBy(col("pd2"), col("scid"))
-    val probes = q
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+    val topW = Window.partitionBy(col("qid")).orderBy(col("tpd2"), col("pcid1"))
+    val topProbes = q
+      .select(col("qid"), col("qvec"),
+        explode(sequence(lit(1), size(topsLit))).as("pcid1"))
+      .withColumn("tpd2", pqD2(col("qvec"), element_at(topsLit, col("pcid1"))))
+      .withColumn("trn", row_number().over(topW))
+      .filter(col("trn") <= Ivf2TopProbes)
+      .select(col("qid"), col("qvec"), col("pcid1"))
+    val probeW = Window.partitionBy(col("qid"), col("pcid1"))
+      .orderBy(col("pd2"), col("scid"))
+    val probes = topProbes
       // Probe ids bounded by the ACTUAL sub-codebook length, not a fixed
       // 1..Ivf2K2 range: under ANSI mode (Spark 4 default) an out-of-bounds
       // element_at THROWS rather than returning NULL, so a top cell trained
@@ -790,7 +813,7 @@ object Similarity {
     * not stored — corpus rows carry their cid1, and the probe
     * convention (queries are corpus rows) reads it from `cells`. */
   def ivf2IndexOf(all: DataFrame, k1: Int = Ivf2K1, k2: Int = Ivf2K2,
-                  iters: Int = Ivf2Iters): (DataFrame, DataFrame) = {
+                  iters: Int = Ivf2Iters): (DataFrame, DataFrame, DataFrame) = {
     val spark = all.sparkSession
     import spark.implicits._
     val (tops, cents2) = trainTwoLevel(all, k1, k2, iters, None)
@@ -800,43 +823,54 @@ object Similarity {
       (cb, s) <- cents2.zipWithIndex
       (c, i) <- cb.zipWithIndex
     } yield (s, i + 1, c)).toDF("s", "cid", "cvec")
-    (cells, subbooks)
+    // round 12: tops ARE stored now — the multi-top probe needs them at
+    // serve time (pre-r12 the probe read only the query's own cid1)
+    val topsDf = spark.createDataset(
+      tops.zipWithIndex.map { case (v, i) => (i + 1, v) })
+      .toDF("cid1", "tvec")
+    (cells, subbooks, topsDf)
   }
 
   /** Top-K from a (possibly parquet-roundtripped) two-level IVF index:
-    * the sub-codebooks re-enter the plan as the probe literal, and the
-    * search tail is [[ivf2SearchCells]] verbatim. */
-  def ivf2Of(cells: DataFrame, subbooks: DataFrame): DataFrame = {
+    * the top centroids and sub-codebooks re-enter the plan as the probe
+    * literals, and the search tail is [[ivf2SearchCells]] verbatim. */
+  def ivf2Of(cells: DataFrame, subbooks: DataFrame,
+             topsDf: DataFrame): DataFrame = {
     val spark = cells.sparkSession
     import spark.implicits._
     val rows = subbooks.as[(Int, Int, Seq[Double])].collect()
     if (rows.isEmpty) // empty corpus: no cells, no neighbors
       return spark.emptyDataset[(Long, Long, Double, Int)]
         .toDF("qid", "nid", "cos", "rn")
-    ivf2SearchCells(cells, booksToNested(rows.toSeq))
+    val tops = topsDf.orderBy(col("cid1")).select(col("tvec"))
+      .as[Seq[Double]].collect().toIndexedSeq
+    ivf2SearchCells(cells, tops, booksToNested(rows.toSeq))
   }
 
   /** Gated twin of `sim_topk_ivf2` served from an mtime-keyed
     * MATERIALIZED index (same oracle — identical output, different
     * provenance): both Lloyd loops and the corpus assignment are paid
-    * once per corpus version; warm runs read stored cells + subbooks
-    * and never touch the raw embeddings table. */
+    * once per corpus version; warm runs read stored cells + subbooks +
+    * tops and never touch the raw embeddings table. */
   def topkIvf2Indexed(spark: SparkSession, dir: String): DataFrame = {
     val embFile = new java.io.File(s"$dir/embeddings.parquet")
     // data version + constants baked into the stored index (see
-    // topkIvfPqIndexed for the key convention)
+    // topkIvfPqIndexed for the key convention); "tp" marks the round-12
+    // multi-top layout so a stored two-table index never serves it
     val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${embFile.lastModified}" +
-      s"_k${Ivf2K1}x${Ivf2K2}i$Ivf2Iters"
+      s"_k${Ivf2K1}x${Ivf2K2}i${Ivf2Iters}tp$Ivf2TopProbes"
     val base = s"target/tmp/ivf2_index/$key"
     // guard on the LAST-written table: a crash between writes leaves it
     // absent, so the next run rebuilds instead of serving a torn cache
-    if (!new java.io.File(s"$base/subbooks/_SUCCESS").exists()) {
-      val (cells, subbooks) = ivf2IndexOf(emb(spark, dir).cache())
+    if (!new java.io.File(s"$base/tops/_SUCCESS").exists()) {
+      val (cells, subbooks, topsDf) = ivf2IndexOf(emb(spark, dir).cache())
       cells.write.mode("overwrite").parquet(s"$base/cells")
       subbooks.write.mode("overwrite").parquet(s"$base/subbooks")
+      topsDf.write.mode("overwrite").parquet(s"$base/tops")
     }
     ivf2Of(spark.read.parquet(s"$base/cells"),
-      spark.read.parquet(s"$base/subbooks"))
+      spark.read.parquet(s"$base/subbooks"),
+      spark.read.parquet(s"$base/tops"))
   }
 
   /** Exact twin of [[topkIvf2]]. */
@@ -866,13 +900,20 @@ object Similarity {
     cells AS (
       SELECT t.vec_id, t.vec, t.cid1, a.cid2
       FROM ta t JOIN sa a ON a.vec_id = t.vec_id),
+    tp AS (
+      SELECT qid, qvec, pcid1 FROM (
+        SELECT q.vec_id AS qid, q.vec AS qvec, t.cid AS pcid1,
+          CAST(row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY ${pqD2Sql("q.vec", "t.cvec")}, t.cid) AS INT) AS trn
+        FROM (SELECT vec_id, vec FROM cells WHERE vec_id < $NQueries) q
+        CROSS JOIN cent$Ivf2Iters t)
+      WHERE trn <= $Ivf2TopProbes),
     qp AS (
       SELECT qid, qvec, pcid1, scid FROM (
-        SELECT q.vec_id AS qid, q.vec AS qvec, q.cid1 AS pcid1, c.cid AS scid,
-          CAST(row_number() OVER (PARTITION BY q.vec_id
-            ORDER BY ${pqD2Sql("q.vec", "c.cvec")}, c.cid) AS INT) AS rn
-        FROM (SELECT * FROM cells WHERE vec_id < $NQueries) q
-        JOIN cb$Ivf2Iters c ON c.s = q.cid1 - 1)
+        SELECT t.qid, t.qvec, t.pcid1, c.cid AS scid,
+          CAST(row_number() OVER (PARTITION BY t.qid, t.pcid1
+            ORDER BY ${pqD2Sql("t.qvec", "c.cvec")}, c.cid) AS INT) AS rn
+        FROM tp t JOIN cb$Ivf2Iters c ON c.s = t.pcid1 - 1)
       WHERE rn <= $Probes),
     sc AS (
       SELECT p.qid, m.vec_id AS nid,

@@ -270,6 +270,26 @@ class AnnAssignSpec extends AnyFunSuite {
     assert(32.0 / 256 < 7.0 / 10 && 128.0 / 4096 < 32.0 / 256)
   }
 
+  test("sim_topk_ivf2: multi-top probing recall@5 vs bruteforce >= 0.6 at sf0.01") {
+    // round 12: the two-level search probes Ivf2TopProbes=2 top cells
+    // (was own-cell-only — recall ceiling = own-cell mass, measured
+    // 0.48 at this SF). Floor below the new measurement with seed-drift
+    // headroom, above the old ceiling so a regression to own-cell
+    // probing fails here.
+    val sf = "/root/testdata/sf0.01"
+    val exact = Similarity.topkBruteforce(spark, sf)
+      .select($"qid", $"nid").as[(Long, Long)].collect().groupBy(_._1)
+      .map { case (q, a) => q -> a.map(_._2).toSet }
+    val ivf2 = Similarity.topkIvf2(spark, sf)
+      .select($"qid", $"nid").as[(Long, Long)].collect().groupBy(_._1)
+      .map { case (q, a) => q -> a.map(_._2).toSet }
+    assert(ivf2.keySet == exact.keySet)
+    val recall = exact.map { case (q, e) => (ivf2(q) & e).size.toDouble / e.size }
+    val mean = recall.sum / recall.size
+    info(f"IVF2 recall@5 vs exact = $mean%.3f")
+    assert(mean >= 0.6, s"IVF2 recall@5 vs exact = $mean (per-query $recall)")
+  }
+
   test("residual telescoping: dot(q, centroid) + dot(q, vec - centroid) == dot(q, vec)") {
     // the identity the residual ADC rests on — checked on real data to
     // float precision, so a future change to residualsOf / the offset
