@@ -218,14 +218,18 @@ object Similarity {
       .select(col("qid"), col("qvec"), col("clabel"))
   }
 
-  /** Probe selection shared by [[topkIvf]] and [[topkIvfSq8]]: the two
-    * nearest label-cells per query by exact-decimal centroid cosine —
-    * (qid, qvec, clabel). */
-  private def ivfProbes(all: DataFrame): DataFrame =
+  /** Probe selection shared by [[topkIvf]] and [[topkIvfSq8]]: the
+    * [[probeScheduleFor]] nearest label-cells per query by
+    * exact-decimal centroid cosine — (qid, qvec, clabel). (Round 12:
+    * was a fixed `Probes`=4 — the schedule lifts the probe-limited
+    * recall ceiling the same way it did for IVFPQ.) */
+  private def ivfProbes(all: DataFrame): DataFrame = {
+    val cents = labelCentroids(all)
     probesFrom(
       all.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("qid"), col("vec").as("qvec")),
-      labelCentroids(all))
+      cents, probeScheduleFor(cents.count().toInt))
+  }
 
   def topkIvf(spark: SparkSession, dir: String): DataFrame = {
     val all = emb(spark, dir).cache()
@@ -266,7 +270,7 @@ object Similarity {
           CAST(row_number() OVER (PARTITION BY qid
             ORDER BY round(list_cosine_similarity(qvec, cvec), 6) DESC, clabel) AS INT) AS prn
         FROM qs CROSS JOIN cvecs)
-      WHERE prn <= $Probes),
+      WHERE prn <= (${probeScheduleSql("cvecs")})),
     sc AS (
       SELECT p.qid, c.vec_id AS nid,
         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
@@ -397,7 +401,8 @@ object Similarity {
     val probes = q.join(broadcast(centroids), lit(true))
       .select(col("qid"), col("qvec"), col("cid"),
         VectorFns.cosine6(col("qvec"), col("cvec")).as("ccos"))
-      .withColumn("pr", row_number().over(probeW)).filter(col("pr") <= Probes)
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= probeScheduleFor(cents.length))
       .select(col("qid"), col("qvec"), col("cid"))
     val scored = cells.join(broadcast(probes),
       cells("cid") === probes("cid") && col("vec_id") =!= col("qid"))
@@ -478,7 +483,7 @@ object Similarity {
             ORDER BY round(list_cosine_similarity(q.vec, c.cvec), 6) DESC, c.cid) AS INT) AS prn
         FROM (SELECT vec_id, vec FROM cells WHERE vec_id < $NQueries) q
         CROSS JOIN cent3 c)
-      WHERE prn <= $Probes),
+      WHERE prn <= (${probeScheduleSql("cent3")})),
     sc AS (
       SELECT p.qid, m.vec_id AS nid,
         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
@@ -1336,7 +1341,7 @@ object Similarity {
           CAST(row_number() OVER (PARTITION BY qid
             ORDER BY round(list_cosine_similarity(qvec, cvec), 6) DESC, clabel) AS INT) AS prn
         FROM qs CROSS JOIN cvecs)
-      WHERE prn <= $Probes),
+      WHERE prn <= (${probeScheduleSql("cvecs")})),
     emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     dims AS (SELECT CAST(unnest(range(1, len(v) + 1)) AS INT) AS i
              FROM (SELECT v FROM emb LIMIT 1)),
@@ -1432,18 +1437,21 @@ object Similarity {
     * assign qids disjoint from corpus vec_ids (e.g. negative ids);
     * a colliding qid would silently drop that unrelated corpus vector
     * from its result list. */
-  /** The IVFPQ probe SCHEDULE (round 12): probe more cells than the
-    * flat-IVF default because a probed cell costs only a code-table
-    * slice here, not full-vector dots — the faiss guidance (nprobe
-    * grows ~√nlist, and PQ indexes run HIGHER nprobe than flat ones at
-    * equal latency because ADC is cheap). min(n, max(Probes,
-    * ⌈2·√n⌉)): 10 cells → 7 probes, 256 → 32, 4096 → 128 — the probed
-    * FRACTION falls as the index grows, per-query candidate volume
-    * stays ~2·√n · cellsize. The gated oracle computes the same cutoff
-    * from count(cvecs), so a testdata regen with a different label
+  /** The IVF-family probe SCHEDULE (round 12; applied family-wide —
+    * flat IVF, IVF∘SQ8, trained IVF, and IVFPQ all probe by it): the
+    * faiss guidance is nprobe ~√nlist rather than a constant.
+    * min(n, max(Probes, ⌈2·√n⌉)): 10 cells → 7 probes, 256 → 32,
+    * 4096 → 128 — the probed FRACTION falls as the index grows,
+    * per-query candidate volume stays ~2·√n · cellsize. Every gated
+    * oracle computes the same cutoff from count() of its centroid CTE
+    * ([[probeScheduleSql]]), so a testdata regen with a different cell
     * cardinality re-derives it instead of breaking the gate. */
-  private[graft] def ivfPqProbeSchedule(nCells: Int): Int =
+  private[graft] def probeScheduleFor(nCells: Int): Int =
     math.min(nCells, math.max(Probes, math.ceil(2 * math.sqrt(nCells)).toInt))
+
+  /** SQL twin of [[probeScheduleFor]], counting a centroid CTE. */
+  private def probeScheduleSql(src: String): String =
+    s"SELECT least(count(*), greatest($Probes, CAST(ceil(2 * sqrt(count(*))) AS INT))) FROM $src"
 
   /** Exact-refine factor: the ADC ranking keeps K·RefineFactor
     * candidates per query; the refine stage re-scores only those with
@@ -1455,7 +1463,7 @@ object Similarity {
   def ivfPqOf(codes: DataFrame, books: DataFrame, cells: DataFrame,
               queries: DataFrame, refine: Option[DataFrame] = None): DataFrame = {
     val probesV = probesFrom(queries, cells,
-      ivfPqProbeSchedule(cells.count().toInt))
+      probeScheduleFor(cells.count().toInt))
     val probes = probesV.select(col("qid"), col("clabel"))
     // Residual ADC (see [[ivfPqIndexOf]]): dot(q, x) ≈ dot(q, c_cell)
     // + Σ_s dot(q_s, codeword_s). The first term is this per-(query,
@@ -1690,7 +1698,7 @@ object Similarity {
     * [[ivfPqOf]] does. The query-side LUT reads RAW query subvectors
     * (`qsub`), never residuals — dot(q, c) + dot(q, x − c) telescopes
     * to dot(q, x). The probe cutoff is COMPUTED from count(cvecs) with
-    * the same schedule as [[ivfPqProbeSchedule]] (regen-safe — a new
+    * the same schedule as [[probeScheduleFor]] (regen-safe — a new
     * label cardinality re-derives it), and the `cand`/`rr` tail is the
     * exact-refine re-rank of [[ivfPqOf]]'s refine arm. */
   val topkIvfPqOracle: String = s"""
@@ -1713,9 +1721,7 @@ object Similarity {
           CAST(row_number() OVER (PARTITION BY qid
             ORDER BY round(list_cosine_similarity(qvec, cvec), 6) DESC, clabel) AS INT) AS prn
         FROM qs CROSS JOIN cvecs)
-      WHERE prn <= (SELECT least(count(*),
-          greatest($Probes, CAST(ceil(2 * sqrt(count(*))) AS INT)))
-        FROM cvecs)),
+      WHERE prn <= (${probeScheduleSql("cvecs")})),
     resx AS (
       SELECT u.vec_id, unnest(range(len(u.vec))) AS pos, unnest(u.vec) AS v,
         unnest(c.cvec) AS cv

@@ -255,19 +255,43 @@ class AnnAssignSpec extends AnyFunSuite {
     assert(mean >= 0.9, s"PQ+refine recall@5 vs exact = $mean (per-query $recall)")
   }
 
-  test("ivfPqProbeSchedule: floor at Probes, 2*sqrt(n) growth, capped at n") {
+  test("probeScheduleFor (IVF-family probe schedule): floor at Probes, 2*sqrt(n) growth, capped at n") {
     // the schedule the gated oracle re-derives in SQL from count(cvecs)
     // — pin the Scala form at the boundary points so a drift between
     // the two formulas fails here before it fails as a hash mismatch
-    assert(Similarity.ivfPqProbeSchedule(1) == 1)    // capped at n
-    assert(Similarity.ivfPqProbeSchedule(3) == 3)    // n < Probes → n
-    assert(Similarity.ivfPqProbeSchedule(4) == 4)    // floor = Probes
-    assert(Similarity.ivfPqProbeSchedule(10) == 7)   // ceil(2*sqrt(10))
-    assert(Similarity.ivfPqProbeSchedule(16) == 8)
-    assert(Similarity.ivfPqProbeSchedule(256) == 32)
-    assert(Similarity.ivfPqProbeSchedule(4096) == 128)
+    assert(Similarity.probeScheduleFor(1) == 1)    // capped at n
+    assert(Similarity.probeScheduleFor(3) == 3)    // n < Probes → n
+    assert(Similarity.probeScheduleFor(4) == 4)    // floor = Probes
+    assert(Similarity.probeScheduleFor(10) == 7)   // ceil(2*sqrt(10))
+    assert(Similarity.probeScheduleFor(16) == 8)
+    assert(Similarity.probeScheduleFor(256) == 32)
+    assert(Similarity.probeScheduleFor(4096) == 128)
     // probed FRACTION falls as the index grows — the scale property
     assert(32.0 / 256 < 7.0 / 10 && 128.0 / 4096 < 32.0 / 256)
+  }
+
+  test("ivf family under the probe schedule: recall@5 vs bruteforce >= 0.7 at sf0.01 for ivf, ivf_sq8, ivf_trained") {
+    // round 12 applied probeScheduleFor family-wide (7 of 10 cells at
+    // the gated SF; was a fixed 4): measured 0.84 / 0.84 / 0.84 —
+    // ivf_trained up from .56, the flat pair up from .72. One floor
+    // with headroom for all three.
+    val sf = "/root/testdata/sf0.01"
+    val exact = Similarity.topkBruteforce(spark, sf)
+      .select($"qid", $"nid").as[(Long, Long)].collect().groupBy(_._1)
+      .map { case (q, a) => q -> a.map(_._2).toSet }
+    for ((name, fn) <- Seq(
+        "ivf" -> (Similarity.topkIvf _),
+        "ivf_sq8" -> (Similarity.topkIvfSq8 _),
+        "ivf_trained" -> (Similarity.topkIvfTrained _))) {
+      val got = fn(spark, sf)
+        .select($"qid", $"nid").as[(Long, Long)].collect().groupBy(_._1)
+        .map { case (q, a) => q -> a.map(_._2).toSet }
+      spark.catalog.clearCache()
+      val recall = exact.map { case (q, e) => (got(q) & e).size.toDouble / e.size }
+      val mean = recall.sum / recall.size
+      info(f"$name recall@5 vs exact = $mean%.3f")
+      assert(mean >= 0.7, s"$name recall@5 vs exact = $mean")
+    }
   }
 
   test("sim_topk_ivf2: multi-top probing recall@5 vs bruteforce >= 0.6 at sf0.01") {
