@@ -26,13 +26,12 @@ object Similarity {
 
   private val NQueries = 5
   private val K = 5
-  /** Cells probed per query across the IVF family (label cells, trained
-    * cells, IVF2 sub-cells). 4-of-10 label cells on the near-isotropic
-    * testdata roughly doubles recall@5 vs 2 probes (see the recall
-    * floor specs) at proportional candidate volume — still cell-
-    * bounded, still sublinear at the 100 TB design point where the
-    * cell count is in the thousands. */
-  private[graft] val Probes = 4
+  /** The probe FLOOR for the IVF family, and the per-top sub-cell
+    * limit in IVF2. Since round 12 the actual probe count comes from
+    * [[probeScheduleFor]] (min(n, max(Probes, ⌈2√n⌉)) — 7 of 10 cells
+    * at the gated SFs, a falling fraction at scale); this constant is
+    * the schedule's lower bound and the IVF2 within-top width. */
+  private[graft] final val Probes = 4
 
   // ---- 1. exact brute-force top-k -------------------------------------
   /** Parameterized exact ranking (also feeds [[Retrieval.hybridRrf]]):
