@@ -18,6 +18,11 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // keep bucket-aware scans ON even when no join/agg wants the
+      // distribution: the planner's auto-disable rule also forfeits
+      // bucket PRUNING, and the term-bucketed BM25 postings store
+      // (round 13) serves filter-only scans that prune by bucket
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
 

@@ -55,10 +55,12 @@ object Graph {
     // neighbor) in ONE groupBy — a plain distinct-ids init costs the same
     // exchange and then needs a full round to reach this state. On
     // near-clique dedup graphs this converges one whole round earlier.
-    var labels = bidir.groupBy(col("src"))
-      .agg(min(col("dst")).as("nmin"))
-      .select(col("src").as("id"), least(col("src"), col("nmin")).as("label"))
-      .localCheckpoint()
+    var labelsCk = IterCheckpoint.checkpoint(
+      bidir.groupBy(col("src"))
+        .agg(min(col("dst")).as("nmin"))
+        .select(col("src").as("id"), least(col("src"), col("nmin")).as("label")),
+      eager = true)
+    var labels = labelsCk.df
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < maxRounds) {
@@ -77,16 +79,24 @@ object Graph {
       // diameter — a long chain moves few labels per round from the
       // start, and skipping the jump degrades to plain propagation,
       // blowing the maxRounds budget. The diameter-200 spec catches it.)
-      val updated = stepped
+      // lazy checkpoint: the convergence aggregate below is the
+      // materializing action — no separate job. Durability is
+      // conf-selected in [[IterCheckpoint]] (localCheckpoint default,
+      // reliable via spark.graft.checkpointDir); the previous round's
+      // blocks/files are freed once this round is down (round 13 —
+      // rounds used to pin their blocks for the session).
+      val updatedCk = IterCheckpoint.checkpoint(stepped
         .join(labels.select(col("id").as("mid"), col("label").as("jump")),
           Seq("mid"), "left")
         .select(col("id"), col("label"),
-          least(col("mid"), coalesce(col("jump"), col("mid"))).as("next"))
-        .localCheckpoint(eager = false)
-      changed = updated
+          least(col("mid"), coalesce(col("jump"), col("mid"))).as("next")),
+        eager = false)
+      changed = updatedCk.df
         .agg(count(when(col("next") =!= col("label"), 1)).as("c"))
         .first().getLong(0)
-      labels = updated.select(col("id"), col("next").as("label"))
+      labels = updatedCk.df.select(col("id"), col("next").as("label"))
+      IterCheckpoint.release(labelsCk)
+      labelsCk = updatedCk
       rounds += 1
     }
     if (changed > 0) {

@@ -164,8 +164,18 @@ object Retrieval {
     val st = stats.head
     val nDocs = st.getLong(0)
     val tToks = st.getLong(1)
-    val qvocab = qterms.select(col("term")).distinct()
-    val qposts = postings.join(broadcast(qvocab), "term")
+    // The query vocabulary is batch-sized (it already had to fit a
+    // broadcast); collecting it turns the vocabulary restriction into
+    // a LITERAL IN filter on the postings scan (round 13 — was a
+    // broadcast join, which reaches every posting file). Over the
+    // term-BUCKETED store ([[bm25WriteIndex]]) Spark prunes buckets:
+    // a batch naming t distinct terms reads at most t of the store's
+    // buckets; over a flat frame it is the same semi filter as before
+    // (inner join on a distinct key == IN on that key).
+    val vocab = qterms.select(col("term")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val qposts = (if (vocab.isEmpty) postings.filter(lit(false))
+                  else postings.filter(col("term").isInCollection(vocab)))
       .select(col("doc_id"), col("dl"), col("term"), col("tf"))
       .cache()
     bm25ScoreReleasing(qposts, qterms, nDocs, tToks, k)
@@ -201,20 +211,58 @@ object Retrieval {
     // stored artifact (tokenizer version — postings are token rows).
     // K/NQ apply at serve time over the stored index, so they don't
     // key the cache (the splitLeakSafeComposed maxDf convention).
+    // "b16" marks the round-13 term-bucketed postings layout — a flat
+    // store from an earlier build must not serve under the new DDL
     val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${docsFile.lastModified}" +
-      s"_tok${TextFns.TokVersion}"
-    val base = s"target/tmp/bm25_index/$key"
-    // guard on the LAST-written table: a crash between writes leaves it
-    // absent, so the next run rebuilds instead of serving a torn cache
-    if (!new java.io.File(s"$base/stats/_SUCCESS").exists()) {
-      val (p, s) = bm25IndexOf(Tables.documents(spark, dir))
-      p.write.mode("overwrite").parquet(s"$base/postings")
-      s.write.mode("overwrite").parquet(s"$base/stats")
-    }
-    val postings = spark.read.parquet(s"$base/postings")
+      s"_tok${TextFns.TokVersion}_b$PostingsBuckets"
+    val postings = bm25OpenIndex(spark, dir, key)
     val qterms = postings.filter(col("doc_id") < NQ)
       .select(col("doc_id").as("qid"), col("term")) // already distinct per (doc, term)
-    bm25Of(postings, spark.read.parquet(s"$base/stats"), qterms, K)
+    bm25Of(postings, spark.read.parquet(s"target/tmp/bm25_index/$key/stats"),
+      qterms, K)
+  }
+
+  /** Term-bucket count for the stored postings (round 13). At the
+    * gated SFs a handful of buckets already demonstrates pruning; at
+    * 100 TB you size this so one bucket ≈ one executor-friendly scan
+    * unit — the serve tail is bucket-count-agnostic. */
+  private[graft] final val PostingsBuckets = 16
+
+  /** Open (building if absent) the postings store for `key` as a
+    * term-BUCKETED catalog table (round 13): postings are written
+    * `bucketBy(PostingsBuckets, "term")`, so [[bm25Of]]'s literal
+    * vocabulary IN filter prunes buckets — a query batch naming t
+    * terms reads ≤ t of the buckets instead of every posting file.
+    * The files outlive the JVM (external table under target/tmp, the
+    * mtime-keyed cache convention); the catalog entry is per-JVM, so
+    * a warm-file/cold-catalog run re-registers the DDL over the
+    * existing files instead of re-tokenizing the corpus. */
+  private[graft] def bm25OpenIndex(spark: SparkSession, dir: String,
+                                   key: String): DataFrame = {
+    val tbl = s"g_bm25_$key".replaceAll("[^A-Za-z0-9_]", "_").toLowerCase
+    val base = s"target/tmp/bm25_index/$key"
+    val loc = new java.io.File(s"$base/postings").getAbsolutePath
+    if (!spark.catalog.tableExists(tbl)) {
+      if (new java.io.File(s"$base/postings/_SUCCESS").exists())
+        // warm files, cold catalog (new JVM): register the bucketed
+        // DDL over the existing files — no rebuild, no re-tokenize
+        spark.sql(
+          s"""CREATE TABLE $tbl (doc_id BIGINT, dl INT, term STRING, tf BIGINT)
+             USING parquet CLUSTERED BY (term) INTO $PostingsBuckets BUCKETS
+             LOCATION '$loc'""")
+      else {
+        val (p, s) = bm25IndexOf(Tables.documents(spark, dir))
+        // stats first, postings table LAST: a crash between the writes
+        // leaves no _SUCCESS, so the next run rebuilds instead of
+        // serving a torn cache
+        s.write.mode("overwrite").parquet(s"$base/stats")
+        p.write.mode("overwrite")
+          .bucketBy(PostingsBuckets, "term")
+          .option("path", loc)
+          .saveAsTable(tbl)
+      }
+    }
+    spark.table(tbl)
   }
 
   /** The bm25 CTE stack, parameterized by list depth (shared with the

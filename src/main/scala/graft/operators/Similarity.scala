@@ -223,11 +223,24 @@ object Similarity {
     * was a fixed `Probes`=4 — the schedule lifts the probe-limited
     * recall ceiling the same way it did for IVFPQ.) */
   private def ivfProbes(all: DataFrame): DataFrame = {
-    val cents = labelCentroids(all)
+    val cents = localized(labelCentroids(all))
     probesFrom(
       all.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("qid"), col("vec").as("qvec")),
       cents, probeScheduleFor(cents.count().toInt))
+  }
+
+  /** Collect a MODEL-SIZED frame (centroid/cell tables — one row per
+    * cell, never corpus-sized) into a driver-local relation. Every
+    * downstream consumer — the schedule's count(), the probe broadcast,
+    * the per-cell offset join — then reads the collected rows instead
+    * of re-running the upstream aggregation per consumer (round 13,
+    * ADVICE: `cents.count()` used to pay the full per-label corpus
+    * aggregation twice per serve). */
+  private def localized(modelSized: DataFrame): DataFrame = {
+    val spark = modelSized.sparkSession
+    val rows = modelSized.collect()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), modelSized.schema)
   }
 
   def topkIvf(spark: SparkSession, dir: String): DataFrame = {
@@ -756,8 +769,15 @@ object Similarity {
   private[graft] def topkIvf2Search(all: DataFrame,
       tops: IndexedSeq[Seq[Double]],
       cents2: IndexedSeq[IndexedSeq[Seq[Double]]]): DataFrame =
+    // cache HERE, not inside the shared search tail: the inline path's
+    // cells frame is a freshly computed assignment join consumed three
+    // times (queries, probe-pair collect, scored join); the indexed
+    // path's is a partition-pruned parquet read that must NOT be
+    // materialized whole (round 13 — caching it would read every cell
+    // directory and defeat the store's pruning)
     ivf2SearchCells(all.select(col("vec_id"), col("vec"))
-      .join(assignWithTwoLevel(all, tops, cents2), Seq("vec_id")), tops, cents2)
+      .join(assignWithTwoLevel(all, tops, cents2), Seq("vec_id")).cache(),
+      tops, cents2)
 
   /** The search tail over an ALREADY-ASSIGNED cells frame
     * (vec_id, vec, cid1, cid2) — shared by the inline path and the
@@ -767,10 +787,9 @@ object Similarity {
     * nearest top IS the query's own cell — strictly more candidates
     * than the pre-r12 own-cell-only probe), then `Probes` nearest
     * sub-cells within EACH probed top. */
-  private def ivf2SearchCells(cellsIn: DataFrame,
+  private def ivf2SearchCells(cells: DataFrame,
       tops: IndexedSeq[Seq[Double]],
       cents2: IndexedSeq[IndexedSeq[Seq[Double]]]): DataFrame = {
-    val cells = cellsIn.cache()
     val cbs = typedLit(cents2.map(_.map(_.toSeq).toSeq).toSeq) // k1·k2·dim ≤ 1024 doubles — literal budget
     val topsLit = typedLit(tops.map(_.toSeq).toSeq)
     val q = cells.filter(col("vec_id") < NQueries)
@@ -797,7 +816,20 @@ object Similarity {
         pqD2(col("qvec"), element_at(element_at(cbs, col("pcid1")), col("scid"))))
       .withColumn("rn", row_number().over(probeW)).filter(col("rn") <= Probes)
       .select(col("qid"), col("qvec"), col("pcid1"), col("scid"))
-    val scored = cells.join(broadcast(probes),
+    // Probed-pair pruning (round 13): the distinct probed (top, sub)
+    // set is bounded by k1·k2 — model-sized regardless of query count
+    // — so it collects safely and becomes a LITERAL disjunction over
+    // the two cell columns. Over a (cid1, cid2)-partitioned cells
+    // store (topkIvf2Indexed) that is file-level partition pruning:
+    // the scoring scan reads exactly the probed sub-cell directories;
+    // over the inline cached frame it is a no-op row filter the join
+    // condition subsumed anyway.
+    val pairs = probes.select(col("pcid1"), col("scid")).distinct()
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    val pairFilter = pairs
+      .map { case (c1, c2) => col("cid1") === c1 && col("cid2") === c2 }
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val scored = cells.filter(pairFilter).join(broadcast(probes),
         col("cid1") === col("pcid1") && col("cid2") === col("scid") &&
           col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
@@ -862,20 +894,40 @@ object Similarity {
     // topkIvfPqIndexed for the key convention); "tp" marks the round-12
     // multi-top layout so a stored two-table index never serves it
     val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${embFile.lastModified}" +
-      s"_k${Ivf2K1}x${Ivf2K2}i${Ivf2Iters}tp$Ivf2TopProbes"
+      s"_pk${Ivf2K1}x${Ivf2K2}i${Ivf2Iters}tp$Ivf2TopProbes"
     val base = s"target/tmp/ivf2_index/$key"
+    ivf2WriteIndex(spark, dir, base)
+    ivf2Of(ivf2ReadCells(spark, base),
+      spark.read.parquet(s"$base/subbooks"),
+      spark.read.parquet(s"$base/tops"))
+  }
+
+  /** Build + persist the two-level IVF index at `base` (idempotent).
+    * The cells table — the corpus-sized artifact (full vectors + two
+    * small ints) — is written `partitionBy("cid1", "cid2")`
+    * (round 13): the directory tree IS the two-level cell structure,
+    * so the serve tail's probed-pair disjunction ([[ivf2SearchCells]])
+    * becomes file-level partition pruning — a probe of p pairs reads
+    * p sub-cell directories of vectors, never the whole store. */
+  private[graft] def ivf2WriteIndex(spark: SparkSession, dir: String,
+                                    base: String): Unit =
     // guard on the LAST-written table: a crash between writes leaves it
     // absent, so the next run rebuilds instead of serving a torn cache
     if (!new java.io.File(s"$base/tops/_SUCCESS").exists()) {
       val (cells, subbooks, topsDf) = ivf2IndexOf(emb(spark, dir).cache())
-      cells.write.mode("overwrite").parquet(s"$base/cells")
+      cells.write.mode("overwrite").partitionBy("cid1", "cid2")
+        .parquet(s"$base/cells")
       subbooks.write.mode("overwrite").parquet(s"$base/subbooks")
       topsDf.write.mode("overwrite").parquet(s"$base/tops")
     }
-    ivf2Of(spark.read.parquet(s"$base/cells"),
-      spark.read.parquet(s"$base/subbooks"),
-      spark.read.parquet(s"$base/tops"))
-  }
+
+  /** Read the stored cells back with the build schema stated
+    * explicitly: `cid1`/`cid2` are partition DIRECTORIES on disk, and
+    * a user-supplied schema pins their type to the build-side INT
+    * instead of leaving it to per-read directory-name inference. */
+  private[graft] def ivf2ReadCells(spark: SparkSession, base: String): DataFrame =
+    spark.read.schema("vec_id BIGINT, vec ARRAY<DOUBLE>, cid1 INT, cid2 INT")
+      .parquet(s"$base/cells")
 
   /** Exact twin of [[topkIvf2]]. */
   val topkIvf2Oracle: String = s"""
@@ -1461,14 +1513,31 @@ object Similarity {
 
   def ivfPqOf(codes: DataFrame, books: DataFrame, cells: DataFrame,
               queries: DataFrame, refine: Option[DataFrame] = None): DataFrame = {
-    val probesV = probesFrom(queries, cells,
-      probeScheduleFor(cells.count().toInt))
+    // one collect of the model-sized cell table feeds the schedule
+    // count, the probe broadcast, AND the offset join (round 13 —
+    // was cells.count() + broadcast(cells), paying the upstream
+    // aggregation/scan once per consumer)
+    val cellsL = localized(cells)
+    val probesV = probesFrom(queries, cellsL,
+      probeScheduleFor(cellsL.count().toInt))
     val probes = probesV.select(col("qid"), col("clabel"))
+    // Probed-cell pruning (round 13): the distinct probed-label set is
+    // bounded by |cells| — model-sized no matter how many queries — so
+    // it collects safely and becomes a LITERAL IN filter on the codes
+    // scan. Over a label-partitioned codes store (topkIvfPqIndexed)
+    // this is file-level partition pruning: a 7-cell probe reads 7 of
+    // the store's directories; over a flat frame it is a no-op row
+    // filter the later label===clabel join condition subsumed anyway.
+    val probedLabels = probes.select(col("clabel")).distinct()
+      .collect().map(_.get(0)).toSeq
+    val codesProbed =
+      if (probedLabels.isEmpty) codes.filter(lit(false))
+      else codes.filter(col("label").isInCollection(probedLabels))
     // Residual ADC (see [[ivfPqIndexOf]]): dot(q, x) ≈ dot(q, c_cell)
     // + Σ_s dot(q_s, codeword_s). The first term is this per-(query,
     // probed-cell) offset — query×Probes rows, always broadcast-sized.
     val offs = probesV
-      .join(broadcast(cells), Seq("clabel"))
+      .join(broadcast(cellsL), Seq("clabel"))
       .select(col("qid"), col("clabel").as("label"),
         VectorFns.dot6(col("qvec"), col("cvec")).as("off"))
     val qsub = pqSubvectors(
@@ -1479,7 +1548,7 @@ object Similarity {
       .select(col("qid"), col("s"), col("cid"),
         VectorFns.dot6(col("svec"), col("cvec")).as("d"))
       .join(probes, "qid") // ×Probes cells per qid — still query-sized
-    val scored = codes.join(broadcast(lut), Seq("s", "cid"))
+    val scored = codesProbed.join(broadcast(lut), Seq("s", "cid"))
       .filter(col("vec_id") =!= col("qid") && col("label") === col("clabel"))
       .groupBy(col("qid"), col("vec_id"), col("label"))
       // exactly PqM six-dp terms per surviving pair (one LUT row per
@@ -1584,30 +1653,53 @@ object Similarity {
     // (codebook size / training rounds — codes and books change with
     // them). K/NQueries apply at serve time, so they don't key the
     // cache (the splitLeakSafeComposed maxDf convention).
-    // "res" marks the round-12 residual encode — a stored raw-encode
-    // index from an earlier build must not serve under the new math
+    // "res" marks the round-12 residual encode, "p" the round-13
+    // label-PARTITIONED codes layout — a stored index from an earlier
+    // build must not serve under the new math or the new layout
     val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${embFile.lastModified}" +
-      s"_resm${PqM}k${PqK}i$PqIters"
+      s"_respm${PqM}k${PqK}i$PqIters"
     val base = s"target/tmp/ivfpq_index/$key"
-    // guard on the LAST-written table: a crash between writes leaves it
-    // absent, so the next run rebuilds instead of serving a torn cache
-    if (!new java.io.File(s"$base/cells/_SUCCESS").exists()) {
-      val all = emb(spark, dir).cache()
-      val (codes, books, cells) = ivfPqIndexOf(all)
-      codes.write.mode("overwrite").parquet(s"$base/codes")
-      books.write.mode("overwrite").parquet(s"$base/books")
-      cells.write.mode("overwrite").parquet(s"$base/cells")
-    }
+    ivfPqWriteIndex(spark, dir, base)
     val books = spark.read.parquet(s"$base/books")
     if (books.isEmpty)
       return spark.emptyDataset[(Long, Long, Double, Int)]
         .toDF("qid", "nid", "cos", "rn")
-    ivfPqOf(spark.read.parquet(s"$base/codes"), books,
+    ivfPqOf(ivfPqReadCodes(spark, base), books,
       spark.read.parquet(s"$base/cells"),
       emb(spark, dir).filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("qid"), col("vec").as("qvec")),
       refine = Some(emb(spark, dir)))
   }
+
+  /** Build + persist the IVFPQ index at `base` (idempotent — a
+    * complete store is left alone). The codes table — the ONLY
+    * corpus-sized artifact — is written `partitionBy("label")`
+    * (round 13): the store's directories ARE the coarse cells, so the
+    * serve tail's probed-label IN filter ([[ivfPqOf]]) becomes
+    * file-level partition pruning — a 7-cell probe reads 7 directories
+    * of codes, never the whole store. At 100 TB this is the difference
+    * between a probe-schedule query reading ~2√n/n of the codes bytes
+    * and re-scanning all of them per query batch. */
+  private[graft] def ivfPqWriteIndex(spark: SparkSession, dir: String,
+                                     base: String): Unit =
+    // guard on the LAST-written table: a crash between writes leaves it
+    // absent, so the next run rebuilds instead of serving a torn cache
+    if (!new java.io.File(s"$base/cells/_SUCCESS").exists()) {
+      val all = emb(spark, dir).cache()
+      val (codes, books, cells) = ivfPqIndexOf(all)
+      codes.write.mode("overwrite").partitionBy("label")
+        .parquet(s"$base/codes")
+      books.write.mode("overwrite").parquet(s"$base/books")
+      cells.write.mode("overwrite").parquet(s"$base/cells")
+    }
+
+  /** Read the stored codes back with the build schema stated
+    * explicitly: `label` is a partition DIRECTORY on disk, and a
+    * user-supplied schema pins its type to the build-side INT instead
+    * of leaving it to per-read directory-name inference. */
+  private[graft] def ivfPqReadCodes(spark: SparkSession, base: String): DataFrame =
+    spark.read.schema("s INT, vec_id BIGINT, cid INT, label INT")
+      .parquet(s"$base/codes")
 
   /** Incremental IVFPQ index maintenance — [[graft.operators.Retrieval.bm25IndexMerge]]'s
     * ANN twin: GIVEN THE FROZEN MODELS (books AND cells — the residual
@@ -2472,15 +2564,14 @@ object Similarity {
     * undirected semantics (the gated entry does). */
   def labelPropagateOf(nodes: DataFrame, edges: DataFrame,
                        rounds: Int = LpRounds): DataFrame = {
-    val sc = nodes.sparkSession.sparkContext
     val nodesC = nodes.select(col("vec_id")).cache()
     val edgesC = edges.cache()
     var lbl = nodesC.select(col("vec_id"), col("vec_id").as("lbl"))
-    // ids of the previous round's checkpointed RDDs, freed as soon as
-    // the next round's checkpoint has consumed them (round 12 — the
-    // eager per-round localCheckpoint otherwise left every round's
-    // blocks pinned for the session)
-    var prevCpIds: scala.collection.Set[Int] = Set.empty
+    // the previous round's checkpoint, freed as soon as the next
+    // round's has materialized — held as a DIRECT handle
+    // ([[IterCheckpoint]], round 13; the round-12 global
+    // persistent-RDD-set diff could capture a concurrent job's RDDs)
+    var prevCk: Option[IterCheckpoint.Ck] = None
     for (_ <- 1 to rounds) {
       // majority-with-min-tie as ONE lexicographic max over (count,
       // -label) — both engines order structs field-by-field. vs the
@@ -2503,24 +2594,23 @@ object Similarity {
       // 8.1 s WARM at sf0.1 for 2 000 rows, 2.3 s after this change —
       // and (b) is the bounded-lineage story the scale note below
       // promises (Pregel-style systems persist the message frame every
-      // superstep for the same reason). Trade-offs, documented: eager
-      // checkpointing means CONSTRUCTING this frame runs Spark jobs,
-      // and localCheckpoint blocks are lost with their executor — at
-      // cluster scale swap in RELIABLE checkpointing
-      // (sc.setCheckpointDir + .checkpoint()) at the same cadence.
-      val before = sc.getPersistentRDDs.keySet
-      lbl = nodesC
+      // superstep for the same reason). Trade-off, documented: eager
+      // checkpointing means CONSTRUCTING this frame runs Spark jobs.
+      // Checkpoint durability is conf-selected in [[IterCheckpoint]]:
+      // executor-resident localCheckpoint by default, RELIABLE
+      // `spark.graft.checkpointDir`-backed checkpoint at cluster scale
+      // (executor loss mid-loop then recovers from files; spec-proven
+      // bit-identical labels).
+      val ck = IterCheckpoint.checkpoint(nodesC
         .join(lbl, Seq("vec_id"))
         .join(pick, Seq("vec_id"), "left")
-        .select(col("vec_id"), coalesce(col("nl"), col("lbl")).as("lbl"))
-        .localCheckpoint(true)
-      val added = sc.getPersistentRDDs.keySet -- before
+        .select(col("vec_id"), coalesce(col("nl"), col("lbl")).as("lbl")),
+        eager = true)
+      lbl = ck.df
       // the new checkpoint fully materialized from the previous one —
-      // free the old blocks. isCheckpointed filters out plain caches
-      // (nodesC/edgesC materialize inside round 1's diff window).
-      prevCpIds.foreach(id => sc.getPersistentRDDs.get(id)
-        .filter(_.isCheckpointed).foreach(_.unpersist(blocking = false)))
-      prevCpIds = added
+      // free the old round's blocks/files
+      prevCk.foreach(IterCheckpoint.release)
+      prevCk = Some(ck)
     }
     val sizes = lbl.groupBy(col("lbl")).agg(count(lit(1)).cast("int").as("csize"))
     lbl.join(sizes, Seq("lbl"))

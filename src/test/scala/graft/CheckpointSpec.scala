@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Graph, Similarity}
+
+/** Round 13: the reliable-checkpoint option for the iterative graph
+  * family. `spark.graft.checkpointDir` swaps the per-round
+  * localCheckpoint for a reliable `rdd.checkpoint` into that directory
+  * (IterCheckpoint) — same cadence, same free-the-previous-round
+  * lifecycle, bit-identical results; round files are cleaned as the
+  * loop advances, so at most two round-artifacts ever live on disk.
+  */
+class CheckpointSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.test
+  import spark.implicits._
+
+  private def withReliable[A](body: String => A): A = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ck").toString
+    spark.conf.set("spark.graft.checkpointDir", dir)
+    try body(dir)
+    finally spark.conf.unset("spark.graft.checkpointDir")
+  }
+
+  test("labelPropagateOf: reliable checkpoint path is bit-identical to local") {
+    val sf = "/root/testdata/sf0.001"
+    val knn = Similarity.knnGraph(spark, sf)
+      .select(col("vec_id").as("src"), col("nid").as("dst"))
+    val sym = knn.union(knn.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().cache()
+    val nodes = Similarity.emb(spark, sf).select(col("vec_id"))
+    val local = Similarity.labelPropagateOf(nodes, sym)
+      .as[(Long, Long, Int)].collect().toSet
+    val reliable = withReliable { dir =>
+      val r = Similarity.labelPropagateOf(nodes, sym)
+        .as[(Long, Long, Int)].collect().toSet
+      // the loop freed every round but the last: at most one round's
+      // checkpoint files remain under the conf'd directory
+      val left = new java.io.File(dir).listFiles().flatMap(_.listFiles())
+        .count(_.getName.startsWith("rdd-"))
+      assert(left <= 1, s"$left round checkpoints left on disk, expected <= 1")
+      r
+    }
+    assert(reliable == local, "reliable-checkpoint LPA diverged from local path")
+  }
+
+  test("connectedComponents: reliable checkpoint path is bit-identical to local") {
+    // a 60-node path graph (worst case for propagation depth) plus
+    // isolated vertices that must come back as their own components
+    val edges = (0L until 59L).map(i => (i, i + 1)).toDF("src", "dst")
+    val verts = (0L until 70L).toDF("id")
+    val local = Graph.connectedComponents(verts, edges)
+      .as[(Long, Long)].collect().toSet
+    val reliable = withReliable { _ =>
+      Graph.connectedComponents(verts, edges).as[(Long, Long)].collect().toSet
+    }
+    assert(reliable == local)
+    assert(local.count(_._2 == 0L) == 60, "path graph should collapse to component 0")
+  }
+}

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Retrieval, Similarity}
+
+/** Round 13: the STORAGE half of the 100 TB serve story — served
+  * indexes are laid out so the serve tail's literal probe filters
+  * become file-level pruning, asserted on EXECUTED plans (the
+  * LayoutSpec discipline applied to the index stores):
+  *   - IVFPQ codes are `partitionBy(label)` → a probe-schedule query
+  *     reads exactly its probed-cell directories;
+  *   - IVF2 cells are `partitionBy(cid1, cid2)` → the scoring scan
+  *     reads only probed sub-cell directories;
+  *   - BM25 postings are `bucketBy(term)` → a query batch reads only
+  *     the buckets its vocabulary hashes into.
+  */
+class IndexLayoutSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.test
+  import spark.implicits._
+
+  /** All physical nodes, descending through AQE wrappers. */
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec        => Seq(q.plan)
+      case other                    => other.children
+    }
+    p +: kids.flatMap(allNodes)
+  }
+
+  /** The file scans of an EXECUTED df whose path mentions `pathPart`. */
+  private def scansOf(df: DataFrame, pathPart: String): Seq[FileSourceScanExec] =
+    allNodes(df.queryExecution.executedPlan).collect {
+      case s: FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains(pathPart)) => s
+    }
+
+  test("ivfpq codes store: label partitions, probe reads schedule-many directories") {
+    val sf = "/root/testdata/sf0.001"
+    val base = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString + "/idx"
+    Similarity.ivfPqWriteIndex(spark, sf, base)
+
+    // the store's directories ARE the coarse cells
+    val dirs = new java.io.File(s"$base/codes").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("label=")))
+
+    val codes = Similarity.ivfPqReadCodes(spark, base)
+    val books = spark.read.parquet(s"$base/books")
+    val cells = spark.read.parquet(s"$base/cells")
+    val nCells = cells.count().toInt
+    val sched = Similarity.probeScheduleFor(nCells)
+    assert(sched < nCells, "spec needs a schedule that prunes (7 of 10 at this SF)")
+
+    // ONE query → its probed-label IN filter prunes to exactly `sched`
+    // of the store's directories (code-only serve: the codes scan is
+    // the only corpus-sized read in the plan)
+    val q1 = Similarity.emb(spark, sf).filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+    val served = Similarity.ivfPqOf(codes, books, cells, q1)
+    served.collect()
+    val scans = scansOf(served, "codes")
+    assert(scans.nonEmpty, "no codes scan found in the executed plan")
+    val read = scans.map(_.metrics("numPartitions").value).max
+    assert(read == sched,
+      s"probe of $sched cells read $read of $nCells codes directories")
+  }
+
+  test("ivf2 cells store: (cid1,cid2) partitions, co-located queries prune the scoring scan") {
+    // synthetic corpus with 4 well-separated clusters and ALL five
+    // query ids in one of them: every query probes the same 2 top
+    // cells, so the probed-pair union covers at most 8 of the 16
+    // sub-cell directories — pruning is deterministic, not a property
+    // of the testdata's geometry
+    val dim = 8
+    val rnd = new scala.util.Random(13)
+    def v(center: Int): Seq[Double] =
+      Seq.tabulate(dim)(i => (if (i == center) 10.0 else 0.0) + rnd.nextGaussian() * 0.1)
+    val q0 = v(0) // queries 0..4 share ONE vector → one probe set
+    val rows = (0 until 200).map { id =>
+      val vec = if (id < 5) q0 else v(id % 4)
+      (id.toLong, vec.map(_.toFloat).toArray, id % 4)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("ivf2_corpus").toString
+    rows.toSeq.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val served = Similarity.topkIvf2Indexed(spark, dir)
+    served.collect()
+    val base = new java.io.File("target/tmp/ivf2_index").listFiles()
+      .filter(_.getName.contains(dir.replaceAll("[^A-Za-z0-9.]", "_")))
+      .maxBy(_.lastModified).toString
+    val total = new java.io.File(s"$base/cells").listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles()).count(_.isDirectory)
+    val scans = scansOf(served, "cells")
+    assert(scans.nonEmpty, "no cells scan found in the executed plan")
+    // the SCORING scan is the pruned one; the query-row scan reads the
+    // vec_id filter without partition pruning — take the minimum
+    val read = scans.map(_.metrics("numPartitions").value).min
+    assert(total >= 12, s"expected a near-full 4x4 grid on disk, got $total")
+    assert(read <= 8,
+      s"co-located queries should probe <= 8 sub-cells, scan read $read of $total")
+  }
+
+  test("bm25 postings store: term buckets, a small vocabulary prunes buckets") {
+    val sf = "/root/testdata/sf0.001"
+    val key = s"spec_${System.nanoTime}"
+    val postings = Retrieval.bm25OpenIndex(spark, sf, key)
+    val term1 = postings.select(col("term")).head.getString(0)
+    val pruned = postings.filter(col("term").isInCollection(Seq(term1)))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains(s"SelectedBucketsCount: 1 out of ${Retrieval.PostingsBuckets}"),
+      s"bucket pruning missing from plan:\n$plan")
+    // and the real serve tail returns the same lists as the inline plan
+    val inline = Retrieval.bm25Topk(spark, sf)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val idx = Retrieval.bm25TopkIndexed(spark, sf)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(idx == inline, "bucketed-store serve diverged from inline bm25")
+  }
+}
