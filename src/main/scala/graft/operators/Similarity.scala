@@ -740,13 +740,13 @@ object Similarity {
   private val Ivf2K1 = 4
   private val Ivf2K2 = 4
   private val Ivf2Iters = 2
-  /** Top-level cells probed per query (round 12). Through round 11 a
-    * query probed only its OWN top cell, capping recall at that cell's
-    * share of the true neighbors (measured 0.48 at the gated SF); the
-    * inverted-multi-index practice is to visit several coarse cells.
-    * 2 of 4 tops at the gated geometry; the probed FRACTION falls as
-    * k1 grows at scale (ScaleAnnK runs 16×16). */
-  private final val Ivf2TopProbes = 2
+  // Top-stage probe width (round 13): [[probeScheduleFor]] over the
+  // trained top-cell count — the same ⌈2√k1⌉ schedule every other IVF
+  // family member follows (round 12 fixed this at 2 tops, the last
+  // fixed-constant probe in the family and the .72 recall ceiling).
+  // All 4 tops at the gated 4×4 geometry (the sub-stage still limits
+  // to Probes sub-cells per top); 8 of 16 at ScaleAnnK's 16×16 — the
+  // probed FRACTION falls as k1 grows, exactly like flat IVF/IVFPQ.
 
   def topkIvf2(spark: SparkSession, dir: String): DataFrame =
     topkIvf2Of(emb(spark, dir).cache(), Ivf2K1, Ivf2K2, Ivf2Iters, None)
@@ -782,11 +782,12 @@ object Similarity {
   /** The search tail over an ALREADY-ASSIGNED cells frame
     * (vec_id, vec, cid1, cid2) — shared by the inline path and the
     * materialized-index serve path so their equality is structural.
-    * Round 12: probes [[Ivf2TopProbes]] nearest TOP cells per query by
-    * the same round-6 L2² rule the corpus assignment uses (so the
-    * nearest top IS the query's own cell — strictly more candidates
-    * than the pre-r12 own-cell-only probe), then `Probes` nearest
-    * sub-cells within EACH probed top. */
+    * Round 13: probes the [[probeScheduleFor]] nearest TOP cells per
+    * query by the same round-6 L2² rule the corpus assignment uses (so
+    * the nearest top IS the query's own cell — strictly more
+    * candidates than the pre-r12 own-cell-only probe and the r12 fixed
+    * 2 tops), then `Probes` nearest sub-cells within EACH probed
+    * top. */
   private def ivf2SearchCells(cells: DataFrame,
       tops: IndexedSeq[Seq[Double]],
       cents2: IndexedSeq[IndexedSeq[Seq[Double]]]): DataFrame = {
@@ -800,7 +801,7 @@ object Similarity {
         explode(sequence(lit(1), size(topsLit))).as("pcid1"))
       .withColumn("tpd2", pqD2(col("qvec"), element_at(topsLit, col("pcid1"))))
       .withColumn("trn", row_number().over(topW))
-      .filter(col("trn") <= Ivf2TopProbes)
+      .filter(col("trn") <= probeScheduleFor(tops.length))
       .select(col("qid"), col("qvec"), col("pcid1"))
     val probeW = Window.partitionBy(col("qid"), col("pcid1"))
       .orderBy(col("pd2"), col("scid"))
@@ -894,7 +895,7 @@ object Similarity {
     // topkIvfPqIndexed for the key convention); "tp" marks the round-12
     // multi-top layout so a stored two-table index never serves it
     val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${embFile.lastModified}" +
-      s"_pk${Ivf2K1}x${Ivf2K2}i${Ivf2Iters}tp$Ivf2TopProbes"
+      s"_pk${Ivf2K1}x${Ivf2K2}i${Ivf2Iters}ts"
     val base = s"target/tmp/ivf2_index/$key"
     ivf2WriteIndex(spark, dir, base)
     ivf2Of(ivf2ReadCells(spark, base),
@@ -963,7 +964,7 @@ object Similarity {
             ORDER BY ${pqD2Sql("q.vec", "t.cvec")}, t.cid) AS INT) AS trn
         FROM (SELECT vec_id, vec FROM cells WHERE vec_id < $NQueries) q
         CROSS JOIN cent$Ivf2Iters t)
-      WHERE trn <= $Ivf2TopProbes),
+      WHERE trn <= (${probeScheduleSql(s"cent$Ivf2Iters")})),
     qp AS (
       SELECT qid, qvec, pcid1, scid FROM (
         SELECT t.qid, t.qvec, t.pcid1, c.cid AS scid,
@@ -1695,11 +1696,20 @@ object Similarity {
 
   /** Read the stored codes back with the build schema stated
     * explicitly: `label` is a partition DIRECTORY on disk, and a
-    * user-supplied schema pins its type to the build-side INT instead
-    * of leaving it to per-read directory-name inference. */
-  private[graft] def ivfPqReadCodes(spark: SparkSession, base: String): DataFrame =
-    spark.read.schema("s INT, vec_id BIGINT, cid INT, label INT")
+    * user-supplied schema pins its type to the BUILD-side type instead
+    * of leaving it to per-read directory-name inference. The label
+    * type comes from the stored cells table (ordinary parquet — its
+    * `clabel` preserves the corpus's label type exactly): the
+    * embeddings contract allows any groupable label type, and e.g. the
+    * RegenGate corpus uses strings where the shipped testdata uses
+    * ints — inferring `label=c0` vs `label=0` per read would give the
+    * two corpora different serve-side semantics. */
+  private[graft] def ivfPqReadCodes(spark: SparkSession, base: String): DataFrame = {
+    val labelType = spark.read.parquet(s"$base/cells")
+      .schema("clabel").dataType.sql
+    spark.read.schema(s"s INT, vec_id BIGINT, cid INT, label $labelType")
       .parquet(s"$base/codes")
+  }
 
   /** Incremental IVFPQ index maintenance — [[graft.operators.Retrieval.bm25IndexMerge]]'s
     * ANN twin: GIVEN THE FROZEN MODELS (books AND cells — the residual

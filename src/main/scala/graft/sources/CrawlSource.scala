@@ -109,6 +109,116 @@ object CrawlSource {
       "live wiki access - out of engine scope. Title selected " +
       "from the local category snapshot.)"
 
+  // ---- live HTTP providers (round 13) ---------------------------------
+  // The one reference behavior that had no runnable twin: api.py
+  // downloads category members (mwclient, api.py:647-712) and each
+  // article's text (wikipediaapi, api.py:716-849) at request time.
+  // These adapters back the SAME provider seams with
+  // java.net.http.HttpClient — per-request timeouts, and every failure
+  // mode (non-200, timeout, connection refused, bad JSON) degrades the
+  // way the reference's try/except does: a category that fails lists
+  // nothing, a body that fails keeps the placeholder. Spec-tested
+  // against an in-process stub server (zero egress); a deployment
+  // points `urlFor` at the real wiki (or a mirror/extract service).
+
+  private def newHttpClient(connectTimeout: java.time.Duration) =
+    java.net.http.HttpClient.newBuilder()
+      .connectTimeout(connectTimeout)
+      .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+      .build()
+
+  private def httpGet(client: java.net.http.HttpClient, url: String,
+                      requestTimeout: java.time.Duration): Option[String] =
+    try {
+      val req = java.net.http.HttpRequest
+        .newBuilder(java.net.URI.create(url))
+        .timeout(requestTimeout)
+        .header("User-Agent",
+          "graft-ww2-extractor/1.0 (engine library; see repository)")
+        .GET().build()
+      val resp = client.send(req,
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode == 200) Some(resp.body) else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+
+  /** Live-fetch [[BodyProvider]]: GET `urlFor(title)`, 200 → the
+    * response body, anything else → None (placeholder downstream).
+    * The default URL shape is MediaWiki's raw-wikitext endpoint; a
+    * deployment substitutes its own mirror or plain-text extract
+    * service — the provider is deliberately format-agnostic (the body
+    * is whatever the endpoint serves, exactly as the snapshot
+    * provider's `content` column is whatever the snapshot holds). */
+  def httpBodyProvider(
+      urlFor: String => String = t =>
+        s"https://en.wikipedia.org/w/index.php?action=raw&title=${enc(t)}",
+      connectTimeout: java.time.Duration = java.time.Duration.ofSeconds(5),
+      requestTimeout: java.time.Duration = java.time.Duration.ofSeconds(20))
+      : BodyProvider = {
+    val client = newHttpClient(connectTimeout)
+    (title: String) => httpGet(client, urlFor(title), requestTimeout)
+  }
+
+  /** Live category-member provider for [[articleTitles]]: GET
+    * `urlFor(category)` (default: the MediaWiki `list=categorymembers`
+    * action API, the reference's mwclient call), parse the member
+    * `{"ns":…,"title":…}` pairs out of the JSON in listing order. A
+    * failed fetch or an unparseable response lists NOTHING for that
+    * category — [[articleTitles]] then skips it, the reference's
+    * per-category try/except. Single-page fetch by design: the
+    * endpoint clamps at 1000 titles and `cmlimit=max` returns up to
+    * 500 members per category, the same order-of-magnitude the
+    * reference walks per category before moving on. */
+  def httpCategoryProvider(
+      urlFor: String => String = c =>
+        "https://en.wikipedia.org/w/api.php?action=query&list=categorymembers" +
+          s"&cmtitle=Category:${enc(c)}&cmlimit=max&format=json",
+      connectTimeout: java.time.Duration = java.time.Duration.ofSeconds(5),
+      requestTimeout: java.time.Duration = java.time.Duration.ofSeconds(20))
+      : String => Seq[(String, Int)] = {
+    val client = newHttpClient(connectTimeout)
+    (category: String) =>
+      httpGet(client, urlFor(category), requestTimeout)
+        .map(parseCategoryMembers).getOrElse(Seq.empty)
+  }
+
+  private val MemberRe =
+    """"ns"\s*:\s*(\d+)\s*,\s*"title"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+
+  /** Extract (title, ns) pairs from a `list=categorymembers` response,
+    * in document order. Exposed for the spec; tolerant by contract —
+    * anything that doesn't match the member shape contributes no
+    * pairs. */
+  private[graft] def parseCategoryMembers(json: String): Seq[(String, Int)] =
+    MemberRe.findAllMatchIn(json)
+      .map(m => (unescapeJson(m.group(2)), m.group(1).toInt)).toSeq
+
+  /** Minimal JSON string unescape for the member titles (quotes,
+    * backslashes, slashes, whitespace escapes, \uXXXX). */
+  private def unescapeJson(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'u' if i + 5 < s.length =>
+            b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case 'n' => b.append('\n'); i += 2
+          case 't' => b.append('\t'); i += 2
+          case 'r' => b.append('\r'); i += 2
+          case 'b' => b.append('\b'); i += 2
+          case 'f' => b.append('\f'); i += 2
+          case other => b.append(other); i += 2 // \" \\ \/ and unknowns
+        }
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
+
   /** (doc_id, title, content) for the selected titles through a body
     * provider; misses keep [[placeholderBody]]. Driver-side by design —
     * the selection is ≤1000 titles (the endpoint clamp), matching the

@@ -384,7 +384,15 @@ object EventStream {
         element_at(cellVecs, col("__ci")), (a, b) => a - b))
       .select(col("vec_id"),
         element_at(cellNames, col("__ci")).as("cell"),
-        codes.as("codes"))
+        codes.as("codes"),
+        // round 13 (ADVICE): carry the cell-choice provenance in-band.
+        // true = the row's CATALOG label picked the cell — codes are
+        // bit-equal to a batch rebuild (the spec'd contract); false =
+        // nearest-centroid fallback — best-effort codes that diverge
+        // from a rebuild whenever the nearest cell is not the label
+        // cell. Downstream mergers can route on this instead of having
+        // to know which ingest path produced the frame.
+        lit(vecs.columns.contains("label")).as("label_exact"))
   }
 
   /** Ingest-time SUB-DOCUMENT scrubbing against a growing SPAN catalog —

@@ -20,6 +20,19 @@ import graft.functions.VectorFns
   * python3 tools/check.py target/tmp/regen5000 target/tmp/regen5000_out
   * }}}
   *
+  * Round 13 extends the run to the ANN probe-schedule family (VERDICT
+  * r12 #7): `probeScheduleSql` claims the same count()-derived
+  * regen-safety, and this corpus — 5 000 rows, STRING labels where the
+  * shipped testdata has ints — is the foreign-n proof. The second
+  * Verify list:
+  *
+  * {{{
+  * sbt "runMain graft.Verify target/tmp/regen5000 target/tmp/regen5000_ann \
+  *      sim_topk_ivf,sim_topk_ivf_sq8,sim_topk_ivf_trained,sim_topk_ivf_pq,\
+  *      sim_topk_ivf_pq_indexed,sim_topk_ivf2,sim_topk_ivf2_indexed"
+  * python3 tools/check.py target/tmp/regen5000 target/tmp/regen5000_ann
+  * }}}
+  *
   * Every non-embeddings table is copied from sf0.01 verbatim (the
   * checked queries only read embeddings; check.py just needs the views
   * to resolve). Embeddings are clustered float32 vectors with a few

@@ -294,12 +294,12 @@ class AnnAssignSpec extends AnyFunSuite {
     }
   }
 
-  test("sim_topk_ivf2: multi-top probing recall@5 vs bruteforce >= 0.6 at sf0.01") {
-    // round 12: the two-level search probes Ivf2TopProbes=2 top cells
-    // (was own-cell-only — recall ceiling = own-cell mass, measured
-    // 0.48 at this SF). Floor below the new measurement with seed-drift
-    // headroom, above the old ceiling so a regression to own-cell
-    // probing fails here.
+  test("sim_topk_ivf2: top-stage probe schedule recall@5 vs bruteforce >= 0.85 at sf0.01") {
+    // round 13: the top stage follows the family probe schedule
+    // (⌈2√k1⌉, all 4 tops at the gated 4×4 geometry — sub-stage still
+    // Probes per top), lifting recall from the fixed-2-top .72. Floor
+    // above the r12 ceiling so a regression to constant-top probing
+    // fails here, with seed-drift headroom below the ~1.0 measurement.
     val sf = "/root/testdata/sf0.01"
     val exact = Similarity.topkBruteforce(spark, sf)
       .select($"qid", $"nid").as[(Long, Long)].collect().groupBy(_._1)
@@ -311,7 +311,7 @@ class AnnAssignSpec extends AnyFunSuite {
     val recall = exact.map { case (q, e) => (ivf2(q) & e).size.toDouble / e.size }
     val mean = recall.sum / recall.size
     info(f"IVF2 recall@5 vs exact = $mean%.3f")
-    assert(mean >= 0.6, s"IVF2 recall@5 vs exact = $mean (per-query $recall)")
+    assert(mean >= 0.85, s"IVF2 recall@5 vs exact = $mean (per-query $recall)")
   }
 
   test("residual telescoping: dot(q, centroid) + dot(q, vec - centroid) == dot(q, vec)") {

@@ -72,29 +72,38 @@ class IndexLayoutSpec extends AnyFunSuite {
   }
 
   test("ivf2 cells store: (cid1,cid2) partitions, co-located queries prune the scoring scan") {
-    // synthetic corpus with 4 well-separated clusters and ALL five
-    // query ids in one of them: every query probes the same 2 top
-    // cells, so the probed-pair union covers at most 8 of the 16
-    // sub-cell directories — pruning is deterministic, not a property
-    // of the testdata's geometry
+    // The gated 4×4 geometry probes EVERYTHING under the round-13 top
+    // schedule (⌈2√4⌉ floors to all 4 tops), so pruning is asserted at
+    // a 16-top geometry — schedule(16) = 8 tops — the regime the store
+    // layout exists for. All five query ids share ONE vector, so the
+    // probed-pair union is one query's probe set: ≤ 8 tops × 4
+    // sub-cells of the 16×4 grid — deterministic pruning, not a
+    // property of cluster geometry.
     val dim = 8
     val rnd = new scala.util.Random(13)
     def v(center: Int): Seq[Double] =
       Seq.tabulate(dim)(i => (if (i == center) 10.0 else 0.0) + rnd.nextGaussian() * 0.1)
-    val q0 = v(0) // queries 0..4 share ONE vector → one probe set
-    val rows = (0 until 200).map { id =>
-      val vec = if (id < 5) q0 else v(id % 4)
-      (id.toLong, vec.map(_.toFloat).toArray, id % 4)
+    val q0 = v(0)
+    val rows = (0 until 1000).map { id =>
+      val vec = if (id < 5) q0 else v(id % 8)
+      (id.toLong, vec.map(_.toFloat).toArray, id % 8)
     }
     val dir = java.nio.file.Files.createTempDirectory("ivf2_corpus").toString
     rows.toSeq.toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
 
-    val served = Similarity.topkIvf2Indexed(spark, dir)
+    val base = java.nio.file.Files.createTempDirectory("ivf2_idx").toString
+    val (cells, subbooks, topsDf) =
+      Similarity.ivf2IndexOf(Similarity.emb(spark, dir).cache(), k1 = 16, k2 = 4)
+    cells.write.mode("overwrite").partitionBy("cid1", "cid2")
+      .parquet(s"$base/cells")
+    subbooks.write.mode("overwrite").parquet(s"$base/subbooks")
+    topsDf.write.mode("overwrite").parquet(s"$base/tops")
+
+    val served = Similarity.ivf2Of(Similarity.ivf2ReadCells(spark, base),
+      spark.read.parquet(s"$base/subbooks"),
+      spark.read.parquet(s"$base/tops"))
     served.collect()
-    val base = new java.io.File("target/tmp/ivf2_index").listFiles()
-      .filter(_.getName.contains(dir.replaceAll("[^A-Za-z0-9.]", "_")))
-      .maxBy(_.lastModified).toString
     val total = new java.io.File(s"$base/cells").listFiles()
       .filter(_.isDirectory).flatMap(_.listFiles()).count(_.isDirectory)
     val scans = scansOf(served, "cells")
@@ -102,9 +111,9 @@ class IndexLayoutSpec extends AnyFunSuite {
     // the SCORING scan is the pruned one; the query-row scan reads the
     // vec_id filter without partition pruning — take the minimum
     val read = scans.map(_.metrics("numPartitions").value).min
-    assert(total >= 12, s"expected a near-full 4x4 grid on disk, got $total")
-    assert(read <= 8,
-      s"co-located queries should probe <= 8 sub-cells, scan read $read of $total")
+    assert(total >= 40, s"expected a well-occupied 16x4 grid on disk, got $total")
+    assert(read <= 32 && read < total,
+      s"8-top probe should read <= 32 sub-cell dirs, scan read $read of $total")
   }
 
   test("bm25 postings store: term buckets, a small vocabulary prunes buckets") {

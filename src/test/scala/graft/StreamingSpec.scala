@@ -775,7 +775,10 @@ class StreamingSpec extends AnyFunSuite {
     }
     assert(q.lastProgress.stateOperators.isEmpty) // narrow plan, no state
     q.stop()
+    // every labeled-path row must self-report spec-exact provenance
+    assert(spark.table("ivfpq_stream").filter(!col("label_exact")).isEmpty)
     val got = spark.table("ivfpq_stream")
+      .select($"vec_id", $"cell", $"codes")
       .as[(Long, String, Seq[Int])].collect()
       .map(t => t._1 -> (t._2, t._3)).toMap
     assert(got.size == stored.size)
