@@ -666,16 +666,97 @@ object TextAnalysis {
     * Identical values: applying merge r to the (r−1)-merged state IS
     * the foldLeft composition. */
   private[graft] def bpeLearn(spark: SparkSession, dir: String):
-      (DataFrame, Seq[(Int, String, String, Long)]) = {
-    var syms = Tables.documents(spark, dir)
+      (DataFrame, Seq[(Int, String, String, Long)]) =
+    bpeLearnFrom(bpeVocab0(spark, dir), BpeMerges, BpeBatch)
+
+  /** The symbolized word-count vocab every BPE consumer starts from —
+    * the ONE corpus-sized aggregate; everything after runs over this
+    * (vocab-bounded) frame. */
+  private[graft] def bpeVocab0(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
       .select(explode(TextFns.tokens(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
       .select(col("w"), col("n"), bpeCharSyms(col("w")).as("sym"))
-      .cache()
+
+  /** Merges accepted per Spark round in [[bpeLearnFrom]] (round 13).
+    * The gated entry's 8 merges finish in 1-2 rounds instead of 8; at
+    * a real 32 k-merge vocabulary the round count (the driver-loop
+    * scale limit this replaces — one Spark job per merge) drops by
+    * ~this factor. Greedy-EQUIVALENT, not approximate — see
+    * [[bpeAcceptBatch]]; the differential spec asserts batched ==
+    * one-per-round merge lists, and the unchanged sequential oracle
+    * hash-gates the batched trainer every gate run. */
+  private[graft] val BpeBatch = 8
+
+  /** The batch-acceptance rule: scan candidate pairs in (cnt desc, l,
+    * r) order — the exact sequential-greedy pick order — accepting a
+    * pair only while its SYMBOLS (and the merged concatenation) are
+    * disjoint from every already-accepted pair's. Why this equals
+    * sequential greedy: merging symbol-disjoint pairs can neither
+    * create nor destroy each other's adjacencies (a merge replaces two
+    * adjacent symbols with one — adjacency of untouched symbols is
+    * preserved), so every accepted pair's count is invariant under the
+    * earlier accepted merges, and sequential greedy would pick them in
+    * this same order UNLESS a pair whose count CHANGED overtakes one
+    * of them. Every changed-count pair — decreased (shares a symbol
+    * with an accepted pair) or newly created (contains a merged
+    * concatenation) — is bounded by the count of some ORIGINAL pair
+    * overlapping the accepted symbol set. So the batch is cut at the
+    * first overlapping candidate: accepted pairs must STRICTLY exceed
+    * its count (ties could re-order under the lexicographic
+    * tie-break), and anything at or below it merges in a later round
+    * against recomputed counts. `exhausted` = the candidate list is
+    * the COMPLETE pair table; a truncated list bounds unseen pairs by
+    * its last entry instead. Worst case (the top pairs all chain on a
+    * shared symbol) degrades to one merge per round — never wrong,
+    * just sequential. */
+  private[graft] def bpeAcceptBatch(top: Seq[(String, String, Long)], m: Int,
+      exhausted: Boolean): Seq[(String, String, Long)] = {
+    val used = scala.collection.mutable.Set.empty[String]
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var bound = -1L // count of the best pair the batch must dominate
+    var scanning = true
+    val it = top.iterator
+    while (scanning && it.hasNext) {
+      val p = it.next()
+      if (used(p._1) || used(p._2)) { bound = p._3; scanning = false }
+      else if (acc.length < m) {
+        acc += p
+        used += p._1; used += p._2; used += (p._1 + p._2)
+      }
+      // batch full: keep scanning for the first overlapping pair — it
+      // bounds the counts the accepted merges can create
+    }
+    if (scanning && !exhausted && top.nonEmpty) bound = top.last._3
+    val safe = if (bound < 0) acc.toSeq else acc.toSeq.takeWhile(_._3 > bound)
+    // the head alone is always exactly one sequential-greedy step
+    if (safe.isEmpty) acc.take(1).toSeq else safe
+  }
+
+  /** The learning loop over ANY symbolized (w, n, sym) vocab frame —
+    * `batch` > 1 folds several greedy-equivalent merges per Spark
+    * round ([[bpeAcceptBatch]]). Candidate depth 3·batch+16 gives the
+    * acceptance scan room to both fill the batch and find its
+    * dominance bound without a second aggregate. */
+  private[graft] def bpeLearnFrom(vocab0: DataFrame, maxMerges: Int,
+      batch: Int = 1): (DataFrame, Seq[(Int, String, String, Long)]) = {
+    val (syms, merges, _) = bpeLearnRounds(vocab0, maxMerges, batch)
+    (syms, merges)
+  }
+
+  /** [[bpeLearnFrom]] plus the Spark-round count — the number the
+    * batching exists to shrink (ScaleBpe gates merges/rounds ≥ ~batch/2
+    * at 256 merges; a chain-degraded corpus would read ~1). */
+  private[graft] def bpeLearnRounds(vocab0: DataFrame, maxMerges: Int,
+      batch: Int = 1): (DataFrame, Seq[(Int, String, String, Long)], Int) = {
+    var syms = vocab0.cache()
+    var ck: IterCheckpoint.Ck = null
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
-    var rank = 1
+    var rounds = 0
     var done = false
-    while (rank <= BpeMerges && !done) {
+    while (merges.length < maxMerges && !done) {
+      val m = math.min(batch, maxMerges - merges.length)
+      val depth = 3 * m + 16
       val top = syms.select(col("n"), col("sym").as("s"))
         .filter(size(col("s")) >= 2)
         .select(col("n"), explode(transform(sequence(lit(1), size(col("s")) - 1),
@@ -683,24 +764,39 @@ object TextAnalysis {
             element_at(col("s"), i + 1).as("r")))).as("p"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("n")).as("cnt"))
-        .orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
-        .collect()
+        .orderBy(col("cnt").desc, col("l"), col("r")).limit(depth)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
       if (top.isEmpty) done = true
       else {
-        val t = top.head
-        merges += ((rank, t.getString(0), t.getString(1), t.getLong(2)))
-        // ONE fold forward; materialize before releasing the parent so
-        // the new state never recomputes through the old plan
-        val next = syms.select(col("w"), col("n"),
-          bpeMergeFold(col("sym"), t.getString(0), t.getString(1)).as("sym"))
-          .cache()
-        next.count()
-        syms.unpersist()
-        syms = next
-        rank += 1
+        val accepted = bpeAcceptBatch(top, m, exhausted = top.length < depth)
+        accepted.foreach { case (l, r, c) =>
+          merges += ((merges.length + 1, l, r, c))
+        }
+        // the whole batch folds forward in ONE narrow projection (in
+        // acceptance order — the sequential composition), materialized
+        // with TRUNCATED lineage before the parent is released. The
+        // truncation (IterCheckpoint, like the LPA/CC loops) is
+        // load-bearing twice over at tens of rounds: nested cached
+        // logical plans OOMed the driver re-analyzing/canonicalizing
+        // the aggregate-lambda trees each round, and a plain RDD
+        // round-trip (which truncates only the SQL plan) still
+        // StackOverflowed task deserialization once the RDD chain
+        // passed ~60 rounds.
+        val folded = syms.select(col("w"), col("n"),
+          accepted.foldLeft(col("sym")) { case (s, (l, r, _)) =>
+            bpeMergeFold(s, l, r)
+          }.as("sym"))
+        val next = IterCheckpoint.checkpoint(folded, eager = true)
+        if (ck == null) syms.unpersist() else IterCheckpoint.release(ck)
+        ck = next
+        syms = ck.df
+        rounds += 1
       }
     }
-    (syms, merges.toSeq)
+    // the final state's blocks stay live until the caller's reference
+    // drops (ContextCleaner reclaims them); callers' unpersist() on the
+    // returned frame is a harmless no-op
+    (syms, merges.toSeq, rounds)
   }
 
   def bpeTrain(spark: SparkSession, dir: String): DataFrame = {

@@ -1,0 +1,105 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+/** Round-13 stress (VERDICT r12 #3): BPE training past toy merge
+  * counts. The round-12 trainer ran ONE Spark job pair per merge —
+  * right at the gated 8 rounds, hopeless at a real 32 k-merge
+  * vocabulary (~32 000 sequential jobs). The batched trainer
+  * ([[TextAnalysis.bpeAcceptBatch]]) folds several GREEDY-EQUIVALENT
+  * merges per round under the strict-dominance rule, so the job count
+  * drops by the measured compression factor while the merge list stays
+  * bit-identical to sequential greedy.
+  *
+  * What must hold:
+  *  - EXACTNESS on real text: a batched run's merge list equals a
+  *    sequential (batch=1) run's on the sf0.1 corpus trained to
+  *    near-exhaustion (its synthetic 31-word vocabulary runs dry well
+  *    before 256 merges — which is itself the honest reason the
+  *    linearity gate needs a corpus with real vocabulary depth);
+  *  - LINEARITY at 256 merges on a 65 536-word syllable vocabulary
+  *    (Zipf counts, deterministic, shared syllables giving the merge
+  *    structure real text has): wall grows ~linearly in merges — 4×
+  *    the merges within 8× the wall is the hard gate (quadratic would
+  *    read ~16×);
+  *  - COMPRESSION: Spark rounds < merges (the strict-dominance cut
+  *    accepts >1 per round; the measured factor is printed).
+  *
+  * Run: sbt "runMain graft.tools.ScaleBpe"
+  */
+object ScaleBpe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.1"
+
+    def time[T](label: String)(f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $label%-52s $s%8.2f s")
+      (r, s)
+    }
+
+    // ---- exactness on the real corpus, trained to near-exhaustion ----
+    val nReal = TextAnalysis.bpeVocab0(spark, sf).count()
+    println(s"[scale] sf0.1 corpus vocabulary: $nReal distinct words")
+    val ((_, seqReal, rSeq), _) = time("real corpus, sequential greedy (batch=1)") {
+      TextAnalysis.bpeLearnRounds(TextAnalysis.bpeVocab0(spark, sf), 64, batch = 1)
+    }
+    spark.catalog.clearCache()
+    val ((_, batReal, rBat), _) = time("real corpus, batched greedy (batch=16)") {
+      TextAnalysis.bpeLearnRounds(TextAnalysis.bpeVocab0(spark, sf), 64, batch = 16)
+    }
+    spark.catalog.clearCache()
+    require(batReal == seqReal,
+      s"batched merges diverged from sequential greedy:\nseq $seqReal\nbat $batReal")
+    println(s"[scale] real-corpus differential: ${seqReal.length} batched merges == sequential" +
+      s" (rounds $rSeq -> $rBat)")
+
+    // ---- linearity at 256 merges on a deep-vocabulary corpus ----
+    // 16^4 syllable words: shared syllables across words give BPE the
+    // sub-word reuse real language has, so merges chain realistically;
+    // Zipf-ish counts from the deterministic index.
+    val syl = Vector("ka", "to", "ri", "na", "se", "mo", "lu", "pi",
+      "vek", "dor", "shi", "tam", "ben", "gra", "ple", "zu")
+    def synthVocab() = {
+      val words = spark.range(0, 65536).select(
+        concat(
+          element_at(typedLit(syl), (col("id") % 16 + 1).cast("int")),
+          element_at(typedLit(syl), (col("id") / 16 % 16 + 1).cast("int")),
+          element_at(typedLit(syl), (col("id") / 256 % 16 + 1).cast("int")),
+          element_at(typedLit(syl), (col("id") / 4096 % 16 + 1).cast("int"))).as("w"),
+        (lit(1000000) / (col("id") + 3)).cast("long").as("n"))
+      words.select(col("w"), col("n"), TextAnalysis.bpeCharSyms(col("w")).as("sym"))
+        .repartition(32)
+    }
+    println(s"[scale] synthetic vocabulary: 65536 words over ${syl.length} syllables")
+    val ((_, m64, r64), t64) = time("synthetic vocab, 64 merges (batch=16)") {
+      TextAnalysis.bpeLearnRounds(synthVocab(), 64, batch = 16)
+    }
+    spark.catalog.clearCache()
+    val ((_, m256, r256), t256) = time("synthetic vocab, 256 merges (batch=16)") {
+      TextAnalysis.bpeLearnRounds(synthVocab(), 256, batch = 16)
+    }
+    spark.catalog.clearCache()
+    require(m64 == m256.take(64),
+      "greedy prefix property violated: 64-merge run != 256-merge run's prefix")
+    require(m256.length == 256, s"ran dry at ${m256.length} merges")
+    val ratio = t256 / t64
+    val comp64 = 64.0 / r64
+    val comp256 = 256.0 / r256
+    println(f"[scale] rounds: 64 merges in $r64 ($comp64%.1f/round), 256 in $r256 ($comp256%.1f/round)")
+    println(f"[scale] wall 64->256 merges (4x work): $ratio%.2fx" +
+      (if (ratio > 6.0) "  ** WARN: superlinear-looking — check per-round cost **" else ""))
+    require(ratio <= 8.0, f"quadratic regime: 4x merges cost $ratio%.2fx wall (hard gate 8x)")
+    require(r256 < 256, "batching accepted only 1 merge/round everywhere — compression gone")
+    println(f"""[scale] {"metric":"bpe_scale","t64":$t64%.2f,"t256":$t256%.2f,"ratio":$ratio%.2f,"rounds64":$r64,"rounds256":$r256}""")
+    spark.stop()
+  }
+}
