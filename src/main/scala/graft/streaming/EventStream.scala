@@ -395,6 +395,61 @@ object EventStream {
         lit(vecs.columns.contains("label")).as("label_exact"))
   }
 
+  /** ONLINE ANN SERVING (round 13) — the query-side streaming twin of
+    * `sim_topk_ivf_pq_indexed`, closing the serve/maintain pair: 31n
+    * (`ivfPqEncodeScore`) streams VECTORS into the stored index, this
+    * streams QUERIES against it. Each micro-batch of (vec_id,
+    * embedding) rows is unit-normalized exactly like the batch side's
+    * `emb` (same asDouble→norm→normalize chain, so a query vector
+    * scores identically whether it arrives in a file or a stream) and
+    * answered by the SAME serve tail (`Similarity.ivfPqOf`): probe
+    * schedule → probed-label IN filter → residual ADC — over the
+    * label-PARTITIONED codes store that filter is file-level partition
+    * pruning, so a micro-batch reads only its probed directories, never
+    * the corpus. `refineDir` adds the exact re-rank tail (reads K·10
+    * candidate vectors per query via broadcast — never a vector-store
+    * shuffle).
+    *
+    * Scale shape: per batch the only corpus-sized input is the pruned
+    * codes scan; LUT/offset/refine joins are all query-sized
+    * broadcasts, and there are ZERO state-store rows at any rate (the
+    * index IS the state, shared read-only with the 31n ingest path —
+    * the composed StreamingSpec case grows it mid-stream). Results land
+    * batchId-keyed (idempotent overwrite like [[scrubAgainstSpanCatalog]]):
+    * a crash retry rewrites its own subdirectory instead of
+    * duplicating answers. */
+  def annServeStream(queries: DataFrame, indexBase: String, outPath: String,
+                     checkpoint: String, refineDir: Option[String] = None):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) annServeBatch(batch.toDF(), batchId, indexBase, outPath, refineDir)
+        ()
+      }
+      .start()
+
+  /** One micro-batch of [[annServeStream]], callable directly so
+    * batch-twin equality and crash-retry idempotence are spec-testable. */
+  def annServeBatch(batch: DataFrame, batchId: Long, indexBase: String,
+                    outPath: String, refineDir: Option[String]): Unit = {
+    val sp = batch.sparkSession
+    import graft.functions.VectorFns
+    import graft.operators.Similarity
+    val qs = batch
+      .select(col("vec_id").as("qid"), VectorFns.asDouble(col("embedding")).as("raw"))
+      .withColumn("__n", VectorFns.norm(col("raw")))
+      .select(col("qid"), VectorFns.normalize(col("raw"), col("__n")).as("qvec"))
+    Similarity.ivfPqOf(
+        Similarity.ivfPqReadCodes(sp, indexBase),
+        sp.read.parquet(s"$indexBase/books"),
+        sp.read.parquet(s"$indexBase/cells"),
+        qs,
+        refine = refineDir.map(d => Similarity.emb(sp, d)))
+      .write.mode("overwrite").parquet(s"$outPath/batch-$batchId")
+  }
+
   /** Ingest-time SUB-DOCUMENT scrubbing against a growing SPAN catalog —
     * the streaming twin of `Curation.substringDedup` (Lee-et-al-2022
     * substring dedup, fixed L), shaped like [[classifyAgainstCatalog]]:

@@ -791,6 +791,51 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming ann serve: streamed query batches == batch indexed serve bit-for-bit; retry-idempotent") {
+    // round 13: the query-side twin of the serve/maintain pair — 31n
+    // streams vectors INTO the stored IVFPQ index, this streams QUERIES
+    // against it. Equality target is the exact same serve tail run as a
+    // batch over the same stored index (refine on), so any drift in the
+    // stream path's normalization or the pruned-store read shows as a
+    // bit mismatch.
+    implicit val sqlCtx = spark.sqlContext
+    val sim = graft.operators.Similarity
+    val base = java.nio.file.Files.createTempDirectory("annserve_idx").toString
+    sim.ivfPqWriteIndex(spark, sf, base)
+    val qsAll = sim.emb(spark, sf).filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"vec".as("qvec")).cache()
+    val expected = sim.ivfPqOf(sim.ivfPqReadCodes(spark, base),
+        spark.read.parquet(s"$base/books"), spark.read.parquet(s"$base/cells"),
+        qsAll, refine = Some(sim.emb(spark, sf)))
+      .as[(Long, Long, Double, Int)].collect().toSeq.sortBy(r => (r._1, r._4))
+    assert(expected.nonEmpty)
+
+    // raw (vec_id, embedding) rows — the stream side does its own
+    // normalization; feeding it pre-normalized vectors would hide a
+    // broken normalize chain
+    val raw = graft.sources.Tables.embeddings(spark, sf).filter($"vec_id" < 5)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    val input = MemoryStream[(Long, Seq[Float])]
+    val outPath = java.nio.file.Files.createTempDirectory("annserve_out").toString
+    val ck = java.nio.file.Files.createTempDirectory("annserve_ck").toString
+    val q = EventStream.annServeStream(input.toDS().toDF("vec_id", "embedding"),
+      base, outPath, ck, refineDir = Some(sf))
+    val (b1, b2) = raw.splitAt(2)
+    input.addData(b1.toSeq); q.processAllAvailable()
+    input.addData(b2.toSeq); q.processAllAvailable()
+    assert(q.lastProgress.stateOperators.isEmpty) // the index IS the state
+    q.stop()
+    def served() = spark.read.parquet(s"$outPath/batch-*")
+      .as[(Long, Long, Double, Int)].collect().toSeq.sortBy(r => (r._1, r._4))
+    assert(served() == expected, "streamed serve diverged from batch indexed serve")
+    // crash-retry: replaying a batch overwrites its own subdirectory —
+    // answers are not duplicated and the union is unchanged
+    EventStream.annServeBatch(b1.toSeq.toDF("vec_id", "embedding"), 0L,
+      base, outPath, Some(sf))
+    assert(served() == expected, "batch replay must be idempotent")
+    qsAll.unpersist()
+  }
+
   test("streaming weighted reservoir: final top-K == batch priority sample bit-for-bit, one state row") {
     implicit val sqlCtx = spark.sqlContext
     val docs = graft.sources.Tables.documents(spark, sf)
