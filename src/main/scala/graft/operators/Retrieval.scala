@@ -46,7 +46,7 @@ object Retrieval {
 
   private val NQ = 5 // probe queries: distinct terms of docs 0..NQ-1
   private val K = 5 // final list depth (gated)
-  private val FuseK = 20 // per-system list depth feeding RRF
+  private[graft] val FuseK = 20 // per-system list depth feeding RRF
   private val RrfC = 60 // the standard RRF constant
 
   /** The shared BM25 scoring tail: query-vocabulary postings
@@ -206,6 +206,17 @@ object Retrieval {
     * materialized index (same oracle — identical output, different
     * provenance): warm runs skip the tokenize scan entirely. */
   def bm25TopkIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val (postings, stats) = bm25Store(spark, dir)
+    val qterms = postings.filter(col("doc_id") < NQ)
+      .select(col("doc_id").as("qid"), col("term")) // already distinct per (doc, term)
+    bm25Of(postings, stats, qterms, K)
+  }
+
+  /** The production (postings, stats) pair for `dir`'s corpus — opens
+    * (building if absent) the term-bucketed store every stored-index
+    * serve path shares: [[bm25TopkIndexed]] batches and the streaming
+    * hybrid serve. */
+  private[graft] def bm25Store(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val docsFile = new java.io.File(s"$dir/documents.parquet")
     // key = data version (dir+mtime) + every constant BAKED INTO the
     // stored artifact (tokenizer version — postings are token rows).
@@ -215,11 +226,8 @@ object Retrieval {
     // store from an earlier build must not serve under the new DDL
     val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${docsFile.lastModified}" +
       s"_tok${TextFns.TokVersion}_b$PostingsBuckets"
-    val postings = bm25OpenIndex(spark, dir, key)
-    val qterms = postings.filter(col("doc_id") < NQ)
-      .select(col("doc_id").as("qid"), col("term")) // already distinct per (doc, term)
-    bm25Of(postings, spark.read.parquet(s"target/tmp/bm25_index/$key/stats"),
-      qterms, K)
+    (bm25OpenIndex(spark, dir, key),
+      spark.read.parquet(s"target/tmp/bm25_index/$key/stats"))
   }
 
   /** Term-bucket count for the stored postings (round 13). At the

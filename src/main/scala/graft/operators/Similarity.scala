@@ -38,9 +38,17 @@ object Similarity {
     * (qid, nid, cos, rn) for rn ≤ `k` over the first `nq` probe ids. */
   def cosineRanked(spark: SparkSession, dir: String, nq: Int, k: Int): DataFrame = {
     val all = emb(spark, dir)
-    val q = all.filter(col("vec_id") < nq)
-      .select(col("vec_id").as("qid"), col("vec").as("qvec"))
-    val scored = all.join(broadcast(q), col("vec_id") =!= col("qid"))
+    cosineRankedOf(all.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec")), all, k)
+  }
+
+  /** Composable exact-cosine top-`k`: any (qid, qvec) unit-vector query
+    * batch against any (vec_id, vec) store — the brute-force leg shared
+    * by [[cosineRanked]] and the streaming hybrid serve. Queries
+    * broadcast against the ONE corpus-sized scan; a stored query id
+    * never matches itself (the gated self-exclusion). */
+  def cosineRankedOf(qs: DataFrame, vecs: DataFrame, k: Int): DataFrame = {
+    val scored = vecs.join(broadcast(qs), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
         VectorFns.dot6(col("qvec"), col("vec")).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))

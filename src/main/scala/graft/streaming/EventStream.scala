@@ -450,6 +450,64 @@ object EventStream {
       .write.mode("overwrite").parquet(s"$outPath/batch-$batchId")
   }
 
+  /** ONLINE HYBRID RETRIEVAL SERVING (round 13) — the streaming twin of
+    * `sim_hybrid_rrf` over the STORED index pair: each micro-batch of
+    * (qid, text, embedding) query rows is answered by the same two legs
+    * the batch entry ranks with — BM25 depth-[[graft.operators.Retrieval.FuseK]]
+    * over the term-BUCKETED postings store (the batch's literal
+    * vocabulary IN filter prunes to ≤ |vocab| buckets) and exact cosine
+    * depth-FuseK over the embedding store (queries broadcast against
+    * the one corpus-sized scan) — fused by the shared `rrfFuseOf` fold.
+    * Same tokenizer, same normalization, same fusion arithmetic, so a
+    * corpus query streams to bit-identical fused lists (spec).
+    *
+    * Scale shape: per batch the corpus-sized inputs are one pruned
+    * postings read and one embedding scan; everything else (vocabulary,
+    * query vectors, rank lists, fusion) is batch-sized. ZERO state-store
+    * rows — both stores are read-only shared state, maintained out of
+    * band by `bm25IndexMerge`/`ivfPqIndexMerge`. Results land
+    * batchId-keyed (idempotent overwrite, the [[annServeStream]]
+    * contract). */
+  def hybridServeStream(queries: DataFrame, corpusDir: String, outPath: String,
+                        checkpoint: String, k: Int = 5):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) hybridServeBatch(batch.toDF(), batchId, corpusDir, outPath, k)
+        ()
+      }
+      .start()
+
+  /** One micro-batch of [[hybridServeStream]], callable directly so
+    * batch-twin equality and crash-retry idempotence are spec-testable. */
+  def hybridServeBatch(batch: DataFrame, batchId: Long, corpusDir: String,
+                       outPath: String, k: Int): Unit = {
+    val sp = batch.sparkSession
+    import graft.functions.{TextFns, VectorFns}
+    import graft.operators.{Retrieval, Similarity}
+    val (postings, stats) = Retrieval.bm25Store(sp, corpusDir)
+    // text leg: the query's distinct term set (same tokenizer the
+    // postings were built with) against the bucketed store
+    val qterms = batch
+      .select(col("qid"), explode(TextFns.tokens(col("text"))).as("term"))
+      .distinct()
+    val textList = Retrieval.bm25Of(postings, stats, qterms, Retrieval.FuseK)
+      .select(col("qid"), col("doc_id").as("id"), col("rn"))
+    // vector leg: normalize exactly like the batch reader, then the
+    // shared brute-force-cosine tail against the embedding store
+    val qs = batch
+      .select(col("qid"), VectorFns.asDouble(col("embedding")).as("raw"))
+      .withColumn("__n", VectorFns.norm(col("raw")))
+      .select(col("qid"), VectorFns.normalize(col("raw"), col("__n")).as("qvec"))
+    val vecList = Similarity
+      .cosineRankedOf(qs, Similarity.emb(sp, corpusDir), Retrieval.FuseK)
+      .select(col("qid"), col("nid").as("id"), col("rn"))
+    Retrieval.rrfFuseOf(Seq(textList, vecList), k)
+      .write.mode("overwrite").parquet(s"$outPath/batch-$batchId")
+  }
+
   /** Ingest-time SUB-DOCUMENT scrubbing against a growing SPAN catalog —
     * the streaming twin of `Curation.substringDedup` (Lee-et-al-2022
     * substring dedup, fixed L), shaped like [[classifyAgainstCatalog]]:

@@ -75,28 +75,92 @@ object ScaleIvfPq {
     // (4×64×16 = 4096 doubles) while giving 64^4 distinct code combos.
     val PqKStress = 64
     val base = "target/tmp/ivfpq_1m"
+    // PRODUCTION layout (round 13): codes partitionBy(label) — the
+    // store's directories ARE the coarse cells, so the serve tail's
+    // probed-label IN filter is file-level partition pruning. One
+    // repartition by label before the write keeps it to ~one file per
+    // directory instead of shuffle-partitions × labels fragments. A
+    // FLAT copy of the same codes is kept purely to measure what the
+    // layout buys at 1 M.
     val (_, tBuild) = time("ivfpq index build+persist 1M x 64d (once)") {
       val (codes, books, cells) = Similarity.ivfPqIndexOf(corpus, k = PqKStress)
-      codes.write.mode("overwrite").parquet(s"$base/codes")
+      codes.repartition(col("label")).write.mode("overwrite")
+        .partitionBy("label").parquet(s"$base/codes")
       books.write.mode("overwrite").parquet(s"$base/books")
       cells.write.mode("overwrite").parquet(s"$base/cells")
     }
-    val codes = spark.read.parquet(s"$base/codes")
+    val codes = Similarity.ivfPqReadCodes(spark, base)
     val books = spark.read.parquet(s"$base/books")
     val cells = spark.read.parquet(s"$base/cells")
     println(s"[scale] stored codes rows=${codes.count()} " +
       s"books=${books.count()} cells=${cells.count()}")
+    val (_, tFlatten) = time("flat-layout copy of the same codes (baseline)") {
+      codes.write.mode("overwrite").parquet(s"$base/codes_flat")
+    }
+    val codesFlat = spark.read.parquet(s"$base/codes_flat")
 
     // two disjoint query batches served from the SAME stored index
     var served: Array[(Long, Long)] = Array.empty
     for (b <- 1 to 2) {
       val qb = corpus.filter(col("vec_id") >= lit((b - 1) * 5L) && col("vec_id") < lit(b * 5L))
         .select(col("vec_id").as("qid"), col("vec").as("qvec"))
-      val (rows, _) = time(s"ivfpq serve batch $b (5 queries, stored index)") {
-        Similarity.ivfPqOf(codes, books, cells, qb)
+      // .as[] creates its own QueryExecution — keep ONE Dataset so the
+      // collect and the plan-metric inspection see the same execution
+      val df = Similarity.ivfPqOf(codes, books, cells, qb)
+        .select(col("qid"), col("nid")).as[(Long, Long)]
+      val (rows, _) = time(s"ivfpq serve batch $b (5 queries, partitioned store)") {
+        df.collect()
+      }
+      if (b == 1) {
+        served = rows
+        // GATE — the layout prunes: the executed codes scan must touch
+        // exactly schedule-many of the 256 label directories (walk
+        // descends through AQE wrappers, the IndexLayoutSpec discipline).
+        import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+          val kids = p match {
+            case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+            case q: QueryStageExec        => Seq(q.plan)
+            case other                    => other.children
+          }
+          p +: kids.flatMap(allNodes)
+        }
+        def codesDirsRead(d: org.apache.spark.sql.Dataset[_]): Long = {
+          val reads = allNodes(d.queryExecution.executedPlan).collect {
+            case s: FileSourceScanExec
+                if s.relation.location.rootPaths.exists(_.toString.contains("codes")) =>
+              s.metrics("numPartitions").value
+          }
+          require(reads.nonEmpty, "no codes scan found in the executed serve plan")
+          reads.max
+        }
+        val sched = Similarity.probeScheduleFor(256)
+        // the batch scan reads the UNION of the 5 queries' probe sets —
+        // ≤ 5·schedule directories, never the whole store
+        val readB = codesDirsRead(df)
+        println(s"[scale] codes directories read (5-query batch): $readB of 256 " +
+          s"(<= 5 x schedule $sched)")
+        require(readB <= 5L * sched && readB < 256,
+          s"5-query serve read $readB label dirs, bound is ${5 * sched}")
+        // ONE query reads exactly schedule-many directories
+        val df1 = Similarity.ivfPqOf(codes, books, cells,
+            qb.filter(col("qid") === 0L))
+          .select(col("qid"), col("nid")).as[(Long, Long)]
+        df1.collect()
+        val read1 = codesDirsRead(df1)
+        println(s"[scale] codes directories read (1 query): $read1 of 256 (schedule $sched)")
+        require(read1 == sched,
+          s"single-query serve read $read1 label dirs, schedule is $sched")
+      }
+      // serve the same batch from the FLAT copy — identical plan shape,
+      // but the IN filter is a row filter over every code file
+      val (rowsFlat, _) = time(s"ivfpq serve batch $b (flat store, no pruning)") {
+        Similarity.ivfPqOf(codesFlat, books, cells, qb)
           .select(col("qid"), col("nid")).as[(Long, Long)].collect()
       }
-      if (b == 1) served = rows
+      require(rowsFlat.toSet == rows.toSet,
+        "flat-store serve != partitioned-store serve (layout must not change answers)")
     }
 
     // Gate 1 — roundtrip determinism at 1 M: served-from-parquet must
@@ -142,8 +206,9 @@ object ScaleIvfPq {
     val meanP = precision16.sum / precision16.size
     println(f"[scale] cluster-mate precision@5 at 16 cells / k=$PqKStress%d (separable): $meanP%.3f")
     require(meanP >= 0.9, f"IVFPQ left the cluster in the separable regime: $meanP%.3f < 0.9")
-    println(f"[scale] build once $tBuild%.1f s; serve is training-free and " +
-      "encode-free; served == inline at 1M")
+    println(f"[scale] build once $tBuild%.1f s (+ flat baseline copy " +
+      f"$tFlatten%.1f s); serve is training-free and encode-free; " +
+      "served == inline at 1M; partitioned == flat answers")
     spark.stop()
   }
 }

@@ -836,6 +836,45 @@ class StreamingSpec extends AnyFunSuite {
     qsAll.unpersist()
   }
 
+  test("streaming hybrid serve: streamed query batches == gated hybrid RRF bit-for-bit; retry-idempotent") {
+    // round 13: online hybrid retrieval — BM25 over the bucketed
+    // postings store + exact cosine over the embedding store, RRF-fused
+    // per micro-batch. Equality target is the GATED sim_hybrid_rrf
+    // entry itself (corpus queries stream their own text+embedding), so
+    // any drift in tokenization, normalization, stored-index scoring, or
+    // fusion arithmetic shows as a bit mismatch.
+    implicit val sqlCtx = spark.sqlContext
+    val ret = graft.operators.Retrieval
+    val expected = ret.hybridRrf(spark, sf)
+      .as[(Long, Int, Long, Double)].collect().toSeq.sortBy(r => (r._1, r._2))
+    assert(expected.nonEmpty)
+
+    val raw = graft.sources.Tables.documents(spark, sf).filter($"doc_id" < 5)
+      .select($"doc_id", $"text")
+      .join(graft.sources.Tables.embeddings(spark, sf).filter($"vec_id" < 5)
+        .select($"vec_id", $"embedding"), $"doc_id" === $"vec_id")
+      .select($"doc_id".as("qid"), $"text", $"embedding")
+      .as[(Long, String, Seq[Float])].collect()
+    assert(raw.length == 5)
+    val input = MemoryStream[(Long, String, Seq[Float])]
+    val outPath = java.nio.file.Files.createTempDirectory("hybserve_out").toString
+    val ck = java.nio.file.Files.createTempDirectory("hybserve_ck").toString
+    val q = EventStream.hybridServeStream(
+      input.toDS().toDF("qid", "text", "embedding"), sf, outPath, ck)
+    val (b1, b2) = raw.splitAt(2)
+    input.addData(b1.toSeq); q.processAllAvailable()
+    input.addData(b2.toSeq); q.processAllAvailable()
+    assert(q.lastProgress.stateOperators.isEmpty) // the stores ARE the state
+    q.stop()
+    def served() = spark.read.parquet(s"$outPath/batch-*")
+      .as[(Long, Int, Long, Double)].collect().toSeq.sortBy(r => (r._1, r._2))
+    assert(served() == expected, "streamed hybrid serve diverged from gated hybrid RRF")
+    // crash-retry: replaying a batch overwrites its own subdirectory
+    EventStream.hybridServeBatch(b1.toSeq.toDF("qid", "text", "embedding"), 0L,
+      sf, outPath, 5)
+    assert(served() == expected, "batch replay must be idempotent")
+  }
+
   test("streaming weighted reservoir: final top-K == batch priority sample bit-for-bit, one state row") {
     implicit val sqlCtx = spark.sqlContext
     val docs = graft.sources.Tables.documents(spark, sf)
