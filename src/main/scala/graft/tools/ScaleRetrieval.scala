@@ -115,6 +115,17 @@ object ScaleRetrieval {
       println(f"[scale] bm25 batch $b from bucketed store: ${(System.nanoTime() - tb) / 1e9}%.2f s  " +
         s"rows=${r.getLong(0)} score_sum=${r.get(1)} (no tokenize scan)")
       spark.catalog.clearCache()
+      // flat twin of the same batch: these probe docs' vocabulary ≈ the
+      // corpus vocabulary, so bucket pruning prunes NOTHING here and the
+      // flat store's finer file split can win on scan parallelism — the
+      // measured trade behind sizing PostingsBuckets to the cluster
+      val tf = System.nanoTime()
+      val qf = postingsFlat.filter(col("doc_id") >= lit((b - 1) * 5L) && col("doc_id") < lit(b * 5L))
+        .select(col("doc_id").as("qid"), col("term"))
+      val rF = Retrieval.bm25Of(postingsFlat, stats, qf, 5).collect()
+      require(rF.length == r.getLong(0), "flat-store batch != bucketed-store batch size")
+      println(f"[scale] bm25 batch $b from flat store (same queries): ${(System.nanoTime() - tf) / 1e9}%.2f s")
+      spark.catalog.clearCache()
     }
 
     // single-term query batch: bucketed store reads 1 of 16 buckets
