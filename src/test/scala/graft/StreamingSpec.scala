@@ -875,6 +875,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(served() == expected, "batch replay must be idempotent")
   }
 
+  test("streaming serves answer FOREIGN queries: a clone of corpus member 7 retrieves it") {
+    // The production case the corpus-query equality specs can't cover:
+    // a query id that is NOT in the corpus (no self-exclusion row, no
+    // stored rank list). Clone doc/vec 7's content under a fresh id —
+    // the vector legs must put 7 first (exact cosine 1.0 after refine),
+    // and the hybrid fusion must surface 7 in its top-5.
+    implicit val sqlCtx = spark.sqlContext
+    val sim = graft.operators.Similarity
+    val fid = 999999L
+    val doc7 = graft.sources.Tables.documents(spark, sf)
+      .filter($"doc_id" === 7).select($"text").head.getString(0)
+    val vec7 = graft.sources.Tables.embeddings(spark, sf)
+      .filter($"vec_id" === 7).select($"embedding")
+      .as[Seq[Float]].head
+
+    // hybrid serve
+    val inputH = MemoryStream[(Long, String, Seq[Float])]
+    val outH = java.nio.file.Files.createTempDirectory("hybforeign_out").toString
+    val qh = EventStream.hybridServeStream(
+      inputH.toDS().toDF("qid", "text", "embedding"), sf, outH,
+      java.nio.file.Files.createTempDirectory("hybforeign_ck").toString)
+    inputH.addData((fid, doc7, vec7)); qh.processAllAvailable(); qh.stop()
+    val fused = spark.read.parquet(s"$outH/batch-*")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(fused.map(_._1).distinct == Seq(fid))
+    assert(fused.exists(r => r._3 == 7L && r._2 <= 5),
+      s"clone query should surface doc 7 in the fused top-5, got $fused")
+
+    // ann serve over a stored index
+    val base = java.nio.file.Files.createTempDirectory("annforeign_idx").toString
+    sim.ivfPqWriteIndex(spark, sf, base)
+    val inputA = MemoryStream[(Long, Seq[Float])]
+    val outA = java.nio.file.Files.createTempDirectory("annforeign_out").toString
+    val qa = EventStream.annServeStream(
+      inputA.toDS().toDF("vec_id", "embedding"), base, outA,
+      java.nio.file.Files.createTempDirectory("annforeign_ck").toString,
+      refineDir = Some(sf))
+    inputA.addData((fid, vec7)); qa.processAllAvailable(); qa.stop()
+    val ann = spark.read.parquet(s"$outA/batch-*")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val top = ann.filter(_._4 == 1)
+    assert(top.map(_._2) == Seq(7L),
+      s"identical-vector foreign query must rank vec 7 first, got $top")
+  }
+
   test("streaming weighted reservoir: final top-K == batch priority sample bit-for-bit, one state row") {
     implicit val sqlCtx = spark.sqlContext
     val docs = graft.sources.Tables.documents(spark, sf)
