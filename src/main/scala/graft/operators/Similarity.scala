@@ -1612,20 +1612,37 @@ object Similarity {
                vecs: DataFrame, k: Int = K): DataFrame = {
     val w = Window.partitionBy(col("qid"))
       .orderBy(col(scoreCol).desc, col("nid"))
+    // candidate list is BOUNDED by construction (≤ queries × k ×
+    // RefineFactor rows), so it caches and its id set collects safely —
+    // the bm25Of releasing pattern. The collected ids become a LITERAL
+    // IN filter on the vector store: over a vec_id-BUCKETED store
+    // ([[vecStore]]) that is file-level bucket pruning — the refine
+    // tail reads its candidates' buckets, not the corpus — and over a
+    // flat frame it is a row filter the nid join subsumed anyway.
     val cand = cands
       .withColumn("arn", row_number().over(w))
       .filter(col("arn") <= k * RefineFactor)
       .select(col("qid"), col("nid"))
       .join(broadcast(queries), Seq("qid"))
-    val rer = vecs
+      .cache()
+    val candIds = cand.select(col("nid")).distinct()
+      .collect().map(_.get(0)).toSeq
+    val vecsPruned =
+      if (candIds.isEmpty) vecs.filter(lit(false))
+      else vecs.filter(col("vec_id").isInCollection(candIds))
+    val rer = vecsPruned
       .select(col("vec_id").as("nid"), col("vec").as("nvec"))
       .join(broadcast(cand), Seq("nid"))
       .select(col("qid"), col("nid"),
         VectorFns.dot6(col("qvec"), col("nvec")).as("cos"))
     val wr = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("nid"))
-    rer.withColumn("rn", row_number().over(wr)).filter(col("rn") <= k)
+    val out = rer.withColumn("rn", row_number().over(wr)).filter(col("rn") <= k)
       .orderBy(col("qid"), col("rn"))
+      .cache()
+    out.count() // forces both cand consumers; result is query-sized
+    cand.unpersist()
+    out
   }
 
   /** [[ivfPqIndexOf]] over the standard embeddings table — the spec /
@@ -1689,7 +1706,50 @@ object Similarity {
       spark.read.parquet(s"$base/cells"),
       emb(spark, dir).filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("qid"), col("vec").as("qvec")),
-      refine = Some(emb(spark, dir)))
+      refine = Some(vecStore(spark, dir)))
+  }
+
+  /** Bucket count for the stored vector table — a cluster-sizing knob
+    * like `Retrieval.PostingsBuckets`, conf-settable because the
+    * pruning fraction is candidates/buckets: at the gated SFs the
+    * default 16 demonstrates the mechanism; at 1 M+ vectors you size
+    * buckets ≫ the k·[[RefineFactor]]·|batch| candidate count so a
+    * refine reads its candidates' buckets, never the corpus. */
+  private[graft] def vecBuckets(spark: SparkSession): Int =
+    spark.conf.get("spark.graft.vecBuckets", "16").toInt
+
+  /** The vector table as a vec_id-BUCKETED catalog store (round 13) —
+    * the refine tail's input. [[refineOf]] turns its bounded candidate
+    * id set into a literal IN filter, so over this layout the exact
+    * re-rank reads only the buckets its candidates hash into: the LAST
+    * corpus-sized scan in the indexed serve path becomes file-pruned,
+    * completing the codes-partition / postings-bucket storage story.
+    * Same mtime-keyed external-table conventions as
+    * `Retrieval.bm25OpenIndex` (files outlive the JVM; a warm-file
+    * cold-catalog run re-registers DDL derived from the stored footer
+    * instead of rebuilding; `_SUCCESS`-guarded against torn writes). */
+  private[graft] def vecStore(spark: SparkSession, dir: String): DataFrame = {
+    val nb = vecBuckets(spark)
+    val embFile = new java.io.File(s"$dir/embeddings.parquet")
+    val key = s"${dir}_${embFile.lastModified}_b$nb"
+      .replaceAll("[^A-Za-z0-9_]", "_").toLowerCase
+    val tbl = s"g_vecs_$key"
+    val base = s"target/tmp/vec_store/$key"
+    val loc = new java.io.File(s"$base/vecs").getAbsolutePath
+    if (!spark.catalog.tableExists(tbl)) {
+      if (new java.io.File(s"$base/vecs/_SUCCESS").exists()) {
+        // warm files, cold catalog: DDL types come from the stored
+        // footer (vec_id is corpus-typed, like ivfPqReadCodes' label)
+        val ddl = spark.read.parquet(loc).schema.toDDL
+        spark.sql(
+          s"""CREATE TABLE $tbl ($ddl)
+             USING parquet CLUSTERED BY (vec_id) INTO $nb BUCKETS
+             LOCATION '$loc'""")
+      } else
+        emb(spark, dir).select(col("vec_id"), col("vec"))
+          .write.bucketBy(nb, "vec_id").option("path", loc).saveAsTable(tbl)
+    }
+    spark.table(tbl)
   }
 
   /** Build + persist the IVFPQ index at `base` (idempotent — a

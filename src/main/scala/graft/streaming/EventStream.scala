@@ -446,7 +446,9 @@ object EventStream {
         sp.read.parquet(s"$indexBase/books"),
         sp.read.parquet(s"$indexBase/cells"),
         qs,
-        refine = refineDir.map(d => Similarity.emb(sp, d)))
+        // refine reads ride the vec_id-bucketed store (round 13): the
+        // candidate IN filter prunes buckets per micro-batch
+        refine = refineDir.map(d => Similarity.vecStore(sp, d)))
       .write.mode("overwrite").parquet(s"$outPath/batch-$batchId")
   }
 

@@ -116,6 +116,34 @@ class IndexLayoutSpec extends AnyFunSuite {
       s"8-top probe should read <= 32 sub-cell dirs, scan read $read of $total")
   }
 
+  test("vector store: vec_id buckets, the refine tail's candidate IN filter prunes buckets") {
+    val sf = "/root/testdata/sf0.001"
+    val vecs = Similarity.vecStore(spark, sf)
+    val nb = Similarity.vecBuckets(spark)
+    // two candidate ids → at most 2 of the store's buckets in the plan
+    val ids = vecs.select(col("vec_id")).orderBy(col("vec_id")).head(2).map(_.get(0)).toSeq
+    val pruned = vecs.filter(col("vec_id").isInCollection(ids))
+    val plan = pruned.queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(plan)
+    assert(sel.nonEmpty, s"bucket pruning missing from plan:\n$plan")
+    assert(sel.get.group(1).toInt <= 2 && sel.get.group(2).toInt == nb,
+      s"2-id filter should read <= 2 of $nb buckets, plan said ${sel.get.matched}")
+    // and the refined serve through the bucketed store returns exactly
+    // what it returned over the flat frame (layout must not change answers)
+    val viaStore = Similarity.topkIvfPqIndexed(spark, sf)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val base = java.nio.file.Files.createTempDirectory("ivfpq_flatref").toString + "/idx"
+    Similarity.ivfPqWriteIndex(spark, sf, base)
+    val viaFlat = Similarity.ivfPqOf(Similarity.ivfPqReadCodes(spark, base),
+        spark.read.parquet(s"$base/books"), spark.read.parquet(s"$base/cells"),
+        Similarity.emb(spark, sf).filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("vec").as("qvec")),
+        refine = Some(Similarity.emb(spark, sf)))
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(viaStore == viaFlat, "bucketed-store refine diverged from flat-frame refine")
+  }
+
   test("bm25 postings store: term buckets, a small vocabulary prunes buckets") {
     val sf = "/root/testdata/sf0.001"
     val key = s"spec_${System.nanoTime}"
