@@ -163,6 +163,40 @@ object ScaleIvfPq {
         "flat-store serve != partitioned-store serve (layout must not change answers)")
     }
 
+    // Refine tail at scale (round 13): the exact re-rank over the
+    // vec_id-BUCKETED vector store at a cluster-sized bucket count —
+    // 5 queries × K·10 candidates ≤ 250 ids over 1024 buckets reads
+    // ≤ 250 of the store's files where a flat frame scans all of them.
+    spark.conf.set("spark.graft.vecBuckets", "1024")
+    val corpusDir = "target/tmp/ivfpq_1m_corpus"
+    if (!new java.io.File(s"$corpusDir/embeddings.parquet/_SUCCESS").exists())
+      corpus.select(col("vec_id"), col("label"),
+          col("vec").cast("array<float>").as("embedding"))
+        .write.mode("overwrite").parquet(s"$corpusDir/embeddings.parquet")
+    val vstore = Similarity.vecStore(spark, corpusDir)
+    val qbR = corpus.filter(col("vec_id") < 5L)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+    val (dfR, _) = time("ivfpq serve + refine (bucketed vec store, 1024 buckets)") {
+      Similarity.ivfPqOf(codes, books, cells, qbR, refine = Some(vstore))
+    }
+    val planR = dfR.queryExecution.executedPlan.toString
+    val selR = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(planR)
+    require(selR.nonEmpty, "refine scan shows no bucket pruning in the executed plan")
+    println(s"[scale] refine vector reads: ${selR.get.matched}")
+    require(selR.get.group(1).toInt <= 250 && selR.get.group(2).toInt == 1024,
+      s"refine should read <= 250 of 1024 vec buckets, plan said ${selR.get.matched}")
+    // flat twin reads the SAME roundtripped vectors the store was built
+    // from (emb over the written corpus), so the require isolates LAYOUT
+    val (rowsFlatRef, _) = time("ivfpq serve + refine (flat vector frame)") {
+      Similarity.ivfPqOf(codes, books, cells, qbR, refine = Some(
+          Similarity.emb(spark, corpusDir).select(col("vec_id"), col("vec"))))
+        .select(col("qid"), col("nid")).as[(Long, Long)].collect()
+    }
+    require(dfR.select(col("qid"), col("nid")).as[(Long, Long)].collect().toSet
+        == rowsFlatRef.toSet,
+      "bucketed-store refine != flat-frame refine at 1M")
+    spark.conf.unset("spark.graft.vecBuckets")
+
     // Gate 1 — roundtrip determinism at 1 M: served-from-parquet must
     // equal inline (train+encode+serve) on the same corpus, exactly.
     val qb1 = corpus.filter(col("vec_id") < 5L)
