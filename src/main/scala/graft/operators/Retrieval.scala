@@ -206,10 +206,10 @@ object Retrieval {
     * materialized index (same oracle — identical output, different
     * provenance): warm runs skip the tokenize scan entirely. */
   def bm25TopkIndexed(spark: SparkSession, dir: String): DataFrame = {
-    val (postings, stats) = bm25Store(spark, dir)
+    val (postings, _) = bm25Store(spark, dir)
     val qterms = postings.filter(col("doc_id") < NQ)
       .select(col("doc_id").as("qid"), col("term")) // already distinct per (doc, term)
-    bm25Of(postings, stats, qterms, K)
+    bm25ServeStored(spark, dir, qterms, K)
   }
 
   /** The production (postings, stats) pair for `dir`'s corpus — opens
@@ -217,17 +217,61 @@ object Retrieval {
     * serve path shares: [[bm25TopkIndexed]] batches and the streaming
     * hybrid serve. */
   private[graft] def bm25Store(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val docsFile = new java.io.File(s"$dir/documents.parquet")
-    // key = data version (dir+mtime) + every constant BAKED INTO the
-    // stored artifact (tokenizer version — postings are token rows).
-    // K/NQ apply at serve time over the stored index, so they don't
-    // key the cache (the splitLeakSafeComposed maxDf convention).
-    // "b16" marks the round-13 term-bucketed postings layout — a flat
-    // store from an earlier build must not serve under the new DDL
-    val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${docsFile.lastModified}" +
-      s"_tok${TextFns.TokVersion}_b$PostingsBuckets"
+    val key = bm25StoreKey(dir)
     (bm25OpenIndex(spark, dir, key),
       spark.read.parquet(s"target/tmp/bm25_index/$key/stats"))
+  }
+
+  // key = data version (dir+mtime) + every constant BAKED INTO the
+  // stored artifact (tokenizer version — postings are token rows).
+  // K/NQ apply at serve time over the stored index, so they don't
+  // key the cache (the splitLeakSafeComposed maxDf convention).
+  // "b16" marks the round-13 term-bucketed postings layout — a flat
+  // store from an earlier build must not serve under the new DDL
+  private[graft] def bm25StoreKey(dir: String): String = {
+    val docsFile = new java.io.File(s"$dir/documents.parquet")
+    s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${docsFile.lastModified}" +
+      s"_tok${TextFns.TokVersion}_b$PostingsBuckets"
+  }
+
+  /** The SAME stored postings files read as plain parquet — identical
+    * rows, no bucket metadata, so the scan splits files arbitrarily
+    * instead of one-task-per-bucket. The escape hatch
+    * [[bm25ServeStored]] takes when pruning cannot help. */
+  private[graft] def bm25StoreFlatView(spark: SparkSession, dir: String): DataFrame = {
+    bm25Store(spark, dir)._1 // ensure the store exists
+    spark.read.parquet(
+      new java.io.File(s"target/tmp/bm25_index/${bm25StoreKey(dir)}/postings").getAbsolutePath)
+  }
+
+  /** Distinct term-bucket ids a query vocabulary hashes into —
+    * `pmod(hash(term), PostingsBuckets)` is the exact expression
+    * Spark's bucketed writer assigns files by (Murmur3, seed 42), so
+    * this predicts file-level pruning without touching the store. */
+  private[graft] def vocabBucketCoverage(qterms: DataFrame): Long =
+    qterms.select(pmod(hash(col("term")), lit(PostingsBuckets)).as("b"))
+      .distinct().count()
+
+  /** Adaptive stored-index serve (late round 13). Bucket pruning wins
+    * when the batch vocabulary touches FEW buckets (single-term serve:
+    * 0.04 s from 1 of 16 buckets vs 1.74 s flat at 1 M docs); a
+    * vocabulary covering most buckets prunes nothing and instead pays
+    * the bucketed scan's one-task-per-bucket parallelism floor
+    * (whole-vocab batch: 39-40 s bucketed vs 28-30 s flat —
+    * ScaleRetrieval, both measured at 1 M docs). Decide per batch from
+    * the vocabulary alone: ≤ half the buckets covered → bucketed
+    * (pruned) scan; more → flat view of the same files. Answers are
+    * layout-invariant either way (require-gated in ScaleRetrieval,
+    * spec-asserted in RetrievalSpec); only the scan strategy moves.
+    * The coverage probe is one batch-sized job — the serve already
+    * collects the vocabulary, so the asymptotic cost is unchanged. */
+  def bm25ServeStored(spark: SparkSession, dir: String, qterms: DataFrame,
+                      k: Int): DataFrame = {
+    val (postings, stats) = bm25Store(spark, dir)
+    val covered = vocabBucketCoverage(qterms)
+    val src = if (covered * 2 > PostingsBuckets) bm25StoreFlatView(spark, dir)
+              else postings
+    bm25Of(src, stats, qterms, k)
   }
 
   /** Term-bucket count for the stored postings (round 13). At the

@@ -489,13 +489,14 @@ object EventStream {
     val sp = batch.sparkSession
     import graft.functions.{TextFns, VectorFns}
     import graft.operators.{Retrieval, Similarity}
-    val (postings, stats) = Retrieval.bm25Store(sp, corpusDir)
     // text leg: the query's distinct term set (same tokenizer the
-    // postings were built with) against the bucketed store
+    // postings were built with) against the stored index — the
+    // ADAPTIVE serve, so a typical short-query batch takes the
+    // bucket-pruned scan and an adversarially broad one the flat view
     val qterms = batch
       .select(col("qid"), explode(TextFns.tokens(col("text"))).as("term"))
       .distinct()
-    val textList = Retrieval.bm25Of(postings, stats, qterms, Retrieval.FuseK)
+    val textList = Retrieval.bm25ServeStored(sp, corpusDir, qterms, Retrieval.FuseK)
       .select(col("qid"), col("doc_id").as("id"), col("rn"))
     // vector leg: normalize exactly like the batch reader, then the
     // shared brute-force-cosine tail against the embedding store

@@ -94,9 +94,10 @@ object ScaleRetrieval {
     // flat parquet copy of the same postings measures what the layout
     // buys at 54 M token occurrences.
     val t2 = System.nanoTime()
-    // mtime in the key: a relinked/regenerated corpus must not serve a
-    // stale store (the production bm25TopkIndexed cache-key convention)
-    val key = s"stress1m_${new java.io.File(s"$dir/documents.parquet").lastModified}"
+    // the PRODUCTION store key (dir+mtime+tokenizer+bucket layout) so
+    // every serve arm below — including the adaptive bm25ServeStored,
+    // which derives the key itself — shares this one build
+    val key = Retrieval.bm25StoreKey(dir)
     val postings = Retrieval.bm25OpenIndex(spark, dir, key)
     postings.count() // force the build inside the timer
     val stats = spark.read.parquet(s"target/tmp/bm25_index/$key/stats")
@@ -146,6 +147,29 @@ object ScaleRetrieval {
     require(rb == rf, "bucketed-store serve != flat-store serve (layout must not change answers)")
     println(f"[scale] bm25 single-term serve: bucketed (1 of 16 buckets) $wallB%.2f s " +
       f"vs flat $wallF%.2f s")
+
+    // ADAPTIVE serve (late round 13): the adversarial whole-vocab batch
+    // routed through bm25ServeStored — coverage says "most buckets", so
+    // it takes the flat view and recovers the flat-scan wall with no
+    // layout knowledge at the call site; the single-term query stays on
+    // the pruned bucketed path. Both decisions require-gated.
+    // vocabulary derived from the flat copy so the require below sees
+    // only the SERVE's own postings scan in the plan
+    val qa = postingsFlat.filter(col("doc_id") < 5L)
+      .select(col("doc_id").as("qid"), col("term"))
+    val cov = Retrieval.vocabBucketCoverage(qa)
+    require(cov * 2 > Retrieval.PostingsBuckets,
+      s"adversarial batch covers only $cov of ${Retrieval.PostingsBuckets} buckets")
+    require(Retrieval.vocabBucketCoverage(q1) == 1L, "1-term vocab must cover 1 bucket")
+    val tA = System.nanoTime()
+    val servedA = Retrieval.bm25ServeStored(spark, dir, qa, 5)
+    val rA = servedA.agg(count(lit(1)), sum(col("score"))).first()
+    val wallA = (System.nanoTime() - tA) / 1e9
+    require(!servedA.queryExecution.executedPlan.toString.contains("SelectedBucketsCount"),
+      "whole-vocab adaptive serve should have taken the flat view")
+    println(f"[scale] bm25 whole-vocab batch via ADAPTIVE serve (flat view chosen): " +
+      f"$wallA%.2f s  rows=${rA.getLong(0)} score_sum=${rA.get(1)}")
+    spark.catalog.clearCache()
 
     spark.stop()
   }

@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.lit
 import graft.operators.Retrieval
 
 class RetrievalSpec extends AnyFunSuite {
@@ -152,5 +153,44 @@ class RetrievalSpec extends AnyFunSuite {
       .select($"nid").as[Long].collect().toSeq
     assert(sel.take(3) == Seq(10L, 12L, 11L),
       s"expected diverse pick [10, 12, 11], got $sel")
+  }
+
+  test("adaptive stored serve: narrow vocab prunes buckets, broad vocab takes the flat view, answers identical") {
+    val sf = "/root/testdata/sf0.001"
+    val (postings, stats) = Retrieval.bm25Store(spark, sf)
+
+    // decision inputs: one term hashes into exactly one bucket; the
+    // whole corpus vocabulary covers most of the 16
+    val term1 = postings.select($"term").head.getString(0)
+    val q1 = Seq((99L, term1)).toDF("qid", "term")
+    assert(Retrieval.vocabBucketCoverage(q1) == 1L)
+    // derive the broad vocabulary from the FLAT view so the only scan
+    // in the serve plan below is the serve's own postings read (the
+    // qterms lineage would otherwise contribute a bucketed scan)
+    val qAll = Retrieval.bm25StoreFlatView(spark, sf).select($"term").distinct()
+      .select(lit(7L).as("qid"), $"term")
+    assert(Retrieval.vocabBucketCoverage(qAll) * 2 > Retrieval.PostingsBuckets,
+      "corpus vocabulary should cover most term buckets")
+
+    // narrow branch: the executed plan reads 1 of the 16 bucket files
+    val narrow = Retrieval.bm25ServeStored(spark, sf, q1, 5)
+    narrow.collect()
+    assert(narrow.queryExecution.executedPlan.toString
+      .contains(s"SelectedBucketsCount: 1 out of ${Retrieval.PostingsBuckets}"),
+      "narrow-vocab serve should take the pruned bucketed scan")
+
+    // broad branch: same files through the flat view — no bucket
+    // metadata in the plan, bit-identical answers to the bucketed serve
+    val broad = Retrieval.bm25ServeStored(spark, sf, qAll, 5)
+    val broadRows = broad
+      .select($"qid", $"rn", $"doc_id", $"score")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(!broad.queryExecution.executedPlan.toString.contains("SelectedBucketsCount"),
+      "broad-vocab serve should bypass the bucketed table")
+    val viaBucketed = Retrieval.bm25Of(postings, stats, qAll, 5)
+      .select($"qid", $"rn", $"doc_id", $"score")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(broadRows == viaBucketed, "scan strategy must not change answers")
+    assert(broadRows.nonEmpty)
   }
 }
