@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.sources.{CisiSource, Tables}
+import graft.sources.{CisiSource, Tables, WikirRawSource}
 import graft.sinks.MarkdownFileSink
 import graft.functions.TextFns
 
@@ -121,6 +121,48 @@ object RefCore {
     FROM documents
     ORDER BY doc_id
     LIMIT 500"""
+
+  // ---- 4b. RAW wikIR distribution round-trip --------------------------
+  // The exact on-disk files ir_datasets iterates for the reference
+  // (api.py:219-232): documents.csv + <split>/queries.csv + TREC qrels.
+  // Fixture text is decorated with a comma+quoted suffix so the RFC-4180
+  // quoting path is exercised on EVERY row (the synthetic corpus text
+  // itself carries no CSV-special characters); the oracle recomputes the
+  // same decoration.
+  def wikirRawRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch(dir, "wikir_raw")
+    val rows = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id")).limit(500)
+      .collect()  // fixture generation only (≤500 docs); the parse below is distributed
+      .map(r => (r.getLong(0), r.getString(1) + ", \"q" + (r.getLong(0) % 5) + "\""))
+    val queries = (0L to 19L).map(q => (q, s"synthetic query $q"))
+    val qrels = rows.map(_._1).map(id => (id % 20, id, 1 + id % 3)).toIndexedSeq
+    def put(path: String, body: String): Unit = {
+      val p = java.nio.file.Paths.get(path)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p,
+        body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    put(s"$root/documents.csv",
+      WikirRawSource.renderDocumentsCsv(rows.toIndexedSeq))
+    put(s"$root/validation/queries.csv",
+      WikirRawSource.renderQueriesCsv(queries))
+    put(s"$root/validation/qrels", WikirRawSource.renderQrels(qrels))
+    WikirRawSource.readQrels(spark, root, "validation")
+      .join(WikirRawSource.readQueries(spark, root, "validation"), Seq("query_id"))
+      .join(WikirRawSource.readDocuments(spark, root), Seq("doc_id"))
+      .select(col("query_id"), col("doc_id"), col("relevance"),
+        col("query_text"), md5(col("text")).as("content_md5"))
+      .orderBy(col("query_id"), col("doc_id"))
+  }
+
+  val wikirRawRoundtripOracle: String = """
+    SELECT doc_id % 20 AS query_id, doc_id, 1 + doc_id % 3 AS relevance,
+           'synthetic query ' || CAST(doc_id % 20 AS VARCHAR) AS query_text,
+           md5(text || ', "q' || CAST(doc_id % 5 AS VARCHAR) || '"') AS content_md5
+    FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 500)
+    ORDER BY query_id, doc_id"""
 
   // ---- 5. per-document token count ------------------------------------
   def tokenCount(spark: SparkSession, dir: String): DataFrame =
@@ -297,6 +339,7 @@ object RefCore {
     "ref_sample_papers"    -> (samplePapers _),
     "ref_markdown_render"  -> (markdownRender _),
     "ref_cisi_roundtrip"   -> (cisiRoundtrip _),
+    "ref_wikir_raw"        -> (wikirRawRoundtrip _),
     "ref_token_count"      -> (tokenCount _),
     "ref_token_stats"      -> (tokenStats _),
     "ref_ascii_sanitize"   -> (asciiSanitize _),
@@ -310,6 +353,7 @@ object RefCore {
     "ref_sample_papers"    -> samplePapersOracle,
     "ref_markdown_render"  -> markdownRenderOracle,
     "ref_cisi_roundtrip"   -> cisiRoundtripOracle,
+    "ref_wikir_raw"        -> wikirRawRoundtripOracle,
     "ref_token_count"      -> tokenCountOracle,
     "ref_token_stats"      -> tokenStatsOracle,
     "ref_ascii_sanitize"   -> asciiSanitizeOracle,
