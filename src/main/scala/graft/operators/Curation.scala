@@ -1181,7 +1181,8 @@ object Curation {
     "curation_split_leak_safe" -> (splitLeakSafe _),
     "curation_split_leak_safe_composed" -> (splitLeakSafeComposed _),
     "curation_dsir_sample"   -> (dsirSample _),
-    "curation_corpus_stats"  -> (corpusStats _))
+    "curation_corpus_stats"  -> (corpusStats _),
+    "curation_domain_gate"   -> (DomainCuration.domainGate _))
 
   val oracle: Map[String, String] = Map(
     "curation_quality_classifier" -> qualityClassifierOracle,
@@ -1200,5 +1201,6 @@ object Curation {
     "curation_split_leak_safe" -> splitLeakSafeOracle,
     "curation_split_leak_safe_composed" -> splitLeakSafeOracle,
     "curation_dsir_sample"   -> dsirSampleOracle,
-    "curation_corpus_stats"  -> corpusStatsOracle)
+    "curation_corpus_stats"  -> corpusStatsOracle,
+    "curation_domain_gate"   -> DomainCuration.domainGateOracle)
 }

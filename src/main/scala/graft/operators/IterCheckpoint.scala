@@ -40,7 +40,16 @@ private[graft] object IterCheckpoint {
     val rdd = df.rdd
     spark.conf.getOption("spark.graft.checkpointDir") match {
       case Some(dir) =>
-        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        // setCheckpointDir appends a per-call UUID subdir, so "already
+        // pointing at the conf dir" means the CURRENT dir's parent is
+        // the qualified conf path. Re-set whenever the conf moved (or
+        // a dir was set elsewhere) so new round files land where the
+        // conf says instead of silently staying in the old directory.
+        val want = new org.apache.hadoop.fs.Path(dir)
+        val qual = want.getFileSystem(sc.hadoopConfiguration).makeQualified(want)
+        if (!sc.getCheckpointDir.exists(c =>
+              Option(new org.apache.hadoop.fs.Path(c).getParent).contains(qual)))
+          sc.setCheckpointDir(dir)
         // persist BEFORE checkpoint: the checkpoint job then re-reads
         // the computed blocks instead of re-running the round
         rdd.persist(StorageLevel.MEMORY_AND_DISK)

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+/** Corpus-stat-derived sizing for the partitioned/bucketed index
+  * stores (round 14) — the `probeScheduleFor` treatment applied to
+  * LAYOUT. Round 13 introduced the stores (postings term-bucketed,
+  * vectors vec_id-bucketed, IVFPQ codes label-partitioned) with
+  * fixed bucket counts; fixed counts calibrate at exactly one corpus
+  * size, so a 100× regen would keep 16 buckets and every bucket grows
+  * 100×. This object centralizes the derivation so every store sizes
+  * the same way and a store's cache key can carry the derived count.
+  *
+  * The formula: enough power-of-2 buckets that each holds about
+  * `rowsPerBucket` deriving rows, floored (so gated-SF stores still
+  * demonstrate pruning mechanics with a real multi-bucket layout) and
+  * capped (bucketed scans pay a one-task-per-bucket parallelism floor
+  * and file-count pressure — ScaleRetrieval measured the whole-vocab
+  * bucketed scan losing to flat once coverage is wide, so more buckets
+  * is not monotonically better). Powers of 2 keep bucket counts
+  * nested: halving/doubling a layout moves each row between exactly
+  * two candidate buckets, which keeps future rebalance copies local.
+  */
+private[graft] object Layout {
+
+  /** Power-of-2 bucket count targeting ~`rowsPerBucket` deriving rows
+    * per bucket: smallest power of 2 ≥ n/rowsPerBucket, clamped to
+    * [floor, cap]. Monotone in n, deterministic — same corpus stats ⇒
+    * same layout, so serve-side coverage math (`pmod(hash(col), nb)`)
+    * can re-derive the count the writer used without reading the
+    * store. */
+  def buckets(n: Long, rowsPerBucket: Long, floor: Int = 16,
+              cap: Int = 4096): Int = {
+    require(rowsPerBucket > 0, s"rowsPerBucket must be positive: $rowsPerBucket")
+    require(floor > 0 && Integer.bitCount(floor) == 1, s"floor must be a power of 2: $floor")
+    require(cap >= floor && Integer.bitCount(cap) == 1, s"cap must be a power of 2 >= floor: $cap")
+    val want = math.max(1L, (n + rowsPerBucket - 1) / rowsPerBucket)
+    var b = floor
+    while (b < want && b < cap) b <<= 1
+    b
+  }
+
+  // Deriving-stat memo: one count job per (file, mtime) per JVM. The
+  // count is parquet-footer work, but every serve call re-paying even
+  // that would put a scan job on the hot path; the mtime in the key
+  // gives the same invalidation the store caches already use.
+  private val counts = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Row count of `<dir>/<table>.parquet`, memoized per (path, mtime). */
+  def tableCount(spark: SparkSession, dir: String, table: String): Long = {
+    val f = new java.io.File(s"$dir/$table.parquet")
+    counts.computeIfAbsent(s"${f.getAbsolutePath}@${f.lastModified}",
+      _ => spark.read.parquet(f.getPath).count()).longValue()
+  }
+}

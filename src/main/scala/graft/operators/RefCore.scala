@@ -329,11 +329,44 @@ object RefCore {
 
   val csvRoundtripOracle: String = jsonlRoundtripOracle
 
+  // ---- WARC roundtrip (round 14) — the crawl-archive ingest format
+  // through [[graft.sources.WarcSource]]: full documents table →
+  // distributed WARC write (one gzip member per record, the Common
+  // Crawl layout; lang/source/n_chars thread through as WARC
+  // extension headers) → record parse → identity projection. The gate
+  // proves Content-Length-driven parsing is lossless (md5 of the
+  // payload bytes survives; embedded header-lookalike text cannot
+  // break record framing) and that extension headers roundtrip. ------
+  def warcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratch(dir, "warc") + "/docs"
+    val recs = Tables.documents(spark, dir).select(
+      lit("conversion").as("warc_type"),
+      concat(lit("http://example.org/doc/"), col("doc_id")).as("target_uri"),
+      lit("2026-01-01T00:00:00Z").as("warc_date"),
+      concat(lit("<urn:uuid:doc-"), col("doc_id"), lit(">")).as("record_id"),
+      lit("text/plain").as("content_type"),
+      encode(col("text"), "UTF-8").as("payload"),
+      map(lit("WARC-X-Lang"), col("lang"), lit("WARC-X-Source"), col("source"),
+        lit("WARC-X-NChars"), col("n_chars").cast("string")).as("extra"))
+    graft.sources.WarcSource.write(recs, out)
+    graft.sources.WarcSource.read(spark, out).toDF()
+      .select(
+        element_at(split(col("target_uri"), "/"), -1).cast("long").as("doc_id"),
+        md5(col("payload")).as("content_md5"),
+        element_at(col("headers"), "warc-x-lang").as("lang"),
+        element_at(col("headers"), "warc-x-source").as("source"),
+        element_at(col("headers"), "warc-x-nchars").cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val warcRoundtripOracle: String = jsonlRoundtripOracle
+
   // ---- registry -------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "jsonl_roundtrip"      -> (jsonlRoundtrip _),
     "csv_roundtrip"        -> (csvRoundtrip _),
+    "warc_roundtrip"       -> (warcRoundtrip _),
     "ref_wikir_fields"     -> (wikirFields _),
     "ref_schema_columns"   -> (schemaColumns _),
     "ref_sample_papers"    -> (samplePapers _),
@@ -348,6 +381,7 @@ object RefCore {
   val oracle: Map[String, String] = Map(
     "jsonl_roundtrip"      -> jsonlRoundtripOracle,
     "csv_roundtrip"        -> csvRoundtripOracle,
+    "warc_roundtrip"       -> warcRoundtripOracle,
     "ref_wikir_fields"     -> wikirFieldsOracle,
     "ref_schema_columns"   -> schemaColumnsOracle,
     "ref_sample_papers"    -> samplePapersOracle,

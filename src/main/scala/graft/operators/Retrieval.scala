@@ -217,7 +217,7 @@ object Retrieval {
     * serve path shares: [[bm25TopkIndexed]] batches and the streaming
     * hybrid serve. */
   private[graft] def bm25Store(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val key = bm25StoreKey(dir)
+    val key = bm25StoreKey(spark, dir)
     (bm25OpenIndex(spark, dir, key),
       spark.read.parquet(s"target/tmp/bm25_index/$key/stats"))
   }
@@ -226,12 +226,14 @@ object Retrieval {
   // stored artifact (tokenizer version — postings are token rows).
   // K/NQ apply at serve time over the stored index, so they don't
   // key the cache (the splitLeakSafeComposed maxDf convention).
-  // "b16" marks the round-13 term-bucketed postings layout — a flat
-  // store from an earlier build must not serve under the new DDL
-  private[graft] def bm25StoreKey(dir: String): String = {
+  // "b<n>" carries the DERIVED bucket count (round 14) — a store laid
+  // out for one corpus size must not serve a regenerated corpus that
+  // derives a different count, and a flat round-12 store must not
+  // serve under the bucketed DDL at all
+  private[graft] def bm25StoreKey(spark: SparkSession, dir: String): String = {
     val docsFile = new java.io.File(s"$dir/documents.parquet")
     s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${docsFile.lastModified}" +
-      s"_tok${TextFns.TokVersion}_b$PostingsBuckets"
+      s"_tok${TextFns.TokVersion}_b${postingsBuckets(spark, dir)}"
   }
 
   /** The SAME stored postings files read as plain parquet — identical
@@ -241,15 +243,15 @@ object Retrieval {
   private[graft] def bm25StoreFlatView(spark: SparkSession, dir: String): DataFrame = {
     bm25Store(spark, dir)._1 // ensure the store exists
     spark.read.parquet(
-      new java.io.File(s"target/tmp/bm25_index/${bm25StoreKey(dir)}/postings").getAbsolutePath)
+      new java.io.File(s"target/tmp/bm25_index/${bm25StoreKey(spark, dir)}/postings").getAbsolutePath)
   }
 
   /** Distinct term-bucket ids a query vocabulary hashes into —
-    * `pmod(hash(term), PostingsBuckets)` is the exact expression
-    * Spark's bucketed writer assigns files by (Murmur3, seed 42), so
-    * this predicts file-level pruning without touching the store. */
-  private[graft] def vocabBucketCoverage(qterms: DataFrame): Long =
-    qterms.select(pmod(hash(col("term")), lit(PostingsBuckets)).as("b"))
+    * `pmod(hash(term), nb)` is the exact expression Spark's bucketed
+    * writer assigns files by (Murmur3, seed 42), so this predicts
+    * file-level pruning without touching the store. */
+  private[graft] def vocabBucketCoverage(qterms: DataFrame, nb: Int): Long =
+    qterms.select(pmod(hash(col("term")), lit(nb)).as("b"))
       .distinct().count()
 
   /** Adaptive stored-index serve (late round 13). Bucket pruning wins
@@ -268,21 +270,36 @@ object Retrieval {
   def bm25ServeStored(spark: SparkSession, dir: String, qterms: DataFrame,
                       k: Int): DataFrame = {
     val (postings, stats) = bm25Store(spark, dir)
-    val covered = vocabBucketCoverage(qterms)
-    val src = if (covered * 2 > PostingsBuckets) bm25StoreFlatView(spark, dir)
+    val nb = postingsBuckets(spark, dir)
+    val covered = vocabBucketCoverage(qterms, nb)
+    val src = if (covered * 2 > nb) bm25StoreFlatView(spark, dir)
               else postings
     bm25Of(src, stats, qterms, k)
   }
 
-  /** Term-bucket count for the stored postings (round 13). At the
-    * gated SFs a handful of buckets already demonstrates pruning; at
-    * 100 TB you size this so one bucket ≈ one executor-friendly scan
-    * unit — the serve tail is bucket-count-agnostic. */
-  private[graft] final val PostingsBuckets = 16
+  /** Docs-per-term-bucket target for the derived postings layout
+    * (round 14): ~8k docs of postings per bucket keeps one bucket an
+    * executor-friendly scan unit, and makes the derived count MOVE
+    * with the corpus (16 at the gated SFs via the floor, 128 at the
+    * 1 M-doc ScaleRetrieval store) instead of freezing the round-13
+    * local[32] calibration into a constant. */
+  private[graft] final val PostingsDocsPerBucket = 8192L
+
+  /** Term-bucket count for `dir`'s postings store — conf-pinnable
+    * (`spark.graft.postingsBuckets`) for forced-layout specs and
+    * cluster operators who know better, otherwise DERIVED from the
+    * corpus document count by the shared [[Layout.buckets]] formula.
+    * Deterministic per (corpus, conf), so the writer, the DDL, the
+    * store cache key, and the serve-side coverage probe all agree
+    * without reading the store. */
+  private[graft] def postingsBuckets(spark: SparkSession, dir: String): Int =
+    spark.conf.getOption("spark.graft.postingsBuckets").map(_.toInt)
+      .getOrElse(Layout.buckets(
+        Layout.tableCount(spark, dir, "documents"), PostingsDocsPerBucket))
 
   /** Open (building if absent) the postings store for `key` as a
     * term-BUCKETED catalog table (round 13): postings are written
-    * `bucketBy(PostingsBuckets, "term")`, so [[bm25Of]]'s literal
+    * `bucketBy(postingsBuckets, "term")` (count derived per corpus, round 14), so [[bm25Of]]'s literal
     * vocabulary IN filter prunes buckets — a query batch naming t
     * terms reads ≤ t of the buckets instead of every posting file.
     * The files outlive the JVM (external table under target/tmp, the
@@ -291,6 +308,7 @@ object Retrieval {
     * existing files instead of re-tokenizing the corpus. */
   private[graft] def bm25OpenIndex(spark: SparkSession, dir: String,
                                    key: String): DataFrame = {
+    val nb = postingsBuckets(spark, dir)
     val tbl = s"g_bm25_$key".replaceAll("[^A-Za-z0-9_]", "_").toLowerCase
     val base = s"target/tmp/bm25_index/$key"
     val loc = new java.io.File(s"$base/postings").getAbsolutePath
@@ -300,7 +318,7 @@ object Retrieval {
         // DDL over the existing files — no rebuild, no re-tokenize
         spark.sql(
           s"""CREATE TABLE $tbl (doc_id BIGINT, dl INT, term STRING, tf BIGINT)
-             USING parquet CLUSTERED BY (term) INTO $PostingsBuckets BUCKETS
+             USING parquet CLUSTERED BY (term) INTO $nb BUCKETS
              LOCATION '$loc'""")
       else {
         val (p, s) = bm25IndexOf(Tables.documents(spark, dir))
@@ -309,7 +327,7 @@ object Retrieval {
         // serving a torn cache
         s.write.mode("overwrite").parquet(s"$base/stats")
         p.write.mode("overwrite")
-          .bucketBy(PostingsBuckets, "term")
+          .bucketBy(nb, "term")
           .option("path", loc)
           .saveAsTable(tbl)
       }

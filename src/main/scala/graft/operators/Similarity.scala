@@ -337,6 +337,17 @@ object Similarity {
     spark.conf.getOption("spark.graft.ann.literalMaxDoubles")
       .map(_.toLong).getOrElse(LiteralMaxDoubles)
 
+  /** Candidate ids a refine may carry as a plan-literal IN filter
+    * before the pruning filter ships as a broadcast semi-join instead
+    * (the [[literalMax]] discipline applied to [[refineOf]]'s id set).
+    * Conf-overridable so the differential spec can force the join path
+    * at tiny batches and prove the two paths value-identical. */
+  private val RefineLiteralMaxIds = 16384L
+
+  private def refineLiteralMax(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.ann.refineLiteralMaxIds")
+      .map(_.toLong).getOrElse(RefineLiteralMaxIds)
+
   /** Adds column `name` holding the (arbitrarily nested) codebook array
     * to every row of `df`. Small codebooks ride the plan as a typedLit;
     * past [[literalMax]] total doubles they ship as a ONE-ROW broadcast
@@ -1533,7 +1544,8 @@ object Similarity {
   private[graft] final val RefineFactor = 10
 
   def ivfPqOf(codes: DataFrame, books: DataFrame, cells: DataFrame,
-              queries: DataFrame, refine: Option[DataFrame] = None): DataFrame = {
+              queries: DataFrame, refine: Option[DataFrame] = None,
+              refineFlat: Option[(DataFrame, Int)] = None): DataFrame = {
     // one collect of the model-sized cell table feeds the schedule
     // count, the probe broadcast, AND the offset join (round 13 —
     // was cells.count() + broadcast(cells), paying the upstream
@@ -1589,7 +1601,7 @@ object Similarity {
           .withColumn("rn", row_number().over(w)).filter(col("rn") <= K)
           .orderBy(col("qid"), col("rn"))
       case Some(vecs) =>
-        refineOf(scored, "adc", queries, vecs)
+        refineOf(scored, "adc", queries, vecs, flatAlt = refineFlat)
     }
   }
 
@@ -1609,7 +1621,9 @@ object Similarity {
     * already scores exact cosines in-cell (IVF, IVF2) gains nothing —
     * its misses were never in the candidate set. */
   def refineOf(cands: DataFrame, scoreCol: String, queries: DataFrame,
-               vecs: DataFrame, k: Int = K): DataFrame = {
+               vecs: DataFrame, k: Int = K,
+               flatAlt: Option[(DataFrame, Int)] = None): DataFrame = {
+    val spark = cands.sparkSession
     val w = Window.partitionBy(col("qid"))
       .orderBy(col(scoreCol).desc, col("nid"))
     // candidate list is BOUNDED by construction (≤ queries × k ×
@@ -1625,11 +1639,42 @@ object Similarity {
       .select(col("qid"), col("nid"))
       .join(broadcast(queries), Seq("qid"))
       .cache()
-    val candIds = cand.select(col("nid")).distinct()
-      .collect().map(_.get(0)).toSeq
+    val ids = cand.select(col("nid")).distinct()
+    val candIds = ids.collect().map(_.get(0)).toSeq
+    // ADAPTIVE refine source (round 14, the bm25ServeStored pattern):
+    // when the caller supplies the store's flat-parquet twin, pick per
+    // batch from candidate bucket coverage — wide coverage means the
+    // bucketed layout prunes nothing and the flat view's finer file
+    // splits win on scan parallelism (the measured sf0.1 regression
+    // behind this), narrow coverage keeps file-level pruning. Logged
+    // because a silent path flip would make perf records unexplainable.
+    val src = flatAlt match {
+      case Some((flat, nb)) =>
+        val covered = cand.select(pmod(hash(col("nid")), lit(nb)).as("b"))
+          .distinct().count()
+        val takeFlat = covered * 2 > nb
+        System.err.println(s"[graft] refine source: ${if (takeFlat) "flat"
+          else "bucketed"} (candidates cover $covered of $nb vec buckets)")
+        if (takeFlat) flat else vecs
+      case None => vecs
+    }
+    // LITERAL BUDGET (round 14, the withCodebook discipline): the id
+    // list is optimal as a plan literal at serve-batch sizes (file-level
+    // bucket pruning over the store), but plan size/serialization grow
+    // linearly in |ids| — a 10k-query production batch would put ~500k
+    // ids in every task's plan. Past the budget the filter ships as a
+    // broadcast semi-join on the id frame instead: same rows kept,
+    // value-identical (spec-forced at tiny size), no plan blowup.
     val vecsPruned =
-      if (candIds.isEmpty) vecs.filter(lit(false))
-      else vecs.filter(col("vec_id").isInCollection(candIds))
+      if (candIds.isEmpty) src.filter(lit(false))
+      else if (candIds.size <= refineLiteralMax(spark))
+        src.filter(col("vec_id").isInCollection(candIds))
+      else {
+        System.err.println(s"[graft] refine candidates: ${candIds.size} ids > " +
+          s"literal budget ${refineLiteralMax(spark)} — pruning via broadcast semi-join")
+        src.join(broadcast(ids.withColumnRenamed("nid", "vec_id")),
+          Seq("vec_id"), "left_semi")
+      }
     val rer = vecsPruned
       .select(col("vec_id").as("nid"), col("vec").as("nvec"))
       .join(broadcast(cand), Seq("nid"))
@@ -1706,17 +1751,33 @@ object Similarity {
       spark.read.parquet(s"$base/cells"),
       emb(spark, dir).filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("qid"), col("vec").as("qvec")),
-      refine = Some(vecStore(spark, dir)))
+      refine = Some(vecStore(spark, dir)),
+      // flat twin of the same files: refineOf picks per batch from
+      // candidate bucket coverage (round 14 — at gated SFs K·10
+      // candidates cover most of the 16-bucket floor, so the flat
+      // view's finer splits win; at 1 M+ the derived count keeps the
+      // pruned bucketed path)
+      refineFlat = Some((vecStoreFlatView(spark, dir), vecBuckets(spark, dir))))
   }
 
-  /** Bucket count for the stored vector table — a cluster-sizing knob
-    * like `Retrieval.PostingsBuckets`, conf-settable because the
-    * pruning fraction is candidates/buckets: at the gated SFs the
-    * default 16 demonstrates the mechanism; at 1 M+ vectors you size
-    * buckets ≫ the k·[[RefineFactor]]·|batch| candidate count so a
-    * refine reads its candidates' buckets, never the corpus. */
-  private[graft] def vecBuckets(spark: SparkSession): Int =
-    spark.conf.get("spark.graft.vecBuckets", "16").toInt
+  /** Vectors-per-bucket target for the derived vector-store layout
+    * (round 14): ~1k full vectors per bucket keeps one bucket a small
+    * exact-rerank scan unit and puts the derived count ≫ the
+    * k·[[RefineFactor]]·|batch| candidate count once the corpus is
+    * large (1 M vectors → 1024 buckets, the ScaleIvfPq calibration),
+    * while the gated SFs sit on the floor (16). */
+  private[graft] final val VecsPerBucket = 1024L
+
+  /** Bucket count for `dir`'s stored vector table — conf-pinnable
+    * (`spark.graft.vecBuckets`) for forced-layout specs and cluster
+    * operators who know better, otherwise DERIVED from the corpus
+    * vector count by the shared [[Layout.buckets]] formula, so a 100×
+    * regen re-sizes the store instead of freezing one calibration
+    * (the `probeScheduleFor` discipline applied to layout). */
+  private[graft] def vecBuckets(spark: SparkSession, dir: String): Int =
+    spark.conf.getOption("spark.graft.vecBuckets").map(_.toInt)
+      .getOrElse(Layout.buckets(
+        Layout.tableCount(spark, dir, "embeddings"), VecsPerBucket))
 
   /** The vector table as a vec_id-BUCKETED catalog store (round 13) —
     * the refine tail's input. [[refineOf]] turns its bounded candidate
@@ -1728,11 +1789,27 @@ object Similarity {
     * `Retrieval.bm25OpenIndex` (files outlive the JVM; a warm-file
     * cold-catalog run re-registers DDL derived from the stored footer
     * instead of rebuilding; `_SUCCESS`-guarded against torn writes). */
-  private[graft] def vecStore(spark: SparkSession, dir: String): DataFrame = {
-    val nb = vecBuckets(spark)
+  private[graft] def vecStoreKey(spark: SparkSession, dir: String): String = {
     val embFile = new java.io.File(s"$dir/embeddings.parquet")
-    val key = s"${dir}_${embFile.lastModified}_b$nb"
+    s"${dir}_${embFile.lastModified}_b${vecBuckets(spark, dir)}"
       .replaceAll("[^A-Za-z0-9_]", "_").toLowerCase
+  }
+
+  /** The SAME stored vector files read as plain parquet — identical
+    * rows, finer maxPartitionBytes file splits, no bucket metadata.
+    * [[refineOf]]'s adaptive source takes this view when a batch's
+    * candidates cover most buckets (pruning would win nothing, the
+    * finer splits win scan parallelism) — the `bm25StoreFlatView`
+    * twin for vectors. */
+  private[graft] def vecStoreFlatView(spark: SparkSession, dir: String): DataFrame = {
+    vecStore(spark, dir) // ensure the store exists
+    spark.read.parquet(new java.io.File(
+      s"target/tmp/vec_store/${vecStoreKey(spark, dir)}/vecs").getAbsolutePath)
+  }
+
+  private[graft] def vecStore(spark: SparkSession, dir: String): DataFrame = {
+    val nb = vecBuckets(spark, dir)
+    val key = vecStoreKey(spark, dir)
     val tbl = s"g_vecs_$key"
     val base = s"target/tmp/vec_store/$key"
     val loc = new java.io.File(s"$base/vecs").getAbsolutePath
@@ -1746,8 +1823,13 @@ object Similarity {
              USING parquet CLUSTERED BY (vec_id) INTO $nb BUCKETS
              LOCATION '$loc'""")
       } else
+        // mode("overwrite") matters after a TORN write: files at the
+        // location but no _SUCCESS and no catalog entry — ErrorIfExists
+        // would wedge the store on 'path already exists' instead of
+        // rebuilding (bm25OpenIndex convention, ADVICE r13)
         emb(spark, dir).select(col("vec_id"), col("vec"))
-          .write.bucketBy(nb, "vec_id").option("path", loc).saveAsTable(tbl)
+          .write.mode("overwrite")
+          .bucketBy(nb, "vec_id").option("path", loc).saveAsTable(tbl)
     }
     spark.table(tbl)
   }

@@ -71,8 +71,8 @@ object WikirRawSource {
     * TREC qrels: four whitespace-separated fields per line; blank lines
     * skipped. Tabs and spaces both occur in the wild — split on runs of
     * either. */
-  def readQrels(spark: SparkSession, root: String, splitName: String): DataFrame =
-    spark.read.text(s"$root/$splitName/qrels")
+  def readQrels(spark: SparkSession, root: String, splitName: String): DataFrame = {
+    val parsed = spark.read.text(s"$root/$splitName/qrels")
       .filter(length(trim(col("value"))) > 0)
       .select(split(trim(col("value")), "\\s+").as("f"))
       .select(
@@ -80,6 +80,17 @@ object WikirRawSource {
         element_at(col("f"), 2).as("iteration"),
         element_at(col("f"), 3).cast("long").as("doc_id"),
         element_at(col("f"), 4).cast("long").as("relevance"))
+    // FAILFAST parity with the CSV readers above: text+split+cast would
+    // otherwise turn a malformed line (<4 fields, non-numeric ids/rel)
+    // into silent nulls that vanish in downstream joins. qrels is
+    // split-sized, so the validation count is a trivial job.
+    val bad = parsed.filter(col("query_id").isNull || col("doc_id").isNull ||
+      col("relevance").isNull).count()
+    require(bad == 0,
+      s"qrels $root/$splitName/qrels: $bad malformed line(s) " +
+        "(expected: <qid> <iteration> <docid> <relevance> per line)")
+    parsed
+  }
 
   /** Raw distribution → the normalized (doc_id, filename, title,
     * content) frame every wikir tail consumes. Raw wikIR docs carry

@@ -441,15 +441,23 @@ object EventStream {
       .select(col("vec_id").as("qid"), VectorFns.asDouble(col("embedding")).as("raw"))
       .withColumn("__n", VectorFns.norm(col("raw")))
       .select(col("qid"), VectorFns.normalize(col("raw"), col("__n")).as("qvec"))
-    Similarity.ivfPqOf(
+    val served = Similarity.ivfPqOf(
         Similarity.ivfPqReadCodes(sp, indexBase),
         sp.read.parquet(s"$indexBase/books"),
         sp.read.parquet(s"$indexBase/cells"),
         qs,
         // refine reads ride the vec_id-bucketed store (round 13): the
-        // candidate IN filter prunes buckets per micro-batch
-        refine = refineDir.map(d => Similarity.vecStore(sp, d)))
-      .write.mode("overwrite").parquet(s"$outPath/batch-$batchId")
+        // candidate IN filter prunes buckets per micro-batch —
+        // adaptively falling back to the flat view of the same files
+        // when a batch's candidates cover most buckets (round 14)
+        refine = refineDir.map(d => Similarity.vecStore(sp, d)),
+        refineFlat = refineDir.map(d =>
+          (Similarity.vecStoreFlatView(sp, d), Similarity.vecBuckets(sp, d))))
+    served.write.mode("overwrite").parquet(s"$outPath/batch-$batchId")
+    // refineOf caches its query-sized result to decouple from its own
+    // intermediate cache; a forever-running serve must release it per
+    // batch or entries accumulate for the life of the query (ADVICE r13)
+    served.unpersist()
   }
 
   /** ONLINE HYBRID RETRIEVAL SERVING (round 13) — the streaming twin of

@@ -163,16 +163,23 @@ object ScaleIvfPq {
         "flat-store serve != partitioned-store serve (layout must not change answers)")
     }
 
-    // Refine tail at scale (round 13): the exact re-rank over the
+    // Refine tail at scale (rounds 13/14): the exact re-rank over the
     // vec_id-BUCKETED vector store at a cluster-sized bucket count —
     // 5 queries × K·10 candidates ≤ 250 ids over 1024 buckets reads
     // ≤ 250 of the store's files where a flat frame scans all of them.
-    spark.conf.set("spark.graft.vecBuckets", "1024")
+    // Round 14: the count is DERIVED from the corpus (Layout.buckets),
+    // no conf pin — gate that the formula actually moves with size.
     val corpusDir = "target/tmp/ivfpq_1m_corpus"
     if (!new java.io.File(s"$corpusDir/embeddings.parquet/_SUCCESS").exists())
       corpus.select(col("vec_id"), col("label"),
           col("vec").cast("array<float>").as("embedding"))
         .write.mode("overwrite").parquet(s"$corpusDir/embeddings.parquet")
+    val nbVec = Similarity.vecBuckets(spark, corpusDir)
+    val nbVecGated = Similarity.vecBuckets(spark, "/root/testdata/sf0.001")
+    println(s"[scale] derived vec buckets: 1M corpus -> $nbVec, sf0.001 -> $nbVecGated")
+    require(nbVec == 1024 && nbVecGated == 16 && nbVec != nbVecGated,
+      s"derived vec-bucket counts must move with corpus size: 1M -> $nbVec (want 1024), " +
+        s"gated -> $nbVecGated (want the 16 floor)")
     val vstore = Similarity.vecStore(spark, corpusDir)
     val qbR = corpus.filter(col("vec_id") < 5L)
       .select(col("vec_id").as("qid"), col("vec").as("qvec"))
@@ -195,7 +202,6 @@ object ScaleIvfPq {
     require(dfR.select(col("qid"), col("nid")).as[(Long, Long)].collect().toSet
         == rowsFlatRef.toSet,
       "bucketed-store refine != flat-frame refine at 1M")
-    spark.conf.unset("spark.graft.vecBuckets")
 
     // Gate 1 — roundtrip determinism at 1 M: served-from-parquet must
     // equal inline (train+encode+serve) on the same corpus, exactly.

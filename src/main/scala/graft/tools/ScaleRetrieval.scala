@@ -96,8 +96,17 @@ object ScaleRetrieval {
     val t2 = System.nanoTime()
     // the PRODUCTION store key (dir+mtime+tokenizer+bucket layout) so
     // every serve arm below — including the adaptive bm25ServeStored,
-    // which derives the key itself — shares this one build
-    val key = Retrieval.bm25StoreKey(dir)
+    // which derives the key itself — shares this one build. Round 14:
+    // the bucket count is DERIVED from the corpus document count
+    // (Layout.buckets) — gate that the formula moves with size before
+    // building under it.
+    val nb = Retrieval.postingsBuckets(spark, dir)
+    val nbGated = Retrieval.postingsBuckets(spark, "/root/testdata/sf0.001")
+    println(s"[scale] derived postings buckets: 1M corpus -> $nb, sf0.001 -> $nbGated")
+    require(nb == 128 && nbGated == 16 && nb != nbGated,
+      s"derived postings-bucket counts must move with corpus size: 1M -> $nb (want 128), " +
+        s"gated -> $nbGated (want the 16 floor)")
+    val key = Retrieval.bm25StoreKey(spark, dir)
     val postings = Retrieval.bm25OpenIndex(spark, dir, key)
     postings.count() // force the build inside the timer
     val stats = spark.read.parquet(s"target/tmp/bm25_index/$key/stats")
@@ -119,7 +128,7 @@ object ScaleRetrieval {
       // flat twin of the same batch: these probe docs' vocabulary ≈ the
       // corpus vocabulary, so bucket pruning prunes NOTHING here and the
       // flat store's finer file split can win on scan parallelism — the
-      // measured trade behind sizing PostingsBuckets to the cluster
+      // measured trade behind sizing the derived bucket count to the cluster
       val tf = System.nanoTime()
       val qf = postingsFlat.filter(col("doc_id") >= lit((b - 1) * 5L) && col("doc_id") < lit(b * 5L))
         .select(col("doc_id").as("qid"), col("term"))
@@ -129,7 +138,7 @@ object ScaleRetrieval {
       spark.catalog.clearCache()
     }
 
-    // single-term query batch: bucketed store reads 1 of 16 buckets
+    // single-term query batch: bucketed store reads 1 of nb buckets
     // (plan-asserted), the flat copy filters every posting file
     val term1 = postings.select(col("term")).head.getString(0)
     val q1 = Seq((9999999L, term1)).toDF("qid", "term")
@@ -138,37 +147,46 @@ object ScaleRetrieval {
     val rb = servedB.collect().toSet
     val wallB = (System.nanoTime() - tb1) / 1e9
     val planStr = servedB.queryExecution.executedPlan.toString
-    require(planStr.contains(s"SelectedBucketsCount: 1 out of ${Retrieval.PostingsBuckets}"),
+    require(planStr.contains(s"SelectedBucketsCount: 1 out of $nb"),
       "single-term serve did not prune to 1 bucket")
     spark.catalog.clearCache()
     val tb2 = System.nanoTime()
     val rf = Retrieval.bm25Of(postingsFlat, stats, q1, 5).collect().toSet
     val wallF = (System.nanoTime() - tb2) / 1e9
     require(rb == rf, "bucketed-store serve != flat-store serve (layout must not change answers)")
-    println(f"[scale] bm25 single-term serve: bucketed (1 of 16 buckets) $wallB%.2f s " +
+    println(f"[scale] bm25 single-term serve: bucketed (1 of $nb buckets) $wallB%.2f s " +
       f"vs flat $wallF%.2f s")
 
-    // ADAPTIVE serve (late round 13): the adversarial whole-vocab batch
-    // routed through bm25ServeStored — coverage says "most buckets", so
-    // it takes the flat view and recovers the flat-scan wall with no
-    // layout knowledge at the call site; the single-term query stays on
-    // the pruned bucketed path. Both decisions require-gated.
+    // ADAPTIVE serve (late r13; re-aimed r14): the whole-vocab batch
+    // routed through bm25ServeStored. Under the round-13 fixed 16
+    // buckets this vocabulary covered "most buckets" and the serve
+    // correctly took the flat view; under the DERIVED 128-bucket 1M
+    // layout the same ~32-term synthetic vocabulary covers ≤ a quarter
+    // of the buckets, so the correct adaptive decision flips to the
+    // PRUNED bucketed scan — gate the new decision and that it reads
+    // ≤ cov of nb buckets. (The flat-view decision branch stays gated
+    // at the natural-vocab sf0.001 corpus in RetrievalSpec.)
     // vocabulary derived from the flat copy so the require below sees
     // only the SERVE's own postings scan in the plan
     val qa = postingsFlat.filter(col("doc_id") < 5L)
       .select(col("doc_id").as("qid"), col("term"))
-    val cov = Retrieval.vocabBucketCoverage(qa)
-    require(cov * 2 > Retrieval.PostingsBuckets,
-      s"adversarial batch covers only $cov of ${Retrieval.PostingsBuckets} buckets")
-    require(Retrieval.vocabBucketCoverage(q1) == 1L, "1-term vocab must cover 1 bucket")
+    val cov = Retrieval.vocabBucketCoverage(qa, nb)
+    require(cov * 2 <= nb,
+      s"synthetic vocab should cover a minority of the derived layout: $cov of $nb buckets")
+    require(Retrieval.vocabBucketCoverage(q1, nb) == 1L, "1-term vocab must cover 1 bucket")
     val tA = System.nanoTime()
     val servedA = Retrieval.bm25ServeStored(spark, dir, qa, 5)
     val rA = servedA.agg(count(lit(1)), sum(col("score"))).first()
     val wallA = (System.nanoTime() - tA) / 1e9
-    require(!servedA.queryExecution.executedPlan.toString.contains("SelectedBucketsCount"),
-      "whole-vocab adaptive serve should have taken the flat view")
-    println(f"[scale] bm25 whole-vocab batch via ADAPTIVE serve (flat view chosen): " +
-      f"$wallA%.2f s  rows=${rA.getLong(0)} score_sum=${rA.get(1)}")
+    val selA = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(servedA.queryExecution.executedPlan.toString)
+    require(selA.nonEmpty,
+      "minority-coverage adaptive serve should have taken the pruned bucketed scan")
+    require(selA.get.group(1).toLong <= cov && selA.get.group(2).toInt == nb,
+      s"adaptive serve should read <= $cov of $nb buckets, plan said ${selA.get.matched}")
+    println(f"[scale] bm25 whole-vocab batch via ADAPTIVE serve " +
+      f"(pruned: ${selA.get.matched}): $wallA%.2f s  rows=${rA.getLong(0)} " +
+      s"score_sum=${rA.get(1)}")
     spark.catalog.clearCache()
 
     spark.stop()

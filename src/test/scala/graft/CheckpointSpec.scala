@@ -58,4 +58,25 @@ class CheckpointSpec extends AnyFunSuite {
     assert(reliable == local)
     assert(local.count(_._2 == 0L) == 60, "path graph should collapse to component 0")
   }
+
+  test("moving spark.graft.checkpointDir mid-session re-points the SparkContext dir") {
+    // ADVICE r13: the reliable path used to set the SC checkpoint dir
+    // only when unset, so a conf change mid-session silently kept
+    // writing rounds into the OLD directory. Run once under dir A,
+    // then under dir B, and assert B actually received round files.
+    val edges = (0L until 20L).map(i => (i, i + 1)).toDF("src", "dst")
+    val verts = (0L until 20L).toDF("id")
+    val a = withReliable { dirA =>
+      Graph.connectedComponents(verts, edges).collect()
+      dirA
+    }
+    val b = withReliable { dirB =>
+      Graph.connectedComponents(verts, edges).collect()
+      val files = new java.io.File(dirB).listFiles()
+      assert(files != null && files.nonEmpty,
+        s"checkpoint dir B ($dirB) untouched — rounds still landing in A ($a)")
+      dirB
+    }
+    assert(a != b)
+  }
 }

@@ -119,7 +119,7 @@ class IndexLayoutSpec extends AnyFunSuite {
   test("vector store: vec_id buckets, the refine tail's candidate IN filter prunes buckets") {
     val sf = "/root/testdata/sf0.001"
     val vecs = Similarity.vecStore(spark, sf)
-    val nb = Similarity.vecBuckets(spark)
+    val nb = Similarity.vecBuckets(spark, sf)
     // two candidate ids → at most 2 of the store's buckets in the plan
     val ids = vecs.select(col("vec_id")).orderBy(col("vec_id")).head(2).map(_.get(0)).toSeq
     val pruned = vecs.filter(col("vec_id").isInCollection(ids))
@@ -144,6 +144,43 @@ class IndexLayoutSpec extends AnyFunSuite {
     assert(viaStore == viaFlat, "bucketed-store refine diverged from flat-frame refine")
   }
 
+  test("adaptive refine source: wide coverage takes flat view, narrow keeps pruning (r14)") {
+    val sf = "/root/testdata/sf0.001"
+    // default derived layout (16-bucket floor): ~all corpus vectors are
+    // candidates at this SF, coverage is wide → the serve should take
+    // the FLAT view (no bucket metadata in the refine scan)
+    val viaDefault = Similarity.topkIvfPqIndexed(spark, sf)
+    val rDefault = viaDefault.as[(Long, Long, Double, Int)].collect().toSet
+    assert(!viaDefault.queryExecution.executedPlan.toString.contains("SelectedBucketsCount"),
+      "wide-coverage refine should have taken the flat view (no bucketed scan in plan)")
+    // forced 512-bucket layout: the same candidate set covers a small
+    // minority of buckets → the serve keeps the pruned bucketed scan
+    spark.conf.set("spark.graft.vecBuckets", "512")
+    try {
+      val viaWide = Similarity.topkIvfPqIndexed(spark, sf)
+      val rWide = viaWide.as[(Long, Long, Double, Int)].collect().toSet
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(viaWide.queryExecution.executedPlan.toString)
+      assert(sel.nonEmpty, "narrow-coverage refine should have kept the bucketed scan")
+      assert(sel.get.group(2).toInt == 512, s"wrong layout in plan: ${sel.get.matched}")
+      assert(rWide == rDefault, "refine source choice changed answers")
+    } finally spark.conf.unset("spark.graft.vecBuckets")
+  }
+
+  test("refine literal budget: forced broadcast semi-join path is value-identical (r14)") {
+    val sf = "/root/testdata/sf0.001"
+    val rLiteral = Similarity.topkIvfPqIndexed(spark, sf)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    spark.conf.set("spark.graft.ann.refineLiteralMaxIds", "1")
+    try {
+      val viaJoin = Similarity.topkIvfPqIndexed(spark, sf)
+      val rJoin = viaJoin.as[(Long, Long, Double, Int)].collect().toSet
+      assert(viaJoin.queryExecution.executedPlan.toString.contains("LeftSemi"),
+        "over-budget refine should prune via a broadcast semi-join")
+      assert(rJoin == rLiteral, "semi-join refine diverged from literal-IN refine")
+    } finally spark.conf.unset("spark.graft.ann.refineLiteralMaxIds")
+  }
+
   test("bm25 postings store: term buckets, a small vocabulary prunes buckets") {
     val sf = "/root/testdata/sf0.001"
     val key = s"spec_${System.nanoTime}"
@@ -151,7 +188,7 @@ class IndexLayoutSpec extends AnyFunSuite {
     val term1 = postings.select(col("term")).head.getString(0)
     val pruned = postings.filter(col("term").isInCollection(Seq(term1)))
     val plan = pruned.queryExecution.executedPlan.toString
-    assert(plan.contains(s"SelectedBucketsCount: 1 out of ${Retrieval.PostingsBuckets}"),
+    assert(plan.contains(s"SelectedBucketsCount: 1 out of ${Retrieval.postingsBuckets(spark, sf)}"),
       s"bucket pruning missing from plan:\n$plan")
     // and the real serve tail returns the same lists as the inline plan
     val inline = Retrieval.bm25Topk(spark, sf)
@@ -159,5 +196,29 @@ class IndexLayoutSpec extends AnyFunSuite {
     val idx = Retrieval.bm25TopkIndexed(spark, sf)
       .as[(Long, Int, Long, Double)].collect().toSet
     assert(idx == inline, "bucketed-store serve diverged from inline bm25")
+  }
+
+  test("Layout.buckets: derived counts move with n, power-of-2, floored and capped") {
+    import graft.operators.Layout
+    // floor regime: tiny corpora still get a real multi-bucket layout
+    assert(Layout.buckets(0L, 8192L) == 16)
+    assert(Layout.buckets(500L, 8192L) == 16)
+    assert(Layout.buckets(16 * 8192L, 8192L) == 16) // exactly fills the floor
+    // growth regime: smallest power of 2 covering n/rowsPerBucket
+    assert(Layout.buckets(16 * 8192L + 1, 8192L) == 32)
+    assert(Layout.buckets(1000000L, 8192L) == 128) // the ScaleRetrieval gate size
+    assert(Layout.buckets(1000000L, 1024L) == 1024) // the ScaleIvfPq gate size
+    // cap regime
+    assert(Layout.buckets(Long.MaxValue / 4, 1024L) == 4096)
+    // monotone in n (spot ladder)
+    val ladder = Seq(1L, 100L, 10000L, 200000L, 5000000L, 100000000L)
+      .map(Layout.buckets(_, 1024L))
+    assert(ladder == ladder.sorted, s"not monotone: $ladder")
+    // every result a power of two
+    assert(ladder.forall(b => Integer.bitCount(b) == 1))
+    // conf pin overrides derivation (forced-layout spec hook)
+    spark.conf.set("spark.graft.vecBuckets", "64")
+    try assert(Similarity.vecBuckets(spark, "/root/testdata/sf0.001") == 64)
+    finally spark.conf.unset("spark.graft.vecBuckets")
   }
 }

@@ -160,23 +160,25 @@ class RetrievalSpec extends AnyFunSuite {
     val (postings, stats) = Retrieval.bm25Store(spark, sf)
 
     // decision inputs: one term hashes into exactly one bucket; the
-    // whole corpus vocabulary covers most of the 16
+    // whole corpus vocabulary covers most of the derived bucket count
+    // (16 — the Layout floor at this 500-doc SF)
+    val nb = Retrieval.postingsBuckets(spark, sf)
     val term1 = postings.select($"term").head.getString(0)
     val q1 = Seq((99L, term1)).toDF("qid", "term")
-    assert(Retrieval.vocabBucketCoverage(q1) == 1L)
+    assert(Retrieval.vocabBucketCoverage(q1, nb) == 1L)
     // derive the broad vocabulary from the FLAT view so the only scan
     // in the serve plan below is the serve's own postings read (the
     // qterms lineage would otherwise contribute a bucketed scan)
     val qAll = Retrieval.bm25StoreFlatView(spark, sf).select($"term").distinct()
       .select(lit(7L).as("qid"), $"term")
-    assert(Retrieval.vocabBucketCoverage(qAll) * 2 > Retrieval.PostingsBuckets,
+    assert(Retrieval.vocabBucketCoverage(qAll, nb) * 2 > nb,
       "corpus vocabulary should cover most term buckets")
 
-    // narrow branch: the executed plan reads 1 of the 16 bucket files
+    // narrow branch: the executed plan reads 1 of the nb bucket files
     val narrow = Retrieval.bm25ServeStored(spark, sf, q1, 5)
     narrow.collect()
     assert(narrow.queryExecution.executedPlan.toString
-      .contains(s"SelectedBucketsCount: 1 out of ${Retrieval.PostingsBuckets}"),
+      .contains(s"SelectedBucketsCount: 1 out of $nb"),
       "narrow-vocab serve should take the pruned bucketed scan")
 
     // broad branch: same files through the flat view — no bucket

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.WarcSource
+
+/** WARC/WET crawl-archive source (round 14): record framing is
+  * Content-Length-driven, so adversarial payloads (embedded WARC
+  * magic, bare separators, multi-byte UTF-8) cannot break parsing;
+  * gzip archives are one member per record (the Common Crawl layout)
+  * and GZIPInputStream walks the members; malformed archives fail
+  * loudly with file context. */
+class WarcSourceSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.test
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(name).toString
+
+  private def docsDf(rows: Seq[(Long, String)]) =
+    rows.toDF("doc_id", "text").select(
+      lit("conversion").as("warc_type"),
+      concat(lit("http://x.test/"), col("doc_id")).as("target_uri"),
+      lit("2026-01-01T00:00:00Z").as("warc_date"),
+      concat(lit("<urn:uuid:"), col("doc_id"), lit(">")).as("record_id"),
+      lit("text/plain").as("content_type"),
+      encode(col("text"), "UTF-8").as("payload"),
+      map(lit("WARC-X-Id"), col("doc_id").cast("string")).as("extra"))
+
+  // payloads chosen to break naive line-oriented parsers
+  private val adversarial = Seq(
+    1L -> "plain text",
+    2L -> "embedded\r\n\r\nWARC/1.0\r\nWARC-Type: fake\r\n\r\nrecord",
+    3L -> "trailing separators\r\n\r\n\r\n\r\n",
+    4L -> "", // empty payload
+    5L -> "unicode: ünïcödé — 日本語 🚀",
+    6L -> "Content-Length: 9999\r\nnot a header")
+
+  test("gzip roundtrip: multi-record, multi-member, adversarial payloads") {
+    val dir = tmp("warc_gz")
+    WarcSource.write(docsDf(adversarial).repartition(2), dir, gzip = true)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".warc.gz"))
+    assert(files.length == 2, "one archive per partition")
+    val back = WarcSource.read(spark, dir).collect()
+    assert(back.length == adversarial.size)
+    val byId = back.map(r => r.headers("warc-x-id").toLong ->
+      new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)).toMap
+    assert(byId == adversarial.toMap, "payload bytes must roundtrip exactly")
+    val r2 = back.find(_.target_uri == "http://x.test/2").get
+    assert(r2.warc_type == "conversion" && r2.content_type == "text/plain")
+    assert(r2.content_length == r2.payload.length)
+  }
+
+  test("uncompressed roundtrip + WET view decodes text") {
+    val dir = tmp("warc_plain")
+    WarcSource.write(docsDf(adversarial).coalesce(1), dir, gzip = false)
+    val wet = WarcSource.readWet(spark, dir)
+      .select(col("target_uri"), col("text"), col("n_bytes")).collect()
+    assert(wet.length == adversarial.size)
+    val u5 = wet.find(_.getString(0) == "http://x.test/5").get
+    assert(u5.getString(1) == "unicode: ünïcödé — 日本語 🚀")
+    assert(u5.getLong(2) ==
+      u5.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8).length)
+  }
+
+  test("malformed archives fail loudly with file context") {
+    def writeRaw(name: String, bytes: Array[Byte]): String = {
+      val dir = tmp("warc_bad")
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, name), bytes)
+      dir
+    }
+    // wrong magic
+    val d1 = writeRaw("bad.warc", "HTTP/1.1 200 OK\r\n\r\n".getBytes)
+    val e1 = intercept[Exception] { WarcSource.read(spark, d1).collect() }
+    assert(e1.getMessage != null)
+    // truncated payload: Content-Length says 100, file ends early
+    val d2 = writeRaw("trunc.warc",
+      "WARC/1.0\r\nWARC-Type: conversion\r\nContent-Length: 100\r\n\r\nshort".getBytes)
+    intercept[Exception] { WarcSource.read(spark, d2).collect() }
+    // missing Content-Length
+    val d3 = writeRaw("nolen.warc",
+      "WARC/1.0\r\nWARC-Type: conversion\r\n\r\nbody\r\n\r\n".getBytes)
+    intercept[Exception] { WarcSource.read(spark, d3).collect() }
+  }
+
+  test("header names parse case-insensitively; values keep inner whitespace") {
+    val dir = tmp("warc_case")
+    val rec = WarcSource.render("conversion", "http://x.test/ws", "2026-01-01T00:00:00Z",
+      "<urn:uuid:ws>", "text/plain", "x".getBytes,
+      extra = Seq("WARC-X-Note" -> "two  words"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "one.warc"), rec)
+    val r = WarcSource.read(spark, dir).head()
+    assert(r.headers("warc-x-note") == "two  words")
+    assert(r.headers("warc-type") == "conversion")
+  }
+}

@@ -83,6 +83,20 @@ class WikirRawSourceSpec extends AnyFunSuite {
       Seq((5L, "0", 100L, 2L), (5L, "0", 101L, 1L), (6L, "0", 102L, 0L)))
   }
 
+  test("qrels: malformed lines fail loudly (FAILFAST parity with the CSV readers)") {
+    val root = fixture(
+      "id_right,text_right\n",
+      "id_left,text_left\n",
+      "5 0 100 2\n" +
+        "not-a-qid 0 101 1\n" + // non-numeric qid → null after cast
+        "6 0\n") // <4 fields → null doc_id/relevance
+    val e = intercept[IllegalArgumentException] {
+      WikirRawSource.readQrels(spark, root, "validation").collect()
+    }
+    assert(e.getMessage.contains("malformed"))
+    assert(e.getMessage.contains("2")) // both bad lines counted
+  }
+
   test("load: raw docs flow through the shared normalize (Document-id title fallback)") {
     val root = fixture(
       "id_right,text_right\n42,some body text\n",
