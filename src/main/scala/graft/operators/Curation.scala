@@ -207,13 +207,15 @@ object Curation {
   final case class TokRow(doc_id: Long, n: Long)
   final case class CumRow(doc_id: Long, n: Long, pid: Int, localCum: Long)
 
-  /** (doc_id, n_tokens, first_block, last_block) per non-empty doc. */
-  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+  /** The packing core over ANY (doc_id, n) token-count frame — the
+    * distributed prefix sum described above, reusable by the gated
+    * [[packSequences]] and the release manifest's per-split packing
+    * (round 14). Rows with n <= 0 must already be filtered. */
+  private[graft] def packOf(counts0: DataFrame): DataFrame = {
+    val spark = counts0.sparkSession
     import spark.implicits._
     val parts = spark.sessionState.conf.numShufflePartitions
-    val counts = Tables.documents(spark, dir)
-      .select(col("doc_id"), size(TextFns.tokens(col("text"))).cast("long").as("n"))
-      .filter(col("n") > 0)
+    val counts = counts0
       .repartitionByRange(parts, col("doc_id"))
       .sortWithinPartitions(col("doc_id"))
       .as[TokRow]
@@ -233,8 +235,14 @@ object Curation {
       .select(col("doc_id"), col("n").as("n_tokens"),
         expr(s"(offset + localCum - n) div $BlockTokens").as("first_block"),
         expr(s"(offset + localCum - 1) div $BlockTokens").as("last_block"))
-      .orderBy(col("doc_id"))
   }
+
+  /** (doc_id, n_tokens, first_block, last_block) per non-empty doc. */
+  def packSequences(spark: SparkSession, dir: String): DataFrame =
+    packOf(Tables.documents(spark, dir)
+        .select(col("doc_id"), size(TextFns.tokens(col("text"))).cast("long").as("n"))
+        .filter(col("n") > 0))
+      .orderBy(col("doc_id"))
 
   val packSequencesOracle: String = s"""
     WITH t AS (SELECT doc_id, len($tokensSql) AS n FROM documents),
@@ -631,10 +639,16 @@ object Curation {
   /** The gate's CTE chain up to `f(doc_id, n_tokens, f_* flags)` —
     * shared verbatim between [[qualityGateOracle]] and the composed
     * pipeline oracle so the two can never drift. */
-  private def gateCtes: String = {
-    val stopList = TextAnalysis.profiles.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
+  private def gateCtes: String =
     s"""toks AS (SELECT doc_id, $tokensSql AS t FROM documents),
-    ${TextAnalysis.gramFractionCtes},
+    $gateCtesAfterToks"""
+
+  /** [[gateCtes]] minus the `toks` head — for compositions whose other
+    * fragments (e.g. [[Dedup.clustersCteSql]]) already define the
+    * IDENTICAL `toks` CTE (DuckDB rejects duplicate CTE names). */
+  private def gateCtesAfterToks: String = {
+    val stopList = TextAnalysis.profiles.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""${TextAnalysis.gramFractionCtes},
     base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
         round(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t), 4) AS atl,
         round(CAST(len(list_filter(t, x -> list_contains($stopList, x))) AS DOUBLE) / len(t), 6) AS stop
@@ -696,11 +710,16 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
-  /** Exact twin of [[pipelineCurate]]: the shared [[gateCtes]] chain,
-    * the exact-dedup fingerprint rule, then the shared lang-id
-    * score/CASE fragments over survivors only. */
-  val pipelineCurateOracle: String = s"""
-    WITH $gateCtes,
+  /** The pipeline's CTE chain up to `surv(doc_id, n_copies)` (gate →
+    * kept → fingerprint → exact-dedup winners) — shared verbatim
+    * between [[pipelineCurateOracle]] and the composed release
+    * manifest oracle so the stages can never drift. */
+  private def pipelineCtes: String =
+    s"""toks AS (SELECT doc_id, $tokensSql AS t FROM documents),
+    $pipelineCtesAfterToks"""
+
+  /** [[pipelineCtes]] minus the `toks` head (see [[gateCtesAfterToks]]). */
+  private def pipelineCtesAfterToks: String = s"""$gateCtesAfterToks,
     kept AS (
       SELECT doc_id, n_tokens FROM f
       WHERE NOT (f_short OR f_long OR f_toklen OR f_stop OR f_rep2 OR f_rep3)),
@@ -710,7 +729,13 @@ object Curation {
       FROM documents d JOIN kept k USING (doc_id)),
     surv AS (
       SELECT min(doc_id) AS doc_id, count(*) AS n_copies
-      FROM fp GROUP BY content_fp),
+      FROM fp GROUP BY content_fp)"""
+
+  /** Exact twin of [[pipelineCurate]]: the shared [[pipelineCtes]]
+    * chain, then the shared lang-id score/CASE fragments over
+    * survivors only. */
+  val pipelineCurateOracle: String = s"""
+    WITH $pipelineCtes,
     scored AS (
       SELECT toks.doc_id,
       ${TextAnalysis.langScoreSql}
@@ -804,15 +829,21 @@ object Curation {
       Tables.documents(spark, dir).select(col("doc_id"), col("source")),
       Dedup.clustersCached(spark, dir))
 
-  val splitLeakSafeOracle: String = s"""
-    WITH RECURSIVE
-    ${Dedup.clustersCteSql}
+  /** Cluster-keyed split assignment over `clu` as a CTE body — shared
+    * verbatim between [[splitLeakSafeOracle]] and the release-manifest
+    * oracle (the [[gateCtes]] discipline applied to the split). */
+  private def splitAssignSql: String = """
     SELECT doc_id, source, cluster_id,
       CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
     FROM (SELECT d.doc_id, d.source, c.cluster_id,
             CAST(CAST(concat('0x', substr(md5('split:' || CAST(c.cluster_id AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE)
               / 1152921504606846976.0 AS u
-          FROM documents d JOIN clu c USING (doc_id))
+          FROM documents d JOIN clu c USING (doc_id))"""
+
+  val splitLeakSafeOracle: String = s"""
+    WITH RECURSIVE
+    ${Dedup.clustersCteSql}
+    $splitAssignSql
     ORDER BY doc_id"""
 
   // ---- per-source corpus card (round 4) --------------------------------
@@ -849,6 +880,80 @@ object Curation {
     FROM j
     GROUP BY source
     ORDER BY source"""
+
+  // ---- composed training-data release (round 14) -----------------------
+  // The artifact a user actually SHIPS: one gated entry composing the
+  // full release chain — curate (pipelineCurate: gate → exact dedup →
+  // survivors) → leak-safe split (splitLeakSafeOf over the materialized
+  // cluster table, the composed 26q2 form) → pack each split's token
+  // stream (packOf, the gated packing core) → per-(split, source)
+  // corpus card. Every stage IS its gated definition (no re-derivation,
+  // the 26j2 discipline), and the oracle is assembled from the same
+  // shared fragments (pipelineCtes / clustersCteSql / splitAssignSql),
+  // so the composition cannot drift from the parts.
+  //
+  // Scale shape: the pipeline's one tokenize scan + gate aggregates +
+  // fingerprint shuffle, the cluster join, then a group-by rollup; the
+  // per-split packing adds three bounded prefix-sum passes over the
+  // CURATED counts (each a range partition + numPartitions subtotal
+  // rows to the driver — never a global window).
+  def releaseManifest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // stage 1: curated survivors — the gated pipeline definition
+    val curated = pipelineCurate(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("n_copies"))
+    // stage 2: leak-safe split from the materialized cluster table
+    val splits = splitLeakSafeOf(
+      Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+      Dedup.clustersCached(spark, dir))
+      .select(col("doc_id"), col("source"), col("split"))
+    val cur = curated.join(splits, Seq("doc_id")).cache()
+    // stage 3: pack each split's curated token stream — blocks per
+    // split is the packing core's own last_block + 1 (NOT re-derived
+    // arithmetic; an empty split packs to zero blocks)
+    val packs = Seq("train", "val", "test").map { s =>
+      val blocks = packOf(cur.filter(col("split") === s)
+          .select(col("doc_id"), col("n_tokens").as("n")))
+        .agg(coalesce(max(col("last_block")) + 1L, lit(0L))).first().getLong(0)
+      (s, blocks)
+    }.toDF("split", "split_blocks")
+    // stage 4: the per-(split, source) card
+    val out = cur.groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_copies") - 1).as("n_dupes_collapsed"))
+      .join(broadcast(packs), Seq("split"))
+      .orderBy(col("split"), col("source"))
+    out.count() // force while cur is cached
+    cur.unpersist()
+    out
+  }
+
+  /** Composed from the SAME fragments as the stage oracles:
+    * [[pipelineCtes]] (curate), [[Dedup.clustersCteSql]] +
+    * [[splitAssignSql]] (leak-safe split), and packing's
+    * contiguous-stream arithmetic (blocks = ceil(split tokens /
+    * BlockTokens), exactly last_block + 1 of a contiguous pack). */
+  val releaseManifestOracle: String = s"""
+    WITH RECURSIVE
+    ${Dedup.clustersCteSql},
+    $pipelineCtesAfterToks,
+    spl AS ($splitAssignSql),
+    cur AS (
+      SELECT surv.doc_id, fp.n_tokens, surv.n_copies, spl.source, spl.split
+      FROM surv JOIN fp USING (doc_id) JOIN spl USING (doc_id)),
+    blocks AS (
+      SELECT split,
+        CAST((sum(n_tokens) - 1) // $BlockTokens + 1 AS BIGINT) AS split_blocks
+      FROM cur GROUP BY split)
+    SELECT cur.split, cur.source,
+      count(*) AS n_docs,
+      CAST(sum(cur.n_tokens) AS BIGINT) AS n_tokens,
+      CAST(sum(cur.n_copies - 1) AS BIGINT) AS n_dupes_collapsed,
+      blocks.split_blocks
+    FROM cur JOIN blocks USING (split)
+    GROUP BY cur.split, cur.source, blocks.split_blocks
+    ORDER BY cur.split, cur.source"""
 
   // ---- DSIR importance resampling (round 7) ----------------------------
   // Data Selection via Importance Resampling (Xie et al. 2023,
@@ -1182,7 +1287,8 @@ object Curation {
     "curation_split_leak_safe_composed" -> (splitLeakSafeComposed _),
     "curation_dsir_sample"   -> (dsirSample _),
     "curation_corpus_stats"  -> (corpusStats _),
-    "curation_domain_gate"   -> (DomainCuration.domainGate _))
+    "curation_domain_gate"   -> (DomainCuration.domainGate _),
+    "curation_release_manifest" -> (releaseManifest _))
 
   val oracle: Map[String, String] = Map(
     "curation_quality_classifier" -> qualityClassifierOracle,
@@ -1202,5 +1308,6 @@ object Curation {
     "curation_split_leak_safe_composed" -> splitLeakSafeOracle,
     "curation_dsir_sample"   -> dsirSampleOracle,
     "curation_corpus_stats"  -> corpusStatsOracle,
-    "curation_domain_gate"   -> DomainCuration.domainGateOracle)
+    "curation_domain_gate"   -> DomainCuration.domainGateOracle,
+    "curation_release_manifest" -> releaseManifestOracle)
 }

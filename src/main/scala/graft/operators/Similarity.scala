@@ -1900,6 +1900,15 @@ object Similarity {
     // corpus and must be (re)built, not merged into
     require(bookRows.nonEmpty,
       "ivfPqIndexMerge: empty codebooks — build the index with ivfPqIndexOf first")
+    // the ingest contract, explicit (round 14): merged codes bit-match a
+    // rebuild ONLY under catalog-labeled cells. A stream that encoded
+    // rows with the nearest-centroid fallback marks them
+    // label_exact = false (EventStream.ivfPqEncodeScore) — route those
+    // to a labeling/rebuild path, never into this merge.
+    require(newVecs.columns.contains("label"),
+      "ivfPqIndexMerge: newVecs must carry the catalog `label` column " +
+        "(the label_exact = true ingest contract); filter label_exact " +
+        "upstream — best-effort fallback codes may diverge from a rebuild")
     // frozen models = frozen CELL CENTROIDS too: the residual encode
     // (see ivfPqIndexOf) subtracts the stored cell table's centroid for
     // the row's label, so merged codes bit-match a rebuild under the

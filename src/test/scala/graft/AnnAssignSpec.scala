@@ -139,7 +139,13 @@ class AnnAssignSpec extends AnyFunSuite {
     all.unpersist()
   }
 
-  test("sim_topk_sq8: one-byte codes preserve exact top-5 recall >= 0.8 on sf0.001") {
+  // Round 14 (r13 verdict task 7): floors sit at measured - 0.05
+  // (recall here is DETERMINISTIC — same data, same argmins — so a
+  // tight floor costs no flakiness and catches a real regression the
+  // old 0.6-0.85 floors would have let through; raw-PQ baseline
+  // exempt by design). Measured: sq8 .96, ivf_pq .80, pq_refined .96,
+  // ivf family .84, ivf2 1.000.
+  test("sim_topk_sq8: one-byte codes preserve exact top-5 recall >= 0.91 on sf0.001") {
     val sf = "/root/testdata/sf0.001"
     val exact = Similarity.topkBruteforce(spark, sf)
       .select($"qid", $"nid").as[(Long, Long)].collect().groupBy(_._1)
@@ -150,7 +156,7 @@ class AnnAssignSpec extends AnyFunSuite {
     assert(sq8.keySet == exact.keySet)
     val recall = exact.map { case (q, e) => (sq8(q) & e).size.toDouble / e.size }
     val mean = recall.sum / recall.size
-    assert(mean >= 0.8, s"SQ8 recall@5 vs exact = $mean (per-query $recall)")
+    assert(mean >= 0.91, s"SQ8 recall@5 vs exact = $mean (per-query $recall)")
   }
 
   test("sim_topk_ivf_sq8: the composed candidate x quantized-scorer path tracks plain IVF") {
@@ -203,7 +209,7 @@ class AnnAssignSpec extends AnyFunSuite {
       f"residual ADC error $mRes%.4f not below raw-PQ ADC error $mRaw%.4f")
   }
 
-  test("sim_topk_ivf_pq: recall@5 vs bruteforce >= 0.6 at sf0.01 (and the indexed twin serves the same lists)") {
+  test("sim_topk_ivf_pq: recall@5 vs bruteforce >= 0.75 at sf0.01 (and the indexed twin serves the same lists)") {
     // The gated oracle proves hash-exactness of the IVFPQ plan, not that
     // the plan retrieves the RIGHT neighbors — this is the quality floor
     // (the SQ8-spec pattern at the next sf up). The sf testdata
@@ -228,7 +234,7 @@ class AnnAssignSpec extends AnyFunSuite {
     val recall = exact.map { case (q, e) => (ivfpq(q) & e).size.toDouble / e.size }
     val mean = recall.sum / recall.size
     info(f"IVFPQ recall@5 vs exact = $mean%.3f")
-    assert(mean >= 0.6, s"IVFPQ recall@5 vs exact = $mean (per-query $recall)")
+    assert(mean >= 0.75, s"IVFPQ recall@5 vs exact = $mean (per-query $recall)")
     // the materialized-index twin is the same math from stored tables
     val served = Similarity.topkIvfPqIndexed(spark, sf)
       .select($"qid", $"nid").as[(Long, Long)].collect().groupBy(_._1)
@@ -236,7 +242,7 @@ class AnnAssignSpec extends AnyFunSuite {
     assert(served == ivfpq, "indexed twin diverged from inline lists")
   }
 
-  test("sim_topk_pq_refined: exact refine over ADC candidates recovers recall@5 >= 0.9") {
+  test("sim_topk_pq_refined: exact refine over ADC candidates recovers recall@5 >= 0.91") {
     // the refine primitive composed with the LOSSIEST generator (pure
     // ADC, recall .40 alone): the true top-5 almost surely sit in
     // ADC's top-50, so the exact re-rank recovers nearly all of brute
@@ -252,7 +258,7 @@ class AnnAssignSpec extends AnyFunSuite {
     val recall = exact.map { case (q, e) => (ref(q) & e).size.toDouble / e.size }
     val mean = recall.sum / recall.size
     info(f"PQ+refine recall@5 vs exact = $mean%.3f")
-    assert(mean >= 0.9, s"PQ+refine recall@5 vs exact = $mean (per-query $recall)")
+    assert(mean >= 0.91, s"PQ+refine recall@5 vs exact = $mean (per-query $recall)")
   }
 
   test("probeScheduleFor (IVF-family probe schedule): floor at Probes, 2*sqrt(n) growth, capped at n") {
@@ -270,7 +276,7 @@ class AnnAssignSpec extends AnyFunSuite {
     assert(32.0 / 256 < 7.0 / 10 && 128.0 / 4096 < 32.0 / 256)
   }
 
-  test("ivf family under the probe schedule: recall@5 vs bruteforce >= 0.7 at sf0.01 for ivf, ivf_sq8, ivf_trained") {
+  test("ivf family under the probe schedule: recall@5 vs bruteforce >= 0.79 at sf0.01 for ivf, ivf_sq8, ivf_trained") {
     // round 12 applied probeScheduleFor family-wide (7 of 10 cells at
     // the gated SF; was a fixed 4): measured 0.84 / 0.84 / 0.84 —
     // ivf_trained up from .56, the flat pair up from .72. One floor
@@ -290,11 +296,11 @@ class AnnAssignSpec extends AnyFunSuite {
       val recall = exact.map { case (q, e) => (got(q) & e).size.toDouble / e.size }
       val mean = recall.sum / recall.size
       info(f"$name recall@5 vs exact = $mean%.3f")
-      assert(mean >= 0.7, s"$name recall@5 vs exact = $mean")
+      assert(mean >= 0.79, s"$name recall@5 vs exact = $mean")
     }
   }
 
-  test("sim_topk_ivf2: top-stage probe schedule recall@5 vs bruteforce >= 0.85 at sf0.01") {
+  test("sim_topk_ivf2: top-stage probe schedule recall@5 vs bruteforce >= 0.95 at sf0.01") {
     // round 13: the top stage follows the family probe schedule
     // (⌈2√k1⌉, all 4 tops at the gated 4×4 geometry — sub-stage still
     // Probes per top), lifting recall from the fixed-2-top .72. Floor
@@ -311,7 +317,7 @@ class AnnAssignSpec extends AnyFunSuite {
     val recall = exact.map { case (q, e) => (ivf2(q) & e).size.toDouble / e.size }
     val mean = recall.sum / recall.size
     info(f"IVF2 recall@5 vs exact = $mean%.3f")
-    assert(mean >= 0.85, s"IVF2 recall@5 vs exact = $mean (per-query $recall)")
+    assert(mean >= 0.95, s"IVF2 recall@5 vs exact = $mean (per-query $recall)")
   }
 
   test("residual telescoping: dot(q, centroid) + dot(q, vec - centroid) == dot(q, vec)") {
