@@ -435,6 +435,7 @@ object Multimodal {
     "mm_binary_meta"     -> (binaryMeta _),
     "mm_chunk_sample"    -> (chunkSample _),
     "mm_decode_features" -> (decodeFeatures _),
+    "mm_audio_features"  -> (Audio.audioFeatures _),
     "mm_image_dhash"     -> (imageDhash _),
     "mm_image_dhash_dedup" -> (imageDhashDedup _))
 
@@ -442,6 +443,7 @@ object Multimodal {
     "mm_binary_meta"     -> binaryMetaOracle,
     "mm_chunk_sample"    -> chunkSampleOracle,
     "mm_decode_features" -> decodeFeaturesOracle,
+    "mm_audio_features"  -> Audio.audioFeaturesOracle,
     "mm_image_dhash"     -> imageDhashOracle,
     "mm_image_dhash_dedup" -> imageDhashDedupOracle)
 }

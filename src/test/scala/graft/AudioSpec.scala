@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Audio
+
+/** WAV/RIFF PCM codec + audio featurization (round 14): roundtrip
+  * through real bytes, chunk-walking robustness (unknown chunks, odd
+  * sizes, pad bytes), loud failure on malformed/compressed input, and
+  * the closed-form square-wave feature identities the gate rests on. */
+class AudioSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.test
+  import spark.implicits._
+
+  test("roundtrip: rendered mono 16-bit PCM parses back sample-exact") {
+    val samples = Array[Short](0, 100, -100, 32767, -32768, 5, -5)
+    val w = Audio.parseWav(Audio.renderWav(16000, samples))
+    assert(w.sampleRate == 16000 && w.channels == 1 && w.bits == 16)
+    assert(w.samples.toSeq == samples.toSeq)
+  }
+
+  test("chunk walking: unknown chunks (odd-size + pad byte) before fmt/data are skipped") {
+    val base = Audio.renderWav(8000, Array[Short](10, -10, 20))
+    // splice a 3-byte (odd) LIST chunk right after the RIFF header; the
+    // parser must skip len + pad to land on fmt
+    val extra = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0) ++ Array[Byte](1, 2, 3, 0) // 3 data + 1 pad
+    val spliced = base.take(12) ++ extra ++ base.drop(12)
+    // fix the RIFF size field (bytes 4-7, little-endian)
+    val size = spliced.length - 8
+    spliced(4) = (size & 0xFF).toByte; spliced(5) = ((size >> 8) & 0xFF).toByte
+    spliced(6) = ((size >> 16) & 0xFF).toByte; spliced(7) = ((size >> 24) & 0xFF).toByte
+    val w = Audio.parseWav(spliced)
+    assert(w.samples.toSeq == Seq[Short](10, -10, 20))
+  }
+
+  test("stereo + 8-bit parse: channel 0 extracted, widened and centered") {
+    // hand-build a stereo 8-bit PCM WAV: frames (L,R) = (128+i, 0)
+    val frames = Array[Byte](
+      (128 + 10).toByte, 0, (128 - 10).toByte, 0, 128.toByte, 0)
+    val out = java.nio.ByteBuffer.allocate(44 + frames.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + frames.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(2).putInt(8000).putInt(8000 * 2)
+      .putShort(2).putShort(8)
+      .put("data".getBytes("US-ASCII")).putInt(frames.length)
+      .put(frames)
+    val w = Audio.parseWav(out.array())
+    assert(w.channels == 2 && w.bits == 8)
+    assert(w.samples.toSeq == Seq[Short]((10 << 8).toShort, (-10 << 8).toShort, 0))
+  }
+
+  test("malformed input fails loudly: non-RIFF, truncated chunk, compressed format") {
+    intercept[Exception] { Audio.parseWav("not audio at all".getBytes) }
+    val good = Audio.renderWav(8000, Array[Short](1, 2, 3))
+    intercept[Exception] { Audio.parseWav(good.take(30)) } // truncated data
+    // audioFormat 7 (mu-law): must refuse, not mis-decode
+    val mulaw = good.clone(); mulaw(20) = 7
+    val e = intercept[Exception] { Audio.parseWav(mulaw) }
+    assert(e.getMessage.contains("PCM"))
+  }
+
+  test("square-wave identities: peak == rms == amp, crossings == (n-1) div half") {
+    for ((amp, half, n) <- Seq((1000, 4, 400), (25750, 19, 599), (3250, 16, 401))) {
+      val wave = Array.tabulate(n)(i => (if ((i / half) % 2 == 0) amp else -amp).toShort)
+      val f = Audio.featuresOf(7L, Audio.renderWav(16000, wave))
+      assert(f.peak == amp && f.rms == amp.toDouble,
+        s"amp=$amp half=$half n=$n: peak=${f.peak} rms=${f.rms}")
+      assert(f.zero_crossings == (n - 1) / half)
+      assert(f.n_samples == n && f.duration_ms == n.toLong * 1000 / 16000)
+    }
+  }
+
+  test("audioFeaturesOf is partition-parallel and total over a payload frame") {
+    val frame = (0L until 20L).map { i =>
+      (i, Audio.renderWav(8000, Array.tabulate(100)(j => ((j % 7) * 100).toShort)))
+    }.toDF("doc_id", "payload").repartition(4)
+    val got = Audio.audioFeaturesOf(frame)
+    assert(got.count() == 20)
+    assert(got.select("sample_rate").distinct().as[Int].collect().toSeq == Seq(8000))
+  }
+}
