@@ -436,6 +436,7 @@ object Multimodal {
     "mm_chunk_sample"    -> (chunkSample _),
     "mm_decode_features" -> (decodeFeatures _),
     "mm_audio_features"  -> (Audio.audioFeatures _),
+    "mm_video_frames"    -> (Video.videoFrames _),
     "mm_image_dhash"     -> (imageDhash _),
     "mm_image_dhash_dedup" -> (imageDhashDedup _))
 
@@ -444,6 +445,7 @@ object Multimodal {
     "mm_chunk_sample"    -> chunkSampleOracle,
     "mm_decode_features" -> decodeFeaturesOracle,
     "mm_audio_features"  -> Audio.audioFeaturesOracle,
+    "mm_video_frames"    -> Video.videoFramesOracle,
     "mm_image_dhash"     -> imageDhashOracle,
     "mm_image_dhash_dedup" -> imageDhashDedupOracle)
 }

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Video
+
+/** Multi-frame GIF decode + temporal features (round 14): real
+  * encoder→reader roundtrip frame-exact, frame counting via the JDK
+  * reader, loud failure on undecodable payloads, and the lag-window
+  * delta composition. */
+class VideoSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.test
+  import spark.implicits._
+
+  test("animated GIF roundtrip: every frame decodes with its exact solid gray") {
+    val grays = Seq(8, 120, 247, 64)
+    val gif = Video.renderAnimatedGif(grays.map(g => Video.solidFrame(10, 8, g)))
+    val frames = Video.decodeFrames(5L, gif)
+    assert(frames.length == grays.length, "frame count must survive the roundtrip")
+    frames.zip(grays).foreach { case (f, g) =>
+      assert(f.width == 10 && f.height == 8)
+      assert(f.mean_byte == g.toDouble, s"frame ${f.frame_idx}: mean ${f.mean_byte} != $g")
+    }
+  }
+
+  test("two-tone frame: mean is the exact pixel average, not a palette artifact") {
+    // half 0, half 200 → mean exactly 100; exercises a 2-color palette
+    val img = Video.solidFrame(8, 8, 0)
+    (0 until 8).foreach(y => (0 until 4).foreach(x => img.setRGB(x, y, 200 << 16 | 200 << 8 | 200)))
+    val gif = Video.renderAnimatedGif(Seq(img))
+    val f = Video.decodeFrames(1L, gif).head
+    assert(f.mean_byte == 100.0, s"mean ${f.mean_byte}")
+  }
+
+  test("undecodable payload fails loudly") {
+    val e = intercept[Exception] { Video.decodeFrames(9L, "not a gif".getBytes) }
+    assert(e.getMessage.contains("no JDK reader"))
+  }
+
+  test("frameFeaturesOf: temporal delta composes per doc in frame order") {
+    val gifA = Video.renderAnimatedGif(Seq(100, 150, 150).map(Video.solidFrame(8, 8, _)))
+    val gifB = Video.renderAnimatedGif(Seq(30, 10).map(Video.solidFrame(8, 8, _)))
+    val df = Seq((1L, gifA), (2L, gifB)).toDF("doc_id", "payload")
+    val got = Video.frameFeaturesOf(df)
+      .select($"doc_id", $"frame_idx", $"mean_byte", $"delta_prev")
+      .orderBy($"doc_id", $"frame_idx")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+        if (r.isNullAt(3)) null else r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, 0, 100.0, null), (1L, 1, 150.0, 50.0), (1L, 2, 150.0, 0.0),
+      (2L, 0, 30.0, null), (2L, 1, 10.0, 20.0)))
+  }
+}
