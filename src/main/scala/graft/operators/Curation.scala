@@ -1288,7 +1288,8 @@ object Curation {
     "curation_dsir_sample"   -> (dsirSample _),
     "curation_corpus_stats"  -> (corpusStats _),
     "curation_domain_gate"   -> (DomainCuration.domainGate _),
-    "curation_release_manifest" -> (releaseManifest _))
+    "curation_release_manifest" -> (releaseManifest _),
+    "curation_url_dedup"     -> (DomainCuration.urlDedup _))
 
   val oracle: Map[String, String] = Map(
     "curation_quality_classifier" -> qualityClassifierOracle,
@@ -1309,5 +1310,6 @@ object Curation {
     "curation_dsir_sample"   -> dsirSampleOracle,
     "curation_corpus_stats"  -> corpusStatsOracle,
     "curation_domain_gate"   -> DomainCuration.domainGateOracle,
-    "curation_release_manifest" -> releaseManifestOracle)
+    "curation_release_manifest" -> releaseManifestOracle,
+    "curation_url_dedup"     -> DomainCuration.urlDedupOracle)
 }

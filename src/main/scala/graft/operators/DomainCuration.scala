@@ -126,4 +126,78 @@ object DomainCuration {
       FROM kept)
     SELECT doc_id, domain, rk FROM ranked WHERE rk <= $DomainCap
     ORDER BY domain, rk"""
+
+  // ---- URL canonicalization + URL-level dedup (round 14) ---------------
+  // The crawl-frontier hygiene BEFORE content even downloads: the same
+  // page arrives as scheme-case/WWW/default-port/fragment/tracking-param
+  // /trailing-slash variants, and URL-level exact dedup after
+  // canonicalization is how a crawl avoids re-fetching (and a corpus
+  // avoids re-keeping) the same capture. All narrow anchored-regex
+  // arithmetic, portable to the oracle verbatim; dedup is one
+  // canonical-keyed aggregate (min-doc_id survivorship, the exact-dedup
+  // rule) — never an all-pairs comparison.
+
+  /** Canonical form: lowercased scheme + host (userinfo and one
+    * leading `www.` stripped, DEFAULT port only — :8080 is identity),
+    * fragment dropped, trailing path slashes dropped, tracking params
+    * (`utm_*`, `gclid`, `fbclid`) filtered from the query preserving
+    * the order of the rest. */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val rest = regexp_replace(noFrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    val auth = regexp_extract(rest, "^([^/?]+)", 1)
+    val noUser = regexp_replace(auth, "^[^@/]*@", "")
+    val noDefPort = when(scheme === "https", regexp_replace(noUser, ":443$", ""))
+      .when(scheme === "http", regexp_replace(noUser, ":80$", ""))
+      .otherwise(noUser)
+    val host = lower(regexp_replace(noDefPort, "^(?i)www\\.", ""))
+    val pathq = regexp_replace(rest, "^[^/?]+", "")
+    val path = regexp_replace(regexp_extract(pathq, "^([^?]*)", 1), "/+$", "")
+    val query = regexp_extract(pathq, "\\?(.*)$", 1)
+    val fq = array_join(
+      filter(split(query, "&"),
+        p => !p.rlike("^(utm_[^=]*|gclid|fbclid)=")), "&")
+    concat(scheme, lit("://"), host, path,
+      when(fq === "", "").otherwise(concat(lit("?"), fq)))
+  }
+
+  /** URL-level exact dedup over a (doc_id, url) frame: canonicalize,
+    * keep the min doc_id per canonical URL, count the collapsed
+    * variants. One shuffle on the canonical key. */
+  def urlDedupOf(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), canonicalUrl(col("url")).as("url_canonical"))
+      .groupBy(col("url_canonical"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("url_canonical"), col("n_copies"))
+
+  /** Gated `curation_url_dedup`: groups of 4 synthetic variants of one
+    * page (tracking params / WWW + :443 + scheme case / userinfo +
+    * trailing slash + fragment / reordered tracking param) must
+    * collapse to one canonical survivor each. */
+  def urlDedup(spark: SparkSession, dir: String): DataFrame = {
+    val g = expr("doc_id div 4")
+    val host = concat(lit("d"), (g % 50).cast("string"), lit(".example.com"))
+    val path = concat(lit("/Path/"), g.cast("string"))
+    val url = when(col("doc_id") % 4 === 0,
+        concat(lit("https://"), host, path, lit("?keep=1&utm_source=feed")))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("HTTPS://WWW."), host, lit(":443"), path, lit("?keep=1")))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("https://user@"), host, path, lit("/?keep=1#section")))
+      .otherwise(concat(lit("https://"), host, path, lit("?utm_campaign=x&keep=1")))
+    urlDedupOf(Tables.documents(spark, dir).select(col("doc_id"), url.as("url")))
+      .orderBy(col("doc_id"))
+  }
+
+  val urlDedupOracle: String = """
+    WITH grp AS (
+      SELECT doc_id // 4 AS g, min(doc_id) AS doc_id, count(*) AS n_copies
+      FROM documents GROUP BY doc_id // 4)
+    SELECT doc_id,
+      'https://d' || CAST(g % 50 AS VARCHAR) || '.example.com/Path/'
+        || CAST(g AS VARCHAR) || '?keep=1' AS url_canonical,
+      n_copies
+    FROM grp
+    ORDER BY doc_id"""
 }

@@ -170,27 +170,61 @@ object WarcSource {
       }
     }
 
-  /** Read every record of every archive under `path` (both `.warc`
-    * and `.warc.gz`). One task per archive — see the splittability
-    * note above. */
-  def read(spark: SparkSession, path: String): Dataset[WarcRecord] = {
+  /** Archive frame → records: the shared parse tail of the batch and
+    * STREAMING readers (one definition, identical record semantics). */
+  private def parseFrame(files: DataFrame): Dataset[WarcRecord] = {
+    val spark = files.sparkSession
     import spark.implicits._
-    spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.warc*")
-      .load(path)
-      .select(col("path"), col("content"))
+    files.select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (file, bytes) => parseArchive(file, gunzipAll(bytes)) }
   }
 
-  /** WET view: `conversion` records as a text-document frame — the
-    * shape a crawl-curation pipeline ingests (uri, capture date,
-    * UTF-8 text). */
-  def readWet(spark: SparkSession, path: String): DataFrame =
-    read(spark, path).toDF()
+  /** Read every record of every archive under `path` (both `.warc`
+    * and `.warc.gz`). One task per archive — see the splittability
+    * note above. */
+  def read(spark: SparkSession, path: String): Dataset[WarcRecord] =
+    parseFrame(spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.warc*")
+      .load(path))
+
+  // binaryFile's fixed schema, spelled out because streaming file
+  // sources require an explicit schema
+  private val BinaryFileSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
+    org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType)))
+
+  /** STREAMING archive reader — the continuous-crawl ingest shape: a
+    * directory archives keep landing in becomes an unbounded record
+    * stream (each new `.warc[.gz]` file is one source unit, exactly
+    * the batch reader's parallelism grain), parsed by the SAME
+    * [[parseFrame]] tail. Compose with `readWet`-style projections
+    * and a checkpointed sink for end-to-end exactly-once (the file
+    * sink's commit log dedups task retries). */
+  def readStream(spark: SparkSession, path: String): Dataset[WarcRecord] =
+    parseFrame(spark.readStream.format("binaryFile")
+      .schema(BinaryFileSchema)
+      .option("pathGlobFilter", "*.warc*")
+      .load(path))
+
+  /** `conversion` records → the text-document frame a crawl-curation
+    * pipeline ingests (uri, capture date, UTF-8 text) — ONE projection
+    * shared by the batch and streaming WET views. */
+  private def wetView(records: DataFrame): DataFrame =
+    records
       .filter(col("warc_type") === "conversion")
       .select(col("target_uri"), col("warc_date"), col("record_id"),
         col("headers"),
         decode(col("payload"), "UTF-8").as("text"),
         col("content_length").as("n_bytes"))
+
+  /** WET view of a directory of archives. */
+  def readWet(spark: SparkSession, path: String): DataFrame =
+    wetView(read(spark, path).toDF())
+
+  /** Streaming WET view — [[readStream]] through the same projection. */
+  def readWetStream(spark: SparkSession, path: String): DataFrame =
+    wetView(readStream(spark, path).toDF())
 }

@@ -478,6 +478,27 @@ object EventStream {
     * band by `bm25IndexMerge`/`ivfPqIndexMerge`. Results land
     * batchId-keyed (idempotent overwrite, the [[annServeStream]]
     * contract). */
+  /** CONTINUOUS CRAWL INGEST (round 14) — the streaming front door of
+    * the whole pipeline: a directory that crawl archives keep landing
+    * in (`.warc[.gz]`, the Common Crawl delivery shape) becomes an
+    * unbounded documents stream. Each new archive is one source unit
+    * (the batch reader's parallelism grain — see WarcSource's
+    * splittability note), records parse through the SAME
+    * Content-Length framing and WET projection as the batch reader,
+    * and the parquet file sink's commit log makes delivery
+    * exactly-once under task retries. Zero state-store rows (pure
+    * per-record transform); downstream curation consumes the sink
+    * table incrementally (the classify/scrub loops) or in batch. */
+  def warcIngestStream(spark: org.apache.spark.sql.SparkSession, warcDir: String,
+                       outPath: String, checkpoint: String):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    graft.sources.WarcSource.readWetStream(spark, warcDir)
+      .writeStream.format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+
   def hybridServeStream(queries: DataFrame, corpusDir: String, outPath: String,
                         checkpoint: String, k: Int = 5):
       org.apache.spark.sql.streaming.StreamingQuery =

@@ -65,6 +65,26 @@ class DomainCurationSpec extends AnyFunSuite {
       s"anti-join must not shuffle the corpus:\n$plan")
   }
 
+  test("canonicalUrl: fragments, default ports, tracking params, www, slash, case") {
+    val cases = Seq(
+      "https://www.Ex.COM/A/b?x=1#frag"            -> "https://ex.com/A/b?x=1",
+      "HTTPS://ex.com:443/a"                       -> "https://ex.com/a",
+      "http://ex.com:80/a"                         -> "http://ex.com/a",
+      "https://ex.com:8443/a"                      -> "https://ex.com:8443/a", // non-default KEPT
+      "http://ex.com:8080/a"                       -> "http://ex.com:8080/a",
+      "https://user:pw@ex.com/a/"                  -> "https://ex.com/a",
+      "https://ex.com/a?utm_source=x&keep=1&gclid=z" -> "https://ex.com/a?keep=1",
+      "https://ex.com/a?utm_campaign=only"         -> "https://ex.com/a",
+      "https://ex.com///"                          -> "https://ex.com",
+      "https://ex.com/p?b=2&a=1"                   -> "https://ex.com/p?b=2&a=1") // order KEPT
+    val got = cases.map(_._1).toDF("url")
+      .select(col("url"), DomainCuration.canonicalUrl(col("url")).as("c"))
+      .as[(String, String)].collect().toMap
+    cases.foreach { case (u, want) =>
+      assert(got(u) == want, s"canonicalUrl($u) = ${got(u)}, want $want")
+    }
+  }
+
   test("gated query: blocklisted domains absent, caps respected, urls parse") {
     val out = DomainCuration.domainGate(spark, "/root/testdata/sf0.001")
     val rows = out.as[(Long, String, Int)].collect()

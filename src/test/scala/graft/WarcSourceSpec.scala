@@ -84,6 +84,40 @@ class WarcSourceSpec extends AnyFunSuite {
     intercept[Exception] { WarcSource.read(spark, d3).collect() }
   }
 
+  test("streaming ingest: archives landing incrementally == batch WET read; exactly-once sink") {
+    // the continuous-crawl front door: drop archive 1, drain, drop
+    // archive 2, drain — the sink table must equal the batch readWet
+    // over both, with no duplicates (file-sink commit log)
+    val warcDir = tmp("warc_stream_in")
+    val outPath = tmp("warc_stream_out") + "/docs"
+    val ck = tmp("warc_stream_ck")
+    val (b1, b2) = (adversarial.take(3), adversarial.drop(3))
+    WarcSource.write(docsDf(b1).coalesce(1), warcDir, gzip = true)
+    val q = graft.streaming.EventStream.warcIngestStream(spark, warcDir, outPath, ck)
+    q.processAllAvailable()
+    val afterOne = spark.read.parquet(outPath).count()
+    assert(afterOne == 3, s"first archive should yield 3 docs, got $afterOne")
+    // second archive lands while the query runs — but the writer names
+    // files part-<pid>; use a subdir-free second file name to not clash
+    val rec2 = b2.map { case (id, text) =>
+      WarcSource.render("conversion", s"http://x.test/$id", "2026-01-01T00:00:00Z",
+        s"<urn:uuid:$id>", "text/plain", text.getBytes("UTF-8"),
+        extra = Seq("WARC-X-Id" -> id.toString))
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(warcDir, "second.warc"),
+      rec2.flatten.toArray)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(outPath)
+      .select(col("target_uri"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val batch = WarcSource.readWet(spark, warcDir)
+      .select(col("target_uri"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == batch && got.size == adversarial.size,
+      "streamed ingest must equal the batch WET read over all archives")
+  }
+
   test("header names parse case-insensitively; values keep inner whitespace") {
     val dir = tmp("warc_case")
     val rec = WarcSource.render("conversion", "http://x.test/ws", "2026-01-01T00:00:00Z",
