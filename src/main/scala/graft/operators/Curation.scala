@@ -237,6 +237,52 @@ object Curation {
         expr(s"(offset + localCum - 1) div $BlockTokens").as("last_block"))
   }
 
+  final case class GTokRow(g: String, doc_id: Long, n: Long)
+  final case class GCumRow(g: String, doc_id: Long, n: Long, pid: Int, localCum: Long)
+
+  /** Per-GROUP packing in ONE pass (round 14): [[packOf]]'s
+    * distributed prefix sum generalized to independent token streams
+    * per group — range partitioning on (group, doc_id) keeps each
+    * group contiguous across ordered partitions, the local cumsum
+    * resets at group boundaries inside the one mapPartitions pass,
+    * and the driver collects one subtotal row per (group, partition)
+    * instead of re-running the whole pass once per group (the
+    * releaseManifest caller packs train/val/test in one job instead
+    * of three). */
+  private[graft] def packOfBy(counts0: DataFrame, by: String): DataFrame = {
+    val spark = counts0.sparkSession
+    import spark.implicits._
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val counts = counts0
+      .select(col(by).cast("string").as("g"), col("doc_id"), col("n"))
+      .repartitionByRange(parts, col("g"), col("doc_id"))
+      .sortWithinPartitions(col("g"), col("doc_id"))
+      .as[GTokRow]
+    val local = counts.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var cur: String = null
+      var cum = 0L
+      it.map { r =>
+        if (r.g != cur) { cur = r.g; cum = 0L }
+        cum += r.n
+        GCumRow(r.g, r.doc_id, r.n, pid, cum)
+      }
+    }.cache() // feeds the subtotal action AND the final join
+    val subtotals = local.groupBy(col("g"), col("pid"))
+      .agg(max(col("localCum")).as("sub"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val offDf = subtotals.keys.map(_._1).toSeq.distinct.flatMap { g =>
+      var acc = 0L
+      (0 until parts).map { p =>
+        val o = acc; acc += subtotals.getOrElse((g, p), 0L); (g, p, o)
+      }
+    }.toDF("g", "pid", "offset")
+    local.join(broadcast(offDf), Seq("g", "pid"))
+      .select(col("g"), col("doc_id"), col("n").as("n_tokens"),
+        expr(s"(offset + localCum - n) div $BlockTokens").as("first_block"),
+        expr(s"(offset + localCum - 1) div $BlockTokens").as("last_block"))
+  }
+
   /** (doc_id, n_tokens, first_block, last_block) per non-empty doc. */
   def packSequences(spark: SparkSession, dir: String): DataFrame =
     packOf(Tables.documents(spark, dir)
@@ -908,15 +954,15 @@ object Curation {
       Dedup.clustersCached(spark, dir))
       .select(col("doc_id"), col("source"), col("split"))
     val cur = curated.join(splits, Seq("doc_id")).cache()
-    // stage 3: pack each split's curated token stream — blocks per
-    // split is the packing core's own last_block + 1 (NOT re-derived
-    // arithmetic; an empty split packs to zero blocks)
-    val packs = Seq("train", "val", "test").map { s =>
-      val blocks = packOf(cur.filter(col("split") === s)
-          .select(col("doc_id"), col("n_tokens").as("n")))
-        .agg(coalesce(max(col("last_block")) + 1L, lit(0L))).first().getLong(0)
-      (s, blocks)
-    }.toDF("split", "split_blocks")
+    // stage 3: pack every split's curated token stream in ONE grouped
+    // prefix-sum pass ([[packOfBy]]) — blocks per split is the packing
+    // core's own last_block + 1 (NOT re-derived arithmetic); a split
+    // with no curated docs has no card row, matching the group-by
+    val packs = packOfBy(
+        cur.select(col("split"), col("doc_id"), col("n_tokens").as("n")), "split")
+      .groupBy(col("g"))
+      .agg((max(col("last_block")) + 1L).as("split_blocks"))
+      .select(col("g").as("split"), col("split_blocks"))
     // stage 4: the per-(split, source) card
     val out = cur.groupBy(col("split"), col("source"))
       .agg(count(lit(1)).as("n_docs"),

@@ -57,6 +57,25 @@ class ScaleOpsSpec extends AnyFunSuite {
       "shipped packing plan must not contain a global WindowExec")
   }
 
+  test("packOfBy: one grouped pass == packOf per group; groups reset the stream") {
+    // skewed group sizes + interleaved doc_ids so group boundaries
+    // land mid-partition and the cumsum reset is actually exercised
+    val rows = (0L until 300L).map { i =>
+      (Seq("train", "val", "test")(((i * 7) % 3).toInt), i, 1L + i % 97)
+    }
+    val counts = rows.toDF("split", "doc_id", "n")
+    val grouped = Curation.packOfBy(counts, "split")
+      .select($"g", $"doc_id", $"n_tokens", $"first_block", $"last_block")
+      .collect().map(_.toSeq).toSet
+    val perGroup = Seq("train", "val", "test").flatMap { s =>
+      Curation.packOf(counts.filter($"split" === s).select($"doc_id", $"n"))
+        .select(lit(s).as("g"), $"doc_id", $"n_tokens", $"first_block", $"last_block")
+        .collect().map(_.toSeq)
+    }.toSet
+    assert(grouped == perGroup && grouped.nonEmpty,
+      "grouped one-pass packing diverged from per-group packing")
+  }
+
   test("connected components: diameter-200 chain converges via pointer jumping") {
     // path graph 0-1-2-...-200: plain min-label propagation needs 200
     // rounds; pointer jumping must land it well inside the default 20
