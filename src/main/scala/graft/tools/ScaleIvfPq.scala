@@ -202,6 +202,18 @@ object ScaleIvfPq {
     require(dfR.select(col("qid"), col("nid")).as[(Long, Long)].collect().toSet
         == rowsFlatRef.toSet,
       "bucketed-store refine != flat-frame refine at 1M")
+    // Round 14: the over-budget candidate path — past the id-literal
+    // budget the pruning filter ships as a broadcast semi-join (the
+    // production 10k-query batch shape). Force it at 1 M and require
+    // value identity with the literal path above.
+    spark.conf.set("spark.graft.ann.refineLiteralMaxIds", "1")
+    val (rowsJoin, _) = time("ivfpq serve + refine (forced semi-join path)") {
+      Similarity.ivfPqOf(codes, books, cells, qbR, refine = Some(vstore))
+        .select(col("qid"), col("nid")).as[(Long, Long)].collect()
+    }
+    spark.conf.unset("spark.graft.ann.refineLiteralMaxIds")
+    require(rowsJoin.toSet == rowsFlatRef.toSet,
+      "over-budget semi-join refine != literal-IN refine at 1M")
 
     // Gate 1 — roundtrip determinism at 1 M: served-from-parquet must
     // equal inline (train+encode+serve) on the same corpus, exactly.
