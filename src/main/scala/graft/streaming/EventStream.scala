@@ -499,6 +499,26 @@ object EventStream {
       .outputMode("append")
       .start()
 
+  /** Ingest-time crawl hygiene (round 14) — the streaming twin of the
+    * per-row half of `curation_domain_gate`/`curation_url_dedup`:
+    * domain extraction, URL canonicalization, and the blocklist
+    * verdict (exact + subdomain) as ONE narrow projection per record —
+    * blocklist as a literal array (human-curated, bounded), no join,
+    * no shuffle, ZERO state rows at any rate. The per-domain CAP and
+    * the canonical-URL dedup stay batch/compaction jobs by design:
+    * both need corpus-global state, exactly like the continuous-ingest
+    * dedup story (31e) — the stream flags and canonicalizes, the
+    * catalog dedups. */
+  def crawlHygieneScore(records: DataFrame, blocklist: Seq[String]): DataFrame = {
+    import graft.operators.DomainCuration
+    val bl = typedLit(blocklist)
+    val withDom = records.withColumn("domain", DomainCuration.domainOf(col("url")))
+    withDom.select(records.columns.map(col) :+ col("domain") :+
+      DomainCuration.canonicalUrl(col("url")).as("url_canonical") :+
+      exists(bl, b => col("domain") === b ||
+        col("domain").endsWith(concat(lit("."), b))).as("blocked"): _*)
+  }
+
   def hybridServeStream(queries: DataFrame, corpusDir: String, outPath: String,
                         checkpoint: String, k: Int = 5):
       org.apache.spark.sql.streaming.StreamingQuery =

@@ -1062,6 +1062,42 @@ class StreamingSpec extends AnyFunSuite {
     codedL.unpersist(); codedU.unpersist()
   }
 
+  test("streaming crawl hygiene: domain/canonical/blocked == batch per-row ops, zero state") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.DomainCuration
+    val urls = Seq(
+      (1L, "https://WWW.Good.com:443/a?utm_source=x&k=1"),
+      (2L, "http://bad.com/x"),
+      (3L, "https://sub.bad.com/y#f"),
+      (4L, "https://notbad.com/z/"),
+      (5L, "https://user@other.org:8080/p"))
+    val bl = Seq("bad.com")
+    val input = MemoryStream[(Long, String)]
+    val scored = EventStream.crawlHygieneScore(
+      input.toDS().toDF("doc_id", "url"), bl)
+    val q = scored.writeStream.format("memory").queryName("crawl_hygiene")
+      .outputMode("append").start()
+    urls.grouped(2).foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
+    assert(q.lastProgress.stateOperators.isEmpty, "hygiene scoring must keep no state")
+    q.stop()
+    val got = spark.table("crawl_hygiene")
+      .select($"doc_id", $"domain", $"url_canonical", $"blocked")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getBoolean(3))).toSet
+    // batch twin: the same per-row expressions over the same rows
+    val batch = urls.toDF("doc_id", "url")
+      .withColumn("domain", DomainCuration.domainOf($"url"))
+      .select($"doc_id", $"domain",
+        DomainCuration.canonicalUrl($"url").as("url_canonical"),
+        lit(false).as("blocked"))
+    val batchKept = DomainCuration.blocklistAntiJoin(batch, bl)
+      .select($"doc_id").as[Long].collect().toSet
+    val want = batch.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+      !batchKept.contains(r.getLong(0)))).toSet
+    assert(got == want, "streamed hygiene diverged from the batch ops")
+    assert(got.filter(_._4).map(_._1) == Set(2L, 3L), "exact + subdomain must flag")
+    assert(got.find(_._1 == 1L).get._3 == "https://good.com/a?k=1")
+  }
+
   test("restart from checkpoint: killed classify loop resumes and matches uninterrupted run") {
     // the operational crash story (round 14): stop a query AFTER >= 1
     // committed batch, restart a NEW query from the SAME
