@@ -499,6 +499,38 @@ object EventStream {
       .outputMode("append")
       .start()
 
+  /** Ingest-time QUALITY GATING (round 14) — the streaming twin of
+    * `curation_quality_gate`, the filter-early stage a continuous
+    * pipeline runs right after [[warcIngestStream]]: each micro-batch
+    * of (doc_id, text) rows is gated by the SAME per-doc definition
+    * the batch entry uses (`Curation.qualityGateOf` — tokenize once,
+    * length/token-shape/stopword/repetition flags). Every metric is
+    * per-document, so the gate needs NO cross-batch state (zero
+    * state-store rows; the in-batch gram aggregation is plain batch
+    * relational work inside foreachBatch, the 31g classify shape) and
+    * verdicts land batchId-keyed — a crash retry overwrites its own
+    * subdirectory. */
+  def qualityGateStream(docs: DataFrame, outPath: String, checkpoint: String):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) qualityGateBatch(batch.toDF(), batchId, outPath)
+        ()
+      }
+      .start()
+
+  /** One micro-batch of [[qualityGateStream]], callable directly so
+    * batch-twin equality and retry idempotence are spec-testable. */
+  def qualityGateBatch(batch: DataFrame, batchId: Long, outPath: String): Unit = {
+    import graft.functions.TextFns
+    import graft.operators.Curation
+    val toks = batch.select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+    Curation.qualityGateOf(toks)
+      .write.mode("overwrite").parquet(s"$outPath/batch-$batchId")
+  }
+
   /** Ingest-time crawl hygiene (round 14) — the streaming twin of the
     * per-row half of `curation_domain_gate`/`curation_url_dedup`:
     * domain extraction, URL canonicalization, and the blocklist

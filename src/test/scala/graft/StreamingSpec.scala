@@ -1062,6 +1062,34 @@ class StreamingSpec extends AnyFunSuite {
     codedL.unpersist(); codedU.unpersist()
   }
 
+  test("streaming quality gate == batch gate verdicts; zero state; retry idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.TextFns
+    import graft.operators.Curation
+    val sfDocs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)]
+    val outPath = java.nio.file.Files.createTempDirectory("qgate_out").toString
+    val ck = java.nio.file.Files.createTempDirectory("qgate_ck").toString
+    val q = EventStream.qualityGateStream(input.toDS().toDF("doc_id", "text"), outPath, ck)
+    val batches = sfDocs.grouped(math.max(1, sfDocs.length / 3 + 1)).toSeq
+    batches.foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
+    assert(q.lastProgress.stateOperators.isEmpty,
+      "per-doc gate must keep no state-store rows")
+    q.stop()
+    def streamed() = spark.read.option("recursiveFileLookup", "true").parquet(outPath)
+      .collect().map(_.toSeq).toSet
+    val want = Curation.qualityGateOf(
+        sfDocs.toSeq.toDF("doc_id", "text")
+          .select($"doc_id", TextFns.tokens($"text").as("t")))
+      .collect().map(_.toSeq).toSet
+    assert(streamed() == want, "streamed gate verdicts diverged from batch gate")
+    assert(want.exists(r => r(2) == false), "gate must actually reject something here")
+    // crash retry: replaying batch 0 overwrites its own subdirectory
+    EventStream.qualityGateBatch(batches.head.toSeq.toDF("doc_id", "text"), 0L, outPath)
+    assert(streamed() == want, "batch replay must be idempotent")
+  }
+
   test("streaming crawl hygiene: domain/canonical/blocked == batch per-row ops, zero state") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.DomainCuration
