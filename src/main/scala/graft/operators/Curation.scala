@@ -271,6 +271,16 @@ object Curation {
     val subtotals = local.groupBy(col("g"), col("pid"))
       .agg(max(col("localCum")).as("sub"))
       .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // contract guard: the driver sees |groups| × partitions subtotal
+    // rows and broadcasts |groups| × partitions offsets — right for
+    // SPLIT-cardinality groups (train/val/test), wrong for per-source
+    // or per-domain packing at corpus scale. Fail loudly instead of
+    // silently materializing a corpus-sized offset table.
+    val nGroups = subtotals.keys.map(_._1).toSet.size
+    require(nGroups <= 4096,
+      s"packOfBy: $nGroups groups — this grouped prefix sum is for " +
+        "split-cardinality groups; pack high-cardinality groups per-group " +
+        "or re-key them first")
     val offDf = subtotals.keys.map(_._1).toSeq.distinct.flatMap { g =>
       var acc = 0L
       (0 until parts).map { p =>

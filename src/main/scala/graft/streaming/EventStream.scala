@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -543,12 +543,32 @@ object EventStream {
     * catalog dedups. */
   def crawlHygieneScore(records: DataFrame, blocklist: Seq[String]): DataFrame = {
     import graft.operators.DomainCuration
-    val bl = typedLit(blocklist)
+    val spark = records.sparkSession
     val withDom = records.withColumn("domain", DomainCuration.domainOf(col("url")))
-    withDom.select(records.columns.map(col) :+ col("domain") :+
-      DomainCuration.canonicalUrl(col("url")).as("url_canonical") :+
+      .withColumn("url_canonical", DomainCuration.canonicalUrl(col("url")))
+    // literal budget (the withCodebook discipline, applied verbatim): a
+    // human-curated blocklist rides the plan as an array literal, but
+    // past the budget (production lists run to 10^5 domains) it ships
+    // as a ONE-ROW broadcast relation crossJoined in — each output row
+    // references the single broadcast array, so no fanout, no per-task
+    // plan blowup, no duplicate rows on multi-entry matches, and the
+    // downstream exists() is IDENTICAL either way (value-identity
+    // spec-forced at tiny size). Still zero state rows in streaming
+    // (stream-static one-row broadcast).
+    val budget = spark.conf.getOption("spark.graft.crawl.blocklistLiteralMax")
+      .map(_.toInt).getOrElse(1024)
+    def flag(bl: Column): Column =
       exists(bl, b => col("domain") === b ||
-        col("domain").endsWith(concat(lit("."), b))).as("blocked"): _*)
+        col("domain").endsWith(concat(lit("."), b)))
+    if (blocklist.size <= budget)
+      withDom.withColumn("blocked", flag(typedLit(blocklist)))
+    else {
+      import spark.implicits._
+      val one = Seq(Tuple1(blocklist)).toDF("__bl")
+      withDom.crossJoin(broadcast(one))
+        .withColumn("blocked", flag(col("__bl")))
+        .drop("__bl")
+    }
   }
 
   def hybridServeStream(queries: DataFrame, corpusDir: String, outPath: String,

@@ -74,6 +74,13 @@ class ScaleOpsSpec extends AnyFunSuite {
     }.toSet
     assert(grouped == perGroup && grouped.nonEmpty,
       "grouped one-pass packing diverged from per-group packing")
+    // contract guard: high-cardinality groups must fail loudly instead
+    // of materializing a corpus-sized offset table on the driver
+    val highCard = (0L until 5000L).map(i => (s"g$i", i, 1L)).toDF("split", "doc_id", "n")
+    val e = intercept[IllegalArgumentException] {
+      Curation.packOfBy(highCard, "split").count()
+    }
+    assert(e.getMessage.contains("split-cardinality"))
   }
 
   test("connected components: diameter-200 chain converges via pointer jumping") {

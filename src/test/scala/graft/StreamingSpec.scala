@@ -1124,6 +1124,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, "streamed hygiene diverged from the batch ops")
     assert(got.filter(_._4).map(_._1) == Set(2L, 3L), "exact + subdomain must flag")
     assert(got.find(_._1 == 1L).get._3 == "https://good.com/a?k=1")
+    // forced over-budget path: the blocklist ships as a one-row
+    // broadcast relation instead of a plan literal — value-identical
+    spark.conf.set("spark.graft.crawl.blocklistLiteralMax", "0")
+    try {
+      val viaJoin = EventStream.crawlHygieneScore(urls.toDF("doc_id", "url"), bl)
+      val gotJ = viaJoin.select($"doc_id", $"domain", $"url_canonical", $"blocked")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getBoolean(3))).toSet
+      assert(gotJ == want, "broadcast-relation blocklist diverged from the literal path")
+      assert(viaJoin.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"),
+        "over-budget blocklist should ride a one-row broadcast relation")
+    } finally spark.conf.unset("spark.graft.crawl.blocklistLiteralMax")
   }
 
   test("restart from checkpoint: killed classify loop resumes and matches uninterrupted run") {
