@@ -1172,9 +1172,94 @@ object TextAnalysis {
     FROM s2
     ORDER BY doc_id"""
 
+  // ---- 9. HTML → text extraction (round 14) ---------------------------
+  // The boilerplate-strip between a raw crawl capture (WARC `response`
+  // records carry HTML) and the WET-style text every downstream
+  // curation op consumes — trafilatura's job, done as portable narrow
+  // regex arithmetic (the piiRedact discipline: RE2 ∩ java.util.regex
+  // common subset — inline (?is) flags, non-greedy blocks, character
+  // classes; no lookarounds), so the SAME pattern strings run in Spark
+  // codegen and the DuckDB oracle. Order matters and is part of the
+  // contract: script/style/comment BLOCKS drop first (their bodies may
+  // contain tag-lookalikes — gated adversarially), block-level tags
+  // become newlines (paragraph structure survives for chunkers),
+  // remaining tags become spaces, entities decode with &amp; LAST
+  // (so '&amp;lt;' yields '&lt;', not '<'), whitespace collapses.
+  private[graft] val ScriptRe  = "(?is)<script\\b[^>]*>.*?</script>"
+  private[graft] val StyleRe   = "(?is)<style\\b[^>]*>.*?</style>"
+  private[graft] val CommentRe = "(?s)<!--.*?-->"
+  private[graft] val BlockTagRe =
+    "(?i)</?(p|div|br|h[1-6]|li|tr|table|ul|ol|blockquote|section|article)\\b[^>]*/?>"
+  private[graft] val AnyTagRe  = "(?s)<[^>]+>"
+
+  /** HTML → readable text as a composable Column — see the contract
+    * above. Deterministic, engine-portable, one narrow projection. */
+  def htmlToText(c: Column): Column = {
+    val noBlocks = regexp_replace(regexp_replace(regexp_replace(c,
+      ScriptRe, ""), StyleRe, ""), CommentRe, "")
+    val structural = regexp_replace(noBlocks, BlockTagRe, "\n")
+    val noTags = regexp_replace(structural, AnyTagRe, " ")
+    val entities = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&") // amp LAST
+      .foldLeft(noTags) { case (acc, (e, v)) => regexp_replace(acc, e, v) }
+    val nl = regexp_replace(entities, "[ \\t\\r]*\\n[ \\t\\r\\n]*", "\n")
+    val sp = regexp_replace(nl, "[ \\t\\r]+", " ")
+    regexp_replace(regexp_replace(sp, "^\\s+", ""), "\\s+$", "")
+  }
+
+  /** Gated `text_html_extract`: wrap each doc's text in a full HTML
+    * page with adversarial boilerplate (a script body containing a
+    * bare `<`, a fake `</div>` close, AND a multiline comment), strip
+    * it back to text. The oracle applies the same shared patterns to
+    * the same synthesized page. */
+  def htmlExtract(spark: SparkSession, dir: String): DataFrame = {
+    val html = concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit("</title><script type=\"text/javascript\">var x = 1 < 2; // </div>\n</script>"),
+      lit("<style>p { color: red; }</style></head><body><!-- boiler\nplate -->"),
+      lit("<h1>Doc "), col("doc_id").cast("string"), lit("</h1><p>"),
+      col("text"),
+      lit("</p><div>footer &amp;lt; &quot;quoted&quot; &nbsp;end</div></body></html>"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), htmlToText(html).as("extracted"))
+      .withColumn("n_chars_extracted", length(col("extracted")).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
+  val htmlExtractOracle: String = s"""
+    WITH h AS (SELECT doc_id,
+        '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+        '</title><script type="text/javascript">var x = 1 < 2; // </div>' || chr(10) || '</script>' ||
+        '<style>p { color: red; }</style></head><body><!-- boiler' || chr(10) || 'plate -->' ||
+        '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text ||
+        '</p><div>footer &amp;lt; &quot;quoted&quot; &nbsp;end</div></body></html>' AS html
+      FROM documents),
+    st AS (SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(html,
+          '$ScriptRe', '', 'g'), '$StyleRe', '', 'g'), '$CommentRe', '', 'g') AS x
+      FROM h),
+    tg AS (SELECT doc_id,
+        regexp_replace(regexp_replace(x,
+          '$BlockTagRe', chr(10), 'g'), '$AnyTagRe', ' ', 'g') AS x
+      FROM st),
+    en AS (SELECT doc_id,
+        replace(replace(replace(replace(replace(replace(x,
+          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+          '&nbsp;', ' '), '&amp;', '&') AS x
+      FROM tg),
+    ws AS (SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(x,
+          '[ \\t\\r]*\\n[ \\t\\r\\n]*', chr(10), 'g'),
+          '[ \\t\\r]+', ' ', 'g'), '^\\s+', ''), '\\s+$$', '') AS extracted
+      FROM en)
+    SELECT doc_id, extracted, CAST(length(extracted) AS BIGINT) AS n_chars_extracted
+    FROM ws
+    ORDER BY doc_id"""
+
   // ---- registry -------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_html_extract"    -> (htmlExtract _),
     "text_repetition"      -> (repetition _),
     "text_pii_redact"      -> (piiRedact _),
     "text_cdc_chunks"      -> (cdcChunks _),
@@ -1194,6 +1279,7 @@ object TextAnalysis {
     "text_token_histogram" -> (tokenHistogram _))
 
   val oracle: Map[String, String] = Map(
+    "text_html_extract"    -> htmlExtractOracle,
     "text_repetition"      -> repetitionOracle,
     "text_pii_redact"      -> piiRedactOracle,
     "text_cdc_chunks"      -> cdcChunksOracle,
