@@ -141,10 +141,14 @@ object DomainCuration {
     * leading `www.` stripped, DEFAULT port only — :8080 is identity),
     * fragment dropped, trailing path slashes dropped, tracking params
     * (`utm_*`, `gclid`, `fbclid`) filtered from the query preserving
-    * the order of the rest. */
+    * the order of the rest. Scheme-less input (common in crawl seed
+    * lists, and explicitly supported by [[domainOf]]) assumes `http`
+    * — so `www.x.com/p` and `http://x.com/p` collapse to the SAME
+    * canonical instead of a malformed `://…` never matching anything. */
   def canonicalUrl(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
-    val scheme = lower(regexp_extract(noFrag, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val scheme0 = lower(regexp_extract(noFrag, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val scheme = when(scheme0 === "", lit("http")).otherwise(scheme0)
     val rest = regexp_replace(noFrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
     val auth = regexp_extract(rest, "^([^/?]+)", 1)
     val noUser = regexp_replace(auth, "^[^@/]*@", "")

@@ -1,11 +1,12 @@
 package graft.sources
 
-import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.io.{BufferedInputStream, ByteArrayOutputStream, InputStream, PushbackInputStream}
 import java.nio.charset.StandardCharsets.UTF_8
 import java.util.zip.{GZIPInputStream, GZIPOutputStream}
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.util.SerializableConfiguration
 
 /** One parsed WARC record. `headers` carries EVERY header verbatim
   * (lower-cased names) so extension headers (`WARC-X-*`) survive a
@@ -42,8 +43,18 @@ case class WarcRecord(
   * per archive, exactly how the format is consumed at scale (Common
   * Crawl shards a crawl into ~1 GB archives so file-granularity IS
   * cluster-granularity; 100 TB ≈ 10⁵ files ≫ any executor count).
-  * The `binaryFile` scan underneath prunes on pathGlobFilter and
-  * never assembles more than one archive per task.
+  *
+  * MEMORY (round 15): records parse INCREMENTALLY from the archive's
+  * Hadoop-FS `InputStream` — task memory is bounded by the LARGEST
+  * RECORD, never the archive (a 1 GB Common Crawl gzip decompresses
+  * to 3-5 GB; whole-archive buffering would blow both the JVM's 2 GiB
+  * array limit and a lean executor's heap). The `binaryFile` listing
+  * underneath is projected to `path` only (column-pruned — archive
+  * bytes never ride through the scan), so its 2 GiB content cliff is
+  * out of the picture; Spark still packs splits by FILE SIZE, so one
+  * big archive still owns its task. A single record above
+  * `spark.graft.warc.maxRecordBytes` (default 1 GiB) fails loudly
+  * with the conf name rather than OOMing.
   *
   * Malformed input fails LOUDLY (the FAILFAST contract of the sibling
   * readers): a record without the WARC/ magic, a missing
@@ -59,6 +70,16 @@ object WarcSource {
              recordId: String, contentType: String,
              payload: Array[Byte],
              extra: Seq[(String, String)] = Nil): Array[Byte] = {
+    // a CR/LF smuggled into a header value would write a mis-framed
+    // archive whose corruption only surfaces at READ time — fail at
+    // write time instead (FAILFAST contract)
+    (Seq("WARC-Type" -> warcType, "WARC-Target-URI" -> targetUri,
+         "WARC-Date" -> warcDate, "WARC-Record-ID" -> recordId,
+         "Content-Type" -> contentType) ++ extra).foreach { case (k, v) =>
+      require(!k.exists(c => c == '\r' || c == '\n') &&
+              v != null && !v.exists(c => c == '\r' || c == '\n'),
+        s"WARC header '$k' contains CR/LF or is null — would mis-frame the archive")
+    }
     val sb = new StringBuilder
     sb.append("WARC/1.0\r\n")
     sb.append(s"WARC-Type: $warcType\r\n")
@@ -108,58 +129,63 @@ object WarcSource {
       }.count(): Unit
   }
 
-  private val GzMagic = Array[Byte](0x1f.toByte, 0x8b.toByte)
+  /** Default per-record payload cap; override via
+    * `spark.graft.warc.maxRecordBytes`. WARC records are single
+    * captures (a page, a WET conversion) — 1 GiB is far above any
+    * real one, and the cap is what keeps "streaming parse" an honest
+    * memory bound rather than a hidden 2 GiB array cliff. */
+  final val DefaultMaxRecordBytes: Long = 1L << 30
+  final val MaxRecordBytesConf = "spark.graft.warc.maxRecordBytes"
 
-  private def gunzipAll(bytes: Array[Byte]): Array[Byte] =
-    if (bytes.length < 2 || bytes(0) != GzMagic(0) || bytes(1) != GzMagic(1)) bytes
-    else {
-      // GZIPInputStream walks concatenated members transparently
-      val in = new GZIPInputStream(new ByteArrayInputStream(bytes), 1 << 16)
-      val bo = new ByteArrayOutputStream(bytes.length * 4)
-      val buf = new Array[Byte](1 << 16)
-      var n = in.read(buf)
-      while (n >= 0) { bo.write(buf, 0, n); n = in.read(buf) }
-      bo.toByteArray
-    }
-
-  /** Parse every record of one (decompressed) archive. */
-  private[sources] def parseArchive(file: String, bytes: Array[Byte]): Iterator[WarcRecord] =
+  /** Parse records INCREMENTALLY from one archive's (decompressed)
+    * stream. Header lines are read byte-at-a-time off the buffered
+    * stream (headers are ASCII by spec, so line scanning is exact);
+    * the payload is then read as exactly Content-Length bytes, so
+    * header-lookalike payload bytes (even an embedded `WARC/1.0`
+    * block) roundtrip unharmed. Memory high-water mark = one record.
+    * The stream is closed at EOF; a parse failure kills the task
+    * (FAILFAST), which tears the stream down with it. */
+  private[sources] def parseStream(file: String, in: InputStream,
+                                   maxRecordBytes: Long = DefaultMaxRecordBytes): Iterator[WarcRecord] =
     new Iterator[WarcRecord] {
-      private var pos = 0
-      private def skipSeparators(): Unit =
-        while (pos < bytes.length &&
-               (bytes(pos) == '\r'.toByte || bytes(pos) == '\n'.toByte)) pos += 1
-      skipSeparators()
-      def hasNext: Boolean = pos < bytes.length
-      def next(): WarcRecord = {
-        // header block ends at the first blank line; headers are ASCII
-        // by spec, so byte-level line scanning is exact
-        require(bytes.length - pos >= 5 &&
-          new String(bytes, pos, 5, UTF_8) == "WARC/",
-          s"$file: expected WARC/ record magic at byte $pos")
-        var headerEnd = -1
-        var i = pos
-        while (headerEnd < 0 && i + 3 < bytes.length) {
-          if (bytes(i) == '\r' && bytes(i + 1) == '\n' &&
-              bytes(i + 2) == '\r' && bytes(i + 3) == '\n') headerEnd = i
-          i += 1
+      /** One header/separator line, CRLF (or bare LF) stripped; null at EOF. */
+      private def readLine(): String = {
+        var b = in.read()
+        if (b < 0) return null
+        val bo = new ByteArrayOutputStream(128)
+        while (b >= 0 && b != '\n') { bo.write(b); b = in.read() }
+        val arr = bo.toByteArray
+        val n = if (arr.nonEmpty && arr(arr.length - 1) == '\r') arr.length - 1 else arr.length
+        new String(arr, 0, n, UTF_8)
+      }
+      private def advance(): WarcRecord = {
+        var line = readLine()
+        while (line != null && line.isEmpty) line = readLine() // record separators
+        if (line == null) { in.close(); return null }
+        require(line.startsWith("WARC/"),
+          s"$file: expected WARC/ record magic, got '${line.take(40)}'")
+        val hdrs = Map.newBuilder[String, String]
+        var h = readLine()
+        while (h != null && h.nonEmpty) {
+          val c = h.indexOf(':')
+          require(c > 0, s"$file: malformed WARC header line '$h'")
+          hdrs += ((h.substring(0, c).trim.toLowerCase, h.substring(c + 1).trim))
+          h = readLine()
         }
-        require(headerEnd > 0, s"$file: unterminated WARC header block at byte $pos")
-        val lines = new String(bytes, pos, headerEnd - pos, UTF_8).split("\r\n")
-        val headers = lines.drop(1).map { ln =>
-          val c = ln.indexOf(':')
-          require(c > 0, s"$file: malformed WARC header line '$ln'")
-          (ln.substring(0, c).trim.toLowerCase, ln.substring(c + 1).trim)
-        }.toMap
+        require(h != null, s"$file: unterminated WARC header block")
+        val headers = hdrs.result()
         val len = headers.getOrElse("content-length",
-          sys.error(s"$file: record at byte $pos missing Content-Length")).toLong
-        val payloadStart = headerEnd + 4
-        require(payloadStart + len <= bytes.length,
-          s"$file: truncated payload at byte $payloadStart (want $len bytes)")
-        val payload = java.util.Arrays.copyOfRange(
-          bytes, payloadStart, payloadStart + len.toInt)
-        pos = payloadStart + len.toInt
-        skipSeparators()
+          sys.error(s"$file: record missing Content-Length")).toLong
+        require(len >= 0 && len <= maxRecordBytes,
+          s"$file: record payload of $len bytes exceeds the per-record cap " +
+          s"($maxRecordBytes); raise $MaxRecordBytesConf if this is a real record")
+        val payload = new Array[Byte](len.toInt)
+        var off = 0
+        while (off < len) {
+          val n = in.read(payload, off, len.toInt - off)
+          require(n >= 0, s"$file: truncated payload (want $len bytes, got $off)")
+          off += n
+        }
         WarcRecord(file,
           headers.getOrElse("warc-type", ""),
           headers.getOrElse("warc-target-uri", ""),
@@ -168,16 +194,46 @@ object WarcSource {
           headers.getOrElse("content-type", ""),
           len, headers, payload)
       }
+      private var nextRec: WarcRecord = advance()
+      def hasNext: Boolean = nextRec != null
+      def next(): WarcRecord = { val r = nextRec; nextRec = advance(); r }
     }
 
+  /** Open one archive through the Hadoop FS (works on HDFS/S3A/local
+    * alike) and hand its decompressed byte stream to [[parseStream]].
+    * Gzip is detected by MAGIC, not extension, so a `.warc` that is
+    * secretly gzipped still reads; GZIPInputStream walks concatenated
+    * members transparently. */
+  private def openArchive(file: String, conf: org.apache.hadoop.conf.Configuration,
+                          maxRecordBytes: Long): Iterator[WarcRecord] = {
+    val p = new org.apache.hadoop.fs.Path(file)
+    val raw = new PushbackInputStream(
+      new BufferedInputStream(p.getFileSystem(conf).open(p), 1 << 16), 2)
+    val b0 = raw.read(); val b1 = raw.read()
+    if (b1 >= 0) raw.unread(b1)
+    if (b0 >= 0) raw.unread(b0)
+    val in: InputStream =
+      if (b0 == 0x1f && b1 == 0x8b) new GZIPInputStream(raw, 1 << 16) else raw
+    // close the FS stream even if the task dies mid-parse
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
+    parseStream(file, in, maxRecordBytes)
+  }
+
   /** Archive frame → records: the shared parse tail of the batch and
-    * STREAMING readers (one definition, identical record semantics). */
+    * STREAMING readers (one definition, identical record semantics).
+    * Only `path` is projected out of the binaryFile scan — archive
+    * BYTES never ride through Spark; each task re-opens its files via
+    * the (broadcast) Hadoop conf and parses record-at-a-time. */
   private def parseFrame(files: DataFrame): Dataset[WarcRecord] = {
     val spark = files.sparkSession
     import spark.implicits._
-    files.select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .flatMap { case (file, bytes) => parseArchive(file, gunzipAll(bytes)) }
+    val confBc = spark.sparkContext.broadcast(
+      new SerializableConfiguration(spark.sparkContext.hadoopConfiguration))
+    val maxRec = spark.conf.getOption(MaxRecordBytesConf)
+      .map(_.toLong).getOrElse(DefaultMaxRecordBytes)
+    files.select(col("path")).as[String]
+      .flatMap(file => openArchive(file, confBc.value.value, maxRec))
   }
 
   /** Read every record of every archive under `path` (both `.warc`
@@ -209,15 +265,48 @@ object WarcSource {
       .option("pathGlobFilter", "*.warc*")
       .load(path))
 
+  /** Charset-aware payload decode (round 15): honor the
+    * `charset=` parameter of the record's Content-Type header instead
+    * of hard-coding UTF-8 — a `text/plain; charset=ISO-8859-1` page
+    * previously mojibaked silently (every non-ASCII byte → U+FFFD)
+    * straight into the curation chain. Stays fully declarative: a
+    * regexp_extract + CASE over Spark's built-in decode charsets
+    * (codegen'd, no UDF). Policy per branch, chosen for a pipeline
+    * that must not die on one mojibake page:
+    *   - UTF-8 / absent / unknown charset (the dominant crawl case):
+    *     binary→string cast + `make_valid_utf8` — invalid sequences
+    *     become U+FFFD REPLACEMENT chars (Spark 4's `decode` is
+    *     strict and would kill the job on the first bad page).
+    *   - latin-1 family, cp1252, ascii: `decode(…,'ISO-8859-1')`,
+    *     which no byte sequence can malform. cp1252 rides its
+    *     byte-complete latin-1 cousin (only the 27 printable C1
+    *     codepoints 0x80-0x9F differ — vs UTF-8-mangling the entire
+    *     non-ASCII range); ascii-labeled pages with high bytes get
+    *     the same benefit-of-the-doubt.
+    *   - UTF-16 variants: strict decode — the label is rare and
+    *     explicit, so a malformed record fails LOUDLY (FAILFAST). */
+  private[sources] def decodedText(payload: org.apache.spark.sql.Column,
+                                   contentType: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val cs = lower(regexp_extract(coalesce(contentType, lit("")),
+      "(?i)charset\\s*=\\s*\"?([A-Za-z0-9_\\-]+)", 1))
+    when(cs.isin("iso-8859-1", "iso8859-1", "latin-1", "latin1", "l1",
+                 "windows-1252", "cp1252", "us-ascii", "ascii"),
+        decode(payload, "ISO-8859-1"))
+      .when(cs === "utf-16", decode(payload, "UTF-16"))
+      .when(cs === "utf-16be", decode(payload, "UTF-16BE"))
+      .when(cs === "utf-16le", decode(payload, "UTF-16LE"))
+      .otherwise(make_valid_utf8(payload.cast("string")))
+  }
+
   /** `conversion` records → the text-document frame a crawl-curation
-    * pipeline ingests (uri, capture date, UTF-8 text) — ONE projection
-    * shared by the batch and streaming WET views. */
+    * pipeline ingests (uri, capture date, charset-decoded text) — ONE
+    * projection shared by the batch and streaming WET views. */
   private def wetView(records: DataFrame): DataFrame =
     records
       .filter(col("warc_type") === "conversion")
       .select(col("target_uri"), col("warc_date"), col("record_id"),
         col("headers"),
-        decode(col("payload"), "UTF-8").as("text"),
+        decodedText(col("payload"), col("headers").getItem("content-type")).as("text"),
         col("content_length").as("n_bytes"))
 
   /** WET view of a directory of archives. */

@@ -72,24 +72,29 @@ object WikirRawSource {
     * skipped. Tabs and spaces both occur in the wild — split on runs of
     * either. */
   def readQrels(spark: SparkSession, root: String, splitName: String): DataFrame = {
-    val parsed = spark.read.text(s"$root/$splitName/qrels")
-      .filter(length(trim(col("value"))) > 0)
-      .select(split(trim(col("value")), "\\s+").as("f"))
-      .select(
-        element_at(col("f"), 1).cast("long").as("query_id"),
-        element_at(col("f"), 2).as("iteration"),
-        element_at(col("f"), 3).cast("long").as("doc_id"),
-        element_at(col("f"), 4).cast("long").as("relevance"))
     // FAILFAST parity with the CSV readers above: text+split+cast would
     // otherwise turn a malformed line (<4 fields, non-numeric ids/rel)
-    // into silent nulls that vanish in downstream joins. qrels is
-    // split-sized, so the validation count is a trivial job.
-    val bad = parsed.filter(col("query_id").isNull || col("doc_id").isNull ||
-      col("relevance").isNull).count()
-    require(bad == 0,
-      s"qrels $root/$splitName/qrels: $bad malformed line(s) " +
-        "(expected: <qid> <iteration> <docid> <relevance> per line)")
-    parsed
+    // into silent nulls that vanish in downstream joins. The guard is
+    // INLINE (assert_true woven into each consumed column) so the
+    // reader stays lazy and single-pass — no eager validation count()
+    // scanning the file a second time on every call (round 15; was an
+    // action at DataFrame-construction time).
+    val f = split(trim(col("value")), "\\s+")
+    val qid = element_at(f, 1).cast("long")
+    val did = element_at(f, 3).cast("long")
+    val rel = element_at(f, 4).cast("long")
+    val guard = assert_true(
+      size(f) >= 4 && qid.isNotNull && did.isNotNull && rel.isNotNull,
+      concat(lit(s"qrels $root/$splitName/qrels: malformed line '"),
+        col("value"),
+        lit("' (expected: <qid> <iteration> <docid> <relevance> per line)")))
+    spark.read.text(s"$root/$splitName/qrels")
+      .filter(length(trim(col("value"))) > 0)
+      .select(
+        when(guard.isNull, qid).as("query_id"),
+        when(guard.isNull, element_at(f, 2)).as("iteration"),
+        when(guard.isNull, did).as("doc_id"),
+        when(guard.isNull, rel).as("relevance"))
   }
 
   /** Raw distribution → the normalized (doc_id, filename, title,

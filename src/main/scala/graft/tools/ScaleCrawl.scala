@@ -103,7 +103,43 @@ object ScaleCrawl {
       .filter(col("got") =!= col("want")).count()
     require(mism == 0, s"$mism payload mismatches after warc roundtrip")
     back.unpersist()
-    println(s"[scale] RECORD urls=2M survivors=$nSurv warcDocs=$nDocs mismatches=0")
+
+    // ---- ONE big archive (round 15): ~400 MB decompressed through a
+    // single gzip file / single task — 100× the per-record cap we set
+    // below (1 MiB). Parsing succeeds record-at-a-time with full md5
+    // equality; the cap being per-RECORD while the stream is 400× it
+    // is the memory contract (WarcSourceSpec proves the cap's loud
+    // failure mode; this gate proves volume through one task).
+    val bigDir = "target/tmp/scale_warc_big"
+    val nBig = 4000L
+    val bigDocs = spark.range(nBig).select(
+      lit("conversion").as("warc_type"),
+      concat(lit("http://big.test/"), col("id")).as("target_uri"),
+      lit("2026-01-01T00:00:00Z").as("warc_date"),
+      concat(lit("<urn:uuid:big"), col("id"), lit(">")).as("record_id"),
+      lit("text/plain").as("content_type"),
+      encode(concat(col("id").cast("string"), lit(":"),
+        repeat(concat(lit("payload"), (col("id") % 89).cast("string"), lit(" ")),
+          10000)), "UTF-8").as("payload"), // ~100 KB per record
+      map(lit("WARC-X-Id"), col("id").cast("string")).as("extra"))
+    time(s"warc write (ONE archive, $nBig x ~100KB records)") {
+      WarcSource.write(bigDocs.coalesce(1), bigDir, gzip = true)
+    }
+    val archBytes = new java.io.File(bigDir).listFiles()
+      .filter(_.getName.endsWith(".warc.gz")).map(_.length()).sum
+    spark.conf.set(WarcSource.MaxRecordBytesConf, (1L << 20).toString)
+    val bigMism = try time(f"warc big-archive read (${archBytes / 1e6}%.0f MB gz, 1 MiB record cap)") {
+      WarcSource.read(spark, bigDir).toDF()
+        .select(element_at(col("headers"), "warc-x-id").cast("long").as("id"),
+          md5(col("payload")).as("got"))
+        .join(bigDocs.select(
+          element_at(col("extra"), "WARC-X-Id").cast("long").as("id"),
+          md5(col("payload")).as("want")), Seq("id"))
+        .filter(col("got") =!= col("want")).count()
+    } finally spark.conf.unset(WarcSource.MaxRecordBytesConf)
+    require(bigMism == 0, s"$bigMism mismatches in big-archive roundtrip")
+
+    println(s"[scale] RECORD urls=2M survivors=$nSurv warcDocs=$nDocs mismatches=0 bigArchiveRecords=$nBig")
     spark.stop()
   }
 }

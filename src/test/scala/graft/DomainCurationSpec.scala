@@ -76,7 +76,10 @@ class DomainCurationSpec extends AnyFunSuite {
       "https://ex.com/a?utm_source=x&keep=1&gclid=z" -> "https://ex.com/a?keep=1",
       "https://ex.com/a?utm_campaign=only"         -> "https://ex.com/a",
       "https://ex.com///"                          -> "https://ex.com",
-      "https://ex.com/p?b=2&a=1"                   -> "https://ex.com/p?b=2&a=1") // order KEPT
+      "https://ex.com/p?b=2&a=1"                   -> "https://ex.com/p?b=2&a=1", // order KEPT
+      // scheme-less (crawl seed lists): assume http, collapse with the scheme-ful twin
+      "www.Ex.com/p?keep=1"                        -> "http://ex.com/p?keep=1",
+      "ex.com:80/p"                                -> "http://ex.com/p")
     val got = cases.map(_._1).toDF("url")
       .select(col("url"), DomainCuration.canonicalUrl(col("url")).as("c"))
       .as[(String, String)].collect().toMap

@@ -118,6 +118,65 @@ class WarcSourceSpec extends AnyFunSuite {
       "streamed ingest must equal the batch WET read over all archives")
   }
 
+  test("charset-aware WET decode: Content-Type charset is honored, UTF-8 is the fallback") {
+    val dir = tmp("warc_charset")
+    val latin1 = "café à la crème".getBytes("ISO-8859-1")
+    val recs =
+      WarcSource.render("conversion", "http://x.test/l1", "2026-01-01T00:00:00Z",
+        "<urn:uuid:l1>", "text/plain; charset=ISO-8859-1", latin1) ++
+      WarcSource.render("conversion", "http://x.test/cp", "2026-01-01T00:00:00Z",
+        "<urn:uuid:cp>", "text/plain; charset=\"windows-1252\"", latin1) ++
+      WarcSource.render("conversion", "http://x.test/u16", "2026-01-01T00:00:00Z",
+        "<urn:uuid:u16>", "text/plain; charset=UTF-16BE", "café".getBytes("UTF-16BE")) ++
+      // no charset parameter: UTF-8 convention; latin-1 bytes under it
+      // must REPLACEMENT-CHAR, not throw (and not silently decode)
+      WarcSource.render("conversion", "http://x.test/bad", "2026-01-01T00:00:00Z",
+        "<urn:uuid:bad>", "text/plain", latin1)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "cs.warc"), recs)
+    val got = WarcSource.readWet(spark, dir)
+      .select(col("target_uri"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got("http://x.test/l1") == "café à la crème")
+    assert(got("http://x.test/cp") == "café à la crème",
+      "cp1252 decodes via byte-complete ISO-8859-1")
+    assert(got("http://x.test/u16") == "café")
+    assert(got("http://x.test/bad").contains('�'),
+      "charset-less latin-1 bytes must surface as replacement chars, not silently pass")
+  }
+
+  test("memory bound is per RECORD, not per archive: archive >> cap parses; one record over cap fails loudly") {
+    // every record under the cap, archive total far over it — proves
+    // the parser never buffers the whole archive
+    val dir = tmp("warc_cap")
+    val many = (1L to 50L).map(i => i -> ("x" * 100)) // 50 × 100 B records, 5 KB archive
+    WarcSource.write(docsDf(many).coalesce(1), dir, gzip = true)
+    spark.conf.set(WarcSource.MaxRecordBytesConf, "256")
+    try {
+      assert(WarcSource.read(spark, dir).count() == 50,
+        "archive 20× the record cap must parse when each record fits")
+      val dir2 = tmp("warc_cap_over")
+      WarcSource.write(docsDf(Seq(1L -> ("y" * 1000))).coalesce(1), dir2, gzip = false)
+      val e = intercept[Exception] { WarcSource.read(spark, dir2).collect() }
+      def chain(t: Throwable): Seq[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+          .map(x => Option(x.getMessage).getOrElse("")).toSeq
+      assert(chain(e).exists(_.contains(WarcSource.MaxRecordBytesConf)),
+        s"over-cap record must name the conf; got: ${chain(e).mkString(" | ")}")
+    } finally spark.conf.unset(WarcSource.MaxRecordBytesConf)
+  }
+
+  test("render rejects CR/LF in header values at WRITE time") {
+    intercept[IllegalArgumentException] {
+      WarcSource.render("conversion", "http://x.test/\r\nWARC-Type: fake",
+        "2026-01-01T00:00:00Z", "<urn:uuid:inj>", "text/plain", "x".getBytes)
+    }
+    intercept[IllegalArgumentException] {
+      WarcSource.render("conversion", "http://x.test/ok", "2026-01-01T00:00:00Z",
+        "<urn:uuid:inj>", "text/plain", "x".getBytes,
+        extra = Seq("WARC-X-Note" -> "a\nb"))
+    }
+  }
+
   test("header names parse case-insensitively; values keep inner whitespace") {
     val dir = tmp("warc_case")
     val rec = WarcSource.render("conversion", "http://x.test/ws", "2026-01-01T00:00:00Z",
