@@ -925,7 +925,7 @@ object Similarity {
     // data version + constants baked into the stored index (see
     // topkIvfPqIndexed for the key convention); "tp" marks the round-12
     // multi-top layout so a stored two-table index never serves it
-    val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${embFile.lastModified}" +
+    val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${Layout.stateTag(embFile)}" +
       s"_pk${Ivf2K1}x${Ivf2K2}i${Ivf2Iters}ts"
     val base = s"target/tmp/ivf2_index/$key"
     ivf2WriteIndex(spark, dir, base)
@@ -1121,7 +1121,7 @@ object Similarity {
     val embFile = new java.io.File(s"$dir/embeddings.parquet")
     // data version + constants baked into the stored index (see
     // topkIvfPqIndexed for the key convention)
-    val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${embFile.lastModified}" +
+    val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${Layout.stateTag(embFile)}" +
       s"_m${PqM}k${PqK}i$PqIters"
     val base = s"target/tmp/pq_index/$key"
     // guard on the LAST-written table: a crash between writes leaves it
@@ -1640,7 +1640,11 @@ object Similarity {
       .join(broadcast(queries), Seq("qid"))
       .cache()
     val ids = cand.select(col("nid")).distinct()
-    val candIds = ids.collect().map(_.get(0)).toSeq
+    // branch on a COUNT; the ids only materialize on the driver when
+    // the literal path is actually taken (round 15 — previously an
+    // over-budget batch collected its whole id set just to discard it
+    // and take the semi-join path that exists to avoid exactly that)
+    val nIds = ids.count()
     // ADAPTIVE refine source (round 14, the bm25ServeStored pattern):
     // when the caller supplies the store's flat-parquet twin, pick per
     // batch from candidate bucket coverage — wide coverage means the
@@ -1666,11 +1670,12 @@ object Similarity {
     // broadcast semi-join on the id frame instead: same rows kept,
     // value-identical (spec-forced at tiny size), no plan blowup.
     val vecsPruned =
-      if (candIds.isEmpty) src.filter(lit(false))
-      else if (candIds.size <= refineLiteralMax(spark))
-        src.filter(col("vec_id").isInCollection(candIds))
+      if (nIds == 0L) src.filter(lit(false))
+      else if (nIds <= refineLiteralMax(spark))
+        src.filter(col("vec_id").isInCollection(
+          ids.collect().map(_.get(0)).toSeq))
       else {
-        System.err.println(s"[graft] refine candidates: ${candIds.size} ids > " +
+        System.err.println(s"[graft] refine candidates: $nIds ids > " +
           s"literal budget ${refineLiteralMax(spark)} — pruning via broadcast semi-join")
         src.join(broadcast(ids.withColumnRenamed("nid", "vec_id")),
           Seq("vec_id"), "left_semi")
@@ -1739,7 +1744,7 @@ object Similarity {
     // "res" marks the round-12 residual encode, "p" the round-13
     // label-PARTITIONED codes layout — a stored index from an earlier
     // build must not serve under the new math or the new layout
-    val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${embFile.lastModified}" +
+    val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${Layout.stateTag(embFile)}" +
       s"_respm${PqM}k${PqK}i$PqIters"
     val base = s"target/tmp/ivfpq_index/$key"
     ivfPqWriteIndex(spark, dir, base)
@@ -1791,7 +1796,7 @@ object Similarity {
     * instead of rebuilding; `_SUCCESS`-guarded against torn writes). */
   private[graft] def vecStoreKey(spark: SparkSession, dir: String): String = {
     val embFile = new java.io.File(s"$dir/embeddings.parquet")
-    s"${dir}_${embFile.lastModified}_b${vecBuckets(spark, dir)}"
+    s"${dir}_${Layout.stateTag(embFile)}_b${vecBuckets(spark, dir)}"
       .replaceAll("[^A-Za-z0-9_]", "_").toLowerCase
   }
 
@@ -2548,7 +2553,7 @@ object Similarity {
     val k = knnCellsFor(emb(spark, dir).count())
     // the flat/two-level cutover changes the quantizer (cosine argmax
     // vs composed L2²) — fold it in so a conf flip re-keys
-    val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${embFile.lastModified}" +
+    val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${Layout.stateTag(embFile)}" +
       s"_j${KnnJ}_k${k}i${KnnKmIters}f${knnFlatMaxCells(spark)}"
     val path = s"target/tmp/knn_graph_cache/$key"
     if (!new java.io.File(s"$path/_SUCCESS").exists())

@@ -221,4 +221,24 @@ class IndexLayoutSpec extends AnyFunSuite {
     try assert(Similarity.vecBuckets(spark, "/root/testdata/sf0.001") == 64)
     finally spark.conf.unset("spark.graft.vecBuckets")
   }
+
+  test("Layout.tableCount: same-second regen invalidates the memo (part-listing key)") {
+    import graft.operators.Layout
+    // regen a table WITHIN one mtime second: directory mtime can't
+    // distinguish the two states, the part listing (sizes) must
+    val dir = java.nio.file.Files.createTempDirectory("layout_regen").toString
+    // pin the directory mtime to ONE fixed second around both writes so
+    // an mtime-only key provably could not tell the two states apart
+    val pinned = (System.currentTimeMillis() / 1000) * 1000
+    spark.range(10).toDF("doc_id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/t.parquet")
+    new java.io.File(s"$dir/t.parquet").setLastModified(pinned)
+    val c1 = Layout.tableCount(spark, dir, "t")
+    spark.range(250).toDF("doc_id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/t.parquet")
+    new java.io.File(s"$dir/t.parquet").setLastModified(pinned)
+    val c2 = Layout.tableCount(spark, dir, "t")
+    assert(c1 == 10L && c2 == 250L,
+      s"stale memo after same-second regen: first=$c1 second=$c2")
+  }
 }
