@@ -202,7 +202,7 @@ object Curation {
   // each) collected and turned into broadcast offsets, global cumsum =
   // offset(partition) + local cumsum. The only driver traffic is
   // numPartitions subtotal rows.
-  private val BlockTokens = 1024L
+  private[graft] val BlockTokens = 1024L
 
   final case class TokRow(doc_id: Long, n: Long)
   final case class CumRow(doc_id: Long, n: Long, pid: Int, localCum: Long)
@@ -233,6 +233,43 @@ object Curation {
     val offDf = offsets.toDF("pid", "offset")
     local.join(broadcast(offDf), Seq("pid"))
       .select(col("doc_id"), col("n").as("n_tokens"),
+        expr(s"(offset + localCum - n) div $BlockTokens").as("first_block"),
+        expr(s"(offset + localCum - 1) div $BlockTokens").as("last_block"))
+  }
+
+  final case class OTokRow(okey: String, doc_id: Long, n: Long)
+  final case class OCumRow(okey: String, doc_id: Long, n: Long, pid: Int, localCum: Long)
+
+  /** [[packOf]] with an EXPLICIT ordering key — the token stream
+    * follows (okey, doc_id) order instead of ingest order. This is
+    * what the shard export rides: okey = namespaced md5 gives the
+    * deterministic pre-training shuffle, and the pack arithmetic stays
+    * the SAME distributed prefix sum (range partition on the order
+    * key, one subtotal row per partition to the driver — never a
+    * global window). `counts0` = (okey string, doc_id, n), n > 0. */
+  private[graft] def packOfOrdered(counts0: DataFrame): DataFrame = {
+    val spark = counts0.sparkSession
+    import spark.implicits._
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val counts = counts0
+      .select(col("okey"), col("doc_id"), col("n"))
+      .repartitionByRange(parts, col("okey"), col("doc_id"))
+      .sortWithinPartitions(col("okey"), col("doc_id"))
+      .as[OTokRow]
+    val local = counts.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var cum = 0L
+      it.map { r => cum += r.n; OCumRow(r.okey, r.doc_id, r.n, pid, cum) }
+    }.cache() // feeds the subtotal action AND the final join
+    val subtotals = local.groupBy(col("pid")).agg(max(col("localCum")).as("sub"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = {
+      var acc = 0L
+      (0 until parts).map { p => val o = acc; acc += subtotals.getOrElse(p, 0L); (p, o) }
+    }
+    val offDf = offsets.toDF("pid", "offset")
+    local.join(broadcast(offDf), Seq("pid"))
+      .select(col("doc_id"), col("okey"), col("n").as("n_tokens"),
         expr(s"(offset + localCum - n) div $BlockTokens").as("first_block"),
         expr(s"(offset + localCum - 1) div $BlockTokens").as("last_block"))
   }
@@ -1345,6 +1382,7 @@ object Curation {
     "curation_corpus_stats"  -> (corpusStats _),
     "curation_domain_gate"   -> (DomainCuration.domainGate _),
     "curation_release_manifest" -> (releaseManifest _),
+    "curation_shard_export"  -> (ShardExport.shardExport _),
     "curation_url_dedup"     -> (DomainCuration.urlDedup _))
 
   val oracle: Map[String, String] = Map(
@@ -1367,5 +1405,6 @@ object Curation {
     "curation_corpus_stats"  -> corpusStatsOracle,
     "curation_domain_gate"   -> DomainCuration.domainGateOracle,
     "curation_release_manifest" -> releaseManifestOracle,
+    "curation_shard_export"  -> ShardExport.shardExportOracle,
     "curation_url_dedup"     -> DomainCuration.urlDedupOracle)
 }

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+import graft.sources.Tables
+
+/** Training-shard export (round 15) — the DATALOADER HANDOFF at the end
+  * of the curation chain. A trained-on corpus doesn't ship as "a parquet
+  * table": it ships as deterministically-shuffled, roughly-fixed-size
+  * shard files plus a manifest (docs/tokens/bytes/block range per
+  * shard), so a data loader can (a) assign shards to workers by
+  * byte-budget, (b) resume from a shard boundary, and (c) reproduce the
+  * exact sample order from the manifest alone.
+  *
+  * Semantics:
+  *  - deterministic shuffle: docs order by `md5('shard:' || doc_id)` —
+  *    the namespaced-salt convention every sampling operator here uses
+  *    (portable, rerunnable on any cluster layout, and independent of
+  *    the hash any OTHER stage ordered by, so stages don't correlate).
+  *  - pack: the shuffled token stream cuts into [[Curation.BlockTokens]]
+  *    blocks via [[Curation.packOfOrdered]] — the SAME distributed
+  *    prefix sum as the gated packing core, never a global window.
+  *  - shard: `shard_id = first_block div blocksPerShard`. Shards are
+  *    DOCUMENT-ALIGNED (a doc belongs to the shard where its first
+  *    token block lands), so shard files hold whole documents and sizes
+  *    are fixed to within one document of the block budget — the
+  *    webdataset/tar-shard convention, and what keeps export a pure
+  *    projection (no document ever splits across files).
+  *
+  * Scale shape: one tokenize scan + the prefix sum's range shuffle +
+  * one hash shuffle on shard_id for the write. Driver traffic is the
+  * prefix sum's numPartitions subtotal rows; the manifest is
+  * shard-count-sized. 100 TB at the default ~1M-token shards is ~25M
+  * manifest rows — a small table, not a driver structure.
+  */
+object ShardExport {
+
+  /** Namespaced salt for the deterministic pre-shard shuffle. */
+  private[graft] final val ShardSalt = "shard:"
+
+  /** Gate sizing: small enough that sf0.01 (500 docs) yields a
+    * multi-shard manifest, so the gate exercises real shard boundaries. */
+  private[graft] final val GateBlocksPerShard = 4L
+
+  /** Exporter default: 1024 blocks × 1024 tokens ≈ 1M tokens/shard —
+    * tens of MB of text per file, the object-store sweet spot. */
+  final val DefaultBlocksPerShard = 1024L
+
+  /** Shard assignment over any (doc_id, text) frame:
+    * (doc_id, okey, n_tokens, first_block, last_block, shard_id).
+    * Empty docs (0 tokens) are excluded, matching the packing core. */
+  def shardAssign(docs: DataFrame,
+                  blocksPerShard: Long = DefaultBlocksPerShard): DataFrame = {
+    require(blocksPerShard > 0, s"blocksPerShard must be positive: $blocksPerShard")
+    val counts = docs.select(
+      md5(concat(lit(ShardSalt), col("doc_id").cast("string"))).as("okey"),
+      col("doc_id"),
+      size(TextFns.tokens(col("text"))).cast("long").as("n"))
+      .filter(col("n") > 0)
+    Curation.packOfOrdered(counts)
+      .withColumn("shard_id", expr(s"first_block div $blocksPerShard"))
+  }
+
+  /** The manifest: per shard, how many docs, tokens, text bytes, and
+    * which block range — closed-form over the assignment (the bytes
+    * join back to the corpus on doc_id; AQE broadcasts the bounded
+    * assignment side at gate SFs, shuffle-joins at scale). */
+  private def manifestOf(assign: DataFrame, docs: DataFrame): DataFrame =
+    assign
+      .join(docs.select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("nb")), Seq("doc_id"))
+      .groupBy(col("shard_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("nb")).as("n_bytes"),
+        min(col("first_block")).as("first_block"),
+        max(col("last_block")).as("last_block"))
+      .orderBy(col("shard_id"))
+
+  /** Gated `curation_shard_export`: the manifest over the documents
+    * table at gate shard size. */
+  def shardExport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    manifestOf(shardAssign(docs, GateBlocksPerShard), docs)
+  }
+
+  // the shared reference tokenizer fragment (Curation/Dedup/TextAnalysis
+  // carry the same literal — it IS the cross-file tokenizer contract)
+  private val tokensSql =
+    "list_filter(regexp_split_to_array(lower(regexp_replace(text, '[^\\w\\s]', ' ', 'g')), '\\s+'), x -> x <> '')"
+
+  val shardExportOracle: String = s"""
+    WITH t AS (
+      SELECT doc_id, md5('${ShardSalt}' || CAST(doc_id AS VARCHAR)) AS okey,
+             len($tokensSql) AS n, strlen(text) AS nb
+      FROM documents),
+    f AS (SELECT * FROM t WHERE n > 0),
+    c AS (SELECT doc_id, okey, n, nb,
+            CAST(sum(n) OVER (ORDER BY okey, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+          FROM f),
+    b AS (SELECT doc_id, n, nb,
+            (cum - n) // ${Curation.BlockTokens} AS first_block,
+            (cum - 1) // ${Curation.BlockTokens} AS last_block
+          FROM c)
+    SELECT first_block // $GateBlocksPerShard AS shard_id,
+      count(*) AS n_docs,
+      CAST(sum(n) AS BIGINT) AS n_tokens,
+      CAST(sum(nb) AS BIGINT) AS n_bytes,
+      min(first_block) AS first_block,
+      max(last_block) AS last_block
+    FROM b GROUP BY 1 ORDER BY shard_id"""
+
+  /** Write the shard tree: one `shard_id=N` parquet directory per
+    * shard, rows carrying (doc_id, text…, okey) sorted by (shard_id,
+    * okey, doc_id) so a loader streaming a shard file in row order
+    * replays the deterministic shuffle. The manifest persists beside
+    * the shards under `_shard_manifest` (underscore prefix — invisible
+    * to parquet readers scanning the shard tree, the _SUCCESS rule).
+    * Idempotence is [[graft.api.Extractor.writeCorpusPartitioned]]'s:
+    * mode=overwrite + partitionBy through Spark's commit protocol, so
+    * a re-export (or task retry) can never leave a torn tree. Returns
+    * the manifest as written. */
+  def exportShards(docs: DataFrame, outDir: String,
+                   blocksPerShard: Long = DefaultBlocksPerShard): DataFrame = {
+    val spark = docs.sparkSession
+    val assign = shardAssign(docs, blocksPerShard).cache()
+    docs.join(assign.select(col("doc_id"), col("okey"), col("shard_id")), Seq("doc_id"))
+      .repartition(col("shard_id"))
+      .sortWithinPartitions(col("shard_id"), col("okey"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("shard_id").parquet(outDir)
+    val manifest = manifestOf(assign, docs)
+    manifest.coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/_shard_manifest")
+    assign.unpersist()
+    spark.read.parquet(s"$outDir/_shard_manifest").orderBy(col("shard_id"))
+  }
+}
