@@ -19,8 +19,10 @@ import graft.functions.TextFns
   */
 object Curation {
 
-  private val tokensSql =
-    "list_filter(regexp_split_to_array(lower(regexp_replace(text, '[^\\w\\s]', ' ', 'g')), '\\s+'), x -> x <> '')"
+  private def tokensSqlOver(c: String): String =
+    s"list_filter(regexp_split_to_array(lower(regexp_replace($c, '[^\\w\\s]', ' ', 'g')), '\\s+'), x -> x <> '')"
+
+  private val tokensSql = tokensSqlOver("text")
 
   private val MixPerSource = 10
 
@@ -782,8 +784,14 @@ object Curation {
   // all three (the r7 shared-fragment pattern applied to the plan, not
   // just the oracle). Plan: one tokenize scan, the gate's aggregation
   // passes, one fingerprint shuffle, then narrow per-row scoring.
-  def pipelineCurate(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
+  def pipelineCurate(spark: SparkSession, dir: String): DataFrame =
+    pipelineCurateOf(Tables.documents(spark, dir))
+
+  /** The pipeline over ANY (doc_id, text, …) frame — the seam the
+    * release manifests share (v2 runs it over a seeded corpus union,
+    * round 15). */
+  def pipelineCurateOf(docs: DataFrame): DataFrame = {
+    val toks = docs
       .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
       .cache() // the single tokenize: gate stats + grams, fp, lang
     val kept = qualityGateOf(toks).filter(col("keep"))
@@ -811,18 +819,21 @@ object Curation {
     s"""toks AS (SELECT doc_id, $tokensSql AS t FROM documents),
     $pipelineCtesAfterToks"""
 
-  /** [[pipelineCtes]] minus the `toks` head (see [[gateCtesAfterToks]]). */
-  private def pipelineCtesAfterToks: String = s"""$gateCtesAfterToks,
+  /** [[pipelineCtes]] minus the `toks` head (see [[gateCtesAfterToks]]);
+    * `docs` parameterizes the corpus table for the seeded v2 oracle. */
+  private def pipelineCtesAfterToksOver(docs: String): String = s"""$gateCtesAfterToks,
     kept AS (
       SELECT doc_id, n_tokens FROM f
       WHERE NOT (f_short OR f_long OR f_toklen OR f_stop OR f_rep2 OR f_rep3)),
     fp AS (
       SELECT d.doc_id, k.n_tokens,
         md5(array_to_string($tokensSql, ' ')) AS content_fp
-      FROM documents d JOIN kept k USING (doc_id)),
+      FROM $docs d JOIN kept k USING (doc_id)),
     surv AS (
       SELECT min(doc_id) AS doc_id, count(*) AS n_copies
       FROM fp GROUP BY content_fp)"""
+
+  private def pipelineCtesAfterToks: String = pipelineCtesAfterToksOver("documents")
 
   /** Exact twin of [[pipelineCurate]]: the shared [[pipelineCtes]]
     * chain, then the shared lang-id score/CASE fragments over
@@ -925,13 +936,15 @@ object Curation {
   /** Cluster-keyed split assignment over `clu` as a CTE body — shared
     * verbatim between [[splitLeakSafeOracle]] and the release-manifest
     * oracle (the [[gateCtes]] discipline applied to the split). */
-  private def splitAssignSql: String = """
+  private def splitAssignSqlOver(docs: String, clu: String): String = s"""
     SELECT doc_id, source, cluster_id,
       CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
     FROM (SELECT d.doc_id, d.source, c.cluster_id,
             CAST(CAST(concat('0x', substr(md5('split:' || CAST(c.cluster_id AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE)
               / 1152921504606846976.0 AS u
-          FROM documents d JOIN clu c USING (doc_id))"""
+          FROM $docs d JOIN $clu c USING (doc_id))"""
+
+  private def splitAssignSql: String = splitAssignSqlOver("documents", "clu")
 
   val splitLeakSafeOracle: String = s"""
     WITH RECURSIVE
@@ -1047,6 +1060,177 @@ object Curation {
     FROM cur JOIN blocks USING (split)
     GROUP BY cur.split, cur.source, blocks.split_blocks
     ORDER BY cur.split, cur.source"""
+
+  // ---- release manifest v2: + decontamination + PII (round 15) --------
+  // What a production release actually runs between curate and split:
+  // benchmark DECONTAMINATION (the winnow fingerprint join, 26u — docs
+  // sharing a ≥ k+w−1-token passage with the eval set are dropped, and
+  // the card says how many) and PII REDACTION (26k — the shipped text
+  // is the redacted text, so the packed token stream and the card's
+  // token counts are POST-redaction; the card counts the redactions).
+  // Every stage is its gated definition; the oracle is the same
+  // shared-fragment assembly as v1, now with the fragments
+  // table-parameterized because v2 runs over a SEEDED corpus.
+  //
+  // The seed (the LineSeeds/WinnowSeeds discipline): the sf corpora
+  // share no ≥8-token passage with the probe slice, so decontamination
+  // would be vacuous on them. One crafted doc — unique content, passes
+  // the quality gate, contains the 12-token winnow seed passage —
+  // joins the corpus under source 'seeded' and must surface in the
+  // card as contaminated (and ship zero tokens). Its split uses the
+  // singleton-cluster fallback (cluster_id = doc_id for docs the
+  // materialized cluster table has never seen — the incremental-doc
+  // rule the catalog operators use).
+  // Two seeds, one per new stage (both unique content, both pass the
+  // gate): the first carries the winnow seed passage → must surface as
+  // CONTAMINATED and ship nothing; the second carries an email + a
+  // phone number → must SHIP with its PII redacted (n_redacted = 2 and
+  // post-redaction token counts). Without them both stages would be
+  // vacuous at gate SFs — the corpus shares no ≥8-token passage with
+  // the probe slice, and the piiRedact gate itself proves the corpus
+  // is PII-clean.
+  private[graft] val ReleaseSeeds: Seq[(Long, String, String)] = Seq(
+    (9000000001L, "seeded",
+      s"this archived crawl page plainly copies $WinnowSeedPassage and then " +
+      "wanders through unrelated remarks about weather markets travel cooking " +
+      "gardens and music until the ordinary prose convinces the quality gate to keep it"),
+    (9000000002L, "seeded",
+      "please contact the archive team by mail at curator@example.org or by " +
+      "phone at +1 415 555 0117 for any questions about this otherwise ordinary " +
+      "page of prose regarding weather travel cooking and music that the " +
+      "quality gate should keep"))
+
+  def releaseManifestV2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docsPlus = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+      .unionByName(ReleaseSeeds.toDF("doc_id", "source", "text"))
+    // stage 1: curate — the gated pipeline over the release corpus
+    val curated = pipelineCurateOf(docsPlus)
+      .select(col("doc_id"), col("n_tokens"), col("n_copies"))
+    // stage 2: decontaminate — winnow fingerprints of corpus ∪ benchmark,
+    // probe = the benchmark slice (26u's convention), flagged docs DROP
+    val bench = Seq(WinnowSeeds.head).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprintOf(
+        docsPlus.select(col("doc_id"), col("text")).unionByName(bench))
+      .select(col("doc_id"), col("fp"))
+    val contam = fps.filter(col("doc_id") >= ProbeDocs)
+      .join(broadcast(fps.filter(col("doc_id") < ProbeDocs)
+        .select(col("fp")).distinct()), Seq("fp"))
+      .select(col("doc_id")).distinct()
+      .withColumn("contaminated", lit(true))
+    // stage 3: redact — the 26k chain; the SHIPPED text is the redacted
+    // text, so token counts for pack + card re-tokenize it
+    val afterEmail = regexp_replace(col("text"), TextAnalysis.EmailRe, "<EMAIL>")
+    val afterIp    = regexp_replace(afterEmail, TextAnalysis.Ipv4Re, "<IP>")
+    val afterPhone = regexp_replace(afterIp, TextAnalysis.PhoneRe, "<PHONE>")
+    val red = docsPlus.select(col("doc_id"),
+      (regexp_count(col("text"), lit(TextAnalysis.EmailRe)) +
+       regexp_count(afterEmail, lit(TextAnalysis.Ipv4Re)) +
+       regexp_count(afterIp, lit(TextAnalysis.PhoneRe))).cast("long").as("n_pii"),
+      size(TextFns.tokens(afterPhone)).cast("long").as("n_ship_tokens"))
+    // stage 4: leak-safe split from the materialized cluster table,
+    // singleton fallback for docs the table has never seen (the seed)
+    val cluPlus = docsPlus.select(col("doc_id"))
+      .join(Dedup.clustersCached(spark, dir)
+        .select(col("doc_id"), col("cluster_id")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val splits = splitLeakSafeOf(
+        docsPlus.select(col("doc_id"), col("source")), cluPlus)
+      .select(col("doc_id"), col("source"), col("split"))
+    val cur = curated.select(col("doc_id"), col("n_copies"))
+      .join(splits, Seq("doc_id"))
+      .join(red, Seq("doc_id"))
+      .join(contam, Seq("doc_id"), "left")
+      .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
+      .cache()
+    // stage 5: pack each split's SHIPPED token stream (kept docs only)
+    val packs = packOfBy(
+        cur.filter(!col("contaminated"))
+          .select(col("split"), col("doc_id"), col("n_ship_tokens").as("n"))
+          .filter(col("n") > 0), "split")
+      .groupBy(col("g"))
+      .agg((max(col("last_block")) + 1L).as("split_blocks"))
+      .select(col("g").as("split"), col("split_blocks"))
+    // stage 6: the card — kept counts are post-redaction, plus the
+    // audit columns the release reviewer reads first
+    val out = cur.groupBy(col("split"), col("source"))
+      .agg(
+        count(when(!col("contaminated"), lit(1))).as("n_docs"),
+        sum(when(!col("contaminated"), col("n_ship_tokens"))).as("n_tokens"),
+        sum(when(!col("contaminated"), col("n_copies") - 1)).as("n_dupes_collapsed"),
+        count(when(col("contaminated"), lit(1))).as("n_contaminated"),
+        sum(when(!col("contaminated"), col("n_pii"))).as("n_redacted"))
+      .join(broadcast(packs), Seq("split"))
+      .orderBy(col("split"), col("source"))
+    out.count() // force while cur is cached
+    cur.unpersist()
+    out
+  }
+
+  /** Same fragment assembly as [[releaseManifestOracle]], with every
+    * corpus-reading fragment pointed at the seeded `docsplus` CTE and
+    * the two new stages spliced between surv and the card. */
+  val releaseManifestV2Oracle: String = {
+    val benchSeed = WinnowSeeds.head
+    s"""
+    WITH RECURSIVE
+    docsplus AS (
+      SELECT doc_id, source, text FROM documents
+      ${ReleaseSeeds.map { case (id, src, t) =>
+        s"UNION ALL SELECT CAST($id AS BIGINT), '$src', '${t.replace("'", "''")}'"
+      }.mkString("\n      ")}),
+    ${Dedup.clustersCteSqlOver("docsplus")},
+    ${pipelineCtesAfterToksOver("docsplus")},
+    wtoksv2 AS (
+      SELECT doc_id, t FROM toks
+      UNION ALL
+      SELECT CAST(${benchSeed._1} AS BIGINT),
+             ${tokensSqlOver(s"'${benchSeed._2.replace("'", "''")}'")}),
+    ${TextAnalysis.winnowCtesFromToks("wtoksv2")},
+    probe AS (SELECT DISTINCT fp FROM wfp WHERE doc_id < $ProbeDocs),
+    contam AS (
+      SELECT DISTINCT w.doc_id FROM wfp w JOIN probe USING (fp)
+      WHERE w.doc_id >= $ProbeDocs),
+    red0 AS (SELECT doc_id, text,
+        regexp_replace(text, '${TextAnalysis.EmailRe}', '<EMAIL>', 'g') AS after_email
+      FROM docsplus),
+    red1 AS (SELECT doc_id, text, after_email,
+        regexp_replace(after_email, '${TextAnalysis.Ipv4Re}', '<IP>', 'g') AS after_ip
+      FROM red0),
+    red AS (SELECT doc_id,
+        len(regexp_extract_all(text, '${TextAnalysis.EmailRe}'))
+          + len(regexp_extract_all(after_email, '${TextAnalysis.Ipv4Re}'))
+          + len(regexp_extract_all(after_ip, '${TextAnalysis.PhoneRe}')) AS n_pii,
+        CAST(len(${tokensSqlOver(
+          s"regexp_replace(after_ip, '${TextAnalysis.PhoneRe}', '<PHONE>', 'g')")}) AS BIGINT)
+          AS n_ship_tokens
+      FROM red1),
+    spl AS (${splitAssignSqlOver("docsplus", "clu")}),
+    cur AS (
+      SELECT s.doc_id, s.n_copies, spl.source, spl.split,
+        red.n_pii, red.n_ship_tokens,
+        (c.doc_id IS NOT NULL) AS contaminated
+      FROM surv s
+      JOIN spl USING (doc_id)
+      JOIN red USING (doc_id)
+      LEFT JOIN contam c USING (doc_id)),
+    blocks AS (
+      SELECT split,
+        CAST((sum(n_ship_tokens) - 1) // $BlockTokens + 1 AS BIGINT) AS split_blocks
+      FROM cur WHERE NOT contaminated GROUP BY split)
+    SELECT cur.split, cur.source,
+      count(CASE WHEN NOT contaminated THEN 1 END) AS n_docs,
+      CAST(sum(CASE WHEN NOT contaminated THEN n_ship_tokens END) AS BIGINT) AS n_tokens,
+      CAST(sum(CASE WHEN NOT contaminated THEN n_copies - 1 END) AS BIGINT) AS n_dupes_collapsed,
+      count(CASE WHEN contaminated THEN 1 END) AS n_contaminated,
+      CAST(sum(CASE WHEN NOT contaminated THEN n_pii END) AS BIGINT) AS n_redacted,
+      blocks.split_blocks
+    FROM cur JOIN blocks USING (split)
+    GROUP BY cur.split, cur.source, blocks.split_blocks
+    ORDER BY cur.split, cur.source"""
+  }
 
   // ---- DSIR importance resampling (round 7) ----------------------------
   // Data Selection via Importance Resampling (Xie et al. 2023,
@@ -1382,6 +1566,7 @@ object Curation {
     "curation_corpus_stats"  -> (corpusStats _),
     "curation_domain_gate"   -> (DomainCuration.domainGate _),
     "curation_release_manifest" -> (releaseManifest _),
+    "curation_release_manifest_v2" -> (releaseManifestV2 _),
     "curation_shard_export"  -> (ShardExport.shardExport _),
     "curation_url_dedup"     -> (DomainCuration.urlDedup _))
 
@@ -1405,6 +1590,7 @@ object Curation {
     "curation_corpus_stats"  -> corpusStatsOracle,
     "curation_domain_gate"   -> DomainCuration.domainGateOracle,
     "curation_release_manifest" -> releaseManifestOracle,
+    "curation_release_manifest_v2" -> releaseManifestV2Oracle,
     "curation_shard_export"  -> ShardExport.shardExportOracle,
     "curation_url_dedup"     -> DomainCuration.urlDedupOracle)
 }

@@ -34,13 +34,15 @@ object Dedup {
   private val tokensSql =
     "list_filter(regexp_split_to_array(lower(regexp_replace(text, '[^\\w\\s]', ' ', 'g')), '\\s+'), x -> x <> '')"
 
-  private val shinglesSqlCte = s"""
-    toks AS (SELECT doc_id, $tokensSql AS t FROM documents),
+  private def shinglesSqlCteOver(docs: String): String = s"""
+    toks AS (SELECT doc_id, $tokensSql AS t FROM $docs),
     sh AS (SELECT DISTINCT doc_id, s FROM (
       SELECT doc_id, unnest(list_transform(range(len(t)-2),
         i -> array_to_string(t[i+1:i+3], ' '))) AS s
       FROM toks WHERE len(t) >= 3)),
     sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)"""
+
+  private val shinglesSqlCte = shinglesSqlCteOver("documents")
 
   /** Exact Jaccard over candidate pair list (da < db assumed). The
     * candidate list is tiny relative to the shingle table — broadcast it
@@ -436,9 +438,12 @@ object Dedup {
 
   /** The recursive-CTE cluster computation, shared by the clusters
     * oracle and the leakage-safe split oracle (Curation): produces CTE
-    * `clu(doc_id, cluster_id)`. Callers prepend WITH RECURSIVE. */
-  private[operators] val clustersCteSql: String = s"""
-    $shinglesSqlCte,
+    * `clu(doc_id, cluster_id)` (plus `toks` over `docs`). Callers
+    * prepend WITH RECURSIVE. The `docs` parameter lets the release-
+    * manifest-v2 oracle run the identical chain over a seeded corpus
+    * CTE (round 15). */
+  private[operators] def clustersCteSqlOver(docs: String): String = s"""
+    ${shinglesSqlCteOver(docs)},
     pairs AS (
       SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -454,7 +459,9 @@ object Dedup {
     minreach AS (SELECT a, min(b) AS mb FROM reach GROUP BY a),
     clu AS (
       SELECT d.doc_id, least(d.doc_id, coalesce(m.mb, d.doc_id)) AS cluster_id
-      FROM documents d LEFT JOIN minreach m ON m.a = d.doc_id)"""
+      FROM $docs d LEFT JOIN minreach m ON m.a = d.doc_id)"""
+
+  private[operators] val clustersCteSql: String = clustersCteSqlOver("documents")
 
   val dedupClustersOracle: String = s"""
     WITH RECURSIVE

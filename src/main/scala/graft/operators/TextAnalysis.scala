@@ -971,12 +971,20 @@ object TextAnalysis {
     * contamination oracles; `src` lets the latter read a seeded union. */
   private[graft] def winnowCtes(src: String = "documents"): String = s"""
     toks AS (SELECT doc_id, $tokensSql AS t FROM $src),
+    ${winnowCtesFromToks("toks")}"""
+
+  /** [[winnowCtes]] minus the `toks` head, over an arbitrary
+    * token-table name — for compositions where `toks` is already a
+    * different corpus (DuckDB rejects duplicate CTE names; the
+    * release-manifest-v2 oracle fingerprints corpus ∪ benchmark while
+    * its main `toks` is the corpus alone). */
+  private[graft] def winnowCtesFromToks(toks: String): String = s"""
     g AS (SELECT doc_id, i,
             CAST(concat('0x', substr(md5('win:' || gr), 1, 15)) AS BIGINT) AS gh
           FROM (SELECT doc_id, unnest(range(1, len(t) - $WinK + 2)) AS i,
                   unnest(list_transform(range(len(t) - $WinK + 1),
                     x -> array_to_string(t[x+1:x+$WinK], ' '))) AS gr
-                FROM toks WHERE len(t) >= $WinK)),
+                FROM $toks WHERE len(t) >= $WinK)),
     n AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY doc_id),
     w1 AS (SELECT doc_id, i AS s,
              min(gh) OVER (PARTITION BY doc_id ORDER BY i

@@ -574,6 +574,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(seed.get._4 < 0.5, s"the same pair must be BELOW the Jaccard bar: $seed")
   }
 
+  test("release manifest v2: seeded contaminated doc drops, seeded PII doc ships redacted") {
+    val card = graft.operators.Curation
+      .releaseManifestV2(spark, "/root/testdata/sf0.001")
+      .filter(col("source") === "seeded")
+      .collect()
+    val nContam = card.map(_.getAs[Long]("n_contaminated")).sum
+    val nDocs = card.map(_.getAs[Long]("n_docs")).sum
+    val nRedact = card.filter(!_.isNullAt(card.head.fieldIndex("n_redacted")))
+      .map(_.getAs[Long]("n_redacted")).sum
+    assert(nContam == 1, s"the winnow-seeded doc must count contaminated: $nContam")
+    assert(nDocs == 1, s"exactly the PII-seeded doc ships: $nDocs")
+    assert(nRedact == 2, s"its email + phone must both count redacted: $nRedact")
+    // the shipped doc's token count is POST-redaction (placeholders
+    // tokenize as single words, the long PII spans are gone)
+    val shipped = card.filter(_.getAs[Long]("n_docs") == 1L).head
+    val toks = shipped.getAs[Long]("n_tokens")
+    assert(toks > 20 && toks < 45, s"post-redaction token count out of range: $toks")
+  }
+
   test("survivorshipOf: best-member policy beats min-id; ties break low; singletons keep") {
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L))
       .toDF("doc_id", "cluster_id")
