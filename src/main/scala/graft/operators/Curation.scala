@@ -1003,15 +1003,21 @@ object Curation {
   // per-split packing adds three bounded prefix-sum passes over the
   // CURATED counts (each a range partition + numPartitions subtotal
   // rows to the driver — never a global window).
-  def releaseManifest(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    // stage 1: curated survivors — the gated pipeline definition
-    val curated = pipelineCurate(spark, dir)
-      .select(col("doc_id"), col("n_tokens"), col("n_copies"))
-    // stage 2: leak-safe split from the materialized cluster table
-    val splits = splitLeakSafeOf(
-      Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+  def releaseManifest(spark: SparkSession, dir: String): DataFrame =
+    releaseManifestOf(
+      Tables.documents(spark, dir),
       Dedup.clustersCached(spark, dir))
+
+  /** The manifest over ANY (doc_id, source, text) frame and cluster
+    * table — the seam the incremental release re-emits through
+    * (round 15). */
+  def releaseManifestOf(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    // stage 1: curated survivors — the gated pipeline definition
+    val curated = pipelineCurateOf(docs)
+      .select(col("doc_id"), col("n_tokens"), col("n_copies"))
+    // stage 2: leak-safe split from the cluster table
+    val splits = splitLeakSafeOf(
+      docs.select(col("doc_id"), col("source")), clusters)
       .select(col("doc_id"), col("source"), col("split"))
     val cur = curated.join(splits, Seq("doc_id")).cache()
     // stage 3: pack every split's curated token stream in ONE grouped
@@ -1230,6 +1236,57 @@ object Curation {
     FROM cur JOIN blocks USING (split)
     GROUP BY cur.split, cur.source, blocks.split_blocks
     ORDER BY cur.split, cur.source"""
+  }
+
+  // ---- incremental release (round 15) ----------------------------------
+  // The nightly loop: a new batch arrives, is classified against the
+  // persisted dedup catalog (19e's incrementalOf), the CLUSTER TABLE
+  // EXTENDS by append — a dup/near-dup inherits its match's cluster_id,
+  // a novel doc becomes its own singleton — and the manifest re-emits
+  // over the grown corpus. Because split = hash(cluster_id) and
+  // existing cluster rows are NEVER touched, no previously-released
+  // document can move across split boundaries as the corpus grows (the
+  // leak-safe invariant under growth), and a near-dup of a train doc
+  // lands in train BY CONSTRUCTION, not by luck.
+  //
+  // Rebuild-equivalence contract (spec-proven): sequential nightly
+  // releases emit the SAME manifest as one batch release over the
+  // union, provided each batch is internally deduplicated and no batch
+  // doc near-dups two different existing clusters (a bridge would merge
+  // them in a full rebuild; incremental keeps the best match). Those
+  // are the standard incremental-clustering preconditions — a
+  // production pipeline runs the batch through pipelineCurate first
+  // and reconciles bridges at the next full rebuild.
+  //
+  // Scale shape: O(batch) — incrementalOf's capped candidate join, one
+  // batch-sized cluster lookup join, catalog append (never re-reads
+  // the catalog), and the manifest re-emit (or a delta thereof).
+
+  /** Extend a cluster table with one classified batch (verdicts =
+    * [[Dedup.incrementalOf]] output). Existing rows pass through
+    * untouched — the no-split-migration guarantee. */
+  def extendClusters(clusters: DataFrame, verdicts: DataFrame): DataFrame = {
+    val newRows = verdicts
+      .join(clusters.select(col("doc_id").as("match_id"),
+        col("cluster_id").as("mcid")), Seq("match_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("mcid"), col("doc_id")).as("cluster_id"))
+    clusters.unionByName(newRows)
+  }
+
+  /** One nightly release step: classify → extend clusters → merge the
+    * catalog → re-emit the manifest over the grown corpus. Returns
+    * (manifest, catalogFp', catalogSh', clusters') — the state the
+    * next night's step consumes. */
+  def incrementalRelease(released: DataFrame, batch: DataFrame,
+                         catalogFp: DataFrame, catalogSh: DataFrame,
+                         clusters: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val verdicts = Dedup.incrementalOf(catalogFp, catalogSh, batch)
+    val clusters2 = extendClusters(clusters, verdicts)
+    val (fp2, sh2) = Dedup.mergeIntoCatalog(catalogFp, catalogSh, batch, verdicts)
+    val manifest = releaseManifestOf(released.unionByName(batch), clusters2)
+    (manifest, fp2, sh2, clusters2)
   }
 
   // ---- DSIR importance resampling (round 7) ----------------------------

@@ -387,9 +387,15 @@ object Dedup {
       .map(_.toLong).getOrElse(DefaultMaxShingleDf)
 
   private[graft] def dedupClustersOf(spark: SparkSession, dir: String,
-                                     ordered: Boolean): DataFrame = {
+                                     ordered: Boolean): DataFrame =
+    dedupClustersOfDocs(spark, Tables.documents(spark, dir), ordered)
+
+  /** The cluster computation over ANY (doc_id, text, n_chars) frame —
+    * the seam the incremental-release spec rebuilds unions through
+    * (round 15). */
+  private[graft] def dedupClustersOfDocs(spark: SparkSession, docs: DataFrame,
+                                         ordered: Boolean): DataFrame = {
     val maxDf = effectiveMaxShingleDf(spark)
-    val docs = Tables.documents(spark, dir)
     // tokenize ONCE: the cached token projection feeds both the
     // fingerprint pass and the rep shingle explode — previously the docs
     // parquet was scanned AND tokenized twice (fp pass + reps semi-join),

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Curation, Dedup}
+
+/** Incremental release (round 15): nightly batches classify against the
+  * dedup catalog, the cluster table EXTENDS by append (dups inherit
+  * their match's cluster, novels become singletons), the manifest
+  * re-emits. Invariants proven here:
+  *   1. sequential nightly releases == one batch release over the union
+  *      (batches internally deduplicated, no cluster bridges — the
+  *      documented preconditions);
+  *   2. a crafted near-dup of a TRAIN doc lands in train;
+  *   3. no previously-released doc ever moves across split boundaries.
+  *
+  * Corpus construction: every 3-token window of a doc contains a
+  * doc-unique token, so distinct docs share ZERO 3-shingles (no
+  * accidental near-dups to confound cluster equality), while the
+  * interleaved stopwords keep every doc past the quality gate. */
+class IncrementalReleaseSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.test
+  import spark.implicits._
+
+  private val Commons = Seq("the", "and", "with", "near", "over", "from",
+    "into", "upon", "that", "when", "then")
+
+  /** u1 c1 u2 c2 … u11 c11 u12 — unique/common alternation. */
+  private def docText(i: Long): String =
+    (1 to 12).map(k => s"w${i}_$k").zipAll(Commons, "", "")
+      .flatMap { case (u, c) => Seq(u, c) }.filter(_.nonEmpty).mkString(" ")
+
+  private def docsDf(rows: Seq[(Long, String)]) =
+    rows.map { case (i, t) => (i, if (i % 2 == 0) "web" else "wiki", t) }
+      .toDF("doc_id", "source", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
+  test("sequential releases == union release; near-dup of a train doc lands in train; no released doc moves") {
+    val baseIds = 1L to 20L
+    val base = docsDf(baseIds.map(i => i -> docText(i)))
+    val clusters0 = Dedup.dedupClustersOfDocs(spark, base, ordered = false).cache()
+    val (fp0, sh0) = Dedup.buildCatalog(base)
+    val splits0 = Curation
+      .splitLeakSafeOf(base.select(col("doc_id"), col("source")), clusters0)
+      .select(col("doc_id"), col("split")).as[(Long, String)].collect().toMap
+    val trainDoc = baseIds.find(splits0(_) == "train").get
+
+    // night 1: three novel docs + an EXACT copy of doc 3
+    val batchA = docsDf(Seq(21L -> docText(21L), 22L -> docText(22L),
+      23L -> docText(23L), 26L -> docText(3L)))
+    val (_, fpA, shA, cluA) =
+      Curation.incrementalRelease(base, batchA, fp0, sh0, clusters0)
+
+    // night 2: two novel docs + a NEAR-DUP of the chosen train doc
+    val batchB = docsDf(Seq(27L -> docText(27L), 28L -> docText(28L),
+      31L -> (docText(trainDoc) + " extra chatter tail")))
+    val released = base.unionByName(batchA)
+    val (mB, _, _, cluB) =
+      Curation.incrementalRelease(released, batchB, fpA, shA, cluA)
+
+    // 1. rebuild-equivalence: the second nightly manifest == one batch
+    //    release over the full union (clusters recomputed from scratch)
+    val all = released.unionByName(batchB)
+    val mU = Curation.releaseManifestOf(
+      all, Dedup.dedupClustersOfDocs(spark, all, ordered = false))
+    assert(mB.collect().map(_.toString).toSeq ==
+           mU.collect().map(_.toString).toSeq,
+      "sequential nightly releases must equal the one-batch union release")
+
+    // 2 + 3. split invariants under growth
+    val splitsB = Curation
+      .splitLeakSafeOf(all.select(col("doc_id"), col("source")), cluB)
+      .select(col("doc_id"), col("split")).as[(Long, String)].collect().toMap
+    assert(splitsB(31L) == "train",
+      s"near-dup of train doc $trainDoc must land in train, got ${splitsB(31L)}")
+    baseIds.foreach { i =>
+      assert(splitsB(i) == splits0(i),
+        s"released doc $i moved ${splits0(i)} -> ${splitsB(i)} as the corpus grew")
+    }
+
+    // the exact copy inherited its match's cluster (no new cluster id)
+    val cmap = cluB.select(col("doc_id"), col("cluster_id"))
+      .as[(Long, Long)].collect().toMap
+    assert(cmap(26L) == cmap(3L), "exact dup must inherit its match's cluster")
+    assert(cmap(31L) == cmap(trainDoc), "near-dup must inherit its match's cluster")
+    clusters0.unpersist()
+  }
+}
