@@ -91,6 +91,166 @@ object TextAnalysis {
     FROM scored
     ORDER BY doc_id"""
 
+  // ---- 1b. NB char-ngram language id (round 15) ------------------------
+  // The fasttext-lite upgrade over the stopword heuristic: a hashed
+  // char-2/3/4-gram Naive Bayes with per-language seed profiles — the
+  // 26r machinery (hashed bag-of-grams → per-class λ over a FIXED
+  // 4096-bucket space, Laplace-smoothed, decimal-sum scoring) retargeted
+  // from quality to language. Character grams catch what closed-class
+  // word lists can't: morphology ("niño", "-chen", "-eait") and
+  // accented codepoints survive normalization (only whitespace is
+  // collapsed — the word tokenizer's `[^\w\s]` scrub would strip the
+  // very signal), so SHORT docs with zero stopwords still classify
+  // (spec-proven disagreement vs the baseline). `text_lang_id` stays
+  // the oracle-exact baseline; this gates separately as
+  // `text_nb_lang_id`.
+  //
+  // Scale shape: training is over K literal seed rows (negligible);
+  // scoring is one gram explode + one (doc, bucket) aggregate + a
+  // broadcast join against the ≤4096-row wide model — per-class sums
+  // ride the same aggregate. The model never depends on corpus size.
+  private[graft] val NbLangBuckets = 4096
+
+  /** Per-language seed profiles — ordinary prose in each language,
+    * deliberately overlapping everyday vocabulary so grams, not topic
+    * words, carry the signal. */
+  private[graft] val LangSeedProfiles: Seq[(String, String)] = Seq(
+    "en" -> ("the quick brown fox jumps over the lazy dog and the little " +
+      "children walked through the quiet streets of the old town while " +
+      "reading their favourite books about history and science in the evening"),
+    "es" -> ("el niño pequeño comía manzanas rojas en la casa de su abuela " +
+      "mientras los perros jugaban en el jardín y las mujeres hablaban de " +
+      "la vida en el pueblo durante la tarde con mucha alegría"),
+    "de" -> ("der kleine junge aß rote äpfel im haus seiner großmutter " +
+      "während die hunde im garten spielten und die frauen über das leben " +
+      "im dorf sprachen die kinder gingen durch die stille straße am abend"),
+    "fr" -> ("le petit garçon mangeait des pommes rouges dans la maison de " +
+      "sa grandmère pendant que les chiens jouaient dans le jardin et les " +
+      "femmes parlaient de la vie au village pendant le soir avec plaisir"))
+
+  /** Whitespace-collapse-only normalization: keeps punctuation, digits
+    * and non-ASCII letters — char grams need them. */
+  private def nbNorm(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Char 2+3+4-grams of a normalized string. */
+  private def charGrams(s: Column): Column = {
+    def gramsN(n: Int): Column =
+      when(length(s) >= n,
+        transform(sequence(lit(1), length(s) - (n - 1)),
+          i => substr(s, i, lit(n))))
+        .otherwise(typedLit(Seq.empty[String]))
+    concat(gramsN(2), gramsN(3), gramsN(4))
+  }
+
+  /** md5-hashed gram bucket (the dsirBucket recipe, own namespace). */
+  private def nbLangBucket(g: Column): Column =
+    conv(substring(md5(concat(lit("nblang:"), g)), 1, 15), 16, 10)
+      .cast("long") % NbLangBuckets
+
+  /** NB lang-id over any (doc_id, text) frame:
+    * (doc_id, <lang>_bits …, nb_lang). Docs whose normalized text is
+    * shorter than 2 chars produce no grams and no row. */
+  def nbLangIdOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val langs = LangSeedProfiles.map(_._1)
+    val sg = LangSeedProfiles.toDF("lang", "text")
+      .select(col("lang"), explode(charGrams(nbNorm(col("text")))).as("g"))
+      .select(col("lang"), nbLangBucket(col("g")).as("b"))
+    val cnt = sg.groupBy(col("lang"), col("b")).agg(count(lit(1)).as("c"))
+    val tot = sg.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    // λ(lang, b) = log2(c+1) − log2(n+B), 8 dp (the dsir precision
+    // rule); the per-class UNSEEN default is computed and ROUNDED
+    // in-engine, then collected — K literal doubles, not a driver
+    // re-derivation that could round differently
+    val lam = cnt.join(broadcast(tot), Seq("lang"))
+      .select(col("lang"), col("b"),
+        round(log2(col("c") + 1) - log2(col("n") + NbLangBuckets), 8).as("lam"))
+    val dflt = tot
+      .select(col("lang"), round(-log2(col("n") + NbLangBuckets), 8).as("d"))
+      .as[(String, Double)].collect().toMap
+    val lamWide = lam.groupBy(col("b")).pivot("lang", langs).agg(first(col("lam")))
+    val db = docs
+      .select(col("doc_id"), explode(charGrams(nbNorm(col("text")))).as("g"))
+      .select(col("doc_id"), nbLangBucket(col("g")).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+    // round the EXACT decimal sum at 4 dp, THEN cast to double: casting
+    // first hands each engine a double whose .xxxx5 boundary cases
+    // round differently (Spark rounds the shortest decimal rendering,
+    // DuckDB rounds via float multiply — they split on exact halves)
+    val scoreAggs = langs.map { l =>
+      round(sum(col("c").cast("decimal(10,0)") *
+        coalesce(col(l), lit(dflt(l))).cast("decimal(20,12)")), 4)
+        .cast("double").as(s"${l}_bits")
+    }
+    val p = db.join(broadcast(lamWide), Seq("b"), "left")
+      .groupBy(col("doc_id")).agg(scoreAggs.head, scoreAggs.tail: _*)
+    // argmax, strict >, earlier profile wins ties (the langId fold)
+    val scores = langs.map(l => l -> col(s"${l}_bits"))
+    val pred = scores.tail.foldLeft((scores.head._2, lit(scores.head._1))) {
+      case ((best, bestLang), (lang, score)) =>
+        (when(score > best, score).otherwise(best),
+         when(score > best, lit(lang)).otherwise(bestLang))
+    }._2
+    p.select(col("doc_id") +: langs.map(l => col(s"${l}_bits")) :+
+        pred.as("nb_lang"): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  def nbLangId(spark: SparkSession, dir: String): DataFrame =
+    nbLangIdOf(Tables.documents(spark, dir))
+
+  val nbLangIdOracle: String = {
+    val seedValues = LangSeedProfiles.map { case (l, t) =>
+      s"('$l', '${t.replace("'", "''")}')" }.mkString(", ")
+    def gramsSql(src: String) = s"""
+      SELECT ${if (src == "snorm") "lang" else "doc_id"}, unnest(
+        list_transform(range(1, length(s)), i -> substr(s, i, 2))
+        || list_transform(range(1, length(s) - 1), i -> substr(s, i, 3))
+        || list_transform(range(1, length(s) - 2), i -> substr(s, i, 4))) AS g
+      FROM $src WHERE length(s) >= 2"""
+    s"""
+    WITH seeds(lang, text) AS (VALUES $seedValues),
+    snorm AS (SELECT lang, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s FROM seeds),
+    sg AS (SELECT lang,
+        CAST(CAST(concat('0x', substr(md5('nblang:' || g), 1, 15)) AS BIGINT)
+          % $NbLangBuckets AS BIGINT) AS b
+      FROM (${gramsSql("snorm")})),
+    cnt AS (SELECT lang, b, count(*) AS c FROM sg GROUP BY 1, 2),
+    tot AS (SELECT lang, count(*) AS n FROM sg GROUP BY 1),
+    lam AS (SELECT lang, b, round(log2(c + 1) - log2(n + $NbLangBuckets), 8) AS lam
+            FROM cnt JOIN tot USING (lang)),
+    dflt AS (SELECT lang, round(-log2(n + $NbLangBuckets), 8) AS d FROM tot),
+    dnorm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s FROM documents),
+    db AS (SELECT doc_id,
+        CAST(CAST(concat('0x', substr(md5('nblang:' || g), 1, 15)) AS BIGINT)
+          % $NbLangBuckets AS BIGINT) AS b, count(*) AS c
+      FROM (${gramsSql("dnorm")}) GROUP BY 1, 2),
+    sc AS (SELECT db.doc_id, t.lang,
+        CAST(round(sum(CAST(db.c AS DECIMAL(10,0))
+          * CAST(coalesce(lam.lam, dflt.d) AS DECIMAL(20,12))), 4) AS DOUBLE) AS bits
+      FROM db CROSS JOIN tot t
+      LEFT JOIN lam ON lam.lang = t.lang AND lam.b = db.b
+      JOIN dflt ON dflt.lang = t.lang
+      GROUP BY 1, 2),
+    p AS (SELECT doc_id,
+        max(CASE WHEN lang = 'en' THEN bits END) AS en_bits,
+        max(CASE WHEN lang = 'es' THEN bits END) AS es_bits,
+        max(CASE WHEN lang = 'de' THEN bits END) AS de_bits,
+        max(CASE WHEN lang = 'fr' THEN bits END) AS fr_bits
+      FROM sc GROUP BY doc_id)
+    SELECT doc_id, en_bits, es_bits, de_bits, fr_bits,
+      CASE
+        WHEN fr_bits > greatest(en_bits, es_bits, de_bits) THEN 'fr'
+        WHEN de_bits > greatest(en_bits, es_bits) THEN 'de'
+        WHEN es_bits > en_bits THEN 'es'
+        ELSE 'en'
+      END AS nb_lang
+    FROM p
+    ORDER BY doc_id"""
+  }
+
   // ---- 2. quality scoring ---------------------------------------------
   def quality(spark: SparkSession, dir: String): DataFrame = {
     val ts = TextFns.tokens(col("text"))
@@ -1274,6 +1434,7 @@ object TextAnalysis {
     "text_heavy_hitters"   -> (heavyHitters _),
     "text_tfidf_topterms"  -> (tfidfTopTerms _),
     "text_lang_id"         -> (langId _),
+    "text_nb_lang_id"      -> (nbLangId _),
     "text_quality"         -> (quality _),
     "text_fingerprint"     -> (fingerprint _),
     "text_token_count_bpe" -> (tokenCountBpe _),
@@ -1294,6 +1455,7 @@ object TextAnalysis {
     "text_heavy_hitters"   -> heavyHittersOracle,
     "text_tfidf_topterms"  -> tfidfOracle,
     "text_lang_id"         -> langIdOracle,
+    "text_nb_lang_id"      -> nbLangIdOracle,
     "text_quality"         -> qualityOracle,
     "text_fingerprint"     -> fingerprintOracle,
     "text_token_count_bpe" -> tokenCountBpeOracle,

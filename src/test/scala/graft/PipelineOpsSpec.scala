@@ -574,6 +574,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(seed.get._4 < 0.5, s"the same pair must be BELOW the Jaccard bar: $seed")
   }
 
+  test("NB char-ngram lang id beats the stopword baseline on short stopword-free docs") {
+    import graft.operators.TextAnalysis
+    // none of these contains a single word from ANY stopword profile —
+    // the baseline is structurally blind to them (all scores ~0, tie
+    // falls to 'en'); char 2-4-grams carry the morphology instead
+    val docs = Seq(
+      (1L, "es", "niño pequeño comía manzanas"),
+      (2L, "de", "kleine junge spielten im garten"),
+      (3L, "fr", "petit garçon mangeait pommes"),
+      (4L, "en", "the children walked through the old town"))
+      .toDF("doc_id", "want", "text")
+    val baseline = docs
+      .select(col("doc_id"), TextAnalysis.predictedLang(col("text")).as("p"))
+      .as[(Long, String)].collect().toMap
+    assert(baseline(1L) == "en" && baseline(2L) == "en" && baseline(3L) == "en",
+      s"baseline must misclassify the stopword-free docs as 'en' (the documented gap): $baseline")
+    val nb = TextAnalysis.nbLangIdOf(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("nb_lang")).as[(Long, String)].collect().toMap
+    assert(nb == Map(1L -> "es", 2L -> "de", 3L -> "fr", 4L -> "en"),
+      s"NB char-ngram lang id must recover all four languages: $nb")
+  }
+
   test("release manifest v2: seeded contaminated doc drops, seeded PII doc ships redacted") {
     val card = graft.operators.Curation
       .releaseManifestV2(spark, "/root/testdata/sf0.001")
