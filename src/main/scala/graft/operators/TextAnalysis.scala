@@ -150,53 +150,16 @@ object TextAnalysis {
 
   /** NB lang-id over any (doc_id, text) frame:
     * (doc_id, <lang>_bits …, nb_lang). Docs whose normalized text is
-    * shorter than 2 chars produce no grams and no row. */
-  def nbLangIdOf(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val langs = LangSeedProfiles.map(_._1)
-    val sg = LangSeedProfiles.toDF("lang", "text")
-      .select(col("lang"), explode(charGrams(nbNorm(col("text")))).as("g"))
-      .select(col("lang"), nbLangBucket(col("g")).as("b"))
-    val cnt = sg.groupBy(col("lang"), col("b")).agg(count(lit(1)).as("c"))
-    val tot = sg.groupBy(col("lang")).agg(count(lit(1)).as("n"))
-    // λ(lang, b) = log2(c+1) − log2(n+B), 8 dp (the dsir precision
-    // rule); the per-class UNSEEN default is computed and ROUNDED
-    // in-engine, then collected — K literal doubles, not a driver
-    // re-derivation that could round differently
-    val lam = cnt.join(broadcast(tot), Seq("lang"))
-      .select(col("lang"), col("b"),
-        round(log2(col("c") + 1) - log2(col("n") + NbLangBuckets), 8).as("lam"))
-    val dflt = tot
-      .select(col("lang"), round(-log2(col("n") + NbLangBuckets), 8).as("d"))
-      .as[(String, Double)].collect().toMap
-    val lamWide = lam.groupBy(col("b")).pivot("lang", langs).agg(first(col("lam")))
-    val db = docs
-      .select(col("doc_id"), explode(charGrams(nbNorm(col("text")))).as("g"))
-      .select(col("doc_id"), nbLangBucket(col("g")).as("b"))
-      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
-    // round the EXACT decimal sum at 4 dp, THEN cast to double: casting
-    // first hands each engine a double whose .xxxx5 boundary cases
-    // round differently (Spark rounds the shortest decimal rendering,
-    // DuckDB rounds via float multiply — they split on exact halves)
-    val scoreAggs = langs.map { l =>
-      round(sum(col("c").cast("decimal(10,0)") *
-        coalesce(col(l), lit(dflt(l))).cast("decimal(20,12)")), 4)
-        .cast("double").as(s"${l}_bits")
-    }
-    val p = db.join(broadcast(lamWide), Seq("b"), "left")
-      .groupBy(col("doc_id")).agg(scoreAggs.head, scoreAggs.tail: _*)
-    // argmax, strict >, earlier profile wins ties (the langId fold)
-    val scores = langs.map(l => l -> col(s"${l}_bits"))
-    val pred = scores.tail.foldLeft((scores.head._2, lit(scores.head._1))) {
-      case ((best, bestLang), (lang, score)) =>
-        (when(score > best, score).otherwise(best),
-         when(score > best, lit(lang)).otherwise(bestLang))
-    }._2
-    p.select(col("doc_id") +: langs.map(l => col(s"${l}_bits")) :+
-        pred.as("nb_lang"): _*)
-      .orderBy(col("doc_id"))
-  }
+    * shorter than 2 chars produce no grams and no row. Scoring runs in
+    * the native one-pass [[graft.functions.NbLangBits]] expression
+    * (UTF-8 byte walk, reused digest, exact 1e-8-unit long sums —
+    * 37 s → ~2 s at sf0.1 vs the composable per-gram-string + groupBy
+    * formulation, which [[nbLangBitsHof]] keeps as the
+    * differential-spec reference). The expression yields a one-element
+    * struct array consumed via `inline` so it evaluates ONCE per row
+    * (the WinnowFps projection-collapse lesson). */
+  def nbLangIdOf(docs: DataFrame): DataFrame =
+    nbLangScored(docs, nbLangModel(docs.sparkSession)).orderBy(col("doc_id"))
 
   def nbLangId(spark: SparkSession, dir: String): DataFrame =
     nbLangIdOf(Tables.documents(spark, dir))
@@ -249,6 +212,83 @@ object TextAnalysis {
       END AS nb_lang
     FROM p
     ORDER BY doc_id"""
+  }
+
+  /** The model in driver form for streaming ingest (the dsirModel
+    * pattern): per class a DENSE B-element λ array — unseen buckets
+    * hold the class default — trained in-engine from the literal seeds
+    * so every log2/round is the gated entry's own arithmetic. K×B
+    * doubles (16 k at K=4), inside the literal budget by construction. */
+  def nbLangModel(spark: SparkSession): Seq[(String, IndexedSeq[Double])] = {
+    import spark.implicits._
+    val sg = LangSeedProfiles.toDF("lang", "text")
+      .select(col("lang"), explode(charGrams(nbNorm(col("text")))).as("g"))
+      .select(col("lang"), nbLangBucket(col("g")).as("b"))
+    val cnt = sg.groupBy(col("lang"), col("b")).agg(count(lit(1)).as("c"))
+    val tot = sg.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val lam = cnt.join(broadcast(tot), Seq("lang"))
+      .select(col("lang"), col("b"),
+        round(log2(col("c") + 1) - log2(col("n") + NbLangBuckets), 8).as("lam"))
+      .as[(String, Long, Double)].collect()
+    val dflt = tot
+      .select(col("lang"), round(-log2(col("n") + NbLangBuckets), 8).as("d"))
+      .as[(String, Double)].collect().toMap
+    LangSeedProfiles.map { case (l, _) =>
+      val m = lam.collect { case (`l`, b, v) => b -> v }.toMap
+      l -> IndexedSeq.tabulate(NbLangBuckets)(b => m.getOrElse(b.toLong, dflt(l)))
+    }
+  }
+
+  /** ZERO-SHUFFLE NB lang scoring — the shared core of the gated entry
+    * and the streaming twin: the model rides INSIDE the native
+    * [[graft.functions.NbLangBits]] expression (UTF-8 byte walk,
+    * reused digest, exact 1e-8-unit long sums — replaces a ~37 s
+    * per-gram-string + groupBy formulation at sf0.1 with ~the raw md5
+    * cost), whose one-element struct array is consumed via `inline` so
+    * it evaluates once per row. No join, no shuffle, no state. Docs
+    * whose normalized text is shorter than 2 chars yield an empty
+    * array and drop, matching the oracle. */
+  def nbLangScored(docs: DataFrame,
+                   model: Seq[(String, IndexedSeq[Double])]): DataFrame = {
+    val langs = model.map(_._1)
+    val scaled = model.map(_._2.map(v => math.round(v * 1e8)).toArray).toArray
+    val withBits = docs.select(col("doc_id"),
+      inline(graft.functions.NbLangBits.of(
+        nbNorm(col("text")), langs, scaled, NbLangBuckets)))
+    // argmax, strict >, earlier profile wins ties (the langId fold)
+    val scores = langs.map(l => l -> col(s"${l}_bits"))
+    val pred = scores.tail.foldLeft((scores.head._2, lit(scores.head._1))) {
+      case ((best, bestLang), (lang, score)) =>
+        (when(score > best, score).otherwise(best),
+         when(score > best, lit(lang)).otherwise(bestLang))
+    }._2
+    withBits.select(col("doc_id") +: langs.map(l => col(s"${l}_bits")) :+
+      pred.as("nb_lang"): _*)
+  }
+
+  /** The composable decimal-fold formulation, kept as the
+    * DIFFERENTIAL-SPEC reference for [[nbLangScored]]'s native
+    * expression (the WinnowFps HOF discipline): per gram,
+    * `element_at` into a dense λ array literal, DECIMAL(28,12) fold,
+    * 4-dp decimal round. Exact by construction — both formulations
+    * sum the same 8-dp values on an exact grid. */
+  private[graft] def nbLangBitsHof(docs: DataFrame,
+                                   model: Seq[(String, IndexedSeq[Double])]): DataFrame = {
+    val base = docs
+      .withColumn("__s", nbNorm(col("text")))
+      .filter(length(col("__s")) >= 2)
+      .withColumn("__g", charGrams(col("__s")))
+    val scored = model.foldLeft(base) { case (df, (l, arr)) =>
+      val lamLit = typedLit(arr)
+      df.withColumn(s"${l}_bits",
+        round(aggregate(
+          transform(col("__g"),
+            g => element_at(lamLit, (nbLangBucket(g) + 1).cast("int"))
+              .cast("decimal(28,12)")),
+          lit(BigDecimal(0)).cast("decimal(28,12)"),
+          (acc, x) => (acc + x).cast("decimal(28,12)")), 4).cast("double"))
+    }
+    scored.select(col("doc_id") +: model.map(m => col(s"${m._1}_bits")): _*)
   }
 
   // ---- 2. quality scoring ---------------------------------------------

@@ -287,6 +287,17 @@ object EventStream {
     graft.operators.TextAnalysis.bslmScored(
       docs.select(col("doc_id"), col("text")), model)
 
+  /** Ingest-time language id (round 15) — the streaming twin of
+    * `text_nb_lang_id`, shaped exactly like [[dsirScore]]: the K×B
+    * char-ngram NB model (trained once from the literal seed profiles)
+    * rides as K dense array literals, each class score is a per-row
+    * decimal fold — no join, no shuffle, ZERO state-store rows at any
+    * stream rate. Bits and verdicts bit-match the gated entry (spec). */
+  def nbLangScore(docs: DataFrame,
+                  model: Seq[(String, IndexedSeq[Double])]): DataFrame =
+    graft.operators.TextAnalysis.nbLangScored(
+      docs.select(col("doc_id"), col("text")), model)
+
   /** Ingest-time BPE encoding (round 9) — the streaming twin of
     * `TextAnalysis.bpeEncode`: the trained MERGE LIST (≤ BpeMerges
     * pairs — the smallest model in the whole engine) rides into a

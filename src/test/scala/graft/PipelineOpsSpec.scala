@@ -596,6 +596,20 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"NB char-ngram lang id must recover all four languages: $nb")
   }
 
+  test("NB lang id: native expression bit-matches the decimal-fold formulation") {
+    import graft.operators.TextAnalysis
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val model = TextAnalysis.nbLangModel(spark)
+    val native = TextAnalysis.nbLangScored(docs, model)
+      .select(col("doc_id"), col("en_bits"), col("es_bits"), col("de_bits"), col("fr_bits"))
+      .as[(Long, Double, Double, Double, Double)].collect().toSet
+    val hof = TextAnalysis.nbLangBitsHof(docs, model)
+      .as[(Long, Double, Double, Double, Double)].collect().toSet
+    assert(native.nonEmpty && native == hof,
+      "native NbLangBits must bit-match the decimal-fold reference")
+  }
+
   test("release manifest v2: seeded contaminated doc drops, seeded PII doc ships redacted") {
     val card = graft.operators.Curation
       .releaseManifestV2(spark, "/root/testdata/sf0.001")

@@ -160,6 +160,33 @@ class StreamingSpec extends AnyFunSuite {
       assert(got(id) == ((n, b)), s"doc $id: ${got(id)} != ($n,$b)") }
   }
 
+  test("streaming NB lang id == batch bits and verdicts, zero state-store rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val model = graft.operators.TextAnalysis.nbLangModel(spark)
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)]
+    val scored = EventStream.nbLangScore(input.toDS().toDF("doc_id", "text"), model)
+    val q = scored.writeStream.format("memory").queryName("nblang_stream")
+      .outputMode("append").start()
+    input.addData((999999L, "x")) // 1-char normalized text: dropped (batch parity)
+    docs.grouped(math.max(1, docs.length / 2 + 1)).foreach { b =>
+      input.addData(b.toSeq); q.processAllAvailable()
+    }
+    assert(q.lastProgress.stateOperators.isEmpty) // literal model, no state
+    q.stop()
+    val got = spark.table("nblang_stream")
+      .select("doc_id", "en_bits", "es_bits", "de_bits", "fr_bits", "nb_lang")
+      .as[(Long, Double, Double, Double, Double, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(!got.contains(999999L))
+    val want = graft.operators.TextAnalysis.nbLangId(spark, sf)
+      .as[(Long, Double, Double, Double, Double, String)].collect()
+    assert(want.nonEmpty && want.length == got.size)
+    want.foreach { case (id, en, es, de, fr, p) =>
+      assert(got(id) == ((en, es, de, fr, p)), s"doc $id: ${got(id)} != ($en,$es,$de,$fr,$p)") }
+  }
+
   test("streaming bpe encode == batch counts, zero state-store rows") {
     implicit val sqlCtx = spark.sqlContext
     val (base, merges) = graft.operators.TextAnalysis.bpeLearn(spark, sf)
