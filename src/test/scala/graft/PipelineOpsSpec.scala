@@ -596,6 +596,19 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"NB char-ngram lang id must recover all four languages: $nb")
   }
 
+  test("nbLangScored plans shuffle-free: literal model, one Generate, no Exchange") {
+    import graft.operators.TextAnalysis
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val out = TextAnalysis.nbLangScored(docs, TextAnalysis.nbLangModel(spark))
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"streaming-twin scorer must be a narrow projection:\n$plan")
+    assert(plan.contains("Generate"),
+      s"the one-element inline keeps NbLangBits single-evaluation:\n$plan")
+  }
+
   test("NB lang id: native expression bit-matches the decimal-fold formulation") {
     import graft.operators.TextAnalysis
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -88,6 +88,16 @@ class ShardExportSpec extends AnyFunSuite {
     manifest.unpersist(); back.unpersist()
   }
 
+  test("shard assignment plans window-free (distributed prefix sum, not a global WindowExec)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val out = graft.operators.ShardExport.shardAssign(docs, 2L)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"the md5-order pack must be the distributed prefix sum, not a global window:\n$plan")
+  }
+
   test("gated manifest: totals equal the corpus, shards are block-budget-sized") {
     val m = ShardExport.shardExport(spark, sf).cache()
     val docs = spark.read.parquet(s"$sf/documents.parquet")
