@@ -138,4 +138,27 @@ object ShardExport {
     assign.unpersist()
     spark.read.parquet(s"$outDir/_shard_manifest").orderBy(col("shard_id"))
   }
+
+  /** Per-SPLIT shard export — the RELEASE handoff: each split's docs
+    * shard independently (a dataloader never mixes train/val/test
+    * files), written under `<outDir>/split=<s>/shard_id=N` with each
+    * split's own `_shard_manifest`. The driver loop is bounded by
+    * SPLIT cardinality — exactly the "pack high-cardinality groups
+    * per-group" case the packOfBy guard points at. Returns the union
+    * manifest with a `split` column. */
+  def exportSplitShards(docs: DataFrame, splits: DataFrame, outDir: String,
+                        blocksPerShard: Long = DefaultBlocksPerShard): DataFrame = {
+    val withSplit = docs
+      .join(splits.select(col("doc_id"), col("split")), Seq("doc_id"))
+    val names = withSplit.select(col("split")).distinct()
+      .collect().map(_.getString(0)).sorted
+    require(names.nonEmpty && names.length <= 64,
+      s"exportSplitShards: ${names.length} splits — this is a per-SPLIT " +
+        "export, not a per-group partitioner")
+    names.map { s =>
+      exportShards(withSplit.filter(col("split") === s).drop("split"),
+        s"$outDir/split=$s", blocksPerShard)
+        .withColumn("split", lit(s))
+    }.reduce(_.unionByName(_)).orderBy(col("split"), col("shard_id"))
+  }
 }

@@ -87,4 +87,66 @@ class CrawlToReleaseSpec extends AnyFunSuite {
     }
     assert(card.map(_._1).distinct.forall(Set("train", "val", "test")))
   }
+
+  test("crawl corpus → release manifest v2 (decontam + PII) → per-split shard handoff") {
+    // v2 runs winnow decontamination against the doc_id < 5 probe
+    // slice, so THIS corpus must not share ≥8-token passages across
+    // docs the way body()'s template deliberately does — every 3-token
+    // window here carries a doc-unique token (the
+    // IncrementalReleaseSpec corpus), while interleaved stopwords keep
+    // docs past the gate
+    val commons = Seq("the", "and", "with", "near", "over", "from",
+      "into", "upon", "that", "when", "then")
+    def body2(i: Long): String =
+      (1 to 12).map(k => s"crawl${i}_$k").zipAll(commons, "", "")
+        .flatMap { case (u, c) => Seq(u, c) }.filter(_.nonEmpty).mkString(" ")
+    // 10 good docs + one with PII + one contaminated (carries the
+    // winnow seed passage, gate-passing)
+    val pii = 300L -> (body2(300L) +
+      " contact curator@example.org or +1 415 555 0199 for the archive")
+    val contaminated = 301L -> (body2(301L) +
+      s" and this page also copies ${Curation.WinnowSeedPassage} verbatim")
+    val all = (0L until 10L).map(i => (i, body2(i))) ++ Seq(pii, contaminated)
+    val corpusDir = tmp("c2r2_corpus")
+    all.toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("webcrawl").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.parquet(s"$corpusDir/documents.parquet")
+
+    val card = Curation.releaseManifestV2(spark, corpusDir).cache()
+    val crawlRows = card.filter(col("source") === "webcrawl").collect()
+    val nContam = crawlRows.map(_.getAs[Long]("n_contaminated")).sum
+    val nDocs = crawlRows.map(_.getAs[Long]("n_docs")).sum
+    val nRedact = crawlRows.filter(!_.isNullAt(crawlRows.head.fieldIndex("n_redacted")))
+      .map(_.getAs[Long]("n_redacted")).sum
+    assert(nContam == 1, s"planted contaminated crawl doc must drop: $nContam")
+    assert(nDocs == 11, s"10 good + the redacted PII doc must ship: $nDocs")
+    assert(nRedact == 2, s"the PII doc's email + phone must count: $nRedact")
+    card.unpersist()
+
+    // dataloader handoff: per-split shards over the crawl corpus
+    val docs = spark.read.parquet(s"$corpusDir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"))
+    val splits = Curation.splitLeakSafeOf(
+      docs.select(col("doc_id"), col("source")),
+      graft.operators.Dedup.clustersCached(spark, corpusDir))
+    val shardDir = tmp("c2r2_shards")
+    val manifest = graft.operators.ShardExport
+      .exportSplitShards(docs, splits, shardDir, blocksPerShard = 2L)
+      .collect()
+    val splitNames = manifest.map(_.getAs[String]("split")).distinct.sorted
+    assert(splitNames.nonEmpty && splitNames.forall(Set("train", "val", "test")))
+    // every split's tree reads back; the union is exactly the corpus
+    val back = splitNames.map(s => spark.read.parquet(s"$shardDir/split=$s")
+      .select(col("doc_id")).as[Long].collect().toSet)
+    assert(back.reduce(_ ++ _) == all.map(_._1).toSet,
+      "per-split shard trees must union to exactly the corpus")
+    assert(back.map(_.size).sum == all.size, "no doc may appear in two splits")
+    // manifests agree with their trees
+    splitNames.zip(back).foreach { case (s, ids) =>
+      val m = manifest.filter(_.getAs[String]("split") == s)
+      assert(m.map(_.getAs[Long]("n_docs")).sum == ids.size,
+        s"split $s manifest/tree doc-count mismatch")
+    }
+  }
 }
