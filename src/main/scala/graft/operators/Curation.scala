@@ -1106,7 +1106,12 @@ object Curation {
       "page of prose regarding weather travel cooking and music that the " +
       "quality gate should keep"))
 
-  def releaseManifestV2(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared per-doc release frame behind [[releaseManifestV2]] AND
+    * [[releaseShards]]: (doc_id, n_copies, source, split, n_pii,
+    * n_ship_tokens, ship_text, contaminated) for every curated
+    * survivor. ONE definition, so the card and the exported shards can
+    * never disagree about what ships. */
+  private[graft] def releaseV2Frame(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docsPlus = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("text"))
@@ -1134,7 +1139,8 @@ object Curation {
       (regexp_count(col("text"), lit(TextAnalysis.EmailRe)) +
        regexp_count(afterEmail, lit(TextAnalysis.Ipv4Re)) +
        regexp_count(afterIp, lit(TextAnalysis.PhoneRe))).cast("long").as("n_pii"),
-      size(TextFns.tokens(afterPhone)).cast("long").as("n_ship_tokens"))
+      size(TextFns.tokens(afterPhone)).cast("long").as("n_ship_tokens"),
+      afterPhone.as("ship_text"))
     // stage 4: leak-safe split from the materialized cluster table,
     // singleton fallback for docs the table has never seen (the seed)
     val cluPlus = docsPlus.select(col("doc_id"))
@@ -1145,12 +1151,15 @@ object Curation {
     val splits = splitLeakSafeOf(
         docsPlus.select(col("doc_id"), col("source")), cluPlus)
       .select(col("doc_id"), col("source"), col("split"))
-    val cur = curated.select(col("doc_id"), col("n_copies"))
+    curated.select(col("doc_id"), col("n_copies"))
       .join(splits, Seq("doc_id"))
       .join(red, Seq("doc_id"))
       .join(contam, Seq("doc_id"), "left")
       .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
-      .cache()
+  }
+
+  def releaseManifestV2(spark: SparkSession, dir: String): DataFrame = {
+    val cur = releaseV2Frame(spark, dir).drop("ship_text").cache()
     // stage 5: pack each split's SHIPPED token stream (kept docs only)
     val packs = packOfBy(
         cur.filter(!col("contaminated"))
@@ -1172,6 +1181,29 @@ object Curation {
       .orderBy(col("split"), col("source"))
     out.count() // force while cur is cached
     cur.unpersist()
+    out
+  }
+
+  /** The other half of the release contract (round 15): write exactly
+    * what [[releaseManifestV2]] SAYS ships — curated, decontaminated
+    * docs with their REDACTED text — as per-split training shards
+    * ([[ShardExport.exportSplitShards]]: deterministic md5-shuffle
+    * order, document-aligned shard files, per-split manifests). Both
+    * read the SAME [[releaseV2Frame]], so the card and the shard trees
+    * cannot disagree (spec-proven: tree doc counts == card n_docs per
+    * split, contaminated docs absent, exported text carries the PII
+    * placeholders). Returns the union shard manifest. */
+  def releaseShards(spark: SparkSession, dir: String, outDir: String,
+                    blocksPerShard: Long = ShardExport.DefaultBlocksPerShard): DataFrame = {
+    val kept = releaseV2Frame(spark, dir)
+      .filter(!col("contaminated"))
+      .select(col("doc_id"), col("ship_text").as("text"), col("split"))
+      .cache()
+    val out = ShardExport.exportSplitShards(
+      kept.select(col("doc_id"), col("text")),
+      kept.select(col("doc_id"), col("split")),
+      outDir, blocksPerShard)
+    kept.unpersist()
     out
   }
 

@@ -98,6 +98,30 @@ class ShardExportSpec extends AnyFunSuite {
       s"the md5-order pack must be the distributed prefix sum, not a global window:\n$plan")
   }
 
+  test("releaseShards ships exactly what the v2 card says: kept docs, redacted text, per split") {
+    import graft.operators.Curation
+    val out = java.nio.file.Files.createTempDirectory("release_shards").toString
+    val manifest = Curation.releaseShards(spark, sf, out, blocksPerShard = 2L).cache()
+    val card = Curation.releaseManifestV2(spark, sf).cache()
+    // per-split doc counts: shard manifest == card
+    val mDocs = manifest.groupBy(col("split")).agg(sum(col("n_docs")).as("n"))
+      .as[(String, Long)].collect().toMap
+    val cDocs = card.groupBy(col("split")).agg(sum(col("n_docs")).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(mDocs == cDocs, s"shard trees $mDocs != card $cDocs")
+    // the contaminated seed never ships; the PII seed ships REDACTED
+    val shipped = mDocs.keys.map(s => spark.read.parquet(s"$out/split=$s")
+      .select(col("doc_id"), col("text"))).reduce(_ unionByName _)
+      .as[(Long, String)].collect().toMap
+    assert(!shipped.contains(9000000001L), "contaminated seed must not ship")
+    val piiText = shipped(9000000002L)
+    assert(piiText.contains("<EMAIL>") && piiText.contains("<PHONE>"),
+      s"shipped text must be the redacted text: $piiText")
+    assert(!piiText.contains("curator@") && !piiText.contains("415"),
+      s"raw PII must not ship: $piiText")
+    manifest.unpersist(); card.unpersist()
+  }
+
   test("gated manifest: totals equal the corpus, shards are block-budget-sized") {
     val m = ShardExport.shardExport(spark, sf).cache()
     val docs = spark.read.parquet(s"$sf/documents.parquet")
