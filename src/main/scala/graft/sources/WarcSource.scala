@@ -313,6 +313,21 @@ object WarcSource {
   def readWet(spark: SparkSession, path: String): DataFrame =
     wetView(read(spark, path).toDF())
 
+  /** `response` records → the HTML frame the extraction chain
+    * (`TextAnalysis.htmlToText`) consumes, charset-decoded through the
+    * SAME [[decodedText]] policy as the WET view — a latin-1 page must
+    * not mojibake before the boilerplate strip either. The payload is
+    * treated as the captured document body (archives produced by
+    * [[write]] carry it directly; strip transfer headers upstream if
+    * your crawler stores raw HTTP). */
+  def readResponses(spark: SparkSession, path: String): DataFrame =
+    read(spark, path).toDF()
+      .filter(col("warc_type") === "response")
+      .select(col("target_uri"), col("warc_date"), col("record_id"),
+        col("headers"),
+        decodedText(col("payload"), col("headers").getItem("content-type")).as("html"),
+        col("content_length").as("n_bytes"))
+
   /** Streaming WET view — [[readStream]] through the same projection. */
   def readWetStream(spark: SparkSession, path: String): DataFrame =
     wetView(readStream(spark, path).toDF())

@@ -40,17 +40,24 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(extract(html) == "a b\nc")
   }
 
-  test("composition: WARC response record's HTML payload extracts to readable text") {
+  test("composition: WARC response records extract to readable text, charset honored") {
     val html = "<html><head><script>var x=1;</script></head><body>" +
       "<h1>Page</h1><p>body text here</p></body></html>"
+    // a latin-1 page: the readResponses charset policy must decode it
+    // before the boilerplate strip (hard-coded UTF-8 would mojibake)
+    val htmlL1 = "<html><body><p>café crème</p></body></html>"
     val dir = java.nio.file.Files.createTempDirectory("warc_html").toString
-    val rec = WarcSource.render("response", "http://x.test/page", "2026-01-01T00:00:00Z",
-      "<urn:uuid:p>", "text/html", html.getBytes("UTF-8"))
-    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "one.warc"), rec)
-    val got = WarcSource.read(spark, dir).toDF()
-      .filter(col("warc_type") === "response")
-      .select(TextAnalysis.htmlToText(decode(col("payload"), "UTF-8")).as("text"))
-      .head.getString(0)
-    assert(got == "Page\nbody text here")
+    val recs = WarcSource.render("response", "http://x.test/page",
+        "2026-01-01T00:00:00Z", "<urn:uuid:p>", "text/html", html.getBytes("UTF-8")) ++
+      WarcSource.render("response", "http://x.test/l1",
+        "2026-01-01T00:00:00Z", "<urn:uuid:l1>", "text/html; charset=ISO-8859-1",
+        htmlL1.getBytes("ISO-8859-1"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "one.warc"), recs)
+    val got = WarcSource.readResponses(spark, dir)
+      .select(col("target_uri"), TextAnalysis.htmlToText(col("html")).as("text"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("http://x.test/page") == "Page\nbody text here")
+    assert(got("http://x.test/l1") == "café crème",
+      s"latin-1 response must decode per its charset: ${got("http://x.test/l1")}")
   }
 }
