@@ -319,16 +319,27 @@ object WarcSource {
     * not mojibake before the boilerplate strip either. The payload is
     * treated as the captured document body (archives produced by
     * [[write]] carry it directly; strip transfer headers upstream if
-    * your crawler stores raw HTTP). */
-  def readResponses(spark: SparkSession, path: String): DataFrame =
-    read(spark, path).toDF()
+    * your crawler stores raw HTTP). ONE projection shared by the batch
+    * and streaming response views. */
+  private def responseView(records: DataFrame): DataFrame =
+    records
       .filter(col("warc_type") === "response")
       .select(col("target_uri"), col("warc_date"), col("record_id"),
         col("headers"),
         decodedText(col("payload"), col("headers").getItem("content-type")).as("html"),
         col("content_length").as("n_bytes"))
 
+  def readResponses(spark: SparkSession, path: String): DataFrame =
+    responseView(read(spark, path).toDF())
+
   /** Streaming WET view — [[readStream]] through the same projection. */
   def readWetStream(spark: SparkSession, path: String): DataFrame =
     wetView(readStream(spark, path).toDF())
+
+  /** Streaming `response` view — [[readStream]] through the SAME
+    * charset-decoded projection as [[readResponses]] (raw-HTML crawls
+    * ship `response` records, not WET conversions; the continuous
+    * ingest path must not mojibake either). */
+  def readResponsesStream(spark: SparkSession, path: String): DataFrame =
+    responseView(readStream(spark, path).toDF())
 }

@@ -510,6 +510,29 @@ object EventStream {
       .outputMode("append")
       .start()
 
+  /** RAW-HTML crawl ingest (round 15) — [[warcIngestStream]]'s sibling
+    * for crawls that ship `response` records instead of WET
+    * conversions: each archive's HTML pages decode per their
+    * Content-Type charset (the shared response view), strip through
+    * the SAME `htmlToText` the gated `text_html_extract` uses, and
+    * land as a text-documents parquet table — exactly-once via the
+    * file sink's commit log, zero state rows (pure per-record
+    * transform). The WET and HTML front doors produce the same table
+    * shape, so everything downstream is shared. */
+  def htmlIngestStream(spark: org.apache.spark.sql.SparkSession, warcDir: String,
+                       outPath: String, checkpoint: String):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    graft.sources.WarcSource.readResponsesStream(spark, warcDir)
+      .select(col("target_uri"), col("warc_date"), col("record_id"),
+        col("headers"),
+        graft.operators.TextAnalysis.htmlToText(col("html")).as("text"),
+        col("n_bytes"))
+      .writeStream.format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+
   /** Ingest-time QUALITY GATING (round 14) — the streaming twin of
     * `curation_quality_gate`, the filter-early stage a continuous
     * pipeline runs right after [[warcIngestStream]]: each micro-batch

@@ -177,6 +177,36 @@ class WarcSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("raw-HTML ingest stream: response archives → charset-decoded text docs == batch path") {
+    val warcDir = tmp("warc_html_in")
+    val outPath = tmp("warc_html_out") + "/docs"
+    val pages = Seq(
+      ("http://h.test/1", "text/html",
+        "<html><body><h1>One</h1><p>first page</p></body></html>".getBytes("UTF-8")),
+      ("http://h.test/2", "text/html; charset=ISO-8859-1",
+        "<html><body><p>café numéro deux</p></body></html>".getBytes("ISO-8859-1")))
+    val recs = pages.flatMap { case (uri, ct, body) =>
+      WarcSource.render("response", uri, "2026-01-01T00:00:00Z",
+        s"<urn:uuid:${uri.hashCode}>", ct, body)
+    }.toArray
+    java.nio.file.Files.write(java.nio.file.Paths.get(warcDir, "pages.warc"), recs)
+    val q = graft.streaming.EventStream.htmlIngestStream(
+      spark, warcDir, outPath, tmp("warc_html_ck"))
+    q.processAllAvailable(); q.stop()
+    val got = spark.read.parquet(outPath)
+      .select(col("target_uri"), col("text")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("http://h.test/1") == "One\nfirst page")
+    assert(got("http://h.test/2") == "café numéro deux",
+      s"latin-1 page must decode per charset in the stream: ${got("http://h.test/2")}")
+    // batch twin produces the same table
+    val batch = WarcSource.readResponses(spark, warcDir)
+      .select(col("target_uri"),
+        graft.operators.TextAnalysis.htmlToText(col("html")).as("text"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(batch == got, "streamed HTML ingest must equal the batch extraction")
+  }
+
   test("header names parse case-insensitively; values keep inner whitespace") {
     val dir = tmp("warc_case")
     val rec = WarcSource.render("conversion", "http://x.test/ws", "2026-01-01T00:00:00Z",
