@@ -484,7 +484,7 @@ object Dedup {
   def clustersCached(spark: SparkSession, dir: String): DataFrame = {
     val docsFile = new java.io.File(s"$dir/documents.parquet")
     val maxDf = effectiveMaxShingleDf(spark)
-    val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${Layout.stateTag(docsFile)}_df$maxDf"
+    val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${Layout.stateTag(spark, docsFile.getPath)}_df$maxDf"
     val path = s"target/tmp/clusters_cache/$key"
     if (!new java.io.File(s"$path/_SUCCESS").exists())
       dedupClustersOf(spark, dir, ordered = false)

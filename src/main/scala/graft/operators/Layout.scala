@@ -53,21 +53,29 @@ private[graft] object Layout {
     * plus a hash of the part-file listing (names, sizes, mtimes). The
     * store caches splice this into external-table directory names in
     * place of the bare mtime they used through round 14, so a
-    * same-second regen re-keys stores and derived counts TOGETHER. */
-  def stateTag(f: java.io.File): String = {
-    val parts = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq(f))
-    val listing = parts.map(p => s"${p.getName}:${p.length}:${p.lastModified}")
+    * same-second regen re-keys stores and derived counts TOGETHER.
+    *
+    * Listing goes through the HADOOP FS (round 15): `java.io.File` on
+    * an `hdfs://`/`s3a://` corpus silently answers 0/null — every tag
+    * would collapse to the same constant and a stale cache would NEVER
+    * invalidate. The Hadoop path works for local files too and FAILS
+    * LOUDLY (FileNotFoundException) on a missing table, which the old
+    * form also swallowed. */
+  def stateTag(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    val parts = if (st.isDirectory) fs.listStatus(p).toSeq else Seq(st)
+    val listing = parts
+      .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
       .sorted.mkString(",")
-    s"${f.lastModified}h${Integer.toHexString(listing.hashCode)}"
+    s"${st.getModificationTime}h${Integer.toHexString(listing.hashCode)}"
   }
-
-  private def stateKey(f: java.io.File): String =
-    s"${f.getAbsolutePath}@${stateTag(f)}"
 
   /** Row count of `<dir>/<table>.parquet`, memoized per table state. */
   def tableCount(spark: SparkSession, dir: String, table: String): Long = {
-    val f = new java.io.File(s"$dir/$table.parquet")
-    counts.computeIfAbsent(stateKey(f),
-      _ => spark.read.parquet(f.getPath).count()).longValue()
+    val path = s"$dir/$table.parquet"
+    counts.computeIfAbsent(s"$path@${stateTag(spark, path)}",
+      _ => spark.read.parquet(path).count()).longValue()
   }
 }

@@ -232,7 +232,7 @@ object Retrieval {
   // serve under the bucketed DDL at all
   private[graft] def bm25StoreKey(spark: SparkSession, dir: String): String = {
     val docsFile = new java.io.File(s"$dir/documents.parquet")
-    s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${Layout.stateTag(docsFile)}" +
+    s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${Layout.stateTag(spark, docsFile.getPath)}" +
       s"_tok${TextFns.TokVersion}_b${postingsBuckets(spark, dir)}"
   }
 
@@ -404,7 +404,7 @@ object Retrieval {
     * it) reuses. */
   def hybridRrfComposed(spark: SparkSession, dir: String): DataFrame = {
     val mt = Seq("documents", "embeddings")
-      .map(t => Layout.stateTag(new java.io.File(s"$dir/$t.parquet"))).mkString("_")
+      .map(t => Layout.stateTag(spark, s"$dir/$t.parquet")).mkString("_")
     // key = data version + constants BAKED INTO the stored lists: their
     // depth (FuseK) and the tokenizer behind the BM25 leg. RrfC/K apply
     // at fuse time over the stored lists, so they don't key the cache.

@@ -925,7 +925,7 @@ object Similarity {
     // data version + constants baked into the stored index (see
     // topkIvfPqIndexed for the key convention); "tp" marks the round-12
     // multi-top layout so a stored two-table index never serves it
-    val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${Layout.stateTag(embFile)}" +
+    val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${Layout.stateTag(spark, embFile.getPath)}" +
       s"_pk${Ivf2K1}x${Ivf2K2}i${Ivf2Iters}ts"
     val base = s"target/tmp/ivf2_index/$key"
     ivf2WriteIndex(spark, dir, base)
@@ -1121,7 +1121,7 @@ object Similarity {
     val embFile = new java.io.File(s"$dir/embeddings.parquet")
     // data version + constants baked into the stored index (see
     // topkIvfPqIndexed for the key convention)
-    val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${Layout.stateTag(embFile)}" +
+    val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${Layout.stateTag(spark, embFile.getPath)}" +
       s"_m${PqM}k${PqK}i$PqIters"
     val base = s"target/tmp/pq_index/$key"
     // guard on the LAST-written table: a crash between writes leaves it
@@ -1744,7 +1744,7 @@ object Similarity {
     // "res" marks the round-12 residual encode, "p" the round-13
     // label-PARTITIONED codes layout — a stored index from an earlier
     // build must not serve under the new math or the new layout
-    val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${Layout.stateTag(embFile)}" +
+    val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${Layout.stateTag(spark, embFile.getPath)}" +
       s"_respm${PqM}k${PqK}i$PqIters"
     val base = s"target/tmp/ivfpq_index/$key"
     ivfPqWriteIndex(spark, dir, base)
@@ -1796,7 +1796,7 @@ object Similarity {
     * instead of rebuilding; `_SUCCESS`-guarded against torn writes). */
   private[graft] def vecStoreKey(spark: SparkSession, dir: String): String = {
     val embFile = new java.io.File(s"$dir/embeddings.parquet")
-    s"${dir}_${Layout.stateTag(embFile)}_b${vecBuckets(spark, dir)}"
+    s"${dir}_${Layout.stateTag(spark, embFile.getPath)}_b${vecBuckets(spark, dir)}"
       .replaceAll("[^A-Za-z0-9_]", "_").toLowerCase
   }
 
@@ -2553,7 +2553,7 @@ object Similarity {
     val k = knnCellsFor(emb(spark, dir).count())
     // the flat/two-level cutover changes the quantizer (cosine argmax
     // vs composed L2²) — fold it in so a conf flip re-keys
-    val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${Layout.stateTag(embFile)}" +
+    val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${Layout.stateTag(spark, embFile.getPath)}" +
       s"_j${KnnJ}_k${k}i${KnnKmIters}f${knnFlatMaxCells(spark)}"
     val path = s"target/tmp/knn_graph_cache/$key"
     if (!new java.io.File(s"$path/_SUCCESS").exists())
