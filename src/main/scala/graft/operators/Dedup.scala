@@ -482,9 +482,9 @@ object Dedup {
     * itself stays the inline build: it IS the operator under test; the
     * consumers are compositions and should not re-pay it. */
   def clustersCached(spark: SparkSession, dir: String): DataFrame = {
-    val docsFile = new java.io.File(s"$dir/documents.parquet")
+    val docsPath = s"$dir/documents.parquet"
     val maxDf = effectiveMaxShingleDf(spark)
-    val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${Layout.stateTag(spark, docsFile.getPath)}_df$maxDf"
+    val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${Layout.stateTag(spark, docsPath)}_df$maxDf"
     val path = s"target/tmp/clusters_cache/$key"
     if (!new java.io.File(s"$path/_SUCCESS").exists())
       dedupClustersOf(spark, dir, ordered = false)

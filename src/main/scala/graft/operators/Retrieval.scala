@@ -231,8 +231,8 @@ object Retrieval {
   // derives a different count, and a flat round-12 store must not
   // serve under the bucketed DDL at all
   private[graft] def bm25StoreKey(spark: SparkSession, dir: String): String = {
-    val docsFile = new java.io.File(s"$dir/documents.parquet")
-    s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${Layout.stateTag(spark, docsFile.getPath)}" +
+    val docsPath = s"$dir/documents.parquet"
+    s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${Layout.stateTag(spark, docsPath)}" +
       s"_tok${TextFns.TokVersion}_b${postingsBuckets(spark, dir)}"
   }
 

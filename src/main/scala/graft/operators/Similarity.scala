@@ -921,11 +921,11 @@ object Similarity {
     * once per corpus version; warm runs read stored cells + subbooks +
     * tops and never touch the raw embeddings table. */
   def topkIvf2Indexed(spark: SparkSession, dir: String): DataFrame = {
-    val embFile = new java.io.File(s"$dir/embeddings.parquet")
+    val embPath = s"$dir/embeddings.parquet"
     // data version + constants baked into the stored index (see
     // topkIvfPqIndexed for the key convention); "tp" marks the round-12
     // multi-top layout so a stored two-table index never serves it
-    val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${Layout.stateTag(spark, embFile.getPath)}" +
+    val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${Layout.stateTag(spark, embPath)}" +
       s"_pk${Ivf2K1}x${Ivf2K2}i${Ivf2Iters}ts"
     val base = s"target/tmp/ivf2_index/$key"
     ivf2WriteIndex(spark, dir, base)
@@ -1118,10 +1118,10 @@ object Similarity {
     * a pruned query-vector scan. */
   def topkPqIndexed(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val embFile = new java.io.File(s"$dir/embeddings.parquet")
+    val embPath = s"$dir/embeddings.parquet"
     // data version + constants baked into the stored index (see
     // topkIvfPqIndexed for the key convention)
-    val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${Layout.stateTag(spark, embFile.getPath)}" +
+    val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${Layout.stateTag(spark, embPath)}" +
       s"_m${PqM}k${PqK}i$PqIters"
     val base = s"target/tmp/pq_index/$key"
     // guard on the LAST-written table: a crash between writes leaves it
@@ -1736,7 +1736,7 @@ object Similarity {
     * codes/books/cells plus a pruned query-vector scan. */
   def topkIvfPqIndexed(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val embFile = new java.io.File(s"$dir/embeddings.parquet")
+    val embPath = s"$dir/embeddings.parquet"
     // key = data version + the constants BAKED INTO the stored index
     // (codebook size / training rounds — codes and books change with
     // them). K/NQueries apply at serve time, so they don't key the
@@ -1744,7 +1744,7 @@ object Similarity {
     // "res" marks the round-12 residual encode, "p" the round-13
     // label-PARTITIONED codes layout — a stored index from an earlier
     // build must not serve under the new math or the new layout
-    val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${Layout.stateTag(spark, embFile.getPath)}" +
+    val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${Layout.stateTag(spark, embPath)}" +
       s"_respm${PqM}k${PqK}i$PqIters"
     val base = s"target/tmp/ivfpq_index/$key"
     ivfPqWriteIndex(spark, dir, base)
@@ -1795,8 +1795,8 @@ object Similarity {
     * cold-catalog run re-registers DDL derived from the stored footer
     * instead of rebuilding; `_SUCCESS`-guarded against torn writes). */
   private[graft] def vecStoreKey(spark: SparkSession, dir: String): String = {
-    val embFile = new java.io.File(s"$dir/embeddings.parquet")
-    s"${dir}_${Layout.stateTag(spark, embFile.getPath)}_b${vecBuckets(spark, dir)}"
+    val embPath = s"$dir/embeddings.parquet"
+    s"${dir}_${Layout.stateTag(spark, embPath)}_b${vecBuckets(spark, dir)}"
       .replaceAll("[^A-Za-z0-9_]", "_").toLowerCase
   }
 
@@ -2547,13 +2547,13 @@ object Similarity {
     * consumers re-paid the 12.5 s sf1 graph build each, ~30 s of the
     * decade total. */
   def knnGraphCached(spark: SparkSession, dir: String): DataFrame = {
-    val embFile = new java.io.File(s"$dir/embeddings.parquet")
+    val embPath = s"$dir/embeddings.parquet"
     // the EFFECTIVE adaptive k is part of the identity (a corpus
     // rewrite that changes n re-keys even at an unchanged mtime path)
     val k = knnCellsFor(emb(spark, dir).count())
     // the flat/two-level cutover changes the quantizer (cosine argmax
     // vs composed L2²) — fold it in so a conf flip re-keys
-    val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${Layout.stateTag(spark, embFile.getPath)}" +
+    val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${Layout.stateTag(spark, embPath)}" +
       s"_j${KnnJ}_k${k}i${KnnKmIters}f${knnFlatMaxCells(spark)}"
     val path = s"target/tmp/knn_graph_cache/$key"
     if (!new java.io.File(s"$path/_SUCCESS").exists())
