@@ -86,4 +86,58 @@ class IncrementalReleaseSpec extends AnyFunSuite {
     assert(cmap(31L) == cmap(trainDoc), "near-dup must inherit its match's cluster")
     clusters0.unpersist()
   }
+
+  test("persisted nightly loop: on-disk catalog + cluster table, crash-retried night is idempotent") {
+    val root = java.nio.file.Files.createTempDirectory("nightly").toString
+    val (fpPath, shPath, cluPath) = (s"$root/fp", s"$root/sh", s"$root/clusters")
+    val base = docsDf((1L to 12L).map(i => i -> docText(i)))
+    // night 0: bootstrap — build and persist catalog + clusters
+    val (fp0, sh0) = Dedup.buildCatalog(base)
+    fp0.write.parquet(s"$fpPath/batch-0"); sh0.write.parquet(s"$shPath/batch-0")
+    Dedup.dedupClustersOfDocs(spark, base, ordered = false).write.parquet(cluPath)
+
+    // night 1: read state from disk, classify, extend, persist
+    def night(batch: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+      val catFp = Dedup.readCatalog(spark, fpPath, excludeBatch = Some(id))
+      val catSh = Dedup.readCatalog(spark, shPath, excludeBatch = Some(id))
+      val verdicts = Dedup.incrementalOf(catFp, catSh, batch).cache()
+      val clu2 = Curation.extendClusters(spark.read.parquet(cluPath), verdicts)
+      clu2.write.mode("overwrite").parquet(s"$root/clusters_next")
+      Dedup.appendToCatalog(fpPath, shPath, batch, verdicts, batchId = Some(id))
+      verdicts.unpersist()
+      // atomic-ish swap for the spec (production: versioned table paths)
+      val tmp = spark.read.parquet(s"$root/clusters_next").cache()
+      tmp.count()
+      tmp.write.mode("overwrite").parquet(cluPath)
+      tmp.unpersist()
+    }
+    val batch1 = docsDf(Seq(21L -> docText(21L), 22L -> docText(3L))) // novel + exact dup of 3
+    night(batch1, 1L)
+    val after1 = spark.read.parquet(cluPath)
+      .as[(Long, Long)].collect().toMap
+    assert(after1(22L) == after1(3L), "persisted loop: dup inherits cluster")
+    assert(after1.size == 14)
+
+    // crash retry: the SAME night re-runs (excludeBatch hides its own
+    // earlier append; clusters rebuild from the same pre-night state —
+    // extendClusters only appends rows for batch docs, and re-extending
+    // an already-extended table would duplicate them, so the retry
+    // recomputes from the persisted pre-batch clusters)
+    val preNight = spark.read.parquet(cluPath)
+      .filter(!col("doc_id").isin(21L, 22L))
+    preNight.write.mode("overwrite").parquet(s"$root/clusters_pre")
+    spark.read.parquet(s"$root/clusters_pre").write.mode("overwrite").parquet(cluPath)
+    night(batch1, 1L)
+    val after1retry = spark.read.parquet(cluPath)
+      .as[(Long, Long)].collect().toMap
+    assert(after1retry == after1, "retried night must land the identical state")
+    // catalog stayed idempotent too: classifying a copy of 21 still
+    // exact-matches exactly one catalog doc (no duplicated fingerprints)
+    val probe = docsDf(Seq(99L -> docText(21L)))
+    val v = Dedup.incrementalOf(
+      Dedup.readCatalog(spark, fpPath), Dedup.readCatalog(spark, shPath), probe)
+      .as[(Long, String, java.lang.Long)].collect()
+    assert(v.head._2 == "exact_dup" && v.head._3 == 21L,
+      s"catalog after retry must classify a copy of 21 as its dup: ${v.toSeq}")
+  }
 }
