@@ -332,6 +332,46 @@ object Curation {
         expr(s"(offset + localCum - 1) div $BlockTokens").as("last_block"))
   }
 
+  /** BPE-unit packing (round 15): [[packSequences]] with the stream
+    * measured in TRAINED-TOKENIZER units — what a dataloader actually
+    * packs (a 1024-BPE-token block is the model's context shape;
+    * whitespace tokens only approximate it). Counts come from the
+    * gated 25i encode (the trained vocab join — one vocab-sized join,
+    * the per-doc fold is in-row), the pack is the same distributed
+    * prefix sum. Oracle composes the shared unrolled BPE CTEs with the
+    * packing arithmetic — neither re-derived. */
+  def packBpe(spark: SparkSession, dir: String): DataFrame = {
+    val (syms, _) = TextAnalysis.bpeLearn(spark, dir)
+    val vocab = syms.select(col("w"), size(col("sym")).as("n_sym"))
+    val counts = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("w"))
+      .join(vocab, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_sym")).cast("long").as("n"))
+      .filter(col("n") > 0)
+    packOf(counts)
+      .select(col("doc_id"), col("n_tokens").as("n_bpe"),
+        col("first_block"), col("last_block"))
+      .orderBy(col("doc_id"))
+  }
+
+  val packBpeOracle: String = s"""
+    WITH ${TextAnalysis.bpeCtes},
+    bc AS (
+      SELECT d.doc_id, CAST(sum(len(v.sym)) AS BIGINT) AS n
+      FROM (SELECT doc_id, unnest(t) AS w FROM toks) d
+      JOIN v${TextAnalysis.BpeMerges} v ON v.w = d.w
+      GROUP BY d.doc_id),
+    pc AS (SELECT doc_id, n,
+            CAST(sum(n) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+          FROM bc WHERE n > 0)
+    SELECT doc_id, n AS n_bpe,
+      (cum - n) // $BlockTokens AS first_block,
+      (cum - 1) // $BlockTokens AS last_block
+    FROM pc
+    ORDER BY doc_id"""
+
   /** (doc_id, n_tokens, first_block, last_block) per non-empty doc. */
   def packSequences(spark: SparkSession, dir: String): DataFrame =
     packOf(Tables.documents(spark, dir)
@@ -1642,6 +1682,7 @@ object Curation {
     "curation_contamination"  -> (contamination _),
     "curation_winnow_contamination" -> (winnowContamination _),
     "curation_pack_sequences" -> (packSequences _),
+    "curation_pack_bpe"      -> (packBpe _),
     "curation_chunk_dedup"   -> (chunkDedup _),
     "curation_substring_dedup" -> (substringDedup _),
     "curation_line_dedup"    -> (lineDedup _),
@@ -1666,6 +1707,7 @@ object Curation {
     "curation_contamination"  -> contaminationOracle,
     "curation_winnow_contamination" -> winnowContaminationOracle,
     "curation_pack_sequences" -> packSequencesOracle,
+    "curation_pack_bpe"      -> packBpeOracle,
     "curation_chunk_dedup"   -> chunkDedupOracle,
     "curation_substring_dedup" -> substringDedupOracle,
     "curation_line_dedup"    -> lineDedupOracle,

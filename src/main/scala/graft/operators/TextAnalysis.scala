@@ -1036,7 +1036,7 @@ object TextAnalysis {
     * marker; per round k, pair counts → top-1 pick → greedy merge via
     * the island-alternation rule. Shared by the train and encode
     * oracles. */
-  private val bpeCtes: String = {
+  private[operators] val bpeCtes: String = {
     val rounds = (1 to BpeMerges).map { k =>
       val prev = s"v${k - 1}"
       s"""
