@@ -808,6 +808,23 @@ object Dedup {
     spark.read.option("recursiveFileLookup", "true").parquet(paths: _*)
   }
 
+  /** Compact a batch-grown catalog (round 15): rewrite the CURRENT
+    * catalog view into one `base/` generation under a new root. Years
+    * of nightly `batch-<id>/` appends leave thousands of
+    * subdirectories — harmless to reads (recursive listing) but a
+    * growing driver listing in [[readCatalog]]'s excludeBatch path and
+    * a small-files tax on the FS. Compaction is O(catalog), so it runs
+    * on an ops cadence, not nightly; the caller swaps the root pointer
+    * when both writes commit (write-beside-then-swap, the external-
+    * table convention). Classification against the compacted catalog
+    * is IDENTICAL by construction — the catalog is a bag of rows and
+    * only the file layout changes (spec-proven). */
+  def compactCatalog(spark: SparkSession, fpPath: String, shPath: String,
+                     outFpPath: String, outShPath: String): Unit = {
+    readCatalog(spark, fpPath).write.mode("overwrite").parquet(s"$outFpPath/base")
+    readCatalog(spark, shPath).write.mode("overwrite").parquet(s"$outShPath/base")
+  }
+
   def incremental(spark: SparkSession, dir: String): DataFrame = {
     // the oracle SQL pins DefaultMaxShingleDf; a conf override here would
     // make query and oracle silently diverge at the correctness gate, so

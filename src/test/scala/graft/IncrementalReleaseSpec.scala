@@ -139,5 +139,16 @@ class IncrementalReleaseSpec extends AnyFunSuite {
       .as[(Long, String, java.lang.Long)].collect()
     assert(v.head._2 == "exact_dup" && v.head._3 == 21L,
       s"catalog after retry must classify a copy of 21 as its dup: ${v.toSeq}")
+
+    // compaction: rewrite the batch-grown catalog into one generation —
+    // classification identical, directory count collapses
+    val (cFp, cSh) = (s"$root/fp_compact", s"$root/sh_compact")
+    Dedup.compactCatalog(spark, fpPath, shPath, cFp, cSh)
+    val vc = Dedup.incrementalOf(
+      Dedup.readCatalog(spark, cFp), Dedup.readCatalog(spark, cSh), probe)
+      .as[(Long, String, java.lang.Long)].collect()
+    assert(vc.toSeq == v.toSeq, "compacted catalog must classify identically")
+    val gens = new java.io.File(cFp).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(gens.toSeq == Seq("base"), s"compacted root must hold one generation: ${gens.toSeq}")
   }
 }
