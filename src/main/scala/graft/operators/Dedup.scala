@@ -808,6 +808,112 @@ object Dedup {
     spark.read.option("recursiveFileLookup", "true").parquet(paths: _*)
   }
 
+  // ---- signature-only incremental catalog (round 15) -------------------
+  // The storage-lean sibling of buildCatalog/incrementalOf: the near-dup
+  // state is 32 minhash longs per doc (≈256 B) instead of the full
+  // shingle set (typically 10-100× larger) — the catalog a decade of
+  // nightly crawl batches can actually afford to keep hot. The trade is
+  // explicit and standard: candidate generation is the same banded LSH
+  // equi-join, but verification is the SIGNATURE-ESTIMATED Jaccard
+  // (matching components / 32, ±1/√32 expected error) instead of the
+  // exact shingle-set ratio — a near-threshold pair can flip vs the
+  // exact catalog (spec quantifies agreement on crafted families).
+  // Exact-dup detection is unchanged (same md5 fingerprint table).
+
+  /** (fp(doc_id, fp), sigs(doc_id, sig[32])) — both persistable;
+    * signatures via the native zero-shuffle expression. */
+  def buildSigCatalog(docs: DataFrame): (DataFrame, DataFrame) = {
+    val fp = docs.select(col("doc_id"),
+      md5(concat_ws(" ", TextFns.tokens(col("text")))).as("fp"))
+    (fp, minhashSignatures(docs))
+  }
+
+  /** (doc_id, band, bh) from an ARRAY-signature frame — identical band
+    * hashing to [[bandsOfSig]]'s column form (same longs, same
+    * comma-joined string through xxhash64), so either formulation's
+    * bands join against either's. */
+  private def bandsOfSigArray(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"),
+      explode(array((0 until 8).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(concat_ws(",",
+            (0 until 4).map(r => element_at(col("sig"), b * 4 + r + 1)): _*)).as("bh"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+
+  /** Classify `incoming` against a signature catalog:
+    * (doc_id, status, match_id, est_jaccard). Near-dup = best
+    * band-candidate with estimated Jaccard ≥ `minEst` (ties → lowest
+    * catalog id, the incrementalOf rule). The catalog band side is
+    * df-capped like the shingle path — a boilerplate family's hot
+    * bucket would otherwise fan out candidates unboundedly (dropped
+    * keys are logged; recall loss is visible, never silent). */
+  def incrementalSigOf(catalogFp: DataFrame, catalogSig: DataFrame,
+                       incoming: DataFrame, minEst: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = incoming.sparkSession
+    val maxDf = spark.conf.getOption("spark.graft.dedup.incrementalMaxDf")
+      .map(_.toLong).getOrElse(DefaultMaxShingleDf)
+    val inFp = incoming.select(col("doc_id"),
+      md5(concat_ws(" ", TextFns.tokens(col("text")))).as("fp"))
+    val exactM = inFp
+      .join(catalogFp.select(col("fp"), col("doc_id").as("cid")), Seq("fp"))
+      .groupBy(col("doc_id")).agg(min(col("cid")).as("ex_id"))
+    val nonExact = incoming
+      .join(exactM.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val inSig = minhashSignatures(nonExact).cache()
+    val catBands = Skew.capByFrequency(
+      bandsOfSigArray(catalogSig)
+        .withColumn("bkey", concat_ws(":", col("band"), col("bh"))),
+      "bkey", "doc_id", maxDf,
+      logDropsAs = Some("dedup_incremental_sig"), distinctPairs = true)
+    val cand = bandsOfSigArray(inSig)
+      .join(catBands.select(col("doc_id").as("cid"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .select(col("doc_id"), col("cid")).distinct()
+    val wBest = Window.partitionBy(col("doc_id"))
+      .orderBy(col("est").desc, col("cid"))
+    val nearM = cand
+      .join(inSig.select(col("doc_id"), col("sig").as("siga")), Seq("doc_id"))
+      .join(catalogSig.select(col("doc_id").as("cid"), col("sig").as("sigb")), Seq("cid"))
+      .select(col("doc_id"), col("cid"),
+        round(aggregate(
+          zip_with(col("siga"), col("sigb"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (a, x) => a + x).cast("double") / 32.0, 6).as("est"))
+      .filter(col("est") >= minEst)
+      .withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("cid").as("near_id"), col("est"))
+    val verdicts = incoming.select(col("doc_id"))
+      .join(exactM, Seq("doc_id"), "left")
+      .join(nearM, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("ex_id").isNotNull, "exact_dup")
+          .when(col("near_id").isNotNull, "near_dup")
+          .otherwise("novel").as("status"),
+        coalesce(col("ex_id"), col("near_id")).as("match_id"),
+        col("est").as("est_jaccard"))
+      .orderBy(col("doc_id"))
+    verdicts
+  }
+
+  /** Append-merge for the signature catalog — rebuild-equivalent like
+    * [[mergeIntoCatalog]] (signatures are per-doc, the catalog side is
+    * never re-read); `novelOnly` trades future near-dup recall for not
+    * storing redundant signatures, exactly the shingle catalog's
+    * documented trade. */
+  def mergeIntoSigCatalog(catalogFp: DataFrame, catalogSig: DataFrame,
+                          incoming: DataFrame, verdicts: DataFrame,
+                          novelOnly: Boolean = false): (DataFrame, DataFrame) = {
+    val keep =
+      if (novelOnly)
+        incoming.join(verdicts.filter(col("status") === "novel").select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+      else incoming
+    val (fp, sigs) = buildSigCatalog(keep)
+    (catalogFp.unionByName(fp), catalogSig.unionByName(sigs))
+  }
+
   /** Compact a batch-grown catalog (round 15): rewrite the CURRENT
     * catalog view into one `base/` generation under a new root. Years
     * of nightly `batch-<id>/` appends leave thousands of
