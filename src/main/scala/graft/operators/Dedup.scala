@@ -914,6 +914,30 @@ object Dedup {
     (catalogFp.unionByName(fp), catalogSig.unionByName(sigs))
   }
 
+  /** Persisted flavor of [[mergeIntoSigCatalog]] — batch-keyed
+    * idempotent appends exactly like [[appendToCatalog]] (same
+    * `batch-<id>/` overwrite semantics, same [[readCatalog]] reader,
+    * same [[compactCatalog]] compaction). O(batch) write cost. */
+  def appendToSigCatalog(fpPath: String, sigPath: String,
+                         incoming: DataFrame, verdicts: DataFrame,
+                         novelOnly: Boolean = false,
+                         batchId: Option[Long] = None): Unit = {
+    val keep =
+      if (novelOnly)
+        incoming.join(verdicts.filter(col("status") === "novel").select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+      else incoming
+    val (fp, sigs) = buildSigCatalog(keep)
+    batchId match {
+      case Some(id) =>
+        fp.write.mode("overwrite").parquet(s"$fpPath/batch-$id")
+        sigs.write.mode("overwrite").parquet(s"$sigPath/batch-$id")
+      case None =>
+        fp.write.mode("append").parquet(fpPath)
+        sigs.write.mode("append").parquet(sigPath)
+    }
+  }
+
   /** Compact a batch-grown catalog (round 15): rewrite the CURRENT
     * catalog view into one `base/` generation under a new root. Years
     * of nightly `batch-<id>/` appends leave thousands of

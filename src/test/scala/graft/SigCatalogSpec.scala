@@ -66,4 +66,32 @@ class SigCatalogSpec extends AnyFunSuite {
     assert(v2.head._2 == "exact_dup" && v2.head._3 == 102L,
       s"merged sig catalog must classify the copy as 102's dup: ${v2.toSeq}")
   }
+
+  test("persisted sig catalog: batch-keyed appends, retried batch idempotent") {
+    val root = java.nio.file.Files.createTempDirectory("sigcat").toString
+    val (fpPath, sigPath) = (s"$root/fp", s"$root/sig")
+    val base = docsDf((1L to 10L).map(i => i -> docText(i)))
+    val (fp0, sig0) = Dedup.buildSigCatalog(base)
+    fp0.write.parquet(s"$fpPath/batch-0"); sig0.write.parquet(s"$sigPath/batch-0")
+
+    def classify(batch: org.apache.spark.sql.DataFrame, exclude: Option[Long]) =
+      Dedup.incrementalSigOf(
+        Dedup.readCatalog(spark, fpPath, exclude),
+        Dedup.readCatalog(spark, sigPath, exclude), batch)
+
+    val batch = docsDf(Seq(20L -> docText(20L), 21L -> (docText(7L) + " extra tail")))
+    val v1 = classify(batch, Some(1L))
+    Dedup.appendToSigCatalog(fpPath, sigPath, batch, v1, batchId = Some(1L))
+    // crash retry of the same batch: its own earlier append is excluded,
+    // so nothing self-matches and the re-append overwrites cleanly
+    val v1r = classify(batch, Some(1L))
+    assert(v1r.select(col("doc_id"), col("status")).as[(Long, String)].collect().toMap ==
+      Map(20L -> "novel", 21L -> "near_dup"), "retry must see the pre-batch catalog")
+    Dedup.appendToSigCatalog(fpPath, sigPath, batch, v1r, batchId = Some(1L))
+    // next batch sees exactly one copy of batch-1's signatures
+    val probe = docsDf(Seq(30L -> docText(20L)))
+    val v2 = classify(probe, None)
+      .as[(Long, String, java.lang.Long, java.lang.Double)].collect()
+    assert(v2.head._2 == "exact_dup" && v2.head._3 == 20L, s"${v2.toSeq}")
+  }
 }
