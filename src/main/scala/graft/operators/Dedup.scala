@@ -811,8 +811,11 @@ object Dedup {
   // ---- signature-only incremental catalog (round 15) -------------------
   // The storage-lean sibling of buildCatalog/incrementalOf: the near-dup
   // state is 32 minhash longs per doc (≈256 B) instead of the full
-  // shingle set (typically 10-100× larger) — the catalog a decade of
-  // nightly crawl batches can actually afford to keep hot. The trade is
+  // shingle set — MEASURED 11.9× smaller at 200-token documents
+  // (ScaleHotCatalog: 436 vs 36.5 MB at 200 k docs), growing with doc
+  // length while the signature stays fixed. The honest crossover: for
+  // ~10-token stubs the shingle table is SMALLER (the first gate
+  // version measured it) — pick the catalog for the corpus you have. The trade is
   // explicit and standard: candidate generation is the same banded LSH
   // equi-join, but verification is the SIGNATURE-ESTIMATED Jaccard
   // (matching components / 32, ±1/√32 expected error) instead of the
