@@ -1076,8 +1076,9 @@ object Curation {
         sum(col("n_copies") - 1).as("n_dupes_collapsed"))
       .join(broadcast(packs), Seq("split"))
       .orderBy(col("split"), col("source"))
-    out.count() // force while cur is cached
-    cur.unpersist()
+      .cache() // the CARD is what's returned — cache it, not just upstream,
+    out.count() // so the caller's first action reads card-sized state instead
+    cur.unpersist() // of re-running the whole chain after cur is dropped
     out
   }
 
@@ -1198,8 +1199,41 @@ object Curation {
       .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
   }
 
-  def releaseManifestV2(spark: SparkSession, dir: String): DataFrame = {
-    val cur = releaseV2Frame(spark, dir).drop("ship_text").cache()
+  /** [[releaseV2Frame]] MATERIALIZED once per corpus version (round 16,
+    * the clustersCached / 26q2 pattern): the curate→winnow→redact→split
+    * chain is the suite's most expensive composition (~4.5 s sf0.1,
+    * 12.5 s sf1 — a day-scale job at 100 TB), and a real release run
+    * consumes it TWICE (the card via [[releaseManifestV2]], the shipped
+    * bytes via [[releaseShards]]). The stateTag in the key re-keys the
+    * artifact on any corpus regen — same second included — and the df
+    * cap is part of the identity because the cluster stage depends on
+    * it (the splitLeakSafeComposed rule). Warm consumers pay a parquet
+    * read of exactly the columns they prune to. */
+  private[graft] def releaseV2FrameCached(spark: SparkSession, dir: String): DataFrame = {
+    val docsPath = s"$dir/documents.parquet"
+    val maxDf = Dedup.effectiveMaxShingleDf(spark)
+    val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${Layout.stateTag(spark, docsPath)}_df$maxDf"
+    val path = s"target/tmp/release_v2_cache/$key"
+    if (!new java.io.File(s"$path/_SUCCESS").exists())
+      releaseV2Frame(spark, dir).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
+  /** The card served from the MATERIALIZED release frame — stages 5-6
+    * (pack + aggregate) over the artifact, bit-identical to the inline
+    * [[releaseManifestV2]] (same oracle gates both; the inline entry
+    * stays the operator under test, this is the deployment shape: a
+    * card+shards release run pays the chain once). */
+  def releaseManifestV2Composed(spark: SparkSession, dir: String): DataFrame =
+    releaseCardOf(releaseV2FrameCached(spark, dir).drop("ship_text"))
+
+  def releaseManifestV2(spark: SparkSession, dir: String): DataFrame =
+    releaseCardOf(releaseV2Frame(spark, dir).drop("ship_text"))
+
+  /** Stages 5-6 of the v2 release over any per-doc release frame — ONE
+    * definition consumed by the inline and the composed card entries. */
+  private def releaseCardOf(frame: DataFrame): DataFrame = {
+    val cur = frame.cache()
     // stage 5: pack each split's SHIPPED token stream (kept docs only)
     val packs = packOfBy(
         cur.filter(!col("contaminated"))
@@ -1219,8 +1253,9 @@ object Curation {
         sum(when(!col("contaminated"), col("n_pii"))).as("n_redacted"))
       .join(broadcast(packs), Seq("split"))
       .orderBy(col("split"), col("source"))
-    out.count() // force while cur is cached
-    cur.unpersist()
+      .cache() // cache the CARD itself (card-sized rows), not just cur —
+    out.count() // counting-then-unpersisting upstream left the returned
+    cur.unpersist() // lazy frame to recompute the whole chain (r15 advice)
     out
   }
 
@@ -1229,22 +1264,21 @@ object Curation {
     * docs with their REDACTED text — as per-split training shards
     * ([[ShardExport.exportSplitShards]]: deterministic md5-shuffle
     * order, document-aligned shard files, per-split manifests). Both
-    * read the SAME [[releaseV2Frame]], so the card and the shard trees
-    * cannot disagree (spec-proven: tree doc counts == card n_docs per
-    * split, contaminated docs absent, exported text carries the PII
-    * placeholders). Returns the union shard manifest. */
+    * read the SAME [[releaseV2FrameCached]] artifact, so the card and
+    * the shard trees cannot disagree (spec-proven: tree doc counts ==
+    * card n_docs per split, contaminated docs absent, exported text
+    * carries the PII placeholders) AND a card+shards release run pays
+    * the curate→winnow→redact→split chain ONCE (round 16 — previously
+    * each consumer recomputed it). Returns the union shard manifest. */
   def releaseShards(spark: SparkSession, dir: String, outDir: String,
                     blocksPerShard: Long = ShardExport.DefaultBlocksPerShard): DataFrame = {
-    val kept = releaseV2Frame(spark, dir)
+    val kept = releaseV2FrameCached(spark, dir)
       .filter(!col("contaminated"))
       .select(col("doc_id"), col("ship_text").as("text"), col("split"))
-      .cache()
-    val out = ShardExport.exportSplitShards(
+    ShardExport.exportSplitShards(
       kept.select(col("doc_id"), col("text")),
       kept.select(col("doc_id"), col("split")),
       outDir, blocksPerShard)
-    kept.unpersist()
-    out
   }
 
   /** Same fragment assembly as [[releaseManifestOracle]], with every
@@ -1697,6 +1731,7 @@ object Curation {
     "curation_domain_gate"   -> (DomainCuration.domainGate _),
     "curation_release_manifest" -> (releaseManifest _),
     "curation_release_manifest_v2" -> (releaseManifestV2 _),
+    "curation_release_v2_composed" -> (releaseManifestV2Composed _),
     "curation_shard_export"  -> (ShardExport.shardExport _),
     "curation_url_dedup"     -> (DomainCuration.urlDedup _))
 
@@ -1722,6 +1757,7 @@ object Curation {
     "curation_domain_gate"   -> DomainCuration.domainGateOracle,
     "curation_release_manifest" -> releaseManifestOracle,
     "curation_release_manifest_v2" -> releaseManifestV2Oracle,
+    "curation_release_v2_composed" -> releaseManifestV2Oracle,
     "curation_shard_export"  -> ShardExport.shardExportOracle,
     "curation_url_dedup"     -> DomainCuration.urlDedupOracle)
 }

@@ -897,7 +897,16 @@ object Dedup {
         coalesce(col("ex_id"), col("near_id")).as("match_id"),
         col("est").as("est_jaccard"))
       .orderBy(col("doc_id"))
-    verdicts
+    // Materialize the (batch-sized) verdicts so inSig's cache can be
+    // RELEASED here — in the nightly-driver loop this method is called per
+    // batch, and an unreleased signature cache per batch accumulates
+    // executor storage forever. The returned frame stays cached (4 narrow
+    // columns × batch rows); loop drivers should unpersist it after
+    // consuming if batches are large.
+    val out = verdicts.cache()
+    out.count()
+    inSig.unpersist()
+    out
   }
 
   /** Append-merge for the signature catalog — rebuild-equivalent like

@@ -136,6 +136,12 @@ object WarcSource {
     * memory bound rather than a hidden 2 GiB array cliff. */
   final val DefaultMaxRecordBytes: Long = 1L << 30
   final val MaxRecordBytesConf = "spark.graft.warc.maxRecordBytes"
+  /** Hard ceiling on one header line ([[parseStream]].readLine) — see there. */
+  final val MaxHeaderLineBytes: Int = 64 * 1024
+  /** JVM array ceiling: payloads materialize as one byte[], so no conf value
+    * can honestly admit a record above this — `len.toInt` would silently
+    * truncate (2^32+100 → 100 bytes) and mis-frame the rest of the archive. */
+  final val AbsoluteMaxRecordBytes: Long = Int.MaxValue.toLong - 8
 
   /** Parse records INCREMENTALLY from one archive's (decompressed)
     * stream. Header lines are read byte-at-a-time off the buffered
@@ -148,12 +154,23 @@ object WarcSource {
   private[sources] def parseStream(file: String, in: InputStream,
                                    maxRecordBytes: Long = DefaultMaxRecordBytes): Iterator[WarcRecord] =
     new Iterator[WarcRecord] {
-      /** One header/separator line, CRLF (or bare LF) stripped; null at EOF. */
+      /** One header/separator line, CRLF (or bare LF) stripped; null at EOF.
+        * Header lines are capped at 64 KiB: a newline-free input (e.g. a
+        * mislabeled binary blob that isn't gzip) would otherwise buffer the
+        * whole file here before the WARC/ magic check ever runs, turning the
+        * "memory bounded by one record" contract into an OOM. Real WARC
+        * header lines are well under 1 KiB. */
       private def readLine(): String = {
         var b = in.read()
         if (b < 0) return null
         val bo = new ByteArrayOutputStream(128)
-        while (b >= 0 && b != '\n') { bo.write(b); b = in.read() }
+        while (b >= 0 && b != '\n') {
+          bo.write(b)
+          require(bo.size <= MaxHeaderLineBytes,
+            s"$file: header line exceeds $MaxHeaderLineBytes bytes — not a WARC archive " +
+            s"(starts '${new String(bo.toByteArray, 0, 40, UTF_8)}')")
+          b = in.read()
+        }
         val arr = bo.toByteArray
         val n = if (arr.nonEmpty && arr(arr.length - 1) == '\r') arr.length - 1 else arr.length
         new String(arr, 0, n, UTF_8)
@@ -179,6 +196,9 @@ object WarcSource {
         require(len >= 0 && len <= maxRecordBytes,
           s"$file: record payload of $len bytes exceeds the per-record cap " +
           s"($maxRecordBytes); raise $MaxRecordBytesConf if this is a real record")
+        require(len <= AbsoluteMaxRecordBytes,
+          s"$file: record payload of $len bytes exceeds the JVM array ceiling " +
+          s"($AbsoluteMaxRecordBytes) — no $MaxRecordBytesConf value can admit it")
         val payload = new Array[Byte](len.toInt)
         var off = 0
         while (off < len) {

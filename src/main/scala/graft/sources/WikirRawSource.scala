@@ -74,11 +74,12 @@ object WikirRawSource {
   def readQrels(spark: SparkSession, root: String, splitName: String): DataFrame = {
     // FAILFAST parity with the CSV readers above: text+split+cast would
     // otherwise turn a malformed line (<4 fields, non-numeric ids/rel)
-    // into silent nulls that vanish in downstream joins. The guard is
-    // INLINE (assert_true woven into each consumed column) so the
-    // reader stays lazy and single-pass — no eager validation count()
-    // scanning the file a second time on every call (round 15; was an
-    // action at DataFrame-construction time).
+    // into silent nulls that vanish in downstream joins. The guard is a
+    // FILTER (`assert_true(...).isNull` — null on success, throws on a bad
+    // line), not a projection: a filter predicate survives column pruning,
+    // so even a consumer that prunes every output column (df.count(), an
+    // existence-only join) still validates each line. Reader stays lazy and
+    // single-pass — no eager validation count() scanning the file twice.
     val f = split(trim(col("value")), "\\s+")
     val qid = element_at(f, 1).cast("long")
     val did = element_at(f, 3).cast("long")
@@ -90,11 +91,12 @@ object WikirRawSource {
         lit("' (expected: <qid> <iteration> <docid> <relevance> per line)")))
     spark.read.text(s"$root/$splitName/qrels")
       .filter(length(trim(col("value"))) > 0)
+      .filter(guard.isNull)
       .select(
-        when(guard.isNull, qid).as("query_id"),
-        when(guard.isNull, element_at(f, 2)).as("iteration"),
-        when(guard.isNull, did).as("doc_id"),
-        when(guard.isNull, rel).as("relevance"))
+        qid.as("query_id"),
+        element_at(f, 2).as("iteration"),
+        did.as("doc_id"),
+        rel.as("relevance"))
   }
 
   /** Raw distribution → the normalized (doc_id, filename, title,
