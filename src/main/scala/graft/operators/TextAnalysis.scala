@@ -946,8 +946,113 @@ object TextAnalysis {
 
   /** [[bpeLearnFrom]] plus the Spark-round count — the number the
     * batching exists to shrink (ScaleBpe gates merges/rounds ≥ ~batch/2
-    * at 256 merges; a chain-degraded corpus would read ~1). */
+    * at 256 merges; a chain-degraded corpus would read ~1).
+    *
+    * Round 16: pair counts are MAINTAINED INCREMENTALLY instead of
+    * re-aggregated from the whole vocab each round — the classic fast-
+    * BPE observation that a merge of (l, r) only changes pair counts of
+    * words CONTAINING that adjacency. Per round: the fold projection is
+    * guarded (`array_contains(sym, l) && array_contains(sym, r)` — a
+    * narrow superset test, exact because a batch's accepted pairs are
+    * symbol-disjoint by [[bpeAcceptBatch]], so one fold can never create
+    * another's symbols), the affected rows' old pairs enter the delta
+    * negatively and their new pairs positively, and the maintained
+    * (l, r, cnt) table absorbs the delta in one pair-table-sized
+    * groupBy. The per-round shuffle therefore scales with the AFFECTED
+    * slice (which shrinks as the vocabulary deepens — late merges touch
+    * few words), not with vocab × word-length; that is what makes a
+    * ≥1024-merge training run tractable (ScaleBpe gates it with the
+    * measured merges-per-round curve). Merge lists are bit-identical to
+    * [[bpeLearnRoundsFull]] (differential-spec'd) and the unchanged
+    * sequential DuckDB oracle hash-gates this trainer every gate run. */
   private[graft] def bpeLearnRounds(vocab0: DataFrame, maxMerges: Int,
+      batch: Int = 1): (DataFrame, Seq[(Int, String, String, Long)], Int) = {
+    // (cnt0, sym) → adjacent-pair counts summed over cnt0 (signed for deltas)
+    def pairsOf(df: DataFrame): DataFrame = df
+      .filter(size(col("sym")) >= 2)
+      .select(col("cnt0"), explode(transform(sequence(lit(1), size(col("sym")) - 1),
+        i => struct(element_at(col("sym"), i).as("l"),
+          element_at(col("sym"), i + 1).as("r")))).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("cnt0")).as("cnt"))
+    var syms = vocab0.cache()
+    var symCk: IterCheckpoint.Ck = null
+    // the ONE full pair aggregate; every later round folds deltas into it
+    var pc = pairsOf(syms.select(col("n").as("cnt0"), col("sym")))
+      .filter(col("cnt") > 0).cache()
+    var pcCk: IterCheckpoint.Ck = null
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var rounds = 0
+    var done = false
+    while (merges.length < maxMerges && !done) {
+      val m = math.min(batch, maxMerges - merges.length)
+      val depth = 3 * m + 16
+      val top = pc.orderBy(col("cnt").desc, col("l"), col("r")).limit(depth)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      if (top.isEmpty) done = true
+      else {
+        val accepted = bpeAcceptBatch(top, m, exhausted = top.length < depth)
+        accepted.foreach { case (l, r, c) =>
+          merges += ((merges.length + 1, l, r, c))
+        }
+        // the whole batch folds forward in ONE narrow projection (in
+        // acceptance order — the sequential composition), guarded so
+        // the expensive aggregate-lambda fold only evaluates on rows
+        // that can possibly change; materialized with TRUNCATED
+        // lineage before the parent is released. The truncation
+        // (IterCheckpoint, like the LPA/CC loops) is load-bearing
+        // twice over at hundreds of rounds: nested cached logical
+        // plans OOMed the driver re-analyzing/canonicalizing the
+        // aggregate-lambda trees each round, and a plain RDD
+        // round-trip (which truncates only the SQL plan) still
+        // StackOverflowed task deserialization once the RDD chain
+        // passed ~60 rounds.
+        val touch = accepted.map { case (l, r, _) =>
+          array_contains(col("sym"), l) && array_contains(col("sym"), r)
+        }.reduce(_ || _)
+        val foldChain = accepted.foldLeft(col("sym")) { case (s, (l, r, _)) =>
+          bpeMergeFold(s, l, r)
+        }
+        val withNew = syms.select(col("w"), col("n"), col("sym"),
+          when(touch, foldChain).otherwise(col("sym")).as("sym2"))
+        val nextSym = IterCheckpoint.checkpoint(withNew, eager = true)
+        // delta = affected rows' new pairs minus their old pairs; the
+        // unaffected (vast) majority contributes nothing and is never
+        // exploded
+        val aff = nextSym.df.filter(!(col("sym2") === col("sym")))
+        val deltas = pairsOf(
+          aff.select((-col("n")).as("cnt0"), col("sym"))
+            .unionByName(aff.select(col("n").as("cnt0"), col("sym2").as("sym"))))
+        val pcNext = pc.unionByName(deltas)
+          .groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("cnt"))
+          .filter(col("cnt") > 0)
+        val nextPc = IterCheckpoint.checkpoint(pcNext, eager = true)
+        if (pcCk == null) pc.unpersist() else IterCheckpoint.release(pcCk)
+        pcCk = nextPc
+        pc = pcCk.df
+        if (symCk == null) syms.unpersist() else IterCheckpoint.release(symCk)
+        symCk = nextSym
+        syms = symCk.df.select(col("w"), col("n"), col("sym2").as("sym"))
+        rounds += 1
+      }
+    }
+    // the final state's blocks stay live until the caller's reference
+    // drops (ContextCleaner reclaims them); callers' unpersist() on the
+    // returned frame is a harmless no-op. The pair table's last round
+    // is released here — it is loop state, not a result.
+    if (pcCk == null) pc.unpersist() else IterCheckpoint.release(pcCk)
+    (syms, merges.toSeq, rounds)
+  }
+
+  /** The round-13 full-reaggregate trainer, kept VERBATIM as the
+    * differential reference for [[bpeLearnRounds]]'s incremental pair
+    * maintenance (spec asserts identical merge lists; the sequential
+    * DuckDB oracle additionally hash-gates the production trainer at
+    * every gate run). Re-aggregates the complete pair table from the
+    * vocab each round — simpler, but pays vocab × word-length explode
+    * work per round, which is exactly what caps it at toy merge
+    * counts. */
+  private[graft] def bpeLearnRoundsFull(vocab0: DataFrame, maxMerges: Int,
       batch: Int = 1): (DataFrame, Seq[(Int, String, String, Long)], Int) = {
     var syms = vocab0.cache()
     var ck: IterCheckpoint.Ck = null
@@ -972,16 +1077,6 @@ object TextAnalysis {
         accepted.foreach { case (l, r, c) =>
           merges += ((merges.length + 1, l, r, c))
         }
-        // the whole batch folds forward in ONE narrow projection (in
-        // acceptance order — the sequential composition), materialized
-        // with TRUNCATED lineage before the parent is released. The
-        // truncation (IterCheckpoint, like the LPA/CC loops) is
-        // load-bearing twice over at tens of rounds: nested cached
-        // logical plans OOMed the driver re-analyzing/canonicalizing
-        // the aggregate-lambda trees each round, and a plain RDD
-        // round-trip (which truncates only the SQL plan) still
-        // StackOverflowed task deserialization once the RDD chain
-        // passed ~60 rounds.
         val folded = syms.select(col("w"), col("n"),
           accepted.foldLeft(col("sym")) { case (s, (l, r, _)) =>
             bpeMergeFold(s, l, r)
@@ -993,9 +1088,6 @@ object TextAnalysis {
         rounds += 1
       }
     }
-    // the final state's blocks stay live until the caller's reference
-    // drops (ContextCleaner reclaims them); callers' unpersist() on the
-    // returned frame is a harmless no-op
     (syms, merges.toSeq, rounds)
   }
 

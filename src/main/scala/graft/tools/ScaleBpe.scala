@@ -99,7 +99,29 @@ object ScaleBpe {
       (if (ratio > 6.0) "  ** WARN: superlinear-looking — check per-round cost **" else ""))
     require(ratio <= 8.0, f"quadratic regime: 4x merges cost $ratio%.2fx wall (hard gate 8x)")
     require(r256 < 256, "batching accepted only 1 merge/round everywhere — compression gone")
-    println(f"""[scale] {"metric":"bpe_scale","t64":$t64%.2f,"t256":$t256%.2f,"ratio":$ratio%.2f,"rounds64":$r64,"rounds256":$r256}""")
+
+    // ---- 1024 merges (round 16): the incremental-pair-count regime ----
+    // A real vocabulary is 32-64 k merges; 1024 is the point where the
+    // round-13 full-reaggregate trainer's per-round vocab×length explode
+    // dominates. The incremental trainer's per-round delta shrinks as
+    // the vocab deepens (late merges touch few words), so 4× the merges
+    // past 256 must stay within the same ≤8× wall envelope.
+    val ((_, m1024, r1024), t1024) = time("synthetic vocab, 1024 merges (batch=16)") {
+      TextAnalysis.bpeLearnRounds(synthVocab(), 1024, batch = 16)
+    }
+    spark.catalog.clearCache()
+    require(m1024.take(256) == m256,
+      "greedy prefix property violated: 256-merge run != 1024-merge run's prefix")
+    require(m1024.length == 1024, s"ran dry at ${m1024.length} merges")
+    val ratio4 = t1024 / t256
+    val comp1024 = 1024.0 / r1024
+    val tailComp = (1024.0 - 256.0) / (r1024 - r256) // merges/round past 256
+    println(f"[scale] merges-per-round curve: 64→$comp64%.2f, 256→$comp256%.2f, " +
+      f"1024→$comp1024%.2f (tail 256..1024: $tailComp%.2f)")
+    println(f"[scale] wall 256->1024 merges (4x work): $ratio4%.2fx")
+    require(ratio4 <= 8.0,
+      f"quadratic regime at depth: 4x merges past 256 cost $ratio4%.2fx wall (hard gate 8x)")
+    println(f"""[scale] {"metric":"bpe_scale","t64":$t64%.2f,"t256":$t256%.2f,"t1024":$t1024%.2f,"ratio":$ratio%.2f,"ratio1024":$ratio4%.2f,"rounds64":$r64,"rounds256":$r256,"rounds1024":$r1024}""")
     spark.stop()
   }
 }

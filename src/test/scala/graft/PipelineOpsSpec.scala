@@ -386,6 +386,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(a == b, "final vocab symbol states diverged")
   }
 
+  test("bpe incremental pair maintenance: merge lists == full-reaggregate trainer, batched and sequential") {
+    // round 16: the production trainer maintains the pair-count table
+    // by deltas (only words containing a merged adjacency re-explode);
+    // this differential pins it to the round-13 full-reaggregate
+    // reference past several batch cut points, in both batch regimes,
+    // including the run-dry tail if the vocabulary exhausts first.
+    import graft.operators.TextAnalysis
+    val sf = "/root/testdata/sf0.001"
+    val (si, inc, _) = TextAnalysis.bpeLearnRounds(TextAnalysis.bpeVocab0(spark, sf), 48, batch = 8)
+    val (sfull, full, _) = TextAnalysis.bpeLearnRoundsFull(TextAnalysis.bpeVocab0(spark, sf), 48, batch = 8)
+    assert(inc == full, s"incremental diverged from full reaggregate:\ninc $inc\nfull $full")
+    val a = si.select($"w", $"sym").as[(String, Seq[String])].collect().toMap
+    val b = sfull.select($"w", $"sym").as[(String, Seq[String])].collect().toMap
+    si.unpersist(); sfull.unpersist()
+    assert(a == b, "final vocab symbol states diverged")
+    val (_, incSeq, _) = TextAnalysis.bpeLearnRounds(TextAnalysis.bpeVocab0(spark, sf), 16, batch = 1)
+    val (_, fullSeq, _) = TextAnalysis.bpeLearnRoundsFull(TextAnalysis.bpeVocab0(spark, sf), 16, batch = 1)
+    assert(incSeq == fullSeq, "sequential (batch=1) merge lists diverged")
+  }
+
   test("winnowing: shared passage of k+w-1 tokens guarantees a shared fingerprint") {
     // the Schleimer et al. guarantee: any match of length >= k+w-1
     // (= 8 tokens here) yields at least one common fingerprint — even

@@ -122,6 +122,110 @@ class ShardExportSpec extends AnyFunSuite {
     manifest.unpersist(); card.unpersist()
   }
 
+  test("incremental refresh: full shards byte-stable, only tail+new rewritten, manifest == frozen-order repack") {
+    import graft.operators.Curation
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val out = java.nio.file.Files.createTempDirectory("shards_refresh").toString
+    ShardExport.exportShards(base, out, blocksPerShard = 2L)
+    val m0 = spark.read.parquet(s"$out/_shard_manifest").collect()
+      .map(r => r.getLong(r.fieldIndex("shard_id")) -> r).toMap
+    val tail0 = m0.keys.max
+    val mtimes0 = m0.keys.map { s =>
+      s -> new java.io.File(s"$out/shard_id=$s").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toSeq.sorted
+    }.toMap
+
+    // nightly batch: fresh ids, enough tokens to spill past the tail
+    val batch = (0 until 40).map { i =>
+      (5000000L + i, s"refresh batch document number $i " + ("alpha beta gamma delta " * 30))
+    }.toDF("doc_id", "text")
+    val m1 = ShardExport.refreshShards(batch, out, blocksPerShard = 2L).cache()
+    val tail1 = m1.agg(max(col("shard_id"))).as[Long].head()
+    assert(tail1 > tail0, "the batch must extend the tree with new shards")
+
+    // (1) every FULL pre-existing shard is untouched ON DISK — the
+    // dataloader's resume bookmarks stay valid
+    (0L until tail0).foreach { s =>
+      val now = new java.io.File(s"$out/shard_id=$s").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toSeq.sorted
+      assert(now == mtimes0(s), s"full shard $s was rewritten by the refresh")
+    }
+
+    // (2) the refreshed tree holds exactly base ∪ batch, each doc once
+    val back = spark.read.parquet(out).cache()
+    val want = base.unionByName(batch)
+      .filter(size(graft.functions.TextFns.tokens(col("text"))) > 0)
+      .select(col("doc_id")).as[Long].collect().sorted.toSeq
+    val got = back.select(col("doc_id")).as[Long].collect().sorted.toSeq
+    assert(got == want, "refreshed tree must hold exactly the union corpus")
+
+    // (3) the stored manifest equals a REPACK of the tree under its own
+    // okey order — i.e. the refresh produced exactly the batch export of
+    // the generation-major stream (the spec-provable half of "incremental
+    // == batch over the union"; the global-md5 re-shuffle is the
+    // documented structural difference)
+    val counts = back.select(col("okey"), col("doc_id"),
+      size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("n"))
+    val repack = Curation.packOfOrdered(counts)
+      .withColumn("shard_id", expr("first_block div 2"))
+    val reman = repack
+      .join(back.select(col("doc_id"), octet_length(col("text")).cast("long").as("nb")), Seq("doc_id"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        sum(col("nb")).as("n_bytes"),
+        min(col("first_block")).as("first_block"), max(col("last_block")).as("last_block"))
+    val wantM = reman.collect().map(_.toString).toSet
+    val gotM = m1.collect().map(_.toString).toSet
+    assert(gotM == wantM, s"manifest must equal the frozen-order repack\n got $gotM\nwant $wantM")
+
+    // (4) generation okeys: batch rows carry g000001:, sort after gen-0
+    // hex okeys, and a SECOND refresh parses gen 2 and stays consistent
+    val tailOkeys = spark.read.parquet(s"$out/shard_id=$tail0")
+      .select(col("okey")).as[String].collect().toSeq
+    assert(tailOkeys == tailOkeys.sorted, "tail shard must stay in stream order")
+    assert(tailOkeys.exists(_.startsWith("g000001:")), "batch rows must carry the gen tag")
+    val batch2 = Seq((6000000L, "second nightly batch " + ("epsilon zeta " * 40)))
+      .toDF("doc_id", "text")
+    val m2 = ShardExport.refreshShards(batch2, out, blocksPerShard = 2L)
+    val back2 = spark.read.parquet(out)
+    assert(back2.filter(col("okey").startsWith("g000002:")).count() == 1L,
+      "second refresh must tag generation 2")
+    assert(m2.agg(sum(col("n_docs"))).as[Long].head() == want.size + 1,
+      "second refresh manifest must cover the grown corpus")
+    m1.unpersist(); back.unpersist()
+  }
+
+  test("refreshSplitShards: only splits present in the batch are touched; budget mismatch fails loudly") {
+    // sized so split=train spans MULTIPLE shards — a single-shard tree
+    // (first_block 0, shard 0) can't witness a block-budget mismatch
+    val docsA = (0 until 30).map(i => (i.toLong, s"split corpus doc $i " + ("one two three four " * 60)))
+      .toDF("doc_id", "text")
+    val splitsA = (0 until 30).map(i => (i.toLong, if (i % 3 == 0) "val" else "train"))
+      .toDF("doc_id", "split")
+    val out = java.nio.file.Files.createTempDirectory("split_refresh").toString
+    ShardExport.exportSplitShards(docsA, splitsA, out, blocksPerShard = 2L)
+    val valFiles = new java.io.File(s"$out/split=val").listFiles()
+      .filter(_.getName.startsWith("shard_id=")).flatMap(_.listFiles())
+      .map(f => f.getPath -> f.lastModified).toSeq.sorted
+    // batch lands entirely in train → split=val must be untouched
+    val batch = Seq((7000000L, "train only batch doc " + ("five six seven " * 25)))
+      .toDF("doc_id", "text")
+    val bs = Seq((7000000L, "train")).toDF("doc_id", "split")
+    val m = ShardExport.refreshSplitShards(batch, bs, out, blocksPerShard = 2L)
+    assert(m.select(col("split")).distinct().as[String].collect().toSeq == Seq("train"),
+      "refresh must only emit manifests for splits in the batch")
+    val valFilesAfter = new java.io.File(s"$out/split=val").listFiles()
+      .filter(_.getName.startsWith("shard_id=")).flatMap(_.listFiles())
+      .map(f => f.getPath -> f.lastModified).toSeq.sorted
+    assert(valFilesAfter == valFiles, "a split absent from the batch must stay untouched")
+    // continuing with a different block budget is a refusal, not silent corruption
+    val err = intercept[IllegalArgumentException] {
+      ShardExport.refreshShards(batch, s"$out/split=train", blocksPerShard = 8L)
+    }
+    assert(err.getMessage.contains("blocksPerShard"))
+  }
+
   test("gated manifest: totals equal the corpus, shards are block-budget-sized") {
     val m = ShardExport.shardExport(spark, sf).cache()
     val docs = spark.read.parquet(s"$sf/documents.parquet")
