@@ -25,7 +25,15 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // surface the ROOT cause too — a fatal error inside Spark's
+        // broadcast/codegen futures reaches here as a wrapper whose
+        // message ("Boxed Exception") names nothing
+        var root: Throwable = e
+        while (root.getCause != null && (root.getCause ne root)) root = root.getCause
+        System.err.println(s"[verify] $name failed: ${e.getClass.getName}: ${e.getMessage}" +
+          (if (root ne e) s" | root: ${root.getClass.getName}: ${root.getMessage}" else ""))
+        root.getStackTrace.take(6)
+          .foreach(f => System.err.println(s"[verify]   at $f"))
       }
       // operator-internal caches served their query; drop them so 71
       // queries in one session don't accumulate storage memory

@@ -163,16 +163,47 @@ object Curation {
     -1L -> s"benchmark eval item: $WinnowSeedPassage",
     9000000001L -> s"crawl page copies $WinnowSeedPassage and adds its own chatter")
 
+  /** The decontamination PROBE INDEX, materialized once per corpus
+    * version (round 16): distinct winnow fingerprints of the benchmark
+    * slice (doc_id < ProbeDocs) plus the benchmark-side seed. The
+    * benchmark side is tiny and STATIC, yet through round 15 every
+    * decontamination run re-fingerprinted it inline alongside the
+    * corpus; at a real eval suite the index is built once and every
+    * crawl batch only fingerprints ITSELF. Winnowing is strictly
+    * per-document (each doc's window minima over its own token
+    * stream), so fingerprinting the probe docs alone is exactly the
+    * union form's probe slice — spec-proven stored == inline. */
+  private[graft] def winnowProbeFpCached(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docsPath = s"$dir/documents.parquet"
+    val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${Layout.stateTag(spark, docsPath)}"
+    val path = s"target/tmp/winnow_probe_cache/$key"
+    if (!new java.io.File(s"$path/_SUCCESS").exists())
+      winnowProbeFpInline(spark, dir).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
+  /** The probe index definition (the cache's build AND the spec's
+    * stored-==-inline reference). */
+  private[graft] def winnowProbeFpInline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    TextAnalysis.winnowFingerprintOf(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+          .filter(col("doc_id") < ProbeDocs)
+          .unionByName(Seq(WinnowSeeds.head).toDF("doc_id", "text")))
+      .select(col("fp")).distinct()
+  }
+
   def winnowContamination(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val seeds = WinnowSeeds.toDF("doc_id", "text")
-    val fps = TextAnalysis
-      .winnowFingerprintOf(Tables.documents(spark, dir)
-        .select(col("doc_id"), col("text")).unionByName(seeds))
+    // corpus side only — the probe side is the persisted index; the
+    // crawl-side seed keeps the join non-vacuous at gate SFs
+    val crawlSeed = Seq(WinnowSeeds(1)).toDF("doc_id", "text")
+    TextAnalysis.winnowFingerprintOf(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+          .filter(col("doc_id") >= ProbeDocs).unionByName(crawlSeed))
       .select(col("doc_id"), col("fp"))
-    val probe = fps.filter(col("doc_id") < ProbeDocs).select(col("fp"))
-    fps.filter(col("doc_id") >= ProbeDocs)
-      .join(broadcast(probe.distinct()), Seq("fp"))
+      .join(broadcast(winnowProbeFpCached(spark, dir)), Seq("fp"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("fp")).as("n_shared"))
       .orderBy(col("doc_id"))
@@ -1165,15 +1196,15 @@ object Curation {
     // stage 1: curate — the gated pipeline over the release corpus
     val curated = pipelineCurateOf(docsPlus)
       .select(col("doc_id"), col("n_tokens"), col("n_copies"))
-    // stage 2: decontaminate — winnow fingerprints of corpus ∪ benchmark,
-    // probe = the benchmark slice (26u's convention), flagged docs DROP
-    val bench = Seq(WinnowSeeds.head).toDF("doc_id", "text")
-    val fps = TextAnalysis.winnowFingerprintOf(
-        docsPlus.select(col("doc_id"), col("text")).unionByName(bench))
-      .select(col("doc_id"), col("fp"))
-    val contam = fps.filter(col("doc_id") >= ProbeDocs)
-      .join(broadcast(fps.filter(col("doc_id") < ProbeDocs)
-        .select(col("fp")).distinct()), Seq("fp"))
+    // stage 2: decontaminate — corpus-side winnow fingerprints joined
+    // against the PERSISTED probe index (round 16: the benchmark slice
+    // is static — [[winnowProbeFpCached]] — so a release run only
+    // fingerprints the corpus; winnowing is per-doc, so the filtered
+    // corpus side computes the same fingerprints the union form did)
+    val contam = TextAnalysis.winnowFingerprintOf(
+        docsPlus.select(col("doc_id"), col("text"))
+          .filter(col("doc_id") >= ProbeDocs))
+      .join(broadcast(winnowProbeFpCached(spark, dir)), Seq("fp"))
       .select(col("doc_id")).distinct()
       .withColumn("contaminated", lit(true))
     // stage 3: redact — the 26k chain; the SHIPPED text is the redacted

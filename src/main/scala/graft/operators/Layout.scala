@@ -60,8 +60,39 @@ private[graft] object Layout {
     * would collapse to the same constant and a stale cache would NEVER
     * invalidate. The Hadoop path works for local files too and FAILS
     * LOUDLY (FileNotFoundException) on a missing table, which the old
-    * form also swallowed. */
+    * form also swallowed.
+    *
+    * FRESHNESS CONTRACT (round 16): by default every call LISTs the
+    * table — that is the price of immediate regen visibility, fine on
+    * a local FS, but on an object store a hot serve loop pays one LIST
+    * request per serve. Set `spark.graft.layout.stateTagTtlMs` to
+    * memoize the tag per path for that many milliseconds: a regen
+    * lands within the TTL window, and [[invalidateStateTag]] is the
+    * explicit hook for callers that just rewrote a table and want the
+    * next serve to see it immediately. Default 0 keeps round-15
+    * behavior exactly (no silent change). */
   def stateTag(spark: SparkSession, path: String): String = {
+    val ttl = spark.conf.getOption("spark.graft.layout.stateTagTtlMs")
+      .map(_.toLong).getOrElse(0L)
+    if (ttl <= 0L) return listTag(spark, path)
+    val now = System.currentTimeMillis()
+    val hit = tagMemo.get(path)
+    if (hit != null && now - hit._1 <= ttl) hit._2
+    else {
+      val t = listTag(spark, path)
+      tagMemo.put(path, (now, t))
+      t
+    }
+  }
+
+  /** Drop the memoized tag for `path` — call after rewriting a table
+    * so the next [[stateTag]] re-lists regardless of the TTL. */
+  def invalidateStateTag(path: String): Unit = tagMemo.remove(path)
+
+  private val tagMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, String)]()
+
+  private def listTag(spark: SparkSession, path: String): String = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val st = fs.getFileStatus(p)

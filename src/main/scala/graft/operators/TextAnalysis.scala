@@ -113,20 +113,25 @@ object TextAnalysis {
 
   /** Per-language seed profiles — ordinary prose in each language,
     * deliberately overlapping everyday vocabulary so grams, not topic
-    * words, carry the signal. */
-  private[graft] val LangSeedProfiles: Seq[(String, String)] = Seq(
-    "en" -> ("the quick brown fox jumps over the lazy dog and the little " +
-      "children walked through the quiet streets of the old town while " +
-      "reading their favourite books about history and science in the evening"),
-    "es" -> ("el niño pequeño comía manzanas rojas en la casa de su abuela " +
-      "mientras los perros jugaban en el jardín y las mujeres hablaban de " +
-      "la vida en el pueblo durante la tarde con mucha alegría"),
-    "de" -> ("der kleine junge aß rote äpfel im haus seiner großmutter " +
-      "während die hunde im garten spielten und die frauen über das leben " +
-      "im dorf sprachen die kinder gingen durch die stille straße am abend"),
-    "fr" -> ("le petit garçon mangeait des pommes rouges dans la maison de " +
-      "sa grandmère pendant que les chiens jouaient dans le jardin et les " +
-      "femmes parlaient de la vie au village pendant le soir avec plaisir"))
+    * words, carry the signal. Round 16: loaded from the COMMITTED
+    * fixture table `graft/lang_seeds.tsv` (K≈20 languages including
+    * non-Latin scripts — Cyrillic, Greek, Arabic, Devanagari, CJK ride
+    * the normalization untouched) instead of four in-code literals;
+    * the original four languages keep their exact round-15 texts and
+    * stay FIRST, so their λ vectors and the earlier-profile tie-break
+    * are unchanged. The fixture is read once on the driver; training
+    * stays the in-engine aggregate ([[nbLangModel]]), so adding a
+    * language is one fixture line, not code. */
+  private[graft] val LangSeedProfiles: Seq[(String, String)] = {
+    val in = getClass.getResourceAsStream("/graft/lang_seeds.tsv")
+    require(in != null, "lang_seeds.tsv fixture missing from classpath")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try src.getLines().filter(_.trim.nonEmpty).map { line =>
+      val Array(l, t) = line.split("\t", 2)
+      l -> t
+    }.toSeq
+    finally src.close()
+  }
 
   /** Whitespace-collapse-only normalization: keeps punctuation, digits
     * and non-ASCII letters — char grams need them. */
@@ -198,20 +203,33 @@ object TextAnalysis {
       JOIN dflt ON dflt.lang = t.lang
       GROUP BY 1, 2),
     p AS (SELECT doc_id,
-        max(CASE WHEN lang = 'en' THEN bits END) AS en_bits,
-        max(CASE WHEN lang = 'es' THEN bits END) AS es_bits,
-        max(CASE WHEN lang = 'de' THEN bits END) AS de_bits,
-        max(CASE WHEN lang = 'fr' THEN bits END) AS fr_bits
+        ${LangSeedProfiles.map { case (l, _) =>
+          s"max(CASE WHEN lang = '$l' THEN bits END) AS ${l}_bits"
+        }.mkString(",\n        ")}
       FROM sc GROUP BY doc_id)
-    SELECT doc_id, en_bits, es_bits, de_bits, fr_bits,
-      CASE
-        WHEN fr_bits > greatest(en_bits, es_bits, de_bits) THEN 'fr'
-        WHEN de_bits > greatest(en_bits, es_bits) THEN 'de'
-        WHEN es_bits > en_bits THEN 'es'
-        ELSE 'en'
-      END AS nb_lang
+    SELECT doc_id, ${LangSeedProfiles.map(p => s"${p._1}_bits").mkString(", ")},
+      $nbLangCaseSql AS nb_lang
     FROM p
     ORDER BY doc_id"""
+  }
+
+  /** The argmax CASE over the `<lang>_bits` pivot — generated from the
+    * profile order so it stays the exact SQL twin of the Spark-side
+    * fold at ANY K: lang L wins iff bits(L) > max(bits of every earlier
+    * profile) — checked from the last profile down, so the first
+    * satisfied WHEN is the fold's final replacement. */
+  private def nbLangCaseSql: String = {
+    val langs = LangSeedProfiles.map(_._1)
+    val whens = (langs.length - 1 to 1 by -1).map { i =>
+      val earlier = langs.take(i).map(l => s"${l}_bits")
+      val g = if (earlier.size == 1) earlier.head
+              else s"greatest(${earlier.mkString(", ")})"
+      s"WHEN ${langs(i)}_bits > $g THEN '${langs(i)}'"
+    }.mkString("\n        ")
+    s"""CASE
+        $whens
+        ELSE '${langs.head}'
+      END"""
   }
 
   /** The model in driver form for streaming ingest (the dsirModel
@@ -255,13 +273,24 @@ object TextAnalysis {
     val withBits = docs.select(col("doc_id"),
       inline(graft.functions.NbLangBits.of(
         nbNorm(col("text")), langs, scaled, NbLangBuckets)))
-    // argmax, strict >, earlier profile wins ties (the langId fold)
+    // argmax, strict >, earlier profile wins ties — built as the
+    // linear-size greatest()-CASE (lang L wins iff bits(L) > max of
+    // every EARLIER profile's bits, checked last-to-first: exactly the
+    // oracle's nbLangCaseSql). The round-15 running-max `when` fold
+    // duplicated the accumulator per level — a 2^K expression tree
+    // that codegen-OOMed the driver the moment K grew past the
+    // original four languages (round 16).
     val scores = langs.map(l => l -> col(s"${l}_bits"))
-    val pred = scores.tail.foldLeft((scores.head._2, lit(scores.head._1))) {
-      case ((best, bestLang), (lang, score)) =>
-        (when(score > best, score).otherwise(best),
-         when(score > best, lit(lang)).otherwise(bestLang))
-    }._2
+    val whens = (scores.length - 1 to 1 by -1).map { i =>
+      val earlier = scores.take(i).map(_._2)
+      val g = if (earlier.size == 1) earlier.head else greatest(earlier: _*)
+      (scores(i)._2 > g, lit(scores(i)._1))
+    }
+    val pred =
+      if (whens.isEmpty) lit(scores.head._1) // single-language model
+      else whens.tail
+        .foldLeft(when(whens.head._1, whens.head._2)) { case (c, (p, v)) => c.when(p, v) }
+        .otherwise(lit(scores.head._1))
     withBits.select(col("doc_id") +: langs.map(l => col(s"${l}_bits")) :+
       pred.as("nb_lang"): _*)
   }

@@ -406,6 +406,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(incSeq == fullSeq, "sequential (batch=1) merge lists diverged")
   }
 
+  test("decontamination probe index: stored fingerprints == inline probe slice") {
+    // round 16: the benchmark slice's winnow fingerprints persist once
+    // per corpus version; winnowing is per-doc, so the standalone probe
+    // computation must equal the old union form's probe slice exactly
+    import graft.operators.Curation
+    val sf = "/root/testdata/sf0.001"
+    val stored = Curation.winnowProbeFpCached(spark, sf).as[Long].collect().toSet
+    val inline = Curation.winnowProbeFpInline(spark, sf).as[Long].collect().toSet
+    assert(stored.nonEmpty && stored == inline,
+      s"stored probe index diverged: ${stored.size} vs ${inline.size} fps")
+  }
+
   test("winnowing: shared passage of k+w-1 tokens guarantees a shared fingerprint") {
     // the Schleimer et al. guarantee: any match of length >= k+w-1
     // (= 8 tokens here) yields at least one common fingerprint — even
@@ -603,17 +615,26 @@ class PipelineOpsSpec extends AnyFunSuite {
       (1L, "es", "niño pequeño comía manzanas"),
       (2L, "de", "kleine junge spielten im garten"),
       (3L, "fr", "petit garçon mangeait pommes"),
-      (4L, "en", "the children walked through the old town"))
+      (4L, "en", "the children walked through the old town"),
+      // round 16: non-Latin scripts — the 4-word stopword lists never
+      // see these codepoints at all; the char grams classify them
+      (5L, "ru", "собаки играли в саду вечером"),
+      (6L, "el", "τα σκυλιά έπαιζαν στον κήπο"),
+      (7L, "ja", "犬たちは庭で遊んでいました"))
       .toDF("doc_id", "want", "text")
-    val baseline = docs
+    // baseline only over the Latin docs: the reference tokenizer's \w is
+    // ASCII, so the CJK/Cyrillic/Greek docs have ZERO word tokens and the
+    // ratio-based baseline cannot even score them — the gap in person
+    val baseline = docs.filter(col("doc_id") <= 4)
       .select(col("doc_id"), TextAnalysis.predictedLang(col("text")).as("p"))
       .as[(Long, String)].collect().toMap
     assert(baseline(1L) == "en" && baseline(2L) == "en" && baseline(3L) == "en",
       s"baseline must misclassify the stopword-free docs as 'en' (the documented gap): $baseline")
     val nb = TextAnalysis.nbLangIdOf(docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"), col("nb_lang")).as[(Long, String)].collect().toMap
-    assert(nb == Map(1L -> "es", 2L -> "de", 3L -> "fr", 4L -> "en"),
-      s"NB char-ngram lang id must recover all four languages: $nb")
+    assert(nb == Map(1L -> "es", 2L -> "de", 3L -> "fr", 4L -> "en",
+      5L -> "ru", 6L -> "el", 7L -> "ja"),
+      s"NB char-ngram lang id must recover all seven languages: $nb")
   }
 
   test("nbLangScored plans shuffle-free: literal model, one Generate, no Exchange") {
@@ -634,13 +655,14 @@ class PipelineOpsSpec extends AnyFunSuite {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), col("text"))
     val model = TextAnalysis.nbLangModel(spark)
+    val bitsCols = model.map { case (l, _) => col(s"${l}_bits") }
     val native = TextAnalysis.nbLangScored(docs, model)
-      .select(col("doc_id"), col("en_bits"), col("es_bits"), col("de_bits"), col("fr_bits"))
-      .as[(Long, Double, Double, Double, Double)].collect().toSet
+      .select(col("doc_id") +: bitsCols: _*)
+      .collect().map(r => r.toSeq).toSet
     val hof = TextAnalysis.nbLangBitsHof(docs, model)
-      .as[(Long, Double, Double, Double, Double)].collect().toSet
+      .collect().map(r => r.toSeq).toSet
     assert(native.nonEmpty && native == hof,
-      "native NbLangBits must bit-match the decimal-fold reference")
+      "native NbLangBits must bit-match the decimal-fold reference at all K languages")
   }
 
   test("release manifest v2: seeded contaminated doc drops, seeded PII doc ships redacted") {

@@ -175,16 +175,16 @@ class StreamingSpec extends AnyFunSuite {
     }
     assert(q.lastProgress.stateOperators.isEmpty) // literal model, no state
     q.stop()
-    val got = spark.table("nblang_stream")
-      .select("doc_id", "en_bits", "es_bits", "de_bits", "fr_bits", "nb_lang")
-      .as[(Long, Double, Double, Double, Double, String)].collect()
-      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    // compare ALL K bits columns + the verdict (K≈20 since round 16 —
+    // collect rows keyed by doc_id, language-agnostic)
+    val got = spark.table("nblang_stream").collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
     assert(!got.contains(999999L))
-    val want = graft.operators.TextAnalysis.nbLangId(spark, sf)
-      .as[(Long, Double, Double, Double, Double, String)].collect()
+    val want = graft.operators.TextAnalysis.nbLangId(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1))
     assert(want.nonEmpty && want.length == got.size)
-    want.foreach { case (id, en, es, de, fr, p) =>
-      assert(got(id) == ((en, es, de, fr, p)), s"doc $id: ${got(id)} != ($en,$es,$de,$fr,$p)") }
+    want.foreach { case (id, vals) =>
+      assert(got(id) == vals, s"doc $id: ${got(id)} != $vals") }
   }
 
   test("streaming bpe encode == batch counts, zero state-store rows") {
