@@ -87,6 +87,69 @@ class IncrementalReleaseSpec extends AnyFunSuite {
     clusters0.unpersist()
   }
 
+  test("nightly shard refresh: the batch extends each split's tree O(batch); released shards byte-stable") {
+    import graft.operators.ShardExport
+    // padded docs so each split spans MULTIPLE shards (padding tokens are
+    // doc-unique — the alternation template's zero-shared-shingle rule holds)
+    def padded(i: Long): String =
+      docText(i) + " " + (1 to 200).map(k => s"p${i}_$k").mkString(" ")
+    val base = docsDf((1L to 20L).map(i => i -> padded(i)))
+    val clusters0 = Dedup.dedupClustersOfDocs(spark, base, ordered = false).cache()
+    val (fp0, sh0) = Dedup.buildCatalog(base)
+    val splits0 = Curation
+      .splitLeakSafeOf(base.select(col("doc_id"), col("source")), clusters0)
+      .select(col("doc_id"), col("split"))
+    val out = java.nio.file.Files.createTempDirectory("nightly_shards").toString
+    ShardExport.exportSplitShards(base.select(col("doc_id"), col("text")),
+      splits0, out, blocksPerShard = 1L)
+    def treeState(split: String): Map[String, Seq[(String, Long)]] = {
+      val d = new java.io.File(s"$out/split=$split")
+      if (!d.exists()) Map.empty
+      else d.listFiles().filter(_.getName.startsWith("shard_id="))
+        .map(s => s.getName ->
+          s.listFiles().map(f => f.getName -> f.lastModified).toSeq.sorted).toMap
+    }
+    val splitNames = splits0.select(col("split")).distinct()
+      .as[String].collect().sorted.toSeq
+    val before = splitNames.map(s => s -> treeState(s)).toMap
+
+    // one night: two novel docs classified, clusters extended, and the
+    // split assignment for JUST the batch derived from the grown table
+    val batch = docsDf(Seq(21L -> padded(21L), 22L -> padded(22L)))
+    val (_, _, _, clu1) =
+      Curation.incrementalRelease(base, batch, fp0, sh0, clusters0)
+    val splits1 = Curation.splitLeakSafeOf(
+        base.unionByName(batch).select(col("doc_id"), col("source")), clu1)
+      .select(col("doc_id"), col("split"))
+    val batchSplits = splits1
+      .join(batch.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    ShardExport.refreshSplitShards(batch.select(col("doc_id"), col("text")),
+      batchSplits, out, blocksPerShard = 1L)
+
+    val batchBySplit = batchSplits.as[(Long, String)].collect()
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    splitNames.foreach { s =>
+      val now = treeState(s)
+      if (!batchBySplit.contains(s))
+        assert(now == before(s), s"split $s got no batch docs but its tree changed")
+      else {
+        val tail = before(s).keys.map(_.stripPrefix("shard_id=").toLong).max
+        before(s).foreach { case (dirName, files) =>
+          if (dirName.stripPrefix("shard_id=").toLong < tail)
+            assert(now(dirName) == files,
+              s"split $s full shard $dirName rewritten by the nightly refresh")
+        }
+      }
+      // tree contents == this split's assignment over the union corpus
+      val want = splits1.filter(col("split") === s).select(col("doc_id"))
+        .as[Long].collect().toSet
+      val got = spark.read.parquet(s"$out/split=$s")
+        .select(col("doc_id")).as[Long].collect().toSet
+      assert(got == want, s"split $s tree must hold exactly its assigned docs")
+    }
+    clusters0.unpersist()
+  }
+
   test("persisted nightly loop: on-disk catalog + cluster table, crash-retried night is idempotent") {
     val root = java.nio.file.Files.createTempDirectory("nightly").toString
     val (fpPath, shPath, cluPath) = (s"$root/fp", s"$root/sh", s"$root/clusters")
