@@ -996,6 +996,22 @@ object TextAnalysis {
     * sequential DuckDB oracle hash-gates this trainer every gate run. */
   private[graft] def bpeLearnRounds(vocab0: DataFrame, maxMerges: Int,
       batch: Int = 1): (DataFrame, Seq[(Int, String, String, Long)], Int) = {
+    // Strategy by DEPTH (both trainers are differential-proven
+    // identical): the incremental machinery pays an init pair
+    // aggregate plus two materializations per round, which only
+    // amortizes once the full re-aggregate's vocab×length explode
+    // repeats enough rounds — measured ~1 s slower per gated 8-merge
+    // entry, while unbounded at 1024 merges the full trainer is the
+    // one that loses. Shallow trainings (the gated entries) take the
+    // simple path; deep ones the incremental path.
+    if (maxMerges <= 64) bpeLearnRoundsFull(vocab0, maxMerges, batch)
+    else bpeLearnRoundsInc(vocab0, maxMerges, batch)
+  }
+
+  /** The incremental-pair-count trainer body — see [[bpeLearnRounds]]
+    * for the dispatch and the exactness argument. */
+  private[graft] def bpeLearnRoundsInc(vocab0: DataFrame, maxMerges: Int,
+      batch: Int = 1): (DataFrame, Seq[(Int, String, String, Long)], Int) = {
     // (cnt0, sym) → adjacent-pair counts summed over cnt0 (signed for deltas)
     def pairsOf(df: DataFrame): DataFrame = df
       .filter(size(col("sym")) >= 2)

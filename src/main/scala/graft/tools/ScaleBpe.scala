@@ -81,11 +81,11 @@ object ScaleBpe {
     }
     println(s"[scale] synthetic vocabulary: 65536 words over ${syl.length} syllables")
     val ((_, m64, r64), t64) = time("synthetic vocab, 64 merges (batch=16)") {
-      TextAnalysis.bpeLearnRounds(synthVocab(), 64, batch = 16)
+      TextAnalysis.bpeLearnRoundsInc(synthVocab(), 64, batch = 16)
     }
     spark.catalog.clearCache()
     val ((_, m256, r256), t256) = time("synthetic vocab, 256 merges (batch=16)") {
-      TextAnalysis.bpeLearnRounds(synthVocab(), 256, batch = 16)
+      TextAnalysis.bpeLearnRoundsInc(synthVocab(), 256, batch = 16)
     }
     spark.catalog.clearCache()
     require(m64 == m256.take(64),
@@ -107,7 +107,7 @@ object ScaleBpe {
     // the vocab deepens (late merges touch few words), so 4× the merges
     // past 256 must stay within the same ≤8× wall envelope.
     val ((_, m1024, r1024), t1024) = time("synthetic vocab, 1024 merges (batch=16)") {
-      TextAnalysis.bpeLearnRounds(synthVocab(), 1024, batch = 16)
+      TextAnalysis.bpeLearnRoundsInc(synthVocab(), 1024, batch = 16)
     }
     spark.catalog.clearCache()
     require(m1024.take(256) == m256,

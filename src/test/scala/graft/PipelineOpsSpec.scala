@@ -394,14 +394,14 @@ class PipelineOpsSpec extends AnyFunSuite {
     // including the run-dry tail if the vocabulary exhausts first.
     import graft.operators.TextAnalysis
     val sf = "/root/testdata/sf0.001"
-    val (si, inc, _) = TextAnalysis.bpeLearnRounds(TextAnalysis.bpeVocab0(spark, sf), 48, batch = 8)
+    val (si, inc, _) = TextAnalysis.bpeLearnRoundsInc(TextAnalysis.bpeVocab0(spark, sf), 48, batch = 8)
     val (sfull, full, _) = TextAnalysis.bpeLearnRoundsFull(TextAnalysis.bpeVocab0(spark, sf), 48, batch = 8)
     assert(inc == full, s"incremental diverged from full reaggregate:\ninc $inc\nfull $full")
     val a = si.select($"w", $"sym").as[(String, Seq[String])].collect().toMap
     val b = sfull.select($"w", $"sym").as[(String, Seq[String])].collect().toMap
     si.unpersist(); sfull.unpersist()
     assert(a == b, "final vocab symbol states diverged")
-    val (_, incSeq, _) = TextAnalysis.bpeLearnRounds(TextAnalysis.bpeVocab0(spark, sf), 16, batch = 1)
+    val (_, incSeq, _) = TextAnalysis.bpeLearnRoundsInc(TextAnalysis.bpeVocab0(spark, sf), 16, batch = 1)
     val (_, fullSeq, _) = TextAnalysis.bpeLearnRoundsFull(TextAnalysis.bpeVocab0(spark, sf), 16, batch = 1)
     assert(incSeq == fullSeq, "sequential (batch=1) merge lists diverged")
   }
