@@ -46,17 +46,25 @@ case class NbLangBits(child: Expression, langs: Seq[String],
     lamScaled.forall(_.length == buckets),
     s"model shape mismatch: ${langs.length} langs, ${lamScaled.map(_.length).toSeq} x $buckets")
 
+  /** BUCKET-major flat transpose of the per-class λ tables: the hot
+    * loop touches one bucket × K classes per gram, so laying those K
+    * longs contiguously turns K scattered array-of-array reads into
+    * one cache line (round 16 — at K=20 the scorer went compute-bound
+    * at sf10; same adds, same order per class, bit-identical sums). */
+  @transient private lazy val flatLams: Array[Long] = NbLangBits.transpose(lamScaled, buckets)
+
   override def dataType: DataType = ArrayType(
     StructType(langs.map(l => StructField(s"${l}_bits", DoubleType, nullable = false))),
     containsNull = false)
 
   override def nullSafeEval(input: Any): Any =
     NbLangBits.bits(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
-      lamScaled, buckets)
+      flatLams, langs.length, buckets)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("nbLams", lamScaled, "long[][]")
-    defineCodeGen(ctx, ev, c => s"graft.functions.NbLangBits.bits($c, $ref, $buckets)")
+    val ref = ctx.addReferenceObj("nbLamsFlat", flatLams, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.NbLangBits.bits($c, $ref, ${langs.length}, $buckets)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): NbLangBits =
@@ -72,9 +80,22 @@ object NbLangBits {
 
   private val Prefix = "nblang:".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
 
+  /** `flat(b * k + c)` = λ of class c at bucket b. */
+  private[functions] def transpose(lams: Array[Array[Long]], buckets: Int): Array[Long] = {
+    val k = lams.length
+    val flat = new Array[Long](buckets * k)
+    var b = 0
+    while (b < buckets) {
+      var c = 0
+      while (c < k) { flat(b * k + c) = lams(c)(b); c += 1 }
+      b += 1
+    }
+    flat
+  }
+
   /** Static entry point for interpreted eval and codegen. */
   def bits(s: org.apache.spark.unsafe.types.UTF8String,
-           lams: Array[Array[Long]], buckets: Int): ArrayData = {
+           flat: Array[Long], k: Int, buckets: Int): ArrayData = {
     val bytes = s.getBytes
     // code-point start offsets (UTF-8 lead bytes), +1 sentinel end
     var ncp = 0
@@ -93,7 +114,6 @@ object NbLangBits {
     }
     starts(ncp) = bytes.length
     val md = digest.get()
-    val k = lams.length
     val sums = new Array[Long](k)
     var n = 2
     while (n <= 4) {
@@ -109,9 +129,9 @@ object NbLangBits {
         var b = 0
         while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
         v = (v << 4) | ((d(7) >> 4) & 0xfL)
-        val bucket = (v % buckets).toInt
+        val base = (v % buckets).toInt * k
         var c = 0
-        while (c < k) { sums(c) += lams(c)(bucket); c += 1 }
+        while (c < k) { sums(c) += flat(base + c); c += 1 }
         g += 1
       }
       n += 1
