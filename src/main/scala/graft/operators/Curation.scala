@@ -1317,6 +1317,55 @@ object Curation {
       outDir, blocksPerShard)
   }
 
+  /** O(batch) NIGHTLY release-shard refresh (round 16) — the v2
+    * release semantics applied to ONE arriving batch, extending the
+    * exported split trees instead of re-exporting them: the batch
+    * alone runs the quality gate (intra-batch exact dedup included),
+    * DECONTAMINATION against the persisted probe index
+    * ([[winnowProbeFpCached]] — the benchmark side never recomputes),
+    * and PII REDACTION (the shipped text is the redacted text); its
+    * split comes from the EXTENDED cluster table
+    * ([[extendClusters]] — so a near-dup of a released train doc
+    * shards into train by construction, singleton fallback for
+    * novels), and each touched split's tree extends via
+    * [[ShardExport.refreshSplitShards]] (full released shards
+    * byte-stable). Preconditions are [[incrementalRelease]]'s: pass
+    * the batch's NOVEL docs (cross-corpus exact/near dups are the
+    * caller's `incrementalOf` verdicts — shipping a doc the release
+    * already carries is the caller's double-count, not detectable
+    * from the batch alone). Returns the union manifest of the
+    * touched splits. */
+  def releaseShardsRefresh(batch: DataFrame, clusters2: DataFrame,
+                           dir: String, outDir: String,
+                           blocksPerShard: Long = ShardExport.DefaultBlocksPerShard): DataFrame = {
+    val spark = batch.sparkSession
+    val curated = pipelineCurateOf(batch).select(col("doc_id"))
+    val contam = TextAnalysis.winnowFingerprintOf(
+        batch.select(col("doc_id"), col("text"))
+          .filter(col("doc_id") >= ProbeDocs))
+      .join(broadcast(winnowProbeFpCached(spark, dir)), Seq("fp"))
+      .select(col("doc_id")).distinct()
+      .withColumn("contaminated", lit(true))
+    val afterEmail = regexp_replace(col("text"), TextAnalysis.EmailRe, "<EMAIL>")
+    val afterIp    = regexp_replace(afterEmail, TextAnalysis.Ipv4Re, "<IP>")
+    val afterPhone = regexp_replace(afterIp, TextAnalysis.PhoneRe, "<PHONE>")
+    val red = batch.select(col("doc_id"), afterPhone.as("ship_text"))
+    val cluPlus = batch.select(col("doc_id"))
+      .join(clusters2.select(col("doc_id"), col("cluster_id")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val splits = splitLeakSafeOf(
+        batch.select(col("doc_id"), col("source")), cluPlus)
+      .select(col("doc_id"), col("split"))
+    val kept = curated
+      .join(contam, Seq("doc_id"), "left")
+      .filter(col("contaminated").isNull)
+      .join(red, Seq("doc_id"))
+    ShardExport.refreshSplitShards(
+      kept.select(col("doc_id"), col("ship_text").as("text")),
+      splits, outDir, blocksPerShard)
+  }
+
   /** Same fragment assembly as [[releaseManifestOracle]], with every
     * corpus-reading fragment pointed at the seeded `docsplus` CTE and
     * the two new stages spliced between surv and the card. */

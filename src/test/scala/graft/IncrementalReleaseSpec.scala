@@ -150,6 +150,59 @@ class IncrementalReleaseSpec extends AnyFunSuite {
     clusters0.unpersist()
   }
 
+  test("releaseShardsRefresh: batch ships v2 semantics — gate, decontam vs stored probe index, redaction — O(batch)") {
+    import graft.operators.ShardExport
+    val dir = "/root/testdata/sf0.001"
+    val out = java.nio.file.Files.createTempDirectory("release_refresh").toString
+    Curation.releaseShards(spark, dir, out, blocksPerShard = 2L)
+    val splitsDirs = new java.io.File(out).listFiles().filter(_.getName.startsWith("split="))
+      .map(_.getName.stripPrefix("split=")).sorted.toSeq
+    val oldDocs = splitsDirs.map { s =>
+      s -> spark.read.parquet(s"$out/split=$s").select(col("doc_id")).as[Long].collect().toSet
+    }.toMap
+
+    // nightly batch: clean novel / contaminated / PII-bearing / gate-failing
+    val filler = "ordinary prose about weather markets travel cooking gardens " +
+      "and music that the quality gate should keep around for the evening"
+    val batch = Seq(
+      (8000001L, "web", s"a perfectly clean novel document with $filler"),
+      (8000002L, "web", s"this page plainly copies ${Curation.WinnowSeedPassage} and then $filler"),
+      (8000003L, "web", s"write to refresh-test@example.org or call +1 415 555 0199 about $filler"),
+      (8000004L, "web", "x x x x x x")) // fails the quality gate
+      .toDF("doc_id", "source", "text")
+    val verdicts = batch.select(col("doc_id"),
+      lit("novel").as("status"), lit(null).cast("long").as("match_id"))
+    val clusters2 = Curation.extendClusters(
+      Dedup.clustersCached(spark, dir), verdicts)
+    Curation.releaseShardsRefresh(batch, clusters2, dir, out, blocksPerShard = 2L)
+
+    val newDocs = splitsDirs.map { s =>
+      s -> spark.read.parquet(s"$out/split=$s")
+        .select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
+    }.toMap
+    val all = newDocs.values.flatten.toMap
+    assert(all.contains(8000001L), "clean novel doc must ship")
+    assert(!all.contains(8000002L), "contaminated doc must not ship (stored probe index)")
+    assert(!all.contains(8000004L), "gate-failing doc must not ship")
+    val pii = all(8000003L)
+    assert(pii.contains("<EMAIL>") && pii.contains("<PHONE>") &&
+      !pii.contains("refresh-test@") && !pii.contains("0199"),
+      s"PII doc must ship REDACTED: $pii")
+    // O(batch): released docs all still present, none duplicated, and
+    // each batch doc landed in the split its (singleton) cluster hashes to
+    splitsDirs.foreach { s =>
+      assert(oldDocs(s).subsetOf(newDocs(s).keySet), s"split $s lost released docs")
+    }
+    val wantSplits = Curation.splitLeakSafeOf(
+        batch.select(col("doc_id"), col("source")),
+        batch.select(col("doc_id"), col("doc_id").as("cluster_id")))
+      .select(col("doc_id"), col("split")).as[(Long, String)].collect().toMap
+    Seq(8000001L, 8000003L).foreach { id =>
+      assert(newDocs(wantSplits(id)).contains(id),
+        s"batch doc $id must land in its cluster-hash split ${wantSplits(id)}")
+    }
+  }
+
   test("persisted nightly loop: on-disk catalog + cluster table, crash-retried night is idempotent") {
     val root = java.nio.file.Files.createTempDirectory("nightly").toString
     val (fpPath, shPath, cluPath) = (s"$root/fp", s"$root/sh", s"$root/clusters")
