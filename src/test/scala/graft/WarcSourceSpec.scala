@@ -165,6 +165,42 @@ class WarcSourceSpec extends AnyFunSuite {
     } finally spark.conf.unset(WarcSource.MaxRecordBytesConf)
   }
 
+  test("header-line cap: a newline-free non-gzip blob fails loudly instead of buffering the file") {
+    // r15 advice: readLine buffered until '\n' with no bound, so a
+    // mislabeled binary blob (not gzip, no newlines) buffered the whole
+    // file in one task before the WARC/ magic check ever ran
+    val dir = tmp("warc_noline")
+    new java.io.File(dir).mkdirs()
+    val blob = new Array[Byte](128 * 1024)
+    java.util.Arrays.fill(blob, 'z'.toByte)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/blob.warc"), blob)
+    val e = intercept[Exception] { WarcSource.read(spark, dir).collect() }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(m => m.contains("header line exceeds") && m.contains("blob.warc")),
+      s"newline-free blob must fail the header-line cap naming the file; got: ${chain(e).mkString(" | ")}")
+  }
+
+  test("JVM array ceiling: a >2^31-byte Content-Length fails loudly even under a huge conf cap") {
+    // r15 advice: len.toInt would silently truncate 2^32+100 to 100
+    // bytes and mis-frame the rest of the archive if the conf admitted it
+    val dir = tmp("warc_hugelen")
+    new java.io.File(dir).mkdirs()
+    val header = "WARC/1.0\r\nWARC-Type: conversion\r\nContent-Length: 4294967396\r\n\r\n"
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/huge.warc"),
+      header.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    spark.conf.set(WarcSource.MaxRecordBytesConf, "8589934592") // 8 GiB — above any int
+    try {
+      val e = intercept[Exception] { WarcSource.read(spark, dir).collect() }
+      def chain(t: Throwable): Seq[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+          .map(x => Option(x.getMessage).getOrElse("")).toSeq
+      assert(chain(e).exists(_.contains("JVM array ceiling")),
+        s"huge Content-Length must hit the array-ceiling guard; got: ${chain(e).mkString(" | ")}")
+    } finally spark.conf.unset(WarcSource.MaxRecordBytesConf)
+  }
+
   test("render rejects CR/LF in header values at WRITE time") {
     intercept[IllegalArgumentException] {
       WarcSource.render("conversion", "http://x.test/\r\nWARC-Type: fake",

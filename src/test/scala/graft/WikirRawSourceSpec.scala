@@ -97,6 +97,24 @@ class WikirRawSourceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("2")) // both bad lines counted
   }
 
+  test("qrels: validation survives full column pruning — count() on malformed qrels throws") {
+    // r15 advice: the guard rode inside the four output columns, so a
+    // consumer that prunes them all (df.count(), an existence-only
+    // join) never evaluated it and malformed lines passed silently.
+    // The guard is a FILTER predicate now — pruning can't remove it.
+    val root = fixture(
+      "id_right,text_right\n",
+      "id_left,text_left\n",
+      "5 0 100 2\nnot-a-qid 0 101 1\n")
+    val e = intercept[Exception] {
+      WikirRawSource.readQrels(spark, root, "validation").count()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null).take(8)
+      .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(msgs.exists(_.contains("malformed")),
+      s"count() must still validate every line; got: ${msgs.mkString(" | ")}")
+  }
+
   test("load: raw docs flow through the shared normalize (Document-id title fallback)") {
     val root = fixture(
       "id_right,text_right\n42,some body text\n",
