@@ -177,8 +177,8 @@ object Curation {
     import spark.implicits._
     val docsPath = s"$dir/documents.parquet"
     val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${Layout.stateTag(spark, docsPath)}"
-    val path = s"target/tmp/winnow_probe_cache/$key"
-    if (!new java.io.File(s"$path/_SUCCESS").exists())
+    val path = s"${Layout.cacheRoot(spark)}/winnow_probe_cache/$key"
+    if (!Layout.storeReady(spark, path))
       winnowProbeFpInline(spark, dir).write.mode("overwrite").parquet(path)
     spark.read.parquet(path)
   }
@@ -1245,12 +1245,29 @@ object Curation {
     * cap is part of the identity because the cluster stage depends on
     * it (the splitLeakSafeComposed rule). Warm consumers pay a parquet
     * read of exactly the columns they prune to. */
-  private[graft] def releaseV2FrameCached(spark: SparkSession, dir: String): DataFrame = {
+  /** CODE version baked into [[releaseV2FrameCached]]'s key (round 17,
+    * the r16 verdict's #6): the artifact's identity is (corpus state,
+    * df cap, AND the release semantics that computed it). Bump this
+    * when [[ReleaseSeeds]], the PII regexes, or any gate/winnow
+    * constant changes — otherwise an existing artifact would silently
+    * serve the OLD semantics until the next corpus regen re-keyed it. */
+  private[graft] final val ReleaseV2CodeVersion = 1
+
+  /** The release-frame artifact path for an explicit code version —
+    * split out so the bump-invalidates spec can prove a version bump
+    * re-keys (and therefore rebuilds) without mutating the constant. */
+  private[graft] def releaseV2CachePath(spark: SparkSession, dir: String,
+                                        version: Int = ReleaseV2CodeVersion): String = {
     val docsPath = s"$dir/documents.parquet"
     val maxDf = Dedup.effectiveMaxShingleDf(spark)
-    val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${Layout.stateTag(spark, docsPath)}_df$maxDf"
-    val path = s"target/tmp/release_v2_cache/$key"
-    if (!new java.io.File(s"$path/_SUCCESS").exists())
+    val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${Layout.stateTag(spark, docsPath)}" +
+      s"_df${maxDf}_v$version"
+    s"${Layout.cacheRoot(spark)}/release_v2_cache/$key"
+  }
+
+  private[graft] def releaseV2FrameCached(spark: SparkSession, dir: String): DataFrame = {
+    val path = releaseV2CachePath(spark, dir)
+    if (!Layout.storeReady(spark, path))
       releaseV2Frame(spark, dir).write.mode("overwrite").parquet(path)
     spark.read.parquet(path)
   }

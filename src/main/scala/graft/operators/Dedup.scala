@@ -485,8 +485,8 @@ object Dedup {
     val docsPath = s"$dir/documents.parquet"
     val maxDf = effectiveMaxShingleDf(spark)
     val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${Layout.stateTag(spark, docsPath)}_df$maxDf"
-    val path = s"target/tmp/clusters_cache/$key"
-    if (!new java.io.File(s"$path/_SUCCESS").exists())
+    val path = s"${Layout.cacheRoot(spark)}/clusters_cache/$key"
+    if (!Layout.storeReady(spark, path))
       dedupClustersOf(spark, dir, ordered = false)
         .write.mode("overwrite").parquet(path)
     spark.read.parquet(path)

@@ -76,21 +76,39 @@ private[graft] object Layout {
       .map(_.toLong).getOrElse(0L)
     if (ttl <= 0L) return listTag(spark, path)
     val now = System.currentTimeMillis()
-    val hit = tagMemo.get(path)
+    val k = memoKey(path)
+    val hit = tagMemo.get(k)
     if (hit != null && now - hit._1 <= ttl) hit._2
     else {
+      // evict every expired entry while we're here (advice r16): the
+      // memo is process-global, and a long-lived serve loop cycling
+      // through many corpus versions must not grow it unboundedly
+      val it = tagMemo.entrySet().iterator()
+      while (it.hasNext) if (now - it.next().getValue._1 > ttl) it.remove()
       val t = listTag(spark, path)
-      tagMemo.put(path, (now, t))
+      tagMemo.put(k, (now, t))
       t
     }
   }
 
   /** Drop the memoized tag for `path` — call after rewriting a table
     * so the next [[stateTag]] re-lists regardless of the TTL. */
-  def invalidateStateTag(path: String): Unit = tagMemo.remove(path)
+  def invalidateStateTag(path: String): Unit = tagMemo.remove(memoKey(path))
 
   private val tagMemo =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, String)]()
+
+  /** Memo key = the path STRING normalized the cheap, FS-free way
+    * (round 17, advice): `new Path(s).toString` collapses `./x`,
+    * `x//y`, and trailing-slash variants to one spelling, so an
+    * [[invalidateStateTag]] spelled differently than the [[stateTag]]
+    * call still hits the same entry. Deliberately NOT the qualified
+    * URI — qualification needs an FS handle, and the memo exists to
+    * avoid FS calls on the hot path. A relative vs absolute spelling
+    * of the same table remains two entries (documented residual); the
+    * store caches always spell paths one way (through [[cacheRoot]]). */
+  private def memoKey(path: String): String =
+    new org.apache.hadoop.fs.Path(path).toString
 
   private def listTag(spark: SparkSession, path: String): String = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -101,6 +119,55 @@ private[graft] object Layout {
       .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
       .sorted.mkString(",")
     s"${st.getModificationTime}h${Integer.toHexString(listing.hashCode)}"
+  }
+
+  // ---- materialize-once store roots (round 17) -----------------------
+  // Every persisted store cache (ANN indexes, BM25 postings, cluster
+  // table, decontamination probe index, release frame, RRF lists)
+  // shares one conf-able root and one Hadoop-FS readiness probe.
+  // Through round 16 each site spelled `target/tmp/...` inline and
+  // probed `new java.io.File(".../_SUCCESS")` — correct only when the
+  // session's default FS IS the driver's local disk. On hdfs://-s3a://
+  // deployments `spark.write.parquet` resolves against the default FS
+  // while java.io.File checks local disk: the check and the data
+  // disagree, and every warm serve silently degrades to a cold rebuild
+  // (the exact bug class round 15 fixed for [[stateTag]]). The default
+  // root keeps round-16 behavior bit-for-bit on local runs.
+
+  /** Root directory for every materialize-once store, conf-able via
+    * `spark.graft.cache.root` (default `target/tmp`). On a cluster set
+    * it to a shared-FS URI (`hdfs://.../graft-cache`, `s3a://...`) so
+    * all consumers of a store resolve the SAME artifact. */
+  def cacheRoot(spark: SparkSession): String =
+    spark.conf.getOption("spark.graft.cache.root").getOrElse("target/tmp")
+
+  /** True iff a COMPLETED write exists at `path` — its `_SUCCESS`
+    * marker, probed through the Hadoop FS the path actually lives on
+    * (so an `hdfs://`/`s3a://`/explicit `file:` root answers about the
+    * data, not about the driver's local disk). Missing parents answer
+    * false (a first build, not an error). */
+  def storeReady(spark: SparkSession, path: String): Boolean = {
+    val m = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
+    m.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(m)
+  }
+
+  /** Short tag of the ACTIVE cache root, folded into the per-JVM
+    * catalog names of the external-table stores (bm25 postings, vector
+    * store): the files are root-addressed but the catalog entry is
+    * name-addressed, so without this a mid-session root change would
+    * keep serving the OLD root's files through the already-registered
+    * name. */
+  def rootTag(spark: SparkSession): String =
+    Integer.toHexString(cacheRoot(spark).hashCode)
+
+  /** `path` as a fully-qualified URI on its Hadoop FS — what
+    * external-table LOCATION clauses and flat-view reads need
+    * (round 17; the java.io.File.getAbsolutePath it replaces pinned
+    * those to the driver's local disk regardless of the default FS). */
+  def qualified(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(p).toString
   }
 
   /** Row count of `<dir>/<table>.parquet`, memoized per table state. */

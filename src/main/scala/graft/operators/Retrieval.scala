@@ -219,7 +219,7 @@ object Retrieval {
   private[graft] def bm25Store(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val key = bm25StoreKey(spark, dir)
     (bm25OpenIndex(spark, dir, key),
-      spark.read.parquet(s"target/tmp/bm25_index/$key/stats"))
+      spark.read.parquet(s"${Layout.cacheRoot(spark)}/bm25_index/$key/stats"))
   }
 
   // key = data version (dir+mtime) + every constant BAKED INTO the
@@ -242,8 +242,8 @@ object Retrieval {
     * [[bm25ServeStored]] takes when pruning cannot help. */
   private[graft] def bm25StoreFlatView(spark: SparkSession, dir: String): DataFrame = {
     bm25Store(spark, dir)._1 // ensure the store exists
-    spark.read.parquet(
-      new java.io.File(s"target/tmp/bm25_index/${bm25StoreKey(spark, dir)}/postings").getAbsolutePath)
+    spark.read.parquet(Layout.qualified(spark,
+      s"${Layout.cacheRoot(spark)}/bm25_index/${bm25StoreKey(spark, dir)}/postings"))
   }
 
   /** Distinct term-bucket ids a query vocabulary hashes into —
@@ -309,11 +309,11 @@ object Retrieval {
   private[graft] def bm25OpenIndex(spark: SparkSession, dir: String,
                                    key: String): DataFrame = {
     val nb = postingsBuckets(spark, dir)
-    val tbl = s"g_bm25_$key".replaceAll("[^A-Za-z0-9_]", "_").toLowerCase
-    val base = s"target/tmp/bm25_index/$key"
-    val loc = new java.io.File(s"$base/postings").getAbsolutePath
+    val tbl = s"g_bm25_${Layout.rootTag(spark)}_$key".replaceAll("[^A-Za-z0-9_]", "_").toLowerCase
+    val base = s"${Layout.cacheRoot(spark)}/bm25_index/$key"
+    val loc = Layout.qualified(spark, s"$base/postings")
     if (!spark.catalog.tableExists(tbl)) {
-      if (new java.io.File(s"$base/postings/_SUCCESS").exists())
+      if (Layout.storeReady(spark, s"$base/postings"))
         // warm files, cold catalog (new JVM): register the bucketed
         // DDL over the existing files — no rebuild, no re-tokenize
         spark.sql(
@@ -408,11 +408,11 @@ object Retrieval {
     // key = data version + constants BAKED INTO the stored lists: their
     // depth (FuseK) and the tokenizer behind the BM25 leg. RrfC/K apply
     // at fuse time over the stored lists, so they don't key the cache.
-    val base = s"target/tmp/rrf_lists/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_$mt" +
+    val base = s"${Layout.cacheRoot(spark)}/rrf_lists/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_$mt" +
       s"_f${FuseK}_tok${TextFns.TokVersion}"
     // guard on the LAST-written list (vec): a crash between writes
     // leaves it absent → rebuild, never a torn cache
-    if (!new java.io.File(s"$base/vec/_SUCCESS").exists()) {
+    if (!Layout.storeReady(spark, s"$base/vec")) {
       bm25Ranked(spark, dir, FuseK)
         .select(col("qid"), col("doc_id").as("id"), col("rn"))
         .write.mode("overwrite").parquet(s"$base/text")

@@ -155,10 +155,11 @@ object ShardExport {
     // (ScaleShards proves the proportionality). Readers re-impose shard
     // order; the underscore prefix keeps it invisible to shard-tree
     // scans either way.
-    val manifest = manifestOf(assign, docs)
+    val manifest = manifestOf(assign, docs).withColumn("gen", lit(0L))
     manifest.write.mode("overwrite").parquet(s"$outDir/_shard_manifest")
     assign.unpersist()
-    spark.read.parquet(s"$outDir/_shard_manifest").orderBy(col("shard_id"))
+    spark.read.parquet(s"$outDir/_shard_manifest").drop("gen")
+      .orderBy(col("shard_id"))
   }
 
   /** Per-SPLIT shard export — the RELEASE handoff: each split's docs
@@ -207,11 +208,32 @@ object ShardExport {
   // shuffle. A full re-export (the compactCatalog analog) restores the
   // single-generation global shuffle when wanted.
 
+  /** A row okey's generation tag: `gNNNNNN:`-prefixed okeys parse to N,
+    * plain-md5 okeys (the bootstrap export) are generation 0. */
+  private def okeyGen = coalesce(
+    nullif(regexp_extract(col("okey"), "^g([0-9]{6}):", 1), lit(""))
+      .cast("int"), lit(0))
+
   /** Extend an exported shard tree with one batch: O(batch) tokenize +
     * pack + write of (tail + new) shards; O(manifest) metadata rewrite
     * (shard-count-sized — the same cost class as reading the manifest).
     * Returns the updated manifest. Bootstraps via [[exportShards]] if
-    * `outDir` has no manifest yet. */
+    * `outDir` has no manifest yet.
+    *
+    * CRASH-RETRY IDEMPOTENCE (round 17, the r16 verdict's #2): the
+    * manifest is the EXPLICIT commit point. All refresh state — token
+    * total, tail shard, and now the next GENERATION — derives from the
+    * committed manifest (`gen` column: max generation that contributed
+    * to each shard), never from the tree. A refresh that crashed after
+    * the partition write but before the manifest write leaves orphan
+    * next-gen rows in the tail and possibly orphan shard dirs beyond
+    * it; the retry (a) re-derives the SAME generation from the
+    * manifest, (b) drops tail rows newer than the committed generation
+    * before repacking (the dynamic overwrite then erases them from
+    * disk), and (c) deletes orphan `shard_id` dirs beyond the committed
+    * tail — so retry-after-crash lands byte-identical to a single
+    * uninterrupted run instead of double-ingesting the batch
+    * (spec: IncrementalReleaseSpec / ShardExportSpec crash-retry). */
   def refreshShards(newDocs: DataFrame, outDir: String,
                     blocksPerShard: Long = DefaultBlocksPerShard): DataFrame = {
     val spark = newDocs.sparkSession
@@ -222,23 +244,44 @@ object ShardExport {
       return exportShards(newDocs, outDir, blocksPerShard)
     // frozen-stream state, detached from the files so they can be
     // overwritten (localCheckpoint = bounded: manifest + ONE shard)
-    val oldM = spark.read.parquet(manPath).localCheckpoint(true)
+    val oldM0 = spark.read.parquet(manPath)
+    // legacy (pre-gen) manifests carry no generation column; their
+    // committed generation is reconstructed from the tail's okeys below
+    // (the r16 derivation — not crash-safe, but the window closes the
+    // first time THIS refresh commits a gen-carrying manifest)
+    val hasGen = oldM0.columns.contains("gen")
+    val oldM = (if (hasGen) oldM0 else oldM0.withColumn("gen", lit(0L)))
+      .localCheckpoint(true)
     require(oldM.filter(expr(s"first_block div $blocksPerShard != shard_id")).isEmpty,
       s"refreshShards: $outDir was exported with a different blocksPerShard " +
         s"than $blocksPerShard — refresh must continue the original budget")
     val st = oldM.agg(
       sum(col("n_tokens")).cast("long").as("total"),
-      max(col("shard_id")).as("tail")).head()
+      max(col("shard_id")).as("tail"),
+      max(col("gen")).cast("long").as("gen")).head()
     val (total, tailShard) = (st.getLong(0), st.getLong(1))
-    val tailRows = spark.read.parquet(s"$outDir/shard_id=$tailShard")
+    // committed tail rows ONLY: a crashed attempt's orphan next-gen rows
+    // are filtered out of the repack (and erased by the overwrite below)
+    val tailAll = spark.read.parquet(s"$outDir/shard_id=$tailShard")
+    val committedGen =
+      if (hasGen) st.getLong(2)
+      else { // legacy tree: latest tag seen in the tail (r16 behavior)
+        val maxOkey = tailAll.agg(max(col("okey"))).head().getString(0)
+        "^g(\\d{6}):".r.findFirstMatchIn(maxOkey)
+          .map(_.group(1).toLong).getOrElse(0L)
+      }
+    val tailRows = tailAll.filter(okeyGen <= committedGen)
       .localCheckpoint(true)
-    // generation = 1 + the tail's latest tag (the tail shard is always
-    // written by the newest generation; plain-md5 okeys are gen 0)
-    val maxOkey = tailRows.agg(max(col("okey"))).head().getString(0)
-    val gen = "^g(\\d{6}):".r.findFirstMatchIn(maxOkey)
-      .map(_.group(1).toInt + 1).getOrElse(1)
+    val gen = committedGen + 1
+    // orphan shard dirs beyond the committed tail (a crashed attempt's
+    // partial append): uncommitted by definition — remove before the
+    // rewrite so a SMALLER retry batch can't leave unaccounted dirs
+    fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("shard_id="))
+      .filter(_.getPath.getName.stripPrefix("shard_id=").toLong > tailShard)
+      .foreach(s => fs.delete(s.getPath, true))
     val assign = shardAssignFrom(newDocs, blocksPerShard, total, f"g$gen%06d:").cache()
-    if (assign.isEmpty) { assign.unpersist(); return oldM.orderBy(col("shard_id")) }
+    if (assign.isEmpty) { assign.unpersist(); return oldM.drop("gen").orderBy(col("shard_id")) }
     val newRows = newDocs
       .join(assign.select(col("doc_id"), col("okey"), col("shard_id")), Seq("doc_id"))
     val touched = newRows
@@ -257,20 +300,23 @@ object ShardExport {
     }
     // manifest: keep untouched rows, merge the tail row with the batch's
     // contribution, append new rows — a sum-mergeable union because
-    // every column is a sum/min/max over disjoint doc sets
+    // every column is a sum/min/max over disjoint doc sets. `gen` rides
+    // along as a max: shards the batch touched record this generation —
+    // the COMMIT of the write above (written last, read first).
     val manifest = oldM
-      .unionByName(manifestOf(assign, newDocs))
+      .unionByName(manifestOf(assign, newDocs).withColumn("gen", lit(gen)))
       .groupBy(col("shard_id"))
       .agg(
         sum(col("n_docs")).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),
         sum(col("n_bytes")).as("n_bytes"),
         min(col("first_block")).as("first_block"),
-        max(col("last_block")).as("last_block"))
+        max(col("last_block")).as("last_block"),
+        max(col("gen")).as("gen"))
       .orderBy(col("shard_id"))
     manifest.write.mode("overwrite").parquet(manPath)
     assign.unpersist()
-    spark.read.parquet(manPath).orderBy(col("shard_id"))
+    spark.read.parquet(manPath).drop("gen").orderBy(col("shard_id"))
   }
 
   /** Per-split incremental refresh — the RELEASE-side nightly handoff:
@@ -282,11 +328,22 @@ object ShardExport {
     * to its split's stream. */
   def refreshSplitShards(newDocs: DataFrame, splits: DataFrame, outDir: String,
                          blocksPerShard: Long = DefaultBlocksPerShard): DataFrame = {
+    val spark = newDocs.sparkSession
     val withSplit = newDocs
       .join(splits.select(col("doc_id"), col("split")), Seq("doc_id"))
     val names = withSplit.select(col("split")).distinct()
       .collect().map(_.getString(0)).sorted
-    require(names.nonEmpty && names.length <= 64,
+    // an entirely-filtered batch (every doc gate-failed / contaminated /
+    // empty) is a legitimate nightly outcome (advice r16): no-op with an
+    // empty manifest and touch NOTHING — the require guards only the
+    // wrong-tool direction (a per-group partitioner's cardinality)
+    if (names.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "shard_id BIGINT, n_docs BIGINT, n_tokens BIGINT, n_bytes BIGINT, " +
+            "first_block BIGINT, last_block BIGINT, split STRING"))
+    require(names.length <= 64,
       s"refreshSplitShards: ${names.length} splits — this is a per-SPLIT " +
         "refresh, not a per-group partitioner")
     names.map { s =>

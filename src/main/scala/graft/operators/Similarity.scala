@@ -927,7 +927,7 @@ object Similarity {
     // multi-top layout so a stored two-table index never serves it
     val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${Layout.stateTag(spark, embPath)}" +
       s"_pk${Ivf2K1}x${Ivf2K2}i${Ivf2Iters}ts"
-    val base = s"target/tmp/ivf2_index/$key"
+    val base = s"${Layout.cacheRoot(spark)}/ivf2_index/$key"
     ivf2WriteIndex(spark, dir, base)
     ivf2Of(ivf2ReadCells(spark, base),
       spark.read.parquet(s"$base/subbooks"),
@@ -945,7 +945,7 @@ object Similarity {
                                     base: String): Unit =
     // guard on the LAST-written table: a crash between writes leaves it
     // absent, so the next run rebuilds instead of serving a torn cache
-    if (!new java.io.File(s"$base/tops/_SUCCESS").exists()) {
+    if (!Layout.storeReady(spark, s"$base/tops")) {
       val (cells, subbooks, topsDf) = ivf2IndexOf(emb(spark, dir).cache())
       cells.write.mode("overwrite").partitionBy("cid1", "cid2")
         .parquet(s"$base/cells")
@@ -1123,10 +1123,10 @@ object Similarity {
     // topkIvfPqIndexed for the key convention)
     val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${Layout.stateTag(spark, embPath)}" +
       s"_m${PqM}k${PqK}i$PqIters"
-    val base = s"target/tmp/pq_index/$key"
+    val base = s"${Layout.cacheRoot(spark)}/pq_index/$key"
     // guard on the LAST-written table: a crash between writes leaves it
     // absent, so the next run rebuilds instead of serving a torn cache
-    if (!new java.io.File(s"$base/books/_SUCCESS").exists()) {
+    if (!Layout.storeReady(spark, s"$base/books")) {
       val (codes, books) = pqIndexOf(emb(spark, dir).cache())
       codes.write.mode("overwrite").parquet(s"$base/codes")
       books.write.mode("overwrite").parquet(s"$base/books")
@@ -1746,7 +1746,7 @@ object Similarity {
     // build must not serve under the new math or the new layout
     val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${Layout.stateTag(spark, embPath)}" +
       s"_respm${PqM}k${PqK}i$PqIters"
-    val base = s"target/tmp/ivfpq_index/$key"
+    val base = s"${Layout.cacheRoot(spark)}/ivfpq_index/$key"
     ivfPqWriteIndex(spark, dir, base)
     val books = spark.read.parquet(s"$base/books")
     if (books.isEmpty)
@@ -1808,18 +1808,18 @@ object Similarity {
     * twin for vectors. */
   private[graft] def vecStoreFlatView(spark: SparkSession, dir: String): DataFrame = {
     vecStore(spark, dir) // ensure the store exists
-    spark.read.parquet(new java.io.File(
-      s"target/tmp/vec_store/${vecStoreKey(spark, dir)}/vecs").getAbsolutePath)
+    spark.read.parquet(Layout.qualified(spark,
+      s"${Layout.cacheRoot(spark)}/vec_store/${vecStoreKey(spark, dir)}/vecs"))
   }
 
   private[graft] def vecStore(spark: SparkSession, dir: String): DataFrame = {
     val nb = vecBuckets(spark, dir)
     val key = vecStoreKey(spark, dir)
-    val tbl = s"g_vecs_$key"
-    val base = s"target/tmp/vec_store/$key"
-    val loc = new java.io.File(s"$base/vecs").getAbsolutePath
+    val tbl = s"g_vecs_${Layout.rootTag(spark)}_$key"
+    val base = s"${Layout.cacheRoot(spark)}/vec_store/$key"
+    val loc = Layout.qualified(spark, s"$base/vecs")
     if (!spark.catalog.tableExists(tbl)) {
-      if (new java.io.File(s"$base/vecs/_SUCCESS").exists()) {
+      if (Layout.storeReady(spark, s"$base/vecs")) {
         // warm files, cold catalog: DDL types come from the stored
         // footer (vec_id is corpus-typed, like ivfPqReadCodes' label)
         val ddl = spark.read.parquet(loc).schema.toDDL
@@ -1852,7 +1852,7 @@ object Similarity {
                                      base: String): Unit =
     // guard on the LAST-written table: a crash between writes leaves it
     // absent, so the next run rebuilds instead of serving a torn cache
-    if (!new java.io.File(s"$base/cells/_SUCCESS").exists()) {
+    if (!Layout.storeReady(spark, s"$base/cells")) {
       val all = emb(spark, dir).cache()
       val (codes, books, cells) = ivfPqIndexOf(all)
       codes.write.mode("overwrite").partitionBy("label")
@@ -2555,8 +2555,8 @@ object Similarity {
     // vs composed L2²) — fold it in so a conf flip re-keys
     val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${Layout.stateTag(spark, embPath)}" +
       s"_j${KnnJ}_k${k}i${KnnKmIters}f${knnFlatMaxCells(spark)}"
-    val path = s"target/tmp/knn_graph_cache/$key"
-    if (!new java.io.File(s"$path/_SUCCESS").exists())
+    val path = s"${Layout.cacheRoot(spark)}/knn_graph_cache/$key"
+    if (!Layout.storeReady(spark, path))
       knnGraph(spark, dir).write.mode("overwrite").parquet(path)
     spark.read.parquet(path)
   }

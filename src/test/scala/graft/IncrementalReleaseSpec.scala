@@ -267,4 +267,18 @@ class IncrementalReleaseSpec extends AnyFunSuite {
     val gens = new java.io.File(cFp).listFiles().filter(_.isDirectory).map(_.getName)
     assert(gens.toSeq == Seq("base"), s"compacted root must hold one generation: ${gens.toSeq}")
   }
+
+  test("releaseV2FrameCached keys on the CODE version: a bump re-keys, a stale artifact cannot serve") {
+    import graft.operators.Layout
+    val dir = "/root/testdata/sf0.001"
+    Curation.releaseV2FrameCached(spark, dir).limit(1).collect() // materialize current version
+    val p  = Curation.releaseV2CachePath(spark, dir)
+    val p2 = Curation.releaseV2CachePath(spark, dir, Curation.ReleaseV2CodeVersion + 1)
+    assert(p != p2, "the code version must be part of the artifact identity")
+    assert(Layout.storeReady(spark, p),
+      "the current version's artifact is materialized and serves warm")
+    assert(!Layout.storeReady(spark, p2),
+      "a bumped version must MISS the cache (rebuild under the new semantics), " +
+        "never serve the stale artifact")
+  }
 }

@@ -36,6 +36,54 @@ class LayoutSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.layout.stateTagTtlMs")
   }
 
+  test("invalidateStateTag hits the memo under spelling variants of the same path") {
+    import graft.operators.Layout
+    val dir = java.nio.file.Files.createTempDirectory("tagnorm").toString
+    Seq((1L, "a")).toDF("doc_id", "text").write.parquet(s"$dir/t.parquet")
+    val path = s"$dir/t.parquet"
+    spark.conf.set("spark.graft.layout.stateTagTtlMs", "600000")
+    try {
+      val m0 = Layout.stateTag(spark, path)
+      Seq((2L, "b")).toDF("doc_id", "text").write.mode("append").parquet(path)
+      // invalidate under a DIFFERENT spelling (double slash) of the
+      // same path — round-16 advice: the memo key is the raw string,
+      // so './x' / 'x//y' variants missed and kept serving stale tags
+      Layout.invalidateStateTag(s"$dir//t.parquet")
+      assert(Layout.stateTag(spark, path) != m0,
+        "a normalized-variant invalidation must evict the memo entry")
+    } finally spark.conf.unset("spark.graft.layout.stateTagTtlMs")
+  }
+
+  test("store caches honor spark.graft.cache.root (file: URI): cold build lands there, warm call serves without rebuild") {
+    import graft.operators.{Curation, Layout}
+    import org.apache.hadoop.fs.Path
+    val root = "file:" + java.nio.file.Files.createTempDirectory("groot").toString
+    spark.conf.set("spark.graft.cache.root", root)
+    try {
+      val dir = "/root/testdata/sf0.001"
+      val cold = Curation.winnowProbeFpCached(spark, dir)
+        .collect().map(_.get(0).toString).sorted.toSeq
+      assert(cold.nonEmpty)
+      // the artifact landed under the CONF'D root, probed through the
+      // Hadoop FS of the root's own URI (round 17: the java.io.File
+      // probe this replaces answered about the cwd-relative local disk
+      // regardless of the configured root)
+      val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val stores = fs.listStatus(new Path(s"$root/winnow_probe_cache"))
+      assert(stores.length == 1, "exactly one store under the conf'd root")
+      val succ = new Path(stores.head.getPath, "_SUCCESS")
+      assert(fs.exists(succ))
+      val m0 = fs.getFileStatus(succ).getModificationTime
+      val warm = Curation.winnowProbeFpCached(spark, dir)
+        .collect().map(_.get(0).toString).sorted.toSeq
+      assert(warm == cold, "warm serve must read back the stored artifact")
+      assert(fs.getFileStatus(succ).getModificationTime == m0,
+        "warm call must NOT rebuild the store (the _SUCCESS marker is untouched)")
+      assert(Layout.storeReady(spark, stores.head.getPath.toString),
+        "storeReady must see the completed store through the Hadoop path")
+    } finally spark.conf.unset("spark.graft.cache.root")
+  }
+
   test("partitioned corpus layout: directory pruning + content round-trip") {
     val sf = "/root/testdata/sf0.001"
     val docs = spark.read.parquet(s"$sf/documents.parquet")

@@ -226,6 +226,97 @@ class ShardExportSpec extends AnyFunSuite {
     assert(err.getMessage.contains("blocksPerShard"))
   }
 
+  test("crash-retried refresh is idempotent: tree+manifest equal one uninterrupted run") {
+    val base = (0 until 25).map(i => (i.toLong, s"crash corpus doc $i " + ("kilo lima mike " * 40)))
+      .toDF("doc_id", "text")
+    val batch = (0 until 12).map(i => (8000000L + i, s"crash batch doc $i " + ("november oscar papa " * 35)))
+      .toDF("doc_id", "text")
+    def treeRows(out: String) = spark.read.parquet(out)
+      .select(col("shard_id"), col("okey"), col("doc_id"), col("text"))
+      .collect().map(_.toString).sorted.toSeq
+    def manRows(out: String) = spark.read.parquet(s"$out/_shard_manifest")
+      .collect().map(_.toString).sorted.toSeq
+
+    // reference: export → one uninterrupted refresh
+    val ref = java.nio.file.Files.createTempDirectory("crash_ref").toString
+    ShardExport.exportShards(base, ref, blocksPerShard = 2L)
+    ShardExport.refreshShards(batch, ref, blocksPerShard = 2L)
+
+    // crashed: same export; refresh; then RESTORE the pre-refresh
+    // manifest — exactly the state a crash between the partition write
+    // (committed) and the manifest write (not) leaves behind
+    val out = java.nio.file.Files.createTempDirectory("crash_run").toString
+    ShardExport.exportShards(base, out, blocksPerShard = 2L)
+    val preManifest = spark.read.parquet(s"$out/_shard_manifest").localCheckpoint(true)
+    ShardExport.refreshShards(batch, out, blocksPerShard = 2L)
+    preManifest.write.mode("overwrite").parquet(s"$out/_shard_manifest")
+    // the retry of the same nightly batch
+    ShardExport.refreshShards(batch, out, blocksPerShard = 2L)
+
+    assert(treeRows(out) == treeRows(ref),
+      "retried refresh must leave the tree identical to one uninterrupted run")
+    assert(manRows(out) == manRows(ref),
+      "retried refresh must leave the manifest identical to one uninterrupted run")
+    // no doc ingested twice, no orphan generation tags
+    val ids = spark.read.parquet(out).select(col("doc_id")).as[Long].collect().toSeq
+    assert(ids.distinct.size == ids.size, "a retried batch must not double-ingest")
+    assert(spark.read.parquet(out).filter(col("okey").startsWith("g000002:")).isEmpty,
+      "the crashed attempt's generation must not leak a second tag")
+  }
+
+  test("crash-retry with a SMALLER retry batch leaves no orphan shard dirs beyond the manifest") {
+    val base = (0 until 10).map(i => (i.toLong, s"orphan corpus doc $i " + ("uno dos tres " * 30)))
+      .toDF("doc_id", "text")
+    val bigBatch = (0 until 30).map(i => (8100000L + i, s"big batch doc $i " + ("quattro cinque " * 40)))
+      .toDF("doc_id", "text")
+    val out = java.nio.file.Files.createTempDirectory("crash_small").toString
+    ShardExport.exportShards(base, out, blocksPerShard = 2L)
+    val preManifest = spark.read.parquet(s"$out/_shard_manifest").localCheckpoint(true)
+    val tail0 = preManifest.agg(max(col("shard_id"))).as[Long].head()
+    ShardExport.refreshShards(bigBatch, out, blocksPerShard = 2L)
+    assert(new java.io.File(out).listFiles().count(f =>
+      f.getName.startsWith("shard_id=") &&
+        f.getName.stripPrefix("shard_id=").toLong > tail0) > 0,
+      "fixture must append shards beyond the tail")
+    preManifest.write.mode("overwrite").parquet(s"$out/_shard_manifest") // crash
+    // the retry night ships a much smaller batch (dedup upstream, say)
+    val small = Seq((8200000L, "small retry batch " + ("seis siete " * 20))).toDF("doc_id", "text")
+    val m = ShardExport.refreshShards(small, out, blocksPerShard = 2L).cache()
+    // every shard dir on disk is accounted for by the manifest
+    val manShards = m.select(col("shard_id")).as[Long].collect().toSet
+    val diskShards = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("shard_id="))
+      .map(_.getName.stripPrefix("shard_id=").toLong).toSet
+    assert(diskShards == manShards,
+      s"tree/manifest shard sets must agree: disk $diskShards vs manifest $manShards")
+    // and the big crashed batch is fully gone
+    assert(spark.read.parquet(out).filter(col("doc_id") >= 8100000L && col("doc_id") < 8200000L).isEmpty,
+      "the crashed attempt's rows must be erased")
+    m.unpersist()
+  }
+
+  test("refreshSplitShards: an entirely-filtered batch no-ops with an empty manifest") {
+    val docsA = (0 until 8).map(i => (i.toLong, s"noop corpus doc $i " + ("red green blue " * 30)))
+      .toDF("doc_id", "text")
+    val splitsA = (0 until 8).map(i => (i.toLong, "train")).toDF("doc_id", "split")
+    val out = java.nio.file.Files.createTempDirectory("noop_refresh").toString
+    ShardExport.exportSplitShards(docsA, splitsA, out, blocksPerShard = 2L)
+    val before = new java.io.File(s"$out/split=train").listFiles()
+      .flatMap(f => if (f.isDirectory) f.listFiles() else Array(f))
+      .map(f => f.getPath -> f.lastModified).toSeq.sorted
+    // batch where every doc was filtered upstream: empty frame
+    val emptyBatch = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val emptySplits = Seq.empty[(Long, String)].toDF("doc_id", "split")
+    val m = ShardExport.refreshSplitShards(emptyBatch, emptySplits, out, blocksPerShard = 2L)
+    assert(m.isEmpty, "an empty batch must yield an empty manifest")
+    assert(m.columns.toSeq == Seq("shard_id", "n_docs", "n_tokens", "n_bytes",
+      "first_block", "last_block", "split"), "empty manifest must keep the schema")
+    val after = new java.io.File(s"$out/split=train").listFiles()
+      .flatMap(f => if (f.isDirectory) f.listFiles() else Array(f))
+      .map(f => f.getPath -> f.lastModified).toSeq.sorted
+    assert(after == before, "an empty batch must touch nothing")
+  }
+
   test("gated manifest: totals equal the corpus, shards are block-budget-sized") {
     val m = ShardExport.shardExport(spark, sf).cache()
     val docs = spark.read.parquet(s"$sf/documents.parquet")
