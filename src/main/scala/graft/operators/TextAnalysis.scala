@@ -1008,8 +1008,99 @@ object TextAnalysis {
     else bpeLearnRoundsInc(vocab0, maxMerges, batch)
   }
 
+  /** [[bpeMergeFold]] with COLUMN pair operands — the per-step form the
+    * speculative trainer's runtime fold needs (the merged symbol is
+    * `concat(l, r)` instead of a compile-time literal). */
+  private def bpeMergeFoldC(sym: Column, l: Column, r: Column): Column =
+    aggregate(sym, array().cast("array<string>"), (out, x) =>
+      when(size(out) === 0, array(x))
+        .otherwise(when(element_at(out, -1) === l && x === r,
+            concat(slice(out, lit(1), size(out) - 1), array(concat(l, r))))
+          .otherwise(concat(out, array(x)))))
+
+  /** Does `s` contain the adjacency (l, r)? — the exact per-step change
+    * test (an O(len) scan, much cheaper than a fold that would rebuild
+    * the array to discover nothing moved). */
+  private def bpeHasAdj(s: Column, l: Column, r: Column): Column =
+    when(size(s) >= 2, exists(sequence(lit(1), size(s) - 1),
+      i => element_at(s, i) === l && element_at(s, i + 1) === r))
+      .otherwise(lit(false))
+
+  /** The per-row speculative fold state: for a literal step list
+    * ((step, l, r) in acceptance order) return the CHANGE LOG — an
+    * array of (i, s) structs holding, for every step i whose pair was
+    * adjacent in the row's then-current symbols, the symbols AFTER that
+    * step. Rows untouched by every step return an empty log. One
+    * runtime iteration over the literal steps (an `aggregate` whose
+    * accumulator is DATA, so the expression tree is constant-size in
+    * the step count — the 2^K Column-fold rule), each applied step's
+    * fold evaluated exactly once. The log gives the round everything:
+    * final symbols = last entry, rollback to prefix j = last entry with
+    * i ≤ j, per-step pair deltas = adjacent log entries. */
+  private def bpeChangeLog(steps: Seq[(Int, String, String)]): Column = {
+    val stepsLit = typedLit(steps)
+    aggregate(stepsLit,
+      array().cast("array<struct<i:int,s:array<string>>>"),
+      (acc, p) => {
+        val prev = when(size(acc) === 0, col("sym"))
+          .otherwise(element_at(acc, -1).getField("s"))
+        val l = p.getField("_2"); val r = p.getField("_3")
+        when(bpeHasAdj(prev, l, r),
+          concat(acc, array(struct(p.getField("_1").as("i"),
+            bpeMergeFoldC(prev, l, r).as("s")))))
+          .otherwise(acc)
+      })
+  }
+
+  /** Symbols after the first `j` steps of a change log (0 = untouched). */
+  private def bpeLogAt(log: Column, sym: Column, j: Int): Column = {
+    val upto = filter(log, e => e.getField("i") <= j)
+    when(size(upto) === 0, sym).otherwise(element_at(upto, -1).getField("s"))
+  }
+
   /** The incremental-pair-count trainer body — see [[bpeLearnRounds]]
-    * for the dispatch and the exactness argument. */
+    * for the dispatch. Round 17 makes the batch acceptance SPECULATIVE
+    * (the r16 verdict's #3): the strict-dominance rule
+    * ([[bpeAcceptBatch]], kept for the full trainer) refuses any
+    * candidate overlapping an earlier acceptance, which measured
+    * ~1.5-1.7 merges/round at depth — the acceptance rate, not the
+    * per-round cost, had become the driver-loop ceiling. Here the round
+    * optimistically folds the TOP `m` candidates in stale-count order
+    * (overlap allowed; each step's fold is guarded by its own
+    * adjacency test against the row's THEN-CURRENT symbols, so a step
+    * consuming a symbol an earlier step created is handled exactly),
+    * computes exact per-step pair-count deltas from the fold's change
+    * log, and VERIFIES on the driver that each accepted pair was the
+    * true sequential-greedy argmax at its turn — rolling back to the
+    * longest verified prefix when not (no refold: the change log
+    * already holds every prefix state).
+    *
+    * Why verification is sound: a pair's count changes only if some
+    * step rewrote a row containing it, and every rewritten row's
+    * before/after states are IN the change log — so the collected
+    * deltas are exhaustive. At step i the driver knows (a) exact
+    * counts for every candidate in the depth-limited top (base from
+    * the pair table, deltas applied), (b) exact deltas for every pair
+    * a step touched — a pair NOT in the top with positive deltas is
+    * bounded above by `bound + Δ` (its unseen base is ≤ the last
+    * fetched count; when the fetch was exhaustive its base is exactly
+    * 0 and the bound tightens to the delta itself), and (c) every
+    * untouched unseen pair stays ≤ `bound`. The accepted pair must
+    * strictly beat every bound-based challenger and beat-or-lex-
+    * precede every exactly-known one — ties against an unknown base
+    * cut the batch (a later round re-reads fresh counts and decides
+    * exactly). Step 1 is exempt: the fetched top IS the global
+    * (cnt desc, l, r) order, so its head is the argmax verbatim — every
+    * round still advances ≥ 1 merge (worst case degrades to the old
+    * sequential rate, never to a wrong list). Merge lists stay
+    * bit-identical to [[bpeLearnRoundsFull]] / sequential greedy
+    * (differential-spec'd; the DuckDB oracle hash-gates the gated
+    * entries), with recorded counts now the exact at-turn counts —
+    * which is also what sequential greedy records.
+    *
+    * The IterCheckpoint truncation is load-bearing as before (nested
+    * cached aggregate-lambda plans OOMed the driver's re-analysis at
+    * hundreds of rounds; RDD-only truncation StackOverflowed past ~60). */
   private[graft] def bpeLearnRoundsInc(vocab0: DataFrame, maxMerges: Int,
       batch: Int = 1): (DataFrame, Seq[(Int, String, String, Long)], Int) = {
     // (cnt0, sym) → adjacent-pair counts summed over cnt0 (signed for deltas)
@@ -1036,48 +1127,91 @@ object TextAnalysis {
         .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
       if (top.isEmpty) done = true
       else {
-        val accepted = bpeAcceptBatch(top, m, exhausted = top.length < depth)
-        accepted.foreach { case (l, r, c) =>
-          merges += ((merges.length + 1, l, r, c))
+        val exhausted = top.length < depth
+        val bound = if (exhausted) -1L else top.last._3
+        // speculative batch: the top m in stale order, overlap allowed
+        val spec = top.take(m)
+        val steps = spec.zipWithIndex.map { case ((l, r, _), ix) => (ix + 1, l, r) }
+        val withLog = syms.select(col("w"), col("n"), col("sym"),
+          bpeChangeLog(steps).as("log"))
+        val nextSym = IterCheckpoint.checkpoint(withLog, eager = true)
+        // exact per-step deltas from the change logs (negative pairs of
+        // each entry's predecessor state, positive of the entry itself)
+        val aff = nextSym.df.filter(size(col("log")) > 0)
+        val entries = aff.select(col("n"), col("sym"), col("log"),
+            posexplode(col("log")).as(Seq("t", "e")))
+        val minus = entries.select(col("e.i").as("step"), (-col("n")).as("cnt0"),
+          when(col("t") === 0, col("sym"))
+            .otherwise(element_at(col("log"), col("t")).getField("s")).as("sym"))
+        val plus = entries.select(col("e.i").as("step"), col("n").as("cnt0"),
+          col("e.s").as("sym"))
+        def pairsOfStep(df: DataFrame): DataFrame = df
+          .filter(size(col("sym")) >= 2)
+          .select(col("step"), col("cnt0"),
+            explode(transform(sequence(lit(1), size(col("sym")) - 1),
+              i => struct(element_at(col("sym"), i).as("l"),
+                element_at(col("sym"), i + 1).as("r")))).as("p"))
+          .groupBy(col("step"), col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("cnt0")).as("cnt"))
+        val deltas = pairsOfStep(minus.unionByName(plus))
+          .filter(col("cnt") =!= 0).cache()
+        // verification slice: exact evolutions of the fetched top plus
+        // every positively-created challenger (negative deltas of
+        // unfetched pairs only sink them further below `bound`)
+        val topKeys = top.map(p => p._1 + " " + p._2)
+        val vRows = deltas.filter(col("cnt") > 0 ||
+            concat_ws(" ", col("l"), col("r")).isin(topKeys: _*))
+          .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+        val byStep = vRows.groupBy(_._1)
+        // driver replay: exact counts for known-base pairs, cumulative
+        // deltas (base ≤ bound) for the rest
+        val counts = scala.collection.mutable.Map(
+          top.map(p => (p._1, p._2) -> p._3): _*)
+        val unk = scala.collection.mutable.Map.empty[(String, String), Long]
+        def lexLt(a: (String, String), b: (String, String)): Boolean =
+          a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+        var j = 0
+        var ok = true
+        for (i <- 1 to spec.length if ok) {
+          val (l, r, _) = spec(i - 1)
+          val pi = (l, r)
+          val ci = counts(pi)
+          val beaten = i > 1 && (
+            ci <= 0L ||
+            counts.exists { case (q, c) =>
+              q != pi && (c > ci || (c == ci && lexLt(q, pi))) } ||
+            (!exhausted && (ci <= bound ||
+              unk.exists { case (u, d) => bound + d >= ci && u != pi })) ||
+            (exhausted && unk.exists { case (u, d) =>
+              u != pi && (d > ci || (d == ci && lexLt(u, pi))) }))
+          if (beaten) ok = false
+          else {
+            merges += ((merges.length + 1, l, r, ci))
+            j = i
+            byStep.getOrElse(i, Array.empty).foreach { case (_, dl, dr, d) =>
+              val q = (dl, dr)
+              if (counts.contains(q)) counts(q) += d
+              else if (exhausted) counts(q) = d // complete fetch ⇒ base 0
+              else unk(q) = unk.getOrElse(q, 0L) + d
+            }
+          }
         }
-        // the whole batch folds forward in ONE narrow projection (in
-        // acceptance order — the sequential composition), guarded so
-        // the expensive aggregate-lambda fold only evaluates on rows
-        // that can possibly change; materialized with TRUNCATED
-        // lineage before the parent is released. The truncation
-        // (IterCheckpoint, like the LPA/CC loops) is load-bearing
-        // twice over at hundreds of rounds: nested cached logical
-        // plans OOMed the driver re-analyzing/canonicalizing the
-        // aggregate-lambda trees each round, and a plain RDD
-        // round-trip (which truncates only the SQL plan) still
-        // StackOverflowed task deserialization once the RDD chain
-        // passed ~60 rounds.
-        val touch = accepted.map { case (l, r, _) =>
-          array_contains(col("sym"), l) && array_contains(col("sym"), r)
-        }.reduce(_ || _)
-        val foldChain = accepted.foldLeft(col("sym")) { case (s, (l, r, _)) =>
-          bpeMergeFold(s, l, r)
-        }
-        val withNew = syms.select(col("w"), col("n"), col("sym"),
-          when(touch, foldChain).otherwise(col("sym")).as("sym2"))
-        val nextSym = IterCheckpoint.checkpoint(withNew, eager = true)
-        // delta = affected rows' new pairs minus their old pairs; the
-        // unaffected (vast) majority contributes nothing and is never
-        // exploded
-        val aff = nextSym.df.filter(!(col("sym2") === col("sym")))
-        val deltas = pairsOf(
-          aff.select((-col("n")).as("cnt0"), col("sym"))
-            .unionByName(aff.select(col("n").as("cnt0"), col("sym2").as("sym"))))
-        val pcNext = pc.unionByName(deltas)
+        // j ≥ 1 always (step 1 is the materialized global argmax)
+        val pcNext = pc.unionByName(
+            deltas.filter(col("step") <= j).select(col("l"), col("r"), col("cnt")))
           .groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("cnt"))
           .filter(col("cnt") > 0)
         val nextPc = IterCheckpoint.checkpoint(pcNext, eager = true)
+        deltas.unpersist()
         if (pcCk == null) pc.unpersist() else IterCheckpoint.release(pcCk)
         pcCk = nextPc
         pc = pcCk.df
         if (symCk == null) syms.unpersist() else IterCheckpoint.release(symCk)
         symCk = nextSym
-        syms = symCk.df.select(col("w"), col("n"), col("sym2").as("sym"))
+        // rollback-or-advance is the same projection: symbols after the
+        // verified prefix, straight off the stored change log
+        syms = symCk.df.select(col("w"), col("n"),
+          bpeLogAt(col("log"), col("sym"), j).as("sym"))
         rounds += 1
       }
     }
