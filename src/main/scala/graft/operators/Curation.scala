@@ -178,8 +178,9 @@ object Curation {
     val docsPath = s"$dir/documents.parquet"
     val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${Layout.stateTag(spark, docsPath)}"
     val path = s"${Layout.cacheRoot(spark)}/winnow_probe_cache/$key"
-    if (!Layout.storeReady(spark, path))
+    Layout.buildOnce(spark, path) {
       winnowProbeFpInline(spark, dir).write.mode("overwrite").parquet(path)
+    }
     spark.read.parquet(path)
   }
 
@@ -1267,8 +1268,9 @@ object Curation {
 
   private[graft] def releaseV2FrameCached(spark: SparkSession, dir: String): DataFrame = {
     val path = releaseV2CachePath(spark, dir)
-    if (!Layout.storeReady(spark, path))
+    Layout.buildOnce(spark, path) {
       releaseV2Frame(spark, dir).write.mode("overwrite").parquet(path)
+    }
     spark.read.parquet(path)
   }
 

@@ -486,9 +486,10 @@ object Dedup {
     val maxDf = effectiveMaxShingleDf(spark)
     val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${Layout.stateTag(spark, docsPath)}_df$maxDf"
     val path = s"${Layout.cacheRoot(spark)}/clusters_cache/$key"
-    if (!Layout.storeReady(spark, path))
+    Layout.buildOnce(spark, path) {
       dedupClustersOf(spark, dir, ordered = false)
         .write.mode("overwrite").parquet(path)
+    }
     spark.read.parquet(path)
   }
 

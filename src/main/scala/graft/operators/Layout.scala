@@ -176,4 +176,208 @@ private[graft] object Layout {
     counts.computeIfAbsent(s"$path@${stateTag(spark, path)}",
       _ => spark.read.parquet(path).count()).longValue()
   }
+
+  // ---- single-writer build lease (round 17) ---------------------------
+  // Through this round every store-cache site was `if (!storeReady)
+  // build`: correct for one caller, a RACE for two. Two concurrent cold
+  // serves (two threads of a serve loop, or two cluster jobs sharing a
+  // cache root) both observe not-ready and both run the build — at best
+  // the corpus-sized work is paid twice, at worst their interleaved
+  // `mode("overwrite")` writes to the SAME directories tear each other
+  // (overwrite deletes the dir a sibling is mid-write into, and a store
+  // written by halves of two jobs can carry a _SUCCESS over mixed
+  // files). [[buildOnce]] makes the guard a lease: one builder, everyone
+  // else waits for its _SUCCESS.
+
+  // in-JVM serialization: one lock object per ready-path (bounded by
+  // the number of distinct stores a JVM touches)
+  private val buildLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Run `build` at most once per store generation, across threads AND
+    * across processes sharing the cache root.
+    *
+    * `readyPath` is the store's LAST-WRITTEN table (the existing torn-
+    * write convention: its `_SUCCESS` means the whole store is
+    * complete). In-JVM callers serialize on a per-path lock; cross-
+    * process callers race on an atomic marker-file create
+    * (`<readyPath>__building`, `fs.create(overwrite = false)` — atomic
+    * on local/HDFS/ABFS; object stores without atomic create degrade to
+    * an advisory lease, which still collapses the common
+    * both-cold-at-once race to a polling window). The winner builds and
+    * deletes the marker; losers poll for the store's `_SUCCESS`. A
+    * crashed builder's marker goes stale — a background heartbeat
+    * refreshes the marker's mtime every `leaseMs/4`
+    * (`spark.graft.cache.leaseMs`, default 10 min) while the build
+    * runs, so a marker older than `leaseMs` means a DEAD builder, and
+    * the next waiter deletes it and takes over. Builds may run longer
+    * than the lease (the heartbeat keeps the lease live); a hung
+    * builder parks its waiters — the same trade every lease system
+    * makes, surfaced here as a WARN with the marker path to delete.
+    */
+  def buildOnce(spark: SparkSession, readyPath: String)(build: => Unit): Unit = {
+    if (storeReady(spark, readyPath)) return
+    val lock = buildLocks.computeIfAbsent(readyPath, _ => new Object)
+    lock.synchronized {
+      if (storeReady(spark, readyPath)) return
+      val conf = spark.sparkContext.hadoopConfiguration
+      val marker = new org.apache.hadoop.fs.Path(s"${readyPath}__building")
+      val fs = marker.getFileSystem(conf)
+      val leaseMs = spark.conf.getOption("spark.graft.cache.leaseMs")
+        .map(_.toLong).getOrElse(600000L)
+      val pollMs = math.max(50L, math.min(leaseMs / 8, 500L))
+      var warned = false
+      while (true) {
+        if (storeReady(spark, readyPath)) return // another builder finished
+        val acquired =
+          try { fs.create(marker, false).close(); true }
+          catch { case _: java.io.IOException => false }
+        if (acquired) {
+          // heartbeat: keep the marker's mtime fresh while we build, so
+          // waiters distinguish "slow build" from "dead builder"
+          val beat = new java.util.concurrent.atomic.AtomicBoolean(true)
+          val t = new Thread(() => {
+            try {
+              while (beat.get()) {
+                try fs.setTimes(marker, System.currentTimeMillis(), -1)
+                catch { case _: java.io.IOException => () }
+                var slept = 0L
+                while (beat.get() && slept < leaseMs / 4) {
+                  Thread.sleep(pollMs); slept += pollMs
+                }
+              }
+            } catch { case _: InterruptedException => () } // released: exit
+          }, s"graft-build-lease-$readyPath")
+          t.setDaemon(true); t.start()
+          try { if (!storeReady(spark, readyPath)) build }
+          finally {
+            beat.set(false); t.interrupt()
+            try fs.delete(marker, false)
+            catch { case _: java.io.IOException => () }
+          }
+          return
+        }
+        // lease held elsewhere: stale ⇒ takeover, fresh ⇒ wait
+        val st =
+          try Some(fs.getFileStatus(marker))
+          catch { case _: java.io.FileNotFoundException => None }
+        st match {
+          case Some(s)
+            if System.currentTimeMillis() - s.getModificationTime > leaseMs =>
+            try fs.delete(marker, false)
+            catch { case _: java.io.IOException => () } // racing deleters are fine
+          case Some(_) =>
+            if (!warned) {
+              warned = true
+              println(s"[graft] waiting on concurrent store build: $readyPath " +
+                s"(lease $marker; delete it if the builder is hung)")
+            }
+            Thread.sleep(pollMs)
+          case None => () // released between our create and stat: retry
+        }
+      }
+    }
+  }
+
+  // ---- stale-generation GC (round 17) ---------------------------------
+  // Every store key folds the corpus stateTag, so a regen builds a NEW
+  // key-dir and strands the old one forever — the materialize-once
+  // layer's storage grows with every corpus version until an operator
+  // deletes by hand. [[gcStores]] is that operator, with the two
+  // safety rails hand-deletion lacks: it only touches the known store
+  // families, and it never removes a group's newest generations or a
+  // live build.
+
+  /** Every directory family the materialize-once layer writes under
+    * [[cacheRoot]]. GC iterates EXACTLY these — a cache root shared
+    * with other artifacts (the default `target/tmp` also holds test
+    * scratch) is never swept wholesale. */
+  private[graft] val StoreFamilies: Seq[String] = Seq(
+    "ivf2_index", "pq_index", "ivfpq_index", "vec_store",
+    "knn_graph_cache", "bm25_index", "clusters_cache",
+    "winnow_probe_cache", "release_v2_cache", "rrf_lists")
+
+  /** One GC decision: a store generation and what happened to it. */
+  final case class StoreGcEntry(family: String, key: String, group: String,
+                                ageMs: Long, bytes: Long, action: String)
+
+  // a key is "<sanitized-corpus-dir>_<stateTag>_<constants>"; the GROUP
+  // is the key with its stateTag(s) blanked, so generations of the same
+  // (corpus, constants) line up and DIFFERENT corpora sharing a family
+  // never count against each other's keepNewest quota. The tag shape is
+  // "<mtime-millis>h<listing-hash-hex>"; requiring ≥9 digits (epoch
+  // millis are 13) keeps constant suffixes like "_b16" or "_pk32x4"
+  // from being blanked into a false shared group
+  private def gcGroup(key: String): String =
+    key.replaceAll("\\d{9,}h[0-9a-f]+", "*")
+
+  /** Delete stale store generations under [[cacheRoot]]. A key-dir is
+    * deleted iff ALL of: (a) it is not among the `keepNewest` most
+    * recently modified generations of its (family, corpus-group);
+    * (b) it is older than `maxAgeMs`; (c) no live build lease
+    * (`*__building` marker fresher than the lease) points into it.
+    * Defaults are conservative: keep the newest generation per group
+    * regardless of age. `dryRun` reports without deleting. Age is
+    * BUILD age (newest file mtime under the key-dir): serves don't
+    * touch mtimes, so retention must cover the regen cadence, not the
+    * serve cadence — the newest-generation rule is what actually
+    * protects the live store. `hardMaxAgeMs` overrides keepNewest for
+    * DEAD groups: a layout-constant change (tokenizer version, bucket
+    * count) re-keys a store into a fresh group, so the old group never
+    * gains a newer generation and its "newest" would otherwise be kept
+    * forever — set a hard horizon longer than any regen cadence to
+    * reclaim those. */
+  def gcStores(spark: SparkSession, maxAgeMs: Long, keepNewest: Int = 1,
+               dryRun: Boolean = false,
+               hardMaxAgeMs: Long = Long.MaxValue): Seq[StoreGcEntry] = {
+    require(keepNewest >= 0, s"keepNewest must be >= 0: $keepNewest")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val now = System.currentTimeMillis()
+    val leaseMs = spark.conf.getOption("spark.graft.cache.leaseMs")
+      .map(_.toLong).getOrElse(600000L)
+    val out = scala.collection.mutable.ArrayBuffer[StoreGcEntry]()
+    for (family <- StoreFamilies) {
+      val famPath = new org.apache.hadoop.fs.Path(s"${cacheRoot(spark)}/$family")
+      val fs = famPath.getFileSystem(conf)
+      val famList =
+        try fs.listStatus(famPath).toSeq
+        catch { case _: java.io.FileNotFoundException => Seq.empty }
+      val keyDirs = famList.filter(_.isDirectory)
+      // a single-table store's lease marker is a SIBLING of its key-dir
+      // (`<key>__building`); a multi-table store's markers live inside
+      // the key-dir (`<key>/<table>__building`) — check both
+      val siblingLease = famList.filter(s => !s.isDirectory &&
+        s.getPath.getName.endsWith("__building") &&
+        now - s.getModificationTime <= leaseMs)
+        .map(_.getPath.getName.stripSuffix("__building")).toSet
+      val entries = keyDirs.map { kd =>
+        val sum = fs.getContentSummary(kd.getPath)
+        // newest mtime anywhere directly under the key-dir = build time
+        // (every table write touches its own dir); one listing deep, no
+        // full recursion — object-store friendly
+        val children =
+          try fs.listStatus(kd.getPath).toSeq catch { case _: java.io.IOException => Seq.empty }
+        val newest = (kd.getModificationTime +: children.map(_.getModificationTime)).max
+        val building = siblingLease.contains(kd.getPath.getName) ||
+          children.exists(c =>
+            c.getPath.getName.endsWith("__building") &&
+              now - c.getModificationTime <= leaseMs)
+        (kd.getPath, kd.getPath.getName, newest, sum.getLength, building)
+      }
+      for ((group, gen) <- entries.groupBy(e => gcGroup(e._2))) {
+        val byAge = gen.sortBy(-_._3) // newest first
+        byAge.zipWithIndex.foreach { case ((path, key, newest, bytes, building), i) =>
+          val age = now - newest
+          val action =
+            if (building) "kept-building"
+            else if (i < keepNewest && age <= hardMaxAgeMs) "kept-newest"
+            else if (age <= maxAgeMs) "kept-young"
+            else if (dryRun) "would-delete"
+            else { fs.delete(path, true); "deleted" }
+          out += StoreGcEntry(family, key, group, age, bytes, action)
+        }
+      }
+    }
+    out.toSeq
+  }
 }

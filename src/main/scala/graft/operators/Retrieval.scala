@@ -313,24 +313,31 @@ object Retrieval {
     val base = s"${Layout.cacheRoot(spark)}/bm25_index/$key"
     val loc = Layout.qualified(spark, s"$base/postings")
     if (!spark.catalog.tableExists(tbl)) {
-      if (Layout.storeReady(spark, s"$base/postings"))
-        // warm files, cold catalog (new JVM): register the bucketed
-        // DDL over the existing files — no rebuild, no re-tokenize
-        spark.sql(
-          s"""CREATE TABLE $tbl (doc_id BIGINT, dl INT, term STRING, tf BIGINT)
-             USING parquet CLUSTERED BY (term) INTO $nb BUCKETS
-             LOCATION '$loc'""")
-      else {
+      // stats first, postings table LAST: a crash between the writes
+      // leaves no _SUCCESS, so the next run rebuilds instead of
+      // serving a torn cache. buildOnce (round 17) runs the build under
+      // the single-writer lease; if the files were already complete (or
+      // a concurrent builder finished them) it no-ops and the branch
+      // below registers the DDL over the warm files
+      Layout.buildOnce(spark, s"$base/postings") {
         val (p, s) = bm25IndexOf(Tables.documents(spark, dir))
-        // stats first, postings table LAST: a crash between the writes
-        // leaves no _SUCCESS, so the next run rebuilds instead of
-        // serving a torn cache
         s.write.mode("overwrite").parquet(s"$base/stats")
         p.write.mode("overwrite")
           .bucketBy(nb, "term")
           .option("path", loc)
           .saveAsTable(tbl)
       }
+      if (!spark.catalog.tableExists(tbl))
+        // warm files, cold catalog (new JVM): register the bucketed
+        // DDL over the existing files — no rebuild, no re-tokenize
+        try spark.sql(
+          s"""CREATE TABLE $tbl (doc_id BIGINT, dl INT, term STRING, tf BIGINT)
+             USING parquet CLUSTERED BY (term) INTO $nb BUCKETS
+             LOCATION '$loc'""")
+        catch { // a concurrent registrar won the CREATE: serve its entry
+          case e: org.apache.spark.sql.AnalysisException
+            if spark.catalog.tableExists(tbl) => ()
+        }
     }
     spark.table(tbl)
   }
@@ -411,8 +418,9 @@ object Retrieval {
     val base = s"${Layout.cacheRoot(spark)}/rrf_lists/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_$mt" +
       s"_f${FuseK}_tok${TextFns.TokVersion}"
     // guard on the LAST-written list (vec): a crash between writes
-    // leaves it absent → rebuild, never a torn cache
-    if (!Layout.storeReady(spark, s"$base/vec")) {
+    // leaves it absent → rebuild, never a torn cache; buildOnce
+    // serializes concurrent cold callers (round 17)
+    Layout.buildOnce(spark, s"$base/vec") {
       bm25Ranked(spark, dir, FuseK)
         .select(col("qid"), col("doc_id").as("id"), col("rn"))
         .write.mode("overwrite").parquet(s"$base/text")

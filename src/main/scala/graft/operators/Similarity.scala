@@ -944,8 +944,10 @@ object Similarity {
   private[graft] def ivf2WriteIndex(spark: SparkSession, dir: String,
                                     base: String): Unit =
     // guard on the LAST-written table: a crash between writes leaves it
-    // absent, so the next run rebuilds instead of serving a torn cache
-    if (!Layout.storeReady(spark, s"$base/tops")) {
+    // absent, so the next run rebuilds instead of serving a torn cache.
+    // buildOnce (round 17) additionally serializes concurrent cold
+    // callers — one builds, the rest wait on its _SUCCESS
+    Layout.buildOnce(spark, s"$base/tops") {
       val (cells, subbooks, topsDf) = ivf2IndexOf(emb(spark, dir).cache())
       cells.write.mode("overwrite").partitionBy("cid1", "cid2")
         .parquet(s"$base/cells")
@@ -1125,8 +1127,9 @@ object Similarity {
       s"_m${PqM}k${PqK}i$PqIters"
     val base = s"${Layout.cacheRoot(spark)}/pq_index/$key"
     // guard on the LAST-written table: a crash between writes leaves it
-    // absent, so the next run rebuilds instead of serving a torn cache
-    if (!Layout.storeReady(spark, s"$base/books")) {
+    // absent, so the next run rebuilds instead of serving a torn cache;
+    // buildOnce serializes concurrent cold callers (round 17)
+    Layout.buildOnce(spark, s"$base/books") {
       val (codes, books) = pqIndexOf(emb(spark, dir).cache())
       codes.write.mode("overwrite").parquet(s"$base/codes")
       books.write.mode("overwrite").parquet(s"$base/books")
@@ -1819,22 +1822,31 @@ object Similarity {
     val base = s"${Layout.cacheRoot(spark)}/vec_store/$key"
     val loc = Layout.qualified(spark, s"$base/vecs")
     if (!spark.catalog.tableExists(tbl)) {
-      if (Layout.storeReady(spark, s"$base/vecs")) {
-        // warm files, cold catalog: DDL types come from the stored
-        // footer (vec_id is corpus-typed, like ivfPqReadCodes' label)
-        val ddl = spark.read.parquet(loc).schema.toDDL
-        spark.sql(
-          s"""CREATE TABLE $tbl ($ddl)
-             USING parquet CLUSTERED BY (vec_id) INTO $nb BUCKETS
-             LOCATION '$loc'""")
-      } else
-        // mode("overwrite") matters after a TORN write: files at the
-        // location but no _SUCCESS and no catalog entry — ErrorIfExists
-        // would wedge the store on 'path already exists' instead of
-        // rebuilding (bm25OpenIndex convention, ADVICE r13)
+      // mode("overwrite") matters after a TORN write: files at the
+      // location but no _SUCCESS and no catalog entry — ErrorIfExists
+      // would wedge the store on 'path already exists' instead of
+      // rebuilding (bm25OpenIndex convention, ADVICE r13). buildOnce
+      // (round 17) runs the write under the single-writer lease; if the
+      // files were already complete (or a concurrent builder completed
+      // them) it no-ops and the catalog branch below registers the DDL
+      Layout.buildOnce(spark, s"$base/vecs") {
         emb(spark, dir).select(col("vec_id"), col("vec"))
           .write.mode("overwrite")
           .bucketBy(nb, "vec_id").option("path", loc).saveAsTable(tbl)
+      }
+      if (!spark.catalog.tableExists(tbl))
+        // warm files, cold catalog: DDL types come from the stored
+        // footer (vec_id is corpus-typed, like ivfPqReadCodes' label)
+        try {
+          val ddl = spark.read.parquet(loc).schema.toDDL
+          spark.sql(
+            s"""CREATE TABLE $tbl ($ddl)
+               USING parquet CLUSTERED BY (vec_id) INTO $nb BUCKETS
+               LOCATION '$loc'""")
+        } catch { // a concurrent registrar won the CREATE: serve its entry
+          case e: org.apache.spark.sql.AnalysisException
+            if spark.catalog.tableExists(tbl) => ()
+        }
     }
     spark.table(tbl)
   }
@@ -1851,8 +1863,9 @@ object Similarity {
   private[graft] def ivfPqWriteIndex(spark: SparkSession, dir: String,
                                      base: String): Unit =
     // guard on the LAST-written table: a crash between writes leaves it
-    // absent, so the next run rebuilds instead of serving a torn cache
-    if (!Layout.storeReady(spark, s"$base/cells")) {
+    // absent, so the next run rebuilds instead of serving a torn cache;
+    // buildOnce serializes concurrent cold callers (round 17)
+    Layout.buildOnce(spark, s"$base/cells") {
       val all = emb(spark, dir).cache()
       val (codes, books, cells) = ivfPqIndexOf(all)
       codes.write.mode("overwrite").partitionBy("label")
@@ -2556,8 +2569,9 @@ object Similarity {
     val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${Layout.stateTag(spark, embPath)}" +
       s"_j${KnnJ}_k${k}i${KnnKmIters}f${knnFlatMaxCells(spark)}"
     val path = s"${Layout.cacheRoot(spark)}/knn_graph_cache/$key"
-    if (!Layout.storeReady(spark, path))
+    Layout.buildOnce(spark, path) {
       knnGraph(spark, dir).write.mode("overwrite").parquet(path)
+    }
     spark.read.parquet(path)
   }
 

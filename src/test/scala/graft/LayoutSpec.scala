@@ -84,6 +84,127 @@ class LayoutSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.cache.root")
   }
 
+  test("buildOnce: concurrent cold callers build exactly once; waiters serve the winner's store") {
+    import graft.operators.Layout
+    val root = java.nio.file.Files.createTempDirectory("lease").toString
+    val store = s"$root/fam/key1"
+    val built = new java.util.concurrent.atomic.AtomicInteger(0)
+    def serve(): Unit = Layout.buildOnce(spark, store) {
+      built.incrementAndGet()
+      Thread.sleep(300) // hold the lease long enough for the race to be real
+      Seq((1L, "a")).toDF("doc_id", "text").write.mode("overwrite").parquet(store)
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futs = (1 to 4).map(_ => pool.submit(new Runnable { def run(): Unit = serve() }))
+      futs.foreach(_.get(60, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    assert(built.get() == 1,
+      s"four concurrent cold callers must run the build exactly once, ran ${built.get()}")
+    assert(Layout.storeReady(spark, store))
+    // the lease marker is gone after a completed build
+    val m = new org.apache.hadoop.fs.Path(store + "__building")
+    val fs = m.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(m), "a completed build must release its lease marker")
+    // warm call: no rebuild
+    serve()
+    assert(built.get() == 1, "a warm call must not re-run the build")
+  }
+
+  test("buildOnce: a DEAD builder's stale lease is taken over; a LIVE builder's fresh lease is honored") {
+    import graft.operators.Layout
+    import org.apache.hadoop.fs.Path
+    val root = java.nio.file.Files.createTempDirectory("lease2").toString
+    val store = s"$root/fam/key2"
+    val fs = new Path(store).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a crashed builder: marker exists, mtime far in the past, no _SUCCESS
+    val marker = new Path(store + "__building")
+    fs.create(marker, false).close()
+    fs.setTimes(marker, System.currentTimeMillis() - 3600 * 1000L, -1)
+    val built = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.conf.set("spark.graft.cache.leaseMs", "2000")
+    try {
+      Layout.buildOnce(spark, store) {
+        built.incrementAndGet()
+        Seq((1L, "a")).toDF("doc_id", "text").write.mode("overwrite").parquet(store)
+      }
+      assert(built.get() == 1, "a stale (dead-builder) lease must be taken over")
+      assert(Layout.storeReady(spark, store))
+      // a FRESH foreign lease parks the caller until the store appears:
+      // simulate the foreign builder completing from another thread
+      val store3 = s"$root/fam/key3"
+      val marker3 = new Path(store3 + "__building")
+      fs.create(marker3, false).close() // fresh mtime — a live builder
+      val t = new Thread(() => {
+        Thread.sleep(400)
+        Seq((2L, "b")).toDF("doc_id", "text").write.parquet(store3)
+        fs.delete(marker3, false)
+      })
+      t.start()
+      val waited = new java.util.concurrent.atomic.AtomicInteger(0)
+      Layout.buildOnce(spark, store3) { waited.incrementAndGet() }
+      t.join()
+      assert(waited.get() == 0,
+        "a caller finding a live foreign lease must wait for that build, not run its own")
+      assert(Layout.storeReady(spark, store3))
+    } finally spark.conf.unset("spark.graft.cache.leaseMs")
+  }
+
+  test("gcStores: stale generations deleted per (family, corpus-group); newest/young/building/foreign kept; dryRun reports only") {
+    import graft.operators.Layout
+    import org.apache.hadoop.fs.Path
+    val root = java.nio.file.Files.createTempDirectory("gcroot").toString
+    spark.conf.set("spark.graft.cache.root", root)
+    try {
+      val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val now = System.currentTimeMillis()
+      def mk(family: String, key: String, ageMs: Long): Path = {
+        val kd = new Path(s"$root/$family/$key")
+        fs.mkdirs(kd)
+        val succ = new Path(kd, "_SUCCESS")
+        fs.create(succ, true).close()
+        fs.setTimes(succ, now - ageMs, -1)
+        fs.setTimes(kd, now - ageMs, -1)
+        kd
+      }
+      // corpus A: two generations (same group — keys differ only in tag)
+      val aOld = mk("clusters_cache", "corpA_1700000000000hdeadbeef_df100", 10 * 86400000L)
+      val aNew = mk("clusters_cache", "corpA_1700000009999hcafebabe_df100", 1000L)
+      // corpus B: ONE old generation (different group: must survive keepNewest=1)
+      val bOnly = mk("clusters_cache", "corpB_1700000000000h12345678_df100", 10 * 86400000L)
+      // a live build: old dir but fresh sibling lease marker
+      val cBuild = mk("clusters_cache", "corpC_1700000000000h00ff00ff_df100", 10 * 86400000L)
+      fs.create(new Path(s"$root/clusters_cache/corpC_1700000000000h00ff00ff_df100__building"), true).close()
+      // a foreign (non-store) artifact under the root: never touched
+      val foreign = new Path(s"$root/somebody_elses_dir/x")
+      fs.mkdirs(foreign)
+
+      // dryRun: reports the old generation as would-delete, deletes nothing
+      val dry = Layout.gcStores(spark, maxAgeMs = 86400000L, keepNewest = 1, dryRun = true)
+      assert(dry.exists(e => e.key.contains("corpA_1700000000000") && e.action == "would-delete"))
+      assert(fs.exists(aOld), "dryRun must not delete")
+
+      val rep = Layout.gcStores(spark, maxAgeMs = 86400000L, keepNewest = 1)
+      def action(key: String) = rep.find(_.key == key).map(_.action)
+      assert(!fs.exists(aOld) && action("corpA_1700000000000hdeadbeef_df100").contains("deleted"),
+        "the superseded generation of corpus A must be deleted")
+      assert(fs.exists(aNew) && action("corpA_1700000009999hcafebabe_df100").contains("kept-newest"))
+      assert(fs.exists(bOnly) && action("corpB_1700000000000h12345678_df100").contains("kept-newest"),
+        "another corpus's only generation must not count against A's quota")
+      assert(fs.exists(cBuild) && action("corpC_1700000000000h00ff00ff_df100").contains("kept-building"),
+        "a key-dir with a fresh build lease must never be deleted")
+      assert(fs.exists(foreign), "GC must only touch the known store families")
+
+      // hard horizon: a DEAD group's newest generation ages out too
+      val rep2 = Layout.gcStores(spark, maxAgeMs = 86400000L, keepNewest = 1,
+        hardMaxAgeMs = 5 * 86400000L)
+      assert(!fs.exists(bOnly) &&
+        rep2.find(_.key == "corpB_1700000000000h12345678_df100").map(_.action).contains("deleted"),
+        "hardMaxAgeMs must reclaim a dead group's stale newest")
+      assert(fs.exists(aNew), "the young live generation survives the hard horizon")
+    } finally spark.conf.unset("spark.graft.cache.root")
+  }
+
   test("partitioned corpus layout: directory pruning + content round-trip") {
     val sf = "/root/testdata/sf0.001"
     val docs = spark.read.parquet(s"$sf/documents.parquet")
