@@ -492,6 +492,54 @@ object Curation {
            coalesce(string_agg(CASE WHEN rn = 1 THEN chunk_text END, ' ' ORDER BY chunk_id), '') AS kept_text
     FROM r GROUP BY doc_id ORDER BY doc_id"""
 
+  // ---- content-defined chunk dedup (round 17) --------------------------
+  // [[chunkDedup]]'s spans are POSITION-defined — a fixed W-token grid —
+  // so one inserted token shifts every later grid cell and a duplicated
+  // passage re-shares NOTHING past the edit (spec-proven, the same blind
+  // spot substringDedup closes at ~W× the hash rows). Content-defined
+  // chunking cuts where a trailing-window hash satisfies a fixed
+  // predicate, so boundaries re-synchronize within CdcWin tokens of any
+  // edit and every chunk past the resync hashes identically again —
+  // insertion-robust sub-document dedup at chunkDedup's cost, not
+  // substringDedup's. The boundary rule is `TextAnalysis.cdcChunkFrame`
+  // — the SAME definition `text_cdc_chunks` gates (one rule in the
+  // codebase; the oracles share their CTEs the same way) — so this
+  // operator is exactly the cross-document first-occurrence stage over
+  // the already-gated chunk frame: one md5-keyed shuffle + rank + the
+  // chunkDedup reassembly agg. The classic min/max chunk-length
+  // refinement stays deliberately untaken (see cdcChunkFrame): it would
+  // make each cut depend on all earlier cuts — sequential per doc and
+  // not oracle-expressible; degenerate lengths are geometric-tail
+  // bounded instead.
+  def cdcChunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("ch")).orderBy(col("doc_id"), col("chunk_id"))
+    TextAnalysis.cdcChunkFrame(
+        Skew.maybeSpreadByConf(Tables.documents(spark, dir), "n_chars", "doc_id"))
+      .withColumn("ch", md5(col("chunk_text")))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        count(when(col("rn") === 1, lit(1))).as("n_kept"),
+        coalesce(
+          array_join(transform(
+            array_sort(collect_list(when(col("rn") === 1,
+              struct(col("chunk_id"), col("chunk_text"))))),
+            s => s.getField("chunk_text")), " "),
+          lit("")).as("kept_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  val cdcChunkDedupOracle: String = s"""
+    WITH ${TextAnalysis.cdcChunkCtes},
+    r AS (SELECT doc_id, chunk_id, chunk_text,
+            row_number() OVER (PARTITION BY md5(chunk_text) ORDER BY doc_id, chunk_id) AS rn
+          FROM cdc_chunks)
+    SELECT doc_id, count(*) AS n_chunks,
+           count(CASE WHEN rn = 1 THEN 1 END) AS n_kept,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN chunk_text END, ' ' ORDER BY chunk_id), '') AS kept_text
+    FROM r GROUP BY doc_id ORDER BY doc_id"""
+
   // ---- substring-level exact dedup (round 8) ---------------------------
   // Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
   // Better", arXiv:2107.06499 — public paper) deduplicate at SUBSTRING
@@ -1822,6 +1870,7 @@ object Curation {
     "curation_pack_sequences" -> (packSequences _),
     "curation_pack_bpe"      -> (packBpe _),
     "curation_chunk_dedup"   -> (chunkDedup _),
+    "curation_cdc_chunk_dedup" -> (cdcChunkDedup _),
     "curation_substring_dedup" -> (substringDedup _),
     "curation_line_dedup"    -> (lineDedup _),
     "curation_temperature_mix" -> (temperatureMix _),
@@ -1848,6 +1897,7 @@ object Curation {
     "curation_pack_sequences" -> packSequencesOracle,
     "curation_pack_bpe"      -> packBpeOracle,
     "curation_chunk_dedup"   -> chunkDedupOracle,
+    "curation_cdc_chunk_dedup" -> cdcChunkDedupOracle,
     "curation_substring_dedup" -> substringDedupOracle,
     "curation_line_dedup"    -> lineDedupOracle,
     "curation_temperature_mix" -> temperatureMixOracle,

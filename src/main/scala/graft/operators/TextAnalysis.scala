@@ -617,6 +617,85 @@ object TextAnalysis {
     * the one-pass exact answer. */
   val heavyHittersOracle: String = tokenHistogramOracle
 
+  // ---- 6b. collocation mining: PMI bigrams (round 17) ------------------
+  // Phrase/vocabulary mining over the corpus (Church & Hanks 1990
+  // pointwise mutual information — the classic collocation score; the
+  // phrase-merging pass word2vec popularized scores the same counts):
+  // PMI(a,b) = log2( P(a,b) / (P(a)·P(b)) ) over ADJACENT token pairs,
+  // thresholded by a minimum pair count (hapax-pair PMI is pure noise —
+  // the standard caveat), global top-K by score. A training-data
+  // pipeline uses this to pick multi-word units worth dedicated tokens
+  // and to surface boilerplate n-grams for the quality gates.
+  //
+  // Scale shape: bigrams are built IN-ROW (zip_with of the token array
+  // against its own tail — no posexplode + lead() window), then two
+  // map-side-combinable aggregates (pair counts, term counts), two
+  // term-keyed joins (vocab outgrows a broadcast at corpus scale; AQE
+  // keeps small corpora broadcast), 1-row total frames cross-joined,
+  // and ONE TakeOrderedAndProject for the global top-K — nothing
+  // quadratic, nothing single-partition until the K result rows.
+  // Cross-engine exactness: pmi is one double expression over exact
+  // BIGINT counts spelled identically in the oracle (the products stay
+  // < 2^53 far past gated scales), rounded at 6 dp — the bm25 log2
+  // recipe.
+  private val PmiMinPairCount = 5
+  private val PmiTopK = 100
+
+  def pmiCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+    val pairs = toks.select(explode(expr(
+      """zip_with(slice(t, 1, greatest(0, size(t) - 1)),
+                  slice(t, 2, greatest(0, size(t) - 1)),
+                  (a, b) -> named_struct('a', a, 'b', b))""")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val pc = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("pair_n"))
+    val uc = toks.select(explode(col("t")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val totals = uc.agg(sum(col("c")).as("nn"))      // corpus token count
+    val mtot = pc.agg(sum(col("pair_n")).as("mm"))   // corpus bigram count
+    pc.filter(col("pair_n") >= PmiMinPairCount)
+      .join(uc.select(col("term").as("a"), col("c").as("ca")), "a")
+      .join(uc.select(col("term").as("b"), col("c").as("cb")), "b")
+      .crossJoin(totals).crossJoin(mtot)
+      .select(col("a").as("term_a"), col("b").as("term_b"), col("pair_n"),
+        round(log2((col("pair_n").cast("double") * col("nn") * col("nn")) /
+                   (col("mm").cast("double") * col("ca") * col("cb"))), 6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("term_a"), col("term_b"))
+      .limit(PmiTopK)
+      // rank-without-window idiom: the input is already limit(K)-bounded
+      .coalesce(1)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("pmi").desc, col("term_a"), col("term_b"))).cast("int"))
+      .select(col("rn"), col("term_a"), col("term_b"), col("pair_n"), col("pmi"))
+      .orderBy(col("rn"))
+  }
+
+  val pmiCollocationsOracle: String = s"""
+    WITH toks AS (SELECT doc_id, $tokensSql AS t FROM documents),
+    pos AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks),
+    pairs AS (SELECT t[i] AS a, t[i + 1] AS b FROM pos),
+    pc AS (SELECT a, b, count(*) AS pair_n FROM pairs GROUP BY 1, 2),
+    ucc AS (SELECT term, count(*) AS c FROM
+              (SELECT unnest(t) AS term FROM toks) GROUP BY 1),
+    tot AS (SELECT (SELECT CAST(sum(c) AS BIGINT) FROM ucc) AS nn,
+                   (SELECT CAST(sum(pair_n) AS BIGINT) FROM pc) AS mm),
+    scored AS (
+      SELECT a AS term_a, b AS term_b, pair_n,
+        round(log2((CAST(pair_n AS DOUBLE) * nn * nn) /
+                   (CAST(mm AS DOUBLE) * ca * cb)), 6) AS pmi
+      FROM pc
+      JOIN (SELECT term, c AS ca FROM ucc) ua ON pc.a = ua.term
+      JOIN (SELECT term, c AS cb FROM ucc) ub ON pc.b = ub.term
+      CROSS JOIN tot
+      WHERE pair_n >= $PmiMinPairCount),
+    ranked AS (SELECT term_a, term_b, pair_n, pmi,
+        CAST(row_number() OVER (ORDER BY pmi DESC, term_a, term_b) AS INT) AS rn
+      FROM scored)
+    SELECT rn, term_a, term_b, pair_n, pmi FROM ranked
+    WHERE rn <= $PmiTopK ORDER BY rn"""
+
   // ---- 6c. unigram LM surprisal (round 7) ------------------------------
   // The LM-perplexity quality signal real pipelines bucket documents by
   // (CCNet, Wenzek et al. 2019, arXiv:1911.00359 — trains a KenLM and
@@ -1553,35 +1632,55 @@ object TextAnalysis {
   // PARTITIONED by doc_id — parallel across docs, never global) and a
   // doc-keyed reassembly agg. O(n·W) hash work per doc, O(n log n)
   // chunk-id assignment.
-  private val CdcWin = 4
-  private val CdcMask = 8
+  private[graft] val CdcWin = 4
+  private[graft] val CdcMask = 8
 
-  def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    Tables.documents(spark, dir)
+  /** The shared content-defined chunk frame: (doc_id, chunk_id,
+    * chunk_text, n_tokens), one row per chunk. Round 17 rewrote the
+    * per-doc stage IN-ROW — cut positions via one higher-order filter
+    * over token indices, segments via `zip_with` over the cut array —
+    * so the whole segmentation is a single narrow projection: no
+    * posexplode + per-doc running-sum window (the round-4 formulation
+    * paid a doc_id shuffle just to assign chunk ids), and the only
+    * exchange a consumer pays is its own. Values are identical to the
+    * round-4 form (same boundary rule; the unchanged DuckDB oracle
+    * re-gates it): a cut falls BEFORE 1-based token j iff j ≥ [[CdcWin]]
+    * and the md5-derived hash of the CdcWin-token window ENDING at j is
+    * ≡ 0 mod [[CdcMask]]. Consumed by the gated `text_cdc_chunks` and
+    * by `Curation.cdcChunkDedup` (round 17), which adds the
+    * cross-document first-occurrence stage. */
+  private[graft] def cdcChunkFrame(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
-      .select(col("doc_id"), col("t"),
-        transform(col("t"), (_, i) =>
-          when(i >= lit(CdcWin - 1),
-            (conv(substring(md5(array_join(
-                slice(col("t"), i - lit(CdcWin - 2), lit(CdcWin)), " ")), 1, 15), 16, 10)
-              .cast("long") % CdcMask === 0).cast("int"))
-          .otherwise(lit(0))).as("b"))
-      .select(col("doc_id"), posexplode(arrays_zip(col("t"), col("b"))))
-      .select(col("doc_id"), col("pos"),
-        col("col").getField("t").as("tok"), col("col").getField("b").as("bd"))
-      .withColumn("chunk_id", sum(col("bd")).over(w).cast("long"))
-      .groupBy(col("doc_id"), col("chunk_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        array_join(transform(
-          array_sort(collect_list(struct(col("pos"), col("tok")))),
-          s => s.getField("tok")), " ").as("chunk_text"))
-      .select(col("doc_id"), col("chunk_id"), col("chunk_text"), col("n_tokens"))
-      .orderBy(col("doc_id"), col("chunk_id"))
-  }
+      // sequence(1, 0) counts DOWN in Spark — guard the empty-token case
+      .withColumn("cuts", expr(
+        s"""filter(if(size(t) < 1, array(), sequence(1, size(t))),
+             j -> j >= $CdcWin and
+                  cast(conv(substr(md5(array_join(
+                    slice(t, j - ${CdcWin - 1}, $CdcWin), ' ')), 1, 15), 16, 10)
+                    as bigint) % $CdcMask = 0)"""))
+      .withColumn("chunks", expr(
+        """zip_with(concat(array(0), transform(cuts, j -> j - 1)),
+                    concat(transform(cuts, j -> j - 1), array(size(t))),
+                    (s, e) -> named_struct(
+                      'ntok', e - s,
+                      'txt', array_join(slice(t, s + 1, e - s), ' ')))"""))
+      .select(col("doc_id"), posexplode(col("chunks")).as(Seq("chunk_id", "c")))
+      // the lone empty segment only an empty token list produces
+      .filter(col("c.ntok") > 0)
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        col("c.txt").as("chunk_text"), col("c.ntok").cast("long").as("n_tokens"))
 
-  val cdcChunksOracle: String = s"""
-    WITH toks AS (SELECT doc_id, $tokensSql AS t FROM documents),
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame =
+    cdcChunkFrame(Tables.documents(spark, dir))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  /** The CDC chunk frame as oracle CTEs ending in `cdc_chunks` —
+    * shared verbatim by [[cdcChunksOracle]] and the chunk-dedup oracle
+    * (Curation), so the two gates can never disagree on the boundary
+    * rule. */
+  private[graft] val cdcChunkCtes: String = s"""
+    toks AS (SELECT doc_id, $tokensSql AS t FROM documents),
     tok AS (SELECT doc_id, t,
               unnest(range(len(t))) AS pos, unnest(t) AS tok
             FROM toks),
@@ -1599,12 +1698,16 @@ object TextAnalysis {
     c AS (SELECT doc_id, pos, tok,
             CAST(sum(bd) OVER (PARTITION BY doc_id ORDER BY pos
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS chunk_id
-          FROM b)
-    SELECT doc_id, chunk_id,
-      string_agg(tok, ' ' ORDER BY pos) AS chunk_text,
-      count(*) AS n_tokens
-    FROM c GROUP BY doc_id, chunk_id
-    ORDER BY doc_id, chunk_id"""
+          FROM b),
+    cdc_chunks AS (SELECT doc_id, chunk_id,
+        string_agg(tok, ' ' ORDER BY pos) AS chunk_text,
+        count(*) AS n_tokens
+      FROM c GROUP BY doc_id, chunk_id)"""
+
+  val cdcChunksOracle: String = s"""
+    WITH $cdcChunkCtes
+    SELECT doc_id, chunk_id, chunk_text, n_tokens
+    FROM cdc_chunks ORDER BY doc_id, chunk_id"""
 
   // ---- 8. PII redaction (round 4) -------------------------------------
   // The pre-release scrub every training corpus gets: emails, IPv4
@@ -1743,6 +1846,7 @@ object TextAnalysis {
     "text_pii_redact"      -> (piiRedact _),
     "text_cdc_chunks"      -> (cdcChunks _),
     "text_heavy_hitters"   -> (heavyHitters _),
+    "text_pmi_collocations" -> (pmiCollocations _),
     "text_tfidf_topterms"  -> (tfidfTopTerms _),
     "text_lang_id"         -> (langId _),
     "text_nb_lang_id"      -> (nbLangId _),
@@ -1764,6 +1868,7 @@ object TextAnalysis {
     "text_pii_redact"      -> piiRedactOracle,
     "text_cdc_chunks"      -> cdcChunksOracle,
     "text_heavy_hitters"   -> heavyHittersOracle,
+    "text_pmi_collocations" -> pmiCollocationsOracle,
     "text_tfidf_topterms"  -> tfidfOracle,
     "text_lang_id"         -> langIdOracle,
     "text_nb_lang_id"      -> nbLangIdOracle,

@@ -734,4 +734,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> false, 2L -> true, 3L -> false, 9L -> true))
   }
 
+  test("pmiCollocations: a planted always-adjacent pair outranks frequent-but-independent pairs") {
+    // 'aa' occurs ONLY immediately before 'bb' (perfect collocation);
+    // the filler tokens are frequent and combine freely, so every
+    // filler bigram's PMI is near 0 while (aa, bb)'s is log2(N²/(M·k))
+    // with k = c(aa) = c(bb) = c(aa,bb) — maximal by construction.
+    val fill = Seq("red", "green", "blue", "cyan")
+    val docs = (0 until 8).map { d =>
+      val noise = (0 until 24).map(i => fill((d + i * 7) % 4)).mkString(" ")
+      (d.toLong, s"$noise aa bb $noise")
+    }.toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("pmi").toString
+    docs.write.parquet(s"$tmp/documents.parquet")
+    val got = graft.operators.TextAnalysis.pmiCollocations(spark, tmp)
+      .select("rn", "term_a", "term_b", "pair_n")
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got.head._2 == "aa" && got.head._3 == "bb",
+      s"the planted collocation must rank first, got ${got.head}")
+    assert(got.head._4 == 8L, "pair count = one occurrence per doc")
+    // min-count threshold: nothing below 5 occurrences appears
+    assert(got.forall(_._4 >= 5L))
+    // ranks are dense from 1 and the result is bounded at top-K
+    assert(got.map(_._1) == (1 to got.length))
+  }
+
 }

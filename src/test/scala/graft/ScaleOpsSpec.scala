@@ -317,6 +317,40 @@ class ScaleOpsSpec extends AnyFunSuite {
       (2L, 32L, 32L, u)))
   }
 
+  test("cdcChunkDedup: boundaries re-synchronize past an insertion that blinds the fixed grid") {
+    // doc 1 = doc 0 with three junk tokens PREPENDED. The fixed 16-token
+    // grid shifts by 3 everywhere: no chunk of doc 1 equals any chunk of
+    // doc 0. Content-defined cuts depend only on the trailing 8-token
+    // window, so every cut ≥ 8 tokens past the insertion reappears and
+    // the chunks between shared cuts hash identically — the duplicated
+    // body is CUT from doc 1 while the fixed grid keeps all of it.
+    val body = (0 until 240).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (0L, body),
+      (1L, s"zza zzb zzc $body")
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("cdc").toString
+    docs.write.parquet(s"$tmp/documents.parquet")
+
+    val fixed = Curation.chunkDedup(spark, tmp)
+      .select("doc_id", "n_chunks", "n_kept").as[(Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(fixed.forall { case (_, n, k) => n == k },
+      s"the fixed grid unexpectedly shared a shifted chunk: $fixed")
+
+    val cdc = Curation.cdcChunkDedup(spark, tmp)
+      .select("doc_id", "n_chunks", "n_kept").as[(Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    val (_, n0, k0) = cdc.head
+    assert(n0 == k0, "doc 0 is the first occurrence — everything kept")
+    val (_, n1, k1) = cdc(1)
+    assert(n1 >= 4, s"240 tokens should cut into several chunks, got $n1")
+    // only the pre-resync head of doc 1 (junk + ≤ CdcW tokens before the
+    // first shared cut) can survive; the whole re-synchronized body dedups
+    assert(k1 * 3 <= n1,
+      s"CDC must share the shifted body: kept $k1 of $n1 chunks")
+  }
+
   test("leakage-safe split: near-dup families land on one side, singletons match the baseline split") {
     // same hash arithmetic as the operator, driver-side, to CHOOSE ids
     // whose baseline splits differ — so the test is provably non-vacuous
