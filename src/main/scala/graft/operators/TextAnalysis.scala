@@ -1652,13 +1652,14 @@ object TextAnalysis {
   private[graft] def cdcChunkFrame(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
-      // sequence(1, 0) counts DOWN in Spark — guard the empty-token case
-      .withColumn("cuts", expr(
-        s"""filter(if(size(t) < 1, array(), sequence(1, size(t))),
-             j -> j >= $CdcWin and
-                  cast(conv(substr(md5(array_join(
-                    slice(t, j - ${CdcWin - 1}, $CdcWin), ' ')), 1, 15), 16, 10)
-                    as bigint) % $CdcMask = 0)"""))
+      // native one-pass cut finder (see [[cdcCutsComposable]] for the
+      // declarative twin it bit-matches). ProfCdc at 1 M docs: the HOF
+      // chain paid ~72 s in this frame; native cuts take it to ~9.4 s
+      // (the 54 M window hashes alone: 1.25 s — the rest is segment
+      // text building + the chunk explode). The per-gram-string tax,
+      // third sighting (winnow r9, NbLangBits r15).
+      .withColumn("cuts",
+        graft.functions.CdcCuts.of(col("t"), CdcWin, CdcMask))
       .withColumn("chunks", expr(
         """zip_with(concat(array(0), transform(cuts, j -> j - 1)),
                     concat(transform(cuts, j -> j - 1), array(size(t))),
@@ -1670,6 +1671,17 @@ object TextAnalysis {
       .filter(col("c.ntok") > 0)
       .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
         col("c.txt").as("chunk_text"), col("c.ntok").cast("long").as("n_tokens"))
+
+  /** The declarative spelling of the cut rule — the differential
+    * reference [[graft.functions.CdcCuts]] must bit-match (spec), and
+    * the executable documentation of what the native pass computes.
+    * `sequence(1, 0)` counts DOWN in Spark — hence the empty guard. */
+  private[graft] val cdcCutsComposable: Column = expr(
+    s"""filter(if(size(t) < 1, array(), sequence(1, size(t))),
+         j -> j >= $CdcWin and
+              cast(conv(substr(md5(array_join(
+                slice(t, j - ${CdcWin - 1}, $CdcWin), ' ')), 1, 15), 16, 10)
+                as bigint) % $CdcMask = 0)""")
 
   def cdcChunks(spark: SparkSession, dir: String): DataFrame =
     cdcChunkFrame(Tables.documents(spark, dir))

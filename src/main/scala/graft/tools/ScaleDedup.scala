@@ -55,6 +55,25 @@ object ScaleDedup {
     println(f"[scale] line_dedup 1M docs + 1M-hot footer: ${(System.nanoTime()-t2)/1e9}%.2f s  " +
       s"docs=${ld.getLong(0)} kept_lines=${ld.getLong(1)}/${ld.getLong(2)}")
 
+    // content-defined chunk dedup at 1 M docs (round 17): same
+    // duplication-worst-case as substring dedup, same per-position hash
+    // COUNT (every position hashes its trailing window) but ~1/avg-len
+    // the SHUFFLED rows (chunks, not windows) and no coverage explode.
+    // Gate: must land well under substring dedup's wall on the same
+    // corpus. The first cut of this tool measured 95.6 s — 1.6× WORSE
+    // than substring — because the boundary hashing ran through
+    // interpreted higher-order functions; the native CdcCuts pass
+    // (ProfCdc: 72 → 9.4 s frame) is what makes the claim true
+    // (measured 13.2 s vs substring's 55.8 s in the same session).
+    val t1c = System.nanoTime()
+    val cdc = graft.operators.Curation.cdcChunkDedup(spark, dir)
+      .agg(count(lit(1)), sum(col("n_kept")), sum(col("n_chunks"))).first()
+    val cdcSecs = (System.nanoTime() - t1c) / 1e9
+    println(f"[scale] cdc_chunk_dedup 1M docs: $cdcSecs%.2f s  " +
+      s"docs=${cdc.getLong(0)} kept_chunks=${cdc.getLong(1)}/${cdc.getLong(2)}")
+    require(cdc.getLong(1) * 50 < cdc.getLong(2),
+      s"200x duplication must collapse >98% of chunks: kept ${cdc.getLong(1)} of ${cdc.getLong(2)}")
+
     // composed leakage-safe split (round 9): a production pipeline that
     // has materialized dedup_clusters pays only the curation_split cost
     // for the safe split — NOT the clusters recompute the gated inline

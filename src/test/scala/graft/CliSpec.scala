@@ -27,4 +27,28 @@ class CliSpec extends AnyFunSuite {
     Main.run(spark, Array("parquet", "/nonexistent.parquet", "--output_dir", "/tmp/x"))
     assert(Jobs.list(spark).collect().exists(_.getAs[String]("status") == "failed"))
   }
+
+  test("CLI gc-stores: dry-run reports without deleting; live run reclaims the stale generation") {
+    import org.apache.hadoop.fs.Path
+    val root = java.nio.file.Files.createTempDirectory("cligc").toString
+    spark.conf.set("spark.graft.cache.root", root)
+    try {
+      val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val now = System.currentTimeMillis()
+      def mk(key: String, ageMs: Long): Path = {
+        val kd = new Path(s"$root/pq_index/$key")
+        fs.mkdirs(kd)
+        fs.create(new Path(kd, "_SUCCESS"), true).close()
+        fs.setTimes(new Path(kd, "_SUCCESS"), now - ageMs, -1)
+        fs.setTimes(kd, now - ageMs, -1)
+        kd
+      }
+      val old = mk("corp_1700000000000haaaaaaaa_m8k16i3", 10 * 86400000L)
+      val neu = mk("corp_1700000009999hbbbbbbbb_m8k16i3", 1000L)
+      Main.run(spark, Array("gc-stores", "--max-age-hours", "24", "--dry-run"))
+      assert(fs.exists(old), "dry-run must not delete")
+      Main.run(spark, Array("gc-stores", "--max-age-hours", "24"))
+      assert(!fs.exists(old) && fs.exists(neu))
+    } finally spark.conf.unset("spark.graft.cache.root")
+  }
 }

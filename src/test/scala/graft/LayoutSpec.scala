@@ -205,6 +205,39 @@ class LayoutSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.cache.root")
   }
 
+  test("gcStores end-to-end on a real store: the superseded generation is reclaimed, the live one still serves warm") {
+    import graft.operators.{Curation, Layout}
+    import org.apache.hadoop.fs.Path
+    val root = "file:" + java.nio.file.Files.createTempDirectory("gcr2").toString
+    spark.conf.set("spark.graft.cache.root", root)
+    try {
+      // corpus v1 → build generation 1
+      val dir = java.nio.file.Files.createTempDirectory("gcc").toString
+      val src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      src.write.parquet(s"$dir/documents.parquet")
+      Curation.winnowProbeFpCached(spark, dir).count()
+      // corpus regen → a NEW store generation
+      Thread.sleep(1100) // mtime granularity: make the regen visibly newer
+      src.limit(40).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val v2 = Curation.winnowProbeFpCached(spark, dir)
+        .collect().map(_.get(0).toString).sorted.toSeq
+      val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val fam = new Path(s"$root/winnow_probe_cache")
+      assert(fs.listStatus(fam).length == 2, "two generations before GC")
+
+      val rep = Layout.gcStores(spark, maxAgeMs = 0L, keepNewest = 1)
+      val gens = fs.listStatus(fam)
+      assert(gens.length == 1, s"GC must reclaim the superseded generation: $rep")
+      val succ = new Path(gens.head.getPath, "_SUCCESS")
+      val m0 = fs.getFileStatus(succ).getModificationTime
+      val warm = Curation.winnowProbeFpCached(spark, dir)
+        .collect().map(_.get(0).toString).sorted.toSeq
+      assert(warm == v2, "the surviving generation must serve the same artifact")
+      assert(fs.getFileStatus(succ).getModificationTime == m0,
+        "the live generation must serve WARM after GC — no rebuild")
+    } finally spark.conf.unset("spark.graft.cache.root")
+  }
+
   test("partitioned corpus layout: directory pruning + content round-trip") {
     val sf = "/root/testdata/sf0.001"
     val docs = spark.read.parquet(s"$sf/documents.parquet")

@@ -143,4 +143,29 @@ class NativeExprPropertySpec extends AnyFunSuite {
         s"diff: native-only=${native -- hof}, hof-only=${hof -- native}")
     }
   }
+
+  test("CdcCuts == the declarative filter/md5/conv cut rule, on arbitrary token arrays and real docs") {
+    import spark.implicits._
+    // arbitrary token arrays, biased to the edges: empty, shorter than
+    // the window, exactly the window, long
+    val tokGen: Gen[Seq[String]] = Gen.chooseNum(0, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "bb", "ccc", "d0", "ee_e", "f", "gg")))
+    val crafted = samples(tokGen, 300).zipWithIndex
+      .map { case (t, i) => (i.toLong, t.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val sf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    for (docs <- Seq(crafted, sf)) {
+      val base = docs.select(col("doc_id"),
+        graft.functions.TextFns.tokens(col("text")).as("t"))
+      val diff = base.select(col("doc_id"),
+          graft.functions.CdcCuts.of(col("t"),
+            graft.operators.TextAnalysis.CdcWin,
+            graft.operators.TextAnalysis.CdcMask).as("native"),
+          graft.operators.TextAnalysis.cdcCutsComposable.as("hof"))
+        .filter(not(col("native") <=> col("hof")))
+        .collect()
+      assert(diff.isEmpty, s"cut mismatch on ${diff.take(3).mkString("; ")}")
+    }
+  }
 }
