@@ -742,6 +742,62 @@ object TextAnalysis {
       round(CAST(sum(CAST(bits AS DECIMAL(28,12))) AS DOUBLE) / count(*), 4) AS avg_bits
     FROM term GROUP BY doc_id ORDER BY doc_id"""
 
+  // ---- 6c2. character-class entropy (round 17) -------------------------
+  // The alphabet-level garble signal quality pipelines pair with the
+  // token-level ones: Shannon entropy of the per-doc CHARACTER
+  // distribution. Natural prose sits in a narrow band (letter
+  // frequencies are stable per language); base64/hex blobs and
+  // key-mash garble run HIGH (near-uniform alphabet), repeated-char
+  // padding and single-symbol spam run LOW — both tails are cut
+  // material the token-level signals (repetition, surprisal) can miss
+  // when the garble tokenizes into plausible-length words.
+  //
+  // Characters are taken from the TOKENIZED text (array_join(t, '')):
+  // the reference tokenizer's `[^\w\s]` is ASCII-classed in BOTH
+  // engines (java default \w and RE2 \w), so the alphabet is
+  // [a-z0-9_] and per-character splitting is unambiguous cross-engine
+  // (raw-text splitting would hang on grapheme-vs-codepoint semantics).
+  //
+  // Scale shape: one char explode (rows = corpus characters — the
+  // operator's honest cost, the same class as the token ops), a
+  // (doc, char)-keyed count with map-side combine (≤37 rows per doc
+  // out), a doc-keyed totals join, and the decimal-sum recipe for the
+  // entropy fold. Per-char terms round at 8 dp; the exact DECIMAL sum
+  // rounds at 4 (the unigramSurprisal recipe).
+  def charEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val ch = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(split(array_join(TextFns.tokens(col("text")), ""), "")).as("c"))
+      .filter(col("c") =!= "")
+    val cc = ch.groupBy(col("doc_id"), col("c")).agg(count(lit(1)).as("cnt"))
+    val n = cc.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n"), count(lit(1)).as("nd"))
+    cc.join(n, "doc_id")
+      .select(col("doc_id"), col("n"), col("nd"),
+        round(-(col("cnt").cast("double") / col("n")) *
+          log2(col("cnt").cast("double") / col("n")), 8).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("n_chars"), max(col("nd")).as("n_distinct"),
+        round(sum(col("h").cast("decimal(28,12)")).cast("double"), 4)
+          .as("entropy"))
+      .orderBy(col("doc_id"))
+  }
+
+  val charEntropyOracle: String = s"""
+    WITH toks AS (SELECT doc_id, $tokensSql AS t FROM documents),
+    s AS (SELECT doc_id, array_to_string(t, '') AS st FROM toks),
+    ch AS (SELECT doc_id, unnest(string_split(st, '')) AS c FROM s),
+    cc AS (SELECT doc_id, c, count(*) AS cnt FROM ch WHERE c <> '' GROUP BY 1, 2),
+    n AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
+            CAST(count(*) AS BIGINT) AS nd
+          FROM cc GROUP BY 1),
+    term AS (SELECT cc.doc_id, n, nd,
+        round(-(CAST(cnt AS DOUBLE) / n) * log2(CAST(cnt AS DOUBLE) / n), 8) AS h
+      FROM cc JOIN n USING (doc_id))
+    SELECT doc_id, max(n) AS n_chars, max(nd) AS n_distinct,
+      round(CAST(sum(CAST(h AS DECIMAL(28,12))) AS DOUBLE), 4) AS entropy
+    FROM term GROUP BY doc_id ORDER BY doc_id"""
+
   // ---- 6d. interpolated bigram LM surprisal (round 9) -----------------
   // The bigram member of the CCNet perplexity-bucketing family
   // (Wenzek et al. 2019, arXiv:1911.00359): per document, the average
@@ -1868,6 +1924,7 @@ object TextAnalysis {
     "text_chunk_windows"   -> (chunkWindows _),
     "text_levenshtein"     -> (levenshteinPairs _),
     "text_unigram_surprisal" -> (unigramSurprisal _),
+    "text_char_entropy"    -> (charEntropy _),
     "text_bigram_surprisal" -> (bigramSurprisal _),
     "text_bpe_train"       -> (bpeTrain _),
     "text_bpe_encode"      -> (bpeEncode _),
@@ -1890,6 +1947,7 @@ object TextAnalysis {
     "text_chunk_windows"   -> chunkWindowsOracle,
     "text_levenshtein"     -> levenshteinPairsOracle,
     "text_unigram_surprisal" -> unigramSurprisalOracle,
+    "text_char_entropy"    -> charEntropyOracle,
     "text_bigram_surprisal" -> bigramSurprisalOracle,
     "text_bpe_train"       -> bpeTrainOracle,
     "text_bpe_encode"      -> bpeEncodeOracle,

@@ -734,6 +734,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> false, 2L -> true, 3L -> false, 9L -> true))
   }
 
+  test("charEntropy: zero on one symbol, exact on uniform alphabets, garble above prose") {
+    val docs = Seq(
+      (0L, "aaaa aaaa aaaa"),                  // one symbol: H = 0
+      (1L, "abcd efgh ijkl mnop"),             // 16 chars uniform: H = 4
+      (2L, "the cat sat on the mat and then the dog sat on the cat"),
+      (3L, "xq9 zk2 vj7 wf4 bp3 hd8 gm5 cn6 rt1 ly0")  // key-mash garble
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("ent").toString
+    docs.write.parquet(s"$tmp/documents.parquet")
+    val got = graft.operators.TextAnalysis.charEntropy(spark, tmp)
+      .select("doc_id", "n_chars", "n_distinct", "entropy")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got(0)._4 == 0.0 && got(0)._3 == 1L)
+    assert(got(1)._4 == 4.0 && got(1)._3 == 16L,
+      s"16 distinct chars once each = exactly 4 bits, got ${got(1)}")
+    assert(got(3)._4 > got(2)._4,
+      s"near-uniform garble must score above prose: ${got(3)._4} vs ${got(2)._4}")
+  }
+
   test("pmiCollocations: a planted always-adjacent pair outranks frequent-but-independent pairs") {
     // 'aa' occurs ONLY immediately before 'bb' (perfect collocation);
     // the filler tokens are frequent and combine freely, so every
