@@ -298,6 +298,38 @@ object EventStream {
     graft.operators.TextAnalysis.nbLangScored(
       docs.select(col("doc_id"), col("text")), model)
 
+  /** Ingest-time character entropy (round 17) — the streaming twin of
+    * `text_char_entropy`, zero-state by construction: the per-doc
+    * character distribution fits IN THE ROW (the tokenizer alphabet is
+    * [a-z0-9_] — ≤ 37 symbols), so the batch operator's char explode +
+    * two keyed aggregates become one bounded in-row fold: distinct
+    * symbols via array_distinct, each symbol's count via a bounded
+    * filter scan (O(n·|alphabet|) per doc), the SAME 8-dp per-term
+    * rounding and exact DECIMAL fold (order-free, so in-row ≡ the batch
+    * groupBy), 4 dp out. No join, no shuffle, ZERO state-store rows;
+    * values bit-match the gated entry (spec). Zero-token docs drop,
+    * exactly as the batch operator's empty explode drops them. */
+  def charEntropyScore(docs: DataFrame): DataFrame = {
+    val chars = filter(
+      split(array_join(graft.functions.TextFns.tokens(col("text")), ""), ""),
+      c => c =!= lit(""))
+    def p(c: Column) =
+      size(filter(col("__cs"), x => x === c)).cast("double") / size(col("__cs"))
+    docs.select(col("doc_id"), chars.as("__cs"))
+      .filter(size(col("__cs")) > 0)
+      .select(col("doc_id"),
+        size(col("__cs")).cast("long").as("n_chars"),
+        size(array_distinct(col("__cs"))).cast("long").as("n_distinct"),
+        round(aggregate(array_distinct(col("__cs")),
+            lit(java.math.BigDecimal.ZERO).cast("decimal(28,12)"),
+            // cast the sum back to the accumulator type: decimal + widens
+            // 28,12 → 29,12 and aggregate() requires them equal; values
+            // stay ≤ a few bits × 37 symbols, so the cast is lossless
+            (acc, c) => (acc + round(-p(c) * log2(p(c)), 8).cast("decimal(28,12)"))
+              .cast("decimal(28,12)"))
+          .cast("double"), 4).as("entropy"))
+  }
+
   /** Ingest-time BPE encoding (round 9) — the streaming twin of
     * `TextAnalysis.bpeEncode`: the trained MERGE LIST (≤ BpeMerges
     * pairs — the smallest model in the whole engine) rides into a

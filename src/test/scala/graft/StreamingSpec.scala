@@ -71,6 +71,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.nonEmpty)
   }
 
+  test("streaming char entropy == batch text_char_entropy, zero state-store rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)]
+    val scored = EventStream.charEntropyScore(input.toDS().toDF("doc_id", "text"))
+    val q = scored.writeStream.format("memory").queryName("ent_stream")
+      .outputMode("append").start()
+    input.addData((999999L, "..!!..")) // zero-token doc: dropped, batch parity
+    docs.grouped(math.max(1, docs.length / 2 + 1)).foreach { b =>
+      input.addData(b.toSeq); q.processAllAvailable()
+    }
+    assert(q.lastProgress.stateOperators.isEmpty) // narrow plan, no state
+    q.stop()
+    val got = spark.table("ent_stream")
+      .select("doc_id", "n_chars", "n_distinct", "entropy")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(!got.exists(_._1 == 999999L))
+    val want = graft.operators.TextAnalysis.charEntropy(spark, sf)
+      .select("doc_id", "n_chars", "n_distinct", "entropy")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(want.nonEmpty && got == want,
+      s"stream-only=${(got -- want).take(3)}, batch-only=${(want -- got).take(3)}")
+  }
+
   test("streaming DSIR scoring == batch logw, zero state-store rows") {
     implicit val sqlCtx = spark.sqlContext
     val (lam, c) = graft.operators.Curation.dsirModel(spark, sf)
