@@ -99,16 +99,19 @@ private[graft] object Layout {
     new java.util.concurrent.ConcurrentHashMap[String, (Long, String)]()
 
   /** Memo key = the path STRING normalized the cheap, FS-free way
-    * (round 17, advice): `new Path(s).toString` collapses `./x`,
-    * `x//y`, and trailing-slash variants to one spelling, so an
-    * [[invalidateStateTag]] spelled differently than the [[stateTag]]
-    * call still hits the same entry. Deliberately NOT the qualified
-    * URI — qualification needs an FS handle, and the memo exists to
-    * avoid FS calls on the hot path. A relative vs absolute spelling
-    * of the same table remains two entries (documented residual); the
-    * store caches always spell paths one way (through [[cacheRoot]]). */
+    * (round 17, advice): Hadoop `Path` collapses `x//y` and trailing
+    * slashes, and `URI.normalize()` resolves `./` and `a/../` segments
+    * (Path alone does NOT touch `./x` — the first cut claimed it did
+    * and a dot-spelled invalidation missed the memo for the full TTL),
+    * so an [[invalidateStateTag]] spelled differently than the
+    * [[stateTag]] call still hits the same entry. Deliberately NOT the
+    * qualified URI — qualification needs an FS handle, and the memo
+    * exists to avoid FS calls on the hot path. A relative vs absolute
+    * spelling of the same table remains two entries (documented
+    * residual); the store caches always spell paths one way (through
+    * [[cacheRoot]]). */
   private def memoKey(path: String): String =
-    new org.apache.hadoop.fs.Path(path).toString
+    new org.apache.hadoop.fs.Path(path).toUri.normalize().toString
 
   private def listTag(spark: SparkSession, path: String): String = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -239,8 +242,21 @@ private[graft] object Layout {
           val t = new Thread(() => {
             try {
               while (beat.get()) {
+                // setTimes is a NO-OP on Hadoop's base FileSystem and
+                // UNSUPPORTED on several object-store connectors — a
+                // heartbeat that silently stops refreshing mtime makes a
+                // LIVE builder look dead after leaseMs and a waiter
+                // starts a duplicate build (the exact race the lease
+                // prevents). Fall back to re-creating the marker, which
+                // bumps mtime on every FS; swallow everything non-fatal
+                // so the beat thread itself can never die mid-build.
                 try fs.setTimes(marker, System.currentTimeMillis(), -1)
-                catch { case _: java.io.IOException => () }
+                catch {
+                  case _: InterruptedException => throw new InterruptedException
+                  case _: Exception =>
+                    try fs.create(marker, true).close()
+                    catch { case _: Exception => () }
+                }
                 var slept = 0L
                 while (beat.get() && slept < leaseMs / 4) {
                   Thread.sleep(pollMs); slept += pollMs
@@ -351,7 +367,6 @@ private[graft] object Layout {
         now - s.getModificationTime <= leaseMs)
         .map(_.getPath.getName.stripSuffix("__building")).toSet
       val entries = keyDirs.map { kd =>
-        val sum = fs.getContentSummary(kd.getPath)
         // newest mtime anywhere directly under the key-dir = build time
         // (every table write touches its own dir); one listing deep, no
         // full recursion — object-store friendly
@@ -362,18 +377,31 @@ private[graft] object Layout {
           children.exists(c =>
             c.getPath.getName.endsWith("__building") &&
               now - c.getModificationTime <= leaseMs)
-        (kd.getPath, kd.getPath.getName, newest, sum.getLength, building)
+        // shallow byte sum (direct files only) for KEPT rows — full
+        // recursive summaries of every generation on every run would
+        // walk the whole cache (minutes + thousands of LISTs on an
+        // object store just to decorate a no-op report)
+        val shallow = children.filter(!_.isDirectory).map(_.getLen).sum
+        (kd.getPath, kd.getPath.getName, newest, shallow, building)
       }
       for ((group, gen) <- entries.groupBy(e => gcGroup(e._2))) {
         val byAge = gen.sortBy(-_._3) // newest first
-        byAge.zipWithIndex.foreach { case ((path, key, newest, bytes, building), i) =>
+        byAge.zipWithIndex.foreach { case ((path, key, newest, shallow, building), i) =>
           val age = now - newest
           val action =
             if (building) "kept-building"
             else if (i < keepNewest && age <= hardMaxAgeMs) "kept-newest"
             else if (age <= maxAgeMs) "kept-young"
             else if (dryRun) "would-delete"
-            else { fs.delete(path, true); "deleted" }
+            else "deleted"
+          // exact recursive bytes ONLY for the dirs actually leaving (or
+          // about to): that walk is bounded by the reclaim, not the cache
+          val bytes =
+            if (action == "deleted" || action == "would-delete")
+              try fs.getContentSummary(path).getLength
+              catch { case _: java.io.IOException => shallow }
+            else shallow
+          if (action == "deleted") fs.delete(path, true)
           out += StoreGcEntry(family, key, group, age, bytes, action)
         }
       }

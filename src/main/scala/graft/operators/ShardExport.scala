@@ -196,15 +196,26 @@ object ShardExport {
     * IllegalArgumentException). Bounded pool: ≤8 concurrent splits —
     * enough to hide job latency, not enough to flood the scheduler. */
   private def perSplit[T](names: Seq[String])(body: String => T): Seq[T] = {
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
     if (names.length <= 1) return names.map(body)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(names.length, 8))
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
-      val fs = names.map(s => Future(body(s)))
-      fs.map(Await.result(_, Duration.Inf))
+      // plain Callables, not scala Futures: a Future swallows FATAL
+      // throwables (OOM, StackOverflow) without completing its promise,
+      // so Await.result(_, Inf) would wedge the nightly driver forever
+      // on the one failure class that most needs to surface.
+      // Callable.get rethrows everything (wrapped in ExecutionException
+      // — unwrap one level so the blocksPerShard refusal still surfaces
+      // as IllegalArgumentException)
+      val futs = names.map(s => pool.submit(
+        new java.util.concurrent.Callable[T] { def call(): T = body(s) }))
+      futs.map { f =>
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw Option(e.getCause).getOrElse(e)
+        }
+      }
     } finally pool.shutdown()
   }
 
@@ -304,7 +315,24 @@ object ShardExport {
       .filter(_.getPath.getName.stripPrefix("shard_id=").toLong > tailShard)
       .foreach(s => fs.delete(s.getPath, true))
     val assign = shardAssignFrom(newDocs, blocksPerShard, total, f"g$gen%06d:").cache()
-    if (assign.isEmpty) { assign.unpersist(); return oldM.drop("gen").orderBy(col("shard_id")) }
+    if (assign.isEmpty) {
+      assign.unpersist()
+      // REPAIR-ONLY path (review r17): an empty batch must still finish
+      // a crashed predecessor's cleanup — the orphan DIRS beyond the
+      // tail were deleted above, but orphan next-gen rows INSIDE the
+      // tail shard would otherwise persist until some later non-empty
+      // refresh rewrote it (dataloaders double-reading the crashed
+      // batch in the meantime). Detect and rewrite the tail from the
+      // committed rows alone; a clean tree touches nothing.
+      if (!tailAll.filter(okeyGen > committedGen).isEmpty)
+        tailRows.withColumn("shard_id", lit(tailShard))
+          .repartition(col("shard_id"))
+          .sortWithinPartitions(col("shard_id"), col("okey"), col("doc_id"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("shard_id").parquet(outDir)
+      return oldM.drop("gen").orderBy(col("shard_id"))
+    }
     val newRows = newDocs
       .join(assign.select(col("doc_id"), col("okey"), col("shard_id")), Seq("doc_id"))
     val touched = newRows
@@ -354,19 +382,37 @@ object ShardExport {
       .join(splits.select(col("doc_id"), col("split")), Seq("doc_id"))
     val names = withSplit.select(col("split")).distinct()
       .collect().map(_.getString(0)).sorted
+    require(names.length <= 64,
+      s"refreshSplitShards: ${names.length} splits — this is a per-SPLIT " +
+        "refresh, not a per-group partitioner")
+    // splits with an existing tree but NO docs tonight still get the
+    // (cheap) empty refresh — it is the repair path: a crashed previous
+    // night's orphans must not wait for the next time that split happens
+    // to receive docs (review r17; an entirely-filtered batch — advice
+    // r16 — is the extreme case where EVERY split takes this path).
+    // Their manifests are not part of tonight's return (the return stays
+    // "the refreshed batch's splits", unchanged), so results are dropped.
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existing =
+      try fs.listStatus(new org.apache.hadoop.fs.Path(outDir)).toSeq
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.startsWith("split=")).map(_.stripPrefix("split="))
+        .filterNot(names.contains).sorted
+      catch { case _: java.io.FileNotFoundException => Seq.empty }
+    perSplit(existing) { s =>
+      refreshShards(withSplit.filter(col("split") === s).drop("split"),
+        s"$outDir/split=$s", blocksPerShard)
+    }
     // an entirely-filtered batch (every doc gate-failed / contaminated /
-    // empty) is a legitimate nightly outcome (advice r16): no-op with an
-    // empty manifest and touch NOTHING — the require guards only the
-    // wrong-tool direction (a per-group partitioner's cardinality)
+    // empty) is a legitimate nightly outcome (advice r16): empty
+    // manifest back, trees already repaired above
     if (names.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(
           "shard_id BIGINT, n_docs BIGINT, n_tokens BIGINT, n_bytes BIGINT, " +
             "first_block BIGINT, last_block BIGINT, split STRING"))
-    require(names.length <= 64,
-      s"refreshSplitShards: ${names.length} splits — this is a per-SPLIT " +
-        "refresh, not a per-group partitioner")
     perSplit(names) { s =>
       refreshShards(withSplit.filter(col("split") === s).drop("split"),
         s"$outDir/split=$s", blocksPerShard)

@@ -1292,9 +1292,16 @@ object TextAnalysis {
           .filter(col("cnt") =!= 0).cache()
         // verification slice: exact evolutions of the fetched top plus
         // every positively-created challenger (negative deltas of
-        // unfetched pairs only sink them further below `bound`)
+        // unfetched pairs only sink them further below `bound` — safe to
+        // drop in bounded mode, where they only make `unk` conservative).
+        // In EXHAUSTED mode keep EVERY row: the fetch held the entire
+        // pair table (top.length < depth bounds it), so all deltas
+        // together cost nothing, and dropping a created-then-consumed
+        // pair's negative row would leave its count overstated — a
+        // false `beaten` and a spuriously early rollback (review r17;
+        // wasted rounds, never wrong output)
         val topKeys = top.map(p => p._1 + " " + p._2)
-        val vRows = deltas.filter(col("cnt") > 0 ||
+        val vRows = deltas.filter(lit(exhausted) || col("cnt") > 0 ||
             concat_ws(" ", col("l"), col("r")).isin(topKeys: _*))
           .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
         val byStep = vRows.groupBy(_._1)

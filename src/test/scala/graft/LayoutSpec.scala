@@ -51,6 +51,14 @@ class LayoutSpec extends AnyFunSuite {
       Layout.invalidateStateTag(s"$dir//t.parquet")
       assert(Layout.stateTag(spark, path) != m0,
         "a normalized-variant invalidation must evict the memo entry")
+      // dot-segment variant: Hadoop Path alone does NOT collapse '/./'
+      // (the first normalization relied on it and missed) — the key
+      // must go through URI.normalize()
+      val m1 = Layout.stateTag(spark, path)
+      Seq((3L, "c")).toDF("doc_id", "text").write.mode("append").parquet(path)
+      Layout.invalidateStateTag(s"$dir/./t.parquet")
+      assert(Layout.stateTag(spark, path) != m1,
+        "a dot-segment-variant invalidation must evict the memo entry")
     } finally spark.conf.unset("spark.graft.layout.stateTagTtlMs")
   }
 

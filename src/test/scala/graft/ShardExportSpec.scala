@@ -295,6 +295,52 @@ class ShardExportSpec extends AnyFunSuite {
     m.unpersist()
   }
 
+  test("crash-retry with an EMPTY retry batch still repairs the tree (orphans erased, manifest intact)") {
+    // night N crashes after the partition write; night N+1's batch is
+    // ENTIRELY filtered upstream (all docs contaminated/gated). The
+    // empty refresh must still finish the cleanup — otherwise the
+    // crashed batch's orphan rows stay visible to dataloaders until
+    // some arbitrarily-later non-empty night for this tree
+    val base = (0 until 12).map(i => (i.toLong, s"er corpus doc $i " + ("alfa bravo charlie " * 30)))
+      .toDF("doc_id", "text")
+    val batch = (0 until 9).map(i => (8300000L + i, s"er batch doc $i " + ("delta echo " * 25)))
+      .toDF("doc_id", "text")
+    val out = java.nio.file.Files.createTempDirectory("crash_empty").toString
+    ShardExport.exportShards(base, out, blocksPerShard = 2L)
+    def treeRows() = spark.read.parquet(out)
+      .select(col("shard_id"), col("okey"), col("doc_id"))
+      .collect().map(_.toString).sorted.toSeq
+    val pristine = treeRows()
+    val preManifest = spark.read.parquet(s"$out/_shard_manifest").localCheckpoint(true)
+    ShardExport.refreshShards(batch, out, blocksPerShard = 2L)
+    preManifest.write.mode("overwrite").parquet(s"$out/_shard_manifest") // crash
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val m = ShardExport.refreshShards(empty, out, blocksPerShard = 2L)
+    assert(treeRows() == pristine,
+      "an empty retry must erase the crashed attempt's orphan tail rows and dirs")
+    assert(m.collect().map(_.toString).sorted.toSeq ==
+      preManifest.drop("gen").collect().map(_.toString).sorted.toSeq,
+      "the returned manifest must be the committed one, untouched")
+    // the per-split wrapper reaches the same repair for split trees with
+    // no docs tonight — including the all-splits-filtered extreme
+    val splits = (0 until 12).map(i => (i.toLong, "train")).toDF("doc_id", "split")
+    val sOut = java.nio.file.Files.createTempDirectory("crash_empty_split").toString
+    ShardExport.exportSplitShards(base, splits, sOut, blocksPerShard = 2L)
+    def sTree() = spark.read.parquet(s"$sOut/split=train")
+      .select(col("shard_id"), col("okey"), col("doc_id"))
+      .collect().map(_.toString).sorted.toSeq
+    val sPristine = sTree()
+    val sPre = spark.read.parquet(s"$sOut/split=train/_shard_manifest").localCheckpoint(true)
+    ShardExport.refreshSplitShards(batch, (0 until 9).map(i => (8300000L + i, "train")).toDF("doc_id", "split"),
+      sOut, blocksPerShard = 2L)
+    sPre.write.mode("overwrite").parquet(s"$sOut/split=train/_shard_manifest") // crash
+    val sm = ShardExport.refreshSplitShards(empty,
+      Seq.empty[(Long, String)].toDF("doc_id", "split"), sOut, blocksPerShard = 2L)
+    assert(sm.isEmpty, "an all-filtered batch still answers an empty manifest")
+    assert(sTree() == sPristine,
+      "the split wrapper must repair a crashed split tree even with no docs for it tonight")
+  }
+
   test("refreshSplitShards: an entirely-filtered batch no-ops with an empty manifest") {
     val docsA = (0 until 8).map(i => (i.toLong, s"noop corpus doc $i " + ("red green blue " * 30)))
       .toDF("doc_id", "text")
