@@ -53,6 +53,21 @@ object GraftFunctions {
           s"mg_topk capacity must be an integer literal, got $other")
       }
       graft.functions.MisraGriesTopK(exprs.head, cap).toAggregateExpression()
+    },
+    // cdc_cuts(tokens[, win, mask]) → array<int> of 1-based content-
+    // defined cut positions (the text_cdc_chunks boundary rule;
+    // defaults = the gated constants)
+    "cdc_cuts" -> { exprs =>
+      def intLit(e: Expression, what: String): Int = e match {
+        case Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"cdc_cuts $what must be an integer literal, got $other")
+      }
+      val win = if (exprs.length > 1) intLit(exprs(1), "win")
+                else graft.operators.TextAnalysis.CdcWin
+      val mask = if (exprs.length > 2) intLit(exprs(2), "mask")
+                 else graft.operators.TextAnalysis.CdcMask
+      graft.functions.CdcCuts(exprs.head, win, mask)
     })
 
   /** Register on an already-running session (temp functions). */

@@ -77,5 +77,20 @@ class SinksAndSqlSpec extends AnyFunSuite {
         |""".stripMargin).selectExpr("explode(hh) AS e").selectExpr("e.token", "e.est")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(hh == Map("a" -> 3L, "b" -> 2L, "c" -> 1L)) // capacity ≥ distinct → exact
+
+    // the native CDC cut finder is SQL-reachable and matches the
+    // operator's shared frame rule (default win/mask = the gated
+    // constants; explicit literals accepted)
+    val toks = (0 until 40).map(i => s"tok$i")
+    val cutsSql = spark.sql(
+      s"SELECT cdc_cuts(array(${toks.map("'" + _ + "'").mkString(",")})) AS c")
+      .selectExpr("explode(c) AS p").collect().map(_.getInt(0)).toSeq
+    val frame = graft.operators.TextAnalysis.cdcChunkFrame(
+      spark.createDataFrame(Seq((1L, toks.mkString(" ")))).toDF("doc_id", "text"))
+      .selectExpr("n_tokens").collect().map(_.getLong(0)).toSeq
+    // the cut positions partition the 40 tokens into the frame's chunks
+    assert(cutsSql.sorted == cutsSql && cutsSql.forall(p => p >= 4 && p <= 40))
+    assert(frame.sum == 40 && frame.length == cutsSql.length + 1,
+      s"cuts $cutsSql must split 40 tokens into ${frame.length} chunks")
   }
 }
