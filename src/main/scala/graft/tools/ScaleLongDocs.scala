@@ -58,6 +58,27 @@ object ScaleLongDocs {
     time("token_histogram 10MB docs")(TextAnalysis.tokenHistogram(spark, dir).count())
     time("chunk_windows 10MB docs")(TextAnalysis.chunkWindows(spark, dir).count())
     time("dedup_exact 10MB docs")(Dedup.exact(spark, dir).count())
+    // CDC chunk dedup on monsters (round 17): the per-doc stage builds
+    // the cut array AND every chunk string inside one row's expression
+    // tree — per-row memory is O(doc), the same class as the token
+    // array itself. The exact-dup monster pairs must collapse at chunk
+    // granularity (first-occurrence keeps ~all of doc A, cuts ~all of
+    // its byte-identical twin), proving the rule holds at 1.4 M tokens
+    // per row, not just gate-sized docs.
+    locally {
+      val t0 = System.nanoTime()
+      val cdc = graft.operators.Curation.cdcChunkDedup(spark, dir)
+        .filter(col("doc_id") >= 100000L)
+        .select(col("doc_id"), col("n_chunks"), col("n_kept"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      println(f"[scale] cdc_chunk_dedup 10MB docs: ${(System.nanoTime() - t0) / 1e9}%.2f s  " +
+        cdc.map { case (d, n, k) => s"$d:$k/$n" }.mkString(" "))
+      val byId = cdc.map(c => c._1 -> c).toMap
+      require(byId(100001L)._3 * 20 < byId(100001L)._2,
+        s"an exact 10MB twin must lose >95% of its chunks: ${byId(100001L)}")
+      require(byId(100000L)._2 == byId(100000L)._3,
+        "the first occurrence keeps everything")
+    }
 
     // pipeline + clusters with doc-length-aware spread OFF vs ON —
     // placement-only change, so cluster assignments must be identical
