@@ -67,6 +67,13 @@ object GraftFunctions {
                 else graft.operators.TextAnalysis.CdcWin
       val mask = if (exprs.length > 2) intLit(exprs(2), "mask")
                  else graft.operators.TextAnalysis.CdcMask
+      // validate at ANALYSIS, not inside executor tasks (advice r17):
+      // mask=0 would throw ArithmeticException mid-job, win<=0 would
+      // silently hash empty windows
+      if (win < 1) throw new IllegalArgumentException(
+        s"cdc_cuts win must be >= 1, got $win")
+      if (mask < 1) throw new IllegalArgumentException(
+        s"cdc_cuts mask must be >= 1, got $mask")
       graft.functions.CdcCuts(exprs.head, win, mask)
     })
 

@@ -62,9 +62,17 @@ object CdcCuts {
     while (j <= n) {
       sb.setLength(0)
       var i = j - win
+      var first = true
       while (i < j) {
-        if (i > j - win) sb.append(' ')
-        sb.append(tokens.getUTF8String(i).toString)
+        // skip null elements WITH their delimiter — exactly what the
+        // declarative twin's array_join(…, ' ') does (advice r17: the
+        // old getUTF8String on a null slot NPE'd inside executor tasks,
+        // a bit-compat divergence outside the gated all-non-null frame)
+        if (!tokens.isNullAt(i)) {
+          if (!first) sb.append(' ')
+          sb.append(tokens.getUTF8String(i).toString)
+          first = false
+        }
         i += 1
       }
       md.reset()

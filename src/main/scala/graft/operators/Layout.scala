@@ -254,8 +254,15 @@ private[graft] object Layout {
                 catch {
                   case _: InterruptedException => throw new InterruptedException
                   case _: Exception =>
-                    try fs.create(marker, true).close()
-                    catch { case _: Exception => () }
+                    // re-check the flag INSIDE the fallback (advice r17):
+                    // the owner's finally block may have just deleted the
+                    // marker — a blind re-create here would resurrect it
+                    // after the final delete, leaving an orphan lease that
+                    // parks the next caller for a full leaseMs
+                    if (beat.get()) {
+                      try fs.create(marker, true).close()
+                      catch { case _: Exception => () }
+                    }
                 }
                 var slept = 0L
                 while (beat.get() && slept < leaseMs / 4) {
@@ -268,6 +275,10 @@ private[graft] object Layout {
           try { if (!storeReady(spark, readyPath)) build }
           finally {
             beat.set(false); t.interrupt()
+            // join (bounded) BEFORE deleting: the beat thread may be inside
+            // fs.setTimes — its FileNotFound fallback would otherwise race
+            // the delete below and resurrect the marker (advice r17)
+            try t.join(5000L) catch { case _: InterruptedException => () }
             try fs.delete(marker, false)
             catch { case _: java.io.IOException => () }
           }
@@ -289,7 +300,12 @@ private[graft] object Layout {
                 s"(lease $marker; delete it if the builder is hung)")
             }
             Thread.sleep(pollMs)
-          case None => () // released between our create and stat: retry
+          case None =>
+            // released between our create-failure and stat: retry, but
+            // SLEEP first (advice r17) — two waiters racing a repeatedly
+            // failing create/delete cycle must not busy-spin FS calls;
+            // the next iteration re-checks _SUCCESS anyway
+            Thread.sleep(pollMs)
         }
       }
     }
@@ -321,11 +337,16 @@ private[graft] object Layout {
   // is the key with its stateTag(s) blanked, so generations of the same
   // (corpus, constants) line up and DIFFERENT corpora sharing a family
   // never count against each other's keepNewest quota. The tag shape is
-  // "<mtime-millis>h<listing-hash-hex>"; requiring ≥9 digits (epoch
-  // millis are 13) keeps constant suffixes like "_b16" or "_pk32x4"
-  // from being blanked into a false shared group
+  // "<mtime-millis>h<listing-hash-hex>" (13-digit epoch millis, 1-8 hex
+  // chars from Integer.toHexString), ALWAYS underscore-delimited in the
+  // keys the store sites build. Anchoring to those delimiters (advice
+  // r17) keeps the blanking from matching INSIDE the sanitized
+  // corpus-dir portion (an epoch-stamped dir name like
+  // "dump_1700000000000habcd_v2" would otherwise merge two distinct
+  // corpora into one group — with keepNewest=1 the older corpus's only
+  // live generation becomes deletable as a "superseded" sibling)
   private def gcGroup(key: String): String =
-    key.replaceAll("\\d{9,}h[0-9a-f]+", "*")
+    key.replaceAll("(^|_)\\d{13}h[0-9a-f]{1,8}(?=_|$)", "$1*")
 
   /** Delete stale store generations under [[cacheRoot]]. A key-dir is
     * deleted iff ALL of: (a) it is not among the `keepNewest` most

@@ -246,6 +246,43 @@ class LayoutSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.cache.root")
   }
 
+  test("gcStores grouping: an epoch-stamped corpus-dir name is NOT blanked into a shared group (r17 advice)") {
+    import graft.operators.Layout
+    import org.apache.hadoop.fs.Path
+    val root = java.nio.file.Files.createTempDirectory("gcroot3").toString
+    spark.conf.set("spark.graft.cache.root", root)
+    try {
+      val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val now = System.currentTimeMillis()
+      def mk(key: String, ageMs: Long): Path = {
+        val kd = new Path(s"$root/clusters_cache/$key")
+        fs.mkdirs(kd)
+        val succ = new Path(kd, "_SUCCESS")
+        fs.create(succ, true).close()
+        fs.setTimes(succ, now - ageMs, -1)
+        fs.setTimes(kd, now - ageMs, -1)
+        kd
+      }
+      // two DISTINCT corpora whose sanitized dir names carry a 10-digit
+      // epoch-seconds stamp + short hex (a dated dump dir, the common
+      // real shape); only the trailing 13-digit stateTag is a real tag.
+      // The unanchored pattern blanked the dir stamp too, merging both
+      // into one group — keepNewest=1 then deleted the older corpus's
+      // ONLY generation as a "superseded sibling" (data loss)
+      val olderCorpus = mk("dump_1700000000habc_1800000000000haaaaaaaa_df100", 10 * 86400000L)
+      val newerCorpus = mk("dump_1700000099hdef_1800000000999hbbbbbbbb_df100", 1000L)
+      val rep = Layout.gcStores(spark, maxAgeMs = 86400000L, keepNewest = 1)
+      def action(k: String) = rep.find(_.key == k).map(_.action)
+      assert(fs.exists(olderCorpus) &&
+        action("dump_1700000000habc_1800000000000haaaaaaaa_df100").contains("kept-newest"),
+        s"each corpus is its own group — the older corpus's only generation must be its group's newest: $rep")
+      assert(fs.exists(newerCorpus))
+      // and the groups really are distinct in the report
+      val groups = rep.map(_.group).toSet
+      assert(groups.size == 2, s"expected 2 distinct GC groups, got $groups")
+    } finally spark.conf.unset("spark.graft.cache.root")
+  }
+
   test("partitioned corpus layout: directory pruning + content round-trip") {
     val sf = "/root/testdata/sf0.001"
     val docs = spark.read.parquet(s"$sf/documents.parquet")

@@ -168,4 +168,25 @@ class NativeExprPropertySpec extends AnyFunSuite {
       assert(diff.isEmpty, s"cut mismatch on ${diff.take(3).mkString("; ")}")
     }
   }
+
+  test("CdcCuts: null array elements match array_join semantics (skipped with their delimiter), no NPE") {
+    import spark.implicits._
+    // arrays with nulls in every position class: leading, interior,
+    // trailing, all-null, null inside the first window
+    val rows: Seq[(Long, Seq[String])] = Seq(
+      (1L, Seq(null, "a", "b", "c", "d", "e", "f")),
+      (2L, Seq("a", "b", null, "c", "d", null, "e", "f", "g")),
+      (3L, Seq("a", "b", "c", "d", "e", null)),
+      (4L, Seq(null, null, null, null, null)),
+      (5L, (0 until 30).map(i => if (i % 5 == 0) null else s"w$i")))
+    val base = rows.toDF("doc_id", "t")
+    val diff = base.select(col("doc_id"),
+        graft.functions.CdcCuts.of(col("t"),
+          graft.operators.TextAnalysis.CdcWin,
+          graft.operators.TextAnalysis.CdcMask).as("native"),
+        graft.operators.TextAnalysis.cdcCutsComposable.as("hof"))
+      .filter(not(col("native") <=> col("hof")))
+      .collect()
+    assert(diff.isEmpty, s"null-element cut mismatch on ${diff.take(3).mkString("; ")}")
+  }
 }

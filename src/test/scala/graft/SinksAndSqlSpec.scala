@@ -92,5 +92,17 @@ class SinksAndSqlSpec extends AnyFunSuite {
     assert(cutsSql.sorted == cutsSql && cutsSql.forall(p => p >= 4 && p <= 40))
     assert(frame.sum == 40 && frame.length == cutsSql.length + 1,
       s"cuts $cutsSql must split 40 tokens into ${frame.length} chunks")
+
+    // win/mask are validated at ANALYSIS time — a bad literal fails the
+    // query plan, not an executor task mid-job (r17 advice)
+    for (bad <- Seq("cdc_cuts(array('a','b'), 0, 8)",
+                    "cdc_cuts(array('a','b'), 4, 0)",
+                    "cdc_cuts(array('a','b'), -1, -2)")) {
+      val e = intercept[Exception](spark.sql(s"SELECT $bad").collect())
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(e).exists(c => c.isInstanceOf[IllegalArgumentException] &&
+        c.getMessage.contains("cdc_cuts")), s"expected analysis-time rejection for $bad, got $e")
+    }
   }
 }
