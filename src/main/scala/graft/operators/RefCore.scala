@@ -48,9 +48,23 @@ object RefCore {
   private val filenameSql =
     "'paper_' || printf('%04d', sample_rank) || '.md'"
 
-  /** Per-sfDir scratch dir for file-sink round trips. */
-  private def scratch(dir: String, name: String): String =
-    s"target/tmp/${name}_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+  /** Per-sfDir scratch dir for file-sink round trips — under the
+    * conf-able cache root (round 18; the last caller family still
+    * spelling `target/tmp` inline after the round-17 store-cache
+    * port — on a cluster the gate scratch must land on a shared FS
+    * like everything else). */
+  private def scratch(spark: SparkSession, dir: String, name: String): String =
+    s"${Layout.cacheRoot(spark)}/${name}_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+
+  /** Driver-side fixture write through the path's own Hadoop FS (so a
+    * non-local cache root works; Hadoop `create` makes parent dirs). */
+  private def putText(spark: SparkSession, path: String, body: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(p, true)
+    try os.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally os.close()
+  }
 
   // ---- 1. schema inspection + column-role detection -------------------
   def schemaColumns(spark: SparkSession, dir: String): DataFrame = {
@@ -95,16 +109,14 @@ object RefCore {
 
   // ---- 4. CISI source round-trip --------------------------------------
   def cisiRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val fixture = scratch(dir, "cisi") + "/corpus.all"
+    val fixture = scratch(spark, dir, "cisi") + "/corpus.all"
     val rows = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
       .orderBy(col("doc_id")).limit(500)
       .collect()  // fixture generation only (≤500 docs); the parse below is distributed
       .map(r => (r.getLong(0) + 1,
         s"doc ${r.getLong(0)} title", s"author_${r.getLong(0) % 7}", r.getString(1)))
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(fixture).getParent)
-    java.nio.file.Files.write(java.nio.file.Paths.get(fixture),
-      CisiSource.renderCisi(rows.toIndexedSeq).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    putText(spark, fixture, CisiSource.renderCisi(rows.toIndexedSeq))
     CisiSource.read(spark, fixture)
       .select(
         (col("cisi_id") - 1).as("doc_id"),
@@ -130,7 +142,7 @@ object RefCore {
   // itself carries no CSV-special characters); the oracle recomputes the
   // same decoration.
   def wikirRawRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val root = scratch(dir, "wikir_raw")
+    val root = scratch(spark, dir, "wikir_raw")
     val rows = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
       .orderBy(col("doc_id")).limit(500)
@@ -138,12 +150,7 @@ object RefCore {
       .map(r => (r.getLong(0), r.getString(1) + ", \"q" + (r.getLong(0) % 5) + "\""))
     val queries = (0L to 19L).map(q => (q, s"synthetic query $q"))
     val qrels = rows.map(_._1).map(id => (id % 20, id, 1 + id % 3)).toIndexedSeq
-    def put(path: String, body: String): Unit = {
-      val p = java.nio.file.Paths.get(path)
-      java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.write(p,
-        body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    }
+    def put(path: String, body: String): Unit = putText(spark, path, body)
     put(s"$root/documents.csv",
       WikirRawSource.renderDocumentsCsv(rows.toIndexedSeq))
     put(s"$root/validation/queries.csv",
@@ -218,10 +225,12 @@ object RefCore {
 
   // ---- 8. end-to-end extract pipeline → file manifest -----------------
   def extractManifest(spark: SparkSession, dir: String): DataFrame = {
-    val outDir = scratch(dir, "extract")
-    // clean slate so stale files can't pollute the manifest
-    val root = new java.io.File(outDir)
-    if (root.exists()) root.listFiles().foreach(_.delete())
+    val outDir = scratch(spark, dir, "extract")
+    // clean slate so stale files can't pollute the manifest (through
+    // the dir's own Hadoop FS, like the sink it feeds)
+    val rootP = new org.apache.hadoop.fs.Path(outDir)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(rootP)) fs.listStatus(rootP).foreach(s => fs.delete(s.getPath, true))
     val rendered = Sampling.sampleN(Tables.documents(spark, dir), col("doc_id"), 100)
       .select(filenameColumn.as("filename"), mdColumn.as("content"))
     MarkdownFileSink.write(rendered, outDir)
@@ -289,7 +298,7 @@ object RefCore {
   // pinned schema (the driver compare is type-strict). ---------------
   def jsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val out = scratch(dir, "jsonl") + "/docs"
+    val out = scratch(spark, dir, "jsonl") + "/docs"
     graft.sources.JsonlSource.write(Tables.documents(spark, dir), out)
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType),
@@ -315,7 +324,7 @@ object RefCore {
   // pinned schema under the driver's type-strict compare). -----------
   def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val out = scratch(dir, "csv") + "/docs"
+    val out = scratch(spark, dir, "csv") + "/docs"
     graft.sources.CsvSource.write(Tables.documents(spark, dir), out)
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType),
@@ -338,7 +347,7 @@ object RefCore {
   // payload bytes survives; embedded header-lookalike text cannot
   // break record framing) and that extension headers roundtrip. ------
   def warcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = scratch(dir, "warc") + "/docs"
+    val out = scratch(spark, dir, "warc") + "/docs"
     val recs = Tables.documents(spark, dir).select(
       lit("conversion").as("warc_type"),
       concat(lit("http://example.org/doc/"), col("doc_id")).as("target_uri"),

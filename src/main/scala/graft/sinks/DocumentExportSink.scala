@@ -1,13 +1,18 @@
 package graft.sinks
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.util.SerializableConfiguration
+import org.apache.hadoop.fs.Path
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
 
 /** Per-document export sink with pluggable renderers — the Spark-side
   * equivalent of the reference's wikir→PDF export (api.py:193-383):
   * title fallback, ASCII sanitization, 50 000-char truncation, one
   * output file per document, written partition-parallel.
+  *
+  * Like [[MarkdownFileSink]] (round 18), all I/O goes through the
+  * Hadoop FileSystem of the output dir's URI — the export lands on the
+  * shared FS the path names, not on each executor's local disk.
   */
 object DocumentExportSink {
 
@@ -37,17 +42,28 @@ object DocumentExportSink {
     * (`prefix_{doc_id}.{ext}`, api.py:248). Returns the manifest. */
   def export(df: DataFrame, outputDir: String, renderer: Renderer,
              prefix: String = "doc"): DataFrame = {
-    Files.createDirectories(Paths.get(outputDir))
     val spark = df.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val out = new Path(outputDir)
+    val driverFs = MarkdownFileSink.rawFs(out, hconf)
+    driverFs.mkdirs(out)
+    val qualified = driverFs.makeQualified(out).toString
+    val confBc = spark.sparkContext.broadcast(new SerializableConfiguration(hconf))
     df.select("doc_id", "title", "content").foreachPartition {
       (rows: Iterator[org.apache.spark.sql.Row]) =>
-        rows.foreach { r =>
-          val docId = r.getLong(0)
-          val title = Option(r.getString(1)).filter(_.nonEmpty)
-            .getOrElse(s"Document $docId") // api.py:263-268 fallback
-          val bytes = renderer.render(title, docId, Option(r.getString(2)).getOrElse(""))
-          Files.write(
-            Paths.get(outputDir, s"${prefix}_$docId.${renderer.extension}"), bytes)
+        if (rows.hasNext) {
+          val dir = new Path(qualified)
+          val fs = MarkdownFileSink.rawFs(dir, confBc.value.value)
+          rows.foreach { r =>
+            val docId = r.getLong(0)
+            val title = Option(r.getString(1)).filter(_.nonEmpty)
+              .getOrElse(s"Document $docId") // api.py:263-268 fallback
+            val bytes = renderer.render(title, docId, Option(r.getString(2)).getOrElse(""))
+            val os = fs.create(
+              new Path(dir, s"${prefix}_$docId.${renderer.extension}"), true)
+            try os.write(bytes)
+            finally os.close()
+          }
         }
     }
     MarkdownFileSink.manifest(spark, outputDir)

@@ -1,8 +1,10 @@
 package graft.sinks
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.util.SerializableConfiguration
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{ChecksumFileSystem, FileSystem, Path}
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
 
 /** Distributed per-document file writer (replaces the reference's
   * driver-side row loop, main.py:75-103).
@@ -13,32 +15,72 @@ import java.nio.file.{Files, Paths}
   * (task retries overwrite the same target file), which is exactly the
   * reference's `open(..., 'w')` semantics.
   *
-  * Local-FS oriented (matches the reference); an object-store variant
-  * would swap `Files.write` for the Hadoop FileSystem API — the Spark
-  * side (partition-parallel foreachPartition) is unchanged.
+  * Round 18: writes and listings go through the HADOOP FILESYSTEM of
+  * the output dir's own URI instead of `java.nio.file.Files` /
+  * `java.io.File`. The java.nio form was correct only when every
+  * executor's local disk IS the destination (local[*]); on a real
+  * cluster the per-document export — the engine's core reference
+  * deliverable — landed scattered across executors' local disks,
+  * invisible to the driver's manifest and the `/api/files` surface
+  * (the same bug class round 17 closed for the store caches, one
+  * layer up). The path is QUALIFIED once on the driver, so executors
+  * resolve the same absolute destination regardless of their working
+  * directory or default FS; `file:` / bare-path behavior is unchanged
+  * (same dirs, same bytes, no checksum sidecars — see [[rawFs]]).
   */
 object MarkdownFileSink {
 
+  /** The FS to WRITE through: unwrap Hadoop's client-side checksum
+    * wrapper (local `file:` paths resolve to ChecksumFileSystem, whose
+    * create() drops a `.name.crc` sidecar next to every file — the
+    * export dir must hold exactly one file per document, byte-identical
+    * to the old java.nio writer). Unwrapping only our own handle never
+    * touches the JVM-cached instance other writers share. HDFS and
+    * object-store FSs pass through untouched. */
+  private[sinks] def rawFs(p: Path, conf: Configuration): FileSystem =
+    p.getFileSystem(conf) match {
+      case c: ChecksumFileSystem => c.getRawFileSystem
+      case other => other
+    }
+
   def write(df: DataFrame, outputDir: String): Unit = {
-    Files.createDirectories(Paths.get(outputDir))
+    val spark = df.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val out = new Path(outputDir)
+    val driverFs = rawFs(out, hconf)
+    driverFs.mkdirs(out)
+    // qualify on the DRIVER: executors must write the driver's
+    // destination, not a path relative to their own CWD/default FS
+    val qualified = driverFs.makeQualified(out).toString
+    val confBc = spark.sparkContext.broadcast(new SerializableConfiguration(hconf))
     df.select("filename", "content").foreachPartition {
       (rows: Iterator[org.apache.spark.sql.Row]) =>
-        rows.foreach { r =>
-          val target = Paths.get(outputDir, r.getString(0))
-          Files.write(target, r.getString(1).getBytes(StandardCharsets.UTF_8))
+        if (rows.hasNext) {
+          val dir = new Path(qualified)
+          val fs = rawFs(dir, confBc.value.value)
+          rows.foreach { r =>
+            val os = fs.create(new Path(dir, r.getString(0)), true)
+            try os.write(r.getString(1).getBytes(StandardCharsets.UTF_8))
+            finally os.close()
+          }
         }
     }
   }
 
   /** Manifest of an output directory as a DataFrame — the `/api/files`
-    * surface (api.py:167-179). Driver-side FS listing, like the API. */
+    * surface (api.py:167-179). Driver-side FS listing, like the API;
+    * a missing directory answers an empty manifest (the API's
+    * no-files-yet state, not an error). */
   def manifest(spark: SparkSession, outputDir: String): DataFrame = {
     import spark.implicits._
-    val dir = new java.io.File(outputDir)
-    val files = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(_.isFile)
-      .map(f => (f.getName, f.length()))
-      .toSeq.sortBy(_._1)
+    val p = new Path(outputDir)
+    val fs = rawFs(p, spark.sparkContext.hadoopConfiguration)
+    val files =
+      (try fs.listStatus(p).toSeq
+       catch { case _: java.io.FileNotFoundException => Seq.empty })
+        .filter(_.isFile)
+        .map(s => (s.getPath.getName, s.getLen))
+        .sortBy(_._1)
     files.toDF("filename", "n_bytes")
   }
 }

@@ -26,6 +26,50 @@ class SinksAndSqlSpec extends AnyFunSuite {
     assert(f8.contains("(Document 8)") && f8.contains("(unicode_ body)"))
   }
 
+  test("file sinks write through the Hadoop FS of an explicit file: URI — manifest round-trips, no checksum sidecars") {
+    import graft.sinks.MarkdownFileSink
+    // an EXPLICIT URI root: on a cluster this is the hdfs://-s3a:// case
+    // (the old java.nio writer landed files on each executor's local
+    // disk instead); file: keeps the spec hermetic while exercising the
+    // same Hadoop-FS code path
+    val local = java.nio.file.Files.createTempDirectory("hfsink").toString
+    val out = "file:" + local + "/export"
+    val docs = Seq(
+      ("a.md", "alpha content\n"),
+      ("b.md", "béta ünïcode content\n"), // multi-byte: n_bytes must be BYTE length
+      ("c.md", "")).toDF("filename", "content")
+    MarkdownFileSink.write(docs, out)
+    // bytes land at the URI's target, byte-identical to the old writer
+    val aPath = java.nio.file.Paths.get(local, "export", "a.md")
+    assert(new String(java.nio.file.Files.readAllBytes(aPath), "UTF-8") == "alpha content\n")
+    val bBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(local, "export", "b.md"))
+    assert(bBytes.length == "béta ünïcode content\n".getBytes("UTF-8").length)
+    // exactly one file per document — no .crc checksum sidecars
+    val listed = new java.io.File(local, "export").listFiles().map(_.getName).sorted.toSeq
+    assert(listed == Seq("a.md", "b.md", "c.md"), s"unexpected dir content: $listed")
+    // manifest (the /api/files surface) round-trips through the Hadoop listing
+    val m = MarkdownFileSink.manifest(spark, out)
+      .as[(String, Long)].collect().sortBy(_._1).toSeq
+    assert(m == Seq(("a.md", 14L), ("b.md", bBytes.length.toLong), ("c.md", 0L)))
+    // idempotence: a re-write (task retry semantics) overwrites in place
+    MarkdownFileSink.write(docs, out)
+    assert(MarkdownFileSink.manifest(spark, out).count() == 3)
+    // a missing dir answers an empty manifest, not an error
+    assert(MarkdownFileSink.manifest(spark, "file:" + local + "/nope").count() == 0)
+    // DocumentExportSink through the same URI root
+    val pdfOut = "file:" + local + "/pdf"
+    val pdocs = Seq((7L, "T", "body")).toDF("doc_id", "title", "content")
+    val pm = DocumentExportSink.export(pdocs, pdfOut, DocumentExportSink.PdfRenderer)
+      .as[(String, Long)].collect().toSeq
+    assert(pm.map(_._1) == Seq("doc_7.pdf"))
+    val pdfBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(local, "pdf", "doc_7.pdf"))
+    assert(pm.head._2 == pdfBytes.length.toLong &&
+      new String(pdfBytes.take(8), "US-ASCII") == "%PDF-1.4")
+    assert(new java.io.File(local, "pdf").listFiles().map(_.getName).toSeq == Seq("doc_7.pdf"))
+  }
+
   test("PDF writer: page tree, xref, pagination, and escaping are structurally valid") {
     // short doc = one page
     val one = new String(graft.sinks.Pdf.render("T", 1L, "short"), "US-ASCII")
