@@ -177,9 +177,10 @@ object Curation {
     import spark.implicits._
     val docsPath = s"$dir/documents.parquet"
     val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${Layout.stateTag(spark, docsPath)}"
-    val path = s"${Layout.cacheRoot(spark)}/winnow_probe_cache/$key"
-    Layout.buildOnce(spark, path) {
-      winnowProbeFpInline(spark, dir).write.mode("overwrite").parquet(path)
+    // generation protocol (round 18): fresh gen-dir + _CURRENT commit
+    val path = Layout.generation(spark,
+      s"${Layout.cacheRoot(spark)}/winnow_probe_cache/$key") { g =>
+      winnowProbeFpInline(spark, dir).write.parquet(g)
     }
     spark.read.parquet(path)
   }
@@ -1315,9 +1316,9 @@ object Curation {
   }
 
   private[graft] def releaseV2FrameCached(spark: SparkSession, dir: String): DataFrame = {
-    val path = releaseV2CachePath(spark, dir)
-    Layout.buildOnce(spark, path) {
-      releaseV2Frame(spark, dir).write.mode("overwrite").parquet(path)
+    // generation protocol (round 18): fresh gen-dir + _CURRENT commit
+    val path = Layout.generation(spark, releaseV2CachePath(spark, dir)) { g =>
+      releaseV2Frame(spark, dir).write.parquet(g)
     }
     spark.read.parquet(path)
   }

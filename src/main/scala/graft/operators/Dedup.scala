@@ -485,10 +485,12 @@ object Dedup {
     val docsPath = s"$dir/documents.parquet"
     val maxDf = effectiveMaxShingleDf(spark)
     val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${Layout.stateTag(spark, docsPath)}_df$maxDf"
-    val path = s"${Layout.cacheRoot(spark)}/clusters_cache/$key"
-    Layout.buildOnce(spark, path) {
-      dedupClustersOf(spark, dir, ordered = false)
-        .write.mode("overwrite").parquet(path)
+    // generation protocol (round 18): each build lands in its own fresh
+    // gen-dir and commits via the _CURRENT pointer — object-store-exact
+    // (a lost lease race costs a duplicate build, never a torn store)
+    val path = Layout.generation(spark,
+      s"${Layout.cacheRoot(spark)}/clusters_cache/$key") { g =>
+      dedupClustersOf(spark, dir, ordered = false).write.parquet(g)
     }
     spark.read.parquet(path)
   }

@@ -223,15 +223,29 @@ private[graft] object Layout {
     val lock = buildLocks.computeIfAbsent(readyPath, _ => new Object)
     lock.synchronized {
       if (storeReady(spark, readyPath)) return
+      leaseLoop(spark, s"${readyPath}__building",
+        done = () => storeReady(spark, readyPath)) {
+        if (!storeReady(spark, readyPath)) build
+      }
+    }
+  }
+
+  /** The lease engine shared by [[buildOnce]] and [[generation]]: poll
+    * `done`; if not done, race on the atomic create of `markerPath`;
+    * the winner runs `work` under a heartbeat and releases the marker;
+    * losers wait for `done`, taking over a stale (dead-builder) lease.
+    * Callers hold their own in-JVM lock and have re-checked `done`. */
+  private def leaseLoop(spark: SparkSession, markerPath: String,
+                        done: () => Boolean)(work: => Unit): Unit = {
       val conf = spark.sparkContext.hadoopConfiguration
-      val marker = new org.apache.hadoop.fs.Path(s"${readyPath}__building")
+      val marker = new org.apache.hadoop.fs.Path(markerPath)
       val fs = marker.getFileSystem(conf)
       val leaseMs = spark.conf.getOption("spark.graft.cache.leaseMs")
         .map(_.toLong).getOrElse(600000L)
       val pollMs = math.max(50L, math.min(leaseMs / 8, 500L))
       var warned = false
       while (true) {
-        if (storeReady(spark, readyPath)) return // another builder finished
+        if (done()) return // another builder finished
         val acquired =
           try { fs.create(marker, false).close(); true }
           catch { case _: java.io.IOException => false }
@@ -270,9 +284,9 @@ private[graft] object Layout {
                 }
               }
             } catch { case _: InterruptedException => () } // released: exit
-          }, s"graft-build-lease-$readyPath")
+          }, s"graft-build-lease-$markerPath")
           t.setDaemon(true); t.start()
-          try { if (!storeReady(spark, readyPath)) build }
+          try { if (!done()) work }
           finally {
             beat.set(false); t.interrupt()
             // join (bounded) BEFORE deleting: the beat thread may be inside
@@ -296,7 +310,7 @@ private[graft] object Layout {
           case Some(_) =>
             if (!warned) {
               warned = true
-              println(s"[graft] waiting on concurrent store build: $readyPath " +
+              println(s"[graft] waiting on concurrent store build " +
                 s"(lease $marker; delete it if the builder is hung)")
             }
             Thread.sleep(pollMs)
@@ -308,6 +322,108 @@ private[graft] object Layout {
             Thread.sleep(pollMs)
         }
       }
+  }
+
+  // ---- generation-directory commit (round 18) --------------------------
+  // buildOnce's cross-process guarantee rests on fs.create(overwrite =
+  // false) being ATOMIC — true on local/HDFS/ABFS, advisory on S3-family
+  // object stores, where two cold writers can both "win" and tear the
+  // SAME directories with interleaved mode("overwrite") writes. The
+  // generation protocol removes the shared mutable directory entirely:
+  // every builder writes into its OWN fresh `gen-<token>` subdir of the
+  // key-dir (no two writers ever touch the same files), and COMMITS by
+  // writing the tiny `_CURRENT` pointer file last. A lost lease race now
+  // costs a duplicate build (two complete generations, one wins), never
+  // a torn store. Readers resolve the pointer; a torn/dangling/absent
+  // pointer (a non-atomic pointer write on HDFS, a crash between gen
+  // completion and pointer write) falls back to the newest COMPLETE
+  // generation by token order — both complete generations of one key are
+  // built from the same corpus state (keys fold the stateTag), so either
+  // answer is the same artifact. GC reclaims losers/uncommitted gens.
+
+  /** Pointer file name inside a generational key-dir. */
+  private[graft] val CurrentPtr = "_CURRENT"
+
+  private def genReadyPath(genDir: String, readyTable: String): String =
+    if (readyTable.isEmpty) s"$genDir/_SUCCESS" else s"$genDir/$readyTable/_SUCCESS"
+
+  /** The committed generation dir of the store at `keyDir`, if any —
+    * `_CURRENT` pointer first, newest complete `gen-*` by token order
+    * as the fallback. `readyTable` is the store's last-written table
+    * ("" for single-table stores whose gen dir IS the table). */
+  def resolveGeneration(spark: SparkSession, keyDir: String,
+                        readyTable: String = ""): Option[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val kd = new org.apache.hadoop.fs.Path(keyDir)
+    val fs = kd.getFileSystem(conf)
+    def complete(name: String): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(genReadyPath(s"$keyDir/$name", readyTable)))
+    // fast path: the pointer (one GET + one HEAD)
+    val ptr = new org.apache.hadoop.fs.Path(s"$keyDir/$CurrentPtr")
+    val pointed =
+      try {
+        val in = fs.open(ptr)
+        val name = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                   finally in.close()
+        Some(name).filter(n => n.startsWith("gen-") && complete(n))
+      } catch { case _: java.io.IOException => None }
+    pointed match {
+      case Some(name) => Some(s"$keyDir/$name")
+      case None =>
+        // fallback: newest complete generation by token order (tokens
+        // embed zero-padded epoch millis, so lexicographic max = newest)
+        val gens =
+          try fs.listStatus(kd).toSeq
+          catch { case _: java.io.FileNotFoundException => Seq.empty }
+        gens.map(_.getPath.getName)
+          .filter(n => n.startsWith("gen-") && complete(n))
+          .sorted.lastOption.map(n => s"$keyDir/$n")
+    }
+  }
+
+  /** Resolve-or-build the store at `keyDir` under the generation
+    * protocol. `build(genDir)` must write every table under `genDir`,
+    * finishing with `readyTable` (its `_SUCCESS` marks the generation
+    * complete). Returns the committed generation dir — all reads go
+    * through the returned path. The cross-process lease is reused as a
+    * best-effort duplicate-build suppressor; correctness does not
+    * depend on it. */
+  def generation(spark: SparkSession, keyDir: String, readyTable: String = "")
+                (build: String => Unit): String = {
+    resolveGeneration(spark, keyDir, readyTable) match {
+      case Some(g) => return g
+      case None => ()
+    }
+    val lock = buildLocks.computeIfAbsent(keyDir, _ => new Object)
+    lock.synchronized {
+      resolveGeneration(spark, keyDir, readyTable) match {
+        case Some(g) => return g
+        case None => ()
+      }
+      leaseLoop(spark, s"${keyDir}__building",
+        done = () => resolveGeneration(spark, keyDir, readyTable).isDefined) {
+        val token = f"gen-${System.currentTimeMillis()}%013d-" +
+          java.util.UUID.randomUUID().toString.take(8)
+        val genDir = s"$keyDir/$token"
+        build(genDir)
+        val conf = spark.sparkContext.hadoopConfiguration
+        val ready = new org.apache.hadoop.fs.Path(genReadyPath(genDir, readyTable))
+        val fs = ready.getFileSystem(conf)
+        require(fs.exists(ready),
+          s"generation build finished without completing $ready — " +
+            "build(genDir) must write its tables under the given dir, " +
+            s"ending with '${if (readyTable.isEmpty) "<genDir itself>" else readyTable}'")
+        // COMMIT: the pointer write is the commit point — a tiny
+        // whole-object PUT (atomic replace on object stores; on HDFS a
+        // racing reader of a mid-write pointer falls back to the
+        // newest-complete listing above)
+        val os = fs.create(new org.apache.hadoop.fs.Path(s"$keyDir/$CurrentPtr"), true)
+        try os.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally os.close()
+      }
+      resolveGeneration(spark, keyDir, readyTable).getOrElse(
+        throw new IllegalStateException(
+          s"no committed generation at $keyDir after build"))
     }
   }
 
@@ -387,44 +503,88 @@ private[graft] object Layout {
         s.getPath.getName.endsWith("__building") &&
         now - s.getModificationTime <= leaseMs)
         .map(_.getPath.getName.stripSuffix("__building")).toSet
-      val entries = keyDirs.map { kd =>
+      // (path, report-key, group-key, newest-mtime, shallow-bytes,
+      //  building, complete, parent-key-dir-if-generation)
+      val entries = keyDirs.flatMap { kd =>
         // newest mtime anywhere directly under the key-dir = build time
         // (every table write touches its own dir); one listing deep, no
         // full recursion — object-store friendly
         val children =
           try fs.listStatus(kd.getPath).toSeq catch { case _: java.io.IOException => Seq.empty }
-        val newest = (kd.getModificationTime +: children.map(_.getModificationTime)).max
         val building = siblingLease.contains(kd.getPath.getName) ||
           children.exists(c =>
             c.getPath.getName.endsWith("__building") &&
               now - c.getModificationTime <= leaseMs)
-        // shallow byte sum (direct files only) for KEPT rows — full
-        // recursive summaries of every generation on every run would
-        // walk the whole cache (minutes + thousands of LISTs on an
-        // object store just to decorate a no-op report)
-        val shallow = children.filter(!_.isDirectory).map(_.getLen).sum
-        (kd.getPath, kd.getPath.getName, newest, shallow, building)
-      }
-      for ((group, gen) <- entries.groupBy(e => gcGroup(e._2))) {
-        val byAge = gen.sortBy(-_._3) // newest first
-        byAge.zipWithIndex.foreach { case ((path, key, newest, shallow, building), i) =>
-          val age = now - newest
-          val action =
-            if (building) "kept-building"
-            else if (i < keepNewest && age <= hardMaxAgeMs) "kept-newest"
-            else if (age <= maxAgeMs) "kept-young"
-            else if (dryRun) "would-delete"
-            else "deleted"
-          // exact recursive bytes ONLY for the dirs actually leaving (or
-          // about to): that walk is bounded by the reclaim, not the cache
-          val bytes =
-            if (action == "deleted" || action == "would-delete")
-              try fs.getContentSummary(path).getLength
-              catch { case _: java.io.IOException => shallow }
-            else shallow
-          if (action == "deleted") fs.delete(path, true)
-          out += StoreGcEntry(family, key, group, age, bytes, action)
+        val genDirs = children.filter(c =>
+          c.isDirectory && c.getPath.getName.startsWith("gen-"))
+        if (genDirs.isEmpty) {
+          // in-place store: the key-dir is one generation (round-17 shape)
+          val newest = (kd.getModificationTime +: children.map(_.getModificationTime)).max
+          // shallow byte sum (direct files only) for KEPT rows — full
+          // recursive summaries of every generation on every run would
+          // walk the whole cache (minutes + thousands of LISTs on an
+          // object store just to decorate a no-op report)
+          val shallow = children.filter(!_.isDirectory).map(_.getLen).sum
+          Seq((kd.getPath, kd.getPath.getName, gcGroup(kd.getPath.getName),
+            newest, shallow, building, true, None))
+        } else {
+          // generational store (round 18): each gen-* subdir is one
+          // generation of the SAME corpus group as the key; a key-level
+          // lease protects all its generations. COMPLETE generations
+          // (their _SUCCESS exists) rank ahead of incomplete ones for
+          // the keep-newest quota, so a crashed build's fresh husk can
+          // never shield the live store from keeping its slot.
+          genDirs.map { gd =>
+            val gkids =
+              try fs.listStatus(gd.getPath).toSeq catch { case _: java.io.IOException => Seq.empty }
+            val newest = (gd.getModificationTime +: gkids.map(_.getModificationTime)).max
+            val shallow = gkids.filter(!_.isDirectory).map(_.getLen).sum
+            val tableDirs = gkids.filter(_.isDirectory)
+            val complete = gkids.exists(k => !k.isDirectory && k.getPath.getName == "_SUCCESS") ||
+              (tableDirs.nonEmpty && tableDirs.forall(t =>
+                fs.exists(new org.apache.hadoop.fs.Path(t.getPath, "_SUCCESS"))))
+            (gd.getPath, s"${kd.getPath.getName}/${gd.getPath.getName}",
+              gcGroup(kd.getPath.getName), newest, shallow, building, complete,
+              Some(kd.getPath))
+          }
         }
+      }
+      val deletedGenParents = scala.collection.mutable.Set[org.apache.hadoop.fs.Path]()
+      val keptGenParents = scala.collection.mutable.Set[org.apache.hadoop.fs.Path]()
+      for ((group, gen) <- entries.groupBy(_._3)) {
+        // complete generations first, then newest first — an incomplete
+        // generation never occupies a keep-newest slot
+        val byAge = gen.sortBy(e => (!e._7, -e._4))
+        byAge.zipWithIndex.foreach {
+          case ((path, key, _, newest, shallow, building, complete, parent), i) =>
+            val age = now - newest
+            val action =
+              if (building) "kept-building"
+              else if (i < keepNewest && complete && age <= hardMaxAgeMs) "kept-newest"
+              else if (age <= maxAgeMs) "kept-young"
+              else if (dryRun) "would-delete"
+              else "deleted"
+            // exact recursive bytes ONLY for the dirs actually leaving (or
+            // about to): that walk is bounded by the reclaim, not the cache
+            val bytes =
+              if (action == "deleted" || action == "would-delete")
+                try fs.getContentSummary(path).getLength
+                catch { case _: java.io.IOException => shallow }
+              else shallow
+            if (action == "deleted") fs.delete(path, true)
+            parent.foreach(p =>
+              if (action == "deleted") deletedGenParents += p else keptGenParents += p)
+            out += StoreGcEntry(family, key, group, age, bytes, action)
+        }
+      }
+      // a generational key-dir whose LAST generation just left is an
+      // empty husk (pointer file + nothing to point at) — remove it so
+      // the family listing doesn't accrete dead keys forever
+      for (p <- deletedGenParents -- keptGenParents) {
+        val left =
+          try fs.listStatus(p).toSeq catch { case _: java.io.IOException => Seq.empty }
+        if (!left.exists(c => c.isDirectory && c.getPath.getName.startsWith("gen-")))
+          fs.delete(p, true)
       }
     }
     out.toSeq

@@ -218,8 +218,8 @@ object Retrieval {
     * hybrid serve. */
   private[graft] def bm25Store(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val key = bm25StoreKey(spark, dir)
-    (bm25OpenIndex(spark, dir, key),
-      spark.read.parquet(s"${Layout.cacheRoot(spark)}/bm25_index/$key/stats"))
+    val gen = bm25StoreGen(spark, dir, key)
+    (bm25OpenIndex(spark, dir, key, gen), spark.read.parquet(s"$gen/stats"))
   }
 
   // key = data version (dir+mtime) + every constant BAKED INTO the
@@ -241,9 +241,8 @@ object Retrieval {
     * instead of one-task-per-bucket. The escape hatch
     * [[bm25ServeStored]] takes when pruning cannot help. */
   private[graft] def bm25StoreFlatView(spark: SparkSession, dir: String): DataFrame = {
-    bm25Store(spark, dir)._1 // ensure the store exists
-    spark.read.parquet(Layout.qualified(spark,
-      s"${Layout.cacheRoot(spark)}/bm25_index/${bm25StoreKey(spark, dir)}/postings"))
+    val gen = bm25StoreGen(spark, dir, bm25StoreKey(spark, dir)) // builds if absent
+    spark.read.parquet(Layout.qualified(spark, s"$gen/postings"))
   }
 
   /** Distinct term-bucket ids a query vocabulary hashes into —
@@ -306,38 +305,55 @@ object Retrieval {
     * mtime-keyed cache convention); the catalog entry is per-JVM, so
     * a warm-file/cold-catalog run re-registers the DDL over the
     * existing files instead of re-tokenizing the corpus. */
-  private[graft] def bm25OpenIndex(spark: SparkSession, dir: String,
-                                   key: String): DataFrame = {
+  /** Resolve-or-build the committed bm25 store generation for `key`:
+    * stats first, bucketed postings LAST (its _SUCCESS completes the
+    * generation). Object-store-exact via [[Layout.generation]]. */
+  private[graft] def bm25StoreGen(spark: SparkSession, dir: String,
+                                  key: String): String = {
     val nb = postingsBuckets(spark, dir)
-    val tbl = s"g_bm25_${Layout.rootTag(spark)}_$key".replaceAll("[^A-Za-z0-9_]", "_").toLowerCase
-    val base = s"${Layout.cacheRoot(spark)}/bm25_index/$key"
-    val loc = Layout.qualified(spark, s"$base/postings")
+    Layout.generation(spark,
+      s"${Layout.cacheRoot(spark)}/bm25_index/$key", "postings") { g =>
+      val (p, s) = bm25IndexOf(Tables.documents(spark, dir))
+      s.write.parquet(s"$g/stats")
+      // bucketed writes need saveAsTable; the per-gen build name is
+      // registered here and the serve path below re-derives the same
+      // name from the COMMITTED generation (ours, unless we lost an
+      // advisory-lease race — then the winner's name registers fresh)
+      p.write
+        .bucketBy(nb, "term")
+        .option("path", Layout.qualified(spark, s"$g/postings"))
+        .saveAsTable(bm25Tbl(spark, key, g))
+    }
+  }
+
+  /** Per-generation catalog name: the files are gen-addressed, the
+    * catalog entry is name-addressed — folding the generation token in
+    * (the [[Layout.rootTag]] treatment) means a generation change
+    * mid-session re-registers at the new location instead of serving
+    * the superseded one by name. */
+  private def bm25Tbl(spark: SparkSession, key: String, gen: String): String = {
+    val gtag = Integer.toHexString(gen.substring(gen.lastIndexOf("gen-") + 4).hashCode)
+    s"g_bm25_${Layout.rootTag(spark)}_${key}_$gtag"
+      .replaceAll("[^A-Za-z0-9_]", "_").toLowerCase
+  }
+
+  private[graft] def bm25OpenIndex(spark: SparkSession, dir: String,
+                                   key: String, gen: String): DataFrame = {
+    val nb = postingsBuckets(spark, dir)
+    val tbl = bm25Tbl(spark, key, gen)
+    val loc = Layout.qualified(spark, s"$gen/postings")
     if (!spark.catalog.tableExists(tbl)) {
-      // stats first, postings table LAST: a crash between the writes
-      // leaves no _SUCCESS, so the next run rebuilds instead of
-      // serving a torn cache. buildOnce (round 17) runs the build under
-      // the single-writer lease; if the files were already complete (or
-      // a concurrent builder finished them) it no-ops and the branch
-      // below registers the DDL over the warm files
-      Layout.buildOnce(spark, s"$base/postings") {
-        val (p, s) = bm25IndexOf(Tables.documents(spark, dir))
-        s.write.mode("overwrite").parquet(s"$base/stats")
-        p.write.mode("overwrite")
-          .bucketBy(nb, "term")
-          .option("path", loc)
-          .saveAsTable(tbl)
+      // warm files, cold catalog (new JVM, or another process built the
+      // committed generation): register the bucketed DDL over the
+      // existing files — no rebuild, no re-tokenize
+      try spark.sql(
+        s"""CREATE TABLE $tbl (doc_id BIGINT, dl INT, term STRING, tf BIGINT)
+           USING parquet CLUSTERED BY (term) INTO $nb BUCKETS
+           LOCATION '$loc'""")
+      catch { // a concurrent registrar won the CREATE: serve its entry
+        case e: org.apache.spark.sql.AnalysisException
+          if spark.catalog.tableExists(tbl) => ()
       }
-      if (!spark.catalog.tableExists(tbl))
-        // warm files, cold catalog (new JVM): register the bucketed
-        // DDL over the existing files — no rebuild, no re-tokenize
-        try spark.sql(
-          s"""CREATE TABLE $tbl (doc_id BIGINT, dl INT, term STRING, tf BIGINT)
-             USING parquet CLUSTERED BY (term) INTO $nb BUCKETS
-             LOCATION '$loc'""")
-        catch { // a concurrent registrar won the CREATE: serve its entry
-          case e: org.apache.spark.sql.AnalysisException
-            if spark.catalog.tableExists(tbl) => ()
-        }
     }
     spark.table(tbl)
   }
@@ -415,18 +431,18 @@ object Retrieval {
     // key = data version + constants BAKED INTO the stored lists: their
     // depth (FuseK) and the tokenizer behind the BM25 leg. RrfC/K apply
     // at fuse time over the stored lists, so they don't key the cache.
-    val base = s"${Layout.cacheRoot(spark)}/rrf_lists/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_$mt" +
+    val keyDir = s"${Layout.cacheRoot(spark)}/rrf_lists/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_$mt" +
       s"_f${FuseK}_tok${TextFns.TokVersion}"
-    // guard on the LAST-written list (vec): a crash between writes
-    // leaves it absent → rebuild, never a torn cache; buildOnce
-    // serializes concurrent cold callers (round 17)
-    Layout.buildOnce(spark, s"$base/vec") {
+    // completeness gates on the LAST-written list ("vec"): a crashed
+    // build leaves an incomplete generation → rebuild, never a torn
+    // cache. Generation protocol (round 18): own gen-dir + _CURRENT
+    val base = Layout.generation(spark, keyDir, "vec") { g =>
       bm25Ranked(spark, dir, FuseK)
         .select(col("qid"), col("doc_id").as("id"), col("rn"))
-        .write.mode("overwrite").parquet(s"$base/text")
+        .write.parquet(s"$g/text")
       Similarity.cosineRanked(spark, dir, NQ, FuseK)
         .select(col("qid"), col("nid").as("id"), col("rn"))
-        .write.mode("overwrite").parquet(s"$base/vec")
+        .write.parquet(s"$g/vec")
     }
     rrfFuseOf(Seq(
       spark.read.parquet(s"$base/text"),

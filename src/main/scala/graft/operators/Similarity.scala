@@ -927,8 +927,8 @@ object Similarity {
     // multi-top layout so a stored two-table index never serves it
     val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${Layout.stateTag(spark, embPath)}" +
       s"_pk${Ivf2K1}x${Ivf2K2}i${Ivf2Iters}ts"
-    val base = s"${Layout.cacheRoot(spark)}/ivf2_index/$key"
-    ivf2WriteIndex(spark, dir, base)
+    val base = ivf2WriteIndex(spark, dir,
+      s"${Layout.cacheRoot(spark)}/ivf2_index/$key")
     ivf2Of(ivf2ReadCells(spark, base),
       spark.read.parquet(s"$base/subbooks"),
       spark.read.parquet(s"$base/tops"))
@@ -942,17 +942,16 @@ object Similarity {
     * becomes file-level partition pruning — a probe of p pairs reads
     * p sub-cell directories of vectors, never the whole store. */
   private[graft] def ivf2WriteIndex(spark: SparkSession, dir: String,
-                                    base: String): Unit =
-    // guard on the LAST-written table: a crash between writes leaves it
-    // absent, so the next run rebuilds instead of serving a torn cache.
-    // buildOnce (round 17) additionally serializes concurrent cold
-    // callers — one builds, the rest wait on its _SUCCESS
-    Layout.buildOnce(spark, s"$base/tops") {
+                                    keyDir: String): String =
+    // completeness gates on the LAST-written table ("tops"): a crashed
+    // build leaves an incomplete generation, never a torn serve. The
+    // generation protocol (round 18) writes each build into its own
+    // gen-dir and commits via _CURRENT; returns the committed gen dir
+    Layout.generation(spark, keyDir, "tops") { g =>
       val (cells, subbooks, topsDf) = ivf2IndexOf(emb(spark, dir).cache())
-      cells.write.mode("overwrite").partitionBy("cid1", "cid2")
-        .parquet(s"$base/cells")
-      subbooks.write.mode("overwrite").parquet(s"$base/subbooks")
-      topsDf.write.mode("overwrite").parquet(s"$base/tops")
+      cells.write.partitionBy("cid1", "cid2").parquet(s"$g/cells")
+      subbooks.write.parquet(s"$g/subbooks")
+      topsDf.write.parquet(s"$g/tops")
     }
 
   /** Read the stored cells back with the build schema stated
@@ -1125,14 +1124,16 @@ object Similarity {
     // topkIvfPqIndexed for the key convention)
     val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${Layout.stateTag(spark, embPath)}" +
       s"_m${PqM}k${PqK}i$PqIters"
-    val base = s"${Layout.cacheRoot(spark)}/pq_index/$key"
-    // guard on the LAST-written table: a crash between writes leaves it
-    // absent, so the next run rebuilds instead of serving a torn cache;
-    // buildOnce serializes concurrent cold callers (round 17)
-    Layout.buildOnce(spark, s"$base/books") {
+    // completeness gates on the LAST-written table ("books"): a crash
+    // between writes leaves the generation incomplete, so the next run
+    // builds a fresh one instead of serving a torn cache. The
+    // generation protocol (round 18) makes this object-store-exact:
+    // each builder writes its OWN gen-dir and commits via _CURRENT
+    val base = Layout.generation(spark,
+      s"${Layout.cacheRoot(spark)}/pq_index/$key", "books") { g =>
       val (codes, books) = pqIndexOf(emb(spark, dir).cache())
-      codes.write.mode("overwrite").parquet(s"$base/codes")
-      books.write.mode("overwrite").parquet(s"$base/books")
+      codes.write.parquet(s"$g/codes")
+      books.write.parquet(s"$g/books")
     }
     val books = spark.read.parquet(s"$base/books")
     if (books.isEmpty)
@@ -1749,8 +1750,8 @@ object Similarity {
     // build must not serve under the new math or the new layout
     val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${Layout.stateTag(spark, embPath)}" +
       s"_respm${PqM}k${PqK}i$PqIters"
-    val base = s"${Layout.cacheRoot(spark)}/ivfpq_index/$key"
-    ivfPqWriteIndex(spark, dir, base)
+    val base = ivfPqWriteIndex(spark, dir,
+      s"${Layout.cacheRoot(spark)}/ivfpq_index/$key")
     val books = spark.read.parquet(s"$base/books")
     if (books.isEmpty)
       return spark.emptyDataset[(Long, Long, Double, Int)]
@@ -1810,44 +1811,56 @@ object Similarity {
     * finer splits win scan parallelism) — the `bm25StoreFlatView`
     * twin for vectors. */
   private[graft] def vecStoreFlatView(spark: SparkSession, dir: String): DataFrame = {
-    vecStore(spark, dir) // ensure the store exists
-    spark.read.parquet(Layout.qualified(spark,
-      s"${Layout.cacheRoot(spark)}/vec_store/${vecStoreKey(spark, dir)}/vecs"))
+    val gen = vecStoreGen(spark, dir) // builds if absent
+    spark.read.parquet(Layout.qualified(spark, s"$gen/vecs"))
+  }
+
+  /** Resolve-or-build the committed vector-store generation —
+    * object-store-exact via [[Layout.generation]] (round 18): each
+    * builder writes its own gen-dir, commits via _CURRENT; a lost
+    * advisory-lease race costs a duplicate build, never a torn store. */
+  private def vecStoreGen(spark: SparkSession, dir: String): String = {
+    val nb = vecBuckets(spark, dir)
+    val key = vecStoreKey(spark, dir)
+    Layout.generation(spark,
+      s"${Layout.cacheRoot(spark)}/vec_store/$key", "vecs") { g =>
+      // bucketed writes need saveAsTable; the per-gen name registered
+      // here is the one the serve path re-derives from the committed gen
+      emb(spark, dir).select(col("vec_id"), col("vec"))
+        .write.bucketBy(nb, "vec_id")
+        .option("path", Layout.qualified(spark, s"$g/vecs"))
+        .saveAsTable(vecTbl(spark, key, g))
+    }
+  }
+
+  /** Per-generation catalog name (the [[Layout.rootTag]] treatment for
+    * generations): a generation change mid-session re-registers at the
+    * new location instead of serving the superseded one by name. */
+  private def vecTbl(spark: SparkSession, key: String, gen: String): String = {
+    val gtag = Integer.toHexString(gen.substring(gen.lastIndexOf("gen-") + 4).hashCode)
+    s"g_vecs_${Layout.rootTag(spark)}_${key}_$gtag"
   }
 
   private[graft] def vecStore(spark: SparkSession, dir: String): DataFrame = {
     val nb = vecBuckets(spark, dir)
     val key = vecStoreKey(spark, dir)
-    val tbl = s"g_vecs_${Layout.rootTag(spark)}_$key"
-    val base = s"${Layout.cacheRoot(spark)}/vec_store/$key"
-    val loc = Layout.qualified(spark, s"$base/vecs")
-    if (!spark.catalog.tableExists(tbl)) {
-      // mode("overwrite") matters after a TORN write: files at the
-      // location but no _SUCCESS and no catalog entry — ErrorIfExists
-      // would wedge the store on 'path already exists' instead of
-      // rebuilding (bm25OpenIndex convention, ADVICE r13). buildOnce
-      // (round 17) runs the write under the single-writer lease; if the
-      // files were already complete (or a concurrent builder completed
-      // them) it no-ops and the catalog branch below registers the DDL
-      Layout.buildOnce(spark, s"$base/vecs") {
-        emb(spark, dir).select(col("vec_id"), col("vec"))
-          .write.mode("overwrite")
-          .bucketBy(nb, "vec_id").option("path", loc).saveAsTable(tbl)
+    val gen = vecStoreGen(spark, dir)
+    val tbl = vecTbl(spark, key, gen)
+    val loc = Layout.qualified(spark, s"$gen/vecs")
+    if (!spark.catalog.tableExists(tbl))
+      // warm files, cold catalog (new JVM, or another process built the
+      // committed generation): DDL types come from the stored footer
+      // (vec_id is corpus-typed, like ivfPqReadCodes' label)
+      try {
+        val ddl = spark.read.parquet(loc).schema.toDDL
+        spark.sql(
+          s"""CREATE TABLE $tbl ($ddl)
+             USING parquet CLUSTERED BY (vec_id) INTO $nb BUCKETS
+             LOCATION '$loc'""")
+      } catch { // a concurrent registrar won the CREATE: serve its entry
+        case e: org.apache.spark.sql.AnalysisException
+          if spark.catalog.tableExists(tbl) => ()
       }
-      if (!spark.catalog.tableExists(tbl))
-        // warm files, cold catalog: DDL types come from the stored
-        // footer (vec_id is corpus-typed, like ivfPqReadCodes' label)
-        try {
-          val ddl = spark.read.parquet(loc).schema.toDDL
-          spark.sql(
-            s"""CREATE TABLE $tbl ($ddl)
-               USING parquet CLUSTERED BY (vec_id) INTO $nb BUCKETS
-               LOCATION '$loc'""")
-        } catch { // a concurrent registrar won the CREATE: serve its entry
-          case e: org.apache.spark.sql.AnalysisException
-            if spark.catalog.tableExists(tbl) => ()
-        }
-    }
     spark.table(tbl)
   }
 
@@ -1861,17 +1874,17 @@ object Similarity {
     * between a probe-schedule query reading ~2√n/n of the codes bytes
     * and re-scanning all of them per query batch. */
   private[graft] def ivfPqWriteIndex(spark: SparkSession, dir: String,
-                                     base: String): Unit =
-    // guard on the LAST-written table: a crash between writes leaves it
-    // absent, so the next run rebuilds instead of serving a torn cache;
-    // buildOnce serializes concurrent cold callers (round 17)
-    Layout.buildOnce(spark, s"$base/cells") {
+                                     keyDir: String): String =
+    // completeness gates on the LAST-written table ("cells"): a crashed
+    // build leaves an incomplete generation, never a torn serve. The
+    // generation protocol (round 18) writes each build into its own
+    // gen-dir and commits via _CURRENT; returns the committed gen dir
+    Layout.generation(spark, keyDir, "cells") { g =>
       val all = emb(spark, dir).cache()
       val (codes, books, cells) = ivfPqIndexOf(all)
-      codes.write.mode("overwrite").partitionBy("label")
-        .parquet(s"$base/codes")
-      books.write.mode("overwrite").parquet(s"$base/books")
-      cells.write.mode("overwrite").parquet(s"$base/cells")
+      codes.write.partitionBy("label").parquet(s"$g/codes")
+      books.write.parquet(s"$g/books")
+      cells.write.parquet(s"$g/cells")
     }
 
   /** Read the stored codes back with the build schema stated
@@ -2568,9 +2581,10 @@ object Similarity {
     // vs composed L2²) — fold it in so a conf flip re-keys
     val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${Layout.stateTag(spark, embPath)}" +
       s"_j${KnnJ}_k${k}i${KnnKmIters}f${knnFlatMaxCells(spark)}"
-    val path = s"${Layout.cacheRoot(spark)}/knn_graph_cache/$key"
-    Layout.buildOnce(spark, path) {
-      knnGraph(spark, dir).write.mode("overwrite").parquet(path)
+    // generation protocol (round 18): fresh gen-dir + _CURRENT commit
+    val path = Layout.generation(spark,
+      s"${Layout.cacheRoot(spark)}/knn_graph_cache/$key") { g =>
+      knnGraph(spark, dir).write.parquet(g)
     }
     spark.read.parquet(path)
   }
@@ -2679,7 +2693,8 @@ object Similarity {
     * the decomposed serve API: edges can come from a MATERIALIZED
     * (parquet-roundtripped) [[knnGraph]] so re-ranking never pays the
     * graph build (the rrfFuseOf pattern; spec-proven identical). */
-  def pagerankOf(nodes: DataFrame, edges: DataFrame): DataFrame = {
+  def pagerankOf(nodes: DataFrame, edges: DataFrame,
+                 rounds: Int = PrRounds): DataFrame = {
     val nodesC = nodes.cache()
     val edgesC = edges.cache()
     val n = nodesC.count()
@@ -2687,17 +2702,30 @@ object Similarity {
     val base = (3L * PrE) / (20L * n)
     val outdeg = edgesC.groupBy(col("src")).agg(count(lit(1)).as("od"))
     var pr = nodesC.select(col("vec_id"), lit(PrE / n).as("pr"))
-    for (_ <- 1 to PrRounds) {
+    // per-round lineage truncation, the labelPropagateOf discipline
+    // (round 18; the fixed 3-round gated form never needed it, but
+    // `rounds` is caller-facing now and a deep run would otherwise
+    // re-enter Catalyst+AQE `rounds` shuffles deep). Durability is
+    // conf-selected in [[IterCheckpoint]]: executor-resident
+    // localCheckpoint by default, RELIABLE spark.graft.checkpointDir-
+    // backed files at cluster scale (executor loss mid-loop recovers
+    // from the round files; spec-proven bit-identical ranks).
+    var prevCk: Option[IterCheckpoint.Ck] = None
+    for (_ <- 1 to rounds) {
       val sums = edgesC
         .join(pr.withColumnRenamed("vec_id", "src"), Seq("src"))
         .join(outdeg, Seq("src"))
         .select(col("dst"), expr("pr div od").as("c"))
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("s"))
-      pr = nodesC
+      val ck = IterCheckpoint.checkpoint(nodesC
         .join(sums.withColumnRenamed("dst", "vec_id"), Seq("vec_id"), "left")
         .select(col("vec_id"),
-          (lit(base) + expr("(17 * coalesce(s, 0)) div 20")).as("pr"))
+          (lit(base) + expr("(17 * coalesce(s, 0)) div 20")).as("pr")),
+        eager = true)
+      pr = ck.df
+      prevCk.foreach(IterCheckpoint.release)
+      prevCk = Some(ck)
     }
     pr.select(col("vec_id"), col("pr")).orderBy(col("vec_id"))
   }

@@ -758,14 +758,35 @@ object TextAnalysis {
   // [a-z0-9_] and per-character splitting is unambiguous cross-engine
   // (raw-text splitting would hang on grapheme-vs-codepoint semantics).
   //
-  // Scale shape: one char explode (rows = corpus characters — the
-  // operator's honest cost, the same class as the token ops), a
-  // (doc, char)-keyed count with map-side combine (≤37 rows per doc
-  // out), a doc-keyed totals join, and the decimal-sum recipe for the
-  // entropy fold. Per-char terms round at 8 dp; the exact DECIMAL sum
-  // rounds at 4 (the unigramSurprisal recipe).
-  def charEntropy(spark: SparkSession, dir: String): DataFrame = {
-    val ch = Tables.documents(spark, dir)
+  // Scale shape (round 18): ONE fused in-row pass per document via the
+  // native [[graft.functions.CharStats]] expression — zero explode,
+  // zero shuffle (the round-17 explode form paid one row per corpus
+  // CHARACTER before its map-side combine; its streaming twin proved
+  // the in-row fold computes bit-identical values, so the batch entry
+  // adopted it with the oracle unchanged). Per-char terms round at
+  // 8 dp; the exact DECIMAL sum rounds at 4 (the unigramSurprisal
+  // recipe), replicated inside the expression and differential-spec'd
+  // against the explode form below.
+  def charEntropy(spark: SparkSession, dir: String): DataFrame =
+    charEntropyOf(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  private[graft] def charEntropyOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        array_join(TextFns.tokens(col("text")), "").as("__st"))
+      .filter(length(col("__st")) > 0)
+      .select(col("doc_id"),
+        graft.functions.CharStats.of(col("__st")).as("__cs"))
+      .select(col("doc_id"),
+        col("__cs.n_chars").as("n_chars"),
+        col("__cs.n_distinct").as("n_distinct"),
+        col("__cs.entropy").as("entropy"))
+
+  /** The round-17 explode formulation, kept as the executable
+    * documentation of the recipe and the differential reference the
+    * native pass must bit-match (spec): one row per corpus character,
+    * (doc,char) map-side-combined counts, totals join, decimal fold. */
+  private[graft] def charEntropyExplodeRef(docs: DataFrame): DataFrame = {
+    val ch = docs
       .select(col("doc_id"),
         explode(split(array_join(TextFns.tokens(col("text")), ""), "")).as("c"))
       .filter(col("c") =!= "")
@@ -780,7 +801,6 @@ object TextAnalysis {
       .agg(max(col("n")).as("n_chars"), max(col("nd")).as("n_distinct"),
         round(sum(col("h").cast("decimal(28,12)")).cast("double"), 4)
           .as("entropy"))
-      .orderBy(col("doc_id"))
   }
 
   val charEntropyOracle: String = s"""

@@ -309,7 +309,18 @@ object EventStream {
     * groupBy), 4 dp out. No join, no shuffle, ZERO state-store rows;
     * values bit-match the gated entry (spec). Zero-token docs drop,
     * exactly as the batch operator's empty explode drops them. */
-  def charEntropyScore(docs: DataFrame): DataFrame = {
+  def charEntropyScore(docs: DataFrame): DataFrame =
+    // round 18: the shared native [[graft.functions.CharStats]] pass —
+    // still zero-state and in-row (stream-safe), now codegen'd instead
+    // of the interpreted HOF fold (whose size(filter(cs, _ === c)) per
+    // distinct char was O(37·n) per row). Same frame shape, values
+    // bit-identical (the decimal recipe lives inside the expression;
+    // differential-spec'd against [[charEntropyScoreHof]]).
+    graft.operators.TextAnalysis.charEntropyOf(docs)
+
+  /** The round-17 HOF fold, kept as the declarative differential
+    * reference for the native pass (spec). */
+  private[graft] def charEntropyScoreHof(docs: DataFrame): DataFrame = {
     val chars = filter(
       split(array_join(graft.functions.TextFns.tokens(col("text")), ""), ""),
       c => c =!= lit(""))

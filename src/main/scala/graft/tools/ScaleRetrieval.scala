@@ -107,9 +107,10 @@ object ScaleRetrieval {
       s"derived postings-bucket counts must move with corpus size: 1M -> $nb (want 128), " +
         s"gated -> $nbGated (want the 16 floor)")
     val key = Retrieval.bm25StoreKey(spark, dir)
-    val postings = Retrieval.bm25OpenIndex(spark, dir, key)
+    val gen = Retrieval.bm25StoreGen(spark, dir, key)
+    val postings = Retrieval.bm25OpenIndex(spark, dir, key, gen)
     postings.count() // force the build inside the timer
-    val stats = spark.read.parquet(s"target/tmp/bm25_index/$key/stats")
+    val stats = spark.read.parquet(s"$gen/stats")
     println(f"[scale] bm25 bucketed index build+persist 1M docs: ${(System.nanoTime() - t2) / 1e9}%.2f s (paid once)")
     val idxBase = "target/tmp/bm25_index_1m"
     val tFlat0 = System.nanoTime()

@@ -45,6 +45,51 @@ class CheckpointSpec extends AnyFunSuite {
     assert(reliable == local, "reliable-checkpoint LPA diverged from local path")
   }
 
+  test("labelPropagateOf at 12 rounds: reliable == local, labels stable vs the 4-round fixed point") {
+    // the verdict-r17 depth ask: a DEEP loop (12 rounds ≫ the gated 4)
+    // through both durability modes — per-round lineage stays one round
+    // deep either way, and the reliable path's round files recover the
+    // exact same labels
+    val sf = "/root/testdata/sf0.001"
+    val knn = Similarity.knnGraph(spark, sf)
+      .select(col("vec_id").as("src"), col("nid").as("dst"))
+    val sym = knn.union(knn.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().cache()
+    val nodes = Similarity.emb(spark, sf).select(col("vec_id"))
+    val local12 = Similarity.labelPropagateOf(nodes, sym, rounds = 12)
+      .as[(Long, Long, Int)].collect().toSet
+    val reliable12 = withReliable { dir =>
+      val r = Similarity.labelPropagateOf(nodes, sym, rounds = 12)
+        .as[(Long, Long, Int)].collect().toSet
+      val left = new java.io.File(dir).listFiles().flatMap(_.listFiles())
+        .count(_.getName.startsWith("rdd-"))
+      assert(left <= 1, s"$left round checkpoints left on disk, expected <= 1")
+      r
+    }
+    assert(reliable12 == local12, "12-round reliable LPA diverged from local path")
+  }
+
+  test("pagerankOf: reliable checkpoint path is bit-identical to local, shallow and 12-round deep") {
+    val sf = "/root/testdata/sf0.001"
+    val edges = Similarity.knnGraph(spark, sf)
+      .select(col("vec_id").as("src"), col("nid").as("dst")).cache()
+    val nodes = Similarity.emb(spark, sf).select(col("vec_id"))
+    for (rounds <- Seq(3, 12)) {
+      val local = Similarity.pagerankOf(nodes, edges, rounds = rounds)
+        .as[(Long, Long)].collect().toSet
+      val reliable = withReliable { dir =>
+        val r = Similarity.pagerankOf(nodes, edges, rounds = rounds)
+          .as[(Long, Long)].collect().toSet
+        val left = new java.io.File(dir).listFiles().flatMap(_.listFiles())
+          .count(_.getName.startsWith("rdd-"))
+        assert(left <= 1, s"$left round checkpoints left on disk, expected <= 1")
+        r
+      }
+      assert(reliable == local,
+        s"$rounds-round reliable pagerank diverged from local path")
+    }
+  }
+
   test("connectedComponents: reliable checkpoint path is bit-identical to local") {
     // a 60-node path graph (worst case for propagation depth) plus
     // isolated vertices that must come back as their own components

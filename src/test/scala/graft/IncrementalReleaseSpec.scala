@@ -275,9 +275,9 @@ class IncrementalReleaseSpec extends AnyFunSuite {
     val p  = Curation.releaseV2CachePath(spark, dir)
     val p2 = Curation.releaseV2CachePath(spark, dir, Curation.ReleaseV2CodeVersion + 1)
     assert(p != p2, "the code version must be part of the artifact identity")
-    assert(Layout.storeReady(spark, p),
+    assert(Layout.resolveGeneration(spark, p).isDefined,
       "the current version's artifact is materialized and serves warm")
-    assert(!Layout.storeReady(spark, p2),
+    assert(Layout.resolveGeneration(spark, p2).isEmpty,
       "a bumped version must MISS the cache (rebuild under the new semantics), " +
         "never serve the stale artifact")
   }

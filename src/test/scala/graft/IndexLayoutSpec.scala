@@ -42,8 +42,8 @@ class IndexLayoutSpec extends AnyFunSuite {
 
   test("ivfpq codes store: label partitions, probe reads schedule-many directories") {
     val sf = "/root/testdata/sf0.001"
-    val base = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString + "/idx"
-    Similarity.ivfPqWriteIndex(spark, sf, base)
+    val base = Similarity.ivfPqWriteIndex(spark, sf,
+      java.nio.file.Files.createTempDirectory("ivfpq_idx").toString + "/idx")
 
     // the store's directories ARE the coarse cells
     val dirs = new java.io.File(s"$base/codes").listFiles()
@@ -133,8 +133,8 @@ class IndexLayoutSpec extends AnyFunSuite {
     // what it returned over the flat frame (layout must not change answers)
     val viaStore = Similarity.topkIvfPqIndexed(spark, sf)
       .as[(Long, Long, Double, Int)].collect().toSet
-    val base = java.nio.file.Files.createTempDirectory("ivfpq_flatref").toString + "/idx"
-    Similarity.ivfPqWriteIndex(spark, sf, base)
+    val base = Similarity.ivfPqWriteIndex(spark, sf,
+      java.nio.file.Files.createTempDirectory("ivfpq_flatref").toString + "/idx")
     val viaFlat = Similarity.ivfPqOf(Similarity.ivfPqReadCodes(spark, base),
         spark.read.parquet(s"$base/books"), spark.read.parquet(s"$base/cells"),
         Similarity.emb(spark, sf).filter(col("vec_id") < 5)
@@ -184,7 +184,8 @@ class IndexLayoutSpec extends AnyFunSuite {
   test("bm25 postings store: term buckets, a small vocabulary prunes buckets") {
     val sf = "/root/testdata/sf0.001"
     val key = s"spec_${System.nanoTime}"
-    val postings = Retrieval.bm25OpenIndex(spark, sf, key)
+    val postings = Retrieval.bm25OpenIndex(spark, sf, key,
+      Retrieval.bm25StoreGen(spark, sf, key))
     val term1 = postings.select(col("term")).head.getString(0)
     val pruned = postings.filter(col("term").isInCollection(Seq(term1)))
     val plan = pruned.queryExecution.executedPlan.toString

@@ -78,8 +78,13 @@ class LayoutSpec extends AnyFunSuite {
       // regardless of the configured root)
       val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
       val stores = fs.listStatus(new Path(s"$root/winnow_probe_cache"))
-      assert(stores.length == 1, "exactly one store under the conf'd root")
-      val succ = new Path(stores.head.getPath, "_SUCCESS")
+        .filter(_.isDirectory)
+      assert(stores.length == 1, "exactly one store key under the conf'd root")
+      // round 18: the key-dir holds committed generations; resolve like
+      // the serve path does
+      val gen = Layout.resolveGeneration(spark, stores.head.getPath.toString)
+      assert(gen.isDefined, "a committed generation must resolve")
+      val succ = new Path(gen.get, "_SUCCESS")
       assert(fs.exists(succ))
       val m0 = fs.getFileStatus(succ).getModificationTime
       val warm = Curation.winnowProbeFpCached(spark, dir)
@@ -87,8 +92,8 @@ class LayoutSpec extends AnyFunSuite {
       assert(warm == cold, "warm serve must read back the stored artifact")
       assert(fs.getFileStatus(succ).getModificationTime == m0,
         "warm call must NOT rebuild the store (the _SUCCESS marker is untouched)")
-      assert(Layout.storeReady(spark, stores.head.getPath.toString),
-        "storeReady must see the completed store through the Hadoop path")
+      assert(Layout.storeReady(spark, gen.get),
+        "storeReady must see the completed generation through the Hadoop path")
     } finally spark.conf.unset("spark.graft.cache.root")
   }
 
@@ -231,18 +236,143 @@ class LayoutSpec extends AnyFunSuite {
         .collect().map(_.get(0).toString).sorted.toSeq
       val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
       val fam = new Path(s"$root/winnow_probe_cache")
-      assert(fs.listStatus(fam).length == 2, "two generations before GC")
+      assert(fs.listStatus(fam).count(_.isDirectory) == 2,
+        "two store keys (corpus generations) before GC")
 
       val rep = Layout.gcStores(spark, maxAgeMs = 0L, keepNewest = 1)
-      val gens = fs.listStatus(fam)
-      assert(gens.length == 1, s"GC must reclaim the superseded generation: $rep")
-      val succ = new Path(gens.head.getPath, "_SUCCESS")
+      val keys = fs.listStatus(fam).filter(_.isDirectory)
+      assert(keys.length == 1, s"GC must reclaim the superseded generation: $rep")
+      val gen = Layout.resolveGeneration(spark, keys.head.getPath.toString)
+      assert(gen.isDefined, "the surviving key must still resolve a committed generation")
+      val succ = new Path(gen.get, "_SUCCESS")
       val m0 = fs.getFileStatus(succ).getModificationTime
       val warm = Curation.winnowProbeFpCached(spark, dir)
         .collect().map(_.get(0).toString).sorted.toSeq
       assert(warm == v2, "the surviving generation must serve the same artifact")
       assert(fs.getFileStatus(succ).getModificationTime == m0,
         "the live generation must serve WARM after GC — no rebuild")
+    } finally spark.conf.unset("spark.graft.cache.root")
+  }
+
+  test("generation protocol: build-once via gen-dir + _CURRENT commit; warm resolve; crash/torn-pointer fallbacks") {
+    import graft.operators.Layout
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("genp").toString
+    val key = s"$root/fam/keyA"
+    val fs = new Path(key).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val built = new java.util.concurrent.atomic.AtomicInteger(0)
+    def serve(): String = Layout.generation(spark, key) { g =>
+      built.incrementAndGet()
+      Thread.sleep(200)
+      Seq((1L, "a")).toDF("doc_id", "text").write.parquet(g)
+    }
+    // four concurrent cold callers: one build, all resolve the same gen
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val gens = try {
+      val futs = (1 to 4).map(_ => pool.submit(
+        new java.util.concurrent.Callable[String] { def call(): String = serve() }))
+      futs.map(_.get(60, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    assert(built.get() == 1 && gens.toSet.size == 1,
+      s"one build, one generation: built=${built.get()}, gens=${gens.toSet}")
+    val g1 = gens.head
+    assert(g1.contains("/gen-") && fs.exists(new Path(g1, "_SUCCESS")))
+    // the pointer is the commit record
+    val ptr = new Path(s"$key/${"_CURRENT"}")
+    assert(fs.exists(ptr), "_CURRENT must exist after a committed build")
+    // warm call: resolves without building
+    assert(serve() == g1 && built.get() == 1)
+    // lease marker released
+    assert(!fs.exists(new Path(key + "__building")))
+
+    // two-writer race (the advisory-lease case on object stores): a
+    // second complete generation lands and commits LAST — both commits
+    // are safe, the pointer picks one, nothing is torn
+    Thread.sleep(5)
+    val tok2 = f"gen-${System.currentTimeMillis()}%013d-deadbeef"
+    Seq((2L, "b")).toDF("doc_id", "text").write.parquet(s"$key/$tok2")
+    val os = fs.create(ptr, true)
+    os.write(tok2.getBytes("UTF-8")); os.close()
+    val resolved = Layout.resolveGeneration(spark, key)
+    assert(resolved.contains(s"$key/$tok2"), s"pointer must win: $resolved")
+    assert(spark.read.parquet(resolved.get).count() == 1) // complete, not torn
+    // loser generation still complete on disk (GC's job, not the reader's)
+    assert(fs.exists(new Path(g1, "_SUCCESS")))
+
+    // torn/absent pointer: fallback = newest COMPLETE generation
+    fs.delete(ptr, false)
+    assert(Layout.resolveGeneration(spark, key).contains(s"$key/$tok2"),
+      "absent pointer must fall back to the newest complete generation")
+    // a dangling pointer (names a gen that was GC'd) also falls back
+    val os2 = fs.create(ptr, true)
+    os2.write("gen-9999999999999-gone".getBytes("UTF-8")); os2.close()
+    assert(Layout.resolveGeneration(spark, key).contains(s"$key/$tok2"))
+
+    // crash before commit with an INCOMPLETE generation: resolve ignores
+    // it and a new serve builds fresh
+    val key2 = s"$root/fam/keyB"
+    fs.mkdirs(new Path(s"$key2/gen-0000000000001-crashed/part"))
+    assert(Layout.resolveGeneration(spark, key2).isEmpty)
+    val g2 = Layout.generation(spark, key2) { g =>
+      Seq((3L, "c")).toDF("doc_id", "text").write.parquet(g)
+    }
+    assert(fs.exists(new Path(g2, "_SUCCESS")) && !g2.contains("crashed"))
+
+    // multi-table generation: readyTable gates completeness
+    val key3 = s"$root/fam/keyC"
+    val g3 = Layout.generation(spark, key3, "tops") { g =>
+      Seq((1L, 1.0)).toDF("id", "v").write.parquet(s"$g/cells")
+      Seq((1L, 2.0)).toDF("id", "v").write.parquet(s"$g/tops")
+    }
+    assert(Layout.resolveGeneration(spark, key3, "tops").contains(g3))
+    // a build that does not complete its readyTable fails LOUDLY
+    val key4 = s"$root/fam/keyD"
+    val e = intercept[IllegalArgumentException] {
+      Layout.generation(spark, key4, "tops") { g =>
+        Seq((1L, 1.0)).toDF("id", "v").write.parquet(s"$g/cells") // no tops
+      }
+    }
+    assert(e.getMessage.contains("tops"))
+  }
+
+  test("gcStores: generational stores — losers and uncommitted gens reclaimed, live gen kept, empty husk removed") {
+    import graft.operators.Layout
+    import org.apache.hadoop.fs.Path
+    val root = java.nio.file.Files.createTempDirectory("gcgen").toString
+    spark.conf.set("spark.graft.cache.root", root)
+    try {
+      val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val now = System.currentTimeMillis()
+      def mkGen(key: String, gen: String, ageMs: Long, complete: Boolean): Path = {
+        val gd = new Path(s"$root/pq_index/$key/$gen")
+        fs.mkdirs(gd)
+        val f = new Path(gd, if (complete) "_SUCCESS" else "part-0")
+        fs.create(f, true).close()
+        fs.setTimes(f, now - ageMs, -1)
+        fs.setTimes(gd, now - ageMs, -1)
+        gd
+      }
+      val key = "corpX_1800000000000haaaaaaaa_pk8"
+      val loser = mkGen(key, "gen-0000000000001-loser", 10 * 86400000L, complete = true)
+      val husk = mkGen(key, "gen-0000000000002-husk", 10 * 86400000L, complete = false)
+      val live = mkGen(key, "gen-0000000000003-live", 9 * 86400000L, complete = true)
+      // an INCOMPLETE generation NEWER than the live one must not steal
+      // the keep-newest slot (a crashed build's fresh husk)
+      val fresh = mkGen(key, "gen-0000000000004-fresh", 1000L, complete = false)
+      val rep = Layout.gcStores(spark, maxAgeMs = 86400000L, keepNewest = 1)
+      def action(g: String) = rep.find(_.key == s"$key/$g").map(_.action)
+      assert(fs.exists(live) && action("gen-0000000000003-live").contains("kept-newest"),
+        s"newest COMPLETE gen keeps its slot: $rep")
+      assert(!fs.exists(loser) && action("gen-0000000000001-loser").contains("deleted"))
+      assert(!fs.exists(husk) && action("gen-0000000000002-husk").contains("deleted"))
+      assert(fs.exists(fresh) && action("gen-0000000000004-fresh").contains("kept-young"),
+        "a fresh incomplete gen is kept by age only, never as kept-newest")
+      // all gens leave → the key-dir husk goes too
+      val rep2 = Layout.gcStores(spark, maxAgeMs = 0L, keepNewest = 0,
+        hardMaxAgeMs = 0L)
+      assert(!fs.exists(new Path(s"$root/pq_index/$key")),
+        s"an emptied generational key-dir must be removed: $rep2")
     } finally spark.conf.unset("spark.graft.cache.root")
   }
 

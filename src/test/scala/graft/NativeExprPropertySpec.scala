@@ -169,6 +169,35 @@ class NativeExprPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("CharStats == explode formulation == HOF fold, on crafted and real docs (count/distinct/entropy bit-exact)") {
+    import spark.implicits._
+    // crafted edges: single symbol (entropy 0), uniform 2/4/37-symbol
+    // alphabets (exact log2 points), skewed rationals, long repeats
+    val crafted = Seq(
+      (1L, "aaaaaaaa"),
+      (2L, "abababab"),
+      (3L, "abcd" * 25),
+      (4L, ('a' to 'z').mkString + "0123456789_"),
+      (5L, "a" * 999 + "b"),
+      (6L, "the quick brown fox jumps over the lazy dog 0123456789"),
+      (7L, "x"),
+      (8L, ("z9_" * 7) + "qq")).toDF("doc_id", "text")
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    for (docs <- Seq(crafted, real)) {
+      val native = graft.operators.TextAnalysis.charEntropyOf(docs)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      val explode = graft.operators.TextAnalysis.charEntropyExplodeRef(docs)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      val hof = graft.streaming.EventStream.charEntropyScoreHof(docs)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(native == explode,
+        s"native vs explode: only-native=${(native -- explode).take(3)}, only-explode=${(explode -- native).take(3)}")
+      assert(native == hof,
+        s"native vs hof: only-native=${(native -- hof).take(3)}, only-hof=${(hof -- native).take(3)}")
+    }
+  }
+
   test("CdcCuts: null array elements match array_join semantics (skipped with their delimiter), no NPE") {
     import spark.implicits._
     // arrays with nulls in every position class: leading, interior,

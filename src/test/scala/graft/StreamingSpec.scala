@@ -852,8 +852,8 @@ class StreamingSpec extends AnyFunSuite {
     // bit mismatch.
     implicit val sqlCtx = spark.sqlContext
     val sim = graft.operators.Similarity
-    val base = java.nio.file.Files.createTempDirectory("annserve_idx").toString
-    sim.ivfPqWriteIndex(spark, sf, base)
+    val base = sim.ivfPqWriteIndex(spark, sf,
+      java.nio.file.Files.createTempDirectory("annserve_idx").toString)
     val qsAll = sim.emb(spark, sf).filter($"vec_id" < 5)
       .select($"vec_id".as("qid"), $"vec".as("qvec")).cache()
     val expected = sim.ivfPqOf(sim.ivfPqReadCodes(spark, base),
@@ -956,8 +956,8 @@ class StreamingSpec extends AnyFunSuite {
       s"clone query should surface doc 7 in the fused top-5, got $fused")
 
     // ann serve over a stored index
-    val base = java.nio.file.Files.createTempDirectory("annforeign_idx").toString
-    sim.ivfPqWriteIndex(spark, sf, base)
+    val base = sim.ivfPqWriteIndex(spark, sf,
+      java.nio.file.Files.createTempDirectory("annforeign_idx").toString)
     val inputA = MemoryStream[(Long, Seq[Float])]
     val outA = java.nio.file.Files.createTempDirectory("annforeign_out").toString
     val qa = EventStream.annServeStream(
@@ -1248,8 +1248,8 @@ class StreamingSpec extends AnyFunSuite {
   test("restart from checkpoint: killed ann serve resumes and matches uninterrupted serve") {
     implicit val sqlCtx = spark.sqlContext
     val sim = graft.operators.Similarity
-    val base = java.nio.file.Files.createTempDirectory("annrestart_idx").toString
-    sim.ivfPqWriteIndex(spark, sf, base)
+    val base = sim.ivfPqWriteIndex(spark, sf,
+      java.nio.file.Files.createTempDirectory("annrestart_idx").toString)
     val raw = graft.sources.Tables.embeddings(spark, sf).filter($"vec_id" < 6)
       .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
     val batches = raw.grouped(2).toSeq
