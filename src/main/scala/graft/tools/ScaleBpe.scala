@@ -146,7 +146,32 @@ object ScaleBpe {
       f"speculative acceptance below target: $comp4096%.2f merges/round (gate >= 2.5)")
     require(ratio16 <= 8.0,
       f"quadratic regime at depth: 4x merges past 1024 cost $ratio16%.2fx wall (hard gate 8x)")
-    println(f"""[scale] {"metric":"bpe_scale","t64":$t64%.2f,"t256":$t256%.2f,"t1024":$t1024%.2f,"t4096":$t4096%.2f,"ratio":$ratio%.2f,"ratio1024":$ratio4%.2f,"ratio4096":$ratio16%.2f,"rounds64":$r64,"rounds256":$r256,"rounds1024":$r1024,"rounds4096":$r4096,"mergesPerRound4096":$comp4096%.2f}""")
+
+    // ---- 16384 merges (round 18): the ADAPTIVE speculative regime ----
+    // The fixed m=16 batch was the new ceiling once verification was
+    // exact (r17 measured the verified-prefix rate far above it in the
+    // depth tail). The AIMD schedule grows the batch while rounds fully
+    // verify and halves it on rollback, so the round count tracks the
+    // corpus's own acceptance rate instead of a constant. Gates: a
+    // 32k-vocab-scale merge count stays greedy-exact (prefix vs the
+    // 4096 run), the ADAPTIVE average clears 6 merges/round, and 4× the
+    // merges past 4096 stays in the ≤8× wall envelope.
+    val ((_, m16k, r16k), t16k) = time("synthetic vocab, 16384 merges (batch=16, adaptive)") {
+      TextAnalysis.bpeLearnRoundsInc(synthVocab(), 16384, batch = 16)
+    }
+    spark.catalog.clearCache()
+    require(m16k.take(4096) == m4096,
+      "greedy prefix property violated: 4096-merge run != 16384-merge run's prefix")
+    require(m16k.length == 16384, s"ran dry at ${m16k.length} merges")
+    val comp16k = 16384.0 / r16k
+    val ratio64x = t16k / t4096
+    println(f"[scale] adaptive acceptance: 16384 merges in $r16k rounds " +
+      f"($comp16k%.2f/round); wall 4096->16384 (4x work): $ratio64x%.2fx")
+    require(comp16k >= 6.0,
+      f"adaptive acceptance below target: $comp16k%.2f merges/round (gate >= 6)")
+    require(ratio64x <= 8.0,
+      f"quadratic regime at depth: 4x merges past 4096 cost $ratio64x%.2fx wall (hard gate 8x)")
+    println(f"""[scale] {"metric":"bpe_scale","t64":$t64%.2f,"t256":$t256%.2f,"t1024":$t1024%.2f,"t4096":$t4096%.2f,"t16384":$t16k%.2f,"ratio":$ratio%.2f,"ratio1024":$ratio4%.2f,"ratio4096":$ratio16%.2f,"ratio16384":$ratio64x%.2f,"rounds64":$r64,"rounds256":$r256,"rounds1024":$r1024,"rounds4096":$r4096,"rounds16384":$r16k,"mergesPerRound4096":$comp4096%.2f,"mergesPerRound16384":$comp16k%.2f}""")
     spark.stop()
   }
 }

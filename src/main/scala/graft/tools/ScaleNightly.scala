@@ -46,6 +46,7 @@ object ScaleNightly {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
+    import graft.operators.Layout
 
     def time[T](label: String)(f: => T): (T, Double) = {
       val t0 = System.nanoTime(); val r = f
@@ -69,6 +70,9 @@ object ScaleNightly {
         .withColumn("n_chars", length(col("text")).cast("long"))
     val nDocs = 250000L
     val root = java.nio.file.Files.createTempDirectory("scale_nightly").toString
+    // isolate THIS corpus's store caches so the round-18 GC leg below
+    // measures exactly the loop's own generations
+    spark.conf.set("spark.graft.cache.root", s"$root/cache")
     val dir = s"$root/corpus"
     mkDocs(spark.range(nDocs)).write.parquet(s"$dir/documents.parquet")
     val corpus = spark.read.parquet(s"$dir/documents.parquet")
@@ -177,7 +181,75 @@ object ScaleNightly {
     }
     require(worstNight < tBoot / 3.0,
       f"a night took $worstNight%.1f s vs bootstrap $tBoot%.1f s — not O(batch)")
-    println(f"""[scale] {"metric":"nightly","bootstrap":$tBoot%.2f,"worst_night":$worstNight%.2f,"ratio":${tBoot / worstNight}%.1f,"shards":$nShards0,"docs":${finalDocs.size}}""")
+
+    // ---- round-18: GC composed into the loop (VERDICT r17 #6) ---------
+    // The loop's stores live under $root/cache. (1) GC with everything
+    // live: nothing may be deleted. (2) Regen the corpus (same bytes,
+    // new stateTag) and rebuild its cached stores — the old generations
+    // are now stranded; GC must reclaim exactly them and leave the live
+    // ones byte-untouched. (3) A fourth night after GC runs WARM.
+    val cacheFs = new org.apache.hadoop.fs.Path(s"$root/cache")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def liveGens(): Map[String, (String, Long)] =
+      Layout.StoreFamilies.flatMap { fam =>
+        val famP = new org.apache.hadoop.fs.Path(s"$root/cache/$fam")
+        val keys = try cacheFs.listStatus(famP).toSeq.filter(_.isDirectory)
+                   catch { case _: java.io.FileNotFoundException => Seq.empty }
+        keys.flatMap(k => Layout.resolveGeneration(spark, k.getPath.toString)
+          .map(g => s"$fam/${k.getPath.getName}" ->
+            (g, cacheFs.getFileStatus(
+              new org.apache.hadoop.fs.Path(g, "_SUCCESS")).getModificationTime)))
+      }.toMap
+    val live0 = liveGens()
+    require(live0.nonEmpty, "the loop must have materialized store caches")
+    val repLive = Layout.gcStores(spark, maxAgeMs = 0L, keepNewest = 1)
+    require(!repLive.exists(_.action == "deleted"),
+      s"GC with everything live must delete nothing: $repLive")
+    require(liveGens() == live0, "live generations must be byte-untouched by a no-op GC")
+    println(s"[scale] gc pass 1 (all live): ${repLive.size} entries, 0 deleted")
+
+    // corpus regen: identical content, new state tag → new store keys
+    Thread.sleep(1100) // mtime granularity
+    corpus.write.parquet(s"$root/corpus_copy")
+    spark.read.parquet(s"$root/corpus_copy").write
+      .mode("overwrite").parquet(s"$dir/documents.parquet")
+    Layout.invalidateStateTag(s"$dir/documents.parquet")
+    val (_, tRebuild) = time("regen: rebuild probe index + release frame (cold, new keys)") {
+      Curation.winnowProbeFpCached(spark, dir).count()
+      Curation.releaseV2FrameCached(spark, dir).count()
+    }
+    val live1 = liveGens()
+    val repGc = Layout.gcStores(spark, maxAgeMs = 0L, keepNewest = 1)
+    val deleted = repGc.filter(_.action == "deleted")
+    require(deleted.nonEmpty, s"regen must strand generations for GC to reclaim: $repGc")
+    // every NEW (regen) generation survived byte-untouched
+    val live2 = liveGens()
+    (live1.keySet -- live0.keySet).foreach { k =>
+      require(live2.get(k) == live1.get(k), s"GC touched the live regen store $k") }
+    println(s"[scale] gc pass 2 (post-regen): ${deleted.size} stranded generations reclaimed, " +
+      s"${live2.size} live kept")
+
+    // fourth night over the regenerated corpus: stores serve WARM
+    val n4 = 4
+    val batch4 = mkDocs(spark.range(20000000L + n4 * 1000L, 20000000L + (n4 + 1) * 1000L))
+      .select(col("doc_id"), col("source"), col("text"))
+    val preNight4 = liveGens()
+    val (_, tNight4) = time(s"night $n4 after GC: classify + extend + refresh (1000 docs)") {
+      val catFp = Dedup.readCatalog(spark, fpPath, excludeBatch = Some(n4.toLong))
+      val catSh = Dedup.readCatalog(spark, shPath, excludeBatch = Some(n4.toLong))
+      val verdicts = Dedup.incrementalOf(catFp, catSh,
+        batch4.select(col("doc_id"), col("text"))).cache()
+      val clusters2 = Curation.extendClusters(spark.read.parquet(cluPath), verdicts).cache()
+      Dedup.appendToCatalog(fpPath, shPath,
+        batch4.select(col("doc_id"), col("text")), verdicts, batchId = Some(n4.toLong))
+      Curation.releaseShardsRefresh(batch4, clusters2, dir, out, blocksPerShard = 1L)
+      verdicts.unpersist(); clusters2.unpersist()
+    }
+    require(liveGens() == preNight4,
+      "night 4 must serve every store WARM — no store generation may change after GC")
+    require(tNight4 < tBoot / 3.0,
+      f"post-GC night took $tNight4%.1f s vs bootstrap $tBoot%.1f s — warm serves were affected")
+    println(f"""[scale] {"metric":"nightly","bootstrap":$tBoot%.2f,"worst_night":$worstNight%.2f,"ratio":${tBoot / worstNight}%.1f,"shards":$nShards0,"docs":${finalDocs.size},"gc_reclaimed":${deleted.size},"night4_post_gc":$tNight4%.2f}""")
     spark.stop()
   }
 }

@@ -1,7 +1,7 @@
 package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Analytics, Curation, Dedup, DomainCuration, ShardExport, Similarity, TextAnalysis}
+import graft.operators.{Analytics, Curation, Dedup, DomainCuration, Retrieval, ShardExport, Similarity, TextAnalysis}
 
 /** Two decades of scale, one representative per operator FAMILY
   * (round 15 — grown from the 3-headliner round-12 form): synthesize a
@@ -111,7 +111,13 @@ object ScaleSf10 {
       "curation_shard_export"  -> (ShardExport.shardExport _),     // shards (r15)
       "curation_url_dedup"     -> (DomainCuration.urlDedup _),     // crawl hygiene
       "sim_topk_bruteforce"    -> (Similarity.topkBruteforce _),   // exact ANN
-      "sim_topk_ivf"           -> (Similarity.topkIvf _))          // cell-pruned ANN
+      "sim_topk_ivf"           -> (Similarity.topkIvf _),          // cell-pruned ANN
+      // serving/release chains (round 18, VERDICT r17 #3): the warm
+      // pass below builds each decade's stores COLD (disclosed by the
+      // warm-pass wall); the timed rows are the production WARM serves
+      "release_v2_composed"    -> (Curation.releaseManifestV2Composed _), // release chain
+      "bm25_topk_indexed"      -> (Retrieval.bm25TopkIndexed _),   // stored-postings serve
+      "sim_topk_ivf_pq_indexed"-> (Similarity.topkIvfPqIndexed _)) // stored-ANN warm serve
 
     val decades = Seq(ScaleSf1.Src -> "sf01", ScaleSf1.Dir -> "sf1", Dir -> "sf10")
     val times = scala.collection.mutable.Map.empty[(String, String), Double]
@@ -130,8 +136,65 @@ object ScaleSf10 {
         spark.catalog.clearCache()
       }
     }
+    // ---- the nightly refresh as a per-decade row (round 18) -----------
+    // Bootstrap state (catalog + cluster table + shard release) is built
+    // ONCE per decade corpus and cached under target/tmp; the timed part
+    // is one 1 000-doc night — classify vs catalog, extend clusters,
+    // append, refreshSplitShards. O(batch) means the sf1→sf10 growth of
+    // this row should sit near 1×, the strongest scale claim in the
+    // record (ScaleNightly gates the same loop's correctness at 250 k).
+    import spark.implicits._
+    val stops = typedLit(Seq("the", "and", "of", "to", "in", "is", "that"))
+    def mkBatch(n: Int): DataFrame =
+      spark.range(90000000L, 90000000L + n).select(col("id").as("doc_id"),
+          when(col("id") % 2 === 0, "web").otherwise("wiki").as("source"),
+          concat_ws(" ", flatten(transform(sequence(lit(0), lit(19)), k =>
+            array(
+              element_at(stops, pmod(k, lit(7)) + 1),
+              concat(lit("w"), pmod(hash(col("id") * 40 + k * 2), lit(99991))),
+              concat(lit("w"), pmod(hash(col("id") * 40 + k * 2 + 1), lit(99991)))))))
+            .as("text"))
+    def refreshNight(dir: String, tag: String): Double = {
+      val root = s"target/tmp/refresh_night_$tag"
+      val (fpPath, shPath, cluPath, out) =
+        (s"$root/fp", s"$root/sh", s"$root/clusters", s"$root/release")
+      if (!new java.io.File(s"$root/_BOOTSTRAPPED").exists()) {
+        val t0 = System.nanoTime()
+        val corpus = spark.read.parquet(s"$dir/documents.parquet")
+        val (fp0, sh0) = Dedup.buildCatalog(corpus.select(col("doc_id"), col("text")))
+        fp0.write.mode("overwrite").parquet(s"$fpPath/batch-0")
+        sh0.write.mode("overwrite").parquet(s"$shPath/batch-0")
+        Dedup.clustersCached(spark, dir).write.mode("overwrite").parquet(cluPath)
+        Curation.releaseShards(spark, dir, out)
+        new java.io.File(s"$root/_BOOTSTRAPPED").createNewFile()
+        println(f"[sf10] $tag refresh bootstrap (once): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      val batch = mkBatch(1000)
+      val t0 = System.nanoTime()
+      // fixed batchId=1: re-runs take the crash-retry path and land
+      // byte-identical — the timed work is the same classify/extend/
+      // append/refresh either way
+      val catFp = Dedup.readCatalog(spark, fpPath, excludeBatch = Some(1L))
+      val catSh = Dedup.readCatalog(spark, shPath, excludeBatch = Some(1L))
+      val verdicts = Dedup.incrementalOf(catFp, catSh,
+        batch.select(col("doc_id"), col("text"))).cache()
+      val clusters2 = Curation.extendClusters(spark.read.parquet(cluPath), verdicts).cache()
+      Dedup.appendToCatalog(fpPath, shPath,
+        batch.select(col("doc_id"), col("text")), verdicts, batchId = Some(1L))
+      Curation.releaseShardsRefresh(batch, clusters2, dir, out)
+      verdicts.unpersist(); clusters2.unpersist()
+      (System.nanoTime() - t0) / 1e9
+    }
+    decades.foreach { case (d, tag) =>
+      val sec = refreshNight(d, tag)
+      times(("refresh_night", tag)) = sec
+      println(f"[sf10] $tag%-5s refresh_night            $sec%8.2f s  (1000-doc night)")
+      spark.catalog.clearCache()
+    }
+
     def f3(x: Double) = f"$x%.3f"
-    val entries = reps.map { case (name, _) =>
+    val allNames = reps.map(_._1) :+ "refresh_night"
+    val entries = allNames.map { name =>
       val (a, b, c) = (times((name, "sf01")), times((name, "sf1")), times((name, "sf10")))
       val g = if (b > 0) c / b else 0.0
       (name, a, b, c, g)
@@ -140,7 +203,7 @@ object ScaleSf10 {
     val qs = entries.map { case (n, a, b, c, g) =>
       s""""$n":{"sf01":${f3(a)},"sf1":${f3(b)},"sf10":${f3(c)},"growth_sf1_to_sf10":${f3(g)}}"""
     }.mkString("{", ",", "}")
-    val json = s"""{"metric":"sf10_growth","n_queries":${reps.length},""" +
+    val json = s"""{"metric":"sf10_growth","n_queries":${allNames.length},""" +
       s""""sf01_total":${f3(entries.map(_._2).sum)},"sf1_total":${f3(entries.map(_._3).sum)},""" +
       s""""sf10_total":${f3(entries.map(_._4).sum)},"worst_growth_sf1_to_sf10":${f3(worst)},""" +
       s""""queries":$qs}"""

@@ -376,6 +376,61 @@ class LayoutSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.cache.root")
   }
 
+  test("gcStores under a LIVE generation build: the building key is untouched, the finished gen resolves") {
+    import graft.operators.Layout
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("gclive").toString
+    spark.conf.set("spark.graft.cache.root", root)
+    try {
+      val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val key = s"$root/rrf_lists/corpL_1800000000000haaaaaaaa_f20"
+      // an old INCOMPLETE generation (a crashed build's husk — no
+      // _SUCCESS, so resolve ignores it and the serve below builds
+      // fresh); aged far past any horizon, it would be reclaimed by the
+      // hard GC below... if not for the live lease on its key
+      val oldGen = new Path(s"$key/gen-0000000000001-old")
+      fs.mkdirs(oldGen)
+      fs.create(new Path(oldGen, "part-0"), true).close()
+      val now = System.currentTimeMillis()
+      fs.setTimes(new Path(oldGen, "part-0"), now - 10 * 86400000L, -1)
+      fs.setTimes(oldGen, now - 10 * 86400000L, -1)
+      // a refresh in flight: generation() holds the key lease while its
+      // build sleeps; GC runs mid-build
+      val started = new java.util.concurrent.CountDownLatch(1)
+      val finish = new java.util.concurrent.CountDownLatch(1)
+      val builder = new Thread(() => {
+        Layout.generation(spark, key) { g =>
+          started.countDown()
+          finish.await(30, java.util.concurrent.TimeUnit.SECONDS)
+          Seq((1L, "a")).toDF("doc_id", "text").write.parquet(g)
+        }
+        ()
+      })
+      builder.start()
+      started.await(30, java.util.concurrent.TimeUnit.SECONDS)
+      // hard GC mid-build: hardMaxAgeMs=0 would reclaim everything aged,
+      // but the key's live lease must shield ALL its generations —
+      // including the in-progress one and the aged complete one
+      val rep = Layout.gcStores(spark, maxAgeMs = 0L, keepNewest = 0, hardMaxAgeMs = 0L)
+      val mine = rep.filter(_.group.contains("corpL"))
+      assert(mine.nonEmpty && mine.forall(_.action == "kept-building"),
+        s"a live refresh must shield its key from GC: $rep")
+      assert(fs.exists(oldGen), "the aged husk generation survived the mid-build GC")
+      finish.countDown()
+      builder.join(60000)
+      val resolved = Layout.resolveGeneration(spark, key)
+      assert(resolved.isDefined && !resolved.get.contains("gen-0000000000001-old"),
+        s"the finished build must commit and resolve: $resolved")
+      // with the lease released, the stale husk is now reclaimable
+      val rep2 = Layout.gcStores(spark, maxAgeMs = 0L, keepNewest = 1)
+      assert(!fs.exists(oldGen),
+        s"post-build GC must reclaim the stale husk generation: $rep2")
+      assert(Layout.resolveGeneration(spark, key) == resolved,
+        "the live generation still resolves after GC")
+    } finally spark.conf.unset("spark.graft.cache.root")
+  }
+
   test("gcStores grouping: an epoch-stamped corpus-dir name is NOT blanked into a shared group (r17 advice)") {
     import graft.operators.Layout
     import org.apache.hadoop.fs.Path
