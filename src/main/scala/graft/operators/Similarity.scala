@@ -2703,13 +2703,17 @@ object Similarity {
     val outdeg = edgesC.groupBy(col("src")).agg(count(lit(1)).as("od"))
     var pr = nodesC.select(col("vec_id"), lit(PrE / n).as("pr"))
     // per-round lineage truncation, the labelPropagateOf discipline
-    // (round 18; the fixed 3-round gated form never needed it, but
-    // `rounds` is caller-facing now and a deep run would otherwise
-    // re-enter Catalyst+AQE `rounds` shuffles deep). Durability is
-    // conf-selected in [[IterCheckpoint]]: executor-resident
-    // localCheckpoint by default, RELIABLE spark.graft.checkpointDir-
-    // backed files at cluster scale (executor loss mid-loop recovers
-    // from the round files; spec-proven bit-identical ranks).
+    // (round 18), for DEEP runs only: eager checkpointing costs one
+    // materializing job per round, which at the gated [[PrRounds]]=3
+    // is pure orchestration overhead on an already-bounded lineage
+    // (measured +0.9 s on a 2 000-node sf0.1 graph), while past it the
+    // unrolled plan re-enters Catalyst+AQE `rounds` shuffles deep.
+    // Durability is conf-selected in [[IterCheckpoint]]:
+    // executor-resident localCheckpoint by default, RELIABLE
+    // spark.graft.checkpointDir-backed files at cluster scale (executor
+    // loss mid-loop recovers from the round files; spec-proven
+    // bit-identical ranks, 12-round both modes).
+    val truncate = rounds > PrRounds
     var prevCk: Option[IterCheckpoint.Ck] = None
     for (_ <- 1 to rounds) {
       val sums = edgesC
@@ -2718,14 +2722,16 @@ object Similarity {
         .select(col("dst"), expr("pr div od").as("c"))
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("s"))
-      val ck = IterCheckpoint.checkpoint(nodesC
+      val next = nodesC
         .join(sums.withColumnRenamed("dst", "vec_id"), Seq("vec_id"), "left")
         .select(col("vec_id"),
-          (lit(base) + expr("(17 * coalesce(s, 0)) div 20")).as("pr")),
-        eager = true)
-      pr = ck.df
-      prevCk.foreach(IterCheckpoint.release)
-      prevCk = Some(ck)
+          (lit(base) + expr("(17 * coalesce(s, 0)) div 20")).as("pr"))
+      if (truncate) {
+        val ck = IterCheckpoint.checkpoint(next, eager = true)
+        pr = ck.df
+        prevCk.foreach(IterCheckpoint.release)
+        prevCk = Some(ck)
+      } else pr = next
     }
     pr.select(col("vec_id"), col("pr")).orderBy(col("vec_id"))
   }
