@@ -376,6 +376,59 @@ class LayoutSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.cache.root")
   }
 
+  test("generation protocol under ADVISORY lease (racy: FS, S3 create semantics): both writers build, both commit safely, one wins, nothing torn") {
+    import graft.operators.Layout
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.set("fs.racy.impl", classOf[RacyLocalFs].getName)
+    val local = java.nio.file.Files.createTempDirectory("racy").toString
+    // two spellings of the SAME physical key-dir: distinct strings miss
+    // each other's in-JVM lock (two "processes"), while Hadoop Path
+    // collapses the `//` so every FS operation hits one directory —
+    // and the racy FS lets BOTH win the marker create
+    val keyA = s"racy:$local/fam/key"
+    val keyB = s"racy:$local/fam//key"
+    val inBuild = new java.util.concurrent.CountDownLatch(2)
+    val built = new java.util.concurrent.atomic.AtomicInteger(0)
+    def serve(keyDir: String, id: Long): String =
+      Layout.generation(spark, keyDir) { g =>
+        built.incrementAndGet()
+        inBuild.countDown()
+        // hold until BOTH builders are inside build — proof the lease
+        // really degraded to advisory (an atomic create would serialize
+        // them and this await would time out)
+        assert(inBuild.await(30, java.util.concurrent.TimeUnit.SECONDS),
+          "expected BOTH writers inside build under the racy FS")
+        Seq((id, s"writer$id")).toDF("doc_id", "text").write.parquet(g)
+      }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val (fa, fb) = try {
+      val a = pool.submit(new java.util.concurrent.Callable[String] {
+        def call(): String = serve(keyA, 1L) })
+      val b = pool.submit(new java.util.concurrent.Callable[String] {
+        def call(): String = serve(keyB, 2L) })
+      (a.get(120, java.util.concurrent.TimeUnit.SECONDS),
+       b.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    assert(built.get() == 2, "the advisory race must have admitted both builders")
+    // each caller got a COMPLETE generation — its own or the winner's,
+    // either is the same artifact by construction; neither is torn
+    val fs = new Path(keyA).getFileSystem(hconf)
+    for (g <- Set(fa, fb)) {
+      assert(fs.exists(new Path(g, "_SUCCESS")), s"returned gen incomplete: $g")
+      assert(spark.read.parquet(g).count() == 1, s"torn store at $g")
+    }
+    // post-race resolution is deterministic and serves a complete store
+    val r1 = Layout.resolveGeneration(spark, keyA)
+    val r2 = Layout.resolveGeneration(spark, keyB)
+    assert(r1.isDefined && r1.map(new Path(_).toString) == r2.map(new Path(_).toString),
+      s"both spellings must resolve one winner: $r1 vs $r2")
+    assert(spark.read.parquet(r1.get).count() == 1)
+    // lease markers fully released despite the double-win
+    assert(!fs.exists(new Path(keyA + "__building")))
+  }
+
   test("gcStores under a LIVE generation build: the building key is untouched, the finished gen resolves") {
     import graft.operators.Layout
     import org.apache.hadoop.fs.Path
