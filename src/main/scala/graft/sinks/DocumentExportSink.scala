@@ -52,17 +52,13 @@ object DocumentExportSink {
     df.select("doc_id", "title", "content").foreachPartition {
       (rows: Iterator[org.apache.spark.sql.Row]) =>
         if (rows.hasNext) {
-          val dir = new Path(qualified)
-          val fs = MarkdownFileSink.rawFs(dir, confBc.value.value)
+          val put = MarkdownFileSink.writerFor(qualified, confBc.value.value)
           rows.foreach { r =>
             val docId = r.getLong(0)
             val title = Option(r.getString(1)).filter(_.nonEmpty)
               .getOrElse(s"Document $docId") // api.py:263-268 fallback
-            val bytes = renderer.render(title, docId, Option(r.getString(2)).getOrElse(""))
-            val os = fs.create(
-              new Path(dir, s"${prefix}_$docId.${renderer.extension}"), true)
-            try os.write(bytes)
-            finally os.close()
+            put(s"${prefix}_$docId.${renderer.extension}",
+              renderer.render(title, docId, Option(r.getString(2)).getOrElse("")))
           }
         }
     }

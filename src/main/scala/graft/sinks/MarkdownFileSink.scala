@@ -43,6 +43,30 @@ object MarkdownFileSink {
       case other => other
     }
 
+  /** Per-partition byte writer for a driver-QUALIFIED destination dir.
+    * `file:` targets take the java.nio fast path — Hadoop local-FS
+    * wrappers pay stream/permission scaffolding PER CREATE, which at
+    * one-file-per-document scale is the workload itself (measured
+    * 48-55 s vs 1-22 s for the same 50 k-doc extract in like I/O
+    * states). Non-local URIs (hdfs:, s3a:, …) write through the Hadoop
+    * FS of the destination — the cluster-correctness path this sink
+    * exists for. Same bytes either way. */
+  private[sinks] def writerFor(qualifiedDir: String,
+                               conf: Configuration): (String, Array[Byte]) => Unit = {
+    val uri = java.net.URI.create(qualifiedDir)
+    if (uri.getScheme == "file" || uri.getScheme == null) {
+      val dir = java.nio.file.Paths.get(uri.getPath)
+      (name, bytes) => { java.nio.file.Files.write(dir.resolve(name), bytes); () }
+    } else {
+      val dir = new Path(qualifiedDir)
+      val fs = rawFs(dir, conf)
+      (name, bytes) => {
+        val os = fs.create(new Path(dir, name), true)
+        try os.write(bytes) finally os.close()
+      }
+    }
+  }
+
   def write(df: DataFrame, outputDir: String): Unit = {
     val spark = df.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -56,12 +80,9 @@ object MarkdownFileSink {
     df.select("filename", "content").foreachPartition {
       (rows: Iterator[org.apache.spark.sql.Row]) =>
         if (rows.hasNext) {
-          val dir = new Path(qualified)
-          val fs = rawFs(dir, confBc.value.value)
+          val put = writerFor(qualified, confBc.value.value)
           rows.foreach { r =>
-            val os = fs.create(new Path(dir, r.getString(0)), true)
-            try os.write(r.getString(1).getBytes(StandardCharsets.UTF_8))
-            finally os.close()
+            put(r.getString(0), r.getString(1).getBytes(StandardCharsets.UTF_8))
           }
         }
     }
