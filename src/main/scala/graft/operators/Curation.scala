@@ -895,6 +895,109 @@ object Curation {
     FROM f
     ORDER BY doc_id"""
 
+  // ---- multilingual quality gate (round 19, the r18 verdict's #1) ------
+  // [[qualityGate]]'s rules are calibrated for English over the
+  // reference tokenizer, which yields ~NOTHING on unspaced scripts: a
+  // Japanese document the lang-id just certified is dropped as
+  // "too_short, tok_len, low_stop" — a multilingual release ships with
+  // its CJK slice silently gutted. The ML gate runs the SAME rule
+  // structure over the script-aware v2 tokens (TextFns.tokensScript)
+  // with the two ENGLISH-CALIBRATED rules made script-conditional:
+  //  - mean token length [3,10] and the English-stopword floor apply
+  //    only when ≥½ the tokens are ASCII word runs (an English-ish doc);
+  //    for a CJK/Cyrillic/Arabic doc both are vacuous — per-codepoint
+  //    tokens have length 1 by construction and our stop list is
+  //    English, so firing them IS the bug this gate exists to fix.
+  //  - mean token length is computed over WORD tokens only (runs, not
+  //    unspaced-script singletons), so mixed-script docs aren't dragged
+  //    under the floor by their CJK half.
+  // Length/repetition rules are script-agnostic and unchanged. Runs
+  // over the seeded multilingual corpus (documents ∪ held-out docs) so
+  // every script class is exercised at every SF.
+
+  def qualityGateMl(spark: SparkSession, dir: String): DataFrame =
+    qualityGateMlOf(TextAnalysis.mlDocs(spark, dir)
+      .select(col("doc_id"), TextFns.tokensScript(col("text")).as("t"))
+      .cache()) // feeds the stats pass + both gram passes (harness clears it)
+
+  /** The ML gate over a PRE-TOKENIZED (doc_id, t) frame of v2 tokens —
+    * the [[qualityGateOf]] seam for the script-aware tokenizer. */
+  def qualityGateMlOf(toks: DataFrame): DataFrame = {
+    val (s2, s3) = TextAnalysis.gramFractions(toks)
+    // the seed-derived UNION function-word list — a Latin-script doc in
+    // ANY of the 20 fixture languages clears the floor on its own
+    // function words (the English-only list dropped every Latin
+    // non-English held-out doc; measured, see MlStopWords)
+    val stopList = TextAnalysis.MlStopWords
+    val singletonRe = s"^${TextFns.UnspacedBlockClass}$$"
+    def words = filter(col("t"), x => !x.rlike(singletonRe))
+    val base = toks.select(col("doc_id"),
+      size(col("t")).cast("long").as("n_tokens"),
+      when(size(words) > 0,
+        round(aggregate(transform(words, x => length(x)), lit(0), (a, x) => a + x)
+          .cast("double") / size(words), 4)).as("atlw"),
+      when(size(col("t")) > 0,
+        round(size(filter(col("t"), x => array_contains(typedlit(stopList), x)))
+          .cast("double") / size(col("t")), 6)).as("stop"),
+      when(size(col("t")) > 0,
+        round(size(filter(col("t"), x => x.rlike("^[0-9a-z_]+$")))
+          .cast("double") / size(col("t")), 6)).as("ascii_frac"))
+    val flagged = base
+      .join(s2, Seq("doc_id"), "left").join(s3, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") < GateMinTok).as("f_short"),
+        (col("n_tokens") > GateMaxTok).as("f_long"),
+        (col("ascii_frac") >= 0.5 &&
+          (col("atlw") < 3.0 || col("atlw") > 10.0)).as("f_toklen"),
+        (col("ascii_frac") >= 0.5 && col("stop") < 0.02).as("f_stop"),
+        (round(coalesce(col("top2"), lit(0.0)), 6) > 0.20).as("f_rep2"),
+        (round(coalesce(col("dup3"), lit(0.0)), 6) > 0.60).as("f_rep3"))
+    flagged.select(col("doc_id"), col("n_tokens"),
+      (!(col("f_short") || col("f_long") || coalesce(col("f_toklen"), lit(false)) ||
+         coalesce(col("f_stop"), lit(false)) || col("f_rep2") || col("f_rep3"))).as("keep"),
+      concat_ws(",",
+        when(col("f_short"), "too_short"), when(col("f_long"), "too_long"),
+        when(col("f_toklen"), "tok_len"), when(col("f_stop"), "low_stop"),
+        when(col("f_rep2"), "rep_2gram"), when(col("f_rep3"), "rep_3gram")).as("reasons"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityGateMlOracle: String = {
+    val stopList = TextAnalysis.MlStopWords.map(w => s"'$w'").mkString("[", ", ", "]")
+    val singleton = s"^${TextFns.UnspacedBlockClass}$$"
+    s"""
+    WITH docsml AS (${TextAnalysis.mlDocsCteSql}),
+    toks AS (SELECT doc_id, ${TextFns.tokensScriptSqlOver("text")} AS t FROM docsml),
+    ${TextAnalysis.gramFractionCtes},
+    base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        CASE WHEN len(list_filter(t, x -> NOT regexp_matches(x, '$singleton'))) > 0 THEN
+          round(CAST(list_sum(list_transform(
+              list_filter(t, x -> NOT regexp_matches(x, '$singleton')), x -> length(x))) AS DOUBLE)
+            / len(list_filter(t, x -> NOT regexp_matches(x, '$singleton'))), 4) END AS atlw,
+        CASE WHEN len(t) > 0 THEN
+          round(CAST(len(list_filter(t, x -> list_contains($stopList, x))) AS DOUBLE) / len(t), 6) END AS stop,
+        CASE WHEN len(t) > 0 THEN
+          round(CAST(len(list_filter(t, x -> regexp_matches(x, '^[0-9a-z_]+$$'))) AS DOUBLE) / len(t), 6) END AS ascii_frac
+      FROM toks),
+    f AS (SELECT base.doc_id, n_tokens,
+        n_tokens < $GateMinTok AS f_short,
+        n_tokens > $GateMaxTok AS f_long,
+        (ascii_frac >= 0.5 AND (atlw < 3.0 OR atlw > 10.0)) AS f_toklen,
+        (ascii_frac >= 0.5 AND stop < 0.02) AS f_stop,
+        round(coalesce(s2.top2, 0), 6) > 0.20 AS f_rep2,
+        round(coalesce(s3.dup3, 0), 6) > 0.60 AS f_rep3
+      FROM base LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id))
+    SELECT doc_id, n_tokens,
+      NOT (f_short OR f_long OR coalesce(f_toklen, false) OR
+           coalesce(f_stop, false) OR f_rep2 OR f_rep3) AS keep,
+      concat_ws(',',
+        CASE WHEN f_short THEN 'too_short' END, CASE WHEN f_long THEN 'too_long' END,
+        CASE WHEN f_toklen THEN 'tok_len' END, CASE WHEN f_stop THEN 'low_stop' END,
+        CASE WHEN f_rep2 THEN 'rep_2gram' END, CASE WHEN f_rep3 THEN 'rep_3gram' END) AS reasons
+    FROM f
+    ORDER BY doc_id"""
+  }
+
   // ---- composed curation pipeline (round 11) ---------------------------
   // The CCNet-shaped end-to-end call: quality gate → exact dedup among
   // the kept docs → language-id the survivors — one entry a user runs
@@ -1876,6 +1979,7 @@ object Curation {
     "curation_line_dedup"    -> (lineDedup _),
     "curation_temperature_mix" -> (temperatureMix _),
     "curation_quality_gate"  -> (qualityGate _),
+    "curation_quality_gate_ml" -> (qualityGateMl _),
     "curation_pipeline"      -> (pipelineCurate _),
     "curation_split"         -> (split _),
     "curation_split_leak_safe" -> (splitLeakSafe _),
@@ -1903,6 +2007,7 @@ object Curation {
     "curation_line_dedup"    -> lineDedupOracle,
     "curation_temperature_mix" -> temperatureMixOracle,
     "curation_quality_gate"  -> qualityGateOracle,
+    "curation_quality_gate_ml" -> qualityGateMlOracle,
     "curation_pipeline"      -> pipelineCurateOracle,
     "curation_split"         -> splitOracle,
     "curation_split_leak_safe" -> splitLeakSafeOracle,

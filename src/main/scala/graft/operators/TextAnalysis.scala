@@ -1956,9 +1956,104 @@ object TextAnalysis {
     FROM ws
     ORDER BY doc_id"""
 
+  // ---- script-aware tokenization (round 19, the r18 verdict's #1) ------
+  // The curation surface identified CJK (nb_lang_id, 60/60 held-out)
+  // and then mis-tokenized it: TextFns.tokens yields ~nothing on
+  // unspaced scripts. The v2 tokenizer (TextFns.tokensScript) segments
+  // unspaced-script codepoints one-per-token and keeps spaced-script
+  // letters in word runs; the gated entries run over a SEEDED
+  // multilingual corpus — the held-out lang fixtures (one doc per
+  // language, the 3 translated sentences concatenated) unioned onto the
+  // documents table with the same literals in the DuckDB oracle, so
+  // ja/hi/ru/ar/el content exercises every class at every SF.
+
+  /** One document per held-out language: (lang, doc_id, text) with
+    * stable negative ids in fixture order. Shared by the Spark unions,
+    * the generated oracle literals, and the specs. */
+  private[graft] val HoldoutDocs: Seq[(String, Long, String)] = {
+    val in = getClass.getResourceAsStream("/graft/lang_holdout.tsv")
+    require(in != null, "lang_holdout.tsv fixture missing from classpath")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    val rows =
+      try src.getLines().filter(_.trim.nonEmpty).map { line =>
+        val Array(l, t) = line.split("\t", 2)
+        l -> t
+      }.toSeq
+      finally src.close()
+    val langs = rows.map(_._1).distinct
+    langs.zipWithIndex.map { case (l, i) =>
+      (l, -9001L - i, rows.filter(_._1 == l).map(_._2).mkString(" "))
+    }
+  }
+
+  /** Union function-word list for the multilingual quality gate,
+    * derived from the COMMITTED seed prose (lang_seeds.tsv): per
+    * language, the v2 tokens occurring ≥3 times, top-10 by (count
+    * desc, token asc), unioned across all 20 languages plus the
+    * original English closed-class list. A Spanish or Finnish doc
+    * clears the function-word floor against ITS language's words —
+    * the first gate-ML draft reused the English-only list and dropped
+    * every Latin non-English held-out doc as "low_stop" (measured).
+    * Driver-side pure-Scala derivation from a committed fixture keeps
+    * it deterministic; the same literals feed the Spark expression and
+    * the generated oracle, so the two sides cannot drift. */
+  private[graft] val MlStopWords: Seq[String] = {
+    val pat = java.util.regex.Pattern.compile(graft.functions.TextFns.ScriptTokenPattern)
+    val per = LangSeedProfiles.map { case (_, prose) =>
+      val m = pat.matcher(prose)
+      val toks = scala.collection.mutable.ArrayBuffer[String]()
+      while (m.find())
+        toks += m.group().map(ch => if (ch >= 'A' && ch <= 'Z') (ch + 32).toChar else ch)
+      toks.groupBy(identity).map { case (t, g) => (t, g.size) }.toSeq
+        .filter(_._2 >= 3)
+        .sortBy { case (t, c) => (-c, t) }.take(10).map(_._1)
+    }
+    (per.flatten ++ profiles.head._2).distinct.sorted
+  }
+
+  /** documents ∪ the held-out seed docs (doc_id, text). */
+  private[graft] def mlDocs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .unionAll(HoldoutDocs.map(h => (h._2, h._3)).toDF("doc_id", "text"))
+  }
+
+  /** The `docsml(doc_id, text)` CTE body — same seed literals. */
+  private[graft] val mlDocsCteSql: String =
+    s"""SELECT doc_id, text FROM documents
+      ${HoldoutDocs.map { case (_, id, t) =>
+        s"UNION ALL SELECT CAST($id AS BIGINT), '${t.replace("'", "''")}'"
+      }.mkString("\n      ")}"""
+
+  /** Per-doc v2 tokenization summary over the seeded corpus: total and
+    * word-run token counts plus an md5 of the exact token sequence
+    * (tokens never contain ' ', so the space join is injective) — the
+    * hash gates the full token SEQUENCE cross-engine on every doc. */
+  def scriptTokens(spark: SparkSession, dir: String): DataFrame = {
+    val singleton = s"^${TextFns.UnspacedBlockClass}$$"
+    mlDocs(spark, dir)
+      .select(col("doc_id"), TextFns.tokensScript(col("text")).as("t"))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        size(filter(col("t"), x => !x.rlike(singleton))).cast("long").as("n_words"),
+        md5(concat_ws(" ", col("t"))).as("tok_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val scriptTokensOracle: String = s"""
+    WITH docsml AS ($mlDocsCteSql),
+    toks AS (SELECT doc_id, ${TextFns.tokensScriptSqlOver("text")} AS t FROM docsml)
+    SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+      CAST(len(list_filter(t, x ->
+        NOT regexp_matches(x, '^${TextFns.UnspacedBlockClass}$$'))) AS BIGINT) AS n_words,
+      md5(array_to_string(t, ' ')) AS tok_md5
+    FROM toks
+    ORDER BY doc_id"""
+
   // ---- registry -------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_script_tokens"   -> (scriptTokens _),
     "text_html_extract"    -> (htmlExtract _),
     "text_repetition"      -> (repetition _),
     "text_pii_redact"      -> (piiRedact _),
@@ -1982,6 +2077,7 @@ object TextAnalysis {
     "text_token_histogram" -> (tokenHistogram _))
 
   val oracle: Map[String, String] = Map(
+    "text_script_tokens"   -> scriptTokensOracle,
     "text_html_extract"    -> htmlExtractOracle,
     "text_repetition"      -> repetitionOracle,
     "text_pii_redact"      -> piiRedactOracle,

@@ -777,4 +777,103 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.map(_._1) == (1 to got.length))
   }
 
+  test("script-aware tokenizer: CJK segments per codepoint, spaced scripts keep word runs, pure-ASCII == v1 exactly") {
+    import graft.functions.TextFns
+    import graft.operators.TextAnalysis
+    // the held-out fixture docs — one per language, real prose
+    val seeds = TextAnalysis.HoldoutDocs
+    val ja = seeds.find(_._1 == "ja").get
+    val ru = seeds.find(_._1 == "ru").get
+    val hi = seeds.find(_._1 == "hi").get
+    val df = Seq(("ja", ja._3), ("ru", ru._3), ("hi", hi._3),
+      ("en", "The quick brown fox JUMPED over 42 lazy_dogs!"),
+      ("mix", "Apple社のiPhoneは人気です and naïve café"))
+      .toDF("lang", "text")
+      .select(col("lang"),
+        TextFns.tokens(col("text")).as("v1"),
+        TextFns.tokensScript(col("text")).as("v2"))
+    val got = df.collect().map(r => r.getString(0) ->
+      (r.getSeq[String](1), r.getSeq[String](2))).toMap
+
+    // ja: v1 sees (almost) nothing; v2 ≈ one token per codepoint
+    val jaChars = ja._3.replaceAll("\\s", "").length
+    assert(got("ja")._1.isEmpty, "reference tokenizer drops unspaced scripts entirely")
+    assert(got("ja")._2.size >= (jaChars * 0.9).toInt,
+      s"v2 must yield ~per-codepoint tokens: ${got("ja")._2.size} of $jaChars chars")
+    assert(got("ja")._2.forall(_.length == 1), "unspaced-script tokens are singletons")
+
+    // ru: v1 drops Cyrillic too; v2 keeps WORD RUNS (spaces split them)
+    assert(got("ru")._1.isEmpty)
+    val ruWords = ru._3.split("\\s+").length
+    assert(got("ru")._2.size == ruWords, s"${got("ru")._2.size} vs $ruWords")
+    assert(got("ru")._2.exists(_.length > 3), "Cyrillic words stay whole")
+
+    // hi: Devanagari runs (with matras) stay whole words
+    assert(got("hi")._2.size >= hi._3.split("\\s+").length - 2)
+    assert(got("hi")._2.exists(_.length > 2))
+
+    // pure ASCII: v2 == v1 bit-for-bit (same runs, same lowering)
+    assert(got("en")._1 == got("en")._2,
+      s"v1 ${got("en")._1} vs v2 ${got("en")._2}")
+    assert(got("en")._2.contains("jumped") && got("en")._2.contains("lazy_dogs"))
+
+    // mixed script: ASCII runs lowered, kana/han singletons, accents whole
+    val mix = got("mix")._2
+    assert(mix.contains("apple") && mix.contains("iphone") && mix.contains("and"))
+    assert(mix.contains("社") && mix.contains("の") && mix.contains("人"))
+    assert(mix.contains("naïve") && mix.contains("café"),
+      s"accented Latin words stay whole (ASCII chars lowered): $mix")
+
+    // the v2==v1-on-ASCII claim over REAL data: every pure-ASCII corpus doc
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("text").rlike("^[\\x00-\\x7F]*$"))
+      .select(TextFns.tokens(col("text")).as("v1"),
+        TextFns.tokensScript(col("text")).as("v2"))
+    assert(docs.count() > 0)
+    assert(docs.filter(not(col("v1") === col("v2"))).count() == 0,
+      "v2 must equal v1 on every pure-ASCII document")
+  }
+
+  test("multilingual quality gate: the ja/ru docs the v1 gate drops pass under v2 with plausible counts; English verdicts unchanged") {
+    import graft.operators.{Curation, TextAnalysis}
+    import graft.functions.TextFns
+    val seeds = TextAnalysis.HoldoutDocs
+    val byLang = seeds.map(s => s._2 -> s._1).toMap
+    val ml = Curation.qualityGateMl(spark, sf)
+      .filter(col("doc_id") < 0).collect()
+      .map(r => (byLang(r.getLong(0)), (r.getLong(1), r.getBoolean(2), r.getString(3))))
+      .toMap
+    // every held-out language doc passes the ML gate
+    val failing = ml.filter(!_._2._2)
+    assert(failing.isEmpty, s"seed docs must pass the ML gate: $failing")
+    // plausible counts: ja ≈ codepoints, ru ≈ whitespace words
+    val jaText = seeds.find(_._1 == "ja").get._3
+    val jaChars = jaText.replaceAll("\\s", "").length
+    assert(math.abs(ml("ja")._1 - jaChars) <= jaChars / 5,
+      s"ja token count ~ codepoint count: ${ml("ja")._1} vs $jaChars")
+    val ruWords = seeds.find(_._1 == "ru").get._3.split("\\s+").length
+    assert(math.abs(ml("ru")._1 - ruWords) <= 2)
+
+    // the V1 tokenizer on the same docs: ja/ru/ar tokenize to NOTHING —
+    // under ANSI the v1 gate's mean-length division even ERRORS on them,
+    // and below GateMinTok they'd drop as too_short regardless (the r18
+    // finding this operator exists to fix)
+    val v1Counts = TextAnalysis.mlDocs(spark, sf)
+      .filter(col("doc_id") < 0)
+      .select(col("doc_id"), size(TextFns.tokens(col("text"))).as("n"))
+      .collect().map(r => byLang(r.getLong(0)) -> r.getInt(1)).toMap
+    assert(v1Counts("ja") == 0 && v1Counts("ru") == 0 && v1Counts("ar") == 0,
+      s"the reference tokenizer must see nothing in non-Latin scripts: $v1Counts")
+
+    // English corpus docs: ML gate verdict == v1 gate verdict on every
+    // pure-ASCII doc (rule changes are conditioned on script, not a recal)
+    val ascii = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("text").rlike("^[\\x00-\\x7F]*$")).select("doc_id")
+    val v1All = Curation.qualityGate(spark, sf).select("doc_id", "keep")
+    val mlAll = Curation.qualityGateMl(spark, sf).select(col("doc_id"), col("keep").as("keep_ml"))
+    val diff = v1All.join(mlAll, "doc_id").join(ascii, "doc_id")
+      .filter(col("keep") =!= col("keep_ml")).count()
+    assert(diff == 0, "ML gate must not change any pure-ASCII English verdict")
+  }
+
 }
