@@ -379,7 +379,8 @@ object Curation {
     * prefix sum. Oracle composes the shared unrolled BPE CTEs with the
     * packing arithmetic — neither re-derived. */
   def packBpe(spark: SparkSession, dir: String): DataFrame = {
-    val (syms, _) = TextAnalysis.bpeLearn(spark, dir)
+    // trained-tokenizer units from the COMMITTED vocab store (round 19)
+    val (syms, _) = TextAnalysis.bpeStored(spark, dir)
     val vocab = syms.select(col("w"), size(col("sym")).as("n_sym"))
     val counts = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("w"))

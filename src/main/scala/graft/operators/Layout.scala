@@ -484,7 +484,8 @@ private[graft] object Layout {
   private[graft] val StoreFamilies: Seq[String] = Seq(
     "ivf2_index", "pq_index", "ivfpq_index", "vec_store",
     "knn_graph_cache", "bm25_index", "clusters_cache",
-    "winnow_probe_cache", "release_v2_cache", "rrf_lists")
+    "winnow_probe_cache", "release_v2_cache", "rrf_lists",
+    "bpe_vocab")
 
   /** One GC decision: a store generation and what happened to it. */
   final case class StoreGcEntry(family: String, key: String, group: String,

@@ -1455,10 +1455,74 @@ object TextAnalysis {
     (syms, merges.toSeq, rounds)
   }
 
+  // ---- persisted tokenizer store (round 19, the r18 verdict's #2) ------
+  // BPE training scales to 16 384 merges (ScaleBpe), but through round
+  // 18 the trained merge list lived and died in the JVM: bpeEncode /
+  // pack_bpe retrained their vocab inline per run, and a real
+  // 32 k-merge training had nowhere to land. The ELEVENTH generation
+  // family persists the artifact: `merges` (rank, lhs, rhs, cnt — the
+  // greedy merge list) and `vocab` (w, n, sym — the FULLY MERGED
+  // symbolization of every corpus word, what encode joins against;
+  // written LAST, so its _SUCCESS commits the generation). The key
+  // folds the corpus stateTag, the merge count, and the TOKENIZER
+  // VERSION (a TextFns.tokens semantics bump must re-key the store,
+  // not serve stale symbolizations); the speculative batch size is
+  // deliberately NOT in the key — the merge list is schedule-invariant
+  // (differential-spec'd since r17), so any schedule serves any other.
+
+  private[graft] def bpeStoreKeyDir(spark: SparkSession, dir: String,
+      maxMerges: Int): String = {
+    val tag = Layout.stateTag(spark, s"$dir/documents.parquet")
+    val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${tag}" +
+      s"_m${maxMerges}_tok${TextFns.TokVersion}"
+    s"${Layout.cacheRoot(spark)}/bpe_vocab/$key"
+  }
+
+  /** Train-once: resolve or build the committed tokenizer generation.
+    * Returns the generation dir holding `merges` and `vocab`. */
+  def bpeVocabStore(spark: SparkSession, dir: String,
+      maxMerges: Int = BpeMerges, batch: Int = BpeBatch): String =
+    bpeVocabCommit(spark, bpeStoreKeyDir(spark, dir, maxMerges)) {
+      val (syms, merges) = bpeLearnFrom(bpeVocab0(spark, dir), maxMerges, batch)
+      (syms, merges)
+    }
+
+  /** Commit an already-trained (vocab, merge list) pair — or train one
+    * inside the lease via the by-name arg — as a generation of
+    * `keyDir`. Shared by [[bpeVocabStore]] and ScaleBpe's deep-artifact
+    * roundtrip (a 16 384-merge training must not re-run just to land
+    * its result in the store). */
+  private[graft] def bpeVocabCommit(spark: SparkSession, keyDir: String)
+      (trained: => (DataFrame, Seq[(Int, String, String, Long)])): String =
+    Layout.generation(spark, keyDir, "vocab") { g =>
+      import spark.implicits._
+      val (syms, merges) = trained
+      merges.toDF("rank", "lhs", "rhs", "cnt").write.parquet(s"$g/merges")
+      syms.write.parquet(s"$g/vocab") // last: its _SUCCESS commits the gen
+      syms.unpersist()
+    }
+
+  /** The stored tokenizer: (fully-merged vocab frame, merge list) —
+    * the exact shapes [[bpeLearn]] returns, now warm across runs and
+    * processes. The merge-list collect is bounded by maxMerges rows
+    * (a 32 k-merge list is ~1 MB — driver-sized by construction). */
+  private[graft] def bpeStored(spark: SparkSession, dir: String,
+      maxMerges: Int = BpeMerges, batch: Int = BpeBatch)
+      : (DataFrame, Seq[(Int, String, String, Long)]) = {
+    val g = bpeVocabStore(spark, dir, maxMerges, batch)
+    val merges = spark.read.parquet(s"$g/merges").orderBy(col("rank"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    (spark.read.parquet(s"$g/vocab"), merges)
+  }
+
   def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val (syms, merges) = bpeLearn(spark, dir)
-    syms.unpersist()
+    // served from the committed tokenizer store (cold run trains and
+    // commits; the oracle is unchanged — stored == trained by
+    // construction, and the cold/warm equality spec pins it)
+    val (_, merges) = bpeStored(spark, dir)
     merges.toDF("rank", "lhs", "rhs", "cnt")
       .orderBy(col("rank"))
   }
@@ -1473,9 +1537,10 @@ object TextAnalysis {
     * vocab-sized build side (AQE broadcasts it at gated SF), never a
     * per-occurrence fold. */
   def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
-    // bpeLearn's returned vocab is already fully merged — the encode
-    // side reuses its final symbol state instead of re-folding
-    val (syms, _) = bpeLearn(spark, dir)
+    // the STORED vocab is already fully merged — warm runs join the
+    // committed generation's table and never retrain (round 19; the
+    // inline trainer remains reachable via bpeLearn for specs)
+    val (syms, _) = bpeStored(spark, dir)
     val vocab = syms.select(col("w"), size(col("sym")).as("n_sym"))
     Tables.documents(spark, dir)
       .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("w"))

@@ -156,10 +156,9 @@ object ScaleBpe {
     // 32k-vocab-scale merge count stays greedy-exact (prefix vs the
     // 4096 run), the ADAPTIVE average clears 6 merges/round, and 4× the
     // merges past 4096 stays in the ≤8× wall envelope.
-    val ((_, m16k, r16k), t16k) = time("synthetic vocab, 16384 merges (batch=16, adaptive)") {
+    val ((s16k, m16k, r16k), t16k) = time("synthetic vocab, 16384 merges (batch=16, adaptive)") {
       TextAnalysis.bpeLearnRoundsInc(synthVocab(), 16384, batch = 16)
     }
-    spark.catalog.clearCache()
     require(m16k.take(4096) == m4096,
       "greedy prefix property violated: 4096-merge run != 16384-merge run's prefix")
     require(m16k.length == 16384, s"ran dry at ${m16k.length} merges")
@@ -171,7 +170,50 @@ object ScaleBpe {
       f"adaptive acceptance below target: $comp16k%.2f merges/round (gate >= 6)")
     require(ratio64x <= 8.0,
       f"quadratic regime at depth: 4x merges past 4096 cost $ratio64x%.2fx wall (hard gate 8x)")
-    println(f"""[scale] {"metric":"bpe_scale","t64":$t64%.2f,"t256":$t256%.2f,"t1024":$t1024%.2f,"t4096":$t4096%.2f,"t16384":$t16k%.2f,"ratio":$ratio%.2f,"ratio1024":$ratio4%.2f,"ratio4096":$ratio16%.2f,"ratio16384":$ratio64x%.2f,"rounds64":$r64,"rounds256":$r256,"rounds1024":$r1024,"rounds4096":$r4096,"rounds16384":$r16k,"mergesPerRound4096":$comp4096%.2f,"mergesPerRound16384":$comp16k%.2f}""")
+
+    // ---- store roundtrip (round 19): the deep artifact LANDS ----------
+    // A 16 384-merge training is ~¼ h of work — it must persist through
+    // the committed tokenizer store (bpe_vocab generation family) and
+    // read back bit-identical, not live and die in this JVM.
+    import graft.operators.Layout
+    val storeRoot = "target/tmp/scalebpe_store"
+    spark.conf.set("spark.graft.cache.root", storeRoot)
+    val keyDir = s"$storeRoot/bpe_vocab/scalebpe_synth_m16384_tok${graft.functions.TextFns.TokVersion}"
+    val (gen, tStore) = time("commit 16384-merge artifact to the store") {
+      TextAnalysis.bpeVocabCommit(spark, keyDir)((s16k, m16k))
+    }
+    spark.catalog.clearCache()
+    val mBack = spark.read.parquet(s"$gen/merges").orderBy(col("rank"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    require(mBack == m16k, "stored merge list diverged from the trained one")
+    val vBack = spark.read.parquet(s"$gen/vocab").count()
+    require(vBack == 65536L, s"stored vocab row count $vBack != 65536")
+    require(Layout.resolveGeneration(spark, keyDir, "vocab").contains(gen),
+      "committed generation must resolve")
+    println(f"[scale] store roundtrip: 16384 merges + 65536-word vocab committed and re-read in $tStore%.2f s")
+    spark.conf.unset("spark.graft.cache.root")
+
+    // ---- 32768 merges (round 19): the depth stretch --------------------
+    // Gates: prefix property vs the 16384 run and wall growth ≤8× for
+    // the 2× depth. If the synthetic vocabulary runs DRY before 32768
+    // (it holds 65 536 words — finitely many merges exist), the measured
+    // ceiling is recorded honestly instead of forced.
+    val ((_, m32k, r32k), t32k) = time("synthetic vocab, 32768 merges (batch=16, adaptive)") {
+      TextAnalysis.bpeLearnRoundsInc(synthVocab(), 32768, batch = 16)
+    }
+    spark.catalog.clearCache()
+    require(m32k.take(16384) == m16k,
+      "greedy prefix property violated: 16384-merge run != 32768-merge run's prefix")
+    val comp32k = m32k.length.toDouble / r32k
+    val ratio2x = t32k / t16k
+    if (m32k.length < 32768)
+      println(s"[scale] vocabulary ran DRY at ${m32k.length} merges — the measured " +
+        "ceiling of the 65536-word synthetic corpus (recorded, not forced)")
+    println(f"[scale] depth stretch: ${m32k.length} merges in $r32k rounds " +
+      f"($comp32k%.2f/round); wall 16384->${m32k.length} (2x work): $ratio2x%.2fx")
+    require(ratio2x <= 8.0,
+      f"quadratic regime at depth: 2x merges past 16384 cost $ratio2x%.2fx wall (hard gate 8x)")
+    println(f"""[scale] {"metric":"bpe_scale","t64":$t64%.2f,"t256":$t256%.2f,"t1024":$t1024%.2f,"t4096":$t4096%.2f,"t16384":$t16k%.2f,"t32768":$t32k%.2f,"ratio":$ratio%.2f,"ratio1024":$ratio4%.2f,"ratio4096":$ratio16%.2f,"ratio16384":$ratio64x%.2f,"ratio32768":$ratio2x%.2f,"rounds64":$r64,"rounds256":$r256,"rounds1024":$r1024,"rounds4096":$r4096,"rounds16384":$r16k,"rounds32768":$r32k,"merges32768":${m32k.length},"mergesPerRound4096":$comp4096%.2f,"mergesPerRound16384":$comp16k%.2f,"mergesPerRound32768":$comp32k%.2f}""")
     spark.stop()
   }
 }

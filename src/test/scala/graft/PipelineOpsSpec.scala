@@ -777,6 +777,52 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.map(_._1) == (1 to got.length))
   }
 
+  test("BPE tokenizer store: stored == inline bit-for-bit, warm serve rebuilds nothing, GC reclaims the superseded generation") {
+    import graft.operators.{Layout, TextAnalysis}
+    import org.apache.hadoop.fs.Path
+    val root = "file:" + java.nio.file.Files.createTempDirectory("bpev").toString
+    spark.conf.set("spark.graft.cache.root", root)
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("bpec").toString
+      val src = spark.read.parquet(s"$sf/documents.parquet")
+      src.write.parquet(s"$dir/documents.parquet")
+      // inline reference (the trainer itself, no store)
+      val (symsInline, mergesInline) = TextAnalysis.bpeLearnFrom(
+        TextAnalysis.bpeVocab0(spark, dir), TextAnalysis.BpeMerges, TextAnalysis.BpeBatch)
+      val vocabInline = symsInline
+        .select(col("w"), col("n"), col("sym")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getSeq[String](2))).sortBy(_._1).toSeq
+      symsInline.unpersist()
+      // cold build through the store
+      val (v, m) = TextAnalysis.bpeStored(spark, dir)
+      assert(m == mergesInline, "stored merge list must equal the inline trainer's")
+      val vocabStored = v.select(col("w"), col("n"), col("sym")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getSeq[String](2))).sortBy(_._1).toSeq
+      assert(vocabStored == vocabInline, "stored vocab must equal the inline symbolization")
+      // warm serve: the committed generation is untouched (no rebuild)
+      val keyDir = TextAnalysis.bpeStoreKeyDir(spark, dir, TextAnalysis.BpeMerges)
+      val gen = Layout.resolveGeneration(spark, keyDir, "vocab").get
+      val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val succ = new Path(s"$gen/vocab/_SUCCESS")
+      val t0 = fs.getFileStatus(succ).getModificationTime
+      val (_, m2) = TextAnalysis.bpeStored(spark, dir)
+      assert(m2 == m && fs.getFileStatus(succ).getModificationTime == t0,
+        "a warm serve must read the committed generation, not retrain")
+      // corpus regen → new key; GC reclaims the superseded generation
+      Thread.sleep(1100)
+      src.limit(40).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      TextAnalysis.bpeStored(spark, dir)
+      val fam = new Path(s"$root/bpe_vocab")
+      assert(fs.listStatus(fam).count(_.isDirectory) == 2, "two corpus keys before GC")
+      val rep = Layout.gcStores(spark, maxAgeMs = 0L, keepNewest = 1)
+      assert(fs.listStatus(fam).count(_.isDirectory) == 1,
+        s"GC must reclaim the superseded tokenizer generation: $rep")
+      val live = fs.listStatus(fam).filter(_.isDirectory).head.getPath.toString
+      assert(Layout.resolveGeneration(spark, live, "vocab").isDefined,
+        "the surviving key must still resolve a committed generation")
+    } finally spark.conf.unset("spark.graft.cache.root")
+  }
+
   test("script-aware tokenizer: CJK segments per codepoint, spaced scripts keep word runs, pure-ASCII == v1 exactly") {
     import graft.functions.TextFns
     import graft.operators.TextAnalysis
