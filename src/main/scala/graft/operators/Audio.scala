@@ -176,6 +176,160 @@ object Audio {
     audioFeaturesOf(frame).orderBy(col("doc_id"))
   }
 
+  // ---- clip-level near-dup (round 19, the r18 verdict's #3) -------------
+  // The audio sibling of the video clip dedup: a 64-bit ROBUST
+  // signature from the zero-crossing structure — 16 equal time windows,
+  // per-window crossing count, GRAY-CODED to a nibble (adjacent counts
+  // differ by ONE bit, so mild tempo/length jitter costs Hamming 1 per
+  // touched window instead of up to 4) — then the shared 4-block
+  // pigeonhole pair machinery ([[Multimodal.blockPairsOf]]). ZCR is
+  // amplitude-INVARIANT by construction: a volume-changed re-encode of
+  // a clip has the identical signature (the crafted seed pair), where
+  // an RMS-based signature would miss exactly that transform. Counts
+  // come from the REAL parsed samples (the codec path); the gated
+  // corpus renders parameterized square waves whose per-window
+  // crossing counts have a closed form the oracle mirrors.
+
+  /** Gray-coded per-window ZCR nibbles of a sample array: window w of
+    * 16 counts crossings STRICTLY INSIDE itself (indices i ∈
+    * (w·n/16, (w+1)·n/16) — the window-boundary crossing belongs to
+    * neither window, which keeps the count independent of the previous
+    * window's final sign and therefore closed-form per window). */
+  private[graft] def zcrSignature(samples: Array[Short]): Array[Int] = {
+    val n = samples.length
+    val nib = new Array[Int](16)
+    var w = 0
+    while (w < 16) {
+      val lo = (w.toLong * n / 16).toInt
+      val hi = ((w + 1).toLong * n / 16).toInt
+      var c = 0
+      var i = lo + 1
+      while (i < hi) {
+        if ((samples(i) < 0) != (samples(i - 1) < 0)) c += 1
+        i += 1
+      }
+      nib(w) = (c ^ (c >> 1)) & 15
+      w += 1
+    }
+    nib
+  }
+
+  /** (doc_id, b0..b3): the ZCR signature of every WAV payload as four
+    * 16-bit blocks (4 nibbles each) — the dHash block layout, so the
+    * pigeonhole candidate machinery is shared verbatim. */
+  def audioSigOf(frame: DataFrame): DataFrame = {
+    val spark = frame.sparkSession
+    import spark.implicits._
+    frame.select(col("doc_id"), col("payload")).as[AudioRow]
+      .mapPartitions(_.grouped(64).flatMap(_.map { r =>
+        val nib = zcrSignature(parseWav(r.payload).samples)
+        def blk(j: Int) =
+          nib(4 * j) | (nib(4 * j + 1) << 4) | (nib(4 * j + 2) << 8) | (nib(4 * j + 3) << 12)
+        (r.doc_id, blk(0), blk(1), blk(2), blk(3))
+      }))
+      .toDF("doc_id", "b0", "b1", "b2", "b3")
+  }
+
+  /** Per-window half-period of a clip: seeds carry a FIXED period
+    * (constant tone); corpus clips are frequency-MODULATED — each
+    * window's period is md5-derived from (doc_id, window), so organic
+    * signatures are pseudorandom 16-nibble vectors and distinct clips
+    * essentially never collide (a single uniform tone per doc made
+    * every similar-frequency doc a "near-dup": 580 k pairs at sf0.1,
+    * measured — an artifact of a too-narrow synthetic frequency space,
+    * not of the operator). */
+  private[graft] def winHalf(pat: Long, w: Int, fix: Int): Int =
+    if (fix > 0) fix
+    else {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"aud:$pat:$w".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      4 + (d(0) & 0xFF) % 12
+    }
+
+  /** Segment-modulated square wave: each of the 16 windows restarts at
+    * +amp and flips every `halves(w)` samples — so the in-window
+    * crossing count is exactly (len_w − 1) div half_w, the closed form
+    * the oracle mirrors. */
+  private[graft] def segWave(amp: Int, n: Int, halves: Array[Int]): Array[Short] =
+    Array.tabulate(n) { i =>
+      val w = (i.toLong * 16 / n).toInt
+      val r = i - (w.toLong * n / 16).toInt
+      (if ((r / halves(w)) % 2 == 0) amp else -amp).toShort
+    }
+
+  /** Seed clips (doc_id, amp, fixed half, n): -2 is -3 at DOUBLE the
+    * volume (must pair at Hamming 0 — ZCR ignores amplitude); -1 is a
+    * different tone (must not pair). */
+  private[graft] val AudioSigSeeds: Seq[(Long, Int, Int, Int)] = Seq(
+    (-3L, 2000, 6, 480),
+    (-2L, 4000, 6, 480),
+    (-1L, 2000, 11, 480))
+
+  /** Gated `mm_audio_sig_dedup`: near-dup audio pairs over the
+    * frequency-modulated corpus + the seed trio, through the real WAV
+    * writer and parser. */
+  def audioSigDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    val corpus = docs.mapPartitions(_.map { id =>
+      val amp = (1000 + (id % 89) * 100).toInt
+      val n = (400 + id % 391).toInt
+      AudioRow(id, renderWav(8000,
+        segWave(amp, n, Array.tabulate(16)(w => winHalf(id, w, 0)))))
+    })
+    val seeds = AudioSigSeeds.map { case (id, amp, half, n) =>
+      AudioRow(id, renderWav(8000,
+        segWave(amp, n, Array.fill(16)(half))))
+    }
+    audioSigDedupOf(corpus.union(seeds.toDS()).toDF())
+  }
+
+  /** Near-dup pairs (da, db, hamming ≤ 3) over any (doc_id, payload)
+    * WAV frame — the composable serve form. */
+  def audioSigDedupOf(frame: DataFrame): DataFrame =
+    Multimodal.blockPairsOf(audioSigOf(frame).cache())
+      .orderBy(col("da"), col("db"))
+
+  val audioSigDedupOracle: String = s"""
+    WITH ap(doc_id, fixh, n) AS (
+      SELECT doc_id, 0, 400 + doc_id % 391 FROM documents
+      ${AudioSigSeeds.map { case (id, _, half, n) =>
+        s"UNION ALL SELECT CAST($id AS BIGINT), CAST($half AS BIGINT), CAST($n AS BIGINT)"
+      }.mkString("\n      ")}),
+    wn AS (
+      SELECT doc_id, w,
+        CASE WHEN fixh > 0 THEN fixh
+             ELSE 4 + CAST(concat('0x', substr(md5(
+               'aud:' || CAST(doc_id AS VARCHAR) || ':' || CAST(w AS VARCHAR)), 1, 2)) AS INT) % 12
+        END AS half,
+        ((w + 1) * n) // 16 - (w * n) // 16 AS len
+      FROM ap, (SELECT unnest(range(16)) AS w)),
+    nb AS (
+      SELECT doc_id, w, CAST(xor(c, c >> 1) & 15 AS BIGINT) AS g
+      FROM (SELECT doc_id, w, (len - 1) // half AS c FROM wn)),
+    h AS (
+      SELECT doc_id,
+        ${(0 until 4).map(j =>
+          s"CAST(sum(CASE WHEN w // 4 = $j THEN g << CAST((w % 4) * 4 AS INT) ELSE 0 END) AS INT) AS b$j")
+          .mkString(",\n        ")}
+      FROM nb GROUP BY doc_id),
+    bl AS (
+      SELECT doc_id, b0, b1, b2, b3, k,
+        CASE k WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS bv
+      FROM h, (SELECT unnest(range(4)) AS k)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+        a.b0 AS ab0, a.b1 AS ab1, a.b2 AS ab2, a.b3 AS ab3,
+        b.b0 AS bb0, b.b1 AS bb1, b.b2 AS bb2, b.b3 AS bb3
+      FROM bl a JOIN bl b ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id)
+    SELECT da, db,
+      CAST(bit_count(xor(ab0, bb0)) + bit_count(xor(ab1, bb1)) +
+           bit_count(xor(ab2, bb2)) + bit_count(xor(ab3, bb3)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ab0, bb0)) + bit_count(xor(ab1, bb1)) +
+          bit_count(xor(ab2, bb2)) + bit_count(xor(ab3, bb3)) <= 3
+    ORDER BY da, db"""
+
   val audioFeaturesOracle: String = """
     WITH p AS (
       SELECT doc_id,

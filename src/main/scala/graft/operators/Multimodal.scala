@@ -226,37 +226,41 @@ object Multimodal {
   private def imageGrid(payload: Array[Byte]): Option[Array[Int]] =
     try {
       val img = javax.imageio.ImageIO.read(ImageDecoder.memStream(payload))
-      if (img == null) None
-      else {
-        val w = img.getWidth; val h = img.getHeight
-        val grid = new Array[Int](GridW * GridH)
-        var r = 0
-        while (r < GridH) {
-          var c = 0
-          while (c < GridW) {
-            val x0 = math.min(c * w / GridW, w - 1)
-            val x1 = math.max((c + 1) * w / GridW, x0 + 1)
-            val y0 = math.min(r * h / GridH, h - 1)
-            val y1 = math.max((r + 1) * h / GridH, y0 + 1)
-            var sum = 0L; var n = 0L
-            var y = y0
-            while (y < y1) {
-              var x = x0
-              while (x < x1) {
-                val rgb = img.getRGB(x, y)
-                sum += (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3
-                n += 1; x += 1
-              }
-              y += 1
-            }
-            grid(r * GridW + c) = (sum / n).toInt
-            c += 1
-          }
-          r += 1
-        }
-        Some(grid)
-      }
+      if (img == null) None else Some(gridOfImage(img))
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The 9×8 area-average grid of a DECODED image — shared with the
+    * per-frame video dHash (round 19), which walks GIF frames through
+    * the real reader and grids each one. */
+  private[operators] def gridOfImage(img: java.awt.image.BufferedImage): Array[Int] = {
+    val w = img.getWidth; val h = img.getHeight
+    val grid = new Array[Int](GridW * GridH)
+    var r = 0
+    while (r < GridH) {
+      var c = 0
+      while (c < GridW) {
+        val x0 = math.min(c * w / GridW, w - 1)
+        val x1 = math.max((c + 1) * w / GridW, x0 + 1)
+        val y0 = math.min(r * h / GridH, h - 1)
+        val y1 = math.max((r + 1) * h / GridH, y0 + 1)
+        var sum = 0L; var n = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            sum += (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3
+            n += 1; x += 1
+          }
+          y += 1
+        }
+        grid(r * GridW + c) = (sum / n).toInt
+        c += 1
+      }
+      r += 1
+    }
+    grid
+  }
 
   /** Byte-sample fallback grid: cell k = payload byte at (k·n)/72 —
     * SQL-expressible (the oracle mirrors it with ascii/substr over the
@@ -299,19 +303,23 @@ object Multimodal {
   /** (doc_id, b0..b3): the dHash of every payload as its four 16-bit
     * blocks. 16 bits per block j: rows 2j, 2j+1; bit b = cell(r,c) >
     * cell(r,c+1) at r = 2j + b/8, c = b%8 (element_at is 1-based). */
-  def dhashOf(spark: SparkSession, frame: DataFrame): DataFrame = {
-    import spark.implicits._
-    val grids = frame.select(col("doc_id"), col("payload")).as[MediaRow]
-      .mapPartitions(_.map(r => (r.doc_id, anyGrid(r.payload))))
-      .toDF("doc_id", "grid")
-    val blockCols = (0 until 4).map { j =>
+  /** The four 16-bit dHash block columns over a `grid` array column —
+    * shared by the image entry and the per-frame video dHash (r19). */
+  private[operators] def dhashBlockCols: Seq[org.apache.spark.sql.Column] =
+    (0 until 4).map { j =>
       (0 until 16).map { b =>
         val r = j * 2 + b / 8; val c = b % 8
         when(element_at(col("grid"), r * GridW + c + 1) >
              element_at(col("grid"), r * GridW + c + 2), lit(1 << b)).otherwise(lit(0))
       }.reduce(_ + _).as(s"b$j")
     }
-    grids.select(col("doc_id") +: blockCols: _*)
+
+  def dhashOf(spark: SparkSession, frame: DataFrame): DataFrame = {
+    import spark.implicits._
+    val grids = frame.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions(_.map(r => (r.doc_id, anyGrid(r.payload))))
+      .toDF("doc_id", "grid")
+    grids.select(col("doc_id") +: dhashBlockCols: _*)
   }
 
   /** Dense gated twin: the per-doc hash table itself (the pair list is
@@ -324,8 +332,14 @@ object Multimodal {
 
   /** Near-dup image pairs (da, db, hamming ≤ 3) over any
     * (doc_id, payload) frame. */
-  def dhashDedupOf(spark: SparkSession, frame: DataFrame): DataFrame = {
-    val hashed = dhashOf(spark, frame).cache() // both join sides
+  def dhashDedupOf(spark: SparkSession, frame: DataFrame): DataFrame =
+    blockPairsOf(dhashOf(spark, frame).cache())
+
+  /** 4-block pigeonhole pair machinery over ANY (doc_id, b0..b3)
+    * signature table (Hamming ≤ 3 ⇒ ≥1 of 4 16-bit blocks equal) —
+    * shared by the image dHash dedup and the audio ZCR-signature dedup
+    * (round 19). Caller caches `hashed` (it feeds both join sides). */
+  private[operators] def blockPairsOf(hashed: DataFrame): DataFrame = {
     val blocks = hashed.select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
       explode(array((0 until 4).map(k =>
         struct(lit(k).as("k"), col(s"b$k").as("bv"))): _*)).as("blk"))
@@ -347,7 +361,7 @@ object Multimodal {
 
   /** SQL twin of the dHash BLOCK values over the byte-sample grid —
     * shared by the oracle so plan and oracle can't drift. */
-  private def dhashBlockSql(j: Int): String =
+  private[operators] def dhashBlockSql(j: Int): String =
     (0 until 16).map { b =>
       val r = j * 2 + b / 8; val c = b % 8
       s"(CASE WHEN grid[${r * GridW + c + 1}] > grid[${r * GridW + c + 2}] THEN ${1 << b} ELSE 0 END)"
@@ -436,7 +450,9 @@ object Multimodal {
     "mm_chunk_sample"    -> (chunkSample _),
     "mm_decode_features" -> (decodeFeatures _),
     "mm_audio_features"  -> (Audio.audioFeatures _),
+    "mm_audio_sig_dedup" -> (Audio.audioSigDedup _),
     "mm_video_frames"    -> (Video.videoFrames _),
+    "mm_video_dhash_dedup" -> (Video.videoDhashDedup _),
     "mm_image_dhash"     -> (imageDhash _),
     "mm_image_dhash_dedup" -> (imageDhashDedup _))
 
@@ -445,7 +461,9 @@ object Multimodal {
     "mm_chunk_sample"    -> chunkSampleOracle,
     "mm_decode_features" -> decodeFeaturesOracle,
     "mm_audio_features"  -> Audio.audioFeaturesOracle,
+    "mm_audio_sig_dedup" -> Audio.audioSigDedupOracle,
     "mm_video_frames"    -> Video.videoFramesOracle,
+    "mm_video_dhash_dedup" -> Video.videoDhashDedupOracle,
     "mm_image_dhash"     -> imageDhashOracle,
     "mm_image_dhash_dedup" -> imageDhashDedupOracle)
 }

@@ -149,4 +149,184 @@ object Video {
         (PARTITION BY doc_id ORDER BY frame_idx)), 4) AS delta_prev
     FROM f
     ORDER BY doc_id, frame_idx"""
+
+  // ---- clip-level near-dup (round 19, the r18 verdict's #3) -------------
+  // dHash + pigeonhole LSH dedups STILLS (29b/29c); a multimodal corpus
+  // also re-encodes and lightly edits CLIPS. Composition of the existing
+  // pieces: walk real GIF frames (the 29e reader), grid each frame with
+  // the image dHash's 9×8 area-average ([[Multimodal.gridOfImage]]),
+  // hash each frame to the four 16-bit dHash blocks, then find clip
+  // pairs via the 29c pigeonhole — a pair is a CANDIDATE if ANY aligned
+  // frame shares ANY block (Hamming ≤3 per frame ⇒ ≥1 of 4 blocks equal
+  // — an equi-join on (frame_idx, block, value), never all-pairs) — and
+  // VERIFIES as a near-dup clip when frame counts match and EVERY
+  // aligned frame pair sits within Hamming 3. Catches re-encodes
+  // (identical pixels ⇒ Hamming 0) and light per-frame edits; a TRIMMED
+  // clip (offset frames) composes with the winnowing machinery (25j)
+  // over the frame-hash sequence instead — documented, not built, since
+  // alignment-free matching changes the candidate contract.
+  //
+  // The gated entry renders 9×8-pixel patterned frames (one grid cell =
+  // exactly one pixel, and GIF is lossless at ≤256 colors — so the
+  // decoded grid is the closed-form pixel formula, oracle-mirrored) and
+  // unions crafted seed clips per the 29c discipline: a re-encoded copy
+  // (must pair at Hamming 0) and a one-cell-per-frame edit (must pair
+  // within the ball); organic clips have pseudorandom 64-bit hashes and
+  // never pair. Real-GIF pair semantics (true crop) are spec-proven.
+
+  /** Pixel/cell gray of (pattern, frame, cell) — the shared md5-derived
+    * constant of the gated entry (the engine's portability rule: any
+    * "randomness" that must agree cross-engine is a hash of a
+    * coordinate). Arithmetic formulas measured as too structured here:
+    * a linear mod-240 pattern collapsed distinct clips to ~240 hash
+    * values (641 bogus pairs at sf0.01), and a quadratic mod-241 mix
+    * made every doc-id pair congruent mod 241 render IDENTICAL clips
+    * (10 558 pairs at sf0.1). First md5 byte of the coordinate string
+    * is collision-free at any corpus size. `pert` folds into the
+    * hashed string so perturbed cells stay valid grays. */
+  private[graft] def patGray(pat: Long, k: Int, cell: Int, pert: Int): Int = {
+    val p = if (pert == 1 && cell == 0) 1 else 0
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"vidg:$pat:$k:$cell:$p".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    (d(0) & 0xFF) % 240 + 8
+  }
+
+  /** Seed clips: (doc_id, pattern id, perturb flag). -2 renders the
+    * SAME pixels as -3 (a re-encode); -1 shifts cell 0 of every frame
+    * (a light edit — ≤1 dHash bit per frame). All three are 3 frames. */
+  private[graft] val ClipSeeds: Seq[(Long, Long, Int)] =
+    Seq((-3L, -3L, 0), (-2L, -3L, 0), (-1L, -3L, 1))
+  private[graft] val SeedFrames = 3
+
+  /** One patterned 9×8 frame: pixel (x, y) = cell y·9+x of the formula. */
+  private def patFrame(pat: Long, k: Int, pert: Int): BufferedImage = {
+    val img = new BufferedImage(9, 8, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 9) {
+        val g = patGray(pat, k, y * 9 + x, pert)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** Decode every frame to its 9×8 dHash grid (real reader walk). */
+  private def decodeFrameGrids(docId: Long, payload: Array[Byte]): Seq[(Long, Int, Array[Int])] = {
+    val ios = Multimodal.ImageDecoder.memStream(payload)
+    val readers = javax.imageio.ImageIO.getImageReaders(ios)
+    require(readers.hasNext, s"doc $docId: no JDK reader for payload")
+    val reader = readers.next()
+    try {
+      reader.setInput(ios)
+      val n = reader.getNumImages(true)
+      (0 until n).map(i => (docId, i, Multimodal.gridOfImage(reader.read(i))))
+    } finally reader.dispose()
+  }
+
+  /** Clip near-dup pairs over any (doc_id, payload) multi-frame corpus:
+    * (da, db, n_frames, max_hamming) with equal frame counts and every
+    * aligned frame within Hamming 3. */
+  def videoDhashDedupOf(clips: DataFrame): DataFrame = {
+    val spark = clips.sparkSession
+    import spark.implicits._
+    val grids = clips.select(col("doc_id"), col("payload")).as[VideoRow]
+      .mapPartitions(_.grouped(16).flatMap(_.flatMap(r => decodeFrameGrids(r.doc_id, r.payload))))
+      .toDF("doc_id", "frame_idx", "grid")
+    val hashed = grids
+      .select(col("doc_id") +: col("frame_idx") +: Multimodal.dhashBlockCols: _*)
+      .cache() // candidate blocks + both verify sides
+    val nf = hashed.groupBy(col("doc_id")).agg(count(lit(1)).cast("long").as("nf"))
+    val blocks = hashed.select(col("doc_id"), col("frame_idx"),
+      explode(array((0 until 4).map(k =>
+        struct(lit(k).as("k"), col(s"b$k").as("bv"))): _*)).as("blk"))
+      .select(col("doc_id"), col("frame_idx"), col("blk.k"), col("blk.bv"))
+    val cand = blocks.select(col("doc_id").as("da"), col("frame_idx"), col("k"), col("bv"))
+      .join(blocks.select(col("doc_id").as("db"), col("frame_idx"), col("k"), col("bv")),
+        Seq("frame_idx", "k", "bv"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db")).distinct()
+    val ha = hashed.select(col("doc_id").as("da"), col("frame_idx"),
+      col("b0").as("ab0"), col("b1").as("ab1"), col("b2").as("ab2"), col("b3").as("ab3"))
+    val hb = hashed.select(col("doc_id").as("db"), col("frame_idx"),
+      col("b0").as("bb0"), col("b1").as("bb1"), col("b2").as("bb2"), col("b3").as("bb3"))
+    val fr = cand.join(ha, Seq("da")).join(hb, Seq("db", "frame_idx"))
+      .select(col("da"), col("db"),
+        ((0 until 4).map(j => bit_count(col(s"ab$j").bitwiseXOR(col(s"bb$j"))))
+          .reduce(_ + _)).cast("int").as("hm"))
+    fr.groupBy(col("da"), col("db"))
+      .agg(max(col("hm")).as("max_hamming"), count(lit(1)).as("n_aligned"))
+      .join(nf.select(col("doc_id").as("da"), col("nf").as("nfa")), Seq("da"))
+      .join(nf.select(col("doc_id").as("db"), col("nf").as("nfb")), Seq("db"))
+      .filter(col("nfa") === col("nfb") && col("n_aligned") === col("nfa") &&
+        col("max_hamming") <= 3)
+      .select(col("da"), col("db"), col("nfa").as("n_frames"), col("max_hamming"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  /** Gated `mm_video_dhash_dedup`: patterned corpus clips + the seed
+    * trio, through the real GIF encoder and reader. */
+  def videoDhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    val corpus = docs.mapPartitions(_.map { id =>
+      val n = (2 + id % 4).toInt
+      VideoRow(id, renderAnimatedGif((0 until n).map(k => patFrame(id, k, 0))))
+    })
+    val seeds = ClipSeeds.map { case (id, pat, pert) =>
+      VideoRow(id, renderAnimatedGif(
+        (0 until SeedFrames).map(k => patFrame(pat, k, pert))))
+    }
+    videoDhashDedupOf(corpus.union(seeds.toDS()).toDF())
+  }
+
+  val videoDhashDedupOracle: String = {
+    import Multimodal.dhashBlockSql
+    s"""
+    WITH clips(doc_id, pat, pert, n) AS (
+      SELECT doc_id, doc_id, 0, 2 + doc_id % 4 FROM documents
+      ${ClipSeeds.map { case (id, pat, pert) =>
+        s"UNION ALL SELECT CAST($id AS BIGINT), CAST($pat AS BIGINT), $pert, $SeedFrames"
+      }.mkString("\n      ")}),
+    g AS (
+      SELECT doc_id, k, cell,
+        CAST(CAST(concat('0x', substr(md5(
+            'vidg:' || CAST(pat AS VARCHAR) || ':' || CAST(k AS VARCHAR) || ':' ||
+            CAST(cell AS VARCHAR) || ':' ||
+            CASE WHEN pert = 1 AND cell = 0 THEN '1' ELSE '0' END), 1, 2)) AS INT)
+          % 240 + 8 AS INT) AS v
+      FROM clips, (SELECT unnest(range(5)) AS k), (SELECT unnest(range(72)) AS cell)
+      WHERE k < n),
+    p AS (SELECT doc_id, CAST(k AS INT) AS frame_idx, list(v ORDER BY cell) AS grid
+          FROM g GROUP BY 1, 2),
+    h AS (SELECT doc_id, frame_idx,
+            ${(0 until 4).map(j => s"${dhashBlockSql(j)} AS b$j").mkString(", ")}
+          FROM p),
+    bl AS (
+      SELECT doc_id, frame_idx, k,
+        CASE k WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS bv
+      FROM h, (SELECT unnest(range(4)) AS k)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM bl a JOIN bl b
+        ON a.frame_idx = b.frame_idx AND a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id),
+    fr AS (
+      SELECT c.da, c.db, x.frame_idx,
+        CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) +
+             bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS INT) AS hm
+      FROM cand c
+      JOIN h x ON x.doc_id = c.da
+      JOIN h y ON y.doc_id = c.db AND y.frame_idx = x.frame_idx),
+    ag AS (SELECT da, db, max(hm) AS max_hamming, count(*) AS n_aligned FROM fr GROUP BY 1, 2),
+    nf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf FROM h GROUP BY 1)
+    SELECT ag.da, ag.db, na.nf AS n_frames, CAST(ag.max_hamming AS INT) AS max_hamming
+    FROM ag
+    JOIN nf na ON na.doc_id = ag.da
+    JOIN nf nb ON nb.doc_id = ag.db
+    WHERE na.nf = nb.nf AND ag.n_aligned = na.nf AND ag.max_hamming <= 3
+    ORDER BY ag.da, ag.db"""
+  }
 }

@@ -81,4 +81,35 @@ class AudioSpec extends AnyFunSuite {
     assert(got.count() == 20)
     assert(got.select("sample_rate").distinct().as[Int].collect().toSeq == Seq(8000))
   }
+
+  test("ZCR signature: volume-invariant (scaled clip pairs at Hamming 0), tone change breaks the pair, length jitter stays near") {
+    val halves = Array.tabulate(16)(w => 4 + (w * 3) % 9)
+    def clip(amp: Int, n: Int, hs: Array[Int]) =
+      Audio.renderWav(8000, Audio.segWave(amp, n, hs))
+    val base = clip(2000, 640, halves)
+    val louder = clip(6000, 640, halves) // 3x volume
+    val otherTone = clip(2000, 640, halves.map(_ + 2))
+    val jitter = clip(2000, 644, halves) // +4 samples: ±1 count on a few windows
+    val frame = Seq((1L, base), (2L, louder), (3L, otherTone), (4L, jitter))
+      .toDF("doc_id", "payload")
+    val sigs = Audio.audioSigOf(frame).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    assert(sigs(1L) == sigs(2L), "ZCR signature must ignore amplitude")
+    assert(sigs(1L) != sigs(3L), "a different tone profile must change the signature")
+    def hamming(a: (Int, Int, Int, Int), b: (Int, Int, Int, Int)): Int =
+      Integer.bitCount(a._1 ^ b._1) + Integer.bitCount(a._2 ^ b._2) +
+        Integer.bitCount(a._3 ^ b._3) + Integer.bitCount(a._4 ^ b._4)
+    // gray coding: a ±1 count costs exactly ONE bit per touched window,
+    // so even with every other window shifted the jitter distance stays
+    // far under the tone change's
+    val hJit = hamming(sigs(1L), sigs(4L))
+    val hTone = hamming(sigs(1L), sigs(3L))
+    assert(hJit <= 8, s"gray coding keeps length jitter near: $hJit")
+    assert(hTone > 3, "tone change must leave the Hamming ball")
+    assert(hJit < hTone, s"jitter ($hJit) must stay closer than a tone change ($hTone)")
+    // end to end through the pair machinery: only the volume pair survives
+    val pairs = Audio.audioSigDedupOf(frame)
+      .select($"da", $"db").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && !pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
 }

@@ -51,4 +51,48 @@ class VideoSpec extends AnyFunSuite {
       (1L, 0, 100.0, null), (1L, 1, 150.0, 50.0), (1L, 2, 150.0, 0.0),
       (2L, 0, 30.0, null), (2L, 1, 10.0, 20.0)))
   }
+
+  test("clip near-dup: a re-encode and an interior crop pair with the original; a distinct clip doesn't") {
+    // real gradient frames (smooth structure — dHash's home regime),
+    // through the real encoder/reader end to end
+    def gradFrame(w: Int, h: Int, k: Int, flip: Boolean): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v0 = (x * 200 / w + y * 40 / h + k * 7) % 256
+          val g = if (flip) 255 - v0 else v0
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      img
+    }
+    def crop(img: java.awt.image.BufferedImage, b: Int) =
+      img.getSubimage(b, b, img.getWidth - 2 * b, img.getHeight - 2 * b)
+    val base = (0 until 3).map(k => gradFrame(90, 80, k, flip = false))
+    val gifBase = Video.renderAnimatedGif(base)
+    // re-encode: decode the encoded clip and encode again
+    val reenc = Video.renderAnimatedGif {
+      val ios = graft.operators.Multimodal.ImageDecoder.memStream(gifBase)
+      val reader = javax.imageio.ImageIO.getImageReaders(ios).next()
+      reader.setInput(ios)
+      try (0 until reader.getNumImages(true)).map(reader.read(_)) finally reader.dispose()
+    }
+    val cropped = Video.renderAnimatedGif(base.map(crop(_, 2)))
+    val distinct = Video.renderAnimatedGif((0 until 3).map(k => gradFrame(90, 80, k, flip = true)))
+    val clips = Seq((10L, gifBase), (11L, reenc), (12L, cropped), (13L, distinct))
+      .toDF("doc_id", "payload")
+    val pairs = Video.videoDhashDedupOf(clips)
+      .select($"da", $"db", $"max_hamming")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs.contains((10L, 11L)) && pairs((10L, 11L)) == 0,
+      s"re-encode must pair at Hamming 0: $pairs")
+    assert(pairs.contains((10L, 12L)),
+      s"the interior crop must pair within the Hamming ball: $pairs")
+    assert(!pairs.keys.exists(p => p._1 == 13L || p._2 == 13L),
+      s"the distinct clip must not pair: $pairs")
+  }
 }
