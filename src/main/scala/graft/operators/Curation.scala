@@ -1538,14 +1538,12 @@ object Curation {
       splits, outDir, blocksPerShard)
   }
 
-  /** Same fragment assembly as [[releaseManifestOracle]], with every
-    * corpus-reading fragment pointed at the seeded `docsplus` CTE and
-    * the two new stages spliced between surv and the card. */
-  val releaseManifestV2Oracle: String = {
+  /** The per-doc release-frame CTE chain (everything through `cur` —
+    * the SQL twin of [[releaseV2Frame]]), shared by the v2 and v3
+    * oracles so the two releases cannot disagree on the frame. */
+  private def releaseFrameCtes: String = {
     val benchSeed = WinnowSeeds.head
-    s"""
-    WITH RECURSIVE
-    docsplus AS (
+    s"""docsplus AS (
       SELECT doc_id, source, text FROM documents
       ${ReleaseSeeds.map { case (id, src, t) =>
         s"UNION ALL SELECT CAST($id AS BIGINT), '$src', '${t.replace("'", "''")}'"
@@ -1584,22 +1582,97 @@ object Curation {
       FROM surv s
       JOIN spl USING (doc_id)
       JOIN red USING (doc_id)
-      LEFT JOIN contam c USING (doc_id)),
+      LEFT JOIN contam c USING (doc_id))"""
+  }
+
+  /** Stages 5-6 (pack + card) over any per-doc frame CTE — the SQL
+    * twin of [[releaseCardOf]], parameterized like the Spark side. */
+  private def releaseCardSqlOver(cur: String): String = s"""
     blocks AS (
       SELECT split,
         CAST((sum(n_ship_tokens) - 1) // $BlockTokens + 1 AS BIGINT) AS split_blocks
-      FROM cur WHERE NOT contaminated GROUP BY split)
-    SELECT cur.split, cur.source,
+      FROM $cur WHERE NOT contaminated GROUP BY split)
+    SELECT $cur.split, $cur.source,
       count(CASE WHEN NOT contaminated THEN 1 END) AS n_docs,
       CAST(sum(CASE WHEN NOT contaminated THEN n_ship_tokens END) AS BIGINT) AS n_tokens,
       CAST(sum(CASE WHEN NOT contaminated THEN n_copies - 1 END) AS BIGINT) AS n_dupes_collapsed,
       count(CASE WHEN contaminated THEN 1 END) AS n_contaminated,
       CAST(sum(CASE WHEN NOT contaminated THEN n_pii END) AS BIGINT) AS n_redacted,
       blocks.split_blocks
-    FROM cur JOIN blocks USING (split)
-    GROUP BY cur.split, cur.source, blocks.split_blocks
-    ORDER BY cur.split, cur.source"""
+    FROM $cur JOIN blocks USING (split)
+    GROUP BY $cur.split, $cur.source, blocks.split_blocks
+    ORDER BY $cur.split, $cur.source"""
+
+  /** Same fragment assembly as [[releaseManifestOracle]], with every
+    * corpus-reading fragment pointed at the seeded `docsplus` CTE and
+    * the two new stages spliced between surv and the card. */
+  val releaseManifestV2Oracle: String = s"""
+    WITH RECURSIVE
+    $releaseFrameCtes,
+    ${releaseCardSqlOver("cur")}"""
+
+  // ---- v3: source quotas composed into the release (round 19, the
+  // r18 verdict's #7) ----------------------------------------------------
+  // The v2 release ships EVERY kept doc; real releases weight sources
+  // (a crawl dump must not drown the curated slices). v3 splices the
+  // temperature-mix stage (26i's exact semantics: τ=0.5 weights over
+  // the SHIPPABLE population, 6-dp decimal weight sum, md5-order
+  // selection under a namespaced salt) between curate and the card:
+  // the quota table is a |sources|-row broadcast agg, selection is the
+  // WindowGroupLimit-friendly constant-bound rank filter — nothing
+  // corpus-shaped beyond one rank window. Contaminated rows bypass the
+  // quota (they ship nothing; the card's n_contaminated audit column
+  // must still see them). Composed from the CACHED v2 frame — a v3
+  // release run pays the curate→winnow→redact→split chain only cold.
+
+  private[graft] val Rel3Budget = 200
+
+  /** The quota stage over any per-doc release frame. */
+  private[graft] def quotaStageOf(frame: DataFrame): DataFrame = {
+    val cur = frame.cache()
+    val kept = cur.filter(!col("contaminated"))
+    val wtd = kept.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+      .withColumn("w", round(sqrt(col("cnt")), 6).cast("decimal(18,6)"))
+    val tot = wtd.agg(sum(col("w")).as("tw"))
+    val quotas = wtd.crossJoin(broadcast(tot))
+      .withColumn("quota", greatest(lit(1),
+        floor(lit(Rel3Budget) * col("w").cast("double") / col("tw").cast("double")).cast("int")))
+      .select(col("source"), col("quota"))
+    val w = Window.partitionBy(col("source")).orderBy(col("hk"), col("doc_id"))
+    val sel = kept
+      .withColumn("hk", md5(concat(lit("rel3:"), col("doc_id").cast("string"))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= Rel3Budget) // constant bound → WindowGroupLimit
+      .join(broadcast(quotas), Seq("source"))
+      .filter(col("rk") <= col("quota"))
+      .drop("hk", "rk", "quota")
+    sel.unionByName(cur.filter(col("contaminated")))
   }
+
+  def releaseManifestV3(spark: SparkSession, dir: String): DataFrame =
+    releaseCardOf(quotaStageOf(
+      releaseV2FrameCached(spark, dir).drop("ship_text")))
+
+  val releaseManifestV3Oracle: String = s"""
+    WITH RECURSIVE
+    $releaseFrameCtes,
+    rq_kept AS (SELECT doc_id, source FROM cur WHERE NOT contaminated),
+    rq_cnt AS (SELECT source, count(*) AS cnt FROM rq_kept GROUP BY source),
+    rq_w AS (SELECT source, CAST(round(sqrt(cnt), 6) AS DECIMAL(18,6)) AS w FROM rq_cnt),
+    rq_tot AS (SELECT sum(w) AS tw FROM rq_w),
+    rq_quota AS (SELECT source,
+             greatest(1, CAST(floor($Rel3Budget * CAST(w AS DOUBLE) / CAST(tw AS DOUBLE)) AS INT)) AS quota
+           FROM rq_w, rq_tot),
+    rq_rank AS (SELECT doc_id, source,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY md5('rel3:' || CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rk
+           FROM rq_kept),
+    rq_sel AS (SELECT rq_rank.doc_id FROM rq_rank JOIN rq_quota USING (source) WHERE rq_rank.rk <= rq_quota.quota),
+    rq_cur AS (
+      SELECT cur.* FROM cur JOIN rq_sel USING (doc_id)
+      UNION ALL
+      SELECT cur.* FROM cur WHERE contaminated),
+    ${releaseCardSqlOver("rq_cur")}"""
 
   // ---- incremental release (round 15) ----------------------------------
   // The nightly loop: a new batch arrives, is classified against the
@@ -1991,6 +2064,7 @@ object Curation {
     "curation_release_manifest" -> (releaseManifest _),
     "curation_release_manifest_v2" -> (releaseManifestV2 _),
     "curation_release_v2_composed" -> (releaseManifestV2Composed _),
+    "curation_release_v3"    -> (releaseManifestV3 _),
     "curation_shard_export"  -> (ShardExport.shardExport _),
     "curation_url_dedup"     -> (DomainCuration.urlDedup _))
 
@@ -2019,6 +2093,7 @@ object Curation {
     "curation_release_manifest" -> releaseManifestOracle,
     "curation_release_manifest_v2" -> releaseManifestV2Oracle,
     "curation_release_v2_composed" -> releaseManifestV2Oracle,
+    "curation_release_v3"    -> releaseManifestV3Oracle,
     "curation_shard_export"  -> ShardExport.shardExportOracle,
     "curation_url_dedup"     -> DomainCuration.urlDedupOracle)
 }

@@ -723,6 +723,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(toks > 20 && toks < 45, s"post-redaction token count out of range: $toks")
   }
 
+  test("release v3: source quotas bind the card, contaminated audit survives, selection is the temperature rule") {
+    import graft.operators.Curation
+    val dir = "/root/testdata/sf0.001"
+    val v2 = Curation.releaseManifestV2(spark, dir).collect()
+    val v3 = Curation.releaseManifestV3(spark, dir).collect()
+    def docs(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(_.getAs[Long]("n_docs")).sum
+    val v2docs = docs(v2); val v3docs = docs(v3)
+    // quotas bind: the budget caps shipped docs below the full release,
+    // and the total honors Σ max(1, floor(budget·w/Σw)) ≤ budget+|sources|
+    assert(v3docs < v2docs, s"quota must bind: v3 $v3docs vs v2 $v2docs")
+    val nSources = v3.map(_.getAs[String]("source")).distinct.length
+    assert(v3docs <= Curation.Rel3Budget + nSources,
+      s"shipped docs $v3docs exceed budget ${Curation.Rel3Budget} + per-source floors")
+    // per-source shipped docs never exceed that source's quota: recompute
+    // the quota table from the shippable population and compare
+    val frame = Curation.quotaStageOf(
+      Curation.releaseV2FrameCached(spark, dir).drop("ship_text"))
+      .filter(!col("contaminated"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[String]("source") -> r.getLong(1)).toMap
+    val v3bySource = v3.groupBy(_.getAs[String]("source"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    v3bySource.foreach { case (s, n) =>
+      assert(n == frame.getOrElse(s, 0L),
+        s"card count for $s ($n) must equal the quota-selected population (${frame.get(s)})")
+    }
+    // the contaminated seed doc is still audited (quota doesn't hide it)
+    assert(v3.map(_.getAs[Long]("n_contaminated")).sum ==
+      v2.map(_.getAs[Long]("n_contaminated")).sum)
+  }
+
   test("survivorshipOf: best-member policy beats min-id; ties break low; singletons keep") {
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L))
       .toDF("doc_id", "cluster_id")
