@@ -608,6 +608,34 @@ object EventStream {
       .write.mode("overwrite").parquet(s"$outPath/batch-$batchId")
   }
 
+  /** Ingest-time MULTILINGUAL quality gating (round 19) — the
+    * streaming twin of `curation_quality_gate_ml`, the 31v shape with
+    * the script-aware tokenizer: every rule is per-document (the
+    * in-batch gram aggregation is plain relational work inside
+    * foreachBatch), so zero cross-batch state; verdicts land
+    * batchId-keyed (crash retry overwrites its own subdirectory). The
+    * CJK doc the v1 gate stream mis-drops passes here — same
+    * definition as the gated entry, so the twins cannot drift. */
+  def qualityGateMlStream(docs: DataFrame, outPath: String, checkpoint: String):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) qualityGateMlBatch(batch.toDF(), batchId, outPath)
+        ()
+      }
+      .start()
+
+  /** One micro-batch of [[qualityGateMlStream]]. */
+  def qualityGateMlBatch(batch: DataFrame, batchId: Long, outPath: String): Unit = {
+    import graft.functions.TextFns
+    import graft.operators.Curation
+    val toks = batch.select(col("doc_id"), TextFns.tokensScript(col("text")).as("t"))
+    Curation.qualityGateMlOf(toks)
+      .write.mode("overwrite").parquet(s"$outPath/batch-$batchId")
+  }
+
   /** Ingest-time crawl hygiene (round 14) — the streaming twin of the
     * per-row half of `curation_domain_gate`/`curation_url_dedup`:
     * domain extraction, URL canonicalization, and the blocklist

@@ -1142,6 +1142,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed() == want, "batch replay must be idempotent")
   }
 
+  test("streaming ML quality gate == batch verdicts incl. a CJK doc; zero state; retry idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.TextFns
+    import graft.operators.{Curation, TextAnalysis}
+    // a slice of the corpus plus the held-out ja/ru docs — the content
+    // the v1 gate stream cannot even tokenize
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect().take(60) ++
+      TextAnalysis.HoldoutDocs.filter(h => h._1 == "ja" || h._1 == "ru")
+        .map(h => (h._2, h._3))
+    val input = MemoryStream[(Long, String)]
+    val outPath = java.nio.file.Files.createTempDirectory("qml_out").toString
+    val ck = java.nio.file.Files.createTempDirectory("qml_ck").toString
+    val q = EventStream.qualityGateMlStream(input.toDS().toDF("doc_id", "text"), outPath, ck)
+    val batches = docs.grouped(25).toSeq
+    batches.foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
+    assert(q.lastProgress.stateOperators.isEmpty,
+      "per-doc ML gate must keep no state-store rows")
+    q.stop()
+    def streamed() = spark.read.option("recursiveFileLookup", "true").parquet(outPath)
+      .collect().map(_.toSeq).toSet
+    val want = Curation.qualityGateMlOf(
+        docs.toSeq.toDF("doc_id", "text")
+          .select($"doc_id", TextFns.tokensScript($"text").as("t")))
+      .collect().map(_.toSeq).toSet
+    assert(streamed() == want, "streamed ML gate verdicts diverged from batch")
+    // the CJK/Cyrillic docs pass in-stream (keep=true at column 2)
+    val seedVerdicts = want.filter(r => r.head.asInstanceOf[Long] < 0L)
+    assert(seedVerdicts.nonEmpty && seedVerdicts.forall(_(2) == true),
+      s"held-out docs must pass the streamed ML gate: $seedVerdicts")
+    // crash retry: replaying batch 0 overwrites its own subdirectory
+    EventStream.qualityGateMlBatch(batches.head.toSeq.toDF("doc_id", "text"), 0L, outPath)
+    assert(streamed() == want, "batch replay must be idempotent")
+  }
+
   test("streaming crawl hygiene: domain/canonical/blocked == batch per-row ops, zero state") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.DomainCuration
