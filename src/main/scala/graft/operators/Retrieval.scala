@@ -95,17 +95,26 @@ object Retrieval {
   }
 
   /** BM25 top-`k` per probe query: (qid, rn, doc_id, score). */
-  def bm25Ranked(spark: SparkSession, dir: String, k: Int): DataFrame = {
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), TextFns.tokens(col("text")).as("ts"))
+  def bm25Ranked(spark: SparkSession, dir: String, k: Int): DataFrame =
+    bm25RankedFrom(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("ts")),
+      col("doc_id") < NQ, k)
+
+  /** The inline BM25 plan over ANY tokenized (doc_id, ts) frame with
+    * `isQuery` marking the probe docs — the tokenizer/corpus seam the
+    * multilingual entry plugs into (round 19). */
+  private def bm25RankedFrom(toks0: DataFrame, isQuery: org.apache.spark.sql.Column,
+                             k: Int): DataFrame = {
+    val toks = toks0
       .select(col("doc_id"), col("ts"), size(col("ts")).as("dl"))
     // corpus scalars N (docs) and T (tokens): a 2-value driver collect
     // (coalesce: an empty corpus yields T=0, not a NULL→getLong NPE)
     val st = toks.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head
     val nDocs = st.getLong(0)
     val tToks = st.getLong(1)
-    // query term sets: a pushed-down NQ-doc scan, then broadcast everywhere
-    val qterms = toks.filter(col("doc_id") < NQ)
+    // query term sets: a pushed-down probe-doc scan, broadcast everywhere
+    val qterms = toks.filter(isQuery)
       .select(col("doc_id").as("qid"), explode(col("ts")).as("term"))
       .distinct()
     val qvocab = qterms.select(col("term")).distinct()
@@ -123,6 +132,24 @@ object Retrieval {
 
   def bm25Topk(spark: SparkSession, dir: String): DataFrame =
     bm25Ranked(spark, dir, K)
+
+  /** Multilingual BM25 (round 19, closing the r18 "BM25 can't index
+    * CJK" finding): the SAME inline plan over the script-aware v2
+    * tokenizer and the seeded multilingual corpus (documents ∪ the 20
+    * held-out docs ∪ the 20 seed-prose docs). Probes are the held-out
+    * docs — a Japanese query's per-codepoint terms now carry idf and
+    * tf like any term, and it retrieves the same-language prose the
+    * reference tokenizer structurally cannot even index (v1 sees ZERO
+    * tokens in it — spec'd). */
+  def bm25TopkMl(spark: SparkSession, dir: String): DataFrame =
+    bm25RankedFrom(
+      TextAnalysis.mlDocs2(spark, dir)
+        .select(col("doc_id"), TextFns.tokensScript(col("text")).as("ts")),
+      col("doc_id").between(MlQidLo, MlQidHi), K)
+
+  // the held-out docs' id range (TextAnalysis.HoldoutDocs: −9001−i)
+  private val MlQidHi = -9001L
+  private val MlQidLo = -9020L
 
   // ---- materialized postings index (round 10) -------------------------
   // The inline plan's one irreducible cost is the full tokenize scan per
@@ -366,8 +393,16 @@ object Retrieval {
 
   /** The bm25 CTE stack, parameterized by list depth (shared with the
     * hybrid oracle). Yields a relation (qid, rn, doc_id, score). */
-  private def bm25OracleCtes(k: Int): String = s"""
-    tl AS (SELECT doc_id, $tokensSql AS ts FROM documents),
+  private def bm25OracleCtes(k: Int): String =
+    bm25OracleCtesOver("documents", tokensSql, s"doc_id < $NQ", k)
+
+  /** The oracle CTE chain over any (docs relation, token-expression,
+    * probe predicate) — the SQL twin of [[bm25RankedFrom]]'s seam; the
+    * default-argument assembly is byte-identical to the historical
+    * `bm25OracleCtes` string, so every composed oracle is unchanged. */
+  private def bm25OracleCtesOver(docs: String, tokSql: String,
+                                 qPred: String, k: Int): String = s"""
+    tl AS (SELECT doc_id, $tokSql AS ts FROM $docs),
     toks AS (SELECT doc_id, ts, len(ts) AS dl FROM tl),
     stats AS (SELECT count(*) AS n, sum(dl) AS t FROM toks),
     posts AS (
@@ -375,7 +410,7 @@ object Retrieval {
       FROM (SELECT doc_id, dl, unnest(ts) AS term FROM toks)
       GROUP BY doc_id, dl, term),
     qterms AS (SELECT DISTINCT qid, term FROM
-      (SELECT doc_id AS qid, unnest(ts) AS term FROM toks WHERE doc_id < $NQ)),
+      (SELECT doc_id AS qid, unnest(ts) AS term FROM toks WHERE $qPred)),
     dfreq AS (SELECT term, count(*) AS df FROM posts
       WHERE term IN (SELECT term FROM qterms) GROUP BY term),
     qidf AS (SELECT qid, term, round(log2(2*n + 2) - log2(2*df + 1), 8) AS idf
@@ -395,6 +430,12 @@ object Retrieval {
 
   val bm25TopkOracle: String = s"""
     WITH ${bm25OracleCtes(K)}
+    SELECT qid, rn, doc_id, score FROM textr ORDER BY qid, rn"""
+
+  val bm25TopkMlOracle: String = s"""
+    WITH docsml2 AS (${TextAnalysis.mlDocs2CteSql}),
+    ${bm25OracleCtesOver("docsml2", TextFns.tokensScriptSqlOver("text"),
+      "doc_id BETWEEN -9020 AND -9001", K)}
     SELECT qid, rn, doc_id, score FROM textr ORDER BY qid, rn"""
 
   /** Composable fusion over any materialized rank lists — (qid, id, rn)
@@ -581,6 +622,7 @@ object Retrieval {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bm25_topk" -> (bm25Topk _),
+    "text_bm25_topk_ml" -> (bm25TopkMl _),
     "text_bm25_topk_indexed" -> (bm25TopkIndexed _),
     "sim_hybrid_rrf" -> (hybridRrf _),
     "sim_hybrid_rrf_composed" -> (hybridRrfComposed _),
@@ -588,6 +630,7 @@ object Retrieval {
 
   val oracle: Map[String, String] = Map(
     "text_bm25_topk" -> bm25TopkOracle,
+    "text_bm25_topk_ml" -> bm25TopkMlOracle,
     "text_bm25_topk_indexed" -> bm25TopkOracle,
     "sim_hybrid_rrf" -> hybridRrfOracle,
     "sim_hybrid_rrf_composed" -> hybridRrfOracle,

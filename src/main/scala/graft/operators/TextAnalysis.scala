@@ -2090,6 +2090,26 @@ object TextAnalysis {
         s"UNION ALL SELECT CAST($id AS BIGINT), '${t.replace("'", "''")}'"
       }.mkString("\n      ")}"""
 
+  /** The per-language SEED PROSE as corpus documents (ids −9101…):
+    * the retrieval-grade complement of [[HoldoutDocs]] — a held-out ja
+    * query has actual same-language content to retrieve. */
+  private[graft] val SeedProseDocs: Seq[(String, Long, String)] =
+    LangSeedProfiles.zipWithIndex.map { case ((l, t), i) => (l, -9101L - i, t) }
+
+  /** documents ∪ held-out docs ∪ seed-prose docs (doc_id, text). */
+  private[graft] def mlDocs2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mlDocs(spark, dir)
+      .unionAll(SeedProseDocs.map(h => (h._2, h._3)).toDF("doc_id", "text"))
+  }
+
+  /** The `docsml2(doc_id, text)` CTE body — same literals. */
+  private[graft] val mlDocs2CteSql: String =
+    s"""$mlDocsCteSql
+      ${SeedProseDocs.map { case (_, id, t) =>
+        s"UNION ALL SELECT CAST($id AS BIGINT), '${t.replace("'", "''")}'"
+      }.mkString("\n      ")}"""
+
   /** Per-doc v2 tokenization summary over the seeded corpus: total and
     * word-run token counts plus an md5 of the exact token sequence
     * (tokens never contain ' ', so the space join is injective) — the

@@ -195,4 +195,31 @@ class RetrievalSpec extends AnyFunSuite {
     assert(broadRows == viaBucketed, "scan strategy must not change answers")
     assert(broadRows.nonEmpty)
   }
+
+  test("multilingual BM25: a ja/ru query retrieves its language's prose; the v1 tokenizer cannot index it at all") {
+    import graft.operators.TextAnalysis
+    import graft.functions.TextFns
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val holdoutByLang = TextAnalysis.HoldoutDocs.map(h => h._1 -> h._2).toMap
+    val proseByLang = TextAnalysis.SeedProseDocs.map(h => h._1 -> h._2).toMap
+    val got = Retrieval.bm25TopkMl(spark, sf)
+      .select($"qid", $"rn", $"doc_id")
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    // each non-Latin held-out query's TOP hit is its own language's
+    // seed prose (shared kana/han codepoints / Cyrillic words carry
+    // high idf; nothing else in the corpus contains them)
+    for (lang <- Seq("ja", "ru", "el", "ar", "hi")) {
+      val hits = got.getOrElse(holdoutByLang(lang), Seq.empty)
+      assert(hits.headOption.contains(proseByLang(lang)),
+        s"$lang query must retrieve its language's prose first: $hits")
+    }
+    // the v1 tokenizer over the SAME corpus: the ja doc has no terms —
+    // no postings, no query, nothing to retrieve (the r18 finding)
+    val v1JaTerms = TextAnalysis.mlDocs2(spark, sf)
+      .filter(col("doc_id") === holdoutByLang("ja"))
+      .select(size(TextFns.tokens(col("text")))).as[Int].head()
+    assert(v1JaTerms == 0, "v1 must see zero indexable terms in the ja doc")
+  }
 }
