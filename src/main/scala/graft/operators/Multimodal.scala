@@ -453,6 +453,7 @@ object Multimodal {
     "mm_audio_sig_dedup" -> (Audio.audioSigDedup _),
     "mm_video_frames"    -> (Video.videoFrames _),
     "mm_video_dhash_dedup" -> (Video.videoDhashDedup _),
+    "mm_video_winnow_dedup" -> (Video.videoWinnowDedup _),
     "mm_image_dhash"     -> (imageDhash _),
     "mm_image_dhash_dedup" -> (imageDhashDedup _))
 
@@ -464,6 +465,7 @@ object Multimodal {
     "mm_audio_sig_dedup" -> Audio.audioSigDedupOracle,
     "mm_video_frames"    -> Video.videoFramesOracle,
     "mm_video_dhash_dedup" -> Video.videoDhashDedupOracle,
+    "mm_video_winnow_dedup" -> Video.videoWinnowDedupOracle,
     "mm_image_dhash"     -> imageDhashOracle,
     "mm_image_dhash_dedup" -> imageDhashDedupOracle)
 }

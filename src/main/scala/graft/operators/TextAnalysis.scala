@@ -1699,24 +1699,30 @@ object TextAnalysis {
     * different corpus (DuckDB rejects duplicate CTE names; the
     * release-manifest-v2 oracle fingerprints corpus ∪ benchmark while
     * its main `toks` is the corpus alone). */
-  private[graft] def winnowCtesFromToks(toks: String): String = s"""
+  private[graft] def winnowCtesFromToks(toks: String): String =
+    winnowCtesFromToksKW(toks, WinK, WinW)
+
+  /** The winnow CTE chain at explicit (k, w) — the default-argument
+    * assembly is byte-identical to the historical string; the video
+    * trim matcher uses k=2, w=2 over frame-hash token sequences. */
+  private[graft] def winnowCtesFromToksKW(toks: String, k: Int, w: Int): String = s"""
     g AS (SELECT doc_id, i,
             CAST(concat('0x', substr(md5('win:' || gr), 1, 15)) AS BIGINT) AS gh
-          FROM (SELECT doc_id, unnest(range(1, len(t) - $WinK + 2)) AS i,
-                  unnest(list_transform(range(len(t) - $WinK + 1),
-                    x -> array_to_string(t[x+1:x+$WinK], ' '))) AS gr
-                FROM $toks WHERE len(t) >= $WinK)),
+          FROM (SELECT doc_id, unnest(range(1, len(t) - $k + 2)) AS i,
+                  unnest(list_transform(range(len(t) - $k + 1),
+                    x -> array_to_string(t[x+1:x+$k], ' '))) AS gr
+                FROM $toks WHERE len(t) >= $k)),
     n AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY doc_id),
     w1 AS (SELECT doc_id, i AS s,
              min(gh) OVER (PARTITION BY doc_id ORDER BY i
-               ROWS BETWEEN CURRENT ROW AND ${WinW - 1} FOLLOWING) AS wmin
+               ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS wmin
            FROM g),
     ws AS (SELECT w1.doc_id, w1.s, w1.wmin
            FROM w1 JOIN n USING (doc_id)
-           WHERE w1.s <= n.ng - $WinW + 1),
+           WHERE w1.s <= n.ng - $w + 1),
     sel AS (SELECT ws.doc_id, max(g.i) AS pos, ws.wmin AS fp
             FROM ws JOIN g ON g.doc_id = ws.doc_id
-              AND g.i BETWEEN ws.s AND ws.s + ${WinW - 1}
+              AND g.i BETWEEN ws.s AND ws.s + ${w - 1}
               AND g.gh = ws.wmin
             GROUP BY ws.doc_id, ws.s, ws.wmin),
     wfp AS MATERIALIZED (SELECT DISTINCT doc_id, pos, fp FROM sel)"""

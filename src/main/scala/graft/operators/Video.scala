@@ -230,14 +230,21 @@ object Video {
   /** Clip near-dup pairs over any (doc_id, payload) multi-frame corpus:
     * (da, db, n_frames, max_hamming) with equal frame counts and every
     * aligned frame within Hamming 3. */
+  /** (doc_id, frame_idx, b0..b3): every frame's dHash blocks via the
+    * real reader walk — shared by the aligned and the winnow matchers. */
+  private def frameHashFrame(clips: DataFrame): DataFrame = {
+    val spark = clips.sparkSession
+    import spark.implicits._
+    clips.select(col("doc_id"), col("payload")).as[VideoRow]
+      .mapPartitions(_.grouped(16).flatMap(_.flatMap(r => decodeFrameGrids(r.doc_id, r.payload))))
+      .toDF("doc_id", "frame_idx", "grid")
+      .select(col("doc_id") +: col("frame_idx") +: Multimodal.dhashBlockCols: _*)
+  }
+
   def videoDhashDedupOf(clips: DataFrame): DataFrame = {
     val spark = clips.sparkSession
     import spark.implicits._
-    val grids = clips.select(col("doc_id"), col("payload")).as[VideoRow]
-      .mapPartitions(_.grouped(16).flatMap(_.flatMap(r => decodeFrameGrids(r.doc_id, r.payload))))
-      .toDF("doc_id", "frame_idx", "grid")
-    val hashed = grids
-      .select(col("doc_id") +: col("frame_idx") +: Multimodal.dhashBlockCols: _*)
+    val hashed = frameHashFrame(clips)
       .cache() // candidate blocks + both verify sides
     val nf = hashed.groupBy(col("doc_id")).agg(count(lit(1)).cast("long").as("nf"))
     val blocks = hashed.select(col("doc_id"), col("frame_idx"),
@@ -328,5 +335,100 @@ object Video {
     JOIN nf nb ON nb.doc_id = ag.db
     WHERE na.nf = nb.nf AND ag.n_aligned = na.nf AND ag.max_hamming <= 3
     ORDER BY ag.da, ag.db"""
+  }
+
+  // ---- trim-robust clip matching (round 19) ------------------------------
+  // [[videoDhashDedupOf]] requires FRAME ALIGNMENT (equal counts, per-
+  // index compare) — a TRIMMED clip (ad cut, intro dropped, excerpt)
+  // shares no aligned index and structurally cannot pair. This is the
+  // composition 29f's scaladoc promised: winnow the per-frame dHash
+  // SEQUENCE exactly like text (25j's machinery with frame-hash tokens:
+  // k=2-frame grams, w=2 windows), so any shared run of ≥ k+w−1 = 3
+  // consecutive IDENTICAL frame hashes yields a shared fingerprint at
+  // any offset — candidates are a fingerprint equi-join, never
+  // all-pairs. Exact-hash runs only (trimmed re-encode); a trimmed
+  // CROP would need Hamming-tolerant grams — out of scope, documented.
+
+  private val VwK = 2
+  private val VwW = 2
+
+  /** Offset-robust candidate pairs (da, db, n_shared) over any
+    * (doc_id, payload) multi-frame corpus: # of shared winnow
+    * fingerprints of the frame-hash sequences. */
+  def videoWinnowPairsOf(clips: DataFrame): DataFrame = {
+    val tok = concat_ws("_", (0 until 4).map(j => col(s"b$j").cast("string")): _*)
+    val seqs = frameHashFrame(clips)
+      .select(col("doc_id"), struct(col("frame_idx"), tok.as("tok")).as("ft"))
+      .groupBy(col("doc_id"))
+      .agg(transform(array_sort(collect_list(col("ft"))), x => x.getField("tok")).as("t"))
+      .filter(size(col("t")) >= VwK + VwW - 1)
+    val fps = seqs.select(col("doc_id"),
+        explode(graft.functions.WinnowFps.of(col("t"), VwK, VwW)).as("f"))
+      .select(col("doc_id"), col("f.fp").as("fp")).distinct()
+      .cache() // both join sides
+    fps.select(col("doc_id").as("da"), col("fp"))
+      .join(fps.select(col("doc_id").as("db"), col("fp")), Seq("fp"))
+      .filter(col("da") < col("db"))
+      .groupBy(col("da"), col("db"))
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  /** Winnow-entry seed clips (doc_id, pattern, first frame, frames):
+    * -12 is the TAIL of -13 (first frame trimmed) — it must pair here
+    * and provably cannot under the aligned matcher. */
+  private[graft] val WinnowClipSeeds: Seq[(Long, Long, Int, Int)] =
+    Seq((-13L, -13L, 0, 5), (-12L, -13L, 1, 4))
+
+  /** Gated `mm_video_winnow_dedup`: patterned corpus clips + the
+    * trim seed pair, real GIF encode/decode end to end. */
+  def videoWinnowDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    val corpus = docs.mapPartitions(_.map { id =>
+      val n = (2 + id % 4).toInt
+      VideoRow(id, renderAnimatedGif((0 until n).map(k => patFrame(id, k, 0))))
+    })
+    val seeds = WinnowClipSeeds.map { case (id, pat, start, n) =>
+      VideoRow(id, renderAnimatedGif(
+        (0 until n).map(k => patFrame(pat, start + k, 0))))
+    }
+    videoWinnowPairsOf(corpus.union(seeds.toDS()).toDF())
+  }
+
+  val videoWinnowDedupOracle: String = {
+    import Multimodal.dhashBlockSql
+    s"""
+    WITH clips(doc_id, pat, fstart, n) AS (
+      SELECT doc_id, doc_id, 0, 2 + doc_id % 4 FROM documents
+      ${WinnowClipSeeds.map { case (id, pat, start, n) =>
+        s"UNION ALL SELECT CAST($id AS BIGINT), CAST($pat AS BIGINT), $start, $n"
+      }.mkString("\n      ")}),
+    g0 AS (
+      SELECT doc_id, k, cell,
+        CAST(CAST(concat('0x', substr(md5(
+            'vidg:' || CAST(pat AS VARCHAR) || ':' || CAST(fstart + k AS VARCHAR) || ':' ||
+            CAST(cell AS VARCHAR) || ':0'), 1, 2)) AS INT)
+          % 240 + 8 AS INT) AS v
+      FROM clips, (SELECT unnest(range(5)) AS k), (SELECT unnest(range(72)) AS cell)
+      WHERE k < n),
+    p AS (SELECT doc_id, CAST(k AS INT) AS frame_idx, list(v ORDER BY cell) AS grid
+          FROM g0 GROUP BY 1, 2),
+    h AS (SELECT doc_id, frame_idx,
+            ${(0 until 4).map(j => s"${dhashBlockSql(j)} AS b$j").mkString(", ")}
+          FROM p),
+    ftoks AS (
+      SELECT doc_id,
+        list(CAST(b0 AS VARCHAR) || '_' || CAST(b1 AS VARCHAR) || '_' ||
+             CAST(b2 AS VARCHAR) || '_' || CAST(b3 AS VARCHAR)
+             ORDER BY frame_idx) AS t
+      FROM h GROUP BY doc_id
+      HAVING count(*) >= ${VwK + VwW - 1}),
+    ${TextAnalysis.winnowCtesFromToksKW("ftoks", VwK, VwW)},
+    fpd AS (SELECT DISTINCT doc_id, fp FROM wfp)
+    SELECT a.doc_id AS da, b.doc_id AS db, CAST(count(*) AS BIGINT) AS n_shared
+    FROM fpd a JOIN fpd b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    ORDER BY da, db"""
   }
 }

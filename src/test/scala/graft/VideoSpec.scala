@@ -95,4 +95,37 @@ class VideoSpec extends AnyFunSuite {
     assert(!pairs.keys.exists(p => p._1 == 13L || p._2 == 13L),
       s"the distinct clip must not pair: $pairs")
   }
+
+  test("trimmed clip: the winnow matcher pairs it at any offset; the aligned matcher structurally cannot") {
+    def gradFrame(k: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(36, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < 32) {
+        var x = 0
+        while (x < 36) {
+          val g = (x * 5 + y * 3 + k * 37) % 256
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      img
+    }
+    val full = (0 until 6).map(gradFrame)
+    val clips = Seq(
+      (20L, Video.renderAnimatedGif(full)),             // the original, 6 frames
+      (21L, Video.renderAnimatedGif(full.drop(2))),     // trimmed: frames 2..5
+      (22L, Video.renderAnimatedGif((10 until 14).map(gradFrame)))) // distinct
+      .toDF("doc_id", "payload")
+    val win = Video.videoWinnowPairsOf(clips)
+      .select($"da", $"db").as[(Long, Long)].collect().toSet
+    assert(win.contains((20L, 21L)),
+      s"the trimmed clip must share winnow fingerprints with the original: $win")
+    assert(!win.exists(p => p._1 == 22L || p._2 == 22L),
+      s"a distinct clip must not pair: $win")
+    val aligned = Video.videoDhashDedupOf(clips)
+      .select($"da", $"db").as[(Long, Long)].collect().toSet
+    assert(!aligned.contains((20L, 21L)),
+      "the aligned matcher cannot pair clips of different frame counts — the gap the winnow matcher closes")
+  }
 }
