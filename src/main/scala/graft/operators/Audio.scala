@@ -290,6 +290,86 @@ object Audio {
     Multimodal.blockPairsOf(audioSigOf(frame).cache())
       .orderBy(col("da"), col("db"))
 
+  // ---- trim-robust audio matching (round 19) ----------------------------
+  // [[audioSigDedup]]'s 16 windows are RELATIVE fractions of the clip —
+  // right for whole-clip volume/re-encode invariance, structurally
+  // blind to TRIMMING (cut 10% off the front and every window boundary
+  // moves). The trim matcher uses ABSOLUTE-time windows: fixed
+  // 64-sample hops, one gray-coded ZCR nibble token per hop, winnowed
+  // exactly like the video frame sequence (k=2, w=2) — a clip trimmed
+  // by a multiple of the hop shares its whole token suffix and pairs
+  // at any offset via the fingerprint equi-join. Sub-hop trims break
+  // alignment (the standard hop-quantization caveat of every
+  // frame-hash audio fingerprint; production systems overlap hops).
+
+  private[graft] val HopSamples = 64
+  private val AwK = 2
+  private val AwW = 2
+
+  /** Gray-coded ZCR nibble per FIXED 64-sample hop (strictly-inside
+    * counting, the [[zcrSignature]] convention); the tail remainder
+    * shorter than a hop is dropped. */
+  private[graft] def zcrHopTokens(samples: Array[Short]): Seq[String] = {
+    val nw = samples.length / HopSamples
+    (0 until nw).map { w =>
+      val lo = w * HopSamples
+      val hi = lo + HopSamples
+      var c = 0
+      var i = lo + 1
+      while (i < hi) {
+        if ((samples(i) < 0) != (samples(i - 1) < 0)) c += 1
+        i += 1
+      }
+      ((c ^ (c >> 1)) & 15).toString
+    }
+  }
+
+  /** Offset-robust candidate pairs (da, db, n_shared) over any
+    * (doc_id, payload) WAV corpus. */
+  def audioWinnowPairsOf(frame: DataFrame): DataFrame = {
+    val spark = frame.sparkSession
+    import spark.implicits._
+    val seqs = frame.select(col("doc_id"), col("payload")).as[AudioRow]
+      .mapPartitions(_.grouped(64).flatMap(_.map { r =>
+        (r.doc_id, zcrHopTokens(parseWav(r.payload).samples))
+      }))
+      .toDF("doc_id", "t")
+      .filter(size(col("t")) >= AwK + AwW - 1)
+    val fps = seqs.select(col("doc_id"),
+        explode(graft.functions.WinnowFps.of(col("t"), AwK, AwW)).as("f"))
+      .select(col("doc_id"), col("f.fp").as("fp")).distinct()
+      .cache() // both join sides
+    fps.select(col("doc_id").as("da"), col("fp"))
+      .join(fps.select(col("doc_id").as("db"), col("fp")), Seq("fp"))
+      .filter(col("da") < col("db"))
+      .groupBy(col("da"), col("db"))
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  /** One hop-aligned segment wave: `nseg` segments of exactly
+    * [[HopSamples]] samples, segment s restarting at +amp and flipping
+    * every `halves(s)` — window w IS segment w, so the in-hop crossing
+    * count is (HopSamples−1) div half_w, the oracle's closed form. */
+  private[graft] def hopWave(amp: Int, halves: Array[Int]): Array[Short] =
+    Array.tabulate(halves.length * HopSamples) { i =>
+      val s = i / HopSamples
+      val r = i % HopSamples
+      (if ((r / halves(s)) % 2 == 0) amp else -amp).toShort
+    }
+
+  // SPEC-ONLY by design (the ORC-source precedent): a per-hop ZCR
+  // nibble carries ~3 bits, so k=2 winnow grams over a synthetic
+  // square-wave corpus have ≤64 distinct values and the fingerprint
+  // join degenerates toward all-pairs as the corpus grows — a gated
+  // entry over this testdata would be weak-by-construction (the video
+  // matcher's tokens are 64-bit frame hashes; no such problem). Real
+  // audio fingerprints raise per-hop entropy with multi-band features
+  // (Haitsma-Kalker), which the opaque-payload corpus can't express;
+  // the COMPOSITION — absolute-time hop tokens + the shared winnow/
+  // fingerprint-join machinery — is what this operator contributes,
+  // spec-proven on crafted clips through the real codec.
+
   val audioSigDedupOracle: String = s"""
     WITH ap(doc_id, fixh, n) AS (
       SELECT doc_id, 0, 400 + doc_id % 391 FROM documents

@@ -112,4 +112,25 @@ class AudioSpec extends AnyFunSuite {
       .select($"da", $"db").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 2L)) && !pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
+
+  test("trimmed audio: hop-token winnow pairs it at any hop offset; the relative-window signature cannot") {
+    // 12 hop-aligned segments with varied periods, real WAV roundtrip
+    val halves = Array(4, 7, 11, 5, 9, 13, 4, 6, 10, 8, 12, 5)
+    val full = Audio.renderWav(8000, Audio.hopWave(2000, halves))
+    val trimmed = Audio.renderWav(8000, Audio.hopWave(3000, halves.drop(2))) // + volume change
+    val distinct = Audio.renderWav(8000, Audio.hopWave(2000, halves.map(h => 17 - h)))
+    val frame = Seq((1L, full), (2L, trimmed), (3L, distinct)).toDF("doc_id", "payload")
+    val win = Audio.audioWinnowPairsOf(frame)
+      .select($"da", $"db").as[(Long, Long)].collect().toSet
+    assert(win.contains((1L, 2L)),
+      s"the trimmed (and re-leveled) clip must share hop fingerprints: $win")
+    assert(!win.exists(p => p._1 == 3L || p._2 == 3L),
+      s"a distinct clip must not pair: $win")
+    // the relative-window signature's grid moved with the trim: the
+    // 16-window nibbles differ, so the whole-clip matcher misses it
+    val rel = Audio.audioSigDedupOf(frame)
+      .select($"da", $"db").as[(Long, Long)].collect().toSet
+    assert(!rel.contains((1L, 2L)),
+      "the relative-window signature cannot pair a trimmed clip — the gap the hop matcher closes")
+  }
 }
