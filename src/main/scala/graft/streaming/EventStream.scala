@@ -318,6 +318,22 @@ object EventStream {
     // differential-spec'd against [[charEntropyScoreHof]]).
     graft.operators.TextAnalysis.charEntropyOf(docs)
 
+  /** Ingest-time SCRIPT-AWARE tokenization (round 19) — the streaming
+    * twin of `text_script_tokens`, zero-state by construction: the v2
+    * tokenizer is one narrow regexp-extract projection per row, so a
+    * crawl stream gets plausible token counts for the CJK documents
+    * the reference tokenizer sees nothing in. Values bit-match the
+    * gated batch entry (same expressions, no state). */
+  def scriptTokenScore(docs: DataFrame): DataFrame = {
+    import graft.functions.TextFns
+    val singleton = s"^${TextFns.UnspacedBlockClass}$$"
+    docs.select(col("doc_id"), TextFns.tokensScript(col("text")).as("t"))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        size(filter(col("t"), x => !x.rlike(singleton))).cast("long").as("n_words"),
+        md5(concat_ws(" ", col("t"))).as("tok_md5"))
+  }
+
   /** The round-17 HOF fold, kept as the declarative differential
     * reference for the native pass (spec). */
   private[graft] def charEntropyScoreHof(docs: DataFrame): DataFrame = {

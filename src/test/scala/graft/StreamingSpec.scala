@@ -96,6 +96,33 @@ class StreamingSpec extends AnyFunSuite {
       s"stream-only=${(got -- want).take(3)}, batch-only=${(want -- got).take(3)}")
   }
 
+  test("streaming script tokens == gated batch entry incl. CJK docs, zero state-store rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextAnalysis
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect() ++
+      TextAnalysis.HoldoutDocs.map(h => (h._2, h._3))
+    val input = MemoryStream[(Long, String)]
+    val scored = EventStream.scriptTokenScore(input.toDS().toDF("doc_id", "text"))
+    val q = scored.writeStream.format("memory").queryName("stok_stream")
+      .outputMode("append").start()
+    docs.grouped(math.max(1, docs.length / 2 + 1)).foreach { b =>
+      input.addData(b.toSeq); q.processAllAvailable()
+    }
+    assert(q.lastProgress.stateOperators.isEmpty) // narrow plan, no state
+    q.stop()
+    val got = spark.table("stok_stream")
+      .select("doc_id", "n_tokens", "n_words", "tok_md5")
+      .as[(Long, Long, Long, String)].collect().toSet
+    val want = TextAnalysis.scriptTokens(spark, sf)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(want.nonEmpty && got == want,
+      s"stream-only=${(got -- want).take(3)}, batch-only=${(want -- got).take(3)}")
+    // the ja doc has per-codepoint tokens in-stream
+    val jaId = TextAnalysis.HoldoutDocs.find(_._1 == "ja").get._2
+    assert(got.exists(r => r._1 == jaId && r._2 > 20 && r._3 == 0L))
+  }
+
   test("streaming DSIR scoring == batch logw, zero state-store rows") {
     implicit val sqlCtx = spark.sqlContext
     val (lam, c) = graft.operators.Curation.dsirModel(spark, sf)
