@@ -249,13 +249,28 @@ object Audio {
   /** Segment-modulated square wave: each of the 16 windows restarts at
     * +amp and flips every `halves(w)` samples — so the in-window
     * crossing count is exactly (len_w − 1) div half_w, the closed form
-    * the oracle mirrors. */
-  private[graft] def segWave(amp: Int, n: Int, halves: Array[Int]): Array[Short] =
-    Array.tabulate(n) { i =>
-      val w = (i.toLong * 16 / n).toInt
-      val r = i - (w.toLong * n / 16).toInt
-      (if ((r / halves(w)) % 2 == 0) amp else -amp).toShort
+    * the oracle mirrors. Window boundaries are the SAME
+    * ⌊w·n/16⌋ grid [[zcrSignature]] reads (not ⌊i·16/n⌋ — the two
+    * partitions disagree when 16∤n, and a sample rendered under the
+    * previous window's phase let window w's first strictly-inside
+    * comparison see a crossing the closed form can't predict; caught
+    * by simulation at ≥sf1 doc counts, invisible at sf0.01/sf0.1
+    * where both engines emitted zero organic pairs). */
+  private[graft] def segWave(amp: Int, n: Int, halves: Array[Int]): Array[Short] = {
+    val lo = Array.tabulate(17)(w => (w.toLong * n / 16).toInt)
+    val out = new Array[Short](n)
+    var w = 0
+    while (w < 16) {
+      var i = lo(w)
+      while (i < lo(w + 1)) {
+        val r = i - lo(w)
+        out(i) = (if ((r / halves(w)) % 2 == 0) amp else -amp).toShort
+        i += 1
+      }
+      w += 1
     }
+    out
+  }
 
   /** Seed clips (doc_id, amp, fixed half, n): -2 is -3 at DOUBLE the
     * volume (must pair at Hamming 0 — ZCR ignores amplitude); -1 is a

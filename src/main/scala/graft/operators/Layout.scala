@@ -609,7 +609,12 @@ private[graft] object Layout {
           case ((path, key, _, newest, shallow, building, complete, parent)) =>
             val age = now - newest
             val keyId = parent.map(_.toString).getOrElse(key)
-            val slot = complete && age <= hardMaxAgeMs &&
+            // !building first: a complete generation still holding its
+            // __building marker is reported kept-building and must NOT
+            // consume a per-key quota slot — it could push another key's
+            // only complete generation into age-based deletion (r19
+            // advice)
+            val slot = !building && complete && age <= hardMaxAgeMs &&
               !quotaKeys.contains(keyId) && quotaKeys.size < keepNewest
             if (slot) quotaKeys += keyId
             val action =

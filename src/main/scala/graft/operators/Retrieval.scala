@@ -147,9 +147,13 @@ object Retrieval {
         .select(col("doc_id"), TextFns.tokensScript(col("text")).as("ts")),
       col("doc_id").between(MlQidLo, MlQidHi), K)
 
-  // the held-out docs' id range (TextAnalysis.HoldoutDocs: −9001−i)
-  private val MlQidHi = -9001L
-  private val MlQidLo = -9020L
+  // the held-out docs' id range, DERIVED from the fixture (not a
+  // hardcoded -9020..-9001): adding a language to lang_holdout.tsv
+  // must widen the probe set on both engines, not silently exclude
+  // the new doc from it (r19 advice). The same derived literals are
+  // spliced into the oracle predicate below.
+  private val MlQidHi = TextAnalysis.HoldoutDocs.map(_._2).max
+  private val MlQidLo = TextAnalysis.HoldoutDocs.map(_._2).min
 
   // ---- materialized postings index (round 10) -------------------------
   // The inline plan's one irreducible cost is the full tokenize scan per
@@ -435,7 +439,7 @@ object Retrieval {
   val bm25TopkMlOracle: String = s"""
     WITH docsml2 AS (${TextAnalysis.mlDocs2CteSql}),
     ${bm25OracleCtesOver("docsml2", TextFns.tokensScriptSqlOver("text"),
-      "doc_id BETWEEN -9020 AND -9001", K)}
+      s"doc_id BETWEEN $MlQidLo AND $MlQidHi", K)}
     SELECT qid, rn, doc_id, score FROM textr ORDER BY qid, rn"""
 
   /** Composable fusion over any materialized rank lists — (qid, id, rn)

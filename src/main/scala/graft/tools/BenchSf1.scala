@@ -12,7 +12,7 @@ import org.apache.spark.sql.SparkSession
   * Protocol: full codegen warmup at sf0.001 (every query once), caches
   * cleared between timed runs, queries in alphabetical order, one rep
   * per SF (this is a growth-factor record, not a regression bench — the
-  * driver's BENCH_r{N} medians are that). Writes BENCH_sf1_r19.json at
+  * driver's BENCH_r{N} medians are that). Writes BENCH_sf1_r20.json at
   * the repo root AND prints shard lines like Bench.
   */
 object BenchSf1 {
@@ -57,12 +57,12 @@ object BenchSf1 {
     val json = s"""{"metric":"sf1_growth","sf01_total":${f3(at01.values.filter(_ > 0).sum)},""" +
       s""""sf1_total":${f3(at1.values.filter(_ > 0).sum)},"n_queries":${names.length},""" +
       s""""worst_growth":$worst,"queries":$qs}"""
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_sf1_r19.json"), json + "\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_sf1_r20.json"), json + "\n")
     entries.sortBy(-_._4).foreach { case (n, a, b, g) =>
       println(f"[sf1bench] $n%-26s sf0.1 ${a}%7.2f s  sf1 ${b}%7.2f s  growth ${g}%6.2f×")
     }
     println(s"[sf1bench] totals: sf0.1 ${f3(at01.values.filter(_ > 0).sum)} s → " +
-      s"sf1 ${f3(at1.values.filter(_ > 0).sum)} s; record written to BENCH_sf1_r19.json")
+      s"sf1 ${f3(at1.values.filter(_ > 0).sum)} s; record written to BENCH_sf1_r20.json")
     spark.stop()
   }
 }

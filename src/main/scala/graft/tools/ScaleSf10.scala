@@ -8,7 +8,7 @@ import graft.operators.{Analytics, Curation, Dedup, DomainCuration, Retrieval, S
   * FULL sf10 corpus (100× sf0.1 — 60 M lineitem, 10 M events, 500 k
   * documents, 200 k embeddings) with ScaleSf1's FK-consistent recipe,
   * time each representative at sf0.1 / sf1 / sf10, and write
-  * `BENCH_sf10_r19.json` with per-decade seconds + the sf1→sf10 growth
+  * `BENCH_sf10_r20.json` with per-decade seconds + the sf1→sf10 growth
   * factor. The gate: zero superlinear growth (factor ≤ 12 for one
   * decade, the slack covering fixed per-query orchestration).
   *
@@ -207,11 +207,11 @@ object ScaleSf10 {
       s""""sf01_total":${f3(entries.map(_._2).sum)},"sf1_total":${f3(entries.map(_._3).sum)},""" +
       s""""sf10_total":${f3(entries.map(_._4).sum)},"worst_growth_sf1_to_sf10":${f3(worst)},""" +
       s""""queries":$qs}"""
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_sf10_r19.json"), json + "\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_sf10_r20.json"), json + "\n")
     entries.sortBy(-_._5).foreach { case (n, a, b, c, g) =>
       println(f"[sf10] $n%-24s sf0.1 ${a}%7.2f  sf1 ${b}%7.2f  sf10 ${c}%8.2f  growth(sf1→sf10) ${g}%6.2f×")
     }
-    println(s"[sf10] record written to BENCH_sf10_r19.json; worst sf1→sf10 growth ${f3(worst)}×")
+    println(s"[sf10] record written to BENCH_sf10_r20.json; worst sf1→sf10 growth ${f3(worst)}×")
     require(worst <= 12.0,
       s"superlinear growth detected: worst sf1->sf10 factor $worst > 12 for 10x data")
     spark.stop()

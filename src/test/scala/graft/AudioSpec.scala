@@ -113,6 +113,40 @@ class AudioSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)) && !pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("segWave/zcrSignature boundary parity: closed form holds for every window at sf1-scale doc counts") {
+    // The r19 bug: segWave assigned sample i to window floor(i*16/n) while
+    // zcrSignature reads windows on the floor(w*n/16) grid — misaligned
+    // when 16 does not divide n, so window w's first strictly-inside
+    // comparison could see a crossing inherited from window w-1's phase.
+    // Simulation showed 186/200 corpus docs off; both gated SFs passed
+    // only because both engines emitted zero organic pairs there. This
+    // spec IS the >=sf1 re-verify: every corpus doc id the sf1 gate
+    // would render (n = 400 + id % 391, md5 halves) must match the
+    // oracle's (len-1) div half closed form in all 16 windows.
+    var id = 0L
+    while (id < 60000L) {
+      val n = (400 + id % 391).toInt
+      val halves = Array.tabulate(16)(w => Audio.winHalf(id, w, 0))
+      val got = Audio.zcrSignature(Audio.segWave(1000, n, halves))
+      var w = 0
+      while (w < 16) {
+        val len = ((w + 1).toLong * n / 16 - w.toLong * n / 16).toInt
+        val c = (len - 1) / halves(w)
+        assert(got(w) == ((c ^ (c >> 1)) & 15),
+          s"id=$id w=$w n=$n half=${halves(w)}: got ${got(w)}, closed form ${(c ^ (c >> 1)) & 15}")
+        w += 1
+      }
+      id += 1
+    }
+    // and the seed trio (fixed half, n=480 — 16 | 480, but keep it gated)
+    for ((sid, amp, half, n) <- Audio.AudioSigSeeds) {
+      val got = Audio.zcrSignature(Audio.segWave(amp, n, Array.fill(16)(half)))
+      val len = n / 16
+      val c = (len - 1) / half
+      assert(got.forall(_ == ((c ^ (c >> 1)) & 15)), s"seed $sid")
+    }
+  }
+
   test("trimmed audio: hop-token winnow pairs it at any hop offset; the relative-window signature cannot") {
     // 12 hop-aligned segments with varied periods, real WAV roundtrip
     val halves = Array(4, 7, 11, 5, 9, 13, 4, 6, 10, 8, 12, 5)

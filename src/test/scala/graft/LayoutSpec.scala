@@ -218,6 +218,43 @@ class LayoutSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.cache.root")
   }
 
+  test("gcStores: a kept-building generation never occupies a keep-newest quota slot") {
+    // r19 advice: the slot decision ran BEFORE the building check, so a
+    // complete generation still holding its __building marker consumed
+    // the per-key quota while being reported kept-building — pushing
+    // another key's only complete generation into age-based deletion.
+    import graft.operators.Layout
+    import org.apache.hadoop.fs.Path
+    val root = java.nio.file.Files.createTempDirectory("gcslot").toString
+    spark.conf.set("spark.graft.cache.root", root)
+    try {
+      val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val now = System.currentTimeMillis()
+      def mk(key: String, ageMs: Long): Path = {
+        val kd = new Path(s"$root/clusters_cache/$key")
+        fs.mkdirs(kd)
+        val succ = new Path(kd, "_SUCCESS")
+        fs.create(succ, true).close()
+        fs.setTimes(succ, now - ageMs, -1)
+        fs.setTimes(kd, now - ageMs, -1)
+        kd
+      }
+      // same corpus group: the newer key is complete AND mid-rebuild
+      // (fresh sibling lease); the older key is this group's only other
+      // complete generation, past maxAgeMs — it must win the one slot
+      val building = mk("corpS_1700000009999hcafebabe_df100", 1000L)
+      fs.create(new Path(s"$root/clusters_cache/corpS_1700000009999hcafebabe_df100__building"), true).close()
+      val onlyOther = mk("corpS_1700000000000hdeadbeef_df100", 10 * 86400000L)
+      val rep = Layout.gcStores(spark, maxAgeMs = 86400000L, keepNewest = 1)
+      def action(key: String) = rep.find(_.key == key).map(_.action)
+      assert(action("corpS_1700000009999hcafebabe_df100").contains("kept-building"))
+      assert(fs.exists(onlyOther) &&
+        action("corpS_1700000000000hdeadbeef_df100").contains("kept-newest"),
+        "a kept-building generation must not consume the quota slot that keeps this one alive")
+      assert(fs.exists(building))
+    } finally spark.conf.unset("spark.graft.cache.root")
+  }
+
   test("gcStores end-to-end on a real store: the superseded generation is reclaimed, the live one still serves warm") {
     import graft.operators.{Curation, Layout}
     import org.apache.hadoop.fs.Path
