@@ -302,7 +302,8 @@ object Audio {
   /** Near-dup pairs (da, db, hamming ≤ 3) over any (doc_id, payload)
     * WAV frame — the composable serve form. */
   def audioSigDedupOf(frame: DataFrame): DataFrame =
-    Multimodal.blockPairsOf(audioSigOf(frame).cache())
+    Multimodal.blockPairsOf(audioSigOf(frame).cache(),
+        logDropsAs = Some("mm_audio_sig_dedup"))
       .orderBy(col("da"), col("db"))
 
   // ---- trim-robust audio matching (round 19) ----------------------------
@@ -341,7 +342,8 @@ object Audio {
 
   /** Offset-robust candidate pairs (da, db, n_shared) over any
     * (doc_id, payload) WAV corpus. */
-  def audioWinnowPairsOf(frame: DataFrame): DataFrame = {
+  def audioWinnowPairsOf(frame: DataFrame,
+                         maxDf: Option[Long] = Some(Multimodal.DefaultMaxBlockDf)): DataFrame = {
     val spark = frame.sparkSession
     import spark.implicits._
     val seqs = frame.select(col("doc_id"), col("payload")).as[AudioRow]
@@ -350,10 +352,14 @@ object Audio {
       }))
       .toDF("doc_id", "t")
       .filter(size(col("t")) >= AwK + AwW - 1)
-    val fps = seqs.select(col("doc_id"),
+    val fpd = seqs.select(col("doc_id"),
         explode(graft.functions.WinnowFps.of(col("t"), AwK, AwW)).as("f"))
       .select(col("doc_id"), col("f.fp").as("fp")).distinct()
       .cache() // both join sides
+    // hot-fingerprint cap (the shared mm candidate-key discipline) —
+    // doubly important here given the documented ~3-bit per-hop entropy
+    val fps = maxDf.fold(fpd)(m => Skew.capByFrequency(fpd, "fp", "doc_id",
+      m, Some("audio_winnow"), distinctPairs = true))
     fps.select(col("doc_id").as("da"), col("fp"))
       .join(fps.select(col("doc_id").as("db"), col("fp")), Seq("fp"))
       .filter(col("da") < col("db"))
@@ -412,11 +418,13 @@ object Audio {
       SELECT doc_id, b0, b1, b2, b3, k,
         CASE k WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS bv
       FROM h, (SELECT unnest(range(4)) AS k)),
+    keep AS (SELECT k, bv FROM bl GROUP BY k, bv HAVING count(*) <= ${Multimodal.DefaultMaxBlockDf}),
     cand AS (
       SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
         a.b0 AS ab0, a.b1 AS ab1, a.b2 AS ab2, a.b3 AS ab3,
         b.b0 AS bb0, b.b1 AS bb1, b.b2 AS bb2, b.b3 AS bb3
-      FROM bl a JOIN bl b ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id)
+      FROM bl a JOIN keep kp ON kp.k = a.k AND kp.bv = a.bv
+      JOIN bl b ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id)
     SELECT da, db,
       CAST(bit_count(xor(ab0, bb0)) + bit_count(xor(ab1, bb1)) +
            bit_count(xor(ab2, bb2)) + bit_count(xor(ab3, bb3)) AS INT) AS hamming

@@ -333,18 +333,43 @@ object Multimodal {
   /** Near-dup image pairs (da, db, hamming ≤ 3) over any
     * (doc_id, payload) frame. */
   def dhashDedupOf(spark: SparkSession, frame: DataFrame): DataFrame =
-    blockPairsOf(dhashOf(spark, frame).cache())
+    blockPairsOf(dhashOf(spark, frame).cache(),
+      logDropsAs = Some("mm_image_dhash_dedup"))
+
+  /** Default per-candidate-key document-frequency cap for every
+    * multimodal near-dup join (image/audio block values, video
+    * aligned blocks, winnow fingerprints) — the shingle-join
+    * discipline (Dedup.DefaultMaxShingleDf) applied to media keys. On
+    * real corpora hot keys are GUARANTEED: flat/black regions collapse
+    * block values and fade-to-black frame runs make one fingerprint
+    * corpus-wide hot, and a key in k docs yields k² candidates — a
+    * quadratic blowup on skew at scale. A dropped key only removes
+    * CANDIDATE DISCOVERY via that key (verification still reads the
+    * full uncapped signatures); only pairs whose every shared key is
+    * corpus-hot can be missed, and those are flat-content matches, not
+    * the near-dups the operators exist to find. Mirrored verbatim as a
+    * `keep` CTE in all four gated oracles. */
+  private[graft] val DefaultMaxBlockDf = 256L
 
   /** 4-block pigeonhole pair machinery over ANY (doc_id, b0..b3)
     * signature table (Hamming ≤ 3 ⇒ ≥1 of 4 16-bit blocks equal) —
     * shared by the image dHash dedup and the audio ZCR-signature dedup
-    * (round 19). Caller caches `hashed` (it feeds both join sides). */
-  private[operators] def blockPairsOf(hashed: DataFrame): DataFrame = {
-    val blocks = hashed.select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
+    * (round 19). Caller caches `hashed` (it feeds both join sides).
+    * Candidate keys (k, bv) hotter than `maxDf` docs are dropped from
+    * discovery with logged drops ([[DefaultMaxBlockDf]]). */
+  private[graft] def blockPairsOf(hashed: DataFrame,
+                                  maxDf: Option[Long] = Some(DefaultMaxBlockDf),
+                                  logDropsAs: Option[String] = None): DataFrame = {
+    val exploded = hashed.select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
       explode(array((0 until 4).map(k =>
         struct(lit(k).as("k"), col(s"b$k").as("bv"))): _*)).as("blk"))
       .select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
         col("blk.k"), col("blk.bv"))
+    // (doc_id, k) is unique per input row, so count(*) per (k, bv) IS
+    // the key's document frequency (distinctPairs)
+    val blocks = maxDf.fold(exploded)(m =>
+      Skew.capByFrequency(exploded.withColumn("__hk", struct(col("k"), col("bv"))),
+        "__hk", "doc_id", m, logDropsAs, distinctPairs = true).drop("__hk"))
     val left = blocks.select(col("doc_id").as("da"), col("b0").as("ab0"),
       col("b1").as("ab1"), col("b2").as("ab2"), col("b3").as("ab3"), col("k"), col("bv"))
     val right = blocks.select(col("doc_id").as("db"), col("b0").as("bb0"),
@@ -398,11 +423,13 @@ object Multimodal {
       SELECT doc_id, b0, b1, b2, b3, k,
         CASE k WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS bv
       FROM h, (SELECT unnest(range(4)) AS k)),
+    keep AS (SELECT k, bv FROM bl GROUP BY k, bv HAVING count(*) <= $DefaultMaxBlockDf),
     cand AS (
       SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
         a.b0 AS ab0, a.b1 AS ab1, a.b2 AS ab2, a.b3 AS ab3,
         b.b0 AS bb0, b.b1 AS bb1, b.b2 AS bb2, b.b3 AS bb3
-      FROM bl a JOIN bl b ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id)
+      FROM bl a JOIN keep kp ON kp.k = a.k AND kp.bv = a.bv
+      JOIN bl b ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id)
     SELECT da, db,
       CAST(bit_count(xor(ab0, bb0)) + bit_count(xor(ab1, bb1)) +
            bit_count(xor(ab2, bb2)) + bit_count(xor(ab3, bb3)) AS INT) AS hamming

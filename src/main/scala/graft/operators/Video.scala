@@ -241,16 +241,26 @@ object Video {
       .select(col("doc_id") +: col("frame_idx") +: Multimodal.dhashBlockCols: _*)
   }
 
-  def videoDhashDedupOf(clips: DataFrame): DataFrame = {
+  def videoDhashDedupOf(clips: DataFrame,
+                        maxDf: Option[Long] = Some(Multimodal.DefaultMaxBlockDf)): DataFrame = {
     val spark = clips.sparkSession
     import spark.implicits._
     val hashed = frameHashFrame(clips)
       .cache() // candidate blocks + both verify sides
     val nf = hashed.groupBy(col("doc_id")).agg(count(lit(1)).cast("long").as("nf"))
-    val blocks = hashed.select(col("doc_id"), col("frame_idx"),
+    val exploded = hashed.select(col("doc_id"), col("frame_idx"),
       explode(array((0 until 4).map(k =>
         struct(lit(k).as("k"), col(s"b$k").as("bv"))): _*)).as("blk"))
       .select(col("doc_id"), col("frame_idx"), col("blk.k"), col("blk.bv"))
+    // hot-key cap on the aligned candidate key (frame_idx, k, bv) — a
+    // black/flat frame at one index across k clips is k² candidate rows
+    // without it ((doc_id, frame_idx, k) rows are unique, so count(*)
+    // per key IS its document frequency). Discovery-only: verification
+    // below reads the full uncapped `hashed`.
+    val blocks = maxDf.fold(exploded)(m => Skew.capByFrequency(
+        exploded.withColumn("__hk", struct(col("frame_idx"), col("k"), col("bv"))),
+        "__hk", "doc_id", m,
+        Some("mm_video_dhash_dedup"), distinctPairs = true).drop("__hk"))
     val cand = blocks.select(col("doc_id").as("da"), col("frame_idx"), col("k"), col("bv"))
       .join(blocks.select(col("doc_id").as("db"), col("frame_idx"), col("k"), col("bv")),
         Seq("frame_idx", "k", "bv"))
@@ -316,9 +326,13 @@ object Video {
       SELECT doc_id, frame_idx, k,
         CASE k WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS bv
       FROM h, (SELECT unnest(range(4)) AS k)),
+    keep AS (SELECT frame_idx, k, bv FROM bl GROUP BY frame_idx, k, bv
+             HAVING count(*) <= ${Multimodal.DefaultMaxBlockDf}),
     cand AS (
       SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-      FROM bl a JOIN bl b
+      FROM bl a
+      JOIN keep kp ON kp.frame_idx = a.frame_idx AND kp.k = a.k AND kp.bv = a.bv
+      JOIN bl b
         ON a.frame_idx = b.frame_idx AND a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id),
     fr AS (
       SELECT c.da, c.db, x.frame_idx,
@@ -355,17 +369,22 @@ object Video {
   /** Offset-robust candidate pairs (da, db, n_shared) over any
     * (doc_id, payload) multi-frame corpus: # of shared winnow
     * fingerprints of the frame-hash sequences. */
-  def videoWinnowPairsOf(clips: DataFrame): DataFrame = {
+  def videoWinnowPairsOf(clips: DataFrame,
+                         maxDf: Option[Long] = Some(Multimodal.DefaultMaxBlockDf)): DataFrame = {
     val tok = concat_ws("_", (0 until 4).map(j => col(s"b$j").cast("string")): _*)
     val seqs = frameHashFrame(clips)
       .select(col("doc_id"), struct(col("frame_idx"), tok.as("tok")).as("ft"))
       .groupBy(col("doc_id"))
       .agg(transform(array_sort(collect_list(col("ft"))), x => x.getField("tok")).as("t"))
       .filter(size(col("t")) >= VwK + VwW - 1)
-    val fps = seqs.select(col("doc_id"),
+    val fpd = seqs.select(col("doc_id"),
         explode(graft.functions.WinnowFps.of(col("t"), VwK, VwW)).as("f"))
       .select(col("doc_id"), col("f.fp").as("fp")).distinct()
       .cache() // both join sides
+    // hot-fingerprint cap: a fade-to-black frame run makes one winnow
+    // fingerprint corpus-wide hot — k docs sharing it is k² join rows
+    val fps = maxDf.fold(fpd)(m => Skew.capByFrequency(fpd, "fp", "doc_id",
+      m, Some("mm_video_winnow_dedup"), distinctPairs = true))
     fps.select(col("doc_id").as("da"), col("fp"))
       .join(fps.select(col("doc_id").as("db"), col("fp")), Seq("fp"))
       .filter(col("da") < col("db"))
@@ -425,9 +444,11 @@ object Video {
       FROM h GROUP BY doc_id
       HAVING count(*) >= ${VwK + VwW - 1}),
     ${TextAnalysis.winnowCtesFromToksKW("ftoks", VwK, VwW)},
-    fpd AS (SELECT DISTINCT doc_id, fp FROM wfp)
+    fpd AS (SELECT DISTINCT doc_id, fp FROM wfp),
+    keep AS (SELECT fp FROM fpd GROUP BY fp
+             HAVING count(*) <= ${Multimodal.DefaultMaxBlockDf})
     SELECT a.doc_id AS da, b.doc_id AS db, CAST(count(*) AS BIGINT) AS n_shared
-    FROM fpd a JOIN fpd b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    FROM fpd a JOIN keep USING (fp) JOIN fpd b ON a.fp = b.fp AND a.doc_id < b.doc_id
     GROUP BY 1, 2
     ORDER BY da, db"""
   }
