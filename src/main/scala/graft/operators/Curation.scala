@@ -963,13 +963,16 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
-  val qualityGateMlOracle: String = {
+  /** The ML gate's CTE chain after a v2-token `toks` CTE, up to
+    * `f(doc_id, n_tokens, f_* flags)` — the [[gateCtesAfterToks]]
+    * discipline for the script-aware gate, shared between
+    * [[qualityGateMlOracle]] and the ML release oracle. The toks CTE
+    * name is a parameter because the release oracle runs v1 `toks`
+    * (winnow + clusters) and v2 tokens side by side. */
+  private def gateMlCtesAfterToksOver(toks: String): String = {
     val stopList = TextAnalysis.MlStopWords.map(w => s"'$w'").mkString("[", ", ", "]")
     val singleton = s"^${TextFns.UnspacedBlockClass}$$"
-    s"""
-    WITH docsml AS (${TextAnalysis.mlDocsCteSql}),
-    toks AS (SELECT doc_id, ${TextFns.tokensScriptSqlOver("text")} AS t FROM docsml),
-    ${TextAnalysis.gramFractionCtes},
+    s"""${TextAnalysis.gramFractionCtesOver(toks)},
     base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
         CASE WHEN len(list_filter(t, x -> NOT regexp_matches(x, '$singleton'))) > 0 THEN
           round(CAST(list_sum(list_transform(
@@ -979,7 +982,7 @@ object Curation {
           round(CAST(len(list_filter(t, x -> list_contains($stopList, x))) AS DOUBLE) / len(t), 6) END AS stop,
         CASE WHEN len(t) > 0 THEN
           round(CAST(len(list_filter(t, x -> regexp_matches(x, '^[0-9a-z_]+$$'))) AS DOUBLE) / len(t), 6) END AS ascii_frac
-      FROM toks),
+      FROM $toks),
     f AS (SELECT base.doc_id, n_tokens,
         n_tokens < $GateMinTok AS f_short,
         n_tokens > $GateMaxTok AS f_long,
@@ -987,7 +990,13 @@ object Curation {
         (ascii_frac >= 0.5 AND stop < 0.02) AS f_stop,
         round(coalesce(s2.top2, 0), 6) > 0.20 AS f_rep2,
         round(coalesce(s3.dup3, 0), 6) > 0.60 AS f_rep3
-      FROM base LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id))
+      FROM base LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id))"""
+  }
+
+  val qualityGateMlOracle: String = s"""
+    WITH docsml AS (${TextAnalysis.mlDocsCteSql}),
+    toks AS (SELECT doc_id, ${TextFns.tokensScriptSqlOver("text")} AS t FROM docsml),
+    ${gateMlCtesAfterToksOver("toks")}
     SELECT doc_id, n_tokens,
       NOT (f_short OR f_long OR coalesce(f_toklen, false) OR
            coalesce(f_stop, false) OR f_rep2 OR f_rep3) AS keep,
@@ -997,6 +1006,27 @@ object Curation {
         CASE WHEN f_rep2 THEN 'rep_2gram' END, CASE WHEN f_rep3 THEN 'rep_3gram' END) AS reasons
     FROM f
     ORDER BY doc_id"""
+
+  /** Stage 1-3 of the curation pipeline under the v2 tokenizer (round
+    * 20): v2 tokens → ML gate → exact dedup by v2-token fingerprint —
+    * the [[pipelineCurateOf]] survivors computation with every
+    * tokenizer-touching stage swapped to script-aware, consumed by the
+    * ML release chain. Same tokenize-once seam: one cached (doc_id, t)
+    * projection feeds the gate's three passes and the fingerprint. */
+  private[graft] def curateMlOf(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), TextFns.tokensScript(col("text")).as("t"))
+      .cache()
+    val kept = qualityGateMlOf(toks).filter(col("keep"))
+      .select(col("doc_id"), col("n_tokens"))
+    val fp = toks
+      .join(kept, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"),
+        md5(concat_ws(" ", col("t"))).as("content_fp"))
+    val surv = fp.groupBy(col("content_fp"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+    surv.join(fp.select(col("doc_id"), col("n_tokens")), Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("n_copies"))
   }
 
   // ---- composed curation pipeline (round 11) ---------------------------
@@ -1342,14 +1372,33 @@ object Curation {
     * n_ship_tokens, ship_text, contaminated) for every curated
     * survivor. ONE definition, so the card and the exported shards can
     * never disagree about what ships. */
-  private[graft] def releaseV2Frame(spark: SparkSession, dir: String): DataFrame = {
+  /** `tokVersion` (round 20, the r19 verdict's #2) threads the
+    * script-aware tokenizer through the release chain: under
+    * [[TextFns.TokVersion2]] the corpus is seeded with the 20 held-out
+    * multilingual docs, stage 1 runs the v2 tokens + ML gate
+    * ([[curateMlOf]]) and the SHIPPED token counts re-tokenize with v2
+    * — so a CJK/Cyrillic doc ships with its real token count where the
+    * v1 chain drops it at the gate (zero v1 tokens → too_short;
+    * English-only stopword floor → low_stop; spec-proven). Winnow
+    * decontamination and the cluster split stay v1-keyed on both
+    * engines (the probe index and cluster table are v1 artifacts; a
+    * v1-token-free doc simply has no fingerprints to contaminate). */
+  private[graft] def releaseV2Frame(spark: SparkSession, dir: String,
+                                    tokVersion: Int = TextFns.TokVersion): DataFrame = {
     import spark.implicits._
-    val docsPlus = Tables.documents(spark, dir)
+    val ml = tokVersion >= TextFns.TokVersion2
+    val docsBase = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("text"))
       .unionByName(ReleaseSeeds.toDF("doc_id", "source", "text"))
+    val docsPlus =
+      if (!ml) docsBase
+      else docsBase.unionByName(
+        TextAnalysis.HoldoutDocs.map(h => (h._2, "holdout", h._3))
+          .toDF("doc_id", "source", "text"))
     // stage 1: curate — the gated pipeline over the release corpus
-    val curated = pipelineCurateOf(docsPlus)
-      .select(col("doc_id"), col("n_tokens"), col("n_copies"))
+    val curated =
+      (if (ml) curateMlOf(docsPlus) else pipelineCurateOf(docsPlus))
+        .select(col("doc_id"), col("n_tokens"), col("n_copies"))
     // stage 2: decontaminate — corpus-side winnow fingerprints joined
     // against the PERSISTED probe index (round 16: the benchmark slice
     // is static — [[winnowProbeFpCached]] — so a release run only
@@ -1366,11 +1415,12 @@ object Curation {
     val afterEmail = regexp_replace(col("text"), TextAnalysis.EmailRe, "<EMAIL>")
     val afterIp    = regexp_replace(afterEmail, TextAnalysis.Ipv4Re, "<IP>")
     val afterPhone = regexp_replace(afterIp, TextAnalysis.PhoneRe, "<PHONE>")
+    val shipToks = if (ml) TextFns.tokensScript(afterPhone) else TextFns.tokens(afterPhone)
     val red = docsPlus.select(col("doc_id"),
       (regexp_count(col("text"), lit(TextAnalysis.EmailRe)) +
        regexp_count(afterEmail, lit(TextAnalysis.Ipv4Re)) +
        regexp_count(afterIp, lit(TextAnalysis.PhoneRe))).cast("long").as("n_pii"),
-      size(TextFns.tokens(afterPhone)).cast("long").as("n_ship_tokens"),
+      size(shipToks).cast("long").as("n_ship_tokens"),
       afterPhone.as("ship_text"))
     // stage 4: leak-safe split from the materialized cluster table,
     // singleton fallback for docs the table has never seen (the seed)
@@ -1410,19 +1460,26 @@ object Curation {
   /** The release-frame artifact path for an explicit code version —
     * split out so the bump-invalidates spec can prove a version bump
     * re-keys (and therefore rebuilds) without mutating the constant. */
+  /** `tokVersion` folds into the key only when ≠ v1 so every existing
+    * v1 artifact stays valid — the ML frame is a SIBLING generation
+    * family member, not an invalidation of the v1 release. */
   private[graft] def releaseV2CachePath(spark: SparkSession, dir: String,
-                                        version: Int = ReleaseV2CodeVersion): String = {
+                                        version: Int = ReleaseV2CodeVersion,
+                                        tokVersion: Int = TextFns.TokVersion): String = {
     val docsPath = s"$dir/documents.parquet"
     val maxDf = Dedup.effectiveMaxShingleDf(spark)
+    val tok = if (tokVersion == TextFns.TokVersion) "" else s"_tok$tokVersion"
     val key = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${Layout.stateTag(spark, docsPath)}" +
-      s"_df${maxDf}_v$version"
+      s"_df${maxDf}_v$version$tok"
     s"${Layout.cacheRoot(spark)}/release_v2_cache/$key"
   }
 
-  private[graft] def releaseV2FrameCached(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def releaseV2FrameCached(spark: SparkSession, dir: String,
+                                          tokVersion: Int = TextFns.TokVersion): DataFrame = {
     // generation protocol (round 18): fresh gen-dir + _CURRENT commit
-    val path = Layout.generation(spark, releaseV2CachePath(spark, dir)) { g =>
-      releaseV2Frame(spark, dir).write.parquet(g)
+    val path = Layout.generation(spark,
+        releaseV2CachePath(spark, dir, tokVersion = tokVersion)) { g =>
+      releaseV2Frame(spark, dir, tokVersion).write.parquet(g)
     }
     spark.read.parquet(path)
   }
@@ -1437,6 +1494,15 @@ object Curation {
 
   def releaseManifestV2(spark: SparkSession, dir: String): DataFrame =
     releaseCardOf(releaseV2Frame(spark, dir).drop("ship_text"))
+
+  /** Gated `curation_release_ml` (round 20): the release card under the
+    * v2 tokenizer over the holdout-seeded corpus — the 20 held-out
+    * multilingual docs must SHIP (the spec proves the v1 chain loses
+    * every one of them at the gate). Served from the tok2 generation
+    * of the release-frame cache, the v3 deployment shape. */
+  def releaseManifestMl(spark: SparkSession, dir: String): DataFrame =
+    releaseCardOf(
+      releaseV2FrameCached(spark, dir, TextFns.TokVersion2).drop("ship_text"))
 
   /** Stages 5-6 of the v2 release over any per-doc release frame — ONE
     * definition consumed by the inline and the composed card entries. */
@@ -1609,6 +1675,77 @@ object Curation {
   val releaseManifestV2Oracle: String = s"""
     WITH RECURSIVE
     $releaseFrameCtes,
+    ${releaseCardSqlOver("cur")}"""
+
+  /** The ML release frame's CTE chain (the SQL twin of
+    * [[releaseV2Frame]] at tokVersion 2): corpus seeded with
+    * [[TextAnalysis.HoldoutDocs]], curation over v2 tokens
+    * ([[gateMlCtesAfterToksOver]] + v2-token fingerprints), shipped
+    * token counts re-tokenized with v2 — while winnow decontamination
+    * and the cluster split run the v1 `toks` CTE the clusters fragment
+    * defines, exactly like the Spark side. */
+  private def releaseMlFrameCtes: String = {
+    val benchSeed = WinnowSeeds.head
+    s"""docsmlp AS (
+      SELECT doc_id, source, text FROM documents
+      ${ReleaseSeeds.map { case (id, src, t) =>
+        s"UNION ALL SELECT CAST($id AS BIGINT), '$src', '${t.replace("'", "''")}'"
+      }.mkString("\n      ")}
+      ${TextAnalysis.HoldoutDocs.map { case (_, id, t) =>
+        s"UNION ALL SELECT CAST($id AS BIGINT), 'holdout', '${t.replace("'", "''")}'"
+      }.mkString("\n      ")}),
+    ${Dedup.clustersCteSqlOver("docsmlp")},
+    toksml AS (SELECT doc_id, ${TextFns.tokensScriptSqlOver("text")} AS t FROM docsmlp),
+    ${gateMlCtesAfterToksOver("toksml")},
+    keptml AS (
+      SELECT doc_id, n_tokens FROM f
+      WHERE NOT (f_short OR f_long OR coalesce(f_toklen, false) OR
+                 coalesce(f_stop, false) OR f_rep2 OR f_rep3)),
+    fp AS (
+      SELECT d.doc_id, k.n_tokens,
+        md5(array_to_string(${TextFns.tokensScriptSqlOver("d.text")}, ' ')) AS content_fp
+      FROM docsmlp d JOIN keptml k USING (doc_id)),
+    surv AS (
+      SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+      FROM fp GROUP BY content_fp),
+    wtoks1 AS (
+      SELECT doc_id, t FROM toks
+      UNION ALL
+      SELECT CAST(${benchSeed._1} AS BIGINT),
+             ${tokensSqlOver(s"'${benchSeed._2.replace("'", "''")}'")}),
+    ${TextAnalysis.winnowCtesFromToks("wtoks1")},
+    probe AS (SELECT DISTINCT fp FROM wfp WHERE doc_id < $ProbeDocs),
+    contam AS (
+      SELECT DISTINCT w.doc_id FROM wfp w JOIN probe USING (fp)
+      WHERE w.doc_id >= $ProbeDocs),
+    red0 AS (SELECT doc_id, text,
+        regexp_replace(text, '${TextAnalysis.EmailRe}', '<EMAIL>', 'g') AS after_email
+      FROM docsmlp),
+    red1 AS (SELECT doc_id, text, after_email,
+        regexp_replace(after_email, '${TextAnalysis.Ipv4Re}', '<IP>', 'g') AS after_ip
+      FROM red0),
+    red AS (SELECT doc_id,
+        len(regexp_extract_all(text, '${TextAnalysis.EmailRe}'))
+          + len(regexp_extract_all(after_email, '${TextAnalysis.Ipv4Re}'))
+          + len(regexp_extract_all(after_ip, '${TextAnalysis.PhoneRe}')) AS n_pii,
+        CAST(len(${TextFns.tokensScriptSqlOver(
+          s"regexp_replace(after_ip, '${TextAnalysis.PhoneRe}', '<PHONE>', 'g')")}) AS BIGINT)
+          AS n_ship_tokens
+      FROM red1),
+    spl AS (${splitAssignSqlOver("docsmlp", "clu")}),
+    cur AS (
+      SELECT s.doc_id, s.n_copies, spl.source, spl.split,
+        red.n_pii, red.n_ship_tokens,
+        (c.doc_id IS NOT NULL) AS contaminated
+      FROM surv s
+      JOIN spl USING (doc_id)
+      JOIN red USING (doc_id)
+      LEFT JOIN contam c USING (doc_id))"""
+  }
+
+  val releaseManifestMlOracle: String = s"""
+    WITH RECURSIVE
+    $releaseMlFrameCtes,
     ${releaseCardSqlOver("cur")}"""
 
   // ---- v3: source quotas composed into the release (round 19, the
@@ -2065,6 +2202,7 @@ object Curation {
     "curation_release_manifest_v2" -> (releaseManifestV2 _),
     "curation_release_v2_composed" -> (releaseManifestV2Composed _),
     "curation_release_v3"    -> (releaseManifestV3 _),
+    "curation_release_ml"    -> (releaseManifestMl _),
     "curation_shard_export"  -> (ShardExport.shardExport _),
     "curation_url_dedup"     -> (DomainCuration.urlDedup _))
 
@@ -2094,6 +2232,7 @@ object Curation {
     "curation_release_manifest_v2" -> releaseManifestV2Oracle,
     "curation_release_v2_composed" -> releaseManifestV2Oracle,
     "curation_release_v3"    -> releaseManifestV3Oracle,
+    "curation_release_ml"    -> releaseManifestMlOracle,
     "curation_shard_export"  -> ShardExport.shardExportOracle,
     "curation_url_dedup"     -> DomainCuration.urlDedupOracle)
 }

@@ -1758,19 +1758,25 @@ object TextAnalysis {
   /** DuckDB twin of [[gramFractions]]: CTE block yielding s2(doc_id,
     * top2) and s3(doc_id, dup3); expects a preceding `toks(doc_id, t)`
     * CTE. Interpolated into both oracles. */
-  private[operators] val gramFractionCtes: String = """
+  /** The `toks` CTE name is a parameter so a composition can run the
+    * gram fractions over a SECOND tokenization living beside `toks`
+    * (the ML release runs v1 `toks` for winnow + clusters and v2
+    * `toksml` for the gate in one query). */
+  private[operators] def gramFractionCtesOver(toks: String): String = s"""
     g2 AS (SELECT doc_id, unnest(list_transform(range(len(t)-1),
              i -> array_to_string(t[i+1:i+2], ' '))) AS g
-           FROM toks WHERE len(t) >= 2),
+           FROM $toks WHERE len(t) >= 2),
     c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
     s2 AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top2
            FROM c2 GROUP BY doc_id),
     g3 AS (SELECT doc_id, unnest(list_transform(range(len(t)-2),
              i -> array_to_string(t[i+1:i+3], ' '))) AS g
-           FROM toks WHERE len(t) >= 3),
+           FROM $toks WHERE len(t) >= 3),
     c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
     s3 AS (SELECT doc_id, CAST(sum(c) - count(*) AS DOUBLE) / sum(c) AS dup3
            FROM c3 GROUP BY doc_id)"""
+
+  private[operators] val gramFractionCtes: String = gramFractionCtesOver("toks")
 
   def repetition(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)

@@ -755,6 +755,48 @@ class PipelineOpsSpec extends AnyFunSuite {
       v2.map(_.getAs[Long]("n_contaminated")).sum)
   }
 
+  test("release ml: every held-out multilingual doc SHIPS under the v2 chain; the v1 chain provably loses all of them") {
+    import graft.operators.{Curation, TextAnalysis}
+    val dir = "/root/testdata/sf0.001"
+    val holdoutIds = TextAnalysis.HoldoutDocs.map(_._2).toSet
+    // the v2 chain: every holdout doc is a per-doc frame row, kept
+    // (not contaminated) and with a REAL shipped token count
+    val mlFrame = Curation.releaseV2Frame(spark, dir,
+        graft.functions.TextFns.TokVersion2)
+      .filter(col("doc_id").isin(holdoutIds.toSeq: _*))
+      .collect()
+    assert(mlFrame.length == holdoutIds.size,
+      s"all ${holdoutIds.size} held-out docs must survive ML curation: ${mlFrame.length}")
+    mlFrame.foreach { r =>
+      assert(!r.getAs[Boolean]("contaminated"), s"holdout ${r.getAs[Long]("doc_id")}")
+      assert(r.getAs[Long]("n_ship_tokens") > 0,
+        s"holdout ${r.getAs[Long]("doc_id")} must ship a real v2 token count")
+    }
+    // and they reach the CARD: the holdout source rows account for all 20
+    val card = Curation.releaseManifestMl(spark, dir).collect()
+      .filter(_.getAs[String]("source") == "holdout")
+    assert(card.map(_.getAs[Long]("n_docs")).sum == holdoutIds.size.toLong,
+      s"the card must ship all holdout docs: ${card.toSeq}")
+    // the v1 chain cannot even PROCESS this corpus: an unspaced-script
+    // doc has ZERO v1 tokens, and the v1 gate's mean-token-length
+    // divides by that count — under ANSI mode the whole release job
+    // dies (and with ANSI off it would silently drop every holdout doc
+    // as too_short/low_stop). The finding this release closes.
+    val holdoutPlus = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .unionByName(spark.createDataFrame(
+        TextAnalysis.HoldoutDocs.map(h => (h._2, h._3))).toDF("doc_id", "text"))
+    val e = intercept[Exception] {
+      Curation.pipelineCurateOf(holdoutPlus)
+        .filter(col("doc_id").isin(holdoutIds.toSeq: _*)).count()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).flatMap(c => Option(c.getMessage)).exists(_.contains("DIVIDE_BY_ZERO")),
+      s"the v1 chain must zero-divide on a zero-v1-token holdout doc: $e")
+  }
+
   test("survivorshipOf: best-member policy beats min-id; ties break low; singletons keep") {
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L))
       .toDF("doc_id", "cluster_id")
