@@ -384,6 +384,147 @@ object Multimodal {
       .orderBy(col("da"), col("db"))
   }
 
+  // ---- incremental dHash near-dup catalog (round 20) --------------------
+  // The 19d/19e catalog shape for media signatures: persist
+  // (doc_id, b0..b3) as the near-dup state (16 bytes per doc), classify
+  // each incoming batch against the CATALOG ONLY — a batch never
+  // self-joins, so the nightly cost is O(batch × catalog-candidates),
+  // never O(batch²) — and append O(batch) with the batch-<id>/
+  // idempotence [[Dedup.appendToCatalog]] established (crash-retried
+  // batches replace their partial files; reads go through
+  // [[Dedup.readCatalog]]). The catalog block side is df-capped like
+  // every mm candidate join.
+
+  /** (doc_id, k, bv): the four pigeonhole candidate keys of a hashed
+    * (doc_id, b0..b3) frame. */
+  private def blockKeys(hashed: DataFrame): DataFrame =
+    hashed.select(col("doc_id"),
+      explode(array((0 until 4).map(k =>
+        struct(lit(k).as("k"), col(s"b$k").as("bv"))): _*)).as("blk"))
+      .select(col("doc_id"), col("blk.k"), col("blk.bv"))
+
+  /** Classify an incoming hashed batch against a dHash catalog:
+    * (doc_id, status exact_dup|near_dup|novel, match_id, hamming).
+    * Best match = lowest Hamming, ties → lowest catalog id (the
+    * incrementalOf rule); exact_dup = Hamming 0. */
+  def dhashIncrementalOf(catalog: DataFrame, incoming: DataFrame,
+                         maxDf: Long = DefaultMaxBlockDf): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val catBlocks = Skew.capByFrequency(
+      blockKeys(catalog).withColumn("__hk", struct(col("k"), col("bv"))),
+      "__hk", "doc_id", maxDf, Some("mm_dhash_incremental"),
+      distinctPairs = true).drop("__hk")
+    val cand = blockKeys(incoming)
+      .join(catBlocks.select(col("doc_id").as("cid"), col("k"), col("bv")),
+        Seq("k", "bv"))
+      .select(col("doc_id"), col("cid")).distinct()
+    val hm = cand
+      .join(incoming.select(col("doc_id") +:
+        (0 until 4).map(j => col(s"b$j").as(s"ab$j")): _*), Seq("doc_id"))
+      .join(catalog.select(col("doc_id").as("cid") +:
+        (0 until 4).map(j => col(s"b$j").as(s"bb$j")): _*), Seq("cid"))
+      .select(col("doc_id"), col("cid"),
+        ((0 until 4).map(j => bit_count(col(s"ab$j").bitwiseXOR(col(s"bb$j"))))
+          .reduce(_ + _)).cast("int").as("hamming"))
+      .filter(col("hamming") <= 3)
+    val wBest = Window.partitionBy(col("doc_id"))
+      .orderBy(col("hamming"), col("cid"))
+    val best = hm.withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("cid"), col("hamming"))
+    incoming.select(col("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("hamming") === 0, "exact_dup")
+          .when(col("hamming").isNotNull, "near_dup")
+          .otherwise("novel").as("status"),
+        col("cid").as("match_id"), col("hamming"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Append-merge: the catalog is a bag of per-doc signature rows, so
+    * a union IS the rebuild-equivalent merge; `novelOnly` trades future
+    * near-dup recall for not storing redundant signatures (the shingle
+    * catalog's documented trade). */
+  def mergeIntoDhashCatalog(catalog: DataFrame, incoming: DataFrame,
+                            verdicts: DataFrame,
+                            novelOnly: Boolean = false): DataFrame = {
+    val keep =
+      if (novelOnly)
+        incoming.join(verdicts.filter(col("status") === "novel")
+          .select(col("doc_id")), Seq("doc_id"), "left_semi")
+      else incoming
+    catalog.unionByName(keep)
+  }
+
+  /** Persisted flavor — batch-keyed idempotent appends exactly like
+    * [[Dedup.appendToCatalog]] (same `batch-<id>/` overwrite semantics,
+    * same [[Dedup.readCatalog]] reader). O(batch) write cost. */
+  def appendToDhashCatalog(path: String, incoming: DataFrame,
+                           verdicts: DataFrame, novelOnly: Boolean = false,
+                           batchId: Option[Long] = None): Unit = {
+    val keep =
+      if (novelOnly)
+        incoming.join(verdicts.filter(col("status") === "novel")
+          .select(col("doc_id")), Seq("doc_id"), "left_semi")
+      else incoming
+    batchId match {
+      case Some(id) => keep.write.mode("overwrite").parquet(s"$path/batch-$id")
+      case None     => keep.write.mode("append").parquet(path)
+    }
+  }
+
+  /** Gated `mm_dhash_incremental`: catalog = corpus docs below IncCut
+    * plus seed −3; incoming = everything else (the identical seed −2
+    * must classify exact_dup against −3 through the catalog). */
+  private[graft] val IncCut = 250L
+
+  def dhashIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val seeds = DhashSeeds.toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val hashed = dhashOf(spark, media(spark, dir).unionByName(seeds)).cache()
+    val isCat = col("doc_id").between(0L, IncCut - 1) || col("doc_id") === -3L
+    dhashIncrementalOf(hashed.filter(isCat), hashed.filter(!isCat))
+  }
+
+  val dhashIncrementalOracle: String = s"""
+    WITH $dhashHashCtes,
+    cat AS (SELECT * FROM h WHERE (doc_id BETWEEN 0 AND ${IncCut - 1}) OR doc_id = -3),
+    inc AS (SELECT * FROM h WHERE NOT ((doc_id BETWEEN 0 AND ${IncCut - 1}) OR doc_id = -3)),
+    blc AS (
+      SELECT doc_id, k,
+        CASE k WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS bv
+      FROM cat, (SELECT unnest(range(4)) AS k)),
+    keep AS (SELECT k, bv FROM blc GROUP BY k, bv HAVING count(*) <= $DefaultMaxBlockDf),
+    bli AS (
+      SELECT doc_id, k,
+        CASE k WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS bv
+      FROM inc, (SELECT unnest(range(4)) AS k)),
+    cand AS (
+      SELECT DISTINCT i.doc_id, c.doc_id AS cid
+      FROM bli i
+      JOIN keep kp ON kp.k = i.k AND kp.bv = i.bv
+      JOIN blc c ON c.k = i.k AND c.bv = i.bv),
+    hm AS (
+      SELECT cand.doc_id, cand.cid,
+        CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
+             bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS INT) AS hamming
+      FROM cand
+      JOIN inc a ON a.doc_id = cand.doc_id
+      JOIN cat b ON b.doc_id = cand.cid),
+    best AS (
+      SELECT doc_id, cid, hamming,
+        row_number() OVER (PARTITION BY doc_id ORDER BY hamming, cid) AS rn
+      FROM hm WHERE hamming <= 3 QUALIFY rn = 1)
+    SELECT i.doc_id,
+      CASE WHEN best.hamming = 0 THEN 'exact_dup'
+           WHEN best.hamming IS NOT NULL THEN 'near_dup'
+           ELSE 'novel' END AS status,
+      best.cid AS match_id, best.hamming
+    FROM inc i LEFT JOIN best ON best.doc_id = i.doc_id
+    ORDER BY i.doc_id"""
+
   /** SQL twin of the dHash BLOCK values over the byte-sample grid —
     * shared by the oracle so plan and oracle can't drift. */
   private[operators] def dhashBlockSql(j: Int): String =
@@ -408,8 +549,10 @@ object Multimodal {
     * corpus: byte-sample grid, the same block bits, pigeonhole
     * candidate join, Hamming ≤ 3. The seed rows are generated from the
     * SAME Scala constants as the Spark side, so the two can't drift. */
-  val imageDhashDedupOracle: String = s"""
-    WITH dseed(doc_id, text) AS (VALUES ${
+  /** The seeded-corpus dHash CTE chain up to `h(doc_id, b0..b3)` —
+    * shared by the pair oracle and the incremental-catalog oracle so
+    * the hash computation can never drift between them. */
+  private def dhashHashCtes: String = s"""dseed(doc_id, text) AS (VALUES ${
       DhashSeeds.map { case (id, t) => s"(CAST($id AS BIGINT), '$t')" }.mkString(", ")}),
     dplus AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM dseed),
     g AS (
@@ -418,7 +561,10 @@ object Multimodal {
              ELSE ascii(substr(text, CAST((k * strlen(text)) // ${GridW * GridH} AS INT) + 1, 1)) END AS v
       FROM dplus, (SELECT unnest(range(${GridW * GridH})) AS k)),
     p AS (SELECT doc_id, list(v ORDER BY k) AS grid FROM g GROUP BY doc_id),
-    h AS (SELECT doc_id, ${(0 until 4).map(j => s"${dhashBlockSql(j)} AS b$j").mkString(", ")} FROM p),
+    h AS (SELECT doc_id, ${(0 until 4).map(j => s"${dhashBlockSql(j)} AS b$j").mkString(", ")} FROM p)"""
+
+  val imageDhashDedupOracle: String = s"""
+    WITH $dhashHashCtes,
     bl AS (
       SELECT doc_id, b0, b1, b2, b3, k,
         CASE k WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS bv
@@ -482,7 +628,8 @@ object Multimodal {
     "mm_video_dhash_dedup" -> (Video.videoDhashDedup _),
     "mm_video_winnow_dedup" -> (Video.videoWinnowDedup _),
     "mm_image_dhash"     -> (imageDhash _),
-    "mm_image_dhash_dedup" -> (imageDhashDedup _))
+    "mm_image_dhash_dedup" -> (imageDhashDedup _),
+    "mm_dhash_incremental" -> (dhashIncremental _))
 
   val oracle: Map[String, String] = Map(
     "mm_binary_meta"     -> binaryMetaOracle,
@@ -494,5 +641,6 @@ object Multimodal {
     "mm_video_dhash_dedup" -> Video.videoDhashDedupOracle,
     "mm_video_winnow_dedup" -> Video.videoWinnowDedupOracle,
     "mm_image_dhash"     -> imageDhashOracle,
-    "mm_image_dhash_dedup" -> imageDhashDedupOracle)
+    "mm_image_dhash_dedup" -> imageDhashDedupOracle,
+    "mm_dhash_incremental" -> dhashIncrementalOracle)
 }
