@@ -386,10 +386,213 @@ object Audio {
   // entry over this testdata would be weak-by-construction (the video
   // matcher's tokens are 64-bit frame hashes; no such problem). Real
   // audio fingerprints raise per-hop entropy with multi-band features
-  // (Haitsma-Kalker), which the opaque-payload corpus can't express;
-  // the COMPOSITION — absolute-time hop tokens + the shared winnow/
-  // fingerprint-join machinery — is what this operator contributes,
-  // spec-proven on crafted clips through the real codec.
+  // (Haitsma-Kalker) — which is exactly what [[hkTokens]] below adds
+  // (round 20): this ZCR-only matcher stays as the documented low-
+  // entropy baseline, spec-proven on crafted clips through the real
+  // codec; the HK matcher is the gateable production form.
+
+  // ---- multi-band audio fingerprint (round 20, the r19 verdict's #4:
+  // Haitsma–Kalker 2002 "A Highly Robust Audio Fingerprint System",
+  // adapted to the opaque-payload corpus) ---------------------------------
+  // HK derives one bit per (frame, band) from the SIGN of the energy
+  // delta across band and time: F(n,m) = [E(n,m) − E(n,m+1) −
+  // (E(n−1,m) − E(n−1,m+1)) > 0] — gain-invariant (a volume change
+  // scales every E by c², signs survive) and robust because only signs
+  // ship. The spectral filterbank needs an FFT the synthetic corpus
+  // can't closed-form through an oracle, so the bands here are the
+  // TIME-SLICED energy profile of the hop: 8 sub-blocks of 8 samples,
+  // E(n,m) = Σ x² — for the amplitude-modulated square waves the
+  // corpus renders ([[hkWave]]), E is EXACTLY 8·amp², an integer both
+  // engines compute in closed form. 7 HK bits + the gray ZCR nibble
+  // ≈ 11 bits per hop (vs the ~3 that kept the ZCR matcher spec-only),
+  // so winnow grams stop colliding and the trim matcher can gate.
+
+  private[graft] val HkBands = 8
+  private val HkSub = HopSamples / HkBands // 8 samples per band
+
+  /** One token per hop n ≥ 1 (HK frames need a predecessor):
+    * `(hkBits << 4) | grayZcrNibble` as a decimal string. Energies are
+    * exact Long sums of squared samples from the REAL parsed PCM. */
+  private[graft] def hkTokens(samples: Array[Short]): Seq[String] = {
+    val nHops = samples.length / HopSamples
+    val e = Array.ofDim[Long](nHops, HkBands)
+    var n = 0
+    while (n < nHops) {
+      var m = 0
+      while (m < HkBands) {
+        var s = 0L
+        var i = n * HopSamples + m * HkSub
+        val hi = i + HkSub
+        while (i < hi) { s += samples(i).toLong * samples(i); i += 1 }
+        e(n)(m) = s
+        m += 1
+      }
+      n += 1
+    }
+    (1 until nHops).map { h =>
+      var bits = 0
+      var m = 0
+      while (m < HkBands - 1) {
+        if ((e(h)(m) - e(h)(m + 1)) - (e(h - 1)(m) - e(h - 1)(m + 1)) > 0)
+          bits |= 1 << m
+        m += 1
+      }
+      val lo = h * HopSamples
+      var c = 0
+      var i = lo + 1
+      while (i < lo + HopSamples) {
+        if ((samples(i) < 0) != (samples(i - 1) < 0)) c += 1
+        i += 1
+      }
+      ((bits << 4) | ((c ^ (c >> 1)) & 15)).toString
+    }
+  }
+
+  /** k = 3 token grams (not the ZCR matcher's 2): the realized ~9-bit
+    * per-token entropy makes 2-grams collide quadratically at corpus
+    * scale (measured: 41 chance pairs at 500 docs, 3 804 at 5 000 —
+    * the r19 degenerate-corpus curve), while cubing the gram space
+    * plus [[HkMinShared]] kills the noise without touching true pairs
+    * (a real trim overlap shares a RUN of fingerprints). */
+  private[graft] val HkK = 3
+
+  /** A pair must share ≥ 2 winnow fingerprints: one shared fp happens
+    * by md5 chance between unrelated clips; a genuine overlap of ≥
+    * k+w hops shares several. */
+  private[graft] val HkMinShared = 2L
+
+  /** Trim-robust near-dup pairs over the HK hop tokens — the
+    * [[audioWinnowPairsOf]] machinery with the multi-band tokens. */
+  def audioHkPairsOf(frame: DataFrame,
+                     maxDf: Option[Long] = Some(Multimodal.DefaultMaxBlockDf)): DataFrame = {
+    val spark = frame.sparkSession
+    import spark.implicits._
+    val seqs = frame.select(col("doc_id"), col("payload")).as[AudioRow]
+      .mapPartitions(_.grouped(64).flatMap(_.map { r =>
+        (r.doc_id, hkTokens(parseWav(r.payload).samples))
+      }))
+      .toDF("doc_id", "t")
+      .filter(size(col("t")) >= HkK + AwW - 1)
+    val fpd = seqs.select(col("doc_id"),
+        explode(graft.functions.WinnowFps.of(col("t"), HkK, AwW)).as("f"))
+      .select(col("doc_id"), col("f.fp").as("fp")).distinct()
+      .cache() // both join sides
+    val fps = maxDf.fold(fpd)(m => Skew.capByFrequency(fpd, "fp", "doc_id",
+      m, Some("mm_audio_hk_dedup"), distinctPairs = true))
+    fps.select(col("doc_id").as("da"), col("fp"))
+      .join(fps.select(col("doc_id").as("db"), col("fp")), Seq("fp"))
+      .filter(col("da") < col("db"))
+      .groupBy(col("da"), col("db"))
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+      .filter(col("n_shared") >= HkMinShared)
+      .orderBy(col("da"), col("db"))
+  }
+
+  /** Amplitude-modulated hop-aligned square wave: hop s restarts at
+    * +amps(s)(0), flips sign every halves(s) samples, and band m of
+    * the hop carries amplitude amps(s)(m) — so E(s,m) = 8·amps(s)(m)²
+    * exactly (HkSub | halves is NOT required: sign and amplitude are
+    * independent dimensions of each sample). */
+  private[graft] def hkWave(amps: Array[Array[Int]], halves: Array[Int]): Array[Short] =
+    Array.tabulate(amps.length * HopSamples) { i =>
+      val s = i / HopSamples
+      val r = i % HopSamples
+      val a = amps(s)(r / HkSub)
+      (if ((r / halves(s)) % 2 == 0) a else -a).toShort
+    }
+
+  private[graft] def hkAmp(pat: Long, hop: Int, m: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"hka:$pat:$hop:$m".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    500 + (d(0) & 0xFF) * 25
+  }
+
+  private[graft] def hkHalf(pat: Long, hop: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"hkh:$pat:$hop".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    4 + (d(0) & 0xFF) % 12
+  }
+
+  /** HK seed clips (doc_id, pattern, first hop, hops, volume): −2 is
+    * −3 TRIMMED by two hops at DOUBLE the volume — it must pair (the
+    * token stream is a suffix shift and HK signs are gain-invariant),
+    * which [[audioSigDedup]]'s whole-clip grid structurally cannot do
+    * and [[audioWinnowPairsOf]] could not GATE for want of entropy.
+    * −1 is a distinct clip (must not pair). */
+  private[graft] val HkSeeds: Seq[(Long, Long, Int, Int, Int)] = Seq(
+    (-3L, -3L, 0, 12, 1),
+    (-2L, -3L, 2, 10, 2),
+    (-1L, -1L, 0, 12, 1))
+
+  /** One rendered HK clip — module-level (not a local def) so the
+    * corpus-generator closure captures nothing but the module. */
+  private[graft] def hkRender(pat: Long, start: Int, nHops: Int, vol: Int): Array[Byte] =
+    renderWav(8000, hkWave(
+      Array.tabulate(nHops, HkBands)((h, m) => vol * hkAmp(pat, start + h, m)),
+      Array.tabulate(nHops)(h => hkHalf(pat, start + h))))
+
+  /** Gated `mm_audio_hk_dedup`: md5-parameterized amplitude-modulated
+    * clips + the trim seed trio, through the real WAV writer/parser. */
+  def audioHkDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    val corpus = docs.mapPartitions(_.map { id =>
+      AudioRow(id, Audio.hkRender(id, 0, (8 + id % 5).toInt, 1))
+    })
+    val seeds = HkSeeds.map { case (id, pat, start, n, vol) =>
+      AudioRow(id, hkRender(pat, start, n, vol))
+    }
+    audioHkPairsOf(corpus.union(seeds.toDS()).toDF())
+  }
+
+  val audioHkDedupOracle: String = s"""
+    WITH clips(doc_id, pat, hstart, nh, vol) AS (
+      SELECT doc_id, doc_id, 0, 8 + doc_id % 5, 1 FROM documents
+      ${HkSeeds.map { case (id, pat, start, n, vol) =>
+        s"UNION ALL SELECT CAST($id AS BIGINT), CAST($pat AS BIGINT), $start, CAST($n AS BIGINT), $vol"
+      }.mkString("\n      ")}),
+    eband AS (
+      SELECT doc_id, h, m,
+        8 * CAST(vol * (500 + CAST(concat('0x', substr(md5(
+              'hka:' || CAST(pat AS VARCHAR) || ':' || CAST(hstart + h AS VARCHAR) ||
+              ':' || CAST(m AS VARCHAR)), 1, 2)) AS BIGINT) * 25) AS BIGINT)
+          * CAST(vol * (500 + CAST(concat('0x', substr(md5(
+              'hka:' || CAST(pat AS VARCHAR) || ':' || CAST(hstart + h AS VARCHAR) ||
+              ':' || CAST(m AS VARCHAR)), 1, 2)) AS BIGINT) * 25) AS BIGINT) AS e
+      FROM clips, (SELECT unnest(range($HkBands)) AS m), (SELECT unnest(range(16)) AS h)
+      WHERE h < nh),
+    hkb AS (
+      SELECT a.doc_id, a.h,
+        CAST(sum(CASE WHEN (a.e - b.e) - (c.e - d.e) > 0
+                      THEN 1 << CAST(a.m AS INT) ELSE 0 END) AS BIGINT) AS bits
+      FROM eband a
+      JOIN eband b ON b.doc_id = a.doc_id AND b.h = a.h AND b.m = a.m + 1
+      JOIN eband c ON c.doc_id = a.doc_id AND c.h = a.h - 1 AND c.m = a.m
+      JOIN eband d ON d.doc_id = a.doc_id AND d.h = a.h - 1 AND d.m = a.m + 1
+      WHERE a.h >= 1 AND a.m < ${HkBands - 1}
+      GROUP BY a.doc_id, a.h),
+    zc AS (
+      SELECT doc_id, h,
+        (${HopSamples} - 1) // (4 + CAST(concat('0x', substr(md5(
+            'hkh:' || CAST(pat AS VARCHAR) || ':' || CAST(hstart + h AS VARCHAR)), 1, 2)) AS BIGINT) % 12) AS c
+      FROM clips, (SELECT unnest(range(16)) AS h)
+      WHERE h >= 1 AND h < nh),
+    hktoks AS (
+      SELECT hkb.doc_id,
+        list(CAST((hkb.bits << 4) | CAST(xor(zc.c, zc.c >> 1) & 15 AS BIGINT) AS VARCHAR)
+             ORDER BY hkb.h) AS t
+      FROM hkb JOIN zc ON zc.doc_id = hkb.doc_id AND zc.h = hkb.h
+      GROUP BY hkb.doc_id
+      HAVING count(*) >= ${HkK + AwW - 1}),
+    ${TextAnalysis.winnowCtesFromToksKW("hktoks", HkK, AwW)},
+    fpd AS (SELECT DISTINCT doc_id, fp FROM wfp),
+    keep AS (SELECT fp FROM fpd GROUP BY fp
+             HAVING count(*) <= ${Multimodal.DefaultMaxBlockDf})
+    SELECT a.doc_id AS da, b.doc_id AS db, CAST(count(*) AS BIGINT) AS n_shared
+    FROM fpd a JOIN keep USING (fp) JOIN fpd b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= $HkMinShared
+    ORDER BY da, db"""
 
   val audioSigDedupOracle: String = s"""
     WITH ap(doc_id, fixh, n) AS (

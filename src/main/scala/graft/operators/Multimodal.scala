@@ -624,6 +624,7 @@ object Multimodal {
     "mm_decode_features" -> (decodeFeatures _),
     "mm_audio_features"  -> (Audio.audioFeatures _),
     "mm_audio_sig_dedup" -> (Audio.audioSigDedup _),
+    "mm_audio_hk_dedup"  -> (Audio.audioHkDedup _),
     "mm_video_frames"    -> (Video.videoFrames _),
     "mm_video_dhash_dedup" -> (Video.videoDhashDedup _),
     "mm_video_winnow_dedup" -> (Video.videoWinnowDedup _),
@@ -637,6 +638,7 @@ object Multimodal {
     "mm_decode_features" -> decodeFeaturesOracle,
     "mm_audio_features"  -> Audio.audioFeaturesOracle,
     "mm_audio_sig_dedup" -> Audio.audioSigDedupOracle,
+    "mm_audio_hk_dedup"  -> Audio.audioHkDedupOracle,
     "mm_video_frames"    -> Video.videoFramesOracle,
     "mm_video_dhash_dedup" -> Video.videoDhashDedupOracle,
     "mm_video_winnow_dedup" -> Video.videoWinnowDedupOracle,

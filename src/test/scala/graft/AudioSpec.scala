@@ -147,6 +147,47 @@ class AudioSpec extends AnyFunSuite {
     }
   }
 
+  test("HK tokens: closed form through the real codec; gain-invariant; trim+volume pair gates where ZCR entropy could not") {
+    // closed form: E(h,m) = 8·amp² exactly for the amplitude-modulated
+    // square wave, HK bit = sign of the band/time energy delta, ZCR
+    // nibble = gray((64-1) div half) — all integers, codec-exact
+    for (pat <- Seq(-3L, 7L, 123L); vol <- Seq(1, 2)) {
+      val nHops = 10
+      val got = Audio.hkTokens(Audio.parseWav(Audio.hkRender(pat, 0, nHops, vol)).samples)
+      val want = (1 until nHops).map { h =>
+        def e(hh: Int, m: Int): Long = {
+          val a = vol.toLong * Audio.hkAmp(pat, hh, m)
+          8L * a * a
+        }
+        var bits = 0
+        for (m <- 0 until Audio.HkBands - 1)
+          if ((e(h, m) - e(h, m + 1)) - (e(h - 1, m) - e(h - 1, m + 1)) > 0) bits |= 1 << m
+        val c = (Audio.HopSamples - 1) / Audio.hkHalf(pat, h)
+        ((bits << 4) | ((c ^ (c >> 1)) & 15)).toString
+      }
+      assert(got == want, s"pat=$pat vol=$vol")
+    }
+    // gain invariance: the ×2 clip has IDENTICAL tokens (HK ships signs)
+    val t1 = Audio.hkTokens(Audio.parseWav(Audio.hkRender(-3L, 0, 12, 1)).samples)
+    val t2 = Audio.hkTokens(Audio.parseWav(Audio.hkRender(-3L, 0, 12, 2)).samples)
+    assert(t1 == t2, "HK tokens must be volume-invariant")
+    // end to end: the trimmed+re-leveled clip pairs; distinct does not;
+    // the whole-clip relative-window signature structurally misses it
+    val frame = Audio.HkSeeds.map { case (id, pat, start, n, vol) =>
+      (id, Audio.hkRender(pat, start, n, vol))
+    }.toDF("doc_id", "payload")
+    val hk = Audio.audioHkPairsOf(frame)
+      .select($"da", $"db", $"n_shared").as[(Long, Long, Long)].collect()
+    assert(hk.map(p => (p._1, p._2)).toSet == Set((-3L, -2L)),
+      s"only the trim pair must survive: ${hk.toSeq}")
+    assert(hk.head._3 >= Audio.HkMinShared,
+      s"a genuine overlap shares a run of fingerprints: ${hk.head._3}")
+    val rel = Audio.audioSigDedupOf(frame)
+      .select($"da", $"db").as[(Long, Long)].collect().toSet
+    assert(!rel.contains((-3L, -2L)),
+      "the relative-window signature cannot pair a trimmed clip — the gap HK closes")
+  }
+
   test("trimmed audio: hop-token winnow pairs it at any hop offset; the relative-window signature cannot") {
     // 12 hop-aligned segments with varied periods, real WAV roundtrip
     val halves = Array(4, 7, 11, 5, 9, 13, 4, 6, 10, 8, 12, 5)
