@@ -393,6 +393,69 @@ object Video {
       .orderBy(col("da"), col("db"))
   }
 
+  // ---- trim + re-encode tolerant matching (round 20, the r19
+  // verdict's #5) ----------------------------------------------------------
+  // [[videoWinnowPairsOf]] tokens are EXACT frame hashes: a clip that is
+  // both trimmed AND re-encoded (brightness shift, mild crop — per-frame
+  // Hamming 1-3) shares no token and structurally cannot pair, while the
+  // aligned matcher already fails on the trim. Offset voting closes the
+  // gap with a pigeonhole GUARANTEE: any overlapping frame pair within
+  // Hamming 3 shares ≥1 of its 4 blocks, so the block-key equi-join
+  // discovers the pair's true offset (fa − fb) no matter which lane
+  // matches per frame — where winnowing Hamming-tolerant k-grams would
+  // need the SAME lane across all k frames (no guarantee). Verification
+  // then requires the FULL overlap at that offset within Hamming 3 and
+  // ≥ `minOverlap` frames. Candidates stay bounded: block keys are
+  // df-capped (the shared mm discipline) and votes collapse to DISTINCT
+  // (da, db, off) before verification.
+
+  def videoTrimHammingPairsOf(clips: DataFrame,
+                              maxDf: Option[Long] = Some(Multimodal.DefaultMaxBlockDf),
+                              minOverlap: Int = 3): DataFrame = {
+    val hashed = frameHashFrame(clips).cache()
+    val nf = hashed.groupBy(col("doc_id")).agg(count(lit(1)).cast("long").as("nf"))
+    val exploded = hashed.select(col("doc_id"), col("frame_idx"),
+      explode(array((0 until 4).map(k =>
+        struct(lit(k).as("k"), col(s"b$k").as("bv"))): _*)).as("blk"))
+      .select(col("doc_id"), col("frame_idx"), col("blk.k"), col("blk.bv"))
+    // distinctPairs=false: one doc's repeated frames legitimately repeat
+    // a (k, bv) row, so the df must countDistinct docs
+    val blocks = maxDf.fold(exploded)(m => Skew.capByFrequency(
+      exploded.withColumn("__hk", struct(col("k"), col("bv"))),
+      "__hk", "doc_id", m, Some("video_trim_hamming")).drop("__hk"))
+    val cand = blocks.select(col("doc_id").as("da"), col("frame_idx").as("fa"),
+        col("k"), col("bv"))
+      .join(blocks.select(col("doc_id").as("db"), col("frame_idx").as("fb"),
+        col("k"), col("bv")), Seq("k", "bv"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db"), (col("fa") - col("fb")).as("off"))
+      .distinct()
+    val ha = hashed.select(col("doc_id").as("da") +: col("frame_idx").as("fa") +:
+      (0 until 4).map(j => col(s"b$j").as(s"ab$j")): _*)
+    val hb = hashed.select(col("doc_id").as("db") +: col("frame_idx").as("fb") +:
+      (0 until 4).map(j => col(s"b$j").as(s"bb$j")): _*)
+    val fr = cand.join(ha, Seq("da"))
+      .withColumn("fb", col("fa") - col("off"))
+      .join(hb, Seq("db", "fb"))
+      .select(col("da"), col("db"), col("off"),
+        ((0 until 4).map(j => bit_count(col(s"ab$j").bitwiseXOR(col(s"bb$j"))))
+          .reduce(_ + _)).cast("int").as("hm"))
+    fr.groupBy(col("da"), col("db"), col("off"))
+      .agg(count(lit(1)).cast("long").as("n_overlap"), max(col("hm")).as("max_hamming"))
+      .join(nf.select(col("doc_id").as("da"), col("nf").as("nfa")), Seq("da"))
+      .join(nf.select(col("doc_id").as("db"), col("nf").as("nfb")), Seq("db"))
+      // the overlap the offset geometry predicts: fb ∈ [max(0, −off),
+      // min(nfb−1, nfa−1−off)] — every one of those frames must verify
+      .withColumn("expected",
+        least(col("nfb") - 1, col("nfa") - 1 - col("off")) -
+          greatest(lit(0L), -col("off")) + 1)
+      .filter(col("max_hamming") <= 3 &&
+        col("n_overlap") === col("expected") &&
+        col("n_overlap") >= minOverlap)
+      .select(col("da"), col("db"), col("off"), col("n_overlap"), col("max_hamming"))
+      .orderBy(col("da"), col("db"), col("off"))
+  }
+
   /** Winnow-entry seed clips (doc_id, pattern, first frame, frames):
     * -12 is the TAIL of -13 (first frame trimmed) — it must pair here
     * and provably cannot under the aligned matcher. */

@@ -96,6 +96,52 @@ class VideoSpec extends AnyFunSuite {
       s"the distinct clip must not pair: $pairs")
   }
 
+  test("trimmed + re-encoded clip: offset voting pairs it while BOTH existing matchers reject it") {
+    // md5-derived pixels (the r19 lesson — arithmetic gradients collapse
+    // to one dHash); 36×32 with the 9×8 grid = exact 4×4 cells, so the
+    // "re-encode" watermark (one 4×4 corner cell forced to 255) perturbs
+    // EXACTLY one grid cell → Hamming 1-3 per frame — breaks the winnow
+    // matcher's exact tokens but stays inside the Hamming ball
+    def mFrame(seed: Int, tweak: Boolean): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(36, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val d = java.security.MessageDigest.getInstance("MD5")
+      for (y <- 0 until 32; x <- 0 until 36) {
+        val g = if (tweak && x < 4 && y < 4) 255
+                else d.digest(s"vth:$seed:${y * 36 + x}".getBytes("UTF-8"))(0) & 0xFF
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      img
+    }
+    val full = (0 until 7).map(mFrame(_, tweak = false))
+    val trimmedReenc = (2 until 7).map(mFrame(_, tweak = true)) // drop 2 + watermark
+    val clips = Seq(
+      (30L, Video.renderAnimatedGif(full)),
+      (31L, Video.renderAnimatedGif(trimmedReenc)),
+      (32L, Video.renderAnimatedGif((10 until 15).map(mFrame(_, tweak = false)))))
+      .toDF("doc_id", "payload")
+    // the crafted perturbation must actually exercise the tolerance:
+    // per-frame Hamming in [1, 3] (0 would mean winnow pairs it too)
+    val pairs = Video.videoTrimHammingPairsOf(clips).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getInt(2).toLong, r.getLong(3), r.getInt(4)))).toMap
+    assert(pairs.contains((30L, 31L)),
+      s"the trimmed+re-encoded clip must pair via offset voting: ${pairs.keys}")
+    val (off, nOv, maxHm) = pairs((30L, 31L))
+    assert(off == 2L && nOv == 5L, s"true offset 2 with full 5-frame overlap: off=$off n=$nOv")
+    assert(maxHm >= 1 && maxHm <= 3,
+      s"the perturbation must flip 1-3 bits per frame (0 = vacuous, >3 = out of ball): $maxHm")
+    assert(!pairs.keys.exists(p => p._1 == 32L || p._2 == 32L),
+      s"a distinct clip must not pair: ${pairs.keys}")
+    // both existing matchers reject this pair — the gap this closes
+    val aligned = Video.videoDhashDedupOf(clips)
+      .select($"da", $"db").as[(Long, Long)].collect().toSet
+    assert(!aligned.contains((30L, 31L)), "aligned matcher: different frame counts")
+    val win = Video.videoWinnowPairsOf(clips)
+      .select($"da", $"db").as[(Long, Long)].collect().toSet
+    assert(!win.contains((30L, 31L)),
+      "winnow matcher: exact tokens cannot absorb the re-encode Hamming")
+  }
+
   test("trimmed clip: the winnow matcher pairs it at any offset; the aligned matcher structurally cannot") {
     def gradFrame(k: Int): java.awt.image.BufferedImage = {
       val img = new java.awt.image.BufferedImage(36, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
