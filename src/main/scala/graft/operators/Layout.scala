@@ -362,6 +362,12 @@ private[graft] object Layout {
     // THIS JVM invalidates immediately ([[generation]] calls
     // [[invalidateResolve]]), a foreign process's commit lands within
     // the TTL window. Default 0 keeps round-18 behavior exactly.
+    // MEASURED (ProfResolve r20, 30 ms/op injected-latency FS): 61.3 ms
+    // per serve without the memo (the 2 round-trips) vs 0.065 ms with
+    // it — recommended production conf on an object-store cache root:
+    // genResolveTtlMs=5000. Kept default-off because specs and
+    // single-host runs hand-mutate pointers and expect immediate reads;
+    // local-FS cost is 0.6 ms/serve (noise).
     val ttl = spark.conf.getOption("spark.graft.layout.genResolveTtlMs")
       .map(_.toLong).getOrElse(0L)
     if (ttl <= 0L) return resolveGenerationNow(spark, keyDir, readyTable)
