@@ -491,11 +491,17 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
     val nd = docs.select(countDistinct(col("doc_id")).as("nd"))
-    val tf = docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("t"))
-      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tc"))
-    val dlen = tf.groupBy(col("doc_id")).agg(sum(col("tc")).as("n"))
+    // doc length rides IN-ROW (round 20, the sf10-outlier diagnosis):
+    // a document's tokens live in one row, so `n` is a per-row size()
+    // folded into the tf grouping key — the former dlen aggregate +
+    // doc_id join re-shuffled every distinct (doc, term) pair twice
+    // for a value the row already knew (2 of 6 exchanges removed;
+    // same-window QuickTime: sf1 3.44 → 3.01 s, sf10 8.6 → 7.7 s)
+    val tf = docs.select(col("doc_id"), TextFns.tokens(col("text")).as("ts"))
+      .select(col("doc_id"), size(col("ts")).as("n"), explode(col("ts")).as("t"))
+      .groupBy(col("doc_id"), col("n"), col("t")).agg(count(lit(1)).as("tc"))
     val dfc = tf.groupBy(col("t")).agg(count(lit(1)).as("dfc"))
-    val scored = tf.join(dlen, "doc_id").join(dfc, "t").crossJoin(broadcast(nd))
+    val scored = tf.join(dfc, "t").crossJoin(broadcast(nd))
       .select(col("doc_id"), col("t"),
         round((col("tc").cast("double") / col("n")) *
           (log((col("nd") + lit(1.0)) / (col("dfc") + lit(1.0))) + lit(1.0)), 6).as("tfidf"))
