@@ -190,6 +190,48 @@ object EventStream {
         sp.read.parquet(vDir), novelOnly, batchId = Some(batchId))
   }
 
+  /** Streaming MEDIA near-dup catalog loop (round 20) — the 31g shape
+    * for the dHash catalog: each micro-batch of (doc_id, b0..b3)
+    * signatures classifies against the persisted catalog ONLY
+    * ([[graft.operators.Multimodal.dhashIncrementalOf]] — batch members
+    * never match each other), writes verdicts, then appends itself
+    * O(batch) via the batchId-idempotent `batch-<id>/` protocol. Same
+    * crash-retry contract as [[classifyBatch]]: a retried batch reads
+    * the catalog EXCLUDING its own earlier partial append and its
+    * re-append replaces, never duplicates. */
+  def classifyMediaAgainstCatalog(hashed: DataFrame, catPath: String,
+                                  verdictsPath: String, checkpoint: String,
+                                  mergeBatches: Boolean = true,
+                                  novelOnly: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
+    hashed.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          classifyMediaBatch(batch.toDF(), batchId, catPath, verdictsPath,
+            mergeBatches, novelOnly)
+        ()
+      }
+      .start()
+
+  /** One micro-batch of [[classifyMediaAgainstCatalog]], callable
+    * directly so the crash-retry path is spec-testable. The verdict
+    * write is the plan's only action; the append re-reads the verdicts
+    * from the files just written (the [[classifyBatch]] lineage rule). */
+  def classifyMediaBatch(batch: DataFrame, batchId: Long, catPath: String,
+                         verdictsPath: String, mergeBatches: Boolean = true,
+                         novelOnly: Boolean = false): Unit = {
+    val sp = batch.sparkSession
+    val verdicts = graft.operators.Multimodal.dhashIncrementalOf(
+      graft.operators.Dedup.readCatalog(sp, catPath, excludeBatch = Some(batchId)),
+      batch)
+    val vDir = s"$verdictsPath/batch-$batchId"
+    verdicts.write.mode("overwrite").parquet(vDir)
+    if (mergeBatches)
+      graft.operators.Multimodal.appendToDhashCatalog(catPath, batch,
+        sp.read.parquet(vDir), novelOnly, batchId = Some(batchId))
+  }
+
   /** Streaming DSIR scoring — the ingest-time form of
     * `Curation.dsirSample`'s scoring stage. The model is FIXED (trained
     * offline by `Curation.dsirModel`); each incoming document gets its

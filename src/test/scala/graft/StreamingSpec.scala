@@ -503,6 +503,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(b1.toSeq == Seq((301L, "exact_dup", 252L)))
   }
 
+  test("streaming MEDIA dhash catalog loop: per-batch classify + O(batch) merge, zero state rows, crash-retry idempotent") {
+    // the 31g shape for the round-20 media catalog: signatures stream
+    // in, classify against the persisted catalog only, append in place
+    import graft.operators.{Dedup, Multimodal}
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("streammm").toString
+    def sigs(rows: (Long, Int, Int, Int, Int)*) =
+      rows.toDF("doc_id", "b0", "b1", "b2", "b3")
+    sigs((1L, 10, 20, 30, 40), (2L, 100, 200, 300, 400))
+      .write.parquet(s"$tmp/cat")
+    // chunk 2 exact-matches chunk 1's novel 252 ONLY if the merge
+    // happened; chunk 3 matches chunk 2's novel 302
+    val chunks = Seq(
+      Seq((250L, 10, 20, 30, 40), (251L, 10, 20, 30, 41), (252L, 7000, 7001, 7002, 7003)),
+      Seq((301L, 7000, 7001, 7002, 7003), (302L, 9000, 9001, 9002, 9003)),
+      Seq((400L, 9000, 9001, 9002, 9003)))
+    val input = MemoryStream[(Long, Int, Int, Int, Int)]
+    val q = EventStream.classifyMediaAgainstCatalog(
+      input.toDS().toDF("doc_id", "b0", "b1", "b2", "b3"),
+      s"$tmp/cat", s"$tmp/verdicts", s"$tmp/ckpt")
+    chunks.foreach { c => input.addData(c); q.processAllAvailable() }
+    assert(q.lastProgress.stateOperators.isEmpty,
+      "the catalog is the state — no state-store rows")
+    q.stop()
+    val got = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$tmp/verdicts").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(got == Set(
+      (250L, "exact_dup", 1L), (251L, "near_dup", 1L), (252L, "novel", -1L),
+      (301L, "exact_dup", 252L), (302L, "novel", -1L),
+      (400L, "exact_dup", 302L)), s"got $got")
+    // the in-place catalog equals one-shot over everything ingested
+    val want = (sigs((1L, 10, 20, 30, 40), (2L, 100, 200, 300, 400)).collect() ++
+      chunks.flatten.map(t => org.apache.spark.sql.Row(t._1, t._2, t._3, t._4, t._5)))
+      .map(_.toSeq).toSet
+    assert(Dedup.readCatalog(spark, s"$tmp/cat").collect().map(_.toSeq).toSet == want)
+    // crash-retry: the same batchId re-runs — verdicts and catalog
+    // unchanged (the retry must not see its own partial append)
+    val cat0 = Dedup.readCatalog(spark, s"$tmp/cat").count()
+    EventStream.classifyMediaBatch(sigs((400L, 9000, 9001, 9002, 9003)), 2L,
+      s"$tmp/cat", s"$tmp/verdicts")
+    assert(Dedup.readCatalog(spark, s"$tmp/cat").count() == cat0,
+      "a retried append must replace, not duplicate")
+    val retry = spark.read.parquet(s"$tmp/verdicts/batch-2")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(retry == Seq((400L, "exact_dup", 302L)),
+      s"the retry must classify against the catalog minus its own append: $retry")
+  }
+
   test("stream-stream interval join == batch twin (click→purchase within 1h)") {
     val ev = EventStream.readEvents(spark, sf)
     val joined = EventStream.clickPurchaseJoin(
