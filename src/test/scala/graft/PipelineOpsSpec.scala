@@ -954,6 +954,61 @@ class PipelineOpsSpec extends AnyFunSuite {
       "v2 must equal v1 on every pure-ASCII document")
   }
 
+  test("unspaced-run BPE segmenter: learns multi-codepoint units from the seed, generalizes to held-out ja, garble does not compress, fold == reference") {
+    import graft.functions.TextFns
+    import graft.operators.TextAnalysis
+
+    // derivation sanity: the committed ja seed yields a real merge list
+    val merges = TextAnalysis.SegMerges
+    assert(merges.nonEmpty, "seed prose must support at least one merge")
+    assert(merges.forall { case (l, r) => l.nonEmpty && r.nonEmpty })
+
+    val runPat = java.util.regex.Pattern.compile(TextAnalysis.UnspacedRunPattern)
+    def runsOf(s: String): Vector[String] = {
+      val m = runPat.matcher(s); val b = Vector.newBuilder[String]
+      while (m.find()) b += m.group(); b.result()
+    }
+    def ratioOf(s: String): Double = {
+      val rs = runsOf(s)
+      val cp = rs.map(_.length).sum
+      val units = rs.map(TextAnalysis.segApply(_).size).sum
+      units.toDouble / cp
+    }
+
+    // the TRAINING prose compresses well; the HELD-OUT ja doc (different
+    // prose, same language) still reuses learned units — generalization
+    val seedJa = TextAnalysis.SeedProseDocs.find(_._1 == "ja").get._3
+    val holdJa = TextAnalysis.HoldoutDocs.find(_._1 == "ja").get._3
+    val seedR = ratioOf(seedJa)
+    val holdR = ratioOf(holdJa)
+    assert(seedR < 0.85, s"training prose must compress: $seedR")
+    assert(holdR < 1.0, s"held-out ja must reuse at least one learned unit: $holdR")
+    // a learned unit is a real multi-codepoint word piece
+    assert(TextAnalysis.segApply(runsOf(holdJa).maxBy(_.length)).exists(_.length > 1))
+
+    // QUALITY signal: codepoint-garble (same chars, shuffled
+    // deterministically) must compress strictly worse than real prose
+    val rnd = new scala.util.Random(42)
+    val garble = rnd.shuffle(seedJa.replaceAll("\\s", "").toList).mkString
+    val garbleR = ratioOf(garble)
+    assert(garbleR > seedR + 0.1,
+      s"garble must not compress like prose: garble $garbleR vs prose $seedR")
+
+    // differential: the Spark fold == the pure-Scala reference, per run
+    val runs = (runsOf(seedJa) ++ runsOf(holdJa) ++ runsOf(garble)).distinct
+    val got = runs.toDF("run")
+      .select(col("run"), TextAnalysis.segUnits(col("run")).as("u"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toVector).toMap
+    runs.foreach { r =>
+      assert(got(r) == TextAnalysis.segApply(r), s"fold != reference on $r")
+    }
+    // segmentation is a partition: units concatenate back to the run
+    runs.foreach(r => assert(got(r).mkString == r))
+
+    // ASCII text has no unspaced runs — the segmenter is a no-op there
+    assert(runsOf("The quick brown fox").isEmpty)
+  }
+
   test("multilingual quality gate: the ja/ru docs the v1 gate drops pass under v2 with plausible counts; English verdicts unchanged") {
     import graft.operators.{Curation, TextAnalysis}
     import graft.functions.TextFns
