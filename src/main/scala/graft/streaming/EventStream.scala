@@ -376,6 +376,36 @@ object EventStream {
         md5(concat_ws(" ", col("t"))).as("tok_md5"))
   }
 
+  /** Ingest-time UNSPACED-SCRIPT SEGMENTATION (round 20) — the
+    * streaming twin of `text_seg_unspaced`, zero-state by
+    * construction: the batch entry folds the fixture-derived merge
+    * list once per DISTINCT run and joins back (vocabulary reuse);
+    * a stream batch has no reuse to exploit, so the twin applies the
+    * same fold IN-ROW per run (the [[graft.operators.TextAnalysis.bpeSymCount]]
+    * precedent) — one narrow projection, no join, no shuffle, no
+    * state rows. Values bit-match the gated batch entry (spec): same
+    * run extraction, same fold, same '|'/' ' sequence encoding. */
+  def segUnspacedScore(docs: DataFrame): DataFrame = {
+    import graft.operators.TextAnalysis
+    val runs = regexp_extract_all(col("text"),
+      lit(TextAnalysis.UnspacedRunPattern), lit(0))
+    docs.select(col("doc_id"), runs.as("rs"),
+        transform(runs, r => TextAnalysis.segUnits(r)).as("us"))
+      .select(col("doc_id"),
+        size(col("rs")).cast("long").as("n_runs"),
+        aggregate(col("rs"), lit(0), (a, r) => a + length(r))
+          .cast("long").as("n_cp"),
+        aggregate(col("us"), lit(0), (a, u) => a + size(u))
+          .cast("long").as("n_units"),
+        md5(array_join(transform(col("us"), u => array_join(u, " ")), "|"))
+          .as("seg_md5"))
+      .withColumn("ratio",
+        when(col("n_cp") > 0,
+          round(col("n_units").cast("double") / col("n_cp"), 4)))
+      .select(col("doc_id"), col("n_runs"), col("n_cp"), col("n_units"),
+        col("ratio"), col("seg_md5"))
+  }
+
   /** The round-17 HOF fold, kept as the declarative differential
     * reference for the native pass (spec). */
   private[graft] def charEntropyScoreHof(docs: DataFrame): DataFrame = {

@@ -123,6 +123,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exists(r => r._1 == jaId && r._2 > 20 && r._3 == 0L))
   }
 
+  test("streaming unspaced-run segmentation == gated batch entry, zero state-store rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextAnalysis
+    // the batch entry's corpus: documents ∪ held-out ∪ seed prose
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect() ++
+      TextAnalysis.HoldoutDocs.map(h => (h._2, h._3)) ++
+      TextAnalysis.SeedProseDocs.map(h => (h._2, h._3))
+    val input = MemoryStream[(Long, String)]
+    val scored = EventStream.segUnspacedScore(input.toDS().toDF("doc_id", "text"))
+    val q = scored.writeStream.format("memory").queryName("seg_stream")
+      .outputMode("append").start()
+    docs.grouped(math.max(1, docs.length / 2 + 1)).foreach { b =>
+      input.addData(b.toSeq); q.processAllAvailable()
+    }
+    assert(q.lastProgress.stateOperators.isEmpty) // narrow plan, no state
+    q.stop()
+    val got = spark.table("seg_stream")
+      .select("doc_id", "n_runs", "n_cp", "n_units", "ratio", "seg_md5")
+      .as[(Long, Long, Long, Long, Option[Double], String)].collect().toSet
+    val want = TextAnalysis.segUnspaced(spark, sf)
+      .as[(Long, Long, Long, Long, Option[Double], String)].collect().toSet
+    assert(want.nonEmpty && got == want,
+      s"stream-only=${(got -- want).take(3)}, batch-only=${(want -- got).take(3)}")
+    // the ja seed doc actually compresses in-stream
+    val jaId = TextAnalysis.SeedProseDocs.find(_._1 == "ja").get._2
+    assert(got.exists(r => r._1 == jaId && r._4 < r._3 && r._5.exists(_ < 0.85)))
+  }
+
   test("streaming DSIR scoring == batch logw, zero state-store rows") {
     implicit val sqlCtx = spark.sqlContext
     val (lam, c) = graft.operators.Curation.dsirModel(spark, sf)
