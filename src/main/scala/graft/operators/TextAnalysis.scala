@@ -2258,16 +2258,51 @@ object TextAnalysis {
       bpeMergeFold(c, l, r)
     }
 
-  /** Per-doc unspaced-run segmentation over the seeded multilingual
-    * corpus (documents ∪ held-out ∪ seed prose — the ja seed is the
-    * training text, the ja held-out doc the generalization probe):
+  /** Deterministic codepoint-GARBLE twins of every seed-prose doc
+    * with unspaced runs: the same codepoint multiset with the order
+    * destroyed by an md5-keyed sort — real prose re-uses its
+    * language's learned units and compresses under [[segUnits]],
+    * the garble twin cannot (the bpeEncode "garble compresses badly"
+    * signal, now for unspaced scripts). Driver-derived pure-Scala
+    * literals shared with the oracle, ids −9201…. */
+  private[graft] val GarbleDocs: Seq[(String, Long, String)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val runPat = java.util.regex.Pattern.compile(UnspacedRunPattern)
+    SeedProseDocs.flatMap { case (l, _, prose) =>
+      val m = runPat.matcher(prose)
+      val sb = new StringBuilder
+      while (m.find()) sb.append(m.group())
+      if (sb.isEmpty) None
+      else Some((l, sb.toString.zipWithIndex
+        .sortBy { case (_, j) => key(s"garble:$l:$j") }
+        .map(_._1).mkString))
+    }.zipWithIndex.map { case ((l, t), i) => (l, -9201L - i, t) }
+  }
+
+  /** documents ∪ held-out ∪ seed prose ∪ garble twins. */
+  private[graft] def mlDocs3(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mlDocs2(spark, dir)
+      .unionAll(GarbleDocs.map(h => (h._2, h._3)).toDF("doc_id", "text"))
+  }
+
+  /** The `docsg(doc_id, text)` CTE body — same literals. */
+  private[graft] val mlDocs3CteSql: String =
+    s"""$mlDocs2CteSql
+      ${GarbleDocs.map { case (_, id, t) =>
+        s"UNION ALL SELECT CAST($id AS BIGINT), '${t.replace("'", "''")}'"
+      }.mkString("\n      ")}"""
+
+  /** Per-doc unspaced-run segmentation over any (doc_id, text) frame —
     * run/codepoint/unit counts, the compression ratio, and an md5 of
     * the exact unit sequence (runs in document order joined by '|',
     * units by ' ' — neither appears in any unspaced codepoint, so the
     * encoding is injective and the hash gates the full segmentation
     * cross-engine). Pure-ASCII docs have zero runs and md5(''). */
-  def segUnspaced(spark: SparkSession, dir: String): DataFrame = {
-    val runs = mlDocs2(spark, dir)
+  private[graft] def segStatsOf(docs: DataFrame): DataFrame = {
+    val runs = docs
       .select(col("doc_id"),
         posexplode_outer(regexp_extract_all(col("text"),
           lit(UnspacedRunPattern), lit(0))).as(Seq("ri", "run")))
@@ -2292,15 +2327,23 @@ object TextAnalysis {
           round(col("n_units").cast("double") / col("n_cp"), 4)))
       .select(col("doc_id"), col("n_runs"), col("n_cp"), col("n_units"),
         col("ratio"), col("seg_md5"))
-      .orderBy(col("doc_id"))
   }
+
+  /** The gated entry: [[segStatsOf]] over the seeded multilingual
+    * corpus (documents ∪ held-out ∪ seed prose — the ja seed is the
+    * training text, the ja held-out doc the generalization probe). */
+  def segUnspaced(spark: SparkSession, dir: String): DataFrame =
+    segStatsOf(mlDocs2(spark, dir)).orderBy(col("doc_id"))
 
   /** Oracle: same run extraction, then one island-alternation merge
     * block per learned (l, r) literal — the [[bpeCtes]] v/mp/sel shapes
     * with the pair-counting rounds replaced by the fixed literals
     * (nothing is learned corpus-side; both engines APPLY the same
     * fixture-derived list). */
-  val segUnspacedOracle: String = {
+  /** The seg CTE chain over a `(doc_id, text)` source CTE, ending in
+    * `sseg(doc_id, ri, run, sym)` — parameterized so the gated entry
+    * and any composing oracle (the garble gate) share one generator. */
+  private[graft] def segCtesOver(src: String): String = {
     def q(s: String) = s.replace("'", "''")
     val rounds = SegMerges.zipWithIndex.map { case ((l, r), i0) =>
       val k = i0 + 1
@@ -2323,18 +2366,21 @@ object TextAnalysis {
             WHERE sp.i IS NULL
             GROUP BY p.w)"""
     }.mkString(",")
-    s"""
-    WITH docsml2 AS ($mlDocs2CteSql),
-    sruns AS (SELECT doc_id, unnest(r) AS run, unnest(range(1, len(r)+1)) AS ri
+    s"""sruns AS (SELECT doc_id, unnest(r) AS run, unnest(range(1, len(r)+1)) AS ri
               FROM (SELECT doc_id,
                       regexp_extract_all(text, '$UnspacedRunPattern') AS r
-                    FROM docsml2)),
+                    FROM $src)),
     sw AS (SELECT DISTINCT run AS w FROM sruns),
     sv0 AS MATERIALIZED (SELECT w,
              list_transform(range(length(w)), i -> substr(w, i + 1, 1)) AS sym
            FROM sw),$rounds,
     sseg AS (SELECT r.doc_id, r.ri, r.run, v.sym
-             FROM sruns r JOIN sv${SegMerges.size} v ON v.w = r.run),
+             FROM sruns r JOIN sv${SegMerges.size} v ON v.w = r.run)"""
+  }
+
+  val segUnspacedOracle: String = s"""
+    WITH docsml2 AS ($mlDocs2CteSql),
+    ${segCtesOver("docsml2")},
     sper AS (SELECT doc_id,
         CAST(count(*) AS BIGINT) AS n_runs,
         CAST(sum(length(run)) AS BIGINT) AS n_cp,
@@ -2351,7 +2397,6 @@ object TextAnalysis {
     FROM (SELECT doc_id FROM docsml2) d
     LEFT JOIN sper s USING (doc_id)
     ORDER BY doc_id"""
-  }
 
   // ---- registry -------------------------------------------------------
 

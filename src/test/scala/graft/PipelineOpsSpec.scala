@@ -1009,6 +1009,51 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(runsOf("The quick brown fox").isEmpty)
   }
 
+  test("garble gate: covered-language prose clears the threshold with margin, garble twins are flagged, ASCII docs vacuously keep") {
+    import graft.operators.{Curation, TextAnalysis}
+
+    // pure-Scala margins on the committed fixtures (the same segApply
+    // the Spark fold is differential-spec'd against)
+    val runPat = java.util.regex.Pattern.compile(TextAnalysis.UnspacedRunPattern)
+    def ratioOf(s: String): Double = {
+      val m = runPat.matcher(s); var cp = 0; var units = 0
+      while (m.find()) {
+        cp += m.group().length; units += TextAnalysis.segApply(m.group()).size
+      }
+      units.toDouble / cp
+    }
+    val seedJa = TextAnalysis.SeedProseDocs.find(_._1 == "ja").get._3
+    val holdJa = TextAnalysis.HoldoutDocs.find(_._1 == "ja").get._3
+    assert(ratioOf(seedJa) < Curation.GarbleRatioMax - 0.05,
+      s"training prose margin: ${ratioOf(seedJa)}")
+    assert(ratioOf(holdJa) < Curation.GarbleRatioMax - 0.05,
+      s"held-out prose margin: ${ratioOf(holdJa)}")
+    TextAnalysis.GarbleDocs.foreach { case (l, _, t) =>
+      assert(ratioOf(t) > Curation.GarbleRatioMax + 0.02,
+        s"garble twin ($l) margin: ${ratioOf(t)}")
+      // same codepoint multiset as its seed's runs — only the ORDER
+      // differs, so the flag is measuring structure, not content
+      val m2 = runPat.matcher(seedJa); val sb = new StringBuilder
+      while (m2.find()) sb.append(m2.group())
+      assert(t.sorted == sb.toString.sorted)
+    }
+
+    // the gate end-to-end: prose keeps, garble flagged, ASCII vacuous
+    val out = Curation.garbleGate(spark, sf)
+      .select("doc_id", "keep", "reason")
+      .as[(Long, Boolean, String)].collect()
+      .map { case (k, v, r) => k -> ((v, r)) }.toMap
+    val jaHoldId = TextAnalysis.HoldoutDocs.find(_._1 == "ja").get._2
+    val jaSeedId = TextAnalysis.SeedProseDocs.find(_._1 == "ja").get._2
+    assert(out(jaHoldId) == (true, ""), "held-out ja prose must keep")
+    assert(out(jaSeedId) == (true, ""), "seed ja prose must keep")
+    TextAnalysis.GarbleDocs.foreach { case (_, id, _) =>
+      assert(out(id) == (false, "cp_garble"), s"garble twin $id must be flagged")
+    }
+    // every corpus (ASCII) doc keeps vacuously — zero runs
+    assert(out.count { case (id, (k, _)) => id >= 0 && k } == out.count(_._1 >= 0))
+  }
+
   test("multilingual quality gate: the ja/ru docs the v1 gate drops pass under v2 with plausible counts; English verdicts unchanged") {
     import graft.operators.{Curation, TextAnalysis}
     import graft.functions.TextFns
