@@ -2206,6 +2206,31 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** The PRODUCTION form: the garble rule scoped by certified
+    * language — a doc is flagged only when `nb_lang_id` certifies it
+    * as a language the seg dictionary was trained on
+    * ([[TextAnalysis.SegCoveredLangs]], fixture-derived). An
+    * UNCOVERED unspaced-script doc legitimately fails to compress
+    * without being garble — unscoped, it would be a guaranteed false
+    * kill; scoped, it rides through untouched (spec: a ru-certified
+    * doc carrying a non-compressing Han run keeps here while the
+    * unscoped rule fires on it). Docs too short for lang-id (no
+    * grams, no row) stay unflagged — the rule needs a certificate.
+    * One narrow join of two per-doc frames; the model rides as
+    * broadcast literals, the seg fold as the distinct-run join —
+    * nothing here shuffles corpus-shaped data twice. */
+  def garbleGateScopedOf(docs: DataFrame): DataFrame = {
+    val lang = TextAnalysis.nbLangIdOf(docs)
+      .select(col("doc_id"), col("nb_lang"))
+    val flag = col("n_cp") >= GarbleMinCp && col("ratio") > GarbleRatioMax &&
+      coalesce(col("nb_lang").isin(TextAnalysis.SegCoveredLangs: _*), lit(false))
+    TextAnalysis.segStatsOf(docs)
+      .join(lang, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_cp"), col("ratio"), col("nb_lang"),
+        (!flag).as("keep"),
+        when(flag, "cp_garble").otherwise("").as("reason"))
+  }
+
   val garbleGateOracle: String = s"""
     WITH docsg AS (${TextAnalysis.mlDocs3CteSql}),
     ${TextAnalysis.segCtesOver("docsg")},

@@ -2235,6 +2235,17 @@ object TextAnalysis {
     out.toSeq
   }
 
+  /** Languages the segmentation dictionary has coverage for — exactly
+    * those whose seed prose contributed runs to [[SegMerges]]'
+    * training corpus (ja today; derived, so an added unspaced seed
+    * line extends coverage automatically). */
+  private[graft] val SegCoveredLangs: Seq[String] = {
+    val runPat = java.util.regex.Pattern.compile(UnspacedRunPattern)
+    LangSeedProfiles.collect {
+      case (l, prose) if runPat.matcher(prose).find() => l
+    }
+  }
+
   /** Pure-Scala reference application of [[SegMerges]] to one run —
     * the differential anchor for [[segUnits]]'s fold (and what the
     * derivation itself used while learning). */

@@ -1054,6 +1054,45 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.count { case (id, (k, _)) => id >= 0 && k } == out.count(_._1 >= 0))
   }
 
+  test("scoped garble gate: coverage is fixture-derived; an uncovered-language doc with a non-compressing run keeps, a covered garble doc is flagged") {
+    import graft.operators.{Curation, TextAnalysis}
+
+    // coverage derives from which seed languages contributed runs
+    assert(TextAnalysis.SegCoveredLangs == Seq("ja"))
+
+    val ru = TextAnalysis.HoldoutDocs.find(_._1 == "ru").get._3
+    val jaSeed = TextAnalysis.SeedProseDocs.find(_._1 == "ja").get._3
+    val twin = TextAnalysis.GarbleDocs.head._3
+    // a Han run the ja dictionary knows nothing about — verified, not assumed
+    val han = (0x4E00 until 0x4E1E).map(_.toChar).mkString
+    assert(TextAnalysis.segApply(han).size == han.length,
+      "the crafted run must not compress under the ja dictionary")
+
+    val docs = Seq(
+      (1L, ru + " " + han),              // certifies ru; rule components hot
+      (2L, jaSeed),                      // covered prose
+      (3L, jaSeed.take(40) + twin))      // certifies ja; garble-dominated
+      .toDF("doc_id", "text")
+    val out = Curation.garbleGateScopedOf(docs)
+      .select("doc_id", "n_cp", "ratio", "nb_lang", "keep", "reason")
+      .as[(Long, Long, Option[Double], String, Boolean, String)]
+      .collect().map(r => r._1 -> r).toMap
+
+    // doc 1: the UNSCOPED rule would fire (n_cp ≥ floor, ratio > max) —
+    // the language certificate is what saves it
+    assert(out(1L)._4 == "ru", s"cert: ${out(1L)}")
+    assert(out(1L)._2 >= Curation.GarbleMinCp &&
+      out(1L)._3.exists(_ > Curation.GarbleRatioMax), s"components: ${out(1L)}")
+    assert(out(1L)._5 && out(1L)._6 == "", "uncovered language must keep")
+
+    // doc 2: covered prose compresses and keeps
+    assert(out(2L)._4 == "ja" && out(2L)._5)
+
+    // doc 3: covered AND garble-dominated — flagged
+    assert(out(3L)._4 == "ja", s"cert: ${out(3L)}")
+    assert(!out(3L)._5 && out(3L)._6 == "cp_garble", s"flag: ${out(3L)}")
+  }
+
   test("multilingual quality gate: the ja/ru docs the v1 gate drops pass under v2 with plausible counts; English verdicts unchanged") {
     import graft.operators.{Curation, TextAnalysis}
     import graft.functions.TextFns
