@@ -273,26 +273,47 @@ object TextAnalysis {
     val withBits = docs.select(col("doc_id"),
       inline(graft.functions.NbLangBits.of(
         nbNorm(col("text")), langs, scaled, NbLangBuckets)))
-    // argmax, strict >, earlier profile wins ties — built as the
-    // linear-size greatest()-CASE (lang L wins iff bits(L) > max of
-    // every EARLIER profile's bits, checked last-to-first: exactly the
-    // oracle's nbLangCaseSql). The round-15 running-max `when` fold
-    // duplicated the accumulator per level — a 2^K expression tree
-    // that codegen-OOMed the driver the moment K grew past the
-    // original four languages (round 16).
-    val scores = langs.map(l => l -> col(s"${l}_bits"))
+    val pred = nbLangPred(langs.map(l => l -> col(s"${l}_bits")))
+    withBits.select(col("doc_id") +: langs.map(l => col(s"${l}_bits")) :+
+      pred.as("nb_lang"): _*)
+  }
+
+  /** Argmax over per-language bit columns, strict >, earlier profile
+    * wins ties — built as the linear-size greatest()-CASE (lang L wins
+    * iff bits(L) > max of every EARLIER profile's bits, checked
+    * last-to-first: exactly the oracle's nbLangCaseSql). The round-15
+    * running-max `when` fold duplicated the accumulator per level — a
+    * 2^K expression tree that codegen-OOMed the driver the moment K
+    * grew past the original four languages (round 16). */
+  private[graft] def nbLangPred(scores: Seq[(String, Column)]): Column = {
     val whens = (scores.length - 1 to 1 by -1).map { i =>
       val earlier = scores.take(i).map(_._2)
       val g = if (earlier.size == 1) earlier.head else greatest(earlier: _*)
       (scores(i)._2 > g, lit(scores(i)._1))
     }
-    val pred =
-      if (whens.isEmpty) lit(scores.head._1) // single-language model
-      else whens.tail
-        .foldLeft(when(whens.head._1, whens.head._2)) { case (c, (p, v)) => c.when(p, v) }
-        .otherwise(lit(scores.head._1))
-    withBits.select(col("doc_id") +: langs.map(l => col(s"${l}_bits")) :+
-      pred.as("nb_lang"): _*)
+    if (whens.isEmpty) lit(scores.head._1) // single-language model
+    else whens.tail
+      .foldLeft(when(whens.head._1, whens.head._2)) { case (c, (p, v)) => c.when(p, v) }
+      .otherwise(lit(scores.head._1))
+  }
+
+  /** The language certificate as a COLUMN — `nb_lang` for docs with
+    * ≥1 gram, null otherwise (where [[nbLangScored]] emits no row).
+    * Join-free, so stream twins can compose it per-row. The bits
+    * array is bound ONCE as a lambda variable (the winnow
+    * projection-collapse lesson) so [[graft.functions.NbLangBits]]
+    * evaluates once per row however many languages read it. */
+  private[graft] def nbLangCert(text: Column,
+      model: Seq[(String, IndexedSeq[Double])]): Column = {
+    val langs = model.map(_._1)
+    val scaled = model.map(_._2.map(v => math.round(v * 1e8)).toArray).toArray
+    val arr = graft.functions.NbLangBits.of(
+      nbNorm(text), langs, scaled, NbLangBuckets)
+    element_at(transform(array(arr), a => {
+      val b = element_at(a, 1)
+      when(b.isNotNull,
+        nbLangPred(langs.map(l => l -> b.getField(s"${l}_bits"))))
+    }), 1)
   }
 
   /** The composable decimal-fold formulation, kept as the

@@ -406,6 +406,36 @@ object EventStream {
         col("ratio"), col("seg_md5"))
   }
 
+  /** Ingest-time SCOPED GARBLE GATE (round 20) — the streaming twin
+    * of [[graft.operators.Curation.garbleGateScopedOf]]: the batch
+    * form joins two per-doc frames (seg stats ⋈ language certificate);
+    * the twin needs neither join — the merge list rides as fold
+    * literals and the NB model as the [[graft.operators.TextAnalysis.nbLangCert]]
+    * column, so the whole composed gate is ONE narrow projection — no
+    * join, no shuffle, zero state rows. Values match the batch scoped
+    * gate frame exactly (spec). */
+  def garbleGateScore(docs: DataFrame,
+      model: Seq[(String, IndexedSeq[Double])]): DataFrame = {
+    import graft.operators.{Curation, TextAnalysis}
+    val runs = regexp_extract_all(col("text"),
+      lit(TextAnalysis.UnspacedRunPattern), lit(0))
+    val flag = col("n_cp") >= Curation.GarbleMinCp &&
+      col("ratio") > Curation.GarbleRatioMax &&
+      coalesce(col("nb_lang").isin(TextAnalysis.SegCoveredLangs: _*), lit(false))
+    docs.select(col("doc_id"),
+        aggregate(runs, lit(0), (a, r) => a + length(r))
+          .cast("long").as("n_cp"),
+        aggregate(transform(runs, r => TextAnalysis.segUnits(r)), lit(0),
+          (a, u) => a + size(u)).cast("long").as("n_units"),
+        TextAnalysis.nbLangCert(col("text"), model).as("nb_lang"))
+      .withColumn("ratio",
+        when(col("n_cp") > 0,
+          round(col("n_units").cast("double") / col("n_cp"), 4)))
+      .select(col("doc_id"), col("n_cp"), col("ratio"), col("nb_lang"),
+        (!flag).as("keep"),
+        when(flag, "cp_garble").otherwise("").as("reason"))
+  }
+
   /** The round-17 HOF fold, kept as the declarative differential
     * reference for the native pass (spec). */
   private[graft] def charEntropyScoreHof(docs: DataFrame): DataFrame = {

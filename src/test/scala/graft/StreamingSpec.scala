@@ -152,6 +152,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exists(r => r._1 == jaId && r._4 < r._3 && r._5.exists(_ < 0.85)))
   }
 
+  test("streaming scoped garble gate == batch composition, zero state-store rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Curation, TextAnalysis}
+    val model = TextAnalysis.nbLangModel(spark)
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect() ++
+      TextAnalysis.HoldoutDocs.map(h => (h._2, h._3)) ++
+      TextAnalysis.SeedProseDocs.map(h => (h._2, h._3)) ++
+      TextAnalysis.GarbleDocs.map(h => (h._2, h._3))
+    val input = MemoryStream[(Long, String)]
+    val scored = EventStream.garbleGateScore(
+      input.toDS().toDF("doc_id", "text"), model)
+    val q = scored.writeStream.format("memory").queryName("garble_stream")
+      .outputMode("append").start()
+    docs.grouped(math.max(1, docs.length / 2 + 1)).foreach { b =>
+      input.addData(b.toSeq); q.processAllAvailable()
+    }
+    assert(q.lastProgress.stateOperators.isEmpty) // one projection, no state
+    q.stop()
+    val got = spark.table("garble_stream")
+      .select("doc_id", "n_cp", "ratio", "nb_lang", "keep", "reason")
+      .as[(Long, Long, Option[Double], Option[String], Boolean, String)]
+      .collect().toSet
+    val want = Curation.garbleGateScopedOf(TextAnalysis.mlDocs3(spark, sf))
+      .select("doc_id", "n_cp", "ratio", "nb_lang", "keep", "reason")
+      .as[(Long, Long, Option[Double], Option[String], Boolean, String)]
+      .collect().toSet
+    assert(want.nonEmpty && got == want,
+      s"stream-only=${(got -- want).take(3)}, batch-only=${(want -- got).take(3)}")
+    // the scope is live in-stream: ja prose keeps, its garble twin is
+    // flagged only if certified as a covered language — mirror batch
+    val jaSeedId = TextAnalysis.SeedProseDocs.find(_._1 == "ja").get._2
+    assert(got.exists(r => r._1 == jaSeedId && r._5))
+  }
+
   test("streaming DSIR scoring == batch logw, zero state-store rows") {
     implicit val sqlCtx = spark.sqlContext
     val (lam, c) = graft.operators.Curation.dsirModel(spark, sf)
