@@ -155,6 +155,47 @@ object Retrieval {
   private val MlQidHi = TextAnalysis.HoldoutDocs.map(_._2).max
   private val MlQidLo = TextAnalysis.HoldoutDocs.map(_._2).min
 
+  /** BM25 over SEGMENTED tokens (round 20, v3 = the 25k4 upgrade): the
+    * ML entry indexes unspaced scripts per-codepoint, so a two-
+    * codepoint Japanese word matches any doc containing EITHER
+    * character — unigram recall, no precision. v3 tokens are the v2
+    * word runs plus the 23d segmentation UNITS of each unspaced run
+    * (the per-codepoint singletons they replace are dropped): a
+    * learned multi-codepoint unit is one term with its own df/tf, so
+    * a ja query term matches only true occurrences of that word
+    * piece — exactly how production CJK analyzers feed Lucene. Tokens
+    * are a bag here, so the unit/word interleaving order is
+    * irrelevant; dl = |words| + |units| on both engines. Same inline
+    * plan, same probes (the held-out docs), same scoring tail. */
+  def bm25TopkSeg(spark: SparkSession, dir: String): DataFrame = {
+    val singleton = s"^${TextFns.UnspacedBlockClass}$$"
+    val docs = TextAnalysis.mlDocs2(spark, dir)
+    val words = docs.select(col("doc_id"),
+      filter(TextFns.tokensScript(col("text")),
+        x => !x.rlike(singleton)).as("ws"))
+    val toks = words
+      .join(TextAnalysis.segUnitsOf(docs), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        concat(col("ws"),
+          coalesce(col("us"), array().cast("array<string>"))).as("ts"))
+    bm25RankedFrom(toks, col("doc_id").between(MlQidLo, MlQidHi), K)
+  }
+
+  val bm25TopkSegOracle: String = s"""
+    WITH docsml2 AS (${TextAnalysis.mlDocs2CteSql}),
+    ${TextAnalysis.segCtesOver("docsml2")},
+    tlw AS (SELECT doc_id,
+        list_filter(${TextFns.tokensScriptSqlOver("text")},
+          x -> NOT regexp_matches(x, '^${TextFns.UnspacedBlockClass}$$')) AS ws
+      FROM docsml2),
+    tlu AS (SELECT doc_id, flatten(list(sym ORDER BY ri)) AS us
+      FROM sseg GROUP BY doc_id),
+    tl AS (SELECT w.doc_id,
+        list_concat(w.ws, COALESCE(u.us, CAST([] AS VARCHAR[]))) AS ts
+      FROM tlw w LEFT JOIN tlu u USING (doc_id)),
+    ${bm25OracleCtesFromTl(s"doc_id BETWEEN $MlQidLo AND $MlQidHi", K)}
+    SELECT qid, rn, doc_id, score FROM textr ORDER BY qid, rn"""
+
   // ---- materialized postings index (round 10) -------------------------
   // The inline plan's one irreducible cost is the full tokenize scan per
   // query BATCH — the honest bound ScaleRetrieval measures at 43 s for
@@ -407,6 +448,14 @@ object Retrieval {
   private def bm25OracleCtesOver(docs: String, tokSql: String,
                                  qPred: String, k: Int): String = s"""
     tl AS (SELECT doc_id, $tokSql AS ts FROM $docs),
+    ${bm25OracleCtesFromTl(qPred, k)}"""
+
+  /** The scoring chain AFTER a prebuilt `tl(doc_id, ts)` CTE — split
+    * out (round 20) so a token list that needs its own CTE chain (the
+    * seg-unit tokenizer, whose units come from the island-alternation
+    * merges, not a scalar expression) reuses the identical scoring
+    * tail. */
+  private def bm25OracleCtesFromTl(qPred: String, k: Int): String = s"""
     toks AS (SELECT doc_id, ts, len(ts) AS dl FROM tl),
     stats AS (SELECT count(*) AS n, sum(dl) AS t FROM toks),
     posts AS (
@@ -627,6 +676,7 @@ object Retrieval {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bm25_topk" -> (bm25Topk _),
     "text_bm25_topk_ml" -> (bm25TopkMl _),
+    "text_bm25_topk_seg" -> (bm25TopkSeg _),
     "text_bm25_topk_indexed" -> (bm25TopkIndexed _),
     "sim_hybrid_rrf" -> (hybridRrf _),
     "sim_hybrid_rrf_composed" -> (hybridRrfComposed _),
@@ -635,6 +685,7 @@ object Retrieval {
   val oracle: Map[String, String] = Map(
     "text_bm25_topk" -> bm25TopkOracle,
     "text_bm25_topk_ml" -> bm25TopkMlOracle,
+    "text_bm25_topk_seg" -> bm25TopkSegOracle,
     "text_bm25_topk_indexed" -> bm25TopkOracle,
     "sim_hybrid_rrf" -> hybridRrfOracle,
     "sim_hybrid_rrf_composed" -> hybridRrfOracle,

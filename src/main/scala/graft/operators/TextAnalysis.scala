@@ -2367,6 +2367,25 @@ object TextAnalysis {
   def segUnspaced(spark: SparkSession, dir: String): DataFrame =
     segStatsOf(mlDocs2(spark, dir)).orderBy(col("doc_id"))
 
+  /** Per-doc flattened segmentation UNITS (doc_id, us) — the v3 token
+    * contribution of a doc's unspaced runs, for consumers that index
+    * or count units rather than summarize them (the BM25-seg entry).
+    * Docs with no runs produce no row (consumers left-join). Same
+    * distinct-run fold + broadcast-join-back shape as [[segStatsOf]]. */
+  private[graft] def segUnitsOf(docs: DataFrame): DataFrame = {
+    val runs = docs
+      .select(col("doc_id"),
+        posexplode(regexp_extract_all(col("text"),
+          lit(UnspacedRunPattern), lit(0))).as(Seq("ri", "run")))
+    val segs = runs.select(col("run")).distinct()
+      .withColumn("units", segUnits(col("run")))
+    runs.join(segs, Seq("run"))
+      .groupBy(col("doc_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("ri"), col("units")))),
+        s => s.getField("units"))).as("us"))
+  }
+
   /** Oracle: same run extraction, then one island-alternation merge
     * block per learned (l, r) literal — the [[bpeCtes]] v/mp/sel shapes
     * with the pair-counting rounds replaced by the fixed literals

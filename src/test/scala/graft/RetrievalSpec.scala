@@ -222,4 +222,39 @@ class RetrievalSpec extends AnyFunSuite {
       .select(size(TextFns.tokens(col("text")))).as[Int].head()
     assert(v1JaTerms == 0, "v1 must see zero indexable terms in the ja doc")
   }
+
+  test("seg BM25: retrieval holds under unit terms, and ja matches through real multi-codepoint word pieces") {
+    import graft.operators.TextAnalysis
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val holdoutByLang = TextAnalysis.HoldoutDocs.map(h => h._1 -> h._2).toMap
+    val proseByLang = TextAnalysis.SeedProseDocs.map(h => h._1 -> h._2).toMap
+    val got = Retrieval.bm25TopkSeg(spark, sf)
+      .select($"qid", $"rn", $"doc_id")
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    // the ML property carries over: each non-Latin query's top hit is
+    // its language's seed prose — now matched through UNIT terms for
+    // the unspaced scripts (word-run terms are unchanged)
+    for (lang <- Seq("ja", "ru", "el", "ar", "hi")) {
+      val hits = got.getOrElse(holdoutByLang(lang), Seq.empty)
+      assert(hits.headOption.contains(proseByLang(lang)),
+        s"$lang query must retrieve its language's prose first: $hits")
+    }
+    // the ja match goes through REAL word pieces: at least one shared
+    // term between the held-out ja doc and the seed prose is a
+    // multi-codepoint learned unit (under 25k4's per-codepoint terms a
+    // single shared CHARACTER was the matching grain)
+    val runPat = java.util.regex.Pattern.compile(TextAnalysis.UnspacedRunPattern)
+    def unitsOf(s: String): Set[String] = {
+      val m = runPat.matcher(s); val b = Set.newBuilder[String]
+      while (m.find()) b ++= TextAnalysis.segApply(m.group())
+      b.result()
+    }
+    val holdJa = TextAnalysis.HoldoutDocs.find(_._1 == "ja").get._3
+    val seedJa = TextAnalysis.SeedProseDocs.find(_._1 == "ja").get._3
+    val shared = unitsOf(holdJa).intersect(unitsOf(seedJa)).filter(_.length > 1)
+    assert(shared.nonEmpty,
+      "ja probe and ja prose must share a multi-codepoint unit term")
+  }
 }
