@@ -59,6 +59,13 @@ object TextFns {
       "\\x{0E01}-\\x{0E3A}\\x{0E40}-\\x{0E4E}\\x{0E81}-\\x{0EDF}" +
       "\\x{1000}-\\x{1049}\\x{1780}-\\x{17D3}]"
 
+  /** Anchored match for ONE unspaced-script codepoint — the shape of
+    * every per-codepoint v2 token. The ONE definition of "is this
+    * token an unspaced singleton": the ML quality gate, the script
+    * tokenization entries and the seg-BM25 word filter all key on it
+    * (review-caught duplication — per-site copies could drift). */
+  val UnspacedSingletonPattern: String = s"^$UnspacedBlockClass$$"
+
   /** Non-ASCII letter (and in-word mark/digit) codepoints of SPACED
     * scripts — Latin-1/extended, Greek, Cyrillic, Armenian, Hebrew,
     * Arabic (letters + harakat + digits), Devanagari (letters + matras,

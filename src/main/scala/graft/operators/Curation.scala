@@ -930,7 +930,7 @@ object Curation {
     // function words (the English-only list dropped every Latin
     // non-English held-out doc; measured, see MlStopWords)
     val stopList = TextAnalysis.MlStopWords
-    val singletonRe = s"^${TextFns.UnspacedBlockClass}$$"
+    val singletonRe = TextFns.UnspacedSingletonPattern
     def words = filter(col("t"), x => !x.rlike(singletonRe))
     val base = toks.select(col("doc_id"),
       size(col("t")).cast("long").as("n_tokens"),
@@ -971,7 +971,7 @@ object Curation {
     * (winnow + clusters) and v2 tokens side by side. */
   private def gateMlCtesAfterToksOver(toks: String): String = {
     val stopList = TextAnalysis.MlStopWords.map(w => s"'$w'").mkString("[", ", ", "]")
-    val singleton = s"^${TextFns.UnspacedBlockClass}$$"
+    val singleton = TextFns.UnspacedSingletonPattern
     s"""${TextAnalysis.gramFractionCtesOver(toks)},
     base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
         CASE WHEN len(list_filter(t, x -> NOT regexp_matches(x, '$singleton'))) > 0 THEN

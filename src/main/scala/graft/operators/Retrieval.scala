@@ -168,7 +168,7 @@ object Retrieval {
     * irrelevant; dl = |words| + |units| on both engines. Same inline
     * plan, same probes (the held-out docs), same scoring tail. */
   def bm25TopkSeg(spark: SparkSession, dir: String): DataFrame = {
-    val singleton = s"^${TextFns.UnspacedBlockClass}$$"
+    val singleton = TextFns.UnspacedSingletonPattern
     val docs = TextAnalysis.mlDocs2(spark, dir)
     val words = docs.select(col("doc_id"),
       filter(TextFns.tokensScript(col("text")),

@@ -309,8 +309,13 @@ object TextAnalysis {
     val scaled = model.map(_._2.map(v => math.round(v * 1e8)).toArray).toArray
     val arr = graft.functions.NbLangBits.of(
       nbNorm(text), langs, scaled, NbLangBuckets)
+    // try_element_at: the bits array is EMPTY for docs with <2
+    // normalized codepoints (where the gated entry emits no row) —
+    // a plain element_at(…, 1) THROWS on those under Spark 4's
+    // default ANSI mode instead of yielding the null certificate
+    // (review-caught: a one-char doc would kill a streaming batch)
     element_at(transform(array(arr), a => {
-      val b = element_at(a, 1)
+      val b = try_element_at(a, lit(1))
       when(b.isNotNull,
         nbLangPred(langs.map(l => l -> b.getField(s"${l}_bits"))))
     }), 1)
@@ -2154,7 +2159,7 @@ object TextAnalysis {
     * (tokens never contain ' ', so the space join is injective) — the
     * hash gates the full token SEQUENCE cross-engine on every doc. */
   def scriptTokens(spark: SparkSession, dir: String): DataFrame = {
-    val singleton = s"^${TextFns.UnspacedBlockClass}$$"
+    val singleton = TextFns.UnspacedSingletonPattern
     mlDocs(spark, dir)
       .select(col("doc_id"), TextFns.tokensScript(col("text")).as("t"))
       .select(col("doc_id"),
@@ -2198,10 +2203,12 @@ object TextAnalysis {
   // codepoint-garble stays ~1 — spec-contrasted on real vs shuffled
   // Japanese.
 
-  /** Version tag for [[segUnspaced]]-derived artifacts (v1 = reference
-    * ASCII runs, v2 = script-aware, v3 = v2 + unspaced-run BPE
-    * segmentation). Fold into any store key that consumes [[segUnits]]. */
-  private[graft] val SegVersion = 3
+  // No SegVersion tag ships yet: nothing persists segUnits-derived
+  // artifacts today (every consumer — 23d/26j4/25k5 and the stream
+  // twins — recomputes inline). The first store that does must fold a
+  // version into its key the way TokVersion2 rides the release-frame
+  // cache key; declaring the constant without a consumer would
+  // document a guarantee no code provides (review-caught).
 
   /** Maximal unspaced-script runs — the unit the segmenter works on. */
   private[graft] val UnspacedRunPattern: String =
@@ -2229,11 +2236,6 @@ object TextAnalysis {
     // so per-Char symbols are per-codepoint
     var vocab: Seq[(Vector[String], Long)] = runs.groupBy(identity).toSeq
       .map { case (w, g) => (w.map(_.toString).toVector, g.size.toLong) }
-    def applyMerge(sym: Vector[String], l: String, r: String): Vector[String] =
-      sym.foldLeft(Vector.empty[String]) { (out, x) =>
-        if (out.nonEmpty && out.last == l && x == r) out.init :+ (l + r)
-        else out :+ x
-      }
     val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
     var go = true
     while (go && out.size < SegMergeBudget) {
@@ -2249,12 +2251,23 @@ object TextAnalysis {
       counts.toSeq.sortBy { case ((l, r), c) => (-c, l, r) }.headOption match {
         case Some(((l, r), c)) if c >= 2 =>
           out += ((l, r))
-          vocab = vocab.map { case (sym, n) => (applyMerge(sym, l, r), n) }
+          vocab = vocab.map { case (sym, n) => (segMergeOnce(sym, l, r), n) }
         case _ => go = false
       }
     }
     out.toSeq
   }
+
+  /** One greedy left-to-right non-overlapping merge pass — the ONE
+    * pure-Scala definition of the fold, shared by the [[SegMerges]]
+    * derivation loop and [[segApply]] (the differential anchor the
+    * Spark fold is spec'd against must be the exact code the
+    * derivation used, not a re-implementation). */
+  private def segMergeOnce(sym: Vector[String], l: String, r: String): Vector[String] =
+    sym.foldLeft(Vector.empty[String]) { (out, x) =>
+      if (out.nonEmpty && out.last == l && x == r) out.init :+ (l + r)
+      else out :+ x
+    }
 
   /** Languages the segmentation dictionary has coverage for — exactly
     * those whose seed prose contributed runs to [[SegMerges]]'
@@ -2272,10 +2285,7 @@ object TextAnalysis {
     * derivation itself used while learning). */
   private[graft] def segApply(run: String): Vector[String] =
     SegMerges.foldLeft(run.map(_.toString).toVector) { case (sym, (l, r)) =>
-      sym.foldLeft(Vector.empty[String]) { (out, x) =>
-        if (out.nonEmpty && out.last == l && x == r) out.init :+ (l + r)
-        else out :+ x
-      }
+      segMergeOnce(sym, l, r)
     }
 
   /** Codepoint symbols of a run (no end-of-word marker — runs are
@@ -2417,6 +2427,10 @@ object TextAnalysis {
             WHERE sp.i IS NULL
             GROUP BY p.w)"""
     }.mkString(",")
+    // an empty merge list (a seed edit could dry the pair counts) must
+    // yield per-codepoint segmentation with VALID SQL, not a dangling
+    // comma (review-caught)
+    val mid = if (rounds.isEmpty) "" else s"$rounds,"
     s"""sruns AS (SELECT doc_id, unnest(r) AS run, unnest(range(1, len(r)+1)) AS ri
               FROM (SELECT doc_id,
                       regexp_extract_all(text, '$UnspacedRunPattern') AS r
@@ -2424,7 +2438,7 @@ object TextAnalysis {
     sw AS (SELECT DISTINCT run AS w FROM sruns),
     sv0 AS MATERIALIZED (SELECT w,
              list_transform(range(length(w)), i -> substr(w, i + 1, 1)) AS sym
-           FROM sw),$rounds,
+           FROM sw),$mid
     sseg AS (SELECT r.doc_id, r.ri, r.run, v.sym
              FROM sruns r JOIN sv${SegMerges.size} v ON v.w = r.run)"""
   }

@@ -368,7 +368,7 @@ object EventStream {
     * gated batch entry (same expressions, no state). */
   def scriptTokenScore(docs: DataFrame): DataFrame = {
     import graft.functions.TextFns
-    val singleton = s"^${TextFns.UnspacedBlockClass}$$"
+    val singleton = TextFns.UnspacedSingletonPattern
     docs.select(col("doc_id"), TextFns.tokensScript(col("text")).as("t"))
       .select(col("doc_id"),
         size(col("t")).cast("long").as("n_tokens"),
@@ -387,7 +387,10 @@ object EventStream {
     * run extraction, same fold, same '|'/' ' sequence encoding. */
   def segUnspacedScore(docs: DataFrame): DataFrame = {
     import graft.operators.TextAnalysis
-    val runs = regexp_extract_all(col("text"),
+    // coalesce: a null-text row must score like an empty doc
+    // (n_runs=0, md5('')) exactly as the batch entry's posexplode_outer
+    // path does — regexp over bare null would null every stat instead
+    val runs = regexp_extract_all(coalesce(col("text"), lit("")),
       lit(TextAnalysis.UnspacedRunPattern), lit(0))
     docs.select(col("doc_id"), runs.as("rs"),
         transform(runs, r => TextAnalysis.segUnits(r)).as("us"))
@@ -417,7 +420,10 @@ object EventStream {
   def garbleGateScore(docs: DataFrame,
       model: Seq[(String, IndexedSeq[Double])]): DataFrame = {
     import graft.operators.{Curation, TextAnalysis}
-    val runs = regexp_extract_all(col("text"),
+    // coalesce: null-text rows score like empty docs (batch parity —
+    // see segUnspacedScore); the certificate side is null-safe on its
+    // own (nbLangCert yields null where the batch entry emits no row)
+    val runs = regexp_extract_all(coalesce(col("text"), lit("")),
       lit(TextAnalysis.UnspacedRunPattern), lit(0))
     val flag = col("n_cp") >= Curation.GarbleMinCp &&
       col("ratio") > Curation.GarbleRatioMax &&

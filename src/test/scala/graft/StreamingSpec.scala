@@ -152,6 +152,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exists(r => r._1 == jaId && r._4 < r._3 && r._5.exists(_ < 0.85)))
   }
 
+  test("streaming scorers survive short, empty and null-text docs (ANSI edges)") {
+    import graft.operators.TextAnalysis
+    // review-caught: element_at on the EMPTY NbLangBits array (docs
+    // with <2 normalized codepoints) threw under ANSI and would have
+    // killed a whole micro-batch; null text nulled every seg stat
+    // where the batch path scores it as an empty doc
+    val docs = Seq((1L, "a"), (2L, null.asInstanceOf[String]), (3L, ""))
+      .toDF("doc_id", "text")
+    val model = TextAnalysis.nbLangModel(spark)
+    val g = EventStream.garbleGateScore(docs, model).collect() // must not throw
+    assert(g.length == 3 && g.forall(_.getAs[Boolean]("keep")))
+    assert(g.forall(_.isNullAt(3)), "no certificate for gram-less docs")
+    val s = EventStream.segUnspacedScore(docs).collect()
+    val row2 = s.find(_.getLong(0) == 2L).get
+    assert(row2.getLong(1) == 0 && row2.getLong(3) == 0 &&
+      row2.getString(5) == "d41d8cd98f00b204e9800998ecf8427e",
+      s"null text must score like an empty doc: $row2")
+  }
+
   test("streaming scoped garble gate == batch composition, zero state-store rows") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.{Curation, TextAnalysis}
