@@ -106,17 +106,32 @@ object Retrieval {
     * multilingual entry plugs into (round 19). */
   private def bm25RankedFrom(toks0: DataFrame, isQuery: org.apache.spark.sql.Column,
                              k: Int): DataFrame = {
+    // TOKENIZE ONCE (r20 optimization, guide §1.2/§2.3): the tokenized
+    // frame has four consumers — the corpus-scalar aggregate, the query
+    // term sets (read twice: qvocab + the idf join), and the postings
+    // explode. Uncached, each consumer re-derived the full tokenize
+    // scan (the seg-token variant re-ran the whole segmentation chain
+    // per consumer — measured 7.1 s for text_bm25_topk_seg at sf0.1,
+    // ~3 full corpus passes); cached, the corpus is tokenized exactly
+    // once and released as soon as the query-sized result materializes
+    // (the pipelineCurateOf precedent). The cache spills to disk past
+    // storage memory; the production serve path remains the stored
+    // postings index (bm25TopkIndexed), which never re-tokenizes.
     val toks = toks0
       .select(col("doc_id"), col("ts"), size(col("ts")).as("dl"))
+      .cache()
     // corpus scalars N (docs) and T (tokens): a 2-value driver collect
-    // (coalesce: an empty corpus yields T=0, not a NULL→getLong NPE)
+    // (coalesce: an empty corpus yields T=0, not a NULL→getLong NPE);
+    // this action also materializes the tokenize cache
     val st = toks.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head
     val nDocs = st.getLong(0)
     val tToks = st.getLong(1)
-    // query term sets: a pushed-down probe-doc scan, broadcast everywhere
+    // query term sets: probe-doc rows of the cache, broadcast everywhere;
+    // cached because bm25Score's idf join reads them again beside qvocab
     val qterms = toks.filter(isQuery)
       .select(col("doc_id").as("qid"), explode(col("ts")).as("term"))
       .distinct()
+      .cache()
     val qvocab = qterms.select(col("term")).distinct()
     // postings of query-vocabulary terms ONLY: the broadcast semi-filter
     // runs before the tf aggregate, so the one corpus shuffle is
@@ -127,7 +142,12 @@ object Retrieval {
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
       .cache()
-    bm25ScoreReleasing(qposts, qterms, nDocs, tToks, k)
+    val out = bm25ScoreReleasing(qposts, qterms, nDocs, tToks, k)
+    // out is materialized (bm25ScoreReleasing counts it) — the corpus-
+    // sized tokenize cache and the query-sized term cache are done
+    toks.unpersist()
+    qterms.unpersist()
+    out
   }
 
   def bm25Topk(spark: SparkSession, dir: String): DataFrame =

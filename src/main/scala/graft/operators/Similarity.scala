@@ -211,16 +211,27 @@ object Similarity {
   /** Per-label-cell centroids — (clabel, cvec), DECIMAL(28,12)-exact
     * means of the normalized vectors. Bounded by |labels|, persistable
     * (the IVF half of a stored IVFPQ index). */
-  private[operators] def labelCentroids(all: DataFrame): DataFrame =
-    all
-      .select(col("label"), posexplode(col("vec")).as(Seq("pos", "v")))
-      .groupBy(col("label"), col("pos"))
-      .agg((sum(col("v").cast("decimal(28,12)")) / count(lit(1)))
-        .cast("double").as("c"))
-      .groupBy(col("label"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-        s => s.getField("c")).as("cvec"))
-      .select(col("label").as("clabel"), col("cvec"))
+  private[operators] def labelCentroids(all: DataFrame): DataFrame = {
+    // ONE-EXCHANGE means (r20 optimization, guide §2.3/§2.4): was
+    // posexplode ×dim → (label, pos) decimal means → (label)
+    // collect_list — two Exchanges with an n×dim fanout feeding the
+    // first. The dimension costs one limit-1 row read up front (both
+    // call sites consume the result eagerly); the same exact-decimal
+    // means then compute as dim sum columns + one count in a single
+    // map-side-combined aggregate. Bit-identical: decimal sums are
+    // order-independent and the division/cast chain is unchanged.
+    val dim = all.select(size(col("vec")).as("d")).limit(1)
+      .collect().headOption.map(_.getInt(0)).getOrElse(0)
+    if (dim == 0) // empty corpus → empty (clabel, cvec) with the right schema
+      return all.select(col("label").as("clabel"),
+        col("vec").as("cvec")).filter(lit(false))
+    val sums = (0 until dim).map(i =>
+      sum(element_at(col("vec"), i + 1).cast("decimal(28,12)")).as(s"__s$i"))
+    all.groupBy(col("label"))
+      .agg(sums.head, (sums.tail :+ count(lit(1)).as("__n")): _*)
+      .select(col("label").as("clabel"), array((0 until dim).map(i =>
+        (col(s"__s$i") / col("__n")).cast("double")): _*).as("cvec"))
+  }
 
   /** Probe selection against a GIVEN centroid table — (qid, qvec,
     * clabel), the `nProbes` nearest cells per query by 6-dp centroid
@@ -409,15 +420,26 @@ object Similarity {
       .orderBy(col("__h"), col("vec_id")).limit(k)
       .coalesce(1).sortWithinPartitions(col("__h"), col("vec_id"))
       .select(col("vec")).as[Seq[Double]].collect().toIndexedSeq
-    for (_ <- 0 until iters) {
+    // ONE-EXCHANGE mean update (r20 optimization, guide §2.3/§2.4): the
+    // update used to posexplode every row ×dim and aggregate twice —
+    // (cid, pos) decimal means, then a (cid) collect_list — two
+    // Exchanges and an n×dim fanout feeding the first, per round. The
+    // vector dimension is known on the driver (the seeds), so the same
+    // means compute as dim decimal-sum columns + one count in a SINGLE
+    // grouped aggregate (map-side combined to ≤k rows/partition), the
+    // cvec assembled in the same projection. Bit-identical: decimal
+    // sums are exact (order-independent), and the division/cast chain
+    // (sum DECIMAL(28,12) / count → double) is operand-for-operand the
+    // old expression.
+    val dim = cents.headOption.map(_.length).getOrElse(0)
+    for (_ <- 0 until iters if dim > 0) {
+      val sums = (0 until dim).map(i =>
+        sum(element_at(col("vec"), i + 1).cast("decimal(28,12)")).as(s"__s$i"))
       val updated = assignCellsCosine(data, cents)
-        .select(col("cid"), posexplode(col("vec")).as(Seq("pos", "v")))
-        .groupBy(col("cid"), col("pos"))
-        .agg((sum(col("v").cast("decimal(28,12)")) / count(lit(1)))
-          .cast("double").as("c"))
         .groupBy(col("cid"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-          s => s.getField("c")).as("cvec"))
+        .agg(sums.head, (sums.tail :+ count(lit(1)).as("__n")): _*)
+        .select(col("cid"), array((0 until dim).map(i =>
+          (col(s"__s$i") / col("__n")).cast("double")): _*).as("cvec"))
         .as[(Int, Seq[Double])].collect().toMap
       cents = cents.indices.map(i => updated.getOrElse(i + 1, cents(i)))
     }
@@ -584,9 +606,20 @@ object Similarity {
       - lit(2) * VectorFns.dot(v, c), 6)
 
   /** All-subspace codebooks via one grouped Lloyd loop → (s, cid, cvec). */
-  def pqCodebooks(sub: DataFrame, k: Int, iters: Int): DataFrame = {
-    val spark = sub.sparkSession
+  def pqCodebooks(sub0: DataFrame, k: Int, iters: Int): DataFrame = {
+    val spark = sub0.sparkSession
     import spark.implicits._
+    // TRAIN INPUT CACHED ONCE (r20 optimization, guide §1.2): the
+    // trainer reads `sub` 1 + iters times (seed window, then one
+    // assign+update pass per round) — uncached, every pass re-derived
+    // the upstream subvector posexplode (and, on the IVFPQ path, the
+    // residual join) from scratch. Cache-manage the input HERE when the
+    // caller didn't: eagerly-collected rounds are the only consumers,
+    // so the cache is released before returning. A caller that cached
+    // `sub` for its own later use (the index builders' encode pass)
+    // keeps ownership — we neither re-cache nor unpersist it.
+    val ownCache = sub0.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val sub = if (ownCache) sub0.cache() else sub0
     // Same driver-resident Lloyd shape as [[kmeansCentroids]], grouped
     // by subspace: all PqM codebooks are PqM×k bounded vectors, so they
     // ride between rounds as ONE nested literal (indexed s+1, then cid)
@@ -606,24 +639,33 @@ object Similarity {
       .as[(Int, Int, Seq[Double])].collect()
     // empty corpus → empty codebook frame with the right schema, like
     // every other similarity operator degrades (no hard crash on .max)
-    if (seedRows.isEmpty)
+    if (seedRows.isEmpty) {
+      if (ownCache) sub.unpersist()
       return spark.emptyDataset[(Int, Int, Seq[Double])].toDF("s", "cid", "cvec")
+    }
     var cents: IndexedSeq[IndexedSeq[Seq[Double]]] = booksToNested(seedRows.toSeq)
-    for (_ <- 0 until iters) {
+    // ONE-EXCHANGE mean update per round — the kmeansCentroidSeqs r20
+    // fusion, keyed by (s, cid): dim decimal-sum columns + one count in
+    // a single grouped aggregate instead of posexplode → (s, cid, pos)
+    // means → (s, cid) collect_list (two Exchanges + an n×dim fanout).
+    // Bit-identical — exact decimal sums, unchanged division/cast chain.
+    val dim = seedRows.head._3.length
+    for (_ <- 0 until iters if dim > 0) {
+      val sums = (0 until dim).map(i =>
+        sum(element_at(col("svec"), i + 1).cast("decimal(28,12)")).as(s"__s$i"))
       val updated = pqAssign(sub, cents)
-        .select(col("s"), col("cid"), posexplode(col("svec")).as(Seq("pos", "v")))
-        .groupBy(col("s"), col("cid"), col("pos"))
-        .agg((sum(col("v").cast("decimal(28,12)")) / count(lit(1)))
-          .cast("double").as("c"))
         .groupBy(col("s"), col("cid"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-          x => x.getField("c")).as("cvec"))
+        .agg(sums.head, (sums.tail :+ count(lit(1)).as("__n")): _*)
+        .select(col("s"), col("cid"), array((0 until dim).map(i =>
+          (col(s"__s$i") / col("__n")).cast("double")): _*).as("cvec"))
         .as[(Int, Int, Seq[Double])].collect()
         .map(r => (r._1, r._2) -> r._3).toMap
       cents = cents.zipWithIndex.map { case (cb, s) =>
         cb.indices.map(i => updated.getOrElse((s, i + 1), cb(i)))
       }
     }
+    // every round collected eagerly — the input cache (if ours) is done
+    if (ownCache) sub.unpersist()
     spark.createDataset(for {
       (cb, s) <- cents.zipWithIndex
       (c, i) <- cb.zipWithIndex
@@ -1029,7 +1071,10 @@ object Similarity {
                 iters: Int = PqIters): (DataFrame, DataFrame) = {
     val spark = all.sparkSession
     import spark.implicits._
-    val sub = pqSubvectors(all)
+    // cached: training reads it 1+iters times and the encode pass once
+    // more — one subvector materialization instead of 4 re-derivations
+    // (r20; the harness/serve loop clears or the builder's write ends it)
+    val sub = pqSubvectors(all).cache()
     val books = pqCodebooks(sub, k, iters)
     val bookRows = books.as[(Int, Int, Seq[Double])].collect()
     val codes =
@@ -1498,7 +1543,9 @@ object Similarity {
     val spark = all.sparkSession
     import spark.implicits._
     val cells = labelCentroids(all).cache()
-    val sub = pqSubvectors(residualsOf(all, cells))
+    // cached: the residual join + subvector posexplode feeds training
+    // (1+iters passes) and the encode pass (r20 — see pqIndexOf)
+    val sub = pqSubvectors(residualsOf(all, cells)).cache()
     val books = pqCodebooks(sub, k, iters)
     val bookRows = books.as[(Int, Int, Seq[Double])].collect()
     val codes =
