@@ -604,47 +604,103 @@ object Retrieval {
   // scores round to 6 dp, ties break on candidate id, every round.
   private val MmrNum = 7 // λ = 0.7 (×10 to keep literals exact)
 
+  /** Spark-exact `round(x, 6)` for the in-task greedy (the CharStats
+    * replication recipe from round 18): BigDecimal.valueOf + HALF_UP,
+    * NaN/Infinity passed through — property-spec'd against the Round
+    * expression in MmrGreedySpec. */
+  private[graft] def mmrRound6(x: Double): Double =
+    if (x.isNaN || x.isInfinite) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Spark-exact `dot6` (the [[graft.functions.DotProduct]] sequential
+    * left fold, then [[mmrRound6]]) — same summation order, bit-identical. */
+  private[graft] def mmrDot6(a: Seq[Double], b: Seq[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    mmrRound6(s)
+  }
+
+  /** The greedy MMR selection over ONE query's candidate list
+    * (nid, cos, vec), already sorted by nid — K rounds of
+    * argmax(λ·cos − (1−λ)·max-sim-to-selected), ties to the lowest
+    * nid, every score 6-dp-rounded exactly like the Spark expressions
+    * ([[mmrRound6]]/[[mmrDot6]]). Emits (nid, mmr, rn). */
+  private[graft] def mmrGreedy(
+      cands: Array[(Long, Double, Seq[Double])]): Seq[(Long, Double, Int)] = {
+    val picked = scala.collection.mutable.ArrayBuffer[(Long, Double, Int)]()
+    val selVecs = scala.collection.mutable.ArrayBuffer[Seq[Double]]()
+    val taken = new Array[Boolean](cands.length)
+    for (r <- 1 to K if picked.length == r - 1) {
+      var bi = -1
+      var bScore = 0.0
+      var bNid = 0L
+      var i = 0
+      while (i < cands.length) {
+        if (!taken(i)) {
+          val (nid, cos, vec) = cands(i)
+          // round 1 ranks by raw cos (the window's key); later rounds by
+          // the rounded mmr — exactly the two orderings the per-round
+          // Spark windows used
+          val score =
+            if (r == 1) cos
+            else {
+              var pen = Double.NegativeInfinity
+              selVecs.foreach { sv =>
+                val d = mmrDot6(vec, sv)
+                if (d > pen) pen = d
+              }
+              mmrRound6((MmrNum * cos - (10 - MmrNum) * pen) / 10d)
+            }
+          if (bi < 0 || score > bScore || (score == bScore && nid < bNid)) {
+            bi = i; bScore = score; bNid = nid
+          }
+        }
+        i += 1
+      }
+      if (bi >= 0) {
+        val (nid, cos, vec) = cands(bi)
+        taken(bi) = true
+        selVecs += vec
+        picked += ((nid,
+          if (r == 1) mmrRound6(MmrNum * cos / 10d) else bScore, r))
+      }
+    }
+    picked.toSeq
+  }
+
+  /** r20 optimization (guide §2.4/§5): the greedy loop used to run as
+    * K−1 driver-coordinated Spark rounds — each an anti-join + pair
+    * join + aggregate + window + collect, a full cluster barrier per
+    * rank (~10 jobs for K=5). Candidate sets are ≤ [[FuseK]] rows per
+    * query by construction (the retrieval leg already cut them), so
+    * the whole selection fits ONE task per query: shuffle the
+    * candidates once by qid and run the greedy in-task. Scores are
+    * bit-identical — [[mmrRound6]]/[[mmrDot6]] replicate the Round and
+    * DotProduct expressions exactly (property- and differential-spec'd
+    * in MmrGreedySpec; the unrolled DuckDB oracle stays the gate). At
+    * scale this turns O(K) full-cluster barriers into one exchange of
+    * batch×FuseK rows. */
   def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val all = Similarity.emb(spark, dir)
       .select(col("vec_id"), col("vec"))
-    val cands = Similarity.cosineRanked(spark, dir, NQ, FuseK)
+    val picked = Similarity.cosineRanked(spark, dir, NQ, FuseK)
       .select(col("qid"), col("nid"), col("cos"))
       .join(all.select(col("vec_id").as("nid"), col("vec")), "nid")
-      .cache()
-    // each round's winner set is ≤ NQ rows, so selections live on the
-    // driver (the Lloyd/CC bounded-loop pattern) and re-enter each round
-    // as a literal frame — a growing union lineage would re-execute
-    // every prior round ~3^K times (measured 16 s vs ~1 s at sf0.1)
-    val w0 = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
-    val first = cands
-      .withColumn("rnk", row_number().over(w0)).filter(col("rnk") === 1)
-      .select(col("qid"), col("nid"),
-        round(lit(MmrNum) * col("cos") / 10d, 6).as("mmr"))
-      .as[(Long, Long, Double)].collect().toSeq
-    var selected = first.map(t => (t._1, t._2, t._3, 1))
-    for (r <- 2 to K) {
-      val selDf = selected.map(t => (t._1, t._2)).toDF("qid", "sid")
-      val selv = selDf
-        .join(all.select(col("vec_id").as("sid"), col("vec").as("svec")), "sid")
-      val un = cands.join(selDf.select(col("qid"), col("sid").as("nid")),
-        Seq("qid", "nid"), "left_anti")
-      val wr = Window.partitionBy(col("qid")).orderBy(col("mmr").desc, col("nid"))
-      val pick = un.join(broadcast(selv), "qid")
-        .groupBy(col("qid"), col("nid"), col("cos"))
-        .agg(max(VectorFns.dot6(col("vec"), col("svec"))).as("pen"))
-        .select(col("qid"), col("nid"),
-          round((lit(MmrNum) * col("cos") - lit(10 - MmrNum) * col("pen")) / 10d, 6)
-            .as("mmr"))
-        .withColumn("rnk", row_number().over(wr)).filter(col("rnk") === 1)
-        .select(col("qid"), col("nid"), col("mmr"))
-        .as[(Long, Long, Double)].collect()
-      selected = selected ++ pick.map(t => (t._1, t._2, t._3, r))
-    }
-    cands.unpersist()
-    selected.toDF("qid", "nid", "mmr", "rn")
-      .select(col("qid"), col("nid"), col("mmr"), col("rn"))
-      .orderBy(col("qid"), col("rn"))
+      .select(col("qid"), col("nid"), col("cos"), col("vec"))
+      .as[(Long, Long, Double, Seq[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        // sort by nid for a deterministic scan order (iterator order is
+        // partition-dependent); the greedy itself ties on lowest nid
+        val cs = it.map(t => (t._2, t._3, t._4)).toArray.sortBy(_._1)
+        mmrGreedy(cs).iterator.map { case (nid, mmr, rn) => (qid, nid, mmr, rn) }
+      }
+      .toDF("qid", "nid", "mmr", "rn")
+    picked.orderBy(col("qid"), col("rn"))
   }
 
   /** Exact twin: the greedy rounds unroll as MATERIALIZED CTEs (an
