@@ -1056,10 +1056,17 @@ object Curation {
       .cache() // the single tokenize: gate stats + grams, fp, lang
     val kept = qualityGateOf(toks).filter(col("keep"))
       .select(col("doc_id"), col("n_tokens"))
+    // GATE ONCE (r20, guide §1.2): fp has two consumers — the exact-dup
+    // survivor aggregate and the final per-doc join — and each used to
+    // re-run the whole gate chain (per-doc stats + BOTH gram-fraction
+    // shuffles) plus the md5 fingerprint pass over the cached tokens.
+    // The frame is corpus-sized but narrow (id + count + one hash);
+    // caching it halves the gate/fingerprint work (harness clears).
     val fp = toks
       .join(kept, Seq("doc_id"))
       .select(col("doc_id"), col("n_tokens"),
         md5(concat_ws(" ", col("t"))).as("content_fp"))
+      .cache()
     val surv = fp.groupBy(col("content_fp"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
     toks
