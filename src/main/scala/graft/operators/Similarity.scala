@@ -211,27 +211,19 @@ object Similarity {
   /** Per-label-cell centroids — (clabel, cvec), DECIMAL(28,12)-exact
     * means of the normalized vectors. Bounded by |labels|, persistable
     * (the IVF half of a stored IVFPQ index). */
-  private[operators] def labelCentroids(all: DataFrame): DataFrame = {
-    // ONE-EXCHANGE means (r20 optimization, guide §2.3/§2.4): was
-    // posexplode ×dim → (label, pos) decimal means → (label)
-    // collect_list — two Exchanges with an n×dim fanout feeding the
-    // first. The dimension costs one limit-1 row read up front (both
-    // call sites consume the result eagerly); the same exact-decimal
-    // means then compute as dim sum columns + one count in a single
-    // map-side-combined aggregate. Bit-identical: decimal sums are
-    // order-independent and the division/cast chain is unchanged.
-    val dim = all.select(size(col("vec")).as("d")).limit(1)
-      .collect().headOption.map(_.getInt(0)).getOrElse(0)
-    if (dim == 0) // empty corpus → empty (clabel, cvec) with the right schema
-      return all.select(col("label").as("clabel"),
-        col("vec").as("cvec")).filter(lit(false))
-    val sums = (0 until dim).map(i =>
-      sum(element_at(col("vec"), i + 1).cast("decimal(28,12)")).as(s"__s$i"))
-    all.groupBy(col("label"))
-      .agg(sums.head, (sums.tail :+ count(lit(1)).as("__n")): _*)
-      .select(col("label").as("clabel"), array((0 until dim).map(i =>
-        (col(s"__s$i") / col("__n")).cast("double")): _*).as("cvec"))
-  }
+  private[operators] def labelCentroids(all: DataFrame): DataFrame =
+    // posexplode two-phase means kept deliberately — a fused
+    // dim-sum-column variant was ABA-measured slower at sf0.1 and
+    // reverted (see the kmeansCentroidSeqs formulation note).
+    all
+      .select(col("label"), posexplode(col("vec")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(col("v").cast("decimal(28,12)")) / count(lit(1)))
+        .cast("double").as("c"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("cvec"))
+      .select(col("label").as("clabel"), col("cvec"))
 
   /** Probe selection against a GIVEN centroid table — (qid, qvec,
     * clabel), the `nProbes` nearest cells per query by 6-dp centroid
@@ -420,26 +412,23 @@ object Similarity {
       .orderBy(col("__h"), col("vec_id")).limit(k)
       .coalesce(1).sortWithinPartitions(col("__h"), col("vec_id"))
       .select(col("vec")).as[Seq[Double]].collect().toIndexedSeq
-    // ONE-EXCHANGE mean update (r20 optimization, guide §2.3/§2.4): the
-    // update used to posexplode every row ×dim and aggregate twice —
-    // (cid, pos) decimal means, then a (cid) collect_list — two
-    // Exchanges and an n×dim fanout feeding the first, per round. The
-    // vector dimension is known on the driver (the seeds), so the same
-    // means compute as dim decimal-sum columns + one count in a SINGLE
-    // grouped aggregate (map-side combined to ≤k rows/partition), the
-    // cvec assembled in the same projection. Bit-identical: decimal
-    // sums are exact (order-independent), and the division/cast chain
-    // (sum DECIMAL(28,12) / count → double) is operand-for-operand the
-    // old expression.
-    val dim = cents.headOption.map(_.length).getOrElse(0)
-    for (_ <- 0 until iters if dim > 0) {
-      val sums = (0 until dim).map(i =>
-        sum(element_at(col("vec"), i + 1).cast("decimal(28,12)")).as(s"__s$i"))
+    // Update formulation note (r20): a one-exchange variant — dim
+    // decimal-sum columns + count in a single grouped aggregate — was
+    // implemented, same-window ABA-measured, and REVERTED: 64
+    // DECIMAL(28,12) sum buffers per group defeat the hash-aggregate
+    // fast path (boxed Decimal updates ×dim per row), measuring ~1.7×
+    // SLOWER at sf0.1 (ivf2 3.5→6.4 s) than this posexplode two-phase
+    // form, whose second exchange carries only k×dim model-sized rows
+    // after map-side combine. Keeping the measured winner (guide §1.1).
+    for (_ <- 0 until iters) {
       val updated = assignCellsCosine(data, cents)
+        .select(col("cid"), posexplode(col("vec")).as(Seq("pos", "v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg((sum(col("v").cast("decimal(28,12)")) / count(lit(1)))
+          .cast("double").as("c"))
         .groupBy(col("cid"))
-        .agg(sums.head, (sums.tail :+ count(lit(1)).as("__n")): _*)
-        .select(col("cid"), array((0 until dim).map(i =>
-          (col(s"__s$i") / col("__n")).cast("double")): _*).as("cvec"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          s => s.getField("c")).as("cvec"))
         .as[(Int, Seq[Double])].collect().toMap
       cents = cents.indices.map(i => updated.getOrElse(i + 1, cents(i)))
     }
@@ -644,20 +633,18 @@ object Similarity {
       return spark.emptyDataset[(Int, Int, Seq[Double])].toDF("s", "cid", "cvec")
     }
     var cents: IndexedSeq[IndexedSeq[Seq[Double]]] = booksToNested(seedRows.toSeq)
-    // ONE-EXCHANGE mean update per round — the kmeansCentroidSeqs r20
-    // fusion, keyed by (s, cid): dim decimal-sum columns + one count in
-    // a single grouped aggregate instead of posexplode → (s, cid, pos)
-    // means → (s, cid) collect_list (two Exchanges + an n×dim fanout).
-    // Bit-identical — exact decimal sums, unchanged division/cast chain.
-    val dim = seedRows.head._3.length
-    for (_ <- 0 until iters if dim > 0) {
-      val sums = (0 until dim).map(i =>
-        sum(element_at(col("svec"), i + 1).cast("decimal(28,12)")).as(s"__s$i"))
+    // posexplode two-phase update kept deliberately — see the
+    // kmeansCentroidSeqs formulation note (the fused dim-column variant
+    // was ABA-measured slower and reverted).
+    for (_ <- 0 until iters) {
       val updated = pqAssign(sub, cents)
+        .select(col("s"), col("cid"), posexplode(col("svec")).as(Seq("pos", "v")))
+        .groupBy(col("s"), col("cid"), col("pos"))
+        .agg((sum(col("v").cast("decimal(28,12)")) / count(lit(1)))
+          .cast("double").as("c"))
         .groupBy(col("s"), col("cid"))
-        .agg(sums.head, (sums.tail :+ count(lit(1)).as("__n")): _*)
-        .select(col("s"), col("cid"), array((0 until dim).map(i =>
-          (col(s"__s$i") / col("__n")).cast("double")): _*).as("cvec"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          x => x.getField("c")).as("cvec"))
         .as[(Int, Int, Seq[Double])].collect()
         .map(r => (r._1, r._2) -> r._3).toMap
       cents = cents.zipWithIndex.map { case (cb, s) =>
