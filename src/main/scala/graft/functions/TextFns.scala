@@ -95,6 +95,25 @@ object TextFns {
     transform(regexp_extract_all(c, lit(ScriptTokenPattern), lit(0)),
       x => translate(x, AsciiUpper, AsciiLower))
 
+  /** The WORD-RUN half of [[ScriptTokenPattern]] alone. Extracting by
+    * it equals extracting the full alternation and dropping the
+    * unspaced singletons (r20 optimization): the two alternation
+    * classes are disjoint, so a word run has identical maximal
+    * boundaries under both patterns — any unspaced codepoint terminates
+    * a run exactly like any other non-word character — and the
+    * singleton alternative contributes only the tokens the filter
+    * removed. Spec-proven token-for-token (SegWordsSpec). Consumers
+    * that need ONLY the word runs (the seg-BM25 word leg) save both
+    * the full-alternation scan and a per-token interpreted rlike. */
+  val WordRunPattern: String =
+    s"[0-9A-Za-z_${SpacedLetterClass.drop(1)}+"
+
+  /** Word-run tokens of `c` — ≡ `filter(tokensScript(c), !singleton)`
+    * token-for-token (see [[WordRunPattern]]), in one extraction. */
+  def tokensScriptWords(c: Column): Column =
+    transform(regexp_extract_all(c, lit(WordRunPattern), lit(0)),
+      x => translate(x, AsciiUpper, AsciiLower))
+
   /** DuckDB twin of [[tokensScript]] over SQL expression `c` — the
     * pattern and translate alphabets are the SAME constants. */
   def tokensScriptSqlOver(c: String): String =

@@ -931,8 +931,15 @@ object Curation {
     // non-English held-out doc; measured, see MlStopWords)
     val stopList = TextAnalysis.MlStopWords
     val singletonRe = TextFns.UnspacedSingletonPattern
-    def words = filter(col("t"), x => !x.rlike(singletonRe))
-    val base = toks.select(col("doc_id"),
+    // materialized once (r20): the word filter is an interpreted HOF
+    // (CodegenFallback — no subexpression elimination), and the `atlw`
+    // projection read it THREE times per row, each a per-token rlike
+    // pass; as a column it evaluates once and the three reads are
+    // attribute references. Values unchanged (same expression).
+    val words = col("__w")
+    val base = toks
+      .withColumn("__w", filter(col("t"), x => !x.rlike(singletonRe)))
+      .select(col("doc_id"),
       size(col("t")).cast("long").as("n_tokens"),
       when(size(words) > 0,
         round(aggregate(transform(words, x => length(x)), lit(0), (a, x) => a + x)

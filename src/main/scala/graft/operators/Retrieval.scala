@@ -188,11 +188,13 @@ object Retrieval {
     * irrelevant; dl = |words| + |units| on both engines. Same inline
     * plan, same probes (the held-out docs), same scoring tail. */
   def bm25TopkSeg(spark: SparkSession, dir: String): DataFrame = {
-    val singleton = TextFns.UnspacedSingletonPattern
     val docs = TextAnalysis.mlDocs2(spark, dir)
+    // word runs extracted directly (r20): one word-run-pattern scan
+    // instead of the full-alternation scan + a per-token interpreted
+    // rlike filter — token-for-token identical (TextFns.WordRunPattern
+    // scaladoc; SegWordsSpec), oracle unchanged
     val words = docs.select(col("doc_id"),
-      filter(TextFns.tokensScript(col("text")),
-        x => !x.rlike(singleton)).as("ws"))
+      TextFns.tokensScriptWords(col("text")).as("ws"))
     val toks = words
       .join(TextAnalysis.segUnitsOf(docs), Seq("doc_id"), "left")
       .select(col("doc_id"),
