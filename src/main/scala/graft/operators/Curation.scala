@@ -1026,10 +1026,15 @@ object Curation {
       .cache()
     val kept = qualityGateMlOf(toks).filter(col("keep"))
       .select(col("doc_id"), col("n_tokens"))
+    // GATE ONCE (r21 — the pipelineCurateOf r20 fix, mirrored): fp has
+    // two consumers (survivor aggregate + final join) and each used to
+    // re-run the whole ML gate chain over the cached tokens; the frame
+    // is corpus-sized but narrow (id + count + one hash)
     val fp = toks
       .join(kept, Seq("doc_id"))
       .select(col("doc_id"), col("n_tokens"),
         md5(concat_ws(" ", col("t"))).as("content_fp"))
+      .cache()
     val surv = fp.groupBy(col("content_fp"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
     surv.join(fp.select(col("doc_id"), col("n_tokens")), Seq("doc_id"))
@@ -1293,26 +1298,37 @@ object Curation {
     val splits = splitLeakSafeOf(
       docs.select(col("doc_id"), col("source")), clusters)
       .select(col("doc_id"), col("source"), col("split"))
-    val cur = curated.join(splits, Seq("doc_id")).cache()
-    // stage 3: pack every split's curated token stream in ONE grouped
-    // prefix-sum pass ([[packOfBy]]) — blocks per split is the packing
-    // core's own last_block + 1 (NOT re-derived arithmetic); a split
-    // with no curated docs has no card row, matching the group-by
-    val packs = packOfBy(
-        cur.select(col("split"), col("doc_id"), col("n_tokens").as("n")), "split")
-      .groupBy(col("g"))
-      .agg((max(col("last_block")) + 1L).as("split_blocks"))
-      .select(col("g").as("split"), col("split_blocks"))
-    // stage 4: the per-(split, source) card
-    val out = cur.groupBy(col("split"), col("source"))
+    // single consumer (the card aggregate) — no cache needed (r21; the
+    // cached frame previously fed two passes: the card AND a packOfBy
+    // prefix sum whose only surviving value was max(last_block))
+    val cur = curated.join(splits, Seq("doc_id"))
+    // stages 3+4 fused into ONE pass over the curated rows (r21, guide
+    // §1.2/§2.4): the card aggregate is computed first, and blocks per
+    // split derive from the CARD's own per-(split, source) token sums —
+    // for a contiguous stream of non-negative counts, the packing
+    // core's max(last_block) + 1 is exactly (Σn − 1) div BlockTokens + 1
+    // (the cumulative position of the final token; the oracle has
+    // always computed this same closed form, and PackSpec proves the
+    // packOfBy identity on adversarial inputs incl. zero counts). The
+    // grouped prefix-sum pass — a full range-partition exchange, a
+    // mapPartitions cumsum, its cache, and a per-partition subtotal
+    // collect — bought nothing the sum already knows. A split with no
+    // curated docs has no card0 row and therefore no packs row, exactly
+    // the packOfBy group-by semantics.
+    val card0 = cur.groupBy(col("split"), col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),
         sum(col("n_copies") - 1).as("n_dupes_collapsed"))
+      .cache() // card-sized; feeds the packs rollup AND the final join
+    val packs = card0.groupBy(col("split"))
+      .agg(sum(col("n_tokens")).as("tot"))
+      .select(col("split"), expr(s"(tot - 1) div $BlockTokens + 1").as("split_blocks"))
+    val out = card0
       .join(broadcast(packs), Seq("split"))
       .orderBy(col("split"), col("source"))
       .cache() // the CARD is what's returned — cache it, not just upstream,
     out.count() // so the caller's first action reads card-sized state instead
-    cur.unpersist() // of re-running the whole chain after cur is dropped
+    card0.unpersist() // of re-running the whole chain after card0 is dropped
     out
   }
 
@@ -1521,29 +1537,33 @@ object Curation {
   /** Stages 5-6 of the v2 release over any per-doc release frame — ONE
     * definition consumed by the inline and the composed card entries. */
   private def releaseCardOf(frame: DataFrame): DataFrame = {
-    val cur = frame.cache()
-    // stage 5: pack each split's SHIPPED token stream (kept docs only)
-    val packs = packOfBy(
-        cur.filter(!col("contaminated"))
-          .select(col("split"), col("doc_id"), col("n_ship_tokens").as("n"))
-          .filter(col("n") > 0), "split")
-      .groupBy(col("g"))
-      .agg((max(col("last_block")) + 1L).as("split_blocks"))
-      .select(col("g").as("split"), col("split_blocks"))
-    // stage 6: the card — kept counts are post-redaction, plus the
-    // audit columns the release reviewer reads first
-    val out = cur.groupBy(col("split"), col("source"))
+    // stages 5+6 fused into ONE pass over the release frame (r21, guide
+    // §1.2/§2.4 — the releaseManifestOf rationale): blocks per split
+    // derive from the card's own kept-token sums via the closed form
+    // max(last_block) + 1 == (Σn − 1) div BlockTokens + 1 (PackSpec).
+    // Presence semantics preserved exactly: the packOfBy input was
+    // kept docs with n_ship_tokens > 0, so a split emits a packs row
+    // iff its kept-token total is positive — the `tot > 0` filter
+    // (NULL-safe false for all-contaminated splits, whose kept sum is
+    // NULL) reproduces the old inner-join drop of such splits' rows.
+    val card0 = frame.groupBy(col("split"), col("source"))
       .agg(
         count(when(!col("contaminated"), lit(1))).as("n_docs"),
         sum(when(!col("contaminated"), col("n_ship_tokens"))).as("n_tokens"),
         sum(when(!col("contaminated"), col("n_copies") - 1)).as("n_dupes_collapsed"),
         count(when(col("contaminated"), lit(1))).as("n_contaminated"),
         sum(when(!col("contaminated"), col("n_pii"))).as("n_redacted"))
+      .cache() // card-sized; feeds the packs rollup AND the final join
+    val packs = card0.groupBy(col("split"))
+      .agg(sum(col("n_tokens")).as("tot"))
+      .filter(col("tot") > 0)
+      .select(col("split"), expr(s"(tot - 1) div $BlockTokens + 1").as("split_blocks"))
+    val out = card0
       .join(broadcast(packs), Seq("split"))
       .orderBy(col("split"), col("source"))
       .cache() // cache the CARD itself (card-sized rows), not just cur —
     out.count() // counting-then-unpersisting upstream left the returned
-    cur.unpersist() // lazy frame to recompute the whole chain (r15 advice)
+    card0.unpersist() // lazy frame to recompute the whole chain (r15 advice)
     out
   }
 

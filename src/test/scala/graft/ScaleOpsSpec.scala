@@ -83,6 +83,31 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("split-cardinality"))
   }
 
+  test("pack closed form: max(last_block)+1 == (sum(n)-1) div B + 1 per group") {
+    // the r21 release-card fusion rests on this identity: for a
+    // contiguous stream of non-negative counts, the packing core's
+    // max(last_block) is the final token's block, i.e. (Σn − 1) div B.
+    // Adversarial shape: skewed groups, interleaved ids, zero counts
+    // (v1 card input is unfiltered), one group of ONLY zeros (both
+    // sides must then say 1 block), group totals landing exactly on
+    // and either side of block boundaries.
+    val rows = (0L until 400L).map { i =>
+      val g = Seq("train", "val", "test", "zero")(((i * 11) % 4).toInt)
+      val n = if (g == "zero") 0L else if (i % 13 == 0) 0L else (i * 37) % 97
+      (g, i, n)
+    } ++ Seq(("edge", 9001L, 1024L), ("edge", 9002L, 1024L), ("edge2", 9003L, 1025L))
+    val counts = rows.toDF("split", "doc_id", "n")
+    val viaPack = Curation.packOfBy(counts, "split")
+      .groupBy($"g").agg((max($"last_block") + 1L).as("blocks"))
+      .as[(String, Long)].collect().toMap
+    val viaSum = counts.groupBy($"split")
+      .agg(expr("(sum(n) - 1) div 1024 + 1").as("blocks"))
+      .as[(String, Long)].collect().toMap
+    assert(viaPack == viaSum && viaPack.keySet ==
+      Set("train", "val", "test", "zero", "edge", "edge2"),
+      s"closed form diverged: pack=$viaPack sum=$viaSum")
+  }
+
   test("connected components: diameter-200 chain converges via pointer jumping") {
     // path graph 0-1-2-...-200: plain min-label propagation needs 200
     // rounds; pointer jumping must land it well inside the default 20
