@@ -211,19 +211,37 @@ object Similarity {
   /** Per-label-cell centroids — (clabel, cvec), DECIMAL(28,12)-exact
     * means of the normalized vectors. Bounded by |labels|, persistable
     * (the IVF half of a stored IVFPQ index). */
-  private[operators] def labelCentroids(all: DataFrame): DataFrame =
+  private[operators] def labelCentroids(all: DataFrame): DataFrame = {
     // posexplode two-phase means kept deliberately — a fused
     // dim-sum-column variant was ABA-measured slower at sf0.1 and
     // reverted (see the kmeansCentroidSeqs formulation note).
-    all
+    // Returned as a DRIVER-LOCAL relation (r21): the per-(label, pos)
+    // means collect to |cells|×dim rows — model-sized by construction
+    // (this is the table every consumer broadcasts or localized()
+    // anyway) — so the assembly groupBy's exchange, the consumer-side
+    // cache materialization, and the localized() collect job all
+    // disappear; downstream broadcasts read local rows. Values
+    // bit-identical: array_sort over struct(pos, c) with distinct pos
+    // == sortBy(pos) on the driver.
+    val spark = all.sparkSession
+    val labelDt = all.schema("label").dataType
+    val rows = all
       .select(col("label"), posexplode(col("vec")).as(Seq("pos", "v")))
       .groupBy(col("label"), col("pos"))
       .agg((sum(col("v").cast("decimal(28,12)")) / count(lit(1)))
         .cast("double").as("c"))
-      .groupBy(col("label"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-        s => s.getField("c")).as("cvec"))
-      .select(col("label").as("clabel"), col("cvec"))
+      .collect()
+    val assembled = rows.groupBy(_.get(0)).toSeq.map { case (lbl, rs) =>
+      org.apache.spark.sql.Row(lbl, rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+    }
+    spark.createDataFrame(
+      java.util.Arrays.asList(assembled: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("clabel", labelDt),
+        org.apache.spark.sql.types.StructField("cvec",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = true)))))
+  }
 
   /** Probe selection against a GIVEN centroid table — (qid, qvec,
     * clabel), the `nProbes` nearest cells per query by 6-dp centroid
@@ -246,7 +264,7 @@ object Similarity {
     * was a fixed `Probes`=4 — the schedule lifts the probe-limited
     * recall ceiling the same way it did for IVFPQ.) */
   private def ivfProbes(all: DataFrame): DataFrame = {
-    val cents = localized(labelCentroids(all))
+    val cents = labelCentroids(all) // driver-local already (r21)
     probesFrom(
       all.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("qid"), col("vec").as("qvec")),
@@ -420,16 +438,25 @@ object Similarity {
     // SLOWER at sf0.1 (ivf2 3.5→6.4 s) than this posexplode two-phase
     // form, whose second exchange carries only k×dim model-sized rows
     // after map-side combine. Keeping the measured winner (guide §1.1).
+    // Assembly on the DRIVER (r21, guide §2.4): the collected result is
+    // k×dim (cid, pos, mean) rows — model-sized by construction — so
+    // the per-round SECOND exchange (a groupBy(cid) whose only job was
+    // collect_list/array_sort vector assembly, immediately collected
+    // anyway) is replaced by a driver-side group-and-sort over the same
+    // values. This is NOT the reverted fused dim-column update above:
+    // the distributed (cid, pos) decimal-mean aggregate — the measured
+    // winner — is untouched; only the assembly of already-final means
+    // moved. Values bit-identical: array_sort over struct(pos, c) with
+    // distinct pos == sortBy(pos), same element order, same doubles.
     for (_ <- 0 until iters) {
       val updated = assignCellsCosine(data, cents)
         .select(col("cid"), posexplode(col("vec")).as(Seq("pos", "v")))
         .groupBy(col("cid"), col("pos"))
         .agg((sum(col("v").cast("decimal(28,12)")) / count(lit(1)))
           .cast("double").as("c"))
-        .groupBy(col("cid"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-          s => s.getField("c")).as("cvec"))
-        .as[(Int, Seq[Double])].collect().toMap
+        .as[(Int, Int, Double)].collect()
+        .groupBy(_._1)
+        .map { case (cid, rs) => cid -> rs.sortBy(_._2).map(_._3).toSeq }
       cents = cents.indices.map(i => updated.getOrElse(i + 1, cents(i)))
     }
     cents
@@ -635,18 +662,20 @@ object Similarity {
     var cents: IndexedSeq[IndexedSeq[Seq[Double]]] = booksToNested(seedRows.toSeq)
     // posexplode two-phase update kept deliberately — see the
     // kmeansCentroidSeqs formulation note (the fused dim-column variant
-    // was ABA-measured slower and reverted).
+    // was ABA-measured slower and reverted). Assembly on the DRIVER
+    // (r21, same rationale as kmeansCentroidSeqs): the per-round second
+    // exchange assembled PqM×k model-sized (s, cid, pos, mean) rows
+    // into vectors only to collect them — the driver group-and-sort is
+    // value-identical (distinct pos ⇒ array_sort == sortBy(pos)).
     for (_ <- 0 until iters) {
       val updated = pqAssign(sub, cents)
         .select(col("s"), col("cid"), posexplode(col("svec")).as(Seq("pos", "v")))
         .groupBy(col("s"), col("cid"), col("pos"))
         .agg((sum(col("v").cast("decimal(28,12)")) / count(lit(1)))
           .cast("double").as("c"))
-        .groupBy(col("s"), col("cid"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-          x => x.getField("c")).as("cvec"))
-        .as[(Int, Int, Seq[Double])].collect()
-        .map(r => (r._1, r._2) -> r._3).toMap
+        .as[(Int, Int, Int, Double)].collect()
+        .groupBy(r => (r._1, r._2))
+        .map { case (k2, rs) => k2 -> rs.sortBy(_._3).map(_._4).toSeq }
       cents = cents.zipWithIndex.map { case (cb, s) =>
         cb.indices.map(i => updated.getOrElse((s, i + 1), cb(i)))
       }
@@ -1529,7 +1558,7 @@ object Similarity {
                    iters: Int = PqIters): (DataFrame, DataFrame, DataFrame) = {
     val spark = all.sparkSession
     import spark.implicits._
-    val cells = labelCentroids(all).cache()
+    val cells = labelCentroids(all) // driver-local relation (r21) — no cache needed
     // cached: the residual join + subvector posexplode feeds training
     // (1+iters passes) and the encode pass (r20 — see pqIndexOf)
     val sub = pqSubvectors(residualsOf(all, cells)).cache()
