@@ -611,11 +611,14 @@ object Similarity {
   private val PqK = 64
   private val PqIters = 2
 
-  /** (vec_id, s, svec): the PqM subvectors of each unit vector. */
-  private def pqSubvectors(all: DataFrame): DataFrame =
-    all.select(col("vec_id"),
+  /** (vec_id[, keep...], s, svec): the PqM subvectors of each unit
+    * vector. `keep` passes extra columns through (r21 — the IVFPQ
+    * builder rides `label` along so the encoded codes never join back
+    * to the corpus). */
+  private def pqSubvectors(all: DataFrame, keep: Seq[String] = Nil): DataFrame =
+    all.select(col("vec_id") +: keep.map(col) :+
       posexplode(array((0 until PqM).map(s =>
-        slice(col("vec"), s * PqSub + 1, PqSub)): _*)).as(Seq("s", "svec")))
+        slice(col("vec"), s * PqSub + 1, PqSub)): _*)).as(Seq("s", "svec")): _*)
 
   private[graft] def pqD2(v: Column, c: Column): Column =
     round(VectorFns.dot(v, v) + VectorFns.dot(c, c)
@@ -798,14 +801,24 @@ object Similarity {
     (tops, cents2)
   }
 
-  /** Per-row (cid1, cid2) under an already-trained two-level codebook. */
-  private def assignWithTwoLevel(data: DataFrame, tops: IndexedSeq[Seq[Double]],
+  /** Per-row (vec_id, vec, cid1, cid2) under an already-trained
+    * two-level codebook — vec rides through both narrow assignment
+    * levels (r21: `svec` IS the input vector at the second level, so
+    * emitting it back out lets the cells builders skip their join back
+    * to the corpus — one less exchange pair per build). */
+  private def assignWithTwoLevelVec(data: DataFrame, tops: IndexedSeq[Seq[Double]],
       cents2: IndexedSeq[IndexedSeq[Seq[Double]]]): DataFrame =
     pqAssign(assignCells(data, tops).withColumnRenamed("cid", "cid1")
         .select(col("vec_id"), (col("cid1") - 1).as("s"), col("vec").as("svec")),
         cents2)
-      .select(col("vec_id"), (col("s") + 1).cast("int").as("cid1"),
-        col("cid").as("cid2"))
+      .select(col("vec_id"), col("svec").as("vec"),
+        (col("s") + 1).cast("int").as("cid1"), col("cid").as("cid2"))
+
+  /** Per-row (cid1, cid2) under an already-trained two-level codebook. */
+  private def assignWithTwoLevel(data: DataFrame, tops: IndexedSeq[Seq[Double]],
+      cents2: IndexedSeq[IndexedSeq[Seq[Double]]]): DataFrame =
+    assignWithTwoLevelVec(data, tops, cents2)
+      .select(col("vec_id"), col("cid1"), col("cid2"))
 
   def assignTwoLevel(data: DataFrame, k1: Int, k2: Int, iters: Int,
                      train: Option[DataFrame] = None): DataFrame = {
@@ -859,13 +872,13 @@ object Similarity {
       tops: IndexedSeq[Seq[Double]],
       cents2: IndexedSeq[IndexedSeq[Seq[Double]]]): DataFrame =
     // cache HERE, not inside the shared search tail: the inline path's
-    // cells frame is a freshly computed assignment join consumed three
+    // cells frame is a freshly computed assignment consumed three
     // times (queries, probe-pair collect, scored join); the indexed
     // path's is a partition-pruned parquet read that must NOT be
     // materialized whole (round 13 — caching it would read every cell
-    // directory and defeat the store's pruning)
-    ivf2SearchCells(all.select(col("vec_id"), col("vec"))
-      .join(assignWithTwoLevel(all, tops, cents2), Seq("vec_id")).cache(),
+    // directory and defeat the store's pruning). The assignment carries
+    // vec itself (r21) — the former join back to the corpus is gone.
+    ivf2SearchCells(assignWithTwoLevelVec(all, tops, cents2).cache(),
       tops, cents2)
 
   /** The search tail over an ALREADY-ASSIGNED cells frame
@@ -943,8 +956,8 @@ object Similarity {
     val spark = all.sparkSession
     import spark.implicits._
     val (tops, cents2) = trainTwoLevel(all, k1, k2, iters, None)
-    val cells = all.select(col("vec_id"), col("vec"))
-      .join(assignWithTwoLevel(all, tops, cents2), Seq("vec_id"))
+    // the assignment carries vec (r21) — no join back to the corpus
+    val cells = assignWithTwoLevelVec(all, tops, cents2)
     val subbooks = spark.createDataset(for {
       (cb, s) <- cents2.zipWithIndex
       (c, i) <- cb.zipWithIndex
@@ -1540,8 +1553,12 @@ object Similarity {
     * bounded (clabel, cvec) table, so the join broadcasts; the
     * subtraction is one codegen'd zip_with per row. */
   private def residualsOf(all: DataFrame, cells: DataFrame): DataFrame =
+    // label rides along (r21): the index builder's codes table needs it
+    // back, and keeping it here lets the encode pass skip the join back
+    // to the corpus; consumers that don't want it (the merge path's
+    // batch encode) drop it at their pqSubvectors projection
     all.join(broadcast(cells), col("label") === col("clabel"))
-      .select(col("vec_id"),
+      .select(col("vec_id"), col("label"),
         zip_with(col("vec"), col("cvec"), (a, b) => a - b).as("vec"))
 
   /** Build the persistable IVFPQ index from a (vec_id, label, vec)
@@ -1560,16 +1577,18 @@ object Similarity {
     import spark.implicits._
     val cells = labelCentroids(all) // driver-local relation (r21) — no cache needed
     // cached: the residual join + subvector posexplode feeds training
-    // (1+iters passes) and the encode pass (r20 — see pqIndexOf)
-    val sub = pqSubvectors(residualsOf(all, cells)).cache()
+    // (1+iters passes) and the encode pass (r20 — see pqIndexOf).
+    // `label` rides through the subvectors (r21) so the encoded codes
+    // carry it directly — the previous corpus join-back is gone.
+    val sub = pqSubvectors(residualsOf(all, cells), keep = Seq("label")).cache()
     val books = pqCodebooks(sub, k, iters)
     val bookRows = books.as[(Int, Int, Seq[Double])].collect()
     val codes =
       if (bookRows.isEmpty)
         spark.emptyDataset[(Int, Long, Int, String)].toDF("s", "vec_id", "cid", "label")
       else
-        pqAssign(sub, booksToNested(bookRows)).select(col("s"), col("vec_id"), col("cid"))
-          .join(all.select(col("vec_id"), col("label")), "vec_id")
+        pqAssign(sub, booksToNested(bookRows))
+          .select(col("vec_id"), col("s"), col("cid"), col("label"))
     (codes, books, cells)
   }
 
@@ -1618,8 +1637,22 @@ object Similarity {
     // was cells.count() + broadcast(cells), paying the upstream
     // aggregation/scan once per consumer)
     val cellsL = localized(cells)
-    val probesV = probesFrom(queries, cellsL,
+    // The query batch localizes too (r21, guide §2.4): queries fed
+    // three broadcast subtrees (the probe window, the offset join, the
+    // LUT build) and each broadcast-exchange job re-ran the upstream
+    // query scan; one batch-sized collect makes them all local. The
+    // probe window then localizes as well — its rows feed the probes
+    // broadcast, the offset join, AND the probed-label set, which now
+    // derives on the driver instead of a distinct() job. Window
+    // determinism is unchanged: (ccos DESC, clabel) is a total order
+    // per qid, so row_number is input-order-independent.
+    val qloc = localized(queries)
+    val spark0 = qloc.sparkSession
+    val probesPlan = probesFrom(qloc, cellsL,
       probeScheduleFor(cellsL.count().toInt))
+    val probeRows = probesPlan.collect()
+    val probesV = spark0.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probesPlan.schema)
     val probes = probesV.select(col("qid"), col("clabel"))
     // Probed-cell pruning (round 13): the distinct probed-label set is
     // bounded by |cells| — model-sized no matter how many queries — so
@@ -1628,8 +1661,9 @@ object Similarity {
     // this is file-level partition pruning: a 7-cell probe reads 7 of
     // the store's directories; over a flat frame it is a no-op row
     // filter the later label===clabel join condition subsumed anyway.
-    val probedLabels = probes.select(col("clabel")).distinct()
-      .collect().map(_.get(0)).toSeq
+    // (Distinct on the driver over the collected probe rows — label
+    // values are groupable atomics, so Seq.distinct == Spark distinct.)
+    val probedLabels = probeRows.map(_.get(2)).toSeq.distinct
     val codesProbed =
       if (probedLabels.isEmpty) codes.filter(lit(false))
       else codes.filter(col("label").isInCollection(probedLabels))
@@ -1641,7 +1675,7 @@ object Similarity {
       .select(col("qid"), col("clabel").as("label"),
         VectorFns.dot6(col("qvec"), col("cvec")).as("off"))
     val qsub = pqSubvectors(
-      queries.select(col("qid").as("vec_id"), col("qvec").as("vec")))
+      qloc.select(col("qid").as("vec_id"), col("qvec").as("vec")))
     val lut = qsub
       .select(col("vec_id").as("qid"), col("s"), col("svec"))
       .join(broadcast(books), Seq("s"))
@@ -1668,7 +1702,7 @@ object Similarity {
           .withColumn("rn", row_number().over(w)).filter(col("rn") <= K)
           .orderBy(col("qid"), col("rn"))
       case Some(vecs) =>
-        refineOf(scored, "adc", queries, vecs, flatAlt = refineFlat)
+        refineOf(scored, "adc", qloc, vecs, flatAlt = refineFlat)
     }
   }
 
@@ -1707,11 +1741,15 @@ object Similarity {
       .join(broadcast(queries), Seq("qid"))
       .cache()
     val ids = cand.select(col("nid")).distinct()
-    // branch on a COUNT; the ids only materialize on the driver when
-    // the literal path is actually taken (round 15 — previously an
-    // over-budget batch collected its whole id set just to discard it
-    // and take the semi-join path that exists to avoid exactly that)
-    val nIds = ids.count()
+    // ONE bounded job replaces the count-then-collect pair (r21): pull
+    // at most budget+1 distinct ids — within budget the result IS the
+    // whole set (so no separate count), over budget the semi-join path
+    // serves without the full id set ever reaching the driver (the
+    // round-15 concern, preserved — at most budget+1 rows land here).
+    val budget = refineLiteralMax(spark)
+    val idsHead = ids.limit(math.min(budget + 1, Int.MaxValue.toLong).toInt)
+      .collect().map(_.get(0))
+    val overBudget = idsHead.length > budget
     // ADAPTIVE refine source (round 14, the bm25ServeStored pattern):
     // when the caller supplies the store's flat-parquet twin, pick per
     // batch from candidate bucket coverage — wide coverage means the
@@ -1719,10 +1757,23 @@ object Similarity {
     // splits win on scan parallelism (the measured sf0.1 regression
     // behind this), narrow coverage keeps file-level pruning. Logged
     // because a silent path flip would make perf records unexplainable.
+    // Within the literal budget the coverage derives on the DRIVER from
+    // the already-collected ids (r21) — Murmur3HashFunction IS the
+    // hash() expression's interpreted form (seed 42; BucketedSpec pins
+    // the equality), so the flat/bucketed choice is unchanged.
     val src = flatAlt match {
       case Some((flat, nb)) =>
-        val covered = cand.select(pmod(hash(col("nid")), lit(nb)).as("b"))
-          .distinct().count()
+        val covered =
+          if (!overBudget) {
+            val dt = cand.schema("nid").dataType
+            idsHead.map { v =>
+              val h = org.apache.spark.sql.catalyst.expressions
+                .Murmur3HashFunction.hash(v, dt, 42L).toInt
+              ((h % nb) + nb) % nb
+            }.distinct.length.toLong
+          } else
+            cand.select(pmod(hash(col("nid")), lit(nb)).as("b"))
+              .distinct().count()
         val takeFlat = covered * 2 > nb
         System.err.println(s"[graft] refine source: ${if (takeFlat) "flat"
           else "bucketed"} (candidates cover $covered of $nb vec buckets)")
@@ -1737,13 +1788,12 @@ object Similarity {
     // broadcast semi-join on the id frame instead: same rows kept,
     // value-identical (spec-forced at tiny size), no plan blowup.
     val vecsPruned =
-      if (nIds == 0L) src.filter(lit(false))
-      else if (nIds <= refineLiteralMax(spark))
-        src.filter(col("vec_id").isInCollection(
-          ids.collect().map(_.get(0)).toSeq))
+      if (idsHead.isEmpty) src.filter(lit(false))
+      else if (!overBudget)
+        src.filter(col("vec_id").isInCollection(idsHead.toSeq))
       else {
-        System.err.println(s"[graft] refine candidates: $nIds ids > " +
-          s"literal budget ${refineLiteralMax(spark)} — pruning via broadcast semi-join")
+        System.err.println(s"[graft] refine candidates: > literal " +
+          s"budget $budget ids — pruning via broadcast semi-join")
         src.join(broadcast(ids.withColumnRenamed("nid", "vec_id")),
           Seq("vec_id"), "left_semi")
       }

@@ -8,6 +8,25 @@ class BucketedSpec extends AnyFunSuite {
   lazy val spark = GraftSession.test
   import spark.implicits._
 
+  test("driver Murmur3 pmod == Spark pmod(hash(col), nb) for long ids") {
+    // refineOf's within-budget bucket-coverage derivation (r21) hashes
+    // collected ids on the driver via Murmur3HashFunction — this pin
+    // fails loudly if Spark's hash() expression ever changes seed or
+    // algorithm, which would silently flip the flat/bucketed choice
+    val ids = Seq(0L, 1L, -1L, 42L, 9001L, Long.MaxValue, Long.MinValue,
+      123456789012345L) ++ (0L until 500L).map(i => i * 7919L - 250L)
+    val nb = 16
+    val viaSpark = ids.toDF("nid")
+      .select(col("nid"), pmod(hash(col("nid")), lit(nb)).as("b"))
+      .as[(Long, Int)].collect().toMap
+    val viaDriver = ids.map { v =>
+      val h = org.apache.spark.sql.catalyst.expressions
+        .Murmur3HashFunction.hash(v, org.apache.spark.sql.types.LongType, 42L).toInt
+      v -> (((h % nb) + nb) % nb)
+    }.toMap
+    assert(viaSpark == viaDriver)
+  }
+
   test("bucketed fact-fact join plans with zero exchanges and matches the shuffle join") {
     val sf = "/root/testdata/sf0.001"
     Bucketed.writeFactTables(spark, sf, buckets = 4)
